@@ -1,0 +1,134 @@
+"""The engine: write path and query path (re-creation of src/lynx.rs).
+
+Write path (lynx.rs:63-68): WAL append FIRST, then buffer insert —
+"Data MUST be appended to the WAL before making its way into the
+in-memory buffer" (lynx.rs:31-33). A global lock serializes writers
+like the reference's ``Mutex<Wal>`` (lynx.rs:34).
+
+Query path (lynx.rs:70-151):
+  1. extract the first FROM table from the SQL (lynx.rs:75)
+  2. snapshot the namespace (buffer.rs:109-115); unknown -> None (404)
+  3. concatenate ALL partitions of the target table in day order
+     (lynx.rs:86-91)
+  4. infer the schema: union of tag keys -> [timestamp, value, *tags]
+     (lynx.rs:93-116); deviation: we SORT tag keys (the reference's
+     HashSet order is nondeterministic — documented in SURVEY §1.4)
+  5. row -> columnar: build an Arrow batch (lynx.rs:118-134)
+  6. register the table as a temp view (lynx.rs:136-139) — under a
+     per-engine lock with eager analysis, avoiding the reference's
+     shared-context race (TODO at lynx.rs:138)
+  7. hand the raw SQL to Spark SQL — Catalyst plays DataFusion's role
+     (lynx.rs:141)
+
+Startup recovery (lynx.rs:43-57): replay every WAL segment into the
+buffer, then open a fresh active segment at highest_observed_id + 1.
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from lynx_spark.buffer import Measurements, MemBuffer
+from lynx_spark.model import WriteRequest, tag_to_str
+from lynx_spark.sqlutil import parse_table_name
+from lynx_spark.wal import DEFAULT_MAX_SEGMENT_SIZE, Wal
+
+
+class LynxEngine:
+    """In-memory, durable, time-series engine on Spark SQL."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        wal_dir: str | Path,
+        max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
+    ) -> None:
+        self.spark = spark
+        self.buffer = MemBuffer()
+        wal_dir = Path(wal_dir)
+        wal_dir.mkdir(parents=True, exist_ok=True)
+        # startup recovery: WAL is the source of truth (lynx.rs:44-53)
+        highest, observed = Wal.replay(wal_dir, self.buffer)
+        self.wal = Wal(
+            wal_dir,
+            segment_id=highest + 1,
+            max_segment_size=max_segment_size,
+            closed_segments=observed,
+        )
+        self._wal_lock = threading.Lock()
+        self._query_lock = threading.Lock()
+
+    # ------------------------------------------------------------- write
+
+    def write(self, req: WriteRequest) -> None:
+        """WAL append then buffer insert, in that order (lynx.rs:63-68)."""
+        with self._wal_lock:
+            self.wal.write(req)
+        self.buffer.insert(req)
+
+    # ------------------------------------------------------------- query
+
+    def query(self, namespace: str, sql: str) -> DataFrame | None:
+        """Run SQL against one table of one namespace.
+
+        Returns None for an unknown namespace or table — the HTTP layer
+        maps that to 404 (main.rs:83, lynx.rs:144-148). Parse/plan
+        errors raise (HTTP 500).
+        """
+        table_name = parse_table_name(sql)  # lynx.rs:75
+        tables = self.buffer.tables(namespace)  # snapshot, lynx.rs:78
+        if tables is None:
+            return None
+        partitions = tables.get(table_name)
+        if partitions is None:
+            return None
+        batch = measurements_to_arrow(
+            [partitions[day] for day in sorted(partitions)]  # day order
+        )
+        with self._query_lock:
+            # per-query re-registration so results reflect the latest
+            # buffer (lynx.rs:136-139); spark.sql analyzes eagerly, so
+            # once it returns the plan is bound to this snapshot.
+            df_table = self.spark.createDataFrame(batch)
+            df_table.createOrReplaceTempView(table_name)
+            return self.spark.sql(sql)
+
+
+def measurements_to_arrow(parts: list[Measurements]) -> pa.Table:
+    """Concatenated partitions -> one Arrow table with the inferred
+    schema [timestamp, value, *sorted tag keys] (lynx.rs:93-134).
+
+    timestamp: non-null microsecond timestamp; value: non-null string;
+    tags: nullable strings ("not every tag may be present for every
+    write", lynx.rs:110-114), numeric tags stringified (lynx.rs:128).
+    """
+    timestamps: list[int] = []
+    values: list[str] = []
+    metadata: list[dict] = []
+    for m in parts:
+        timestamps.extend(m.timestamps)
+        values.extend(m.values)
+        metadata.extend(m.metadata)
+
+    tag_keys: set[str] = set()
+    for md in metadata:
+        tag_keys.update(md)
+    sorted_keys = sorted(tag_keys)  # deviation: deterministic order
+
+    fields = [
+        pa.field("timestamp", pa.timestamp("us"), nullable=False),
+        pa.field("value", pa.string(), nullable=False),
+    ] + [pa.field(k, pa.string(), nullable=True) for k in sorted_keys]
+
+    arrays: list[pa.Array] = [
+        pa.array(timestamps, type=pa.timestamp("us")),
+        pa.array(values, type=pa.string()),
+    ]
+    for key in sorted_keys:
+        col = [tag_to_str(md[key]) if key in md else None for md in metadata]
+        arrays.append(pa.array(col, type=pa.string()))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

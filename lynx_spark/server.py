@@ -1,0 +1,109 @@
+"""HTTP API: the reference's three routes (src/main.rs).
+
+    GET  /health        -> 200                       (main.rs:51-53)
+    POST /api/v1/write  -> 200 | 500                 (main.rs:55-66)
+    POST /api/v1/query  -> 200 | 404 | 500           (main.rs:68-89)
+
+Query body: ``{"namespace": .., "query": .., "format": "Json"|"Table"}``
+(main.rs:43-49). Default format when omitted is the pretty TABLE
+(main.rs:80). Unknown namespace/table -> 404, NOT an empty result
+(main.rs:83). Errors print to stderr and return 500 (main.rs:59-64).
+
+Config via CLI/env like the reference (main.rs:19-29):
+    LYNX_HTTP_ADDR (default 127.0.0.1:3000)
+    LYNX_WAL_DIRECTORY (required)
+    LYNX_WAL_MAX_SEGMENT_SIZE (default 52428800)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from flask import Flask, Response, jsonify, request
+
+from lynx_spark.engine import LynxEngine
+from lynx_spark.formatting import rows_to_json, rows_to_table
+from lynx_spark.model import WriteRequest
+
+
+def create_app(engine: LynxEngine) -> Flask:
+    app = Flask("lynx_spark")
+
+    @app.get("/health")
+    def health():  # main.rs:51-53
+        return Response(status=200)
+
+    @app.post("/api/v1/write")
+    def write():  # main.rs:55-66
+        try:
+            payload = request.get_json(force=False, silent=False)
+            req = WriteRequest.from_json_dict(payload)
+            engine.write(req)
+            return Response(status=200)
+        except Exception as e:  # noqa: BLE001 — mirror catch-all -> 500
+            print(repr(e), file=sys.stderr)
+            return Response(status=500)
+
+    @app.post("/api/v1/query")
+    def query():  # main.rs:68-89
+        try:
+            payload = request.get_json(force=False, silent=False)
+            namespace = payload["namespace"]
+            sql = payload["query"]
+            fmt = payload.get("format")  # None -> Table (main.rs:80)
+        except Exception as e:  # noqa: BLE001
+            print(repr(e), file=sys.stderr)
+            return Response(status=500)
+        try:
+            df = engine.query(namespace, sql)
+            if df is None:
+                return Response(status=404)
+            columns = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            if fmt == "Json":
+                return Response(
+                    rows_to_json(columns, rows), mimetype="application/json"
+                )
+            return Response(rows_to_table(columns, rows), mimetype="text/plain")
+        except Exception as e:  # noqa: BLE001
+            print(repr(e), file=sys.stderr)
+            return Response(status=500)
+
+    return app
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="lynx_spark server")
+    parser.add_argument(
+        "--bind",
+        default=os.environ.get("LYNX_HTTP_ADDR", "127.0.0.1:3000"),
+    )
+    parser.add_argument(
+        "--wal-directory",
+        default=os.environ.get("LYNX_WAL_DIRECTORY"),
+        required="LYNX_WAL_DIRECTORY" not in os.environ,
+    )
+    parser.add_argument(
+        "--wal-max-segment-size",
+        type=int,
+        default=int(os.environ.get("LYNX_WAL_MAX_SEGMENT_SIZE", "52428800")),
+    )
+    args = parser.parse_args()
+
+    from lynx_spark.session import get_spark
+
+    engine = LynxEngine(
+        get_spark("lynx_spark_server"),
+        args.wal_directory,
+        args.wal_max_segment_size,
+    )
+    app = create_app(engine)
+    host, _, port = args.bind.rpartition(":")
+    print(f"Starting server on {args.bind}", file=sys.stderr)
+    app.run(host=host or "127.0.0.1", port=int(port), threaded=True)
+
+
+if __name__ == "__main__":
+    main()

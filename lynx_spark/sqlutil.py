@@ -1,0 +1,117 @@
+"""SQL helpers: FROM-table extraction.
+
+The reference parses the query with sqlparser (GenericDialect), takes
+the FIRST factor of the FROM clause, and errors for anything that is
+not a plain table — "Queries are only supported in a basic
+'SELECT .. FROM' style" (src/lynx.rs:153-172). Leading ``WITH`` and
+``INSERT`` are rejected because it calls ``parse_select``
+(lynx.rs:161, tests lynx.rs:389-401).
+
+We reproduce those observable behaviors with a small tokenizer —
+no SQL parser dependency is available, and only the FROM head matters.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class TableNameError(ValueError):
+    """Raised when the query is not a basic SELECT .. FROM <table>."""
+
+
+_IDENT = re.compile(r'[A-Za-z_][A-Za-z0-9_$]*|"(?:[^"]|"")+"|`(?:[^`]|``)+`')
+
+
+def _strip_comments(sql: str) -> str:
+    # line comments
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    # block comments (non-nested, like most dialects)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
+    return sql
+
+
+def _tokens(sql: str) -> list[str]:
+    """Lex into words / quoted identifiers / string literals / symbols,
+    enough to find the top-level FROM."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "'":  # string literal ('' escape)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _IDENT.match(sql, i)
+        if m:
+            out.append(m.group(0))
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return out
+
+
+def _unquote(ident: str) -> str:
+    if ident.startswith('"') and ident.endswith('"'):
+        return ident[1:-1].replace('""', '"')
+    if ident.startswith("`") and ident.endswith("`"):
+        return ident[1:-1].replace("``", "`")
+    return ident
+
+
+def parse_table_name(sql: str) -> str:
+    """Extract the first FROM table of a basic SELECT (lynx.rs:153-172).
+
+    Raises TableNameError for non-SELECT statements (INSERT, WITH, ...),
+    a SELECT without FROM, or a non-plain-table first FROM factor
+    (derived table / VALUES) — the same rejection set as the reference.
+    """
+    toks = _tokens(_strip_comments(sql))
+    if not toks:
+        raise TableNameError("empty query")
+    head = toks[0].upper()
+    if head != "SELECT":
+        # parse_select rejects WITH/INSERT/etc. (lynx.rs:161,166-168)
+        raise TableNameError(
+            "Queries are only supported in a basic 'SELECT .. FROM' style"
+        )
+    depth = 0
+    from_idx = None
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.upper() == "FROM":
+            from_idx = i
+            break
+    if from_idx is None or from_idx + 1 >= len(toks):
+        raise TableNameError("query has no FROM clause")
+    nxt = toks[from_idx + 1]
+    if nxt == "(" or nxt.upper() in {"VALUES", "UNNEST", "LATERAL"}:
+        raise TableNameError(
+            "Queries are only supported in a basic 'SELECT .. FROM' style"
+        )
+    if not _IDENT.fullmatch(nxt):
+        raise TableNameError(f"invalid FROM factor: {nxt}")
+    # compound name a.b.c — the reference keeps the full ObjectName; the
+    # buffer keys tables by the bare measurement string, so keep the
+    # last component as the lookup key and the head for display.
+    parts = [_unquote(nxt)]
+    j = from_idx + 2
+    while j + 1 < len(toks) and toks[j] == ".":
+        parts.append(_unquote(toks[j + 1]))
+        j += 2
+    return ".".join(parts)
