@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is forced with a full count() after a shared warmup query
+that spins up the JVM/executor pool, so per-query numbers measure plan
+execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    # relational surface
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q07_window_rank",
+    "q09_distinct_agg",
+    "q12_events_daily",
+    "q19_asof_join",
+    # training-data extensions
+    "q21_dedup_exact",
+    "q22_ngram_jaccard",
+    "q23_minhash_lsh",
+    "q24_cosine_topk",
+    "q25_ann_lsh",
+    "q26_text_stats",
+    "q30_simhash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from lynx_spark.session import get_spark
+    from lynx_spark.plans.analytics import REGISTRY
+
+    spark = get_spark("lynx_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the biggest table so JVM/codegen/reader are hot
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        start = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Text-analysis functions for training-data pipelines.
+
+All of these are pure ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen friendly, no Python in the hot path. Each
+has an exact ANSI-SQL twin (see plans/analytics.py oracles) so results
+are oracle-checkable. The reference has no text surface at all; these
+are the BASELINE.json north-star extensions.
+
+Semantics are deliberately simple and deterministic:
+- words        = regexp split of trim(text) on ``\\s+``
+- tokens       = BPE-ish lexer count: matches of ``\\w+|[^\\w\\s]``
+- stopwords    = occurrences of STOPWORDS among words
+- punct        = matches of ``[^\\w\\s]``
+- fingerprint  = md5 of lower(text) with whitespace collapsed to one
+                 space (document fingerprinting via stable hash)
+- quality      = coverage * (1 - stopword_ratio) * word-length sanity,
+                 a transparent heuristic in the C4/Gopher-rules spirit
+- language     = argmax of per-language marker-word hits, ties broken
+                 by a fixed language priority, 'und' when no marker hits
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "it", "as",
+)
+
+# marker words per language for the n-gram/stopword language heuristic;
+# ties resolve in this dict's order (en first)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "you", "that", "it", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "vous", "une", "que", "dans"),
+    "es": ("el", "la", "los", "las", "es", "una", "que", "por", "con", "para"),
+    "pt": ("o", "os", "uma", "que", "com", "para", "nao", "em", "um", "da"),
+}
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _count_in(words: Column, vocab: tuple[str, ...]) -> Column:
+    """Occurrences of any vocab word (JVM-side array filter)."""
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add deterministic quality/statistics columns. Oracle-twin SQL in
+    plans/analytics.py (q_text_stats)."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(text).cast("long")
+    stop_hits = _count_in(words, STOPWORDS)
+    stop_ratio = F.round(stop_hits / n_words, 4)
+    avg_word_len = F.round(
+        F.length(F.regexp_replace(text, r"\s", "")) / n_words, 4
+    )
+    return (
+        df.withColumn("n_chars_c", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn(
+            "token_count", F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("long")
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(F.regexp_count(text, F.lit(r"[^\w\s]")) / n_chars, 4),
+        )
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(
+            "quality_score",
+            F.round(
+                (F.least(n_words, F.lit(100)) / 100.0)
+                * (1.0 - stop_ratio)
+                * F.when((avg_word_len >= 3.0) & (avg_word_len <= 10.0), 1.0).otherwise(0.5),
+                4,
+            ),
+        )
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable document fingerprint: md5 over normalized text."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(F.trim(normalized)))
+
+
+def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID; 'und' when nothing matches. A real
+    lang-id model is out of scope for the container — this is the
+    deterministic heuristic tier, structured so the scoring is one
+    JVM-side pass over the word array."""
+    words = _words(F.lower(F.col(text_col)))
+    scores = {lang: _count_in(words, markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    # argmax, earlier langs winning ties: lang wins when score > 0,
+    # strictly beats every earlier lang, and >= every later lang
+    result = F.lit("und")
+    for idx, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for jdx, other in enumerate(langs):
+            if jdx < idx:
+                cond = cond & (scores[lang] > scores[other])
+            elif jdx > idx:
+                cond = cond & (scores[lang] >= scores[other])
+        result = F.when(cond, F.lit(lang)).otherwise(result)
+    return df.withColumn("lang_pred", result)

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus, cosine via JVM-side ``zip_with`` +
+  ``aggregate`` folds (no Python, no UDF), window top-k. Exact
+  baseline; at scale the corpus side stays partitioned and only the
+  query set broadcasts.
+- ``lsh_ann_topk`` — random-hyperplane LSH: each vector gets a small
+  bucket id from the sign pattern of dot products with fixed
+  hyperplanes; candidates meet by bucket equality (a shuffle join on
+  the bucket key, never a cross join); exact cosine re-ranks within
+  the bucket. This is the 100 TB path: bucket cardinality scales with
+  the plane count, and planes are plain literals so the whole plan is
+  codegen-able.
+
+The hyperplanes are generated from a fixed seed and embedded as
+literals so the identical computation runs in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+NUM_PLANES = 6  # 2^6 = 64 buckets
+
+_rng = random.Random(20240601)
+HYPERPLANES: list[list[float]] = [
+    [_rng.uniform(-1.0, 1.0) for _ in range(EMBED_DIM)] for _ in range(NUM_PLANES)
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product: zip_with multiply + left-fold sum (double).
+    Same sequential accumulation order as the SQL oracle's positional
+    unnest, so results match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _plane_literal(plane: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in plane])
+
+
+def bucket_expr(vec: Column) -> Column:
+    """LSH bucket id: bit i set iff dot(vec, plane_i) > 0."""
+    bits = [
+        F.when(dot(vec, _plane_literal(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(HYPERPLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_query_id: int,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector with
+    id < max_query_id. Ranking uses the rounded similarity with id
+    tie-break so it is deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    queries = vecs.filter(F.col("nid") < max_query_id).select(
+        F.col("nid").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(queries), F.col("qid") != F.col("nid"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 5))
+        .select("qid", "nid", "cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_query_id: int,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, exact cosine re-rank inside the bucket."""
+    from pyspark.sql.window import Window
+
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", bucket_expr(F.col("v")))
+    queries = vecs.filter(F.col("nid") < max_query_id).select(
+        F.col("nid").alias("qid"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    scored = (
+        vecs.join(F.broadcast(queries), "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 5))
+        .select("qid", "nid", "bucket", "cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "bucket", "cos_sim", "rnk")
+    )

@@ -1,0 +1,1024 @@
+"""The analytic query library: SURVEY §2B's delegated SQL surface plus
+the training-data-pipeline extensions, each as
+
+    (spark, sf_dir) -> DataFrame        (Spark-first implementation)
+    + an ANSI-SQL oracle string         (DuckDB twin, driver-verified)
+
+Column-name and type discipline (the driver hash-compares values after
+sorting columns by name):
+- every computed column is aliased identically on both sides;
+- every floating-point output is round()ed on both sides (same digits),
+  so partial-aggregation order differences can't flip a ULP;
+- every computed integer is cast to BIGINT/long on both sides (DuckDB
+  SUM(int) returns HUGEINT, Spark length() returns int, ...);
+- timestamp outputs are CAST AS STRING on both sides (identical
+  rendering verified); DuckDB sees events.ts as TIMESTAMP_NS, so every
+  oracle touching events casts it to TIMESTAMP (microseconds) first —
+  the same floor truncation the Spark loader applies.
+
+The reference delegates this whole layer to DataFusion
+(src/lynx.rs:141); here Catalyst plays that role. Operators the
+reference lacks (dedup/similarity/text/multimodal) live in
+lynx_spark.operators / lynx_spark.functions and are wired to the
+testdata tables here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lynx_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    with_fingerprint,
+    with_language,
+    with_text_stats,
+)
+from lynx_spark.operators import dedup as dd
+from lynx_spark.operators import similarity as sim
+from lynx_spark.operators.multimodal import binary_length_meta
+from lynx_spark.sources.tables import load_table, register_all
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    description: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None = None, description: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# DuckDB sees events.ts as TIMESTAMP_NS; normalize to microseconds
+_EV = (
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value, props FROM events"
+)
+
+# =====================================================================
+# §2B relational surface
+# =====================================================================
+
+
+@q(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="filter + hash-agg with 8 aggregates (TPC-H Q1 shape)",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q02_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    description="ORDER BY + LIMIT fused to top-k (TakeOrderedAndProject)",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price")
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q03_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(o_orderdate AS VARCHAR) AS orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+    description="3-way join + agg + top-k (TPC-H Q3 shape)",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q04_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    description="EXISTS -> left-semi join + agg (TPC-H Q4 shape)",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders").alias("o")
+    li = T(spark, sf_dir, "lineitem").alias("l")
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
+    "q05_region_revenue",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    description="6-way join with broadcast dims (TPC-H Q5 shape)",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = T(spark, sf_dir, "customer")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q06_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+""",
+    description="pure filter + global agg; predicate pushdown showcase",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.05)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@q(
+    "q07_window_rank",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, total_price, rnk FROM (
+  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price,
+    CAST(row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+""",
+    description="row_number window, top-3 per partition",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@q(
+    "q08_window_running",
+    oracle=f"""
+WITH ev AS ({_EV})
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_s,
+  round(sum(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+  CAST(date_diff('second',
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_s
+FROM ev WHERE user_id < 50
+""",
+    description="running aggregate + lag over event-time window",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .cast("long")
+        .alias("gap_s"),
+    )
+
+
+@q(
+    "q09_distinct_agg",
+    oracle=f"""
+WITH ev AS ({_EV})
+SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n_events,
+  round(sum(value), 2) AS total_value, round(avg(value), 4) AS avg_value
+FROM ev GROUP BY event_type
+""",
+    description="COUNT DISTINCT + plain aggregates per group",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "q09b_approx_distinct",
+    oracle=None,  # HLL sketches are implementation-specific; rows-only check
+    description="approx_count_distinct (HyperLogLog++) per event_type",
+)
+def q09b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+@q(
+    "q10_set_ops",
+    oracle="""
+(SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+ UNION
+ SELECT o_custkey AS custkey FROM orders
+ WHERE o_orderstatus = 'F' AND o_totalprice > 450000)
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+    description="UNION / EXCEPT set operations",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    high_bal = cust.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_f = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 450000)
+    ).select(F.col("o_custkey").alias("custkey"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return high_bal.union(big_f).distinct().subtract(urgent)
+
+
+@q(
+    "q11_scalar_functions",
+    oracle="""
+SELECT o_orderkey,
+  upper(substr(o_orderstatus, 1, 1)) AS status_u,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CASE WHEN o_totalprice < 100000 THEN 'small'
+       WHEN o_totalprice < 300000 THEN 'medium'
+       ELSE 'large' END AS size_bucket,
+  round(o_totalprice * 0.07, 2) AS fee,
+  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+  concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
+FROM orders WHERE o_orderkey % 7 = 0
+""",
+    description="string/date/conditional scalar function surface",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderstatus", 1, 1)).alias("status_u"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.when(F.col("o_totalprice") < 100000, "small")
+            .when(F.col("o_totalprice") < 300000, "medium")
+            .otherwise("large")
+            .alias("size_bucket"),
+            F.round(F.col("o_totalprice") * 0.07, 2).alias("fee"),
+            F.length("o_orderpriority").cast("long").alias("prio_len"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+            F.coalesce(
+                F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+            ).alias("status_norm"),
+        )
+    )
+
+
+@q(
+    "q12_events_daily",
+    oracle="""
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+  count(*) AS n, round(sum(value), 2) AS total_value,
+  round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY 1, 2
+""",
+    description="daily rollup — the query-side twin of the engine's "
+    "daily partition key (buffer.rs:8-28)",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+@q(
+    "q13_self_join_funnel",
+    oracle=f"""
+WITH ev AS ({_EV})
+SELECT a.user_id AS user_id, count(*) AS n_pairs
+FROM ev a JOIN ev b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.user_id
+""",
+    description="self-join funnel: click -> purchase within 10 minutes "
+    "(the reference's one reachable join shape, SURVEY §2B)",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@q(
+    "q14_rollup",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    description="ROLLUP grouping sets with subtotals",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@q(
+    "q15_correlated_subquery",
+    oracle="""
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice > 1.15 * (
+  SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+""",
+    description="correlated scalar subquery (Catalyst decorrelation)",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        FROM part p
+        WHERE p_retailprice > 1.15 * (
+          SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@q(
+    "q16_having_in",
+    oracle="""
+SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_suppkey HAVING count(*) > 5
+""",
+    description="IN subquery (semi join) + HAVING",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_suppkey, count(*) AS n_items,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_suppkey HAVING count(*) > 5
+        """
+    )
+
+
+@q(
+    "q17_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    description="NOT EXISTS -> left-anti join",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "q18_events_json",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+""",
+    description="JSON extraction from a string column + agg",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@q(
+    "q19_asof_join",
+    oracle=f"""
+WITH ev AS ({_EV}), w AS (
+  SELECT event_id, user_id, ts, event_type,
+    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM ev)
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_s,
+  CAST(last_click_ts AS VARCHAR) AS last_click_s,
+  CAST(date_diff('second', last_click_ts, ts) AS BIGINT) AS since_click_s
+FROM w WHERE event_type = 'error'
+""",
+    description="as-of join: most recent prior click per error event, "
+    "expressed as a conditional running max (no cross join)",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("ts_s"),
+            F.col("last_click_ts").cast("string").alias("last_click_s"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts"))
+            .cast("long")
+            .alias("since_click_s"),
+        )
+    )
+
+
+@q(
+    "q20_percentiles",
+    oracle=f"""
+WITH ev AS ({_EV})
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99
+FROM ev GROUP BY event_type
+""",
+    description="exact interpolated percentiles per group",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@q(
+    "q28_sessionize",
+    oracle=f"""
+WITH ev AS ({_EV}), l AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR date_diff('second',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 300
+         THEN 1 ELSE 0 END AS is_new
+  FROM ev),
+s AS (
+  SELECT user_id,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM l)
+SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events,
+  round(CAST(count(*) AS DOUBLE) / max(sid), 4) AS events_per_session
+FROM s GROUP BY user_id
+""",
+    description="sessionization: 5-minute-gap session windows via "
+    "lag + running sum (batch twin of streaming session windows)",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 300), 1).otherwise(0)
+    sid = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id")
+        .agg(
+            F.max("sid").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.count("*").cast("double") / F.max("sid"), 4
+            ).alias("events_per_session"),
+        )
+    )
+
+
+# =====================================================================
+# training-data pipeline extensions (dedup / similarity / text / media)
+# =====================================================================
+
+
+@q(
+    "q21_dedup_exact",
+    oracle="""
+SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS survivor_id,
+  count(*) AS copies
+FROM documents GROUP BY md5(text)
+""",
+    description="exact dedup: hash-groupBy survivors",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _shingle_cte(n: int = dd.SHINGLE_N) -> str:
+    gram = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+    return f"""
+words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, {gram} AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+        FROM words WHERE len(w) >= {n}))
+"""
+
+
+@q(
+    "q22_ngram_jaccard",
+    oracle=f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+  round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = a_id
+JOIN sizes sb ON sb.doc = b_id
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.6
+""",
+    description="n-gram Jaccard near-dup pairs via inverted-index join",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6
+    )
+
+
+def _minhash_oracle() -> str:
+    rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
+    mh_exprs = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(dd.MINHASH_NUM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f")) AS band{b}"
+        for b in range(dd.MINHASH_BANDS)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.doc AS a_id, b.doc AS b_id FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc < b.doc"
+        for b in range(dd.MINHASH_BANDS)
+    )
+    return f"""
+WITH {_shingle_cte()},
+sig AS (SELECT doc,
+    {mh_exprs}
+  FROM sh GROUP BY doc),
+bands AS (SELECT doc,
+    {band_exprs}
+  FROM sig),
+cand AS (
+{cand_union}),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc = c.a_id
+  JOIN sh b ON b.doc = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+  round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = a_id
+JOIN sizes sb ON sb.doc = b_id
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+"""
+
+
+@q(
+    "q23_minhash_lsh",
+    oracle=_minhash_oracle(),
+    description="MinHash+LSH near-dup pairs (band bucket join, "
+    "Jaccard-verified candidates)",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+@q(
+    "q24_cosine_topk",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid, q.e AS qe, n.e AS ne
+  FROM v q JOIN v n ON q.vec_id < 20 AND n.vec_id <> q.vec_id),
+elems AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y FROM pairs),
+sums AS (
+  SELECT qid, nid,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cos_sim
+  FROM elems GROUP BY qid, nid),
+ranked AS (
+  SELECT qid, nid, cos_sim,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
+         AS BIGINT) AS rnk
+  FROM sums)
+SELECT qid, nid, cos_sim, rnk FROM ranked WHERE rnk <= 5
+""",
+    description="exact brute-force cosine top-k (similarity baseline)",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", max_query_id=20, k=5
+    )
+
+
+def _ann_oracle() -> str:
+    plane_dots = [
+        f"list_dot_product(e, [{', '.join(repr(v) for v in p)}])"
+        for p in sim.HYPERPLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(plane_dots)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+    CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid, n.bucket AS bucket,
+         q.e AS qe, n.e AS ne
+  FROM v q JOIN v n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+  WHERE q.vec_id < 50),
+elems AS (SELECT qid, nid, bucket, unnest(qe) AS x, unnest(ne) AS y FROM pairs),
+sums AS (
+  SELECT qid, nid, bucket,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cos_sim
+  FROM elems GROUP BY qid, nid, bucket),
+ranked AS (
+  SELECT qid, nid, bucket, cos_sim,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
+         AS BIGINT) AS rnk
+  FROM sums)
+SELECT qid, nid, bucket, cos_sim, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@q(
+    "q25_ann_lsh",
+    oracle=_ann_oracle(),
+    description="approximate NN via random-hyperplane LSH buckets "
+    "(the 100 TB scale path: bucket-equality join, no cross join)",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_ann_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", max_query_id=50, k=3
+    )
+
+
+def _text_stats_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_c,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+          / len(w), 4) AS avg_word_len,
+    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS token_count,
+    round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+          / length(text), 4) AS punct_ratio,
+    round(CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE)
+          / len(w), 4) AS stopword_ratio
+  FROM t)
+SELECT doc_id, n_chars_c, n_words, avg_word_len, token_count, punct_ratio,
+  stopword_ratio,
+  round((least(n_words, 100) / 100.0) * (1.0 - stopword_ratio)
+        * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0
+                THEN 1.0 ELSE 0.5 END), 4) AS quality_score
+FROM m
+"""
+
+
+@q(
+    "q26_text_stats",
+    oracle=_text_stats_oracle(),
+    description="text quality statistics (length/punct/stopword/token "
+    "features + quality score), all JVM-side expressions",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return with_text_stats(docs, "text").select(
+        "doc_id",
+        "n_chars_c",
+        "n_words",
+        "avg_word_len",
+        "token_count",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _lang_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    score_exprs = ",\n    ".join(
+        f"len(list_filter(w, x -> x IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
+        f" AS s_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for idx, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        for jdx, other in enumerate(langs):
+            if jdx < idx:
+                conds.append(f"s_{lang} > s_{other}")
+            elif jdx > idx:
+                conds.append(f"s_{lang} >= s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "\n       ".join(cases)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    {score_exprs}
+  FROM t)
+SELECT doc_id,
+  CASE {case_sql}
+       ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+@q(
+    "q27_lang_id",
+    oracle=_lang_oracle(),
+    description="marker-word language identification heuristic",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_language(T(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "lang_pred"
+    )
+
+
+@q(
+    "q29_fingerprint",
+    oracle="""
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+    description="document fingerprinting: stable hash of normalized text",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(T(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@q(
+    "q30_simhash",
+    oracle=None,  # 64-bit hash bit-ops are not portably SQL-expressible
+    description="SimHash signatures via Arrow-batched pandas UDF",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q31_media_meta",
+    oracle="""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  'unknown' AS format
+FROM documents
+""",
+    description="multimodal plumbing: binary payloads through "
+    "mapInPandas metadata extraction (format sniff + byte length)",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_length_meta(docs, "doc_id", "payload")

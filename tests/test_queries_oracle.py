@@ -1,0 +1,81 @@
+"""DuckDB-oracle correctness harness: replicates the driver's t2 gate
+(SURVEY §5 strategy point 3). For every query with an oracle, run the
+Spark implementation AND the DuckDB SQL on the same parquet and compare
+row count, column names, and exact cell values (order-insensitive,
+columns sorted by name).
+
+SF dir via SPARK_GRAFT_TEST_SF_DIR (default sf0.001 for speed; the
+driver gate runs sf0.01)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+from lynx_spark.plans.analytics import REGISTRY
+from lynx_spark.sources.tables import TABLES
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _rowset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        (tuple(str(_normalize(row[i])) for i in order) for row in rows),
+    )
+
+
+ORACLE_QUERIES = [n for n, s in REGISTRY.items() if s.oracle]
+ROWS_ONLY_QUERIES = [n for n, s in REGISTRY.items() if not s.oracle]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, ddb, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    rel = ddb.sql(spec.oracle)
+    dcols = list(rel.columns)
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    sset = _rowset(scols, srows)
+    dset = _rowset(dcols, drows)
+    if sset != dset:
+        diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
