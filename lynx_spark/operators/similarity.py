@@ -6,13 +6,16 @@ Two tiers:
   ``aggregate`` folds (no Python, no UDF), window top-k. Exact
   baseline; at scale the corpus side stays partitioned and only the
   query set broadcasts.
-- ``lsh_ann_topk`` — random-hyperplane LSH: each vector gets a small
-  bucket id from the sign pattern of dot products with fixed
-  hyperplanes; candidates meet by bucket equality (a shuffle join on
-  the bucket key, never a cross join); exact cosine re-ranks within
-  the bucket. This is the 100 TB path: bucket cardinality scales with
-  the plane count, and planes are plain literals so the whole plan is
-  codegen-able.
+- ``lsh_ann_topk`` — multi-table random-hyperplane LSH: per hash
+  table, each vector gets a small bucket id from the sign pattern of
+  dot products with fixed hyperplanes; candidates meet by bucket
+  equality in ANY table (a union of shuffle joins on the bucket key,
+  never a cross join); exact cosine re-ranks the candidate union.
+  Multiple independent tables are the standard recall lever — with T
+  tables of P planes, a neighbor whose per-bit agreement is p is
+  found with probability 1-(1-p^P)^T. This is the 100 TB path: bucket
+  cardinality scales with the plane count, and planes are plain
+  literals so the whole plan is codegen-able.
 
 The hyperplanes are generated from a fixed seed and embedded as
 literals so the identical computation runs in the DuckDB oracle.
@@ -26,11 +29,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EMBED_DIM = 64
-NUM_PLANES = 6  # 2^6 = 64 buckets
+NUM_TABLES = 4  # independent LSH hash tables (recall lever)
+PLANES_PER_TABLE = 4  # 2^4 = 16 buckets per table
 
 _rng = random.Random(20240601)
-HYPERPLANES: list[list[float]] = [
-    [_rng.uniform(-1.0, 1.0) for _ in range(EMBED_DIM)] for _ in range(NUM_PLANES)
+# HYPERPLANES[t] = the PLANES_PER_TABLE planes of hash table t
+HYPERPLANES: list[list[list[float]]] = [
+    [
+        [_rng.uniform(-1.0, 1.0) for _ in range(EMBED_DIM)]
+        for _ in range(PLANES_PER_TABLE)
+    ]
+    for _ in range(NUM_TABLES)
 ]
 
 
@@ -55,11 +64,12 @@ def _plane_literal(plane: list[float]) -> Column:
     return F.array(*[F.lit(v) for v in plane])
 
 
-def bucket_expr(vec: Column) -> Column:
-    """LSH bucket id: bit i set iff dot(vec, plane_i) > 0."""
+def bucket_expr(vec: Column, table: int = 0) -> Column:
+    """LSH bucket id for one hash table: bit i set iff
+    dot(vec, plane_i) > 0."""
     bits = [
         F.when(dot(vec, _plane_literal(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(HYPERPLANES)
+        for i, p in enumerate(HYPERPLANES[table])
     ]
     out = bits[0]
     for b in bits[1:]:
@@ -106,26 +116,46 @@ def lsh_ann_topk(
     max_query_id: int,
     k: int = 3,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket, exact cosine re-rank inside the bucket."""
+    """Approximate top-k: candidates = vectors sharing the query's LSH
+    bucket in at least one hash table; exact cosine re-ranks the
+    candidate union."""
     from pyspark.sql.window import Window
 
     vecs = df.select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", bucket_expr(F.col("v")))
-    queries = vecs.filter(F.col("nid") < max_query_id).select(
-        F.col("nid").alias("qid"), F.col("v").alias("qv"), F.col("bucket")
     )
+    for t in range(NUM_TABLES):
+        vecs = vecs.withColumn(f"bucket{t}", bucket_expr(F.col("v"), t))
+    queries = vecs.filter(F.col("nid") < max_query_id).select(
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+        *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(NUM_TABLES)],
+    )
+    cands = None
+    for t in range(NUM_TABLES):
+        pairs = (
+            vecs.select("nid", F.col(f"bucket{t}").alias("bh"))
+            .join(
+                F.broadcast(
+                    queries.select("qid", F.col(f"qbucket{t}").alias("bh"))
+                ),
+                "bh",
+            )
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
     scored = (
-        vecs.join(F.broadcast(queries), "bucket")
-        .filter(F.col("qid") != F.col("nid"))
+        cands.join(vecs.select("nid", "v"), "nid")
+        .join(F.broadcast(queries.select("qid", "qv")), "qid")
         .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 5))
-        .select("qid", "nid", "bucket", "cos_sim")
+        .select("qid", "nid", "cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
-        .select("qid", "nid", "bucket", "cos_sim", "rnk")
+        .select("qid", "nid", "cos_sim", "rnk")
     )

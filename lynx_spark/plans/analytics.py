@@ -849,43 +849,53 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_oracle() -> str:
-    plane_dots = [
-        f"list_dot_product(e, [{', '.join(repr(v) for v in p)}])"
-        for p in sim.HYPERPLANES
-    ]
-    bucket = " + ".join(
-        f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, d in enumerate(plane_dots)
+    bucket_cols = []
+    for t in range(sim.NUM_TABLES):
+        plane_dots = [
+            f"list_dot_product(e, [{', '.join(repr(v) for v in p)}])"
+            for p in sim.HYPERPLANES[t]
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, d in enumerate(plane_dots)
+        )
+        bucket_cols.append(f"CAST({bucket} AS BIGINT) AS bucket{t}")
+    buckets_sql = ",\n    ".join(bucket_cols)
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS qid, n.vec_id AS nid FROM v q "
+        f"JOIN v n ON q.bucket{t} = n.bucket{t} AND n.vec_id <> q.vec_id "
+        f"WHERE q.vec_id < 50"
+        for t in range(sim.NUM_TABLES)
     )
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
-    CAST({bucket} AS BIGINT) AS bucket
+    {buckets_sql}
   FROM embeddings),
+cand AS (
+{cand_union}),
 pairs AS (
-  SELECT q.vec_id AS qid, n.vec_id AS nid, n.bucket AS bucket,
-         q.e AS qe, n.e AS ne
-  FROM v q JOIN v n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
-  WHERE q.vec_id < 50),
-elems AS (SELECT qid, nid, bucket, unnest(qe) AS x, unnest(ne) AS y FROM pairs),
+  SELECT c.qid, c.nid, q.e AS qe, n.e AS ne
+  FROM cand c JOIN v q ON q.vec_id = c.qid JOIN v n ON n.vec_id = c.nid),
+elems AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y FROM pairs),
 sums AS (
-  SELECT qid, nid, bucket,
+  SELECT qid, nid,
     round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cos_sim
-  FROM elems GROUP BY qid, nid, bucket),
+  FROM elems GROUP BY qid, nid),
 ranked AS (
-  SELECT qid, nid, bucket, cos_sim,
+  SELECT qid, nid, cos_sim,
     CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
          AS BIGINT) AS rnk
   FROM sums)
-SELECT qid, nid, bucket, cos_sim, rnk FROM ranked WHERE rnk <= 3
+SELECT qid, nid, cos_sim, rnk FROM ranked WHERE rnk <= 3
 """
 
 
 @q(
     "q25_ann_lsh",
     oracle=_ann_oracle(),
-    description="approximate NN via random-hyperplane LSH buckets "
-    "(the 100 TB scale path: bucket-equality join, no cross join)",
+    description="approximate NN via multi-table random-hyperplane LSH "
+    "(the 100 TB scale path: bucket-equality joins, no cross join)",
 )
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(
