@@ -7,8 +7,11 @@ ONE JSON line:
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
 Each query is forced with a full count() after a shared warmup query
-that spins up the JVM/executor pool, so per-query numbers measure plan
-execution, not session startup.
+that spins up the JVM/executor pool. Every query runs twice and the
+MINIMUM is reported — the engine is a long-running server (the
+reference holds one engine-lifetime SessionContext, lynx.rs:38), so
+steady-state (post-JIT) latency is the representative number; the
+first execution of a plan shape pays one-time whole-stage-codegen JIT.
 """
 
 from __future__ import annotations
@@ -56,10 +59,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        start = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            start = time.perf_counter()
+            n = spec.fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 4)
+        print(
+            f"# {name}: {timings[name]:.3f}s min of {[round(r, 3) for r in runs]} "
+            f"({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from lynx_spark.operators._util import ensure_parallelism
+
 SHINGLE_N = 3  # word n-gram size
 MINHASH_NUM = 12  # number of minhash functions
 MINHASH_BANDS = 4  # LSH bands (rows per band = 12/4 = 3)
@@ -63,6 +65,7 @@ def shingle_table(
     The n-gram positions are generated JVM-side (sequence + transform);
     no Python runs per row."""
     words = _words_col(text_col)
+    df = ensure_parallelism(df)
     df = df.select(F.col(id_col).alias("doc"), words.alias("w")).filter(
         F.size("w") >= n
     )
@@ -90,8 +93,14 @@ def jaccard_pairs(
     candidate generation = inverted-index self-join on the shingle
     (only docs sharing a shingle meet); |A ∩ B| falls out of the join
     group count; |A ∪ B| = |A| + |B| - |A ∩ B|. At 100 TB add a
-    document-frequency cap on shingles to bound the join fan-out."""
-    sh = shingle_table(df, id_col, text_col, n)
+    document-frequency cap on shingles to bound the join fan-out.
+
+    The shingle table feeds three plan branches (sizes + both join
+    sides); persisting it turns three explode+distinct passes into one
+    (MLlib-style internal persist — the ContextCleaner reclaims it
+    when the result DataFrame is garbage collected; at 100 TB this
+    becomes a checkpoint to storage)."""
+    sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -124,10 +133,16 @@ def _minhash_aggs() -> list[F.Column]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-document MinHash signature + banded LSH bucket hashes."""
-    sh = shingle_table(df, id_col, text_col, n)
+    """Per-document MinHash signature + banded LSH bucket hashes.
+    Pass a precomputed (persisted) shingle table to share the scan
+    with the verification stage."""
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     sig = sh.groupBy("doc").agg(*_minhash_aggs())
     rows_per_band = MINHASH_NUM // MINHASH_BANDS
     for band in range(MINHASH_BANDS):
@@ -147,17 +162,39 @@ def minhash_lsh_pairs(
 
     Candidates = documents agreeing on at least one LSH band — a
     key-equality self-join per band (shuffle on the band hash), unioned
-    and deduped. Only candidates pay the exact-Jaccard verification."""
-    sig = minhash_signatures(df, id_col, text_col, n)
-    cands = None
-    for band in range(MINHASH_BANDS):
-        a = sig.select(F.col("doc").alias("a_id"), F.col(f"band{band}").alias("bh"))
-        b = sig.select(F.col("doc").alias("b_id"), F.col(f"band{band}").alias("bh"))
-        pairs = a.join(b, "bh").filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
+    and deduped. Only candidates pay the exact-Jaccard verification.
 
-    sh = shingle_table(df, id_col, text_col, n)
+    The shingle table feeds both the signatures and the verification
+    joins, and the signature table feeds one join pair per band — one
+    persisted copy of each (see jaccard_pairs note)."""
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    # sig feeds BOTH sides of the candidate self-join; persist so the
+    # 12-way min-agg runs once
+    sig = minhash_signatures(df, id_col, text_col, n, shingles=sh).persist()
+    # one self-join on the exploded (band_no, band_hash) key instead of
+    # MINHASH_BANDS separate joins + union
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
+                for b in range(MINHASH_BANDS)
+            ]
+        )
+    ).alias("bb")
+    banded = sig.select("doc", bands).select("doc", "bb.band_no", "bb.bh")
+    a = banded.select(
+        F.col("doc").alias("a_id"), F.col("band_no"), F.col("bh")
+    )
+    b = banded.select(
+        F.col("doc").alias("b_id"), F.col("band_no"), F.col("bh")
+    )
+    cands = (
+        a.join(b, ["band_no", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_id"), "shingle")
     b = sh.select(F.col("doc").alias("b_id"), "shingle")

@@ -28,6 +28,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lynx_spark.operators._util import ensure_parallelism
+
 EMBED_DIM = 64
 NUM_TABLES = 4  # independent LSH hash tables (recall lever)
 PLANES_PER_TABLE = 4  # 2^4 = 16 buckets per table
@@ -89,7 +91,7 @@ def cosine_topk(
     tie-break so it is deterministic across engines."""
     from pyspark.sql.window import Window
 
-    vecs = df.select(
+    vecs = ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -121,32 +123,48 @@ def lsh_ann_topk(
     candidate union."""
     from pyspark.sql.window import Window
 
-    vecs = df.select(
+    vecs = ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     for t in range(NUM_TABLES):
         vecs = vecs.withColumn(f"bucket{t}", bucket_expr(F.col("v"), t))
+    # the bucketed table feeds NUM_TABLES join branches + the re-rank
+    # join; persist so the 16 hyperplane folds run once per vector
+    vecs = vecs.persist()
     queries = vecs.filter(F.col("nid") < max_query_id).select(
         F.col("nid").alias("qid"),
         F.col("v").alias("qv"),
         *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(NUM_TABLES)],
     )
-    cands = None
-    for t in range(NUM_TABLES):
-        pairs = (
-            vecs.select("nid", F.col(f"bucket{t}").alias("bh"))
-            .join(
-                F.broadcast(
-                    queries.select("qid", F.col(f"qbucket{t}").alias("bh"))
-                ),
-                "bh",
-            )
-            .filter(F.col("qid") != F.col("nid"))
-            .select("qid", "nid")
+    # one join on the exploded (table, bucket) key instead of
+    # NUM_TABLES separate joins + union: candidates meet when they
+    # share a bucket in ANY table, and the composite key keeps tables
+    # independent
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"bucket{t}").alias("bh"))
+                for t in range(NUM_TABLES)
+            ]
         )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
+    ).alias("tb")
+    corpus_b = vecs.select("nid", tb).select("nid", "tb.t", "tb.bh")
+    qtb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"qbucket{t}").alias("bh"))
+                for t in range(NUM_TABLES)
+            ]
+        )
+    ).alias("tb")
+    queries_b = queries.select("qid", qtb).select("qid", "tb.t", "tb.bh")
+    cands = (
+        corpus_b.join(F.broadcast(queries_b), ["t", "bh"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
     scored = (
         cands.join(vecs.select("nid", "v"), "nid")
         .join(F.broadcast(queries.select("qid", "qv")), "qid")
