@@ -13,6 +13,10 @@ Config via CLI/env like the reference (main.rs:19-29):
     LYNX_HTTP_ADDR (default 127.0.0.1:3000)
     LYNX_WAL_DIRECTORY (required)
     LYNX_WAL_MAX_SEGMENT_SIZE (default 52428800)
+
+Superset (absent in the reference): LYNX_COLD_DIRECTORY enables the
+tiered engine (hot buffer + date-partitioned parquet) and the
+POST /api/v1/flush route ({"namespace": ...} -> rows flushed).
 """
 
 from __future__ import annotations
@@ -43,6 +47,20 @@ def create_app(engine: LynxEngine) -> Flask:
             engine.write(req)
             return Response(status=200)
         except Exception as e:  # noqa: BLE001 — mirror catch-all -> 500
+            print(repr(e), file=sys.stderr)
+            return Response(status=500)
+
+    @app.post("/api/v1/flush")
+    def flush():  # superset: drain hot buffer to the cold tier
+        from lynx_spark.sources.coldtier import TieredEngine
+
+        if not isinstance(engine, TieredEngine):
+            return Response(status=404)  # no cold tier configured
+        try:
+            payload = request.get_json(force=False, silent=False)
+            rows = engine.flush(payload["namespace"])
+            return jsonify({"rows_flushed": rows})
+        except Exception as e:  # noqa: BLE001
             print(repr(e), file=sys.stderr)
             return Response(status=500)
 
@@ -90,15 +108,27 @@ def main() -> None:
         type=int,
         default=int(os.environ.get("LYNX_WAL_MAX_SEGMENT_SIZE", "52428800")),
     )
+    parser.add_argument(
+        "--cold-directory",
+        default=os.environ.get("LYNX_COLD_DIRECTORY"),
+        help="enable the tiered engine (superset; absent in the reference)",
+    )
     args = parser.parse_args()
 
     from lynx_spark.session import get_spark
 
-    engine = LynxEngine(
-        get_spark("lynx_spark_server"),
-        args.wal_directory,
-        args.wal_max_segment_size,
-    )
+    spark = get_spark("lynx_spark_server")
+    if args.cold_directory:
+        from lynx_spark.sources.coldtier import TieredEngine
+
+        engine = TieredEngine(
+            spark, args.wal_directory, args.cold_directory,
+            args.wal_max_segment_size,
+        )
+    else:
+        engine = LynxEngine(
+            spark, args.wal_directory, args.wal_max_segment_size
+        )
     app = create_app(engine)
     host, _, port = args.bind.rpartition(":")
     print(f"Starting server on {args.bind}", file=sys.stderr)

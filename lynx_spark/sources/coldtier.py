@@ -1,0 +1,136 @@
+"""Tiered storage: hot in-memory buffer + cold date-partitioned parquet.
+
+The reference keeps everything in memory forever and rebuilds the full
+Arrow table per query (src/lynx.rs:86-139); its daily partitions
+(buffer.rs:8-11) are never used for pruning. This module is the
+deliberate 100 TB superset (SURVEY §7 step 6):
+
+- ``flush(namespace)`` drains the namespace's buffer into parquet laid
+  out as ``<cold>/<namespace>/<table>/day=YYYY-MM-DD/``, so lynx's
+  partition key becomes a REAL partition column Catalyst prunes
+  (PartitionFilters) — what the reference's partitions never did;
+- after a flush the WAL is rotated and fully-flushed segments are
+  deleted (the reference never truncates, wal.rs:175 keeps ids only);
+  replay after restart only sees post-flush segments, so nothing is
+  double counted;
+- ``query()`` serves the union of the hot snapshot and the cold tier
+  (``unionByName(allowMissingColumns=True)`` absorbs tag-schema drift
+  between flushes; the cold read uses ``mergeSchema`` for the same
+  reason).
+
+Durability invariant preserved from the reference (lynx.rs:31-33):
+rows are either in a WAL segment on disk or in the cold parquet —
+never only in memory. flush orders: write parquet -> clear buffer ->
+delete old segments.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lynx_spark.buffer import Measurements
+from lynx_spark.engine import LynxEngine, measurements_to_arrow
+from lynx_spark.sqlutil import parse_table_name
+from lynx_spark.wal import DEFAULT_MAX_SEGMENT_SIZE
+
+
+class TieredEngine(LynxEngine):
+    """LynxEngine + cold parquet tier."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        wal_dir: str | Path,
+        cold_dir: str | Path,
+        max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
+    ) -> None:
+        super().__init__(spark, wal_dir, max_segment_size)
+        self.cold_dir = Path(cold_dir)
+        self.cold_dir.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ flush
+
+    def flush(self, namespace: str) -> int:
+        """Drain one namespace's hot buffer into the cold tier; returns
+        rows flushed. WAL segments that only contain flushed data are
+        deleted (WAL truncation — absent in the reference)."""
+        with self._wal_lock:
+            # rotate so the active segment (which may contain rows of
+            # OTHER namespaces too) is closed; since other namespaces'
+            # rows stay in the buffer AND their segments may be
+            # deleted, flush all namespaces' buffers... simpler and
+            # safe: only delete segments when the whole buffer is
+            # empty after the flush. Partial-namespace flushes keep
+            # the WAL (correct, just less eager truncation).
+            tables = self.buffer.clear_namespace(namespace)
+            if tables is None:
+                return 0
+            rows = 0
+            for table, partitions in tables.items():
+                for day in sorted(partitions):
+                    rows += self._write_partition(
+                        namespace, table, day, partitions[day]
+                    )
+            if self.buffer.namespace_count() == 0:
+                # everything durable in parquet -> old segments obsolete
+                self.wal.rotate()
+                for seg_id in list(self.wal.closed_segments):
+                    seg_path = self.wal.directory / f"{seg_id}.wal"
+                    if seg_path.exists():
+                        seg_path.unlink()
+                self.wal.closed_segments.clear()
+            return rows
+
+    def _write_partition(
+        self, namespace: str, table: str, day: str, m: Measurements
+    ) -> int:
+        """Append one day's rows as a parquet file under the hive-style
+        ``day=`` directory (pyarrow writer: driver-side, no Spark job —
+        the hot slice is small by design; executors read it back)."""
+        batch = measurements_to_arrow([m])
+        out_dir = self.cold_dir / namespace / table / f"day={day}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        n_existing = len(list(out_dir.glob("*.parquet")))
+        pq.write_table(batch, out_dir / f"part-{n_existing:05d}.parquet")
+        return batch.num_rows
+
+    # ------------------------------------------------------------ query
+
+    def _cold_table(self, namespace: str, table: str) -> DataFrame | None:
+        path = self.cold_dir / namespace / table
+        if not path.exists():
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(str(path))
+
+    def query(self, namespace: str, sql: str) -> DataFrame | None:
+        """Union of hot snapshot and cold tier. Unknown namespace/table
+        in BOTH tiers -> None (404), preserving main.rs:83 semantics."""
+        table_name = parse_table_name(sql)
+        tables = self.buffer.tables(namespace)
+        hot = None
+        if tables is not None and table_name in tables:
+            partitions = tables[table_name]
+            batch = measurements_to_arrow(
+                [partitions[day] for day in sorted(partitions)]
+            )
+            # day as DATE to line up with the inferred type of the
+            # cold tier's hive partition column
+            hot = self.spark.createDataFrame(batch).withColumn(
+                "day", F.to_date("timestamp")
+            )
+        cold = self._cold_table(namespace, table_name)
+        if hot is None and cold is None:
+            return None  # unknown in both tiers -> 404 (main.rs:83)
+        if hot is None:
+            df = cold
+        elif cold is None:
+            df = hot
+        else:
+            df = cold.unionByName(hot, allowMissingColumns=True)
+        with self._query_lock:
+            df.createOrReplaceTempView(table_name)
+            return self.spark.sql(sql)

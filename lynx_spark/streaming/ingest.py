@@ -1,0 +1,136 @@
+"""Structured Streaming ingest — the optional streaming superset
+(SURVEY §2B last rows: the reference has NO streaming surface; its
+ingestion is push-based point writes and queries are point-in-time
+snapshots. This module is the Spark-native continuous twin of that
+pipeline, flagged as a deliberate superset).
+
+Pipeline:
+
+    JSON write-request lines (the /api/v1/write body contract,
+    wal.rs:18-25)  ->  readStream  ->  typed columns with an event-time
+    timestamp  ->  either
+      (a) watermarked tumbling daily windows (the streaming equivalent
+          of the buffer's daily PartitionKey, buffer.rs:8-28; late data
+          inside the watermark lands in its day window, mirroring how
+          the buffer routes out-of-order writes into day partitions), or
+      (b) foreachBatch append into the SAME date-partitioned parquet
+          layout the cold tier uses, so batch queries over
+          <cold>/<namespace>/<table>/day=... see streamed data.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# the HTTP write body (wal.rs:18-25); tag values arrive as strings or
+# numbers — read as string (query-time stringification, lynx.rs:128)
+WRITE_SCHEMA = StructType(
+    [
+        StructField("namespace", StringType(), False),
+        StructField("measurement", StringType(), False),
+        StructField("value", StringType(), False),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+        StructField("timestamp", LongType(), False),  # microseconds UTC
+    ]
+)
+
+
+def read_write_stream(spark: SparkSession, json_dir: str | Path) -> DataFrame:
+    """File-source stream of JSON write-request lines (one per line)."""
+    return spark.readStream.schema(WRITE_SCHEMA).json(str(json_dir))
+
+
+def parse_write_stream(raw: DataFrame) -> DataFrame:
+    """Typed event stream: microsecond epoch -> event-time ``ts``."""
+    return raw.select(
+        "namespace",
+        "measurement",
+        "value",
+        "metadata",
+        F.timestamp_micros(F.col("timestamp")).alias("ts"),
+    )
+
+
+def daily_rollup_stream(
+    parsed: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling 1-day windows per (namespace, measurement):
+    the streaming twin of the buffer's daily partitions. Data later
+    than the watermark is dropped (the batch engine instead appends it
+    to its day partition — that difference is the documented semantic
+    gap between the snapshot model and the streaming superset)."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("day_window"),
+            "namespace",
+            "measurement",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.to_date(F.col("day_window.start")).alias("day"),
+            "namespace",
+            "measurement",
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def stream_to_cold_tier(
+    parsed: DataFrame,
+    cold_dir: str | Path,
+    checkpoint_dir: str | Path,
+):
+    """Continuously append the stream into the cold tier's hive layout
+    (<cold>/<namespace>/<table>/day=YYYY-MM-DD). foreachBatch keeps the
+    write idempotent per micro-batch and lets one stream fan out to
+    many (namespace, table) directories.
+
+    Returns the StreamingQuery (caller controls trigger/termination)."""
+    cold_dir = Path(cold_dir)
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        rows = batch.withColumn("day", F.to_date("ts"))
+        # fan out per namespace/table so the directory layout matches
+        # TieredEngine's; namespaces per micro-batch are few
+        for ns, table in [
+            (r["namespace"], r["measurement"])
+            for r in rows.select("namespace", "measurement").distinct().collect()
+        ]:
+            out = (
+                rows.filter(
+                    (F.col("namespace") == ns) & (F.col("measurement") == table)
+                )
+                .select(
+                    F.col("ts").alias("timestamp"),
+                    "value",
+                    "metadata",
+                    "day",
+                )
+            )
+            out.write.mode("append").partitionBy("day").parquet(
+                str(cold_dir / ns / table)
+            )
+
+    return (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
