@@ -714,6 +714,176 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q32_window_frames",
+    oracle=f"""
+WITH ev AS ({_EV})
+SELECT event_id, user_id, event_type,
+  round(avg(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+  round(sum(value) OVER (
+    PARTITION BY user_id ORDER BY epoch_s
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS sum_1h,
+  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS next_type,
+  round(first_value(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id), 4) AS first_val,
+  round(last_value(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+    AS last_val,
+  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+       AS BIGINT) AS quartile,
+  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type)
+       AS BIGINT) AS type_rank
+FROM (SELECT *, CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                     AS BIGINT) AS epoch_s FROM ev)
+WHERE user_id < 20
+""",
+    description="window-frame surface: moving avg (ROWS), event-time "
+    "RANGE frame, lead, first/last_value, ntile, dense_rank",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .withColumn("epoch_s", F.unix_timestamp("ts"))
+    )
+    w_rows = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_range = (
+        Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.avg("value").over(w_rows.rowsBetween(-2, 0)), 4).alias("mov_avg3"),
+        F.round(F.sum("value").over(w_range), 4).alias("sum_1h"),
+        F.lead("event_type").over(w_rows).alias("next_type"),
+        F.round(F.first("value").over(w_rows), 4).alias("first_val"),
+        F.round(
+            F.last("value").over(
+                w_rows.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            4,
+        ).alias("last_val"),
+        F.ntile(4)
+        .over(Window.partitionBy("user_id").orderBy("value", "event_id"))
+        .cast("long")
+        .alias("quartile"),
+        F.dense_rank()
+        .over(Window.partitionBy("user_id").orderBy("event_type"))
+        .cast("long")
+        .alias("type_rank"),
+    )
+
+
+@q(
+    "q33_cube",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="CUBE grouping sets (all 4 grouping combinations)",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "q34_predicates",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE p_name LIKE '%al%'
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_size BETWEEN 10 AND 40
+  AND p_type IS NOT NULL
+  AND NOT (p_retailprice < 905.0)
+""",
+    description="predicate surface: LIKE, IN, BETWEEN, IS NOT NULL, NOT",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%al%")
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_size").between(10, 40)
+        & F.col("p_type").isNotNull()
+        & ~(F.col("p_retailprice") < 905.0)
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+@q(
+    "q35_intersect",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    description="INTERSECT set operation",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@q(
+    "q36_date_functions",
+    oracle="""
+SELECT o_orderkey,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+  CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+  CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dow,
+  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
+    AS days_to_2002,
+  CAST(o_orderdate + INTERVAL 90 DAY AS VARCHAR) AS due_ts
+FROM orders WHERE o_orderkey % 13 = 0
+""",
+    description="date/time function surface: date_trunc, extract, "
+    "date arithmetic (mirrors the engine's partition-key math)",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
+    return o.select(
+        "o_orderkey",
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("days_to_2002"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .cast("string")
+        .alias("due_ts"),
+    )
+
+
 # =====================================================================
 # training-data pipeline extensions (dedup / similarity / text / media)
 # =====================================================================
