@@ -56,6 +56,8 @@ def main() -> None:
     # warmup: touch the biggest table so JVM/codegen/reader are hot
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
@@ -64,12 +66,43 @@ def main() -> None:
             start = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
+            # operators persist multi-use intermediates; drop them
+            # between runs so successive queries measure themselves,
+            # not the previous query's cache pressure
+            spark.catalog.clearCache()
+            gc.collect()
         timings[name] = round(min(runs), 4)
         print(
             f"# {name}: {timings[name]:.3f}s min of {[round(r, 3) for r in runs]} "
             f"({n} rows)",
             file=sys.stderr,
         )
+
+    # write path: the reference's core TSDB role — WAL append + buffer
+    # insert per record (its bound: write_all+flush per record behind a
+    # mutex, wal.rs:245-250). Measured as rows/sec over 20k writes,
+    # reported as the seconds the batch took, like the queries.
+    import tempfile
+
+    from lynx_spark.engine import LynxEngine
+    from lynx_spark.model import WriteRequest
+
+    with tempfile.TemporaryDirectory() as wal_dir:
+        engine = LynxEngine(spark, wal_dir)
+        n_writes = 20_000
+        start = time.perf_counter()
+        for i in range(n_writes):
+            engine.write(
+                WriteRequest("bench", "cpu", str(i), {"host": f"h{i % 50}"}, i)
+            )
+        elapsed = time.perf_counter() - start
+        engine.wal.close()
+    timings["w0_ingest_20k_writes"] = round(elapsed, 4)
+    print(
+        f"# w0_ingest_20k_writes: {elapsed:.3f}s "
+        f"({n_writes / elapsed:,.0f} rows/s)",
+        file=sys.stderr,
+    )
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(

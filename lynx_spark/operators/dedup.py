@@ -62,23 +62,25 @@ def shingle_table(
     """Distinct (id, shingle) pairs where shingle = space-joined word
     n-gram. Documents with fewer than n words are dropped (no shingle).
 
-    The n-gram positions are generated JVM-side (sequence + transform);
-    no Python runs per row."""
+    The n-grams are built JVM-side by zip_with-folding n shifted
+    slices of the word array (lambdas reference only their own
+    arguments, so nothing falls back to the interpreted outer-reference
+    path); no Python runs per row."""
     words = _words_col(text_col)
     df = ensure_parallelism(df)
     df = df.select(F.col(id_col).alias("doc"), words.alias("w")).filter(
         F.size("w") >= n
     )
-    idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("w", (i + k).cast("int")) for k in range(n)]
-        ),
-    )
-    return (
-        df.select("doc", F.explode(shingle).alias("shingle")).distinct()
-    )
+    w = F.col("w")
+    length = F.size(w) - (n - 1)
+    shingle = F.slice(w, 1, length)
+    for k in range(1, n):
+        shingle = F.zip_with(
+            shingle,
+            F.slice(w, k + 1, length),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
+    return df.select("doc", F.explode(shingle).alias("shingle")).distinct()
 
 
 def jaccard_pairs(
@@ -101,6 +103,7 @@ def jaccard_pairs(
     when the result DataFrame is garbage collected; at 100 TB this
     becomes a checkpoint to storage)."""
     sh = shingle_table(df, id_col, text_col, n).persist()
+    sh.count()  # eager: branches below must read the cache, not race to fill it
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -168,9 +171,11 @@ def minhash_lsh_pairs(
     joins, and the signature table feeds one join pair per band — one
     persisted copy of each (see jaccard_pairs note)."""
     sh = shingle_table(df, id_col, text_col, n).persist()
+    sh.count()  # eager (see jaccard_pairs)
     # sig feeds BOTH sides of the candidate self-join; persist so the
     # 12-way min-agg runs once
     sig = minhash_signatures(df, id_col, text_col, n, shingles=sh).persist()
+    sig.count()
     # one self-join on the exploded (band_no, band_hash) key instead of
     # MINHASH_BANDS separate joins + union
     bands = F.explode(

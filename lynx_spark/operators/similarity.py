@@ -79,6 +79,53 @@ def bucket_expr(vec: Column, table: int = 0) -> Column:
     return out.cast("long")
 
 
+def cosine_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-based near-duplicate pairs: (a, b) with cosine
+    similarity >= threshold. Candidates meet by LSH bucket equality in
+    any hash table (same multi-table machinery as ANN — near-identical
+    vectors agree on every sign bit, so recall at dedup thresholds is
+    ~1), then the exact cosine filters. No cross join at any scale."""
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    for t in range(NUM_TABLES):
+        vecs = vecs.withColumn(f"bucket{t}", bucket_expr(F.col("v"), t))
+    vecs = vecs.persist()
+    vecs.count()  # eager: see lsh_ann_topk
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"bucket{t}").alias("bh"))
+                for t in range(NUM_TABLES)
+            ]
+        )
+    ).alias("tb")
+    banded = vecs.select("nid", tb).select("nid", "tb.t", "tb.bh")
+    a = banded.select(F.col("nid").alias("a_id"), "t", "bh")
+    b = banded.select(F.col("nid").alias("b_id"), "t", "bh")
+    cands = (
+        a.join(b, ["t", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = vecs.select(F.col("nid").alias("a_id"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("nid").alias("b_id"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 5))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -130,8 +177,10 @@ def lsh_ann_topk(
     for t in range(NUM_TABLES):
         vecs = vecs.withColumn(f"bucket{t}", bucket_expr(F.col("v"), t))
     # the bucketed table feeds NUM_TABLES join branches + the re-rank
-    # join; persist so the 16 hyperplane folds run once per vector
+    # join; persist (eagerly) so the 16 hyperplane folds run once per
+    # vector and parallel branches read the cache instead of racing
     vecs = vecs.persist()
+    vecs.count()
     queries = vecs.filter(F.col("nid") < max_query_id).select(
         F.col("nid").alias("qid"),
         F.col("v").alias("qv"),

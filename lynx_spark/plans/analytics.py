@@ -1073,6 +1073,55 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_dedup_oracle(threshold: float = 0.8) -> str:
+    bucket_cols = []
+    for t in range(sim.NUM_TABLES):
+        plane_dots = [
+            f"list_dot_product(e, [{', '.join(repr(v) for v in p)}])"
+            for p in sim.HYPERPLANES[t]
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, d in enumerate(plane_dots)
+        )
+        bucket_cols.append(f"CAST({bucket} AS BIGINT) AS bucket{t}")
+    buckets_sql = ",\n    ".join(bucket_cols)
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM v a "
+        f"JOIN v b ON a.bucket{t} = b.bucket{t} AND a.vec_id < b.vec_id"
+        for t in range(sim.NUM_TABLES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+    {buckets_sql}
+  FROM embeddings),
+cand AS (
+{cand_union}),
+pairs AS (
+  SELECT c.a_id, c.b_id, a.e AS ae, b.e AS be
+  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id),
+elems AS (SELECT a_id, b_id, unnest(ae) AS x, unnest(be) AS y FROM pairs),
+sums AS (
+  SELECT a_id, b_id,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cos_sim
+  FROM elems GROUP BY a_id, b_id)
+SELECT a_id, b_id, cos_sim FROM sums WHERE cos_sim >= {threshold}
+"""
+
+
+@q(
+    "q37_embed_dedup",
+    oracle=_embed_dedup_oracle(0.8),
+    description="embedding-cosine near-dup pairs via LSH candidates "
+    "(completes the dedup family: exact/jaccard/minhash/simhash/embed)",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_dedup_pairs(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.8
+    )
+
+
 def _text_stats_oracle() -> str:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""

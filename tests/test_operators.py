@@ -96,6 +96,26 @@ def test_ann_recall_vs_brute_force(spark):
         assert any(a == b for a, b in zip(buckets[qid], buckets[nid]))
 
 
+def test_cosine_dedup_pairs(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    other = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, near), (4, other)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in sim.cosine_dedup_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact duplicate vector
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.99  # near duplicate
+    assert not any(4 in p for p in pairs)  # unrelated vector excluded
+
+
 def test_language_id_real_text(spark):
     samples = [
         (1, "the cat sat on the mat and it was happy with the sun"),
