@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scale trajectory check: synthesize an N-times copy of the sf0.1
+fact tables (key-shifted so cardinalities really grow) and time the
+core relational queries at 1x vs Nx. Prints one JSON line.
+
+This is the would-it-survive-100TB smoke: per-query time should grow
+~linearly with fact size (scan+shuffle bound), not quadratically, and
+broadcast joins must stay broadcast while only fact-side shuffles grow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = Path(os.environ.get("SCALE_OUT_DIR", "/tmp/lynx_scale")) / f"x{FACTOR}"
+
+QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q07_window_rank",
+    "q12_events_daily",
+    "q21_dedup_exact",
+]
+
+
+def synthesize(spark) -> None:
+    if OUT.exists():
+        shutil.rmtree(OUT)
+    OUT.mkdir(parents=True)
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    def replicate(df, key_cols):
+        copies = []
+        for i in range(FACTOR):
+            c = df
+            for k in key_cols:
+                c = c.withColumn(k, F.col(k) + F.lit(i * max_ok))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    replicate(li, ["l_orderkey"]).repartition(32).write.mode("overwrite").parquet(
+        str(OUT / "lineitem.parquet")
+    )
+    replicate(orders, ["o_orderkey"]).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(str(OUT / "orders.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    ev_copies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * 100_000))
+        for i in range(FACTOR)
+    ]
+    ev_all = ev_copies[0]
+    for c in ev_copies[1:]:
+        ev_all = ev_all.unionByName(c)
+    ev_all.repartition(32).write.mode("overwrite").parquet(
+        str(OUT / "events.parquet")
+    )
+
+    for t in ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]:
+        shutil.copy(f"{BASE}/{t}.parquet", OUT / f"{t}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from lynx_spark.plans.analytics import REGISTRY
+
+    out = {}
+    for name in QUERIES:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out[name] = round(min(runs), 3)
+    return out
+
+
+def main() -> None:
+    from lynx_spark.session import get_spark
+
+    spark = get_spark("lynx_scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark)
+    base = time_queries(spark, BASE)
+    big = time_queries(spark, str(OUT))
+    ratios = {k: round(big[k] / base[k], 2) for k in base}
+    print(
+        json.dumps(
+            {
+                "factor": FACTOR,
+                "base_sec": base,
+                "scaled_sec": big,
+                "time_ratio": ratios,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
