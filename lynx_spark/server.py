@@ -71,6 +71,9 @@ def create_app(engine: LynxEngine) -> Flask:
             namespace = payload["namespace"]
             sql = payload["query"]
             fmt = payload.get("format")  # None -> Table (main.rs:80)
+            if fmt not in (None, "Json", "Table"):
+                # serde rejects unknown enum variants (main.rs:36-40)
+                raise ValueError(f"unknown format: {fmt!r}")
         except Exception as e:  # noqa: BLE001
             print(repr(e), file=sys.stderr)
             return Response(status=500)

@@ -56,6 +56,11 @@ def get_spark(
         # SF ratio) should broadcast rather than shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # bucketed tables (sources/bucketing.py) land here, not in cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/lynx_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
