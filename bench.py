@@ -104,7 +104,10 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except (ValueError, IndexError):
+        sf = None
     print(
         json.dumps(
             {

@@ -65,10 +65,14 @@ class LynxEngine:
     # ------------------------------------------------------------- write
 
     def write(self, req: WriteRequest) -> None:
-        """WAL append then buffer insert, in that order (lynx.rs:63-68)."""
+        """WAL append then buffer insert, in that order (lynx.rs:31-33,
+        63-68). Both happen under the write lock so a concurrent flush
+        (TieredEngine) can never observe the WAL record without its
+        buffer row — the gap would let flush truncate a segment whose
+        record is not yet queryable anywhere."""
         with self._wal_lock:
             self.wal.write(req)
-        self.buffer.insert(req)
+            self.buffer.insert(req)
 
     # ------------------------------------------------------------- query
 

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from lynx_spark.buffer import Measurements
 from lynx_spark.engine import LynxEngine, measurements_to_arrow
 from lynx_spark.sqlutil import parse_table_name
-from lynx_spark.wal import DEFAULT_MAX_SEGMENT_SIZE
+from lynx_spark.wal import DEFAULT_MAX_SEGMENT_SIZE, read_segment
 
 
 class TieredEngine(LynxEngine):
@@ -56,17 +56,23 @@ class TieredEngine(LynxEngine):
 
     def flush(self, namespace: str) -> int:
         """Drain one namespace's hot buffer into the cold tier; returns
-        rows flushed. WAL segments that only contain flushed data are
-        deleted (WAL truncation — absent in the reference)."""
+        rows flushed. Afterwards the WAL is compacted: flushed records
+        are dropped and survivors (other namespaces) are rewritten, so
+        a restart replays exactly the unflushed rows — never a
+        duplicate of what parquet already holds. (WAL truncation is
+        absent in the reference, wal.rs:175.)
+
+        Ordering under the write lock (writers are blocked throughout,
+        engine.py write()):
+          1. snapshot the namespace (buffer untouched)
+          2. write parquet — a failure here leaves buffer+WAL intact,
+             at worst duplicating parquet files on retry of the SAME
+             flush, visible rows never change
+          3. clear the namespace from the buffer
+          4. rewrite the WAL without the flushed namespace's records
+        """
         with self._wal_lock:
-            # rotate so the active segment (which may contain rows of
-            # OTHER namespaces too) is closed; since other namespaces'
-            # rows stay in the buffer AND their segments may be
-            # deleted, flush all namespaces' buffers... simpler and
-            # safe: only delete segments when the whole buffer is
-            # empty after the flush. Partial-namespace flushes keep
-            # the WAL (correct, just less eager truncation).
-            tables = self.buffer.clear_namespace(namespace)
+            tables = self.buffer.tables(namespace)  # snapshot, not pop
             if tables is None:
                 return 0
             rows = 0
@@ -75,15 +81,30 @@ class TieredEngine(LynxEngine):
                     rows += self._write_partition(
                         namespace, table, day, partitions[day]
                     )
-            if self.buffer.namespace_count() == 0:
-                # everything durable in parquet -> old segments obsolete
-                self.wal.rotate()
-                for seg_id in list(self.wal.closed_segments):
-                    seg_path = self.wal.directory / f"{seg_id}.wal"
-                    if seg_path.exists():
-                        seg_path.unlink()
-                self.wal.closed_segments.clear()
+            self.buffer.clear_namespace(namespace)
+            self._compact_wal(drop_namespace=namespace)
             return rows
+
+    def _compact_wal(self, drop_namespace: str) -> None:
+        """Rewrite the WAL without records of the flushed namespace.
+        Called under _wal_lock. Survivor records (still hot in the
+        buffer) are appended to the fresh active segment; old segments
+        are deleted only after the rewrite."""
+        self.wal.rotate()  # close the active segment too
+        old_ids = list(self.wal.closed_segments)
+        # stream survivors into the fresh active segment in original
+        # order, then drop the old segment files
+        for seg_id in old_ids:
+            seg_path = self.wal.directory / f"{seg_id}.wal"
+            if not seg_path.exists():
+                continue
+            for req in read_segment(seg_path):
+                if req.namespace != drop_namespace:
+                    self.wal.write(req)
+            seg_path.unlink()
+        self.wal.closed_segments = [
+            s for s in self.wal.closed_segments if s not in old_ids
+        ]
 
     def _write_partition(
         self, namespace: str, table: str, day: str, m: Measurements
@@ -95,14 +116,20 @@ class TieredEngine(LynxEngine):
         out_dir = self.cold_dir / namespace / table / f"day={day}"
         out_dir.mkdir(parents=True, exist_ok=True)
         n_existing = len(list(out_dir.glob("*.parquet")))
-        pq.write_table(batch, out_dir / f"part-{n_existing:05d}.parquet")
+        # write-then-rename so readers (and retries after a failure)
+        # never observe a partial file
+        tmp = out_dir / f".tmp-part-{n_existing:05d}"
+        pq.write_table(batch, tmp)
+        tmp.rename(out_dir / f"part-{n_existing:05d}.parquet")
         return batch.num_rows
 
     # ------------------------------------------------------------ query
 
     def _cold_table(self, namespace: str, table: str) -> DataFrame | None:
         path = self.cold_dir / namespace / table
-        if not path.exists():
+        # a directory with no parquet files (e.g. an aborted flush's
+        # empty day= dir) is "no cold data", not a read error
+        if not path.exists() or not any(path.rglob("*.parquet")):
             return None
         return self.spark.read.option("mergeSchema", "true").parquet(str(path))
 

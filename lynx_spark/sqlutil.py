@@ -23,23 +23,25 @@ class TableNameError(ValueError):
 _IDENT = re.compile(r'[A-Za-z_][A-Za-z0-9_$]*|"(?:[^"]|"")+"|`(?:[^`]|``)+`')
 
 
-def _strip_comments(sql: str) -> str:
-    # line comments
-    sql = re.sub(r"--[^\n]*", " ", sql)
-    # block comments (non-nested, like most dialects)
-    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
-    return sql
-
-
 def _tokens(sql: str) -> list[str]:
     """Lex into words / quoted identifiers / string literals / symbols,
-    enough to find the top-level FROM."""
+    enough to find the top-level FROM. Comments are consumed HERE, not
+    by a pre-pass, so comment markers inside string literals
+    (``SELECT '--x' ...``) are preserved as data."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
         if c.isspace():
             i += 1
+            continue
+        if sql.startswith("--", i):  # line comment
+            j = sql.find("\n", i)
+            i = n if j == -1 else j + 1
+            continue
+        if sql.startswith("/*", i):  # block comment (non-nested)
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
             continue
         if c == "'":  # string literal ('' escape)
             j = i + 1
@@ -78,7 +80,7 @@ def parse_table_name(sql: str) -> str:
     a SELECT without FROM, or a non-plain-table first FROM factor
     (derived table / VALUES) — the same rejection set as the reference.
     """
-    toks = _tokens(_strip_comments(sql))
+    toks = _tokens(sql)
     if not toks:
         raise TableNameError("empty query")
     head = toks[0].upper()
@@ -106,9 +108,11 @@ def parse_table_name(sql: str) -> str:
         )
     if not _IDENT.fullmatch(nxt):
         raise TableNameError(f"invalid FROM factor: {nxt}")
-    # compound name a.b.c — the reference keeps the full ObjectName; the
-    # buffer keys tables by the bare measurement string, so keep the
-    # last component as the lookup key and the head for display.
+    # compound name a.b.c — keep the full ObjectName string like the
+    # reference (lynx.rs:163): the buffer lookup with the dotted string
+    # misses -> 404 for the common case; a measurement that literally
+    # contains '.' fails at registration, as it fails at plan time in
+    # the reference.
     parts = [_unquote(nxt)]
     j = from_idx + 2
     while j + 1 < len(toks) and toks[j] == ".":

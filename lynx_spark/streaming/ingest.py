@@ -106,27 +106,42 @@ def stream_to_cold_tier(
     cold_dir = Path(cold_dir)
 
     def write_batch(batch: DataFrame, _batch_id: int) -> None:
-        rows = batch.withColumn("day", F.to_date("ts"))
-        # fan out per namespace/table so the directory layout matches
-        # TieredEngine's; namespaces per micro-batch are few
-        for ns, table in [
-            (r["namespace"], r["measurement"])
-            for r in rows.select("namespace", "measurement").distinct().collect()
-        ]:
-            out = (
-                rows.filter(
+        rows = batch.withColumn("day", F.to_date("ts")).persist()
+        try:
+            # fan out per namespace/table so the directory layout
+            # matches TieredEngine's; namespaces per micro-batch are
+            # few. The persist means the source scan runs once, not
+            # once per (table-discovery, per-table write).
+            for ns, table in [
+                (r["namespace"], r["measurement"])
+                for r in rows.select("namespace", "measurement").distinct().collect()
+            ]:
+                subset = rows.filter(
                     (F.col("namespace") == ns) & (F.col("measurement") == table)
                 )
-                .select(
+                # pivot tags into per-key string columns — the SAME
+                # layout TieredEngine.flush writes, so batch SQL sees
+                # streamed tags as ordinary nullable columns
+                tag_keys = sorted(
+                    r[0]
+                    for r in subset.select(
+                        F.explode(F.map_keys("metadata"))
+                    ).distinct().collect()
+                )
+                out = subset.select(
                     F.col("ts").alias("timestamp"),
                     "value",
-                    "metadata",
+                    *[
+                        F.col("metadata").getItem(k).alias(k)
+                        for k in tag_keys
+                    ],
                     "day",
                 )
-            )
-            out.write.mode("append").partitionBy("day").parquet(
-                str(cold_dir / ns / table)
-            )
+                out.write.mode("append").partitionBy("day").parquet(
+                    str(cold_dir / ns / table)
+                )
+        finally:
+            rows.unpersist()
 
     return (
         parsed.writeStream.foreachBatch(write_batch)

@@ -186,8 +186,8 @@ class Wal:
         return highest, observed
 
 
-def _replay_segment(path: Path, buffer: MemBuffer) -> None:
-    """Verify header then stream records into the buffer
+def read_segment(path: Path):
+    """Verify header then yield the segment's records in order
     (wal.rs:329-354)."""
     with open(path, "rb") as f:
         header = f.read(len(WAL_HEADER))
@@ -199,4 +199,9 @@ def _replay_segment(path: Path, buffer: MemBuffer) -> None:
             req = decode_write_request(f)
             if req is None:
                 break
-            buffer.insert(req)
+            yield req
+
+
+def _replay_segment(path: Path, buffer: MemBuffer) -> None:
+    for req in read_segment(path):
+        buffer.insert(req)

@@ -102,6 +102,50 @@ def test_partition_pruning_on_day(tiered):
     assert "1970-01-03" in plan
 
 
+def test_partial_namespace_flush_no_double_count_after_restart(spark, tmp_path):
+    """Flushing ONE namespace while another holds data must compact the
+    WAL so a restart replays only unflushed rows (the flushed
+    namespace's rows live solely in parquet)."""
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    _write(eng, "a1", 1, ns="ns_a")
+    _write(eng, "b1", 2, ns="ns_b")
+    _write(eng, "a2", 3, ns="ns_a")
+    assert eng.flush("ns_a") == 2
+    eng.wal.close()
+
+    eng2 = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    # ns_a: only in cold, exactly once
+    vals_a = sorted(
+        r["value"] for r in eng2.query("ns_a", "SELECT * FROM cpu").collect()
+    )
+    assert vals_a == ["a1", "a2"]
+    # ns_b: replayed from the compacted WAL into the hot buffer
+    vals_b = [r["value"] for r in eng2.query("ns_b", "SELECT * FROM cpu").collect()]
+    assert vals_b == ["b1"]
+    assert eng2.buffer.tables("ns_a") is None
+
+
+def test_flush_failure_leaves_buffer_and_wal_intact(tiered, monkeypatch):
+    """A parquet write failure mid-flush must not lose visibility of
+    the rows (buffer cleared only after all partitions are written)."""
+    _write(tiered, "1", 1)
+    _write(tiered, "2", DAY_US)
+
+    def boom(*args, **kwargs):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(
+        "lynx_spark.sources.coldtier.pq.write_table", boom
+    )
+    with pytest.raises(OSError):
+        tiered.flush("ns")
+    monkeypatch.undo()
+    # rows still served from the hot buffer; WAL untouched
+    df = tiered.query("ns", "SELECT * FROM cpu")
+    assert sorted(r["value"] for r in df.collect()) == ["1", "2"]
+    assert tiered.flush("ns") == 2  # retry succeeds
+
+
 def test_unknown_is_404_in_both_tiers(tiered):
     _write(tiered, "1", 1)
     tiered.flush("ns")

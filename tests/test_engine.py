@@ -114,6 +114,21 @@ def test_parse_table_name():
     )
 
 
+def test_comment_markers_inside_string_literals():
+    # '--' and '/*' inside literals are data, not comments
+    assert parse_table_name("SELECT '--x' AS note, value FROM cpu") == "cpu"
+    assert parse_table_name("SELECT '/*' FROM cpu") == "cpu"
+    # real comments are still stripped
+    assert parse_table_name("SELECT * -- trailing\nFROM cpu") == "cpu"
+    assert parse_table_name("SELECT /* block */ * FROM cpu") == "cpu"
+
+
+def test_string_literal_comment_query_end_to_end(engine):
+    engine.write(WriteRequest("ns", "cpu", "v", {}, 1))
+    df = engine.query("ns", "SELECT '--x' AS note, value FROM cpu")
+    assert df.collect()[0]["note"] == "--x"
+
+
 def test_json_format():
     # nulls omitted per Arrow ArrayWriter (query.rs:19-28)
     out = rows_to_json(["a", "b"], [(1, None), (2, "x")])

@@ -94,3 +94,37 @@ def test_stream_to_cold_tier_feeds_tiered_engine(spark, json_dir, tmp_path):
         "ns", "SELECT count(*) AS n FROM mem WHERE day = DATE'1970-01-02'"
     )
     assert df2.collect()[0]["n"] == 1
+
+
+def test_streamed_tags_visible_to_batch_sql(spark, tmp_path):
+    """Tags streamed via metadata maps must land as per-key columns —
+    the same layout TieredEngine.flush writes — so batch SQL sees them."""
+    from lynx_spark.sources.coldtier import TieredEngine
+    from lynx_spark.streaming import (
+        parse_write_stream,
+        read_write_stream,
+        stream_to_cold_tier,
+    )
+
+    d = tmp_path / "in"
+    _write_jsonl(
+        d / "b.json",
+        [
+            _req("1", 1, tags={"host": "eu-1", "core": "2"}),
+            _req("2", 2, tags={"host": "us-1"}),
+        ],
+    )
+    cold = tmp_path / "cold"
+    q = stream_to_cold_tier(
+        parse_write_stream(read_write_stream(spark, d)), cold, tmp_path / "ck"
+    )
+    q.awaitTermination(120)
+    eng = TieredEngine(spark, tmp_path / "wal", cold)
+    rows = {
+        r["value"]: r
+        for r in eng.query(
+            "ns", "SELECT value, host, core FROM cpu"
+        ).collect()
+    }
+    assert rows["1"]["host"] == "eu-1" and rows["1"]["core"] == "2"
+    assert rows["2"]["host"] == "us-1" and rows["2"]["core"] is None
