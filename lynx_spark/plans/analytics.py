@@ -884,6 +884,178 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q38_multiset_ops",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+""",
+    description="INTERSECT ALL (multiset semantics, bag intersection)",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@q(
+    "q39_string_functions",
+    oracle="""
+SELECT c_custkey,
+  replace(c_name, 'Customer', 'Cust') AS short_name,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+  trim(concat('  ', c_mktsegment, '  ')) AS seg_trim,
+  substr(reverse(c_name), 1, 5) AS rev5,
+  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+  lower(c_mktsegment) AS seg_lower,
+  repeat(left(c_mktsegment, 1), 3) AS tripled
+FROM customer WHERE c_custkey % 11 = 0
+""",
+    description="string function surface: replace/lpad/trim/reverse/"
+    "position/case/repeat",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 11 == 0)
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "Customer", "Cust").alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias(
+            "seg_trim"
+        ),
+        F.substring(F.reverse("c_name"), 1, 5).alias("rev5"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("tripled"),
+    )
+
+
+@q(
+    "q40_array_functions",
+    oracle="""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id, label,
+  CAST(len(e) AS BIGINT) AS dim,
+  round(list_max(e), 5) AS max_elem,
+  round(list_min(e), 5) AS min_elem,
+  round(list_sum(e[1:8]), 5) AS head8_sum,
+  CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive
+FROM v WHERE vec_id % 17 = 0
+""",
+    description="array/list function surface over embeddings "
+    "(superset — no nested types exist in the reference, SURVEY §1.3)",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 17 == 0)
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    return v.select(
+        "vec_id",
+        "label",
+        F.size("e").cast("long").alias("dim"),
+        F.round(F.array_max("e"), 5).alias("max_elem"),
+        F.round(F.array_min("e"), 5).alias("min_elem"),
+        F.round(
+            F.aggregate(
+                F.slice("e", 1, 8), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            5,
+        ).alias("head8_sum"),
+        F.size(F.filter("e", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@q(
+    "q41_gap_fill_locf",
+    oracle=f"""
+WITH ev AS ({_EV}),
+grid AS (
+  SELECT u.user_id, t.slot
+  FROM (SELECT DISTINCT user_id FROM ev WHERE user_id < 10) u
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                  TIMESTAMP '2024-01-07 23:00:00',
+                                  INTERVAL 1 HOUR)) AS slot) t),
+obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS slot, round(avg(value), 4) AS v
+  FROM ev WHERE user_id < 10 GROUP BY 1, 2)
+SELECT g.user_id, CAST(g.slot AS VARCHAR) AS slot_s,
+  round(last_value(o.v IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.slot
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot
+""",
+    description="time-series gap fill: dense hourly grid + "
+    "last-observation-carried-forward (the resampling surface a TSDB "
+    "needs; grid via sequence/generate_series, LOCF via IGNORE NULLS "
+    "window)",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    users = ev.select("user_id").distinct()
+    slots = F.explode(
+        F.sequence(
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+            F.lit("2024-01-07 23:00:00").cast("timestamp"),
+            F.expr("INTERVAL 1 HOUR"),
+        )
+    ).alias("slot")
+    grid = users.select("user_id", slots)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("slot")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            F.col("slot").cast("string").alias("slot_s"),
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_locf"),
+        )
+    )
+
+
+@q(
+    "q42_downsample",
+    oracle=f"""
+WITH ev AS ({_EV})
+SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS VARCHAR) AS bucket_s,
+  event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM ev WHERE ts < TIMESTAMP '2024-01-02'
+GROUP BY 1, 2
+""",
+    description="15-minute downsampling (window() tumbling buckets)",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("w.start").cast("string").alias("bucket_s"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
 # =====================================================================
 # training-data pipeline extensions (dedup / similarity / text / media)
 # =====================================================================
