@@ -34,6 +34,8 @@ HEADLINE = [
     "q09_distinct_agg",
     "q12_events_daily",
     "q19_asof_join",
+    "q41_gap_fill_locf",
+    "q42_downsample",
     # training-data extensions
     "q21_dedup_exact",
     "q22_ngram_jaccard",
