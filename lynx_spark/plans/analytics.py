@@ -1062,6 +1062,120 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q43_event_streaks",
+    oracle=f"""
+WITH ev AS ({_EV}), marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    - row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS island
+  FROM ev),
+runs AS (
+  SELECT user_id, count(*) AS run_len
+  FROM marked GROUP BY user_id, event_type, island)
+SELECT user_id, CAST(max(run_len) AS BIGINT) AS max_streak,
+  CAST(sum(run_len) AS BIGINT) AS n_events
+FROM runs GROUP BY user_id
+""",
+    description="longest same-event streak per user: applyInPandas "
+    "imperative pass on the Spark side, hash-verified against the "
+    "gaps-and-islands SQL formulation (the UDF/UDAF extension surface "
+    "the reference lacks, SURVEY §2B last row)",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.grouped import longest_event_streaks
+
+    return longest_event_streaks(T(spark, sf_dir, "events"))
+
+
+@q(
+    "q44_train_test_split",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train' ELSE 'test' END
+    AS split
+FROM documents
+""",
+    description="deterministic hash-based train/test split (~75/25 via "
+    "first md5 hex digit) — reproducible across engines and runs",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.substring(F.md5("text"), 1, 1) < "c", "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _contamination_oracle(n: int = 8, bench_max_id: int = 20) -> str:
+    gram = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+    return f"""
+WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, {gram} AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+        FROM words WHERE len(w) >= {n}))
+SELECT c.doc AS doc_id, b.doc AS bench_id, count(*) AS n_common
+FROM sh c JOIN sh b ON c.shingle = b.shingle
+WHERE b.doc < {bench_max_id} AND c.doc >= {bench_max_id}
+GROUP BY 1, 2
+"""
+
+
+@q(
+    "q45_contamination",
+    oracle=_contamination_oracle(),
+    description="benchmark-contamination check: corpus documents "
+    "sharing 8-gram shingles with a held-out benchmark set (docs with "
+    "id < 20), via the inverted-index join — the standard eval-leakage "
+    "sweep for training corpora",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.shingle_table(T(spark, sf_dir, "documents"), "doc_id", "text", n=8)
+    bench = sh.filter(F.col("doc") < 20).select(
+        F.col("doc").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc") >= 20).select(
+        F.col("doc").alias("doc_id"), "shingle"
+    )
+    return (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
+@q(
+    "q46_normalize",
+    oracle="""
+SELECT doc_id,
+  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')), 1, 60) AS norm_prefix,
+  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents
+""",
+    description="text normalization: lowercase, strip non-alnum, "
+    "collapse whitespace — the canonicalization step before dedup",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(norm, 1, 60).alias("norm_prefix"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@q(
     "q21_dedup_exact",
     oracle="""
 SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS survivor_id,
