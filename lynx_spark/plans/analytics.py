@@ -96,9 +96,9 @@ SELECT l_returnflag, l_linestatus,
   round(sum(l_extendedprice), 2) AS sum_base_price,
   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 4) AS avg_qty,
-  round(avg(l_extendedprice), 4) AS avg_price,
-  round(avg(l_discount), 4) AS avg_disc,
+  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+  round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price,
+  round(round(sum(l_discount), 2) / count(*), 4) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -117,9 +117,12 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # stable-sum averages: round the (exact-decimal-data) sum
+            # first so neither engine's accumulation order can flip a
+            # rounding boundary (see q42's note)
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count("*"), 4).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 2) / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -348,7 +351,8 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ev AS ({_EV})
 SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n_events,
-  round(sum(value), 2) AS total_value, round(avg(value), 4) AS avg_value
+  round(sum(value), 2) AS total_value,
+  round(round(sum(value), 2) / count(*), 4) AS avg_value
 FROM ev GROUP BY event_type
 """,
     description="COUNT DISTINCT + plain aggregates per group",
@@ -361,7 +365,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("users"),
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
         )
     )
 
@@ -592,7 +596,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_events_json",
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-  count(*) AS n, round(avg(value), 4) AS avg_value
+  count(*) AS n, round(round(sum(value), 2) / count(*), 4) AS avg_value
 FROM events GROUP BY 1
 """,
     description="JSON extraction from a string column + agg",
@@ -603,7 +607,10 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod")
         )
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
+        )
     )
 
 
@@ -987,12 +994,12 @@ grid AS (
                                   TIMESTAMP '2024-01-07 23:00:00',
                                   INTERVAL 1 HOUR)) AS slot) t),
 obs AS (
-  SELECT user_id, date_trunc('hour', ts) AS slot, round(avg(value), 4) AS v
+  SELECT user_id, date_trunc('hour', ts) AS slot, round(sum(value), 2) AS v
   FROM ev WHERE user_id < 10 GROUP BY 1, 2)
 SELECT g.user_id, CAST(g.slot AS VARCHAR) AS slot_s,
   round(last_value(o.v IGNORE NULLS) OVER (
     PARTITION BY g.user_id ORDER BY g.slot
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_locf
 FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot
 """,
     description="time-series gap fill: dense hourly grid + "
@@ -1013,7 +1020,10 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = users.select("user_id", slots)
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("slot")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg(
+        # hourly SUM (see q42's note on boundary-proof rounded sums)
+        F.round(F.sum("value"), 2).alias("v")
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("slot")
@@ -1024,7 +1034,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("slot").cast("string").alias("slot_s"),
-            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_locf"),
+            F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_locf"),
         )
     )
 
@@ -1034,7 +1044,8 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ev AS ({_EV})
 SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS VARCHAR) AS bucket_s,
-  event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+  event_type, count(*) AS n,
+  round(sum(value), 2) AS total_value
 FROM ev WHERE ts < TIMESTAMP '2024-01-02'
 GROUP BY 1, 2
 """,
@@ -1046,12 +1057,20 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # bucket SUM, not mean: events.value is 2-decimal data, so a
+            # rounded sum is always 0.005 from any round(,2) boundary —
+            # immune to accumulation-order ULP noise. Small-denominator
+            # means of decimal data land exactly ON rounding boundaries
+            # and flip between engines (observed at sf0.1).
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
         .select(
             F.col("w.start").cast("string").alias("bucket_s"),
             "event_type",
             "n",
-            "avg_value",
+            "total_value",
         )
     )
 
