@@ -96,6 +96,43 @@ def test_stream_to_cold_tier_feeds_tiered_engine(spark, json_dir, tmp_path):
     assert df2.collect()[0]["n"] == 1
 
 
+def test_stateful_counters_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: keyed state must accumulate across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from lynx_spark.streaming import parse_write_stream
+    from lynx_spark.streaming.ingest import WRITE_SCHEMA
+    from lynx_spark.streaming.stateful import running_ingest_counters
+
+    d = tmp_path / "in"
+    _write_jsonl(d / "batch1.json", [_req("1", 1), _req("2", 2)])
+    _write_jsonl(d / "batch2.json", [_req("3", 3), _req("4", DAY_US, meas="mem")])
+
+    raw = (
+        spark.readStream.schema(WRITE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    counters = running_ingest_counters(parse_write_stream(raw))
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_test").collect()
+    # update mode appends one row per key per batch; the LAST cpu row
+    # must show the cumulative count across both micro-batches
+    cpu_counts = [r["n_writes"] for r in rows if r["measurement"] == "cpu"]
+    assert max(cpu_counts) == 3  # 2 from batch1 + 1 from batch2
+    assert len(cpu_counts) >= 2  # state was emitted in separate batches
+    mem = [r for r in rows if r["measurement"] == "mem"]
+    assert mem[0]["n_writes"] == 1
+    assert str(mem[0]["max_ts"]).startswith("1970-01-02")
+
+
 def test_streamed_tags_visible_to_batch_sql(spark, tmp_path):
     """Tags streamed via metadata maps must land as per-key columns —
     the same layout TieredEngine.flush writes — so batch SQL sees them."""
