@@ -1052,9 +1052,10 @@ GROUP BY 1, 2
     description="15-minute downsampling (window() tumbling buckets)",
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events").filter(
-        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
-    )
+    from lynx_spark.sources.tables import load_events_between
+
+    # range bound applied to the raw column so it reaches the scan
+    ev = load_events_between(spark, sf_dir, hi="2024-01-02")
     return (
         ev.groupBy(F.window("ts", "15 minutes").alias("w"), F.col("event_type"))
         .agg(

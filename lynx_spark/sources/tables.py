@@ -52,6 +52,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events_between(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: str | None = None,
+    hi: str | None = None,
+) -> DataFrame:
+    """events with a time-range predicate that actually reaches the
+    parquet scan. The ``timestamp_micros(ts div 1000)`` conversion in
+    load_table blocks pushdown of predicates on the derived ``ts``
+    column, so range bounds are applied to the RAW nanosecond long
+    BEFORE the conversion — ``.explain`` then shows the bounds in
+    PushedFilters. At 100 TB this is the difference between scanning
+    a day and scanning the archive (alongside the cold tier's day=
+    partition pruning)."""
+    from datetime import datetime, timezone
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_is_long = dict(df.dtypes)["ts"] == "bigint"
+
+    def ns(bound: str) -> int:
+        dt = datetime.fromisoformat(bound).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000) * 1000
+
+    if raw_is_long:
+        if lo is not None:
+            df = df.filter(F.col("ts") >= ns(lo))
+        if hi is not None:
+            df = df.filter(F.col("ts") < ns(hi))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # fallback: engine already reads real timestamps
+    if lo is not None:
+        df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+    if hi is not None:
+        df = df.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+    return df
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (the deliberate
     superset of the reference's one-table-per-query registration,
