@@ -1076,6 +1076,41 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q47_asof_cogroup",
+    oracle=f"""
+WITH ev AS ({_EV}), w AS (
+  SELECT event_id, user_id, ts, event_type,
+    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM ev)
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_s,
+  CAST(last_click_ts AS VARCHAR) AS last_click_s
+FROM w WHERE event_type = 'error'
+""",
+    description="as-of join via cogrouped applyInPandas (pandas "
+    "merge_asof per user) — hash-verified against the declarative "
+    "running-max formulation (q19); the cogroup tier of the pandas API",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.grouped import asof_join_cogroup
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join_cogroup(errors, clicks).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.col("last_click_ts").cast("string").alias("last_click_s"),
+    )
+
+
 # =====================================================================
 # training-data pipeline extensions (dedup / similarity / text / media)
 # =====================================================================
