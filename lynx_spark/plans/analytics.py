@@ -1111,6 +1111,43 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_oracle(min_words: int = 20, max_stop: float = 0.35) -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+            " ' +', ' ', 'g'))")
+    return f"""
+WITH normed AS (SELECT doc_id, {norm} AS norm FROM documents),
+survivors AS (
+  SELECT md5(norm) AS fp, CAST(min(doc_id) AS BIGINT) AS doc_id,
+    count(*) AS n_copies, min(norm) AS norm
+  FROM normed GROUP BY md5(norm)),
+stats AS (
+  SELECT fp, doc_id, n_copies,
+    CAST(len(string_split_regex(trim(norm), '\\s+')) AS BIGINT) AS n_words,
+    round(CAST(len(list_filter(string_split_regex(trim(norm), '\\s+'),
+                               x -> x IN ({stop_list}))) AS DOUBLE)
+          / len(string_split_regex(trim(norm), '\\s+')), 4) AS stopword_ratio
+  FROM survivors)
+SELECT doc_id, n_copies, n_words, stopword_ratio,
+  CASE WHEN substr(fp, 1, 1) < 'c' THEN 'train' ELSE 'test' END AS split
+FROM stats
+WHERE n_words >= {min_words} AND stopword_ratio <= {max_stop}
+"""
+
+
+@q(
+    "q48_curation_pipeline",
+    oracle=_curation_oracle(),
+    description="the end-to-end curation pipeline: normalize -> exact "
+    "dedup -> quality gate -> deterministic split, composed as ONE "
+    "declarative plan (one shuffle end to end)",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.plans.pipeline import curate_documents
+
+    return curate_documents(T(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # training-data pipeline extensions (dedup / similarity / text / media)
 # =====================================================================
