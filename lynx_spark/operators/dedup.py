@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from lynx_spark.operators._util import ensure_parallelism
+from lynx_spark.operators._util import banded_self_pairs, ensure_parallelism
 
 SHINGLE_N = 3  # word n-gram size
 MINHASH_NUM = 12  # number of minhash functions
@@ -176,28 +176,8 @@ def minhash_lsh_pairs(
     # 12-way min-agg runs once
     sig = minhash_signatures(df, id_col, text_col, n, shingles=sh).persist()
     sig.count()
-    # one self-join on the exploded (band_no, band_hash) key instead of
-    # MINHASH_BANDS separate joins + union
-    bands = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
-                for b in range(MINHASH_BANDS)
-            ]
-        )
-    ).alias("bb")
-    banded = sig.select("doc", bands).select("doc", "bb.band_no", "bb.bh")
-    a = banded.select(
-        F.col("doc").alias("a_id"), F.col("band_no"), F.col("bh")
-    )
-    b = banded.select(
-        F.col("doc").alias("b_id"), F.col("band_no"), F.col("bh")
-    )
-    cands = (
-        a.join(b, ["band_no", "bh"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    cands = banded_self_pairs(
+        sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)]
     )
 
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))

@@ -19,6 +19,12 @@ Two tiers:
 
 The hyperplanes are generated from a fixed seed and embedded as
 literals so the identical computation runs in the DuckDB oracle.
+
+Internal persists (bucketed vectors) follow the MLlib pattern: the
+cache is dropped by the ContextCleaner once the returned DataFrame is
+garbage collected; long-lived sessions issuing many calls should
+``spark.catalog.clearCache()`` between unrelated pipelines (bench.py
+does).
 """
 
 from __future__ import annotations
@@ -28,7 +34,11 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lynx_spark.operators._util import ensure_parallelism
+from lynx_spark.operators._util import (
+    banded_self_pairs,
+    ensure_parallelism,
+    explode_bands,
+)
 
 EMBED_DIM = 64
 NUM_TABLES = 4  # independent LSH hash tables (recall lever)
@@ -98,22 +108,8 @@ def cosine_dedup_pairs(
         vecs = vecs.withColumn(f"bucket{t}", bucket_expr(F.col("v"), t))
     vecs = vecs.persist()
     vecs.count()  # eager: see lsh_ann_topk
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), F.col(f"bucket{t}").alias("bh"))
-                for t in range(NUM_TABLES)
-            ]
-        )
-    ).alias("tb")
-    banded = vecs.select("nid", tb).select("nid", "tb.t", "tb.bh")
-    a = banded.select(F.col("nid").alias("a_id"), "t", "bh")
-    b = banded.select(F.col("nid").alias("b_id"), "t", "bh")
-    cands = (
-        a.join(b, ["t", "bh"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    cands = banded_self_pairs(
+        vecs, "nid", [f"bucket{t}" for t in range(NUM_TABLES)]
     )
     va = vecs.select(F.col("nid").alias("a_id"), F.col("v").alias("va"))
     vb = vecs.select(F.col("nid").alias("b_id"), F.col("v").alias("vb"))
@@ -190,26 +186,12 @@ def lsh_ann_topk(
     # NUM_TABLES separate joins + union: candidates meet when they
     # share a bucket in ANY table, and the composite key keeps tables
     # independent
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), F.col(f"bucket{t}").alias("bh"))
-                for t in range(NUM_TABLES)
-            ]
-        )
-    ).alias("tb")
-    corpus_b = vecs.select("nid", tb).select("nid", "tb.t", "tb.bh")
-    qtb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), F.col(f"qbucket{t}").alias("bh"))
-                for t in range(NUM_TABLES)
-            ]
-        )
-    ).alias("tb")
-    queries_b = queries.select("qid", qtb).select("qid", "tb.t", "tb.bh")
+    corpus_b = explode_bands(vecs, "nid", [f"bucket{t}" for t in range(NUM_TABLES)])
+    queries_b = explode_bands(
+        queries, "qid", [f"qbucket{t}" for t in range(NUM_TABLES)]
+    )
     cands = (
-        corpus_b.join(F.broadcast(queries_b), ["t", "bh"])
+        corpus_b.join(F.broadcast(queries_b), ["band_no", "bh"])
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid")
         .distinct()

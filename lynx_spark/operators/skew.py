@@ -14,8 +14,16 @@ skew automatically; these helpers cover the two cases AQE cannot:
   — that is why it broadcasts) and give each fact row a random salt,
   so the skewed key's rows spread over ``num_salts`` tasks.
 
-The salt is ``pmod(hash(monotonically_increasing_id()), n)`` — no
-Python, no extra shuffle to assign.
+The salt must be DETERMINISTIC per row: a nondeterministic salt (e.g.
+from monotonically_increasing_id or rand) feeding a shuffle breaks
+correctness under partial task recomputation — when a lost map task is
+re-run after a fetch failure, its rows would re-salt differently while
+surviving reducers keep the old fetched partials (the SPARK-23207
+correctness class). We derive the salt from the row's own content
+(hash of all columns), so recomputation reproduces identical salts.
+Rows with fully identical content share a salt — skew then remains
+only if one literal row value dominates, which salting cannot help
+anyway (documented limitation).
 """
 
 from __future__ import annotations
@@ -24,8 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt(num_salts: int) -> Column:
-    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts))
+def _salt(df: DataFrame, num_salts: int) -> Column:
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(num_salts))
 
 
 def salted_agg(
@@ -39,7 +47,7 @@ def salted_agg(
     vavg``). Phase 1 shuffles on (key, salt) — the hot key spreads
     over num_salts reducers; phase 2 shuffles num_salts rows per key."""
     partial = (
-        df.withColumn("_salt", _salt(num_salts))
+        df.withColumn("_salt", _salt(df, num_salts))
         .groupBy(key_col, "_salt")
         .agg(
             F.sum(value_col).alias("_sum"),
@@ -71,7 +79,7 @@ def salted_broadcast_join(
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
-    salted_fact = fact.withColumn("_salt", _salt(num_salts))
+    salted_fact = fact.withColumn("_salt", _salt(fact, num_salts))
     return salted_fact.join(
         F.broadcast(salted_dim),
         (salted_fact[fact_key] == salted_dim[dim_key])

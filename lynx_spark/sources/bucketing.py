@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 
 def bucketize(
-    spark: SparkSession,
     df: DataFrame,
     table_name: str,
     bucket_col: str,
@@ -51,10 +50,13 @@ def bucketed_join(
     The merge hint pins the 100 TB-regime plan: on toy data the
     planner would rather broadcast the small side (and note
     'Bucketed: false — disabled by query planner'), which is correct
-    locally but hides the property this layout exists for."""
+    locally but hides the property this layout exists for.
+
+    Join keys are qualified per side, so tables bucketed on the SAME
+    column name join without an ambiguous-reference error."""
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
-    return left.join(right, F.col(left_key) == F.col(right_key))
+    return left.join(right, left[left_key] == right[right_key])
 
 
 def plan_has_no_join_exchange(df: DataFrame) -> bool:

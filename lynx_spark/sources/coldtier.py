@@ -65,22 +65,33 @@ class TieredEngine(LynxEngine):
         Ordering under the write lock (writers are blocked throughout,
         engine.py write()):
           1. snapshot the namespace (buffer untouched)
-          2. write parquet — a failure here leaves buffer+WAL intact,
-             at worst duplicating parquet files on retry of the SAME
-             flush, visible rows never change
+          2. STAGE every partition as a .tmp file (invisible to
+             readers), then COMMIT them all by rename — a failure
+             while staging leaves only .tmp litter: buffer and WAL are
+             intact, no cold row becomes visible, a retry overwrites
+             the stale .tmp files
           3. clear the namespace from the buffer
           4. rewrite the WAL without the flushed namespace's records
+        A crash BETWEEN the renames of step 2 (process death mid-loop)
+        can commit a prefix of the partitions and duplicate them on
+        retry — closing that window needs a manifest/commit log, noted
+        as future work; every single-fault path short of that is safe.
         """
         with self._wal_lock:
             tables = self.buffer.tables(namespace)  # snapshot, not pop
             if tables is None:
                 return 0
             rows = 0
+            staged: list[tuple[Path, Path]] = []
             for table, partitions in tables.items():
                 for day in sorted(partitions):
-                    rows += self._write_partition(
+                    n, tmp, final = self._stage_partition(
                         namespace, table, day, partitions[day]
                     )
+                    rows += n
+                    staged.append((tmp, final))
+            for tmp, final in staged:  # commit phase: cheap renames
+                tmp.rename(final)
             self.buffer.clear_namespace(namespace)
             self._compact_wal(drop_namespace=namespace)
             return rows
@@ -106,22 +117,21 @@ class TieredEngine(LynxEngine):
             s for s in self.wal.closed_segments if s not in old_ids
         ]
 
-    def _write_partition(
+    def _stage_partition(
         self, namespace: str, table: str, day: str, m: Measurements
-    ) -> int:
-        """Append one day's rows as a parquet file under the hive-style
+    ) -> tuple[int, Path, Path]:
+        """Write one day's rows to a .tmp file under the hive-style
         ``day=`` directory (pyarrow writer: driver-side, no Spark job —
-        the hot slice is small by design; executors read it back)."""
+        the hot slice is small by design; executors read it back).
+        Returns (rows, tmp_path, final_path); the caller renames after
+        ALL partitions staged successfully."""
         batch = measurements_to_arrow([m])
         out_dir = self.cold_dir / namespace / table / f"day={day}"
         out_dir.mkdir(parents=True, exist_ok=True)
         n_existing = len(list(out_dir.glob("*.parquet")))
-        # write-then-rename so readers (and retries after a failure)
-        # never observe a partial file
         tmp = out_dir / f".tmp-part-{n_existing:05d}"
-        pq.write_table(batch, tmp)
-        tmp.rename(out_dir / f"part-{n_existing:05d}.parquet")
-        return batch.num_rows
+        pq.write_table(batch, tmp)  # overwrites stale .tmp from a retry
+        return batch.num_rows, tmp, out_dir / f"part-{n_existing:05d}.parquet"
 
     # ------------------------------------------------------------ query
 
@@ -135,21 +145,29 @@ class TieredEngine(LynxEngine):
 
     def query(self, namespace: str, sql: str) -> DataFrame | None:
         """Union of hot snapshot and cold tier. Unknown namespace/table
-        in BOTH tiers -> None (404), preserving main.rs:83 semantics."""
+        in BOTH tiers -> None (404), preserving main.rs:83 semantics.
+
+        The hot snapshot and the cold file listing are taken under the
+        SAME lock a flush holds: without it, a flush racing between the
+        two reads would surface its rows in both tiers (double count).
+        ``spark.read.parquet`` lists files eagerly, so the DataFrame is
+        pinned to the files visible at lock time; flush never deletes
+        parquet, so execution later is safe."""
         table_name = parse_table_name(sql)
-        tables = self.buffer.tables(namespace)
-        hot = None
-        if tables is not None and table_name in tables:
-            partitions = tables[table_name]
-            batch = measurements_to_arrow(
-                [partitions[day] for day in sorted(partitions)]
-            )
-            # day as DATE to line up with the inferred type of the
-            # cold tier's hive partition column
-            hot = self.spark.createDataFrame(batch).withColumn(
-                "day", F.to_date("timestamp")
-            )
-        cold = self._cold_table(namespace, table_name)
+        with self._wal_lock:
+            tables = self.buffer.tables(namespace)
+            hot = None
+            if tables is not None and table_name in tables:
+                partitions = tables[table_name]
+                batch = measurements_to_arrow(
+                    [partitions[day] for day in sorted(partitions)]
+                )
+                # day as DATE to line up with the inferred type of the
+                # cold tier's hive partition column
+                hot = self.spark.createDataFrame(batch).withColumn(
+                    "day", F.to_date("timestamp")
+                )
+            cold = self._cold_table(namespace, table_name)
         if hot is None and cold is None:
             return None  # unknown in both tiers -> 404 (main.rs:83)
         if hot is None:

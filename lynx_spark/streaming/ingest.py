@@ -78,8 +78,12 @@ def daily_rollup_stream(
         )
         .agg(
             F.count("*").alias("n"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
+            # numeric extremes: value is a STRING by the data model
+            # (lynx.rs:107); lexicographic min/max would order "10"
+            # before "9". Non-numeric values become null and are
+            # skipped by min/max.
+            F.min(F.expr("try_cast(value AS DOUBLE)")).alias("min_value"),
+            F.max(F.expr("try_cast(value AS DOUBLE)")).alias("max_value"),
         )
         .select(
             F.to_date(F.col("day_window.start")).alias("day"),
@@ -98,9 +102,14 @@ def stream_to_cold_tier(
     checkpoint_dir: str | Path,
 ):
     """Continuously append the stream into the cold tier's hive layout
-    (<cold>/<namespace>/<table>/day=YYYY-MM-DD). foreachBatch keeps the
-    write idempotent per micro-batch and lets one stream fan out to
-    many (namespace, table) directories.
+    (<cold>/<namespace>/<table>/day=YYYY-MM-DD); one stream fans out
+    to many (namespace, table) directories.
+
+    Delivery is AT-LEAST-ONCE across micro-batch replays: a crash
+    after some appends but before the checkpoint commit re-runs the
+    batch and re-appends. Exactly-once needs a batch-id-keyed commit
+    log (or an ACID table format) — out of scope here; downstream
+    exact dedup (q21) absorbs replay duplicates in the curation path.
 
     Returns the StreamingQuery (caller controls trigger/termination)."""
     cold_dir = Path(cold_dir)

@@ -49,8 +49,13 @@ def _update_counters(
         n_writes, max_ts = 0, None
     for pdf in pdfs:
         n_writes += len(pdf)
-        batch_max = pdf["ts"].max()
-        max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+        batch_max = pdf["ts"].max()  # skipna; NaT only if all-null
+        # guard: storing NaT would poison max() forever (NaT compares
+        # False against everything)
+        if not pd.isna(batch_max):
+            max_ts = batch_max if max_ts is None or pd.isna(max_ts) else max(
+                max_ts, batch_max
+            )
     state.update((n_writes, max_ts))
     yield pd.DataFrame(
         {

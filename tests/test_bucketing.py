@@ -18,8 +18,8 @@ def bucketed_tables(spark):
     sf = "/root/testdata/sf0.001"
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf}/orders.parquet")
-    bucketize(spark, li, "li_bucketed", "l_orderkey", 8)
-    bucketize(spark, orders, "orders_bucketed", "o_orderkey", 8)
+    bucketize(li, "li_bucketed", "l_orderkey", 8)
+    bucketize(orders, "orders_bucketed", "o_orderkey", 8)
     yield "li_bucketed", "orders_bucketed"
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
