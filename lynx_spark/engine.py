@@ -32,9 +32,9 @@ from pathlib import Path
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from lynx_spark.buffer import Measurements, MemBuffer
+from lynx_spark.buffer import Measurements, MemBuffer, partition_key
 from lynx_spark.model import WriteRequest, tag_to_str
-from lynx_spark.sqlutil import parse_table_name
+from lynx_spark.sqlutil import extract_time_bounds, parse_table_name
 from lynx_spark.wal import DEFAULT_MAX_SEGMENT_SIZE, Wal
 
 
@@ -90,8 +90,9 @@ class LynxEngine:
         partitions = tables.get(table_name)
         if partitions is None:
             return None
+        days = select_days(partitions, sql)
         batch = measurements_to_arrow(
-            [partitions[day] for day in sorted(partitions)]  # day order
+            [partitions[day] for day in days]  # day order
         )
         with self._query_lock:
             # per-query re-registration so results reflect the latest
@@ -100,6 +101,25 @@ class LynxEngine:
             df_table = self.spark.createDataFrame(batch)
             df_table.createOrReplaceTempView(table_name)
             return self.spark.sql(sql)
+
+
+def select_days(partitions: dict[str, Measurements], sql: str) -> list[str]:
+    """Day partitions to materialize, in day order — pruned by the
+    query's timestamp bounds when they are extractable (SURVEY §4: the
+    reference concatenates ALL partitions unconditionally,
+    lynx.rs:87-91; this is the pruning its daily layout never got).
+    SQL correctness is unaffected: the WHERE clause still runs; pruning
+    only skips day buckets the bounds prove row-free."""
+    lo, hi = extract_time_bounds(sql)
+    if lo is None and hi is None:
+        return sorted(partitions)
+    lo_day = partition_key(lo) if lo is not None else None
+    hi_day = partition_key(hi) if hi is not None else None
+    return [
+        day
+        for day in sorted(partitions)
+        if (lo_day is None or day >= lo_day) and (hi_day is None or day <= hi_day)
+    ]
 
 
 def measurements_to_arrow(parts: list[Measurements]) -> pa.Table:

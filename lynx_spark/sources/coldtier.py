@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lynx_spark.buffer import Measurements
-from lynx_spark.engine import LynxEngine, measurements_to_arrow
+from lynx_spark.engine import LynxEngine, measurements_to_arrow, select_days
 from lynx_spark.sqlutil import parse_table_name
 from lynx_spark.wal import DEFAULT_MAX_SEGMENT_SIZE, read_segment
 
@@ -160,7 +160,7 @@ class TieredEngine(LynxEngine):
             if tables is not None and table_name in tables:
                 partitions = tables[table_name]
                 batch = measurements_to_arrow(
-                    [partitions[day] for day in sorted(partitions)]
+                    [partitions[day] for day in select_days(partitions, sql)]
                 )
                 # day as DATE to line up with the inferred type of the
                 # cold tier's hive partition column

@@ -73,6 +73,108 @@ def _unquote(ident: str) -> str:
     return ident
 
 
+_TS_LITERAL = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?)?$"
+)
+
+
+def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
+    """Best-effort (lo_us, hi_us) bounds on the ``timestamp`` column
+    from the WHERE clause — used by the engine to prune in-memory day
+    partitions BEFORE materializing them to Arrow (the pruning the
+    reference's daily partitions never get, lynx.rs:87-91 / SURVEY §4).
+
+    Sound-by-conservatism: bounds are returned only when the query has
+    no OR / NOT / BETWEEN anywhere (so every top-level predicate is a
+    conjunct) and the pattern is literally
+    ``timestamp <op> [TIMESTAMP] '<literal>'`` (or reversed). Anything
+    else -> (None, None) = no pruning. Equality contributes both
+    bounds. Returned bounds are inclusive microsecond limits.
+    """
+    from datetime import datetime, timezone
+
+    toks = _tokens(sql)
+    uppers = [t.upper() for t in toks]
+    # bail-outs (sound = no pruning):
+    # - OR/NOT/BETWEEN: predicates may not all be conjunctive bounds
+    # - JOIN or qualified refs ('.'): a self-join's one-sided time
+    #   filter must not prune the shared table materialization
+    # - multiple SELECTs: subqueries may scan the table unbounded
+    if (
+        "OR" in uppers
+        or "NOT" in uppers
+        or "BETWEEN" in uppers
+        or "JOIN" in uppers
+        or "." in toks
+        or uppers.count("SELECT") > 1
+    ):
+        return None, None
+
+    def lit_us(tok: str) -> int | None:
+        if not (tok.startswith("'") and tok.endswith("'")):
+            return None
+        raw = tok[1:-1].replace("T", " ")
+        if not _TS_LITERAL.match(tok[1:-1]):
+            return None
+        for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                    "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+            try:
+                dt = datetime.strptime(raw, fmt).replace(tzinfo=timezone.utc)
+                return int(dt.timestamp() * 1_000_000)
+            except ValueError:
+                continue
+        return None
+
+    lo: int | None = None
+    hi: int | None = None
+
+    def tighten(op: str, us: int) -> None:
+        nonlocal lo, hi
+        if op in (">", ">="):
+            bound = us + 1 if op == ">" else us
+            lo = bound if lo is None else max(lo, bound)
+        elif op in ("<", "<="):
+            bound = us - 1 if op == "<" else us
+            hi = bound if hi is None else min(hi, bound)
+        elif op == "=":
+            lo = us if lo is None else max(lo, us)
+            hi = us if hi is None else min(hi, us)
+
+    n = len(toks)
+    for i in range(n):
+        if uppers[i] != "TIMESTAMP":
+            continue
+        # forward pattern: timestamp <op> [TIMESTAMP] 'lit'
+        j = i + 1
+        if j < n:
+            op = (
+                toks[j] + "="
+                if toks[j] in "<>" and j + 1 < n and toks[j + 1] == "="
+                else toks[j]
+            )
+            if op in (">", ">=", "<", "<=", "="):
+                k = j + len(op)
+                if k < n and uppers[k] == "TIMESTAMP":
+                    k += 1
+                if k < n:
+                    us = lit_us(toks[k])
+                    if us is not None:
+                        tighten(op, us)
+        # reversed pattern: 'lit' <op> timestamp — look behind
+        j = i - 1
+        if j >= 1:
+            if toks[j] == "=" and j - 1 >= 0 and toks[j - 1] in "<>":
+                op_r, litpos = toks[j - 1] + "=", j - 2
+            else:
+                op_r, litpos = toks[j], j - 1
+            if op_r in (">", ">=", "<", "<=", "=") and litpos >= 0:
+                us = lit_us(toks[litpos])
+                if us is not None:
+                    flipped = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "=": "="}
+                    tighten(flipped[op_r], us)
+    return lo, hi
+
+
 def parse_table_name(sql: str) -> str:
     """Extract the first FROM table of a basic SELECT (lynx.rs:153-172).
 
