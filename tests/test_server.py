@@ -124,3 +124,23 @@ def test_flush_route(tiered_client):
 def test_flush_on_plain_engine_404(client):
     r = client.post("/api/v1/flush", json={"namespace": "events"})
     assert r.status_code == 404
+
+
+def test_reference_testdata_fixtures(client):
+    """Replay the reference's own curl fixtures
+    (/root/reference/testdata/write.json + query.json) verbatim."""
+    write_fixture = {
+        "namespace": "factory",
+        "measurement": "temp",
+        "value": "50",
+        "metadata": {},
+        "timestamp": 1761318000019000,
+    }
+    query_fixture = {"namespace": "factory", "query": "SELECT * FROM temp"}
+    assert client.post("/api/v1/write", json=write_fixture).status_code == 200
+    r = client.post("/api/v1/query", json=query_fixture)
+    assert r.status_code == 200
+    body = r.get_data(as_text=True)
+    # default format = pretty table; timestamp 1761318000019000 us
+    # = 2025-10-24T15:00:00.019 UTC
+    assert "| 2025-10-24T15:00:00.019 | 50    |" in body
