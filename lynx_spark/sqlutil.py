@@ -78,16 +78,31 @@ _TS_LITERAL = re.compile(
 )
 
 
+#: top-level keywords that terminate the WHERE clause
+_CLAUSE_END = {
+    "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW", "QUALIFY",
+    "OFFSET", "FETCH", "UNION", "EXCEPT", "INTERSECT",
+}
+
+
 def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
     """Best-effort (lo_us, hi_us) bounds on the ``timestamp`` column
-    from the WHERE clause — used by the engine to prune in-memory day
-    partitions BEFORE materializing them to Arrow (the pruning the
-    reference's daily partitions never get, lynx.rs:87-91 / SURVEY §4).
+    from the **top-level WHERE clause only** — used by the engine to
+    prune in-memory day partitions BEFORE materializing them to Arrow
+    (the pruning the reference's daily partitions never get,
+    lynx.rs:87-91 / SURVEY §4).
 
-    Sound-by-conservatism: bounds are returned only when the query has
-    no OR / NOT / BETWEEN anywhere (so every top-level predicate is a
-    conjunct) and the pattern is literally
-    ``timestamp <op> [TIMESTAMP] '<literal>'`` (or reversed). Anything
+    Scoped to WHERE: a timestamp comparison anywhere else (e.g.
+    ``SUM(CASE WHEN timestamp >= .. THEN 1 END)`` in the SELECT list,
+    or ``HAVING max(timestamp) > ..``) must NOT prune — those do not
+    bound the scanned rows.
+
+    Sound-by-conservatism: bounds are returned only when the WHERE
+    clause has no OR / NOT / CASE (so every predicate is a plain
+    conjunct) and matches ``timestamp <op> [TIMESTAMP] '<literal>'``
+    (or reversed), or ``timestamp BETWEEN 'a' AND 'b'``. The column
+    may be qualified (``t.timestamp``) because JOINs, comma-joins and
+    subqueries all bail out, so one table is in scope. Anything
     else -> (None, None) = no pruning. Equality contributes both
     bounds. Returned bounds are inclusive microsecond limits.
     """
@@ -95,19 +110,56 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
 
     toks = _tokens(sql)
     uppers = [t.upper() for t in toks]
-    # bail-outs (sound = no pruning):
-    # - OR/NOT/BETWEEN: predicates may not all be conjunctive bounds
-    # - JOIN or qualified refs ('.'): a self-join's one-sided time
-    #   filter must not prune the shared table materialization
-    # - multiple SELECTs: subqueries may scan the table unbounded
-    if (
-        "OR" in uppers
-        or "NOT" in uppers
-        or "BETWEEN" in uppers
-        or "JOIN" in uppers
-        or "." in toks
-        or uppers.count("SELECT") > 1
-    ):
+    # global bail-outs (sound = no pruning):
+    # - JOIN: a self-join's one-sided time filter must not prune the
+    #   shared table materialization
+    # - multiple SELECTs: subqueries / set-ops may scan unbounded
+    if "JOIN" in uppers or uppers.count("SELECT") > 1:
+        return None, None
+
+    # locate top-level FROM and WHERE
+    depth = 0
+    from_idx: int | None = None
+    where_start: int | None = None
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            if uppers[i] == "FROM" and from_idx is None:
+                from_idx = i
+            elif uppers[i] == "WHERE":
+                where_start = i + 1
+                break
+    if where_start is None:
+        return None, None
+    # implicit comma-join (FROM a, b) -> same hazard as JOIN: bail
+    if from_idx is not None:
+        depth = 0
+        for i in range(from_idx + 1, where_start - 1):
+            if toks[i] == "(":
+                depth += 1
+            elif toks[i] == ")":
+                depth -= 1
+            elif toks[i] == "," and depth == 0:
+                return None, None
+    # slice out the WHERE clause: up to the next top-level clause kw
+    depth = 0
+    where_end = len(toks)
+    for i in range(where_start, len(toks)):
+        if toks[i] == "(":
+            depth += 1
+        elif toks[i] == ")":
+            depth -= 1
+        elif depth == 0 and uppers[i] in _CLAUSE_END:
+            where_end = i
+            break
+    w = toks[where_start:where_end]
+    wu = uppers[where_start:where_end]
+    # WHERE-local bail-outs: disjunction/negation/conditionals mean a
+    # matched comparison may not be a required conjunct
+    if "OR" in wu or "NOT" in wu or "CASE" in wu or "WHEN" in wu:
         return None, None
 
     def lit_us(tok: str) -> int | None:
@@ -140,35 +192,58 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
             lo = us if lo is None else max(lo, us)
             hi = us if hi is None else min(hi, us)
 
-    n = len(toks)
+    n = len(w)
     for i in range(n):
-        if uppers[i] != "TIMESTAMP":
+        if wu[i] != "TIMESTAMP":
             continue
-        # forward pattern: timestamp <op> [TIMESTAMP] 'lit'
+        if i + 1 < n and w[i + 1] == ".":
+            continue  # 'timestamp' is a qualifier here, not the column
+        # a TIMESTAMP keyword right before a literal is a type prefix,
+        # not a column occurrence ("timestamp >= TIMESTAMP '..'")
+        if i + 1 < n and w[i + 1].startswith("'"):
+            continue
+        # forward: timestamp <op> [TIMESTAMP] 'lit'
+        #          timestamp BETWEEN ['TIMESTAMP'] 'a' AND ['TIMESTAMP'] 'b'
         j = i + 1
+        if j < n and wu[j] == "BETWEEN":
+            k = j + 1
+            if k < n and wu[k] == "TIMESTAMP":
+                k += 1
+            if k + 1 < n and wu[k + 1] == "AND":
+                m = k + 2
+                if m < n and wu[m] == "TIMESTAMP":
+                    m += 1
+                if m < n:
+                    a, b = lit_us(w[k]), lit_us(w[m])
+                    if a is not None and b is not None:
+                        tighten(">=", a)
+                        tighten("<=", b)
+            continue
         if j < n:
             op = (
-                toks[j] + "="
-                if toks[j] in "<>" and j + 1 < n and toks[j + 1] == "="
-                else toks[j]
+                w[j] + "="
+                if w[j] in "<>" and j + 1 < n and w[j + 1] == "="
+                else w[j]
             )
             if op in (">", ">=", "<", "<=", "="):
                 k = j + len(op)
-                if k < n and uppers[k] == "TIMESTAMP":
+                if k < n and wu[k] == "TIMESTAMP":
                     k += 1
                 if k < n:
-                    us = lit_us(toks[k])
+                    us = lit_us(w[k])
                     if us is not None:
                         tighten(op, us)
-        # reversed pattern: 'lit' <op> timestamp — look behind
+        # reversed: 'lit' <op> [qualifier.]timestamp — look behind
         j = i - 1
+        if j >= 1 and w[j] == "." :
+            j -= 2  # skip the qualifier ident + dot
         if j >= 1:
-            if toks[j] == "=" and j - 1 >= 0 and toks[j - 1] in "<>":
-                op_r, litpos = toks[j - 1] + "=", j - 2
+            if w[j] == "=" and j - 1 >= 0 and w[j - 1] in "<>":
+                op_r, litpos = w[j - 1] + "=", j - 2
             else:
-                op_r, litpos = toks[j], j - 1
+                op_r, litpos = w[j], j - 1
             if op_r in (">", ">=", "<", "<=", "=") and litpos >= 0:
-                us = lit_us(toks[litpos])
+                us = lit_us(w[litpos])
                 if us is not None:
                     flipped = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "=": "="}
                     tighten(flipped[op_r], us)

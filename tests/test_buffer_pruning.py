@@ -39,14 +39,69 @@ def test_extract_bounds_equality():
     assert lo == hi == DAY_US + 12 * 3_600_000_000
 
 
+def test_extract_bounds_between():
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM cpu WHERE timestamp BETWEEN '1970-01-02' AND '1970-01-03'"
+    )
+    assert (lo, hi) == (DAY_US, 2 * DAY_US)  # BETWEEN is inclusive
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM cpu WHERE timestamp BETWEEN TIMESTAMP '1970-01-02' "
+        "AND TIMESTAMP '1970-01-03'"
+    )
+    assert (lo, hi) == (DAY_US, 2 * DAY_US)
+    # BETWEEN on another column must not contribute timestamp bounds
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM cpu WHERE value BETWEEN '1' AND '2' "
+        "AND timestamp >= '1970-01-02'"
+    )
+    assert (lo, hi) == (DAY_US, None)
+
+
+def test_extract_bounds_qualified_single_table():
+    lo, hi = extract_time_bounds(
+        "SELECT t.value FROM cpu t WHERE t.timestamp >= '1970-01-02'"
+    )
+    assert (lo, hi) == (DAY_US, None)
+    lo, hi = extract_time_bounds(
+        "SELECT t.value FROM cpu t WHERE '1970-01-02' > t.timestamp"
+    )
+    assert (lo, hi) == (None, DAY_US - 1)
+
+
+def test_extract_bounds_where_scope_only():
+    # ADVICE r1 (high): conditional aggregation in the SELECT list must
+    # not be mistaken for a WHERE bound — count(*) would lose rows
+    assert extract_time_bounds(
+        "SELECT SUM(CASE WHEN timestamp >= '1970-01-02' THEN 1 ELSE 0 END), "
+        "count(*) FROM cpu"
+    ) == (None, None)
+    # ... even when a WHERE clause exists for another column
+    assert extract_time_bounds(
+        "SELECT SUM(CASE WHEN timestamp >= '1970-01-03' THEN 1 ELSE 0 END) "
+        "FROM cpu WHERE value = '1'"
+    ) == (None, None)
+    # HAVING comparisons are outside the scanned-row bound
+    assert extract_time_bounds(
+        "SELECT value FROM cpu GROUP BY value "
+        "HAVING max(timestamp) >= '1970-01-02'"
+    ) == (None, None)
+    # a WHERE bound still applies with trailing clauses present
+    assert extract_time_bounds(
+        "SELECT value FROM cpu WHERE timestamp >= '1970-01-02' "
+        "GROUP BY value ORDER BY value LIMIT 5"
+    ) == (DAY_US, None)
+
+
 def test_unsound_shapes_refuse_pruning():
     for sql in [
         "SELECT * FROM cpu WHERE timestamp >= '1970-01-02' OR value = '1'",
         "SELECT * FROM cpu WHERE NOT (timestamp < '1970-01-02')",
-        "SELECT * FROM cpu WHERE timestamp BETWEEN '1970-01-01' AND '1970-01-02'",
+        "SELECT * FROM cpu WHERE timestamp NOT BETWEEN '1970-01-01' AND '1970-01-02'",
         "SELECT * FROM cpu a JOIN cpu b ON a.value = b.value WHERE a.timestamp >= '1970-01-02'",
+        "SELECT * FROM cpu a, cpu b WHERE a.timestamp >= '1970-01-02'",
         "SELECT * FROM cpu WHERE value IN (SELECT value FROM cpu WHERE timestamp >= '1970-01-02')",
         "SELECT * FROM cpu WHERE value = 'timestamp >= ''1970-01-02'''",  # literal only
+        "SELECT * FROM cpu WHERE CASE WHEN timestamp >= '1970-01-02' THEN 1 ELSE 1 END = 1",
     ]:
         assert extract_time_bounds(sql) == (None, None), sql
 
