@@ -26,23 +26,56 @@ def explode_bands(df: DataFrame, id_col: str, band_cols: list[str]) -> DataFrame
 
 
 def banded_self_pairs(
-    df: DataFrame, id_col: str, band_cols: list[str]
+    df: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct (a_id, b_id) pairs (a < b) agreeing on at least one
-    band — the self-join form used by the dedup operators."""
+    band — the self-join form used by the dedup operators.
+
+    ``max_bucket`` bounds the quadratic hole of LSH candidate
+    generation: a bucket of k near-identical documents yields k²/2
+    pairs (10⁶ copies of one boilerplate page → 5·10¹¹ pairs from a
+    single bucket). Buckets larger than ``max_bucket`` switch to the
+    star pattern — every member pairs with the bucket's minimum id
+    only — which keeps the duplicate cluster connected (any member
+    reaches any other through the representative) at linear cost.
+    There are at most N/max_bucket oversized buckets, so their key
+    set broadcasts; the common-case join never shuffles twice."""
     banded = explode_bands(df, id_col, band_cols)
+    star = None
+    if max_bucket is not None:
+        counts = banded.groupBy("band_no", "bh").agg(
+            F.count("*").alias("_c"), F.min(id_col).alias("_rep")
+        )
+        big = counts.filter(F.col("_c") > max_bucket).select(
+            "band_no", "bh", "_rep"
+        )
+        star = (
+            banded.join(F.broadcast(big), ["band_no", "bh"])
+            .filter(F.col(id_col) > F.col("_rep"))
+            .select(F.col("_rep").alias("a_id"), F.col(id_col).alias("b_id"))
+        )
+        banded = banded.join(
+            F.broadcast(big.select("band_no", "bh")),
+            ["band_no", "bh"],
+            "left_anti",
+        )
     a = banded.select(
         F.col(id_col).alias("a_id"), F.col("band_no"), F.col("bh")
     )
     b = banded.select(
         F.col(id_col).alias("b_id"), F.col("band_no"), F.col("bh")
     )
-    return (
+    pairs = (
         a.join(b, ["band_no", "bh"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

@@ -36,6 +36,36 @@ from lynx_spark.operators._util import banded_self_pairs, ensure_parallelism
 SHINGLE_N = 3  # word n-gram size
 MINHASH_NUM = 12  # number of minhash functions
 MINHASH_BANDS = 4  # LSH bands (rows per band = 12/4 = 3)
+#: default document-frequency cap: shingles shared by more documents
+#: than this are boilerplate (stop-phrases, headers) and are dropped
+#: before any shingle-keyed self-join — one hot shingle otherwise
+#: yields df²/2 candidate pairs (10⁶ docs sharing "all rights
+#: reserved." = 5·10¹¹ pairs from a single key). Chosen above the
+#: max observed df at the test scales (25 at sf0.1) so small-data
+#: results are unchanged; at corpus scale it binds by design and the
+#: recall loss is exactly "pairs whose ONLY overlap is boilerplate".
+MAX_SHINGLE_DF = 100
+#: default LSH bucket-size cap for banded_self_pairs' star fallback
+MAX_BAND_BUCKET = 200
+
+
+def cap_doc_freq(
+    sh: DataFrame, max_doc_freq: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap.
+
+    The hot set has at most N/max_doc_freq members by construction, so
+    it broadcasts; the cap costs one map-side-combined count plus a
+    broadcast anti-join — no extra shuffle of the shingle table."""
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def _words_col(text_col: str) -> F.Column:
@@ -89,20 +119,28 @@ def jaccard_pairs(
     text_col: str,
     n: int = SHINGLE_N,
     threshold: float = 0.6,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
     candidate generation = inverted-index self-join on the shingle
     (only docs sharing a shingle meet); |A ∩ B| falls out of the join
-    group count; |A ∪ B| = |A| + |B| - |A ∩ B|. At 100 TB add a
-    document-frequency cap on shingles to bound the join fan-out.
+    group count; |A ∪ B| = |A| + |B| - |A ∩ B|. Shingles hotter than
+    ``max_doc_freq`` are dropped BEFORE the self-join (cap_doc_freq) —
+    the fix for the one quadratic hole in the inverted-index shape.
+    Jaccard is then computed over the capped shingle space (sizes
+    too, so the ratio stays consistent); the documented trade-off is
+    that a pair overlapping ONLY in boilerplate shingles is no longer
+    reported — at the cap default that changes nothing at test scale.
 
     The shingle table feeds three plan branches (sizes + both join
     sides); persisting it turns three explode+distinct passes into one
     (MLlib-style internal persist — the ContextCleaner reclaims it
     when the result DataFrame is garbage collected; at 100 TB this
     becomes a checkpoint to storage)."""
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = cap_doc_freq(
+        shingle_table(df, id_col, text_col, n), max_doc_freq
+    ).persist()
     sh.count()  # eager: branches below must read the cache, not race to fill it
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -160,6 +198,8 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = SHINGLE_N,
     threshold: float = 0.5,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with true Jaccard.
 
@@ -167,17 +207,28 @@ def minhash_lsh_pairs(
     key-equality self-join per band (shuffle on the band hash), unioned
     and deduped. Only candidates pay the exact-Jaccard verification.
 
+    Two scale caps close the shape's quadratic holes:
+    - ``max_doc_freq`` drops boilerplate shingles (cap_doc_freq)
+      before signatures AND verification, so one stop-phrase never
+      dominates either stage; signatures over the capped space are
+      what the oracle computes too.
+    - ``max_bucket`` bounds candidate fan-out when one LSH bucket
+      holds many near-identical documents (star pattern in
+      banded_self_pairs keeps the cluster connected).
+
     The shingle table feeds both the signatures and the verification
     joins, and the signature table feeds one join pair per band — one
     persisted copy of each (see jaccard_pairs note)."""
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = cap_doc_freq(
+        shingle_table(df, id_col, text_col, n), max_doc_freq
+    ).persist()
     sh.count()  # eager (see jaccard_pairs)
     # sig feeds BOTH sides of the candidate self-join; persist so the
     # 12-way min-agg runs once
     sig = minhash_signatures(df, id_col, text_col, n, shingles=sh).persist()
     sig.count()
     cands = banded_self_pairs(
-        sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)]
+        sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)], max_bucket
     )
 
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
@@ -208,7 +259,9 @@ _SIMHASH_BITS = 64
 
 def _simhash_one(text: str) -> int:
     """64-bit SimHash over whitespace words, md5-based (deterministic
-    across processes — no Python hash randomization)."""
+    across processes — no Python hash randomization). Per-row scalar
+    reference implementation — the UDF runs the vectorized
+    _simhash_batch; tests assert they agree bit-for-bit."""
     weights = [0] * _SIMHASH_BITS
     for word in text.split():
         h = int.from_bytes(hashlib.md5(word.encode("utf-8")).digest()[:8], "big")
@@ -222,9 +275,35 @@ def _simhash_one(text: str) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized SimHash: the md5-per-word digests are the only
+    per-item Python left; the 64-bit majority vote is numpy
+    (unpackbits over byte-reversed digests -> column sums -> sign ->
+    packbits), replacing the 64-iteration inner loop per word."""
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        words = t.split()
+        if not words:
+            continue
+        buf = b"".join(
+            hashlib.md5(w.encode("utf-8")).digest()[:8] for w in words
+        )
+        digs = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 8)
+        # byte-reverse + little bitorder => column k == bit k of the
+        # big-endian uint64, matching _simhash_one's (h >> k) & 1
+        bits = np.unpackbits(digs[:, ::-1], axis=1, bitorder="little")
+        pos = bits.sum(axis=0, dtype=np.int64)
+        sign = (2 * pos) > len(words)  # weights = 2*pos - n > 0
+        packed = np.packbits(sign, bitorder="little")
+        out[i] = np.frombuffer(packed.tobytes(), dtype="<i8")[0]
+    return pd.Series(out)
+
+
 @F.pandas_udf(LongType())
 def _simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(_simhash_one)
+    return _simhash_batch(texts)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -237,46 +316,43 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash Hamming distance <= max_hamming.
 
     Candidates pair on identical 16-bit bands (pigeonhole: any pair
     within Hamming distance 3 agrees on at least one of 4 bands), so
-    candidate generation is again an equality join, not a cross join."""
+    candidate generation is again an equality join, not a cross join —
+    shared with the MinHash path via banded_self_pairs, including its
+    ``max_bucket`` star-pattern cap (a corpus of near-identical pages
+    collapses into one giant band bucket exactly like a hot LSH
+    bucket)."""
     sig = simhash_signatures(df, id_col, text_col)
-    bands = [
-        sig.select(
-            F.col("doc_id"),
-            F.col("simhash"),
-            F.lit(i).alias("band_no"),
-            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+    for i in range(4):
+        sig = sig.withColumn(
+            f"sb{i}",
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                F.lit(0xFFFF)
+            ),
         )
-        for i in range(4)
-    ]
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
+    # feeds the banded self-join (both sides) plus the two signature
+    # lookups below — persist so the pandas-UDF signatures run once
+    sig = sig.persist()
+    sig.count()
+    cands = banded_self_pairs(
+        sig, "doc_id", [f"sb{i}" for i in range(4)], max_bucket
     )
+    ha = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    hb = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        cands.withColumn("hamming", hamming.cast("long"))
+        cands.join(ha, "a_id")
+        .join(hb, "b_id")
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )

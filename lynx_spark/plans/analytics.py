@@ -1280,14 +1280,24 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def _shingle_cte(n: int = dd.SHINGLE_N) -> str:
+def _shingle_cte(
+    n: int = dd.SHINGLE_N, max_doc_freq: int = dd.MAX_SHINGLE_DF
+) -> str:
+    """Shingle CTE with the same document-frequency cap the Spark
+    operators apply (dedup.cap_doc_freq) — a no-op at driver scales
+    (max observed df is 25 at sf0.1) but keeps oracle and engine
+    semantically identical wherever the cap binds."""
     gram = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
     return f"""
 words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-sh AS (
+sh_raw AS (
   SELECT DISTINCT doc_id AS doc, {gram} AS shingle
   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
-        FROM words WHERE len(w) >= {n}))
+        FROM words WHERE len(w) >= {n})),
+hot AS (SELECT shingle FROM sh_raw GROUP BY shingle
+        HAVING count(*) > {max_doc_freq}),
+sh AS (SELECT doc, shingle FROM sh_raw
+       WHERE shingle NOT IN (SELECT shingle FROM hot))
 """
 
 

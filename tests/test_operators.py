@@ -170,3 +170,103 @@ def test_media_metadata_pipeline(spark):
 def test_decode_image_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+# ------------------------------------------------- scale caps (round 2)
+
+
+def test_doc_freq_cap_bounds_hot_shingle_pairs(spark):
+    """One boilerplate phrase shared by every doc must not generate
+    quadratic candidate pairs once the df cap binds; true near-dups
+    sharing ordinary shingles are still found."""
+    hot = "all rights reserved by the original publisher"
+    rows = [(i, f"{hot} unique tail number {i} with words {i * 7}") for i in range(40)]
+    # one genuine near-dup pair sharing a non-hot tail
+    rows.append((100, f"{hot} shared tail alpha beta gamma delta epsilon zeta"))
+    rows.append((101, f"{hot} shared tail alpha beta gamma delta epsilon eta"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = dd.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.0, max_doc_freq=None
+    ).count()
+    capped_pairs = dd.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.0, max_doc_freq=10
+    ).collect()
+    # every doc shares the hot shingles -> uncapped candidates are all-pairs
+    assert uncapped == 42 * 41 / 2
+    # capped: only docs sharing a sub-cap shingle meet
+    capped = {(r["a_id"], r["b_id"]) for r in capped_pairs}
+    assert (100, 101) in capped
+    assert len(capped) < uncapped / 10
+
+
+def test_doc_freq_cap_default_no_op_on_test_corpus(docs):
+    """Default cap (100) must not change results on ordinary data."""
+    with_cap = sorted(
+        map(tuple, dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect())
+    )
+    without = sorted(
+        map(
+            tuple,
+            dd.jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_doc_freq=None
+            ).collect(),
+        )
+    )
+    assert with_cap == without
+
+
+def test_banded_bucket_cap_star_pattern(spark):
+    """An oversized LSH bucket (many identical docs) produces linear
+    star pairs, not quadratic all-pairs, and the duplicate cluster
+    stays connected (every member appears in some pair)."""
+    from lynx_spark.operators._util import banded_self_pairs
+
+    sig = spark.createDataFrame(
+        [(i, "bucketA") for i in range(30)] + [(50, "bucketB"), (51, "bucketB")],
+        ["doc", "band0"],
+    )
+    pairs = banded_self_pairs(sig, "doc", ["band0"], max_bucket=5).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    # star: 29 pairs (0, i) for the big bucket + 1 all-pair for the small
+    assert (50, 51) in got
+    big = {p for p in got if p[1] < 50}
+    assert len(big) == 29
+    assert all(a == 0 for a, _ in big)
+    members = {b for _, b in big} | {a for a, _ in big}
+    assert members == set(range(30))
+
+
+def test_minhash_bucket_cap_keeps_cluster_connected(spark):
+    """minhash_lsh_pairs with a binding bucket cap still links every
+    copy of a mass-duplicated document to the cluster."""
+    text = "spark shuffles data between stages using hash partitioning today"
+    rows = [(i, text) for i in range(25)]
+    rows.append((99, "an entirely different document about parquet row groups"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket=5
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    # star pattern: every duplicate links to representative 0 with jaccard 1.0
+    assert got == {(0, i) for i in range(1, 25)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_simhash_batch_matches_scalar_reference():
+    """Vectorized numpy SimHash must agree bit-for-bit with the scalar
+    reference implementation, including empty/whitespace/repeat cases."""
+    import pandas as pd
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "one one one",
+        "the quick brown fox jumps over the lazy dog",
+        "tie tie break break",  # even word count -> zero-weight ties
+        "unicode naïve café résumé",
+    ]
+    expected = [dd._simhash_one(t) for t in texts]
+    got = list(dd._simhash_batch(pd.Series(texts)))
+    assert got == expected
