@@ -51,8 +51,10 @@ class LynxEngine:
         self.buffer = MemBuffer()
         wal_dir = Path(wal_dir)
         wal_dir.mkdir(parents=True, exist_ok=True)
-        # startup recovery: WAL is the source of truth (lynx.rs:44-53)
-        highest, observed = Wal.replay(wal_dir, self.buffer)
+        # startup recovery: WAL is the source of truth (lynx.rs:44-53);
+        # subclasses override _replay_wal to skip records their durable
+        # tier already holds (TieredEngine's flush watermarks)
+        highest, observed = self._replay_wal(wal_dir)
         self.wal = Wal(
             wal_dir,
             segment_id=highest + 1,
@@ -61,6 +63,9 @@ class LynxEngine:
         )
         self._wal_lock = threading.Lock()
         self._query_lock = threading.Lock()
+
+    def _replay_wal(self, wal_dir: Path) -> tuple[int, list[int]]:
+        return Wal.replay(wal_dir, self.buffer)
 
     # ------------------------------------------------------------- write
 

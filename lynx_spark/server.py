@@ -116,6 +116,13 @@ def main() -> None:
         default=os.environ.get("LYNX_COLD_DIRECTORY"),
         help="enable the tiered engine (superset; absent in the reference)",
     )
+    parser.add_argument(
+        "--expose-day",
+        action="store_true",
+        default=os.environ.get("LYNX_EXPOSE_DAY", "") not in ("", "0", "false"),
+        help="surface the tiered engine's day partition column in query "
+        "results (flagged superset; default keeps reference schema parity)",
+    )
     args = parser.parse_args()
 
     from lynx_spark.session import get_spark
@@ -126,7 +133,7 @@ def main() -> None:
 
         engine = TieredEngine(
             spark, args.wal_directory, args.cold_directory,
-            args.wal_max_segment_size,
+            args.wal_max_segment_size, expose_day=args.expose_day,
         )
     else:
         engine = LynxEngine(

@@ -9,37 +9,87 @@ deliberate 100 TB superset (SURVEY §7 step 6):
   out as ``<cold>/<namespace>/<table>/day=YYYY-MM-DD/``, so lynx's
   partition key becomes a REAL partition column Catalyst prunes
   (PartitionFilters) — what the reference's partitions never did;
-- after a flush the WAL is rotated and fully-flushed segments are
-  deleted (the reference never truncates, wal.rs:175 keeps ids only);
-  replay after restart only sees post-flush segments, so nothing is
-  double counted;
+- after a flush the WAL is compacted: the flushed namespace's records
+  are dropped segment-by-segment (each rewrite is an atomic rename),
+  so replay after restart only restores unflushed rows;
 - ``query()`` serves the union of the hot snapshot and the cold tier
   (``unionByName(allowMissingColumns=True)`` absorbs tag-schema drift
   between flushes; the cold read uses ``mergeSchema`` for the same
-  reason).
+  reason). The cold scan is pruned to the WHERE clause's day range
+  (extract_time_bounds), so timestamp predicates reach the hive
+  partitions without exposing any extra column.
 
-Durability invariant preserved from the reference (lynx.rs:31-33):
-rows are either in a WAL segment on disk or in the cold parquet —
-never only in memory. flush orders: write parquet -> clear buffer ->
-delete old segments.
+Exactly-once commit protocol (the commit log closes every crash
+window the round-1 two-phase rename left open):
+
+- Visibility of a cold parquet file = membership in a commit file
+  under ``<cold>/_commits/``. Data files are written/renamed FIRST and
+  are invisible until the single commit JSON is atomically renamed
+  into place — the rename is the one commit point. A crash anywhere
+  before it leaves only invisible orphans (garbage-collected at the
+  next flush); a crash anywhere after it is recovered from the commit.
+- Each flush commit records a per-namespace WAL watermark: the id of
+  the fresh active segment after the pre-flush rotate. Because flush
+  holds the write lock, every record of the namespace sits in segments
+  below the watermark, and replay skips exactly those — a crash
+  between commit and WAL compaction can no longer double-count
+  (the restored buffer never re-holds flushed rows).
+- Compaction rewrites each closed segment in place (survivors ->
+  ``<id>.wal.compact`` -> atomic rename over ``<id>.wal``; empty ->
+  unlink), so a crash mid-compaction leaves every segment either
+  original (flushed records skipped via the watermark) or compacted —
+  survivor records are never duplicated.
+
+The streaming sink (streaming/ingest.py) writes the same commit log
+with batch-id-keyed entries, giving it exactly-once semantics through
+the identical mechanism.
+
+Schema parity: by default the registered view has the reference's
+schema [timestamp, value, *tags] — the hive ``day`` column stays
+internal (pruning still happens via timestamp bounds). Construct with
+``expose_day=True`` to surface it for explicit ``WHERE day = ...``
+queries (a flagged superset; reserved names ``_commits``/``_staging``
+cannot be namespaces then).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from pathlib import Path
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lynx_spark.buffer import Measurements
+from lynx_spark.buffer import Measurements, partition_key
 from lynx_spark.engine import LynxEngine, measurements_to_arrow, select_days
-from lynx_spark.sqlutil import parse_table_name
-from lynx_spark.wal import DEFAULT_MAX_SEGMENT_SIZE, read_segment
+from lynx_spark.sqlutil import extract_time_bounds, parse_table_name
+from lynx_spark.wal import (
+    DEFAULT_MAX_SEGMENT_SIZE,
+    WAL_HEADER,
+    encode_write_request,
+    read_segment,
+)
+
+COMMITS_DIR = "_commits"
+RESERVED_DIRS = frozenset({COMMITS_DIR, "_staging"})
+
+
+def atomic_write_json(path: Path, payload: dict) -> None:
+    """Write JSON durably: tmp file, fsync, atomic rename. The rename
+    is the commit point for everything that references ``path``."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.parent / (path.name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 class TieredEngine(LynxEngine):
-    """LynxEngine + cold parquet tier."""
+    """LynxEngine + cold parquet tier with an exactly-once commit log."""
 
     def __init__(
         self,
@@ -47,112 +97,217 @@ class TieredEngine(LynxEngine):
         wal_dir: str | Path,
         cold_dir: str | Path,
         max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
+        expose_day: bool = False,
     ) -> None:
-        super().__init__(spark, wal_dir, max_segment_size)
+        # set before super().__init__: replay consults the commit log
         self.cold_dir = Path(cold_dir)
         self.cold_dir.mkdir(parents=True, exist_ok=True)
+        self.expose_day = expose_day
+        self._commit_cache: dict[str, dict] = {}
+        super().__init__(spark, wal_dir, max_segment_size)
+
+    # ------------------------------------------------------- commit log
+
+    def _load_commits(self) -> dict[str, dict]:
+        """All committed entries (cached: commit files are immutable;
+        only new filenames are read). The streaming sink may add
+        commits concurrently — each call picks them up."""
+        cdir = self.cold_dir / COMMITS_DIR
+        if cdir.exists():
+            for p in sorted(cdir.glob("*.json")):
+                if p.name not in self._commit_cache:
+                    self._commit_cache[p.name] = json.loads(p.read_text())
+        return self._commit_cache
+
+    def _committed_files(self) -> set[str]:
+        return {
+            rel
+            for commit in self._load_commits().values()
+            for rel in commit.get("files", [])
+        }
+
+    def _watermarks(self) -> dict[str, int]:
+        """Per-namespace flush watermark: records of ns in WAL segments
+        with id < watermark are already committed to parquet."""
+        out: dict[str, int] = {}
+        for commit in self._load_commits().values():
+            for ns, seg_id in commit.get("watermarks", {}).items():
+                out[ns] = max(out.get(ns, -1), seg_id)
+        return out
+
+    def _next_flush_id(self, namespace: str) -> int:
+        prefix = f"flush-{namespace}-"
+        highest = 0
+        for name in self._load_commits():
+            if name.startswith(prefix):
+                tail = name.removesuffix(".json").rsplit("-", 1)[-1]
+                if tail.isdigit():
+                    highest = max(highest, int(tail))
+        return highest + 1
+
+    # ------------------------------------------------------------ replay
+
+    def _replay_wal(self, wal_dir: Path) -> tuple[int, list[int]]:
+        """Watermark-aware WAL replay: skip records the commit log
+        proves are in parquet (crash-after-commit recovery), and sweep
+        compaction temp files a crash may have left."""
+        watermarks = self._watermarks()
+        highest = 0
+        observed: list[int] = []
+        for entry in Path(wal_dir).iterdir():
+            if entry.is_dir():
+                continue
+            if entry.name.endswith(".compact"):
+                entry.unlink()  # crashed mid-compaction; original intact
+                continue
+            segment_id = int(entry.stem)
+            observed.append(segment_id)
+            highest = max(highest, segment_id)
+            for req in read_segment(entry):
+                wm = watermarks.get(req.namespace)
+                if wm is not None and segment_id < wm:
+                    continue  # already durable in the cold tier
+                self.buffer.insert(req)
+        return highest, observed
 
     # ------------------------------------------------------------ flush
 
     def flush(self, namespace: str) -> int:
         """Drain one namespace's hot buffer into the cold tier; returns
-        rows flushed. Afterwards the WAL is compacted: flushed records
-        are dropped and survivors (other namespaces) are rewritten, so
-        a restart replays exactly the unflushed rows — never a
-        duplicate of what parquet already holds. (WAL truncation is
-        absent in the reference, wal.rs:175.)
+        rows flushed. Exactly-once under any single crash (see module
+        docstring): the atomic commit-file rename is the only commit
+        point; before it a retry re-stages everything, after it replay
+        skips the flushed records via the WAL watermark.
 
-        Ordering under the write lock (writers are blocked throughout,
-        engine.py write()):
-          1. snapshot the namespace (buffer untouched)
-          2. STAGE every partition as a .tmp file (invisible to
-             readers), then COMMIT them all by rename — a failure
-             while staging leaves only .tmp litter: buffer and WAL are
-             intact, no cold row becomes visible, a retry overwrites
-             the stale .tmp files
-          3. clear the namespace from the buffer
-          4. rewrite the WAL without the flushed namespace's records
-        A crash BETWEEN the renames of step 2 (process death mid-loop)
-        can commit a prefix of the partitions and duplicate them on
-        retry — closing that window needs a manifest/commit log, noted
-        as future work; every single-fault path short of that is safe.
+        Ordering under the write lock (writers blocked throughout):
+          1. GC invisible orphans from crashed earlier flushes
+          2. rotate the WAL -> watermark = fresh active segment id
+             (every record of the namespace is now below it)
+          3. write every partition file (invisible: not committed)
+          4. COMMIT: atomically rename the commit JSON into _commits/
+          5. clear the namespace from the buffer
+          6. compact the WAL (atomic per segment)
         """
         with self._wal_lock:
             tables = self.buffer.tables(namespace)  # snapshot, not pop
             if tables is None:
                 return 0
+            committed = self._committed_files()
+            self._gc_flush_orphans(namespace, committed)
+            self.wal.rotate()
+            watermark = self.wal.active_segment.id
+            fid = self._next_flush_id(namespace)
             rows = 0
-            staged: list[tuple[Path, Path]] = []
+            rels: list[str] = []
             for table, partitions in tables.items():
                 for day in sorted(partitions):
-                    n, tmp, final = self._stage_partition(
-                        namespace, table, day, partitions[day]
+                    n, final = self._write_partition(
+                        namespace, table, day, partitions[day], fid
                     )
                     rows += n
-                    staged.append((tmp, final))
-            for tmp, final in staged:  # commit phase: cheap renames
-                tmp.rename(final)
+                    rels.append(str(final.relative_to(self.cold_dir)))
+            atomic_write_json(
+                self.cold_dir / COMMITS_DIR / f"flush-{namespace}-{fid:06d}.json",
+                {"files": rels, "watermarks": {namespace: watermark}},
+            )
             self.buffer.clear_namespace(namespace)
             self._compact_wal(drop_namespace=namespace)
             return rows
 
-    def _compact_wal(self, drop_namespace: str) -> None:
-        """Rewrite the WAL without records of the flushed namespace.
-        Called under _wal_lock. Survivor records (still hot in the
-        buffer) are appended to the fresh active segment; old segments
-        are deleted only after the rewrite."""
-        self.wal.rotate()  # close the active segment too
-        old_ids = list(self.wal.closed_segments)
-        # stream survivors into the fresh active segment in original
-        # order, then drop the old segment files
-        for seg_id in old_ids:
-            seg_path = self.wal.directory / f"{seg_id}.wal"
-            if not seg_path.exists():
-                continue
-            for req in read_segment(seg_path):
-                if req.namespace != drop_namespace:
-                    self.wal.write(req)
-            seg_path.unlink()
-        self.wal.closed_segments = [
-            s for s in self.wal.closed_segments if s not in old_ids
-        ]
-
-    def _stage_partition(
-        self, namespace: str, table: str, day: str, m: Measurements
-    ) -> tuple[int, Path, Path]:
-        """Write one day's rows to a .tmp file under the hive-style
-        ``day=`` directory (pyarrow writer: driver-side, no Spark job —
-        the hot slice is small by design; executors read it back).
-        Returns (rows, tmp_path, final_path); the caller renames after
-        ALL partitions staged successfully."""
+    def _write_partition(
+        self, namespace: str, table: str, day: str, m: Measurements, fid: int
+    ) -> tuple[int, Path]:
+        """Write one day's rows (pyarrow writer: driver-side, no Spark
+        job — the hot slice is small by design; executors read it
+        back). The file is named by flush id, so it is unique across
+        committed flushes; an uncommitted leftover with the same name
+        was GC'd at flush start and would be overwritten anyway."""
         batch = measurements_to_arrow([m])
         out_dir = self.cold_dir / namespace / table / f"day={day}"
         out_dir.mkdir(parents=True, exist_ok=True)
-        n_existing = len(list(out_dir.glob("*.parquet")))
-        tmp = out_dir / f".tmp-part-{n_existing:05d}"
-        pq.write_table(batch, tmp)  # overwrites stale .tmp from a retry
-        return batch.num_rows, tmp, out_dir / f"part-{n_existing:05d}.parquet"
+        tmp = out_dir / f".tmp-m{fid:06d}"
+        pq.write_table(batch, tmp)
+        final = out_dir / f"part-m{fid:06d}-00000.parquet"
+        tmp.rename(final)  # still invisible: not in any commit yet
+        return batch.num_rows, final
+
+    def _gc_flush_orphans(self, namespace: str, committed: set[str]) -> None:
+        """Delete invisible flush leftovers (crash before commit).
+        Only flush-named files (part-m*) are touched — streaming files
+        (part-<sink>-*) are the streaming sink's to manage."""
+        ns_dir = self.cold_dir / namespace
+        if not ns_dir.exists():
+            return
+        for p in ns_dir.rglob("part-m*.parquet"):
+            if str(p.relative_to(self.cold_dir)) not in committed:
+                p.unlink()
+        for p in ns_dir.rglob(".tmp-*"):
+            p.unlink()
+
+    def _compact_wal(self, drop_namespace: str) -> None:
+        """Rewrite each closed segment without the flushed namespace's
+        records — in place, via atomic rename, so every segment is at
+        all times either its original or its compacted self. Survivor
+        records keep their segment id (their own namespaces' watermarks
+        stay meaningful). Called under _wal_lock, after the commit: if
+        this never runs, replay skips the flushed records anyway."""
+        for seg_id in list(self.wal.closed_segments):
+            seg_path = self.wal.directory / f"{seg_id}.wal"
+            if not seg_path.exists():
+                self.wal.closed_segments.remove(seg_id)
+                continue
+            survivors = [
+                r for r in read_segment(seg_path)
+                if r.namespace != drop_namespace
+            ]
+            if not survivors:
+                seg_path.unlink()
+                self.wal.closed_segments.remove(seg_id)
+                continue
+            tmp = seg_path.parent / (seg_path.name + ".compact")
+            with open(tmp, "wb") as f:
+                f.write(WAL_HEADER)
+                for r in survivors:
+                    f.write(encode_write_request(r))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, seg_path)
 
     # ------------------------------------------------------------ query
 
     def _cold_table(self, namespace: str, table: str) -> DataFrame | None:
-        path = self.cold_dir / namespace / table
-        # a directory with no parquet files (e.g. an aborted flush's
-        # empty day= dir) is "no cold data", not a read error
-        if not path.exists() or not any(path.rglob("*.parquet")):
+        """Committed cold files for (namespace, table) as one DataFrame
+        — explicit file list (visibility = the commit log), basePath so
+        the hive ``day`` partition column is still derived and
+        prunable."""
+        prefix = f"{namespace}/{table}/"
+        files = [
+            str(self.cold_dir / rel)
+            for rel in sorted(self._committed_files())
+            if rel.startswith(prefix)
+        ]
+        if not files:
             return None
-        return self.spark.read.option("mergeSchema", "true").parquet(str(path))
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", str(self.cold_dir / namespace / table))
+            .parquet(*files)
+        )
 
     def query(self, namespace: str, sql: str) -> DataFrame | None:
         """Union of hot snapshot and cold tier. Unknown namespace/table
         in BOTH tiers -> None (404), preserving main.rs:83 semantics.
 
-        The hot snapshot and the cold file listing are taken under the
-        SAME lock a flush holds: without it, a flush racing between the
-        two reads would surface its rows in both tiers (double count).
-        ``spark.read.parquet`` lists files eagerly, so the DataFrame is
-        pinned to the files visible at lock time; flush never deletes
-        parquet, so execution later is safe."""
+        The hot snapshot and the commit-log read happen under the SAME
+        lock a flush holds: without it, a flush racing between the two
+        reads would surface its rows in both tiers (double count). The
+        cold DataFrame is pinned to the files committed at lock time;
+        committed parquet is never deleted, so execution later is safe.
+
+        The cold scan is day-pruned from the WHERE clause's timestamp
+        bounds (the same bounds that prune the hot buffer), then the
+        internal ``day`` column is dropped unless expose_day — SELECT *
+        returns exactly the reference's [timestamp, value, *tags]."""
         table_name = parse_table_name(sql)
         with self._wal_lock:
             tables = self.buffer.tables(namespace)
@@ -162,14 +317,26 @@ class TieredEngine(LynxEngine):
                 batch = measurements_to_arrow(
                     [partitions[day] for day in select_days(partitions, sql)]
                 )
-                # day as DATE to line up with the inferred type of the
-                # cold tier's hive partition column
-                hot = self.spark.createDataFrame(batch).withColumn(
-                    "day", F.to_date("timestamp")
-                )
+                hot = self.spark.createDataFrame(batch)
+                if self.expose_day:
+                    # day as DATE to line up with the inferred type of
+                    # the cold tier's hive partition column
+                    hot = hot.withColumn("day", F.to_date("timestamp"))
             cold = self._cold_table(namespace, table_name)
         if hot is None and cold is None:
             return None  # unknown in both tiers -> 404 (main.rs:83)
+        if cold is not None:
+            lo, hi = extract_time_bounds(sql)
+            if lo is not None:
+                cold = cold.filter(
+                    F.col("day") >= F.lit(partition_key(lo)).cast("date")
+                )
+            if hi is not None:
+                cold = cold.filter(
+                    F.col("day") <= F.lit(partition_key(hi)).cast("date")
+                )
+            if not self.expose_day:
+                cold = cold.drop("day")
         if hot is None:
             df = cold
         elif cold is None:

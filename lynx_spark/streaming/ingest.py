@@ -100,31 +100,49 @@ def stream_to_cold_tier(
     parsed: DataFrame,
     cold_dir: str | Path,
     checkpoint_dir: str | Path,
+    sink_id: str = "stream",
 ):
     """Continuously append the stream into the cold tier's hive layout
     (<cold>/<namespace>/<table>/day=YYYY-MM-DD); one stream fans out
     to many (namespace, table) directories.
 
-    Delivery is AT-LEAST-ONCE across micro-batch replays: a crash
-    after some appends but before the checkpoint commit re-runs the
-    batch and re-appends. Exactly-once needs a batch-id-keyed commit
-    log (or an ACID table format) — out of scope here; downstream
-    exact dedup (q21) absorbs replay duplicates in the curation path.
+    Delivery is EXACTLY-ONCE across micro-batch replays via the cold
+    tier's commit log (sources/coldtier.py module docstring): each
+    batch writes its output to a staging directory, moves the files to
+    batch-id-deterministic names (invisible — TieredEngine only reads
+    committed files), then atomically renames ONE commit JSON keyed by
+    (sink_id, batch_id). A replayed batch whose commit exists is
+    skipped outright; a replay of a half-moved batch overwrites the
+    same deterministic names before committing, so no duplicate can
+    become visible. ``sink_id`` must be unique per concurrent stream
+    into the same cold dir (it namespaces batch ids and file names).
 
     Returns the StreamingQuery (caller controls trigger/termination)."""
+    import os
+    import shutil
+
+    from lynx_spark.sources.coldtier import COMMITS_DIR, atomic_write_json
+
     cold_dir = Path(cold_dir)
 
-    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        commit_path = (
+            cold_dir / COMMITS_DIR / f"{sink_id}-{batch_id:09d}.json"
+        )
+        if commit_path.exists():
+            return  # replayed batch already committed: exactly-once
+        stage = cold_dir / "_staging" / f"{sink_id}-{batch_id:09d}"
         rows = batch.withColumn("day", F.to_date("ts")).persist()
         try:
             # fan out per namespace/table so the directory layout
             # matches TieredEngine's; namespaces per micro-batch are
             # few. The persist means the source scan runs once, not
             # once per (table-discovery, per-table write).
-            for ns, table in [
+            pairs = [
                 (r["namespace"], r["measurement"])
                 for r in rows.select("namespace", "measurement").distinct().collect()
-            ]:
+            ]
+            for ns, table in pairs:
                 subset = rows.filter(
                     (F.col("namespace") == ns) & (F.col("measurement") == table)
                 )
@@ -146,9 +164,34 @@ def stream_to_cold_tier(
                     ],
                     "day",
                 )
-                out.write.mode("append").partitionBy("day").parquet(
-                    str(cold_dir / ns / table)
+                # overwrite: a retried batch rebuilds its staging dir
+                out.write.mode("overwrite").partitionBy("day").parquet(
+                    str(stage / ns / table)
                 )
+            # move staged files to deterministic batch-keyed names in
+            # the live layout (invisible until the commit below)
+            rels: list[str] = []
+            for ns, table in pairs:
+                dst_table = cold_dir / ns / table
+                if dst_table.exists():
+                    # invisible leftovers of a half-moved earlier
+                    # attempt of THIS batch: remove before re-moving
+                    for stale in dst_table.rglob(
+                        f"part-{sink_id}-{batch_id:09d}-*.parquet"
+                    ):
+                        stale.unlink()
+                staged = sorted((stage / ns / table).rglob("*.parquet"))
+                for k, f in enumerate(staged):
+                    dst = (
+                        dst_table
+                        / f.parent.name  # day=YYYY-MM-DD
+                        / f"part-{sink_id}-{batch_id:09d}-{k:05d}.parquet"
+                    )
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    os.replace(f, dst)
+                    rels.append(str(dst.relative_to(cold_dir)))
+            atomic_write_json(commit_path, {"files": rels, "watermarks": {}})
+            shutil.rmtree(stage, ignore_errors=True)
         finally:
             rows.unpersist()
 

@@ -79,19 +79,51 @@ def test_tag_schema_drift_across_flushes(tiered):
     _write(tiered, "3", 2 * DAY_US, {"host": "b", "core": 7})
     df = tiered.query("ns", "SELECT * FROM cpu ORDER BY timestamp")
     rows = df.collect()
-    assert {"timestamp", "value", "host", "region", "core", "day"} <= set(df.columns)
+    assert {"timestamp", "value", "host", "region", "core"} <= set(df.columns)
     assert rows[0]["host"] == "a" and rows[0]["region"] is None
     assert rows[1]["region"] == "eu"
     assert rows[2]["core"] == "7"
 
 
-def test_partition_pruning_on_day(tiered):
+def test_select_star_schema_parity_with_untiered(tiered):
+    """SELECT * through the tiered engine returns the reference's
+    [timestamp, value, *tags] — no internal day column leaks (r1
+    ADVICE: output parity must not silently change once a cold
+    directory is configured)."""
+    _write(tiered, "cold", 1, {"host": "a"})
+    tiered.flush("ns")
+    _write(tiered, "hot", 2, {"host": "b"})
+    df = tiered.query("ns", "SELECT * FROM cpu")
+    assert df.columns == ["timestamp", "value", "host"]
+
+
+def test_expose_day_superset_flag(spark, tmp_path):
+    """expose_day=True surfaces the hive partition column for explicit
+    day-keyed queries (flagged superset)."""
+    eng = TieredEngine(
+        spark, tmp_path / "wal", tmp_path / "cold", 1024, expose_day=True
+    )
+    for d in range(3):
+        _write(eng, str(d), d * DAY_US)
+    eng.flush("ns")
+    df = eng.query("ns", "SELECT * FROM cpu WHERE day = DATE'1970-01-02'")
+    assert [r["value"] for r in df.collect()] == ["1"]
+    assert "day" in df.columns
+
+
+def test_partition_pruning_from_timestamp_bounds(tiered):
+    """A plain WHERE timestamp range must reach the cold scan as
+    PartitionFilters on the internal day column — pruning without the
+    schema deviation."""
     for d in range(5):
         _write(tiered, str(d), d * DAY_US)
     tiered.flush("ns")
-    df = tiered.query("ns", "SELECT * FROM cpu WHERE day = DATE'1970-01-03'")
+    df = tiered.query(
+        "ns",
+        "SELECT * FROM cpu WHERE timestamp >= '1970-01-03' "
+        "AND timestamp < '1970-01-04'",
+    )
     assert [r["value"] for r in df.collect()] == ["2"]
-    # Catalyst must prune the cold scan to one day= directory
     import contextlib
 
     buf = io.StringIO()
@@ -151,3 +183,128 @@ def test_unknown_is_404_in_both_tiers(tiered):
     tiered.flush("ns")
     assert tiered.query("nope", "SELECT * FROM cpu") is None
     assert tiered.query("ns", "SELECT * FROM gpu") is None
+
+
+# ------------------------------------------- exactly-once crash windows
+
+
+def _restart(spark, tmp_path):
+    return TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+
+
+def test_crash_before_commit_is_invisible_and_retryable(spark, tmp_path):
+    """Data files written but commit JSON never renamed: a restart sees
+    NO cold rows (visibility = commit log), the buffer/WAL restore
+    everything, and a retry flushes exactly once."""
+    eng = _restart(spark, tmp_path)
+    _write(eng, "a", 1)
+    _write(eng, "b", DAY_US)
+
+    def no_commit(path, payload):
+        raise OSError("crash before commit rename")
+
+    import lynx_spark.sources.coldtier as ct
+
+    orig = ct.atomic_write_json
+    ct.atomic_write_json = no_commit
+    try:
+        with pytest.raises(OSError):
+            eng.flush("ns")
+    finally:
+        ct.atomic_write_json = orig
+    eng.wal.close()
+
+    # orphan parquet exists on disk but is invisible
+    orphans = list((tmp_path / "cold/ns").rglob("*.parquet"))
+    assert orphans, "data files were written before the crash"
+    eng2 = _restart(spark, tmp_path)
+    vals = sorted(r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect())
+    assert vals == ["a", "b"]  # exactly once: all from the hot buffer
+    assert eng2._cold_table("ns", "cpu") is None
+    # retry: orphans GC'd, flush commits, still exactly once
+    assert eng2.flush("ns") == 2
+    eng2.wal.close()
+    eng3 = _restart(spark, tmp_path)
+    vals = sorted(r["value"] for r in eng3.query("ns", "SELECT * FROM cpu").collect())
+    assert vals == ["a", "b"]
+
+
+def test_crash_after_commit_before_compaction_no_double_count(spark, tmp_path):
+    """Commit renamed but WAL never compacted (ADVICE r1 window a):
+    replay must skip the flushed records via the watermark."""
+    eng = _restart(spark, tmp_path)
+    _write(eng, "a", 1)
+    _write(eng, "b", DAY_US)
+    _write(eng, "keep", 5, ns="other")
+
+    def no_compact(drop_namespace):
+        raise OSError("crash before compaction")
+
+    eng._compact_wal = no_compact
+    with pytest.raises(OSError):
+        eng.flush("ns")
+    eng.wal.close()
+
+    # WAL still holds ns records; commit log says they are in parquet
+    eng2 = _restart(spark, tmp_path)
+    vals = sorted(r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect())
+    assert vals == ["a", "b"]  # cold only, not cold+replayed
+    assert eng2.buffer.tables("ns") is None
+    # the other namespace replays normally
+    vals = [r["value"] for r in eng2.query("other", "SELECT * FROM cpu").collect()]
+    assert vals == ["keep"]
+
+
+def test_crash_mid_compaction_no_survivor_duplicates(spark, tmp_path):
+    """Compaction dies after rewriting some segments (ADVICE r1 window
+    b): every segment is original-or-compacted, so survivor rows replay
+    exactly once and flushed rows not at all."""
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 128)
+    for i in range(6):  # tiny segments: several closed files
+        _write(eng, f"a{i}", i, ns="ns_a")
+        _write(eng, f"b{i}", i, ns="ns_b")
+    assert len(list((tmp_path / "wal").glob("*.wal"))) > 2
+
+    import os as _os
+
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def replace_then_die(src, dst):
+        # let the commit rename and the first segment rewrite through,
+        # then crash (commit file rename happens via atomic_write_json)
+        if str(src).endswith(".compact"):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("crash mid-compaction")
+        return real_replace(src, dst)
+
+    import lynx_spark.sources.coldtier as ct
+
+    ct.os.replace = replace_then_die
+    try:
+        with pytest.raises(OSError):
+            eng.flush("ns_a")
+    finally:
+        ct.os.replace = real_replace
+    eng.wal.close()
+
+    eng2 = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 128)
+    vals_a = sorted(r["value"] for r in eng2.query("ns_a", "SELECT * FROM cpu").collect())
+    assert vals_a == [f"a{i}" for i in range(6)]  # flushed, exactly once
+    vals_b = sorted(r["value"] for r in eng2.query("ns_b", "SELECT * FROM cpu").collect())
+    assert vals_b == [f"b{i}" for i in range(6)]  # survivors, exactly once
+
+
+def test_repeated_flushes_accumulate_exactly_once(spark, tmp_path):
+    """Multiple committed flushes + a restart: the union of commits
+    serves every row exactly once."""
+    eng = _restart(spark, tmp_path)
+    for i in range(3):
+        _write(eng, f"v{i}", i * DAY_US)
+        assert eng.flush("ns") == 1
+    _write(eng, "hot", 10)
+    eng.wal.close()
+    eng2 = _restart(spark, tmp_path)
+    vals = sorted(r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect())
+    assert vals == ["hot", "v0", "v1", "v2"]

@@ -91,7 +91,8 @@ def test_stream_to_cold_tier_feeds_tiered_engine(spark, json_dir, tmp_path):
     df = eng.query("ns", "SELECT * FROM cpu")
     assert sorted(r["value"] for r in df.collect()) == ["1", "2", "3"]
     df2 = eng.query(
-        "ns", "SELECT count(*) AS n FROM mem WHERE day = DATE'1970-01-02'"
+        "ns",
+        "SELECT count(*) AS n FROM mem WHERE timestamp >= '1970-01-02'",
     )
     assert df2.collect()[0]["n"] == 1
 
@@ -165,3 +166,81 @@ def test_streamed_tags_visible_to_batch_sql(spark, tmp_path):
     }
     assert rows["1"]["host"] == "eu-1" and rows["1"]["core"] == "2"
     assert rows["2"]["host"] == "us-1" and rows["2"]["core"] is None
+
+
+def test_stream_replay_no_duplicates(spark, json_dir, tmp_path):
+    """Exactly-once sink: force a full replay by deleting the stream
+    checkpoint (same data, same batch ids) — the batch-id commit log
+    must skip the already-committed batch, leaving zero duplicates."""
+    import shutil
+
+    from lynx_spark.sources.coldtier import TieredEngine
+    from lynx_spark.streaming import (
+        parse_write_stream,
+        read_write_stream,
+        stream_to_cold_tier,
+    )
+
+    cold = tmp_path / "cold"
+    ckpt = tmp_path / "ckpt_replay"
+    for attempt in range(2):
+        q = stream_to_cold_tier(
+            parse_write_stream(read_write_stream(spark, json_dir)), cold, ckpt
+        )
+        q.awaitTermination(120)
+        shutil.rmtree(ckpt)  # amnesiac source: batch 0 re-runs next loop
+
+    eng = TieredEngine(spark, tmp_path / "wal", cold)
+    vals = sorted(
+        r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert vals == ["1", "2", "3"]  # not doubled
+
+
+def test_stream_crash_mid_move_then_replay_no_duplicates(spark, json_dir, tmp_path):
+    """A crash after SOME files moved but before the commit: the moved
+    files are invisible; the replayed batch overwrites them and commits
+    once."""
+    import shutil
+
+    from lynx_spark.sources.coldtier import TieredEngine
+    from lynx_spark.streaming import (
+        parse_write_stream,
+        read_write_stream,
+        stream_to_cold_tier,
+    )
+
+    cold = tmp_path / "cold"
+    ckpt = tmp_path / "ckpt_crash"
+
+    # crash the first attempt at the commit point (the sink binds
+    # atomic_write_json at stream construction, so patch first)
+    from lynx_spark.sources import coldtier as ct
+
+    orig = ct.atomic_write_json
+    ct.atomic_write_json = lambda p, d: (_ for _ in ()).throw(
+        OSError("crash before stream commit")
+    )
+    try:
+        q = stream_to_cold_tier(
+            parse_write_stream(read_write_stream(spark, json_dir)), cold, ckpt
+        )
+        with pytest.raises(Exception, match="crash before stream commit"):
+            q.awaitTermination(120)
+    finally:
+        ct.atomic_write_json = orig
+
+    # moved-but-uncommitted files may exist; they must be invisible
+    eng0 = TieredEngine(spark, tmp_path / "wal0", cold)
+    assert eng0.query("ns", "SELECT * FROM cpu") is None
+
+    shutil.rmtree(ckpt, ignore_errors=True)  # replay from scratch
+    q = stream_to_cold_tier(
+        parse_write_stream(read_write_stream(spark, json_dir)), cold, ckpt
+    )
+    q.awaitTermination(120)
+    eng = TieredEngine(spark, tmp_path / "wal", cold)
+    vals = sorted(
+        r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert vals == ["1", "2", "3"]
