@@ -2,23 +2,27 @@
 
 Media travel as opaque ``binary`` columns with typed metadata; the
 Spark-side machinery — schema, partition-preserving ``mapInPandas``,
-Arrow batch shape — is real and tested. The actual decoders need
-image/audio libraries that are not in this container, so the decode
-step is stubbed two ways:
+Arrow batch shape — is real and tested. Image decoding needs libraries
+that are not in this container, so that decode step is stubbed two
+ways:
 
-- ``decode_image`` / ``decode_audio``: try the real library (PIL /
-  soundfile); raise NotImplementedError if absent. The call sites are
-  the integration points for a real deployment.
+- ``decode_image``: try the real library (PIL); raise
+  NotImplementedError if absent. The call site is the integration
+  point for a real deployment.
 - ``fake_decode_dims``: a clearly-marked DETERMINISTIC FAKE (dims
   derived from the payload hash) so the batch plumbing can be exercised
   end-to-end in tests.
 
-Format sniffing (magic bytes) is real — no library needed.
+Format sniffing (magic bytes) and WAV audio header decoding
+(``parse_wav_header`` / ``decode_audio``: hand-written RIFF chunk walk
+— sample rate, channels, bit depth, duration) are REAL — no library
+needed. Non-WAV audio falls back to soundfile when available.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -67,6 +71,83 @@ def decode_image(data: bytes):
         ) from e
 
 
+def parse_wav_header(data: bytes) -> dict | None:
+    """Decode a WAV (RIFF) header by hand — no audio library.
+
+    Walks the RIFF chunk list for ``fmt `` (PCM parameters) and
+    ``data`` (payload size), per the canonical WAVE format spec.
+    Returns {sample_rate, channels, bits_per_sample, n_samples,
+    duration_ms} or None for anything that is not a well-formed WAV
+    (wrong magic, truncated, missing chunks, zero-rate)."""
+    if (
+        data is None
+        or len(data) < 12
+        or data[0:4] != b"RIFF"
+        or data[8:12] != b"WAVE"
+    ):
+        return None
+    fmt: dict | None = None
+    data_size: int | None = None
+    pos = 12
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if chunk_id == b"fmt " and body + 16 <= len(data):
+            channels, sample_rate = struct.unpack_from("<HI", data, body + 2)
+            block_align, bits = struct.unpack_from("<HH", data, body + 12)
+            fmt = {
+                "channels": channels,
+                "sample_rate": sample_rate,
+                "block_align": block_align,
+                "bits_per_sample": bits,
+            }
+        elif chunk_id == b"data":
+            # size may overrun a truncated buffer; clamp to reality
+            data_size = min(chunk_size, max(0, len(data) - body))
+        pos = body + chunk_size + (chunk_size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    if fmt["sample_rate"] <= 0 or fmt["block_align"] <= 0:
+        return None
+    n_samples = data_size // fmt["block_align"]
+    return {
+        "sample_rate": fmt["sample_rate"],
+        "channels": fmt["channels"],
+        "bits_per_sample": fmt["bits_per_sample"],
+        "n_samples": n_samples,
+        "duration_ms": int(n_samples * 1000 / fmt["sample_rate"]),
+    }
+
+
+def decode_audio(data: bytes) -> dict:
+    """Audio metadata decode. WAV is decoded by the hand-written header
+    parser (real, library-free); other formats fall back to soundfile
+    when installed, else NotImplementedError (the integration point
+    for a real deployment)."""
+    parsed = parse_wav_header(data)
+    if parsed is not None:
+        return parsed
+    try:
+        import io  # noqa: PLC0415
+
+        import soundfile  # noqa: PLC0415
+
+        with soundfile.SoundFile(io.BytesIO(data)) as f:
+            return {
+                "sample_rate": f.samplerate,
+                "channels": f.channels,
+                "bits_per_sample": 0,  # not exposed uniformly
+                "n_samples": len(f),
+                "duration_ms": int(len(f) * 1000 / f.samplerate),
+            }
+    except ImportError as e:
+        raise NotImplementedError(
+            "non-WAV audio decoding requires soundfile, which is not "
+            "installed; WAV decodes natively via parse_wav_header"
+        ) from e
+
+
 def fake_decode_dims(data: bytes) -> tuple[int, int]:
     """DETERMINISTIC FAKE decode: (width, height) derived from the
     payload md5 — stands in for a real decoder so batch shape,
@@ -101,6 +182,53 @@ def extract_media_metadata(
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         batches, schema=MEDIA_META_SCHEMA
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, format string, sample_rate long, channels long, "
+    "bits_per_sample long, n_samples long, duration_ms long"
+)
+
+
+def extract_audio_metadata(
+    df: DataFrame, id_col: str, bin_col: str
+) -> DataFrame:
+    """Per-blob audio metadata via the same partition-preserving
+    mapInPandas pattern as extract_media_metadata; WAV headers decode
+    natively, everything else reports nulls for the PCM fields."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = pdf[bin_col]
+            parsed = [parse_wav_header(b) for b in blobs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": blobs.map(sniff_format),
+                    "sample_rate": pd.array(
+                        [p and p["sample_rate"] for p in parsed],
+                        dtype="Int64",
+                    ),
+                    "channels": pd.array(
+                        [p and p["channels"] for p in parsed], dtype="Int64"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [p and p["bits_per_sample"] for p in parsed],
+                        dtype="Int64",
+                    ),
+                    "n_samples": pd.array(
+                        [p and p["n_samples"] for p in parsed], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [p and p["duration_ms"] for p in parsed],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        batches, schema=AUDIO_META_SCHEMA
     )
 
 

@@ -270,3 +270,79 @@ def test_simhash_batch_matches_scalar_reference():
     expected = [dd._simhash_one(t) for t in texts]
     got = list(dd._simhash_batch(pd.Series(texts)))
     assert got == expected
+
+
+# ---------------------------------------------------- audio (round 2)
+
+
+def _wav_bytes(sample_rate=8000, channels=1, bits=16, n_samples=4000):
+    """Canonical 44-byte PCM WAV header + silence."""
+    import struct
+
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
+        )
+        + b"data"
+        + struct.pack("<I", data_size)
+        + b"\x00" * data_size
+    )
+
+
+def test_parse_wav_header_real_bytes():
+    from lynx_spark.operators.multimodal import decode_audio, parse_wav_header
+
+    meta = parse_wav_header(_wav_bytes(44100, 2, 16, 44100))
+    assert meta == {
+        "sample_rate": 44100,
+        "channels": 2,
+        "bits_per_sample": 16,
+        "n_samples": 44100,
+        "duration_ms": 1000,
+    }
+    assert decode_audio(_wav_bytes(8000, 1, 8, 4000))["duration_ms"] == 500
+
+
+def test_parse_wav_header_rejects_malformed():
+    from lynx_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(None) is None
+    assert parse_wav_header(b"RIFF1234AVI ") is None  # not WAVE
+    assert parse_wav_header(b"\xff\xd8\xff rubbish") is None  # jpeg
+    assert parse_wav_header(_wav_bytes()[:20]) is None  # truncated
+    # data chunk overrunning a truncated payload clamps, not crashes
+    cut = _wav_bytes(8000, 1, 16, 1000)[:-500]
+    meta = parse_wav_header(cut)
+    assert meta is not None and meta["n_samples"] == 750
+
+
+def test_decode_audio_non_wav_raises_without_soundfile():
+    from lynx_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04\x00 not really an mp3")
+
+
+def test_audio_metadata_pipeline(spark):
+    from lynx_spark.operators.multimodal import extract_audio_metadata
+
+    rows = [
+        (1, bytearray(_wav_bytes(16000, 1, 16, 8000))),
+        (2, bytearray(b"\x89PNG\r\n\x1a\n not audio")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary").repartition(2)
+    got = {r["doc_id"]: r for r in extract_audio_metadata(df, "doc_id", "blob").collect()}
+    assert got[1]["format"] == "wav"
+    assert got[1]["sample_rate"] == 16000
+    assert got[1]["duration_ms"] == 500
+    assert got[2]["format"] == "png" and got[2]["sample_rate"] is None
+    assert got[3]["format"] == "empty" and got[3]["duration_ms"] is None
