@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lynx_spark.buffer import Measurements, MemBuffer, partition_key
 from lynx_spark.model import WriteRequest, tag_to_str
-from lynx_spark.sqlutil import extract_time_bounds, parse_table_name
+from lynx_spark.sqlutil import (
+    extract_time_bounds,
+    parse_table_name,
+    referenced_tables,
+)
 from lynx_spark.wal import DEFAULT_MAX_SEGMENT_SIZE, Wal
 
 
@@ -46,8 +50,15 @@ class LynxEngine:
         spark: SparkSession,
         wal_dir: str | Path,
         max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
+        multi_table: bool = False,
     ) -> None:
         self.spark = spark
+        #: flagged superset (SURVEY §7 step 5): register every table of
+        #: the namespace the query references, enabling JOINs across
+        #: the ingest surface. Off by default — the reference registers
+        #: only the first FROM table, so a JOIN's second table errors
+        #: (500), and we preserve that.
+        self.multi_table = multi_table
         self.buffer = MemBuffer()
         wal_dir = Path(wal_dir)
         wal_dir.mkdir(parents=True, exist_ok=True)
@@ -92,20 +103,38 @@ class LynxEngine:
         tables = self.buffer.tables(namespace)  # snapshot, lynx.rs:78
         if tables is None:
             return None
-        partitions = tables.get(table_name)
-        if partitions is None:
+        if table_name not in tables:
             return None
-        days = select_days(partitions, sql)
-        batch = measurements_to_arrow(
-            [partitions[day] for day in days]  # day order
-        )
+        if self.multi_table:
+            names = referenced_tables(sql, set(tables)) | {table_name}
+        else:
+            names = {table_name}
         with self._query_lock:
             # per-query re-registration so results reflect the latest
             # buffer (lynx.rs:136-139); spark.sql analyzes eagerly, so
             # once it returns the plan is bound to this snapshot.
-            df_table = self.spark.createDataFrame(batch)
-            df_table.createOrReplaceTempView(table_name)
+            for name in sorted(names):
+                partitions = tables[name]
+                days = select_days(partitions, sql)
+                batch = measurements_to_arrow(
+                    [partitions[day] for day in days]  # day order
+                )
+                self.spark.createDataFrame(batch).createOrReplaceTempView(
+                    name
+                )
+            if self.multi_table:
+                self._drop_stale_views(keep=names)
             return self.spark.sql(sql)
+
+    def _drop_stale_views(self, keep: set[str]) -> None:
+        """Multi-table mode only: drop temp views left by earlier
+        queries (possibly other namespaces) that this query did not
+        re-register — otherwise a JOIN against a table this namespace
+        lacks would silently read another namespace's stale view
+        instead of erroring. Called under _query_lock."""
+        for t in self.spark.catalog.listTables():
+            if t.isTemporary and t.name not in keep:
+                self.spark.catalog.dropTempView(t.name)
 
 
 def select_days(partitions: dict[str, Measurements], sql: str) -> list[str]:

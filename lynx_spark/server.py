@@ -123,6 +123,15 @@ def main() -> None:
         help="surface the tiered engine's day partition column in query "
         "results (flagged superset; default keeps reference schema parity)",
     )
+    parser.add_argument(
+        "--multi-table",
+        action="store_true",
+        default=os.environ.get("LYNX_MULTI_TABLE", "")
+        not in ("", "0", "false"),
+        help="register every referenced table of the namespace so JOINs "
+        "work over the ingest surface (flagged superset; default matches "
+        "the reference: only the first FROM table exists)",
+    )
     args = parser.parse_args()
 
     from lynx_spark.session import get_spark
@@ -134,10 +143,12 @@ def main() -> None:
         engine = TieredEngine(
             spark, args.wal_directory, args.cold_directory,
             args.wal_max_segment_size, expose_day=args.expose_day,
+            multi_table=args.multi_table,
         )
     else:
         engine = LynxEngine(
-            spark, args.wal_directory, args.wal_max_segment_size
+            spark, args.wal_directory, args.wal_max_segment_size,
+            multi_table=args.multi_table,
         )
     app = create_app(engine)
     host, _, port = args.bind.rpartition(":")

@@ -64,7 +64,11 @@ from pyspark.sql import functions as F
 
 from lynx_spark.buffer import Measurements, partition_key
 from lynx_spark.engine import LynxEngine, measurements_to_arrow, select_days
-from lynx_spark.sqlutil import extract_time_bounds, parse_table_name
+from lynx_spark.sqlutil import (
+    extract_time_bounds,
+    parse_table_name,
+    referenced_tables,
+)
 from lynx_spark.wal import (
     DEFAULT_MAX_SEGMENT_SIZE,
     WAL_HEADER,
@@ -98,13 +102,14 @@ class TieredEngine(LynxEngine):
         cold_dir: str | Path,
         max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
         expose_day: bool = False,
+        multi_table: bool = False,
     ) -> None:
         # set before super().__init__: replay consults the commit log
         self.cold_dir = Path(cold_dir)
         self.cold_dir.mkdir(parents=True, exist_ok=True)
         self.expose_day = expose_day
         self._commit_cache: dict[str, dict] = {}
-        super().__init__(spark, wal_dir, max_segment_size)
+        super().__init__(spark, wal_dir, max_segment_size, multi_table)
 
     # ------------------------------------------------------- commit log
 
@@ -310,21 +315,51 @@ class TieredEngine(LynxEngine):
         returns exactly the reference's [timestamp, value, *tags]."""
         table_name = parse_table_name(sql)
         with self._wal_lock:
-            tables = self.buffer.tables(namespace)
-            hot = None
-            if tables is not None and table_name in tables:
-                partitions = tables[table_name]
-                batch = measurements_to_arrow(
-                    [partitions[day] for day in select_days(partitions, sql)]
-                )
-                hot = self.spark.createDataFrame(batch)
-                if self.expose_day:
-                    # day as DATE to line up with the inferred type of
-                    # the cold tier's hive partition column
-                    hot = hot.withColumn("day", F.to_date("timestamp"))
-            cold = self._cold_table(namespace, table_name)
-        if hot is None and cold is None:
-            return None  # unknown in both tiers -> 404 (main.rs:83)
+            tables = self.buffer.tables(namespace) or {}
+            cold_tables = {
+                rel.split("/", 2)[1]
+                for rel in self._committed_files()
+                if rel.split("/", 2)[0] == namespace
+            }
+            candidates = set(tables) | cold_tables
+            if table_name not in candidates:
+                return None  # unknown in both tiers -> 404 (main.rs:83)
+            if self.multi_table:
+                names = referenced_tables(sql, candidates) | {table_name}
+            else:
+                names = {table_name}
+            views = {
+                name: self._tiered_table_df(namespace, name, tables, sql)
+                for name in sorted(names)
+            }
+        with self._query_lock:
+            for name, df in views.items():
+                df.createOrReplaceTempView(name)
+            if self.multi_table:
+                self._drop_stale_views(keep=names)
+            return self.spark.sql(sql)
+
+    def _tiered_table_df(
+        self,
+        namespace: str,
+        table_name: str,
+        tables: dict,
+        sql: str,
+    ) -> DataFrame:
+        """hot ∪ cold for one table (caller holds _wal_lock and knows
+        at least one tier has it)."""
+        hot = None
+        if table_name in tables:
+            partitions = tables[table_name]
+            batch = measurements_to_arrow(
+                [partitions[day] for day in select_days(partitions, sql)]
+            )
+            hot = self.spark.createDataFrame(batch)
+            if self.expose_day:
+                # day as DATE to line up with the inferred type of
+                # the cold tier's hive partition column
+                hot = hot.withColumn("day", F.to_date("timestamp"))
+        cold = self._cold_table(namespace, table_name)
         if cold is not None:
             lo, hi = extract_time_bounds(sql)
             if lo is not None:
@@ -338,11 +373,7 @@ class TieredEngine(LynxEngine):
             if not self.expose_day:
                 cold = cold.drop("day")
         if hot is None:
-            df = cold
-        elif cold is None:
-            df = hot
-        else:
-            df = cold.unionByName(hot, allowMissingColumns=True)
-        with self._query_lock:
-            df.createOrReplaceTempView(table_name)
-            return self.spark.sql(sql)
+            return cold
+        if cold is None:
+            return hot
+        return cold.unionByName(hot, allowMissingColumns=True)

@@ -250,6 +250,21 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
     return lo, hi
 
 
+def referenced_tables(sql: str, candidates: set[str]) -> set[str]:
+    """Candidate table names that appear anywhere in the query — the
+    registration set for multi-table query mode. Over-approximate by
+    design (a column named like a table registers the table too —
+    harmless); never under-approximates because every reference is an
+    identifier token."""
+    out: set[str] = set()
+    for tok in _tokens(sql):
+        if _IDENT.fullmatch(tok):
+            name = _unquote(tok)
+            if name in candidates:
+                out.add(name)
+    return out
+
+
 def parse_table_name(sql: str) -> str:
     """Extract the first FROM table of a basic SELECT (lynx.rs:153-172).
 

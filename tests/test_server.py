@@ -144,3 +144,125 @@ def test_reference_testdata_fixtures(client):
     # default format = pretty table; timestamp 1761318000019000 us
     # = 2025-10-24T15:00:00.019 UTC
     assert "| 2025-10-24T15:00:00.019 | 50    |" in body
+
+
+# ---------------------------------------- multi-table mode (round 2)
+
+
+def _w(client, ns, meas, value, ts, tags=None):
+    assert (
+        client.post(
+            "/api/v1/write",
+            json={
+                "namespace": ns,
+                "measurement": meas,
+                "value": value,
+                "metadata": tags or {},
+                "timestamp": ts,
+            },
+        ).status_code
+        == 200
+    )
+
+
+def test_join_rejected_by_default(client):
+    """Reference parity: only the first FROM table is registered, so a
+    JOIN's second table fails analysis -> 500."""
+    _w(client, "ns", "cpu", "1", 1, {"host": "a"})
+    _w(client, "ns", "mem", "2", 1, {"host": "a"})
+    r = client.post(
+        "/api/v1/query",
+        json={
+            "namespace": "ns",
+            "query": "SELECT c.value FROM cpu c JOIN mem m ON c.host = m.host",
+        },
+    )
+    assert r.status_code == 500
+
+
+@pytest.fixture()
+def multi_client(spark, tmp_path):
+    app = create_app(
+        LynxEngine(spark, tmp_path / "wal", multi_table=True)
+    )
+    return app.test_client()
+
+
+def test_multi_table_join_behind_flag(multi_client):
+    _w(multi_client, "ns", "cpu", "90", 1, {"host": "a"})
+    _w(multi_client, "ns", "cpu", "10", 2, {"host": "b"})
+    _w(multi_client, "ns", "mem", "512", 1, {"host": "a"})
+    r = multi_client.post(
+        "/api/v1/query",
+        json={
+            "namespace": "ns",
+            "query": "SELECT c.value AS cpu, m.value AS mem "
+            "FROM cpu c JOIN mem m ON c.host = m.host",
+            "format": "Json",
+        },
+    )
+    assert r.status_code == 200
+    assert json.loads(r.get_data()) == [{"cpu": "90", "mem": "512"}]
+    # 404 semantics unchanged: unknown namespace / first table
+    assert (
+        multi_client.post(
+            "/api/v1/query",
+            json={"namespace": "nope", "query": "SELECT * FROM cpu"},
+        ).status_code
+        == 404
+    )
+    assert (
+        multi_client.post(
+            "/api/v1/query",
+            json={"namespace": "ns", "query": "SELECT * FROM gpu"},
+        ).status_code
+        == 404
+    )
+
+
+def test_multi_table_no_cross_namespace_leak(multi_client):
+    """A table registered by an earlier query of another namespace must
+    not satisfy a later namespace's JOIN (stale temp view sweep)."""
+    _w(multi_client, "ns1", "cpu", "a", 1, {"host": "h"})
+    _w(multi_client, "ns1", "disk", "d", 1, {"host": "h"})
+    _w(multi_client, "ns2", "cpu", "b", 1, {"host": "h"})
+    # register ns1.disk via a ns1 query
+    assert (
+        multi_client.post(
+            "/api/v1/query",
+            json={"namespace": "ns1", "query": "SELECT * FROM disk"},
+        ).status_code
+        == 200
+    )
+    # ns2 has no disk: the JOIN must fail, not read ns1's stale view
+    r = multi_client.post(
+        "/api/v1/query",
+        json={
+            "namespace": "ns2",
+            "query": "SELECT c.value FROM cpu c JOIN disk x ON c.host = x.host",
+        },
+    )
+    assert r.status_code == 500
+
+
+def test_multi_table_tiered_joins_hot_and_cold(spark, tmp_path):
+    """Multi-table mode over the tiered engine: one side flushed cold,
+    the other hot."""
+    eng = TieredEngine(
+        spark, tmp_path / "wal", tmp_path / "cold", multi_table=True
+    )
+    c = create_app(eng).test_client()
+    _w(c, "ns", "cpu", "90", 1, {"host": "a"})
+    assert c.post("/api/v1/flush", json={"namespace": "ns"}).status_code == 200
+    _w(c, "ns", "mem", "512", 1, {"host": "a"})
+    r = c.post(
+        "/api/v1/query",
+        json={
+            "namespace": "ns",
+            "query": "SELECT c.value AS cpu, m.value AS mem "
+            "FROM cpu c JOIN mem m ON c.host = m.host",
+            "format": "Json",
+        },
+    )
+    assert r.status_code == 200
+    assert json.loads(r.get_data()) == [{"cpu": "90", "mem": "512"}]
