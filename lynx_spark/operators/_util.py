@@ -46,22 +46,27 @@ def banded_self_pairs(
     banded = explode_bands(df, id_col, band_cols)
     star = None
     if max_bucket is not None:
-        counts = banded.groupBy("band_no", "bh").agg(
-            F.count("*").alias("_c"), F.min(id_col).alias("_rep")
+        # The oversized-bucket key set is small by construction (at
+        # most N/max_bucket buckets exceed the cap), so it travels as
+        # a broadcast: the cap costs one map-side-combined aggregate
+        # inside the main job — no extra materialization pass. (For a
+        # pathological corpus where even N/max_bucket is too large to
+        # broadcast, lower the cap or pre-dedup exact copies first —
+        # exact dedup is upstream in the curation pipeline anyway.)
+        big = (
+            banded.groupBy("band_no", "bh")
+            .agg(F.count("*").alias("_c"), F.min(id_col).alias("_rep"))
+            .filter(F.col("_c") > max_bucket)
+            .select("band_no", "bh", "_rep")
         )
-        big = counts.filter(F.col("_c") > max_bucket).select(
-            "band_no", "bh", "_rep"
-        )
+        big = F.broadcast(big)
         star = (
-            banded.join(F.broadcast(big), ["band_no", "bh"])
+            banded.join(big, ["band_no", "bh"])
             .filter(F.col(id_col) > F.col("_rep"))
             .select(F.col("_rep").alias("a_id"), F.col(id_col).alias("b_id"))
         )
-        banded = banded.join(
-            F.broadcast(big.select("band_no", "bh")),
-            ["band_no", "bh"],
-            "left_anti",
-        )
+        # same broadcast object on both joins -> one exchange, reused
+        banded = banded.join(big, ["band_no", "bh"], "left_anti")
     a = banded.select(
         F.col(id_col).alias("a_id"), F.col("band_no"), F.col("bh")
     )

@@ -52,20 +52,52 @@ MAX_BAND_BUCKET = 200
 def cap_doc_freq(
     sh: DataFrame, max_doc_freq: int | None = MAX_SHINGLE_DF
 ) -> DataFrame:
-    """Drop shingles whose document frequency exceeds the cap.
-
-    The hot set has at most N/max_doc_freq members by construction, so
-    it broadcasts; the cap costs one map-side-combined count plus a
-    broadcast anti-join — no extra shuffle of the shingle table."""
+    """Drop shingles whose document frequency exceeds the cap — the
+    standalone form (count window keyed by shingle, no extra pass over
+    the documents). The internal pipeline fuses the same window into
+    the shingle table's one materialization (_capped_shingles_cached),
+    where the cache then carries hashpartitioning(shingle) straight
+    into the inverted-index self-join."""
     if max_doc_freq is None:
         return sh
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") > max_doc_freq)
-        .select("shingle")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= max_doc_freq)
+        .drop("_df")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _capped_shingles_cached(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Persisted, df-capped shingle table for multi-branch consumers.
+
+    The cap is a count window over the shingle key fused into the
+    single materialization pass (no second aggregate job, no
+    re-shingling), and the cache keeps the resulting
+    hashpartitioning(shingle) — the inverted-index self-join
+    downstream joins ON shingle, so it reads the cache with NO further
+    exchange. One shuffle builds the table; the cap itself is free."""
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sh = sh.persist()
+    sh.count()  # eager: branches must read the cache, not race to fill it
+    return sh
 
 
 def _words_col(text_col: str) -> F.Column:
@@ -138,10 +170,7 @@ def jaccard_pairs(
     (MLlib-style internal persist — the ContextCleaner reclaims it
     when the result DataFrame is garbage collected; at 100 TB this
     becomes a checkpoint to storage)."""
-    sh = cap_doc_freq(
-        shingle_table(df, id_col, text_col, n), max_doc_freq
-    ).persist()
-    sh.count()  # eager: branches below must read the cache, not race to fill it
+    sh = _capped_shingles_cached(df, id_col, text_col, n, max_doc_freq)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -219,12 +248,9 @@ def minhash_lsh_pairs(
     The shingle table feeds both the signatures and the verification
     joins, and the signature table feeds one join pair per band — one
     persisted copy of each (see jaccard_pairs note)."""
-    sh = cap_doc_freq(
-        shingle_table(df, id_col, text_col, n), max_doc_freq
-    ).persist()
-    sh.count()  # eager (see jaccard_pairs)
-    # sig feeds BOTH sides of the candidate self-join; persist so the
-    # 12-way min-agg runs once
+    sh = _capped_shingles_cached(df, id_col, text_col, n, max_doc_freq)
+    # sig feeds both sides of the candidate self-join (and the bucket
+    # cap's aggregate); persist so the 12-way min-agg runs once
     sig = minhash_signatures(df, id_col, text_col, n, shingles=sh).persist()
     sig.count()
     cands = banded_self_pairs(
