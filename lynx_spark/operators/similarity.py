@@ -94,12 +94,17 @@ def cosine_dedup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Embedding-based near-duplicate pairs: (a, b) with cosine
     similarity >= threshold. Candidates meet by LSH bucket equality in
     any hash table (same multi-table machinery as ANN — near-identical
     vectors agree on every sign bit, so recall at dedup thresholds is
-    ~1), then the exact cosine filters. No cross join at any scale."""
+    ~1), then the exact cosine filters. No cross join at any scale;
+    ``max_bucket`` guards the remaining quadratic hole (a corpus of
+    near-identical embeddings collapses every table into one bucket)
+    with banded_self_pairs' star pattern, which keeps the duplicate
+    cluster connected — exactly what dedup needs."""
     vecs = ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -109,7 +114,7 @@ def cosine_dedup_pairs(
     vecs = vecs.persist()
     vecs.count()  # eager: see lsh_ann_topk
     cands = banded_self_pairs(
-        vecs, "nid", [f"bucket{t}" for t in range(NUM_TABLES)]
+        vecs, "nid", [f"bucket{t}" for t in range(NUM_TABLES)], max_bucket
     )
     va = vecs.select(F.col("nid").alias("a_id"), F.col("v").alias("va"))
     vb = vecs.select(F.col("nid").alias("b_id"), F.col("v").alias("vb"))

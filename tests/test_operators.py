@@ -346,3 +346,18 @@ def test_audio_metadata_pipeline(spark):
     assert got[1]["duration_ms"] == 500
     assert got[2]["format"] == "png" and got[2]["sample_rate"] is None
     assert got[3]["format"] == "empty" and got[3]["duration_ms"] is None
+
+
+def test_embed_dedup_bucket_cap_star(spark):
+    """A mass-duplicated embedding must yield linear star pairs through
+    the embedding-dedup path, with the cluster fully connected."""
+    base = [0.5] * 16 + [-0.25] * 48
+    rows = [(i, base) for i in range(20)]
+    rows.append((99, [(-1.0) ** k * (k + 1) / 64 for k in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = sim.cosine_dedup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, max_bucket=5
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert got == {(0, i) for i in range(1, 20)}
+    assert all(r["cos_sim"] == 1.0 for r in pairs)
