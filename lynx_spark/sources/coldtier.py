@@ -141,14 +141,78 @@ class TieredEngine(LynxEngine):
         return out
 
     def _next_flush_id(self, namespace: str) -> int:
-        prefix = f"flush-{namespace}-"
         highest = 0
-        for name in self._load_commits():
-            if name.startswith(prefix):
+        for name, commit in self._load_commits().items():
+            if name.startswith(f"flush-{namespace}-"):
                 tail = name.removesuffix(".json").rsplit("-", 1)[-1]
                 if tail.isdigit():
                     highest = max(highest, int(tail))
+            # snapshots remember the highest id they folded in
+            highest = max(
+                highest, commit.get("flush_ids", {}).get(namespace, 0)
+            )
         return highest + 1
+
+    #: compact the commit log once this many flush commits accumulate
+    COMMIT_COMPACT_THRESHOLD = 64
+
+    def _maybe_compact_commits(self) -> None:
+        """Fold accumulated flush commits into one snapshot commit so
+        the per-query commit listing stays O(1) across thousands of
+        flushes. Only engine-owned ``flush-*``/``snapshot-*`` entries
+        are merged — a streaming sink's batch-keyed commits must stay
+        as files because the sink's replay-skip check is the file's
+        existence. Safe against concurrent readers: the snapshot is
+        renamed in before the merged files are unlinked, and every
+        reader unions whatever set of files it lists (snapshot ⊇
+        merged), so any interleaving yields the same visibility.
+        Called under _wal_lock."""
+        cdir = self.cold_dir / COMMITS_DIR
+        if not cdir.exists():
+            return
+        mergeable = [
+            p
+            for p in cdir.glob("*.json")
+            if p.name.startswith(("flush-", "snapshot-"))
+        ]
+        if len(mergeable) < self.COMMIT_COMPACT_THRESHOLD:
+            return
+        files: set[str] = set()
+        watermarks: dict[str, int] = {}
+        flush_ids: dict[str, int] = {}
+        snap_id = 0
+        for p in sorted(mergeable):
+            commit = self._commit_cache.get(p.name) or json.loads(
+                p.read_text()
+            )
+            files.update(commit.get("files", []))
+            for ns, seg in commit.get("watermarks", {}).items():
+                watermarks[ns] = max(watermarks.get(ns, -1), seg)
+            for ns, fid in commit.get("flush_ids", {}).items():
+                flush_ids[ns] = max(flush_ids.get(ns, 0), fid)
+            name = p.name.removesuffix(".json")
+            if name.startswith("flush-"):
+                tail = name.rsplit("-", 1)[-1]
+                ns = name[len("flush-") : -(len(tail) + 1)]
+                if tail.isdigit():
+                    flush_ids[ns] = max(flush_ids.get(ns, 0), int(tail))
+            elif name.startswith("snapshot-"):
+                tail = name.rsplit("-", 1)[-1]
+                if tail.isdigit():
+                    snap_id = max(snap_id, int(tail))
+        snap = cdir / f"snapshot-{snap_id + 1:06d}.json"
+        atomic_write_json(
+            snap,
+            {
+                "files": sorted(files),
+                "watermarks": watermarks,
+                "flush_ids": flush_ids,
+            },
+        )
+        self._commit_cache[snap.name] = json.loads(snap.read_text())
+        for p in mergeable:
+            p.unlink()
+            self._commit_cache.pop(p.name, None)
 
     # ------------------------------------------------------------ replay
 
@@ -217,6 +281,7 @@ class TieredEngine(LynxEngine):
             )
             self.buffer.clear_namespace(namespace)
             self._compact_wal(drop_namespace=namespace)
+            self._maybe_compact_commits()
             return rows
 
     def _write_partition(

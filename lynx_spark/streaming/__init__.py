@@ -1,5 +1,6 @@
 from lynx_spark.streaming.ingest import (  # noqa: F401
     daily_rollup_stream,
+    dedup_stream,
     parse_write_stream,
     read_write_stream,
     stream_to_cold_tier,

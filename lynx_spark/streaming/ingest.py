@@ -61,6 +61,28 @@ def parse_write_stream(raw: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(parsed: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: drop re-delivered copies of a record
+    within the watermark horizon — the streaming twin of q21's
+    hash-groupBy dedup, and the standard guard in front of an
+    at-least-once upstream (e.g. an HTTP client retrying writes).
+
+    Keyed on the full record identity; the metadata map is folded to
+    its JSON rendering because map columns cannot be dedup keys (a
+    re-delivered record re-parses to the same key order, so the
+    rendering is stable for the retry case this guards).
+    ``dropDuplicatesWithinWatermark`` bounds the state store to the
+    watermark window — constant state at any stream length."""
+    keyed = parsed.withColumn("_meta_key", F.to_json("metadata"))
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(
+            ["namespace", "measurement", "value", "_meta_key", "ts"]
+        )
+        .drop("_meta_key")
+    )
+
+
 def daily_rollup_stream(
     parsed: DataFrame, watermark: str = "1 day"
 ) -> DataFrame:

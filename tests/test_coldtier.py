@@ -308,3 +308,32 @@ def test_repeated_flushes_accumulate_exactly_once(spark, tmp_path):
     eng2 = _restart(spark, tmp_path)
     vals = sorted(r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect())
     assert vals == ["hot", "v0", "v1", "v2"]
+
+
+def test_commit_log_compaction_bounded_and_exact(spark, tmp_path):
+    """Many flushes must not accumulate unbounded commit files; the
+    snapshot fold preserves visibility, watermarks and flush-id
+    allocation across a restart."""
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    eng.COMMIT_COMPACT_THRESHOLD = 5
+    for i in range(12):
+        _write(eng, f"v{i}", i * DAY_US)
+        assert eng.flush("ns") == 1
+    cdir = tmp_path / "cold" / "_commits"
+    names = sorted(p.name for p in cdir.glob("*.json"))
+    assert len(names) < 7, names  # folded, not 12 files
+    assert any(n.startswith("snapshot-") for n in names)
+    eng.wal.close()
+
+    eng2 = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    vals = sorted(
+        r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert vals == sorted(f"v{i}" for i in range(12))  # exactly once
+    # flush ids keep advancing past the snapshot (no filename reuse)
+    _write(eng2, "v12", 12 * DAY_US)
+    assert eng2.flush("ns") == 1
+    vals = sorted(
+        r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert vals == sorted(f"v{i}" for i in range(13))

@@ -244,3 +244,40 @@ def test_stream_crash_mid_move_then_replay_no_duplicates(spark, json_dir, tmp_pa
         r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
     )
     assert vals == ["1", "2", "3"]
+
+
+def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
+    """Streaming exact dedup: a record re-delivered in a later
+    micro-batch (at-least-once upstream) is dropped; distinct records
+    pass through."""
+    from lynx_spark.streaming import dedup_stream, parse_write_stream
+    from lynx_spark.streaming.ingest import WRITE_SCHEMA
+
+    d = tmp_path / "in"
+    _write_jsonl(
+        d / "b1.json",
+        [_req("a", 1, tags={"host": "h1"}), _req("b", 2)],
+    )
+    _write_jsonl(
+        d / "b2.json",
+        [_req("a", 1, tags={"host": "h1"}), _req("c", 3)],  # 'a' re-delivered
+    )
+    raw = (
+        spark.readStream.schema(WRITE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        dedup_stream(parse_write_stream(raw))
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    vals = sorted(
+        r["value"] for r in spark.sql("SELECT * FROM dedup_test").collect()
+    )
+    assert vals == ["a", "b", "c"]  # one copy of 'a', not two
