@@ -35,7 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 from lynx_spark.buffer import Measurements, MemBuffer, partition_key
 from lynx_spark.model import WriteRequest, tag_to_str
 from lynx_spark.sqlutil import (
+    TableNameError,
     extract_time_bounds,
+    is_select_like,
     parse_table_name,
     referenced_tables,
 )
@@ -99,14 +101,18 @@ class LynxEngine:
         maps that to 404 (main.rs:83, lynx.rs:144-148). Parse/plan
         errors raise (HTTP 500).
         """
-        table_name = parse_table_name(sql)  # lynx.rs:75
+        table_name = self._target_table(sql)  # lynx.rs:75
         tables = self.buffer.tables(namespace)  # snapshot, lynx.rs:78
         if tables is None:
             return None
-        if table_name not in tables:
+        if table_name is not None and table_name not in tables:
             return None
         if self.multi_table:
-            names = referenced_tables(sql, set(tables)) | {table_name}
+            names = referenced_tables(sql, set(tables))
+            if table_name is not None:
+                names |= {table_name}
+            if not names:
+                return None  # CTE touching no table of this namespace
         else:
             names = {table_name}
         with self._query_lock:
@@ -125,6 +131,20 @@ class LynxEngine:
             if self.multi_table:
                 self._drop_stale_views(keep=names)
             return self.spark.sql(sql)
+
+    def _target_table(self, sql: str) -> str | None:
+        """First-FROM table for the 404 check (lynx.rs:75). Multi-table
+        mode additionally relaxes the reference's parse_select
+        restriction for read-shaped statements (WITH ... SELECT):
+        there is no single plain first table then, so it returns None
+        and the 404 check falls to the referenced-table set. Writes
+        (INSERT) raise in every mode, as in the reference."""
+        try:
+            return parse_table_name(sql)
+        except TableNameError:
+            if self.multi_table and is_select_like(sql):
+                return None
+            raise
 
     def _drop_stale_views(self, keep: set[str]) -> None:
         """Multi-table mode only: drop temp views left by earlier

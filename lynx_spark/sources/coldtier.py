@@ -378,7 +378,7 @@ class TieredEngine(LynxEngine):
         bounds (the same bounds that prune the hot buffer), then the
         internal ``day`` column is dropped unless expose_day — SELECT *
         returns exactly the reference's [timestamp, value, *tags]."""
-        table_name = parse_table_name(sql)
+        table_name = self._target_table(sql)
         with self._wal_lock:
             tables = self.buffer.tables(namespace) or {}
             cold_tables = {
@@ -387,10 +387,14 @@ class TieredEngine(LynxEngine):
                 if rel.split("/", 2)[0] == namespace
             }
             candidates = set(tables) | cold_tables
-            if table_name not in candidates:
+            if table_name is not None and table_name not in candidates:
                 return None  # unknown in both tiers -> 404 (main.rs:83)
             if self.multi_table:
-                names = referenced_tables(sql, candidates) | {table_name}
+                names = referenced_tables(sql, candidates)
+                if table_name is not None:
+                    names |= {table_name}
+                if not names:
+                    return None
             else:
                 names = {table_name}
             views = {

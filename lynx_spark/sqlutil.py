@@ -250,6 +250,15 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
     return lo, hi
 
 
+def is_select_like(sql: str) -> bool:
+    """True for statements that READ (SELECT / WITH ... SELECT) — the
+    shapes multi-table mode relaxes the reference's parse_select
+    restriction for. Writes (INSERT etc.) stay rejected in every
+    mode."""
+    toks = _tokens(sql)
+    return bool(toks) and toks[0].upper() in ("SELECT", "WITH")
+
+
 def referenced_tables(sql: str, candidates: set[str]) -> set[str]:
     """Candidate table names that appear anywhere in the query — the
     registration set for multi-table query mode. Over-approximate by

@@ -266,3 +266,65 @@ def test_multi_table_tiered_joins_hot_and_cold(spark, tmp_path):
     )
     assert r.status_code == 200
     assert json.loads(r.get_data()) == [{"cpu": "90", "mem": "512"}]
+
+
+def test_cte_and_derived_tables_behind_flag(multi_client):
+    """Multi-table mode also relaxes the parse_select restriction for
+    read statements: WITH/CTE and derived tables run; INSERT stays
+    rejected; a CTE touching no table of the namespace is 404."""
+    _w(multi_client, "ns", "cpu", "90", 1, {"host": "a"})
+    _w(multi_client, "ns", "cpu", "10", 2, {"host": "b"})
+    r = multi_client.post(
+        "/api/v1/query",
+        json={
+            "namespace": "ns",
+            "query": "WITH hot AS (SELECT * FROM cpu WHERE value > '50') "
+            "SELECT count(*) AS n FROM hot",
+            "format": "Json",
+        },
+    )
+    assert r.status_code == 200
+    assert json.loads(r.get_data()) == [{"n": 1}]
+    r = multi_client.post(
+        "/api/v1/query",
+        json={
+            "namespace": "ns",
+            "query": "SELECT max(value) AS m FROM (SELECT value FROM cpu) t",
+            "format": "Json",
+        },
+    )
+    assert r.status_code == 200
+    assert json.loads(r.get_data()) == [{"m": "90"}]
+    # writes rejected in every mode
+    assert (
+        multi_client.post(
+            "/api/v1/query",
+            json={"namespace": "ns", "query": "INSERT INTO cpu VALUES (1)"},
+        ).status_code
+        == 500
+    )
+    # CTE referencing nothing in this namespace -> 404 like unknown table
+    assert (
+        multi_client.post(
+            "/api/v1/query",
+            json={
+                "namespace": "ns",
+                "query": "WITH x AS (SELECT 1 AS a) SELECT * FROM x",
+            },
+        ).status_code
+        == 404
+    )
+
+
+def test_cte_still_rejected_by_default(client):
+    _w(client, "ns", "cpu", "1", 1)
+    assert (
+        client.post(
+            "/api/v1/query",
+            json={
+                "namespace": "ns",
+                "query": "WITH h AS (SELECT * FROM cpu) SELECT * FROM h",
+            },
+        ).status_code
+        == 500
+    )
