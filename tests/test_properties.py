@@ -52,3 +52,63 @@ def test_partition_key_matches_utc_date(ts):
         datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(microseconds=ts)
     ).strftime("%Y-%m-%d")
     assert partition_key(ts) == expected
+
+
+_ops = st.sampled_from([">", ">=", "<", "<=", "="])
+_day_lits = st.integers(min_value=0, max_value=9).map(
+    lambda d: f"1970-01-{d + 1:02d}"
+)
+_hour_lits = st.tuples(
+    st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=23)
+).map(lambda t: f"1970-01-{t[0] + 1:02d} {t[1]:02d}:00:00")
+_lits = st.one_of(_day_lits, _hour_lits)
+_conjunct = st.tuples(_ops, _lits, st.booleans())  # (op, literal, reversed)
+
+
+@given(
+    conjs=st.lists(_conjunct, min_size=1, max_size=3),
+    ts_list=st.lists(
+        st.integers(min_value=0, max_value=10 * 86_400_000_000 - 1),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_time_bound_pruning_is_sound(conjs, ts_list):
+    """SOUNDNESS of day pruning: for any conjunction of timestamp
+    comparisons, every row satisfying the predicate lives in a day the
+    pruner kept — pruning may keep too much, never too little."""
+    from lynx_spark.buffer import partition_key
+    from lynx_spark.sqlutil import extract_time_bounds
+
+    from lynx_spark.buffer import Measurements
+    from lynx_spark.engine import select_days
+
+    parts = []
+    flip = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "=": "="}
+    for op, lit, rev in conjs:
+        parts.append(
+            f"'{lit}' {flip[op]} timestamp" if rev else f"timestamp {op} '{lit}'"
+        )
+    sql = "SELECT * FROM t WHERE " + " AND ".join(parts)
+    lo, hi = extract_time_bounds(sql)
+    buckets = {partition_key(ts) for ts in ts_list}
+    selected = set(
+        select_days({d: Measurements() for d in buckets}, sql)
+    )
+
+    def us(lit: str) -> int:
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in lit else "%Y-%m-%d"
+        dt = datetime.strptime(lit, fmt).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    py_op = {
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        "=": lambda a, b: a == b,
+    }
+    for ts in ts_list:
+        if all(py_op[op](ts, us(lit)) for op, lit, _ in conjs):
+            assert partition_key(ts) in selected, (sql, ts, lo, hi)
