@@ -213,3 +213,140 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cos_sim", "rnk")
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+IVF_K = 8  # coarse-quantizer centroids
+IVF_ITERS = 2  # fixed Lloyd iterations (determinism > convergence)
+IVF_NPROBE = 2  # centroids probed per query
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left-fold (position order),
+    the same accumulation order as the oracle's list_sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroids_lit(centroids: list[list[float]]) -> Column:
+    """The k×dim model as ONE array<array<double>> literal. Distances
+    are then computed by a runtime ``transform`` loop over it — the
+    generated code stays small and compiles fast, instead of k
+    unrolled fold expressions per row."""
+    return F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+
+
+def _ivf_dist_pairs(v: Column, centroids: list[list[float]]) -> Column:
+    """array of (rounded distance, cid) structs — array_sort on them is
+    a deterministic total order (8dp distance, then id) both engines
+    share, so argmin/probe choices match the SQL oracle even at
+    FP-noise boundaries."""
+    return F.transform(
+        _centroids_lit(centroids),
+        lambda cv, i: F.struct(
+            F.round(_l2sq(v, cv), 8).alias("d"),
+            i.cast("long").alias("cid"),
+        ),
+    )
+
+
+def _ivf_assign(v: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (rounded-distance argmin, id tie-break)."""
+    return F.array_sort(_ivf_dist_pairs(v, centroids))[0].getField("cid")
+
+
+def _ivf_probe_cids(
+    v: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """Array of the nprobe nearest centroid ids."""
+    return F.slice(
+        F.array_sort(_ivf_dist_pairs(v, centroids)), 1, nprobe
+    ).getField("cid")
+
+
+def train_ivf_centroids(
+    vecs: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer: seeds = the k vectors
+    with the lowest ids; a fixed number of Lloyd iterations; centroid
+    means via SORTED sums rounded to 6dp — summation order is the one
+    thing two engines can disagree on, and sorting removes it, so the
+    DuckDB oracle trains the bit-identical model. The k×dim model is
+    the only thing collected to the driver (it IS the model — the same
+    shape MLlib would give); every per-vector step stays distributed."""
+    centroids = [
+        list(r["v"]) for r in vecs.orderBy("nid").limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = vecs.withColumn("cid", _ivf_assign(F.col("v"), centroids))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.expr(
+                    "round(aggregate(array_sort(collect_list(val)), "
+                    "cast(0 as double), (a, x) -> a + x) / count(*), 6)"
+                ).alias("m")
+            )
+        )
+        new = {c: list(old) for c, old in enumerate(centroids)}
+        for r in means.collect():  # k*dim scalars: model-sized, tiny
+            new[r["cid"]][r["pos"]] = r["m"]
+        centroids = [new[c] for c in range(k)]
+    return centroids
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_query_id: int,
+    k: int = 3,
+    n_centroids: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k — the trained-quantizer alternative to the
+    hyperplane LSH path: vectors partition into centroid cells, a query
+    scans only its nprobe nearest cells, exact cosine re-ranks. At
+    corpus scale the cell assignment is one codegen'd projection and
+    candidates meet by cell-id equality — never a cross join; recall
+    is tuned by n_centroids/nprobe exactly like FAISS's IVF."""
+    from pyspark.sql.window import Window
+
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    centroids = train_ivf_centroids(vecs, n_centroids, iters)
+    # cell assignment feeds the candidate join and the re-rank
+    vecs = vecs.withColumn("cid", _ivf_assign(F.col("v"), centroids)).persist()
+    vecs.count()
+    queries = vecs.filter(F.col("nid") < max_query_id).select(
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(
+            _ivf_probe_cids(F.col("v"), centroids, nprobe)
+        ).alias("cid"),
+    )
+    scored = (
+        vecs.select("cid", "nid", "v")
+        .join(F.broadcast(queries), "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 5))
+        .select("qid", "nid", "cos_sim")
+        .distinct()  # a pair may meet in several probed cells
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )

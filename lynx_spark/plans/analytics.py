@@ -1461,6 +1461,93 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(
+    max_query_id: int = 20,
+    k: int = 3,
+    n_centroids: int = sim.IVF_K,
+    iters: int = sim.IVF_ITERS,
+    nprobe: int = sim.IVF_NPROBE,
+) -> str:
+    """The IVF oracle TRAINS the same quantizer in SQL: seed centroids
+    = the k lowest-id vectors, fixed Lloyd iterations with
+    sorted-sum/rounded means (summation order is the only cross-engine
+    divergence and sorting removes it — verified bit-identical), then
+    probe + exact-cosine re-rank. Distances are rounded to 8dp before
+    every argmin, mirroring operators/similarity._ivf_assign."""
+    dist = (
+        "round(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), 8)"
+    )
+    iter_ctes = []
+    prev = "c0"
+    for it in range(1, iters + 1):
+        d = dist.format(a="x.v", b="c.cv")
+        iter_ctes.append(f"""
+a{it} AS (
+  SELECT x.nid, x.v,
+    (SELECT c.cid FROM {prev} c ORDER BY {d}, c.cid LIMIT 1) AS cid
+  FROM v x),
+m{it} AS (
+  SELECT cid, pos, round(list_sum(list_sort(list(val))) / count(*), 6) AS m
+  FROM (SELECT a.cid, u.i AS pos, a.v[u.i] AS val
+        FROM a{it} a CROSS JOIN LATERAL unnest(range(1, len(a.v) + 1)) u(i))
+  GROUP BY cid, pos),
+c{it} AS (
+  SELECT m.cid, list(m.m ORDER BY m.pos) AS cv FROM m{it} m GROUP BY m.cid
+  UNION ALL
+  SELECT c.cid, c.cv FROM {prev} c
+  WHERE c.cid NOT IN (SELECT cid FROM m{it}))""")
+        prev = f"c{it}"
+    d_final = dist.format(a="x.v", b="c.cv")
+    d_probe = dist.format(a="q.v", b="c.cv")
+    return f"""
+WITH v AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY nid) - 1 AS BIGINT) AS cid, v AS cv
+  FROM (SELECT nid, v FROM v ORDER BY nid LIMIT {n_centroids})),
+{",".join(iter_ctes)},
+af AS (
+  SELECT x.nid, x.v,
+    (SELECT c.cid FROM {prev} c ORDER BY {d_final}, c.cid LIMIT 1) AS cid
+  FROM v x),
+probes AS (
+  SELECT q.nid AS qid, q.v AS qv, c.cid
+  FROM v q, {prev} c
+  WHERE q.nid < {max_query_id}
+  QUALIFY row_number() OVER (PARTITION BY q.nid
+    ORDER BY {d_probe}, c.cid) <= {nprobe}),
+cand AS (
+  SELECT DISTINCT p.qid, p.qv, a.nid, a.v
+  FROM probes p JOIN af a ON a.cid = p.cid AND a.nid <> p.qid),
+elems AS (SELECT qid, nid, unnest(qv) AS x, unnest(v) AS y FROM cand),
+sums AS (
+  SELECT qid, nid,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cos_sim
+  FROM elems GROUP BY qid, nid),
+ranked AS (
+  SELECT qid, nid, cos_sim,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
+         AS BIGINT) AS rnk
+  FROM sums)
+SELECT qid, nid, cos_sim, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+@q(
+    "q25b_ann_ivf",
+    oracle=_ivf_oracle(),
+    description="approximate NN via IVF (deterministically trained "
+    "k-means coarse quantizer, nprobe cell scan, exact re-rank) — the "
+    "trained-index alternative to q25's LSH; the oracle trains the "
+    "bit-identical model in SQL",
+)
+def q25b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_ann_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        max_query_id=20, k=3,
+    )
+
+
 def _embed_dedup_oracle(threshold: float = 0.8) -> str:
     bucket_cols = []
     for t in range(sim.NUM_TABLES):

@@ -361,3 +361,25 @@ def test_embed_dedup_bucket_cap_star(spark):
     got = {(r["a_id"], r["b_id"]) for r in pairs}
     assert got == {(0, i) for i in range(1, 20)}
     assert all(r["cos_sim"] == 1.0 for r in pairs)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with a trained coarse quantizer must recover a reasonable
+    fraction of true top-k neighbors (synthetic embeddings have weak
+    structure, so the bar is recall > 0.2 like the LSH test, and every
+    returned neighbor must be a real vector with sane ranks)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["qid"], r["nid"])
+        for r in sim.cosine_topk(df, "vec_id", "embedding", 10, k=3).collect()
+    }
+    approx = sim.ivf_ann_topk(df, "vec_id", "embedding", 10, k=3).collect()
+    got = {(r["qid"], r["nid"]) for r in approx}
+    assert all(1 <= r["rnk"] <= 3 for r in approx)
+    assert len(got & exact) / len(exact) > 0.2
+    # deterministic: same call, same result
+    again = {
+        (r["qid"], r["nid"])
+        for r in sim.ivf_ann_topk(df, "vec_id", "embedding", 10, k=3).collect()
+    }
+    assert again == got
