@@ -111,3 +111,107 @@ def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
                 cond = cond & (scores[lang] >= scores[other])
         result = F.when(cond, F.lit(lang)).otherwise(result)
     return df.withColumn("lang_pred", result)
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+WINNOW_K = 5  # char-gram length
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+def _with_winnow_fps(
+    df: DataFrame, text_col: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Adds ``fps``: the winnowing fingerprint set (Schleimer et al.,
+    MOSS): rolling char k-grams over whitespace-normalized lowercase
+    text -> md5 -> min hash per window of w consecutive grams ->
+    distinct. The min-per-window rule guarantees any shared substring
+    of length >= k+w-1 contributes a shared fingerprint, so PARTIAL
+    overlaps surface without comparing full texts (md5 hex compares
+    lexicographically the same in every engine). All JVM-side:
+    transform / slice / array_min; no Python per row."""
+    return (
+        df.withColumn(
+            "_norm",
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        )
+        .withColumn(
+            "_hs",
+            F.expr(
+                f"CASE WHEN length(_norm) >= {k} THEN "
+                f"transform(sequence(1, length(_norm) - {k - 1}), "
+                f"i -> md5(substr(_norm, i, {k}))) "
+                f"ELSE cast(array() AS array<string>) END"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.expr(
+                f"CASE WHEN size(_hs) >= {w} THEN "
+                f"array_distinct(transform(sequence(1, size(_hs) - {w - 1}), "
+                f"j -> array_min(slice(_hs, j, {w})))) "
+                f"ELSE cast(array() AS array<string>) END"
+            ),
+        )
+        .drop("_norm", "_hs")
+    )
+
+
+def with_winnow_summary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Per-document fingerprint summary (count + lexicographic min) —
+    the oracle-checkable face of the winnowing pipeline."""
+    return _with_winnow_fps(df, text_col, k, w).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_common: int = 2,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Document pairs sharing >= min_common winnowing fingerprints —
+    partial-overlap / plagiarism detection (a copied paragraph matches
+    even when the rest of both documents differs, which Jaccard-style
+    whole-document similarity misses). Same inverted-index +
+    document-frequency-cap shape as the shingle joins: fingerprints
+    hotter than max_doc_freq are boilerplate and are dropped before
+    the self-join (count window fused into the build, no extra
+    pass)."""
+    from pyspark.sql.window import Window
+
+    fp = (
+        _with_winnow_fps(df, text_col, k, w)
+        .select(F.col(id_col).alias("doc"), F.explode("fps").alias("fp"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        win = Window.partitionBy("fp")
+        fp = (
+            fp.withColumn("_df", F.count("*").over(win))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

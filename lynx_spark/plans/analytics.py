@@ -32,12 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lynx_spark.functions import text as tx
 from lynx_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     with_fingerprint,
     with_language,
     with_text_stats,
+    with_winnow_summary,
 )
 from lynx_spark.operators import dedup as dd
 from lynx_spark.operators import similarity as sim
@@ -1700,6 +1702,38 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(T(spark, sf_dir, "documents"), "text").select(
         "doc_id", "fingerprint"
     )
+
+
+@q(
+    "q29b_winnow_fingerprints",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {tx.WINNOW_K} THEN
+      list_transform(generate_series(1, len(t) - {tx.WINNOW_K - 1}),
+                     i -> md5(substr(t, i, {tx.WINNOW_K})))
+    ELSE []::VARCHAR[] END AS hs
+  FROM norm),
+f AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= {tx.WINNOW_W} THEN
+      list_distinct(list_transform(
+        generate_series(1, len(hs) - {tx.WINNOW_W - 1}),
+        j -> list_min(hs[j:j + {tx.WINNOW_W - 1}])))
+    ELSE []::VARCHAR[] END AS fps
+  FROM g)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, list_min(fps) AS min_fp
+FROM f
+""",
+    description="winnowing rolling-hash fingerprints (MOSS): per-doc "
+    "fingerprint count + min — the partial-overlap detection tier "
+    "above whole-document md5 (q29)",
+)
+def q29b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_winnow_summary(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @q(

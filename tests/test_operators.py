@@ -383,3 +383,35 @@ def test_ivf_recall_vs_brute_force(spark):
         for r in sim.ivf_ann_topk(df, "vec_id", "embedding", 10, k=3).collect()
     }
     assert again == got
+
+
+def test_winnow_overlap_detects_copied_passage(spark):
+    """Winnowing finds PARTIAL overlap (a copied passage inside
+    otherwise-different documents) that whole-document fingerprints
+    and high-threshold Jaccard both miss; disjoint docs don't pair."""
+    from lynx_spark.functions.text import (
+        winnow_overlap_pairs,
+        with_winnow_summary,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{shared} plus a unique tail about spark physical plans"),
+        (2, f"a completely different preamble then {shared} and more"),
+        (3, "nothing in common with the others at all whatsoever here"),
+        (4, ""),  # degenerate: no fingerprints, must not crash or pair
+        (5, "tiny"),  # shorter than k
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["a_id"], r["b_id"]): r["n_common"]
+        for r in winnow_overlap_pairs(df, "doc_id", "text", min_common=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pairs)
+    summary = {
+        r["doc_id"]: r for r in with_winnow_summary(df, "doc_id", "text").collect()
+    }
+    assert summary[4]["n_fp"] == 0 and summary[4]["min_fp"] is None
+    assert summary[5]["n_fp"] == 0
+    assert summary[1]["n_fp"] > 0
