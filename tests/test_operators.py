@@ -415,3 +415,27 @@ def test_winnow_overlap_detects_copied_passage(spark):
     assert summary[4]["n_fp"] == 0 and summary[4]["min_fp"] is None
     assert summary[5]["n_fp"] == 0
     assert summary[1]["n_fp"] > 0
+
+
+def test_video_frame_sampling_plumbing(spark):
+    from lynx_spark.operators.multimodal import resize_image, sample_video_frames
+
+    rows = [
+        (1, bytearray(bytes(range(256)) * 4)),  # 1 KiB "video"
+        (2, bytearray(b"xy")),  # shorter than n_frames -> no rows
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary").repartition(2)
+    out = sample_video_frames(df, "doc_id", "blob", n_frames=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [1]
+    frames = sorted(by_doc[1], key=lambda r: r["frame_no"])
+    assert [f["frame_no"] for f in frames] == [0, 1, 2, 3]
+    assert [f["frame_offset"] for f in frames] == [0, 256, 512, 768]
+    # deterministic: same input -> same hashes
+    again = sample_video_frames(df, "doc_id", "blob", n_frames=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG\r\n\x1a\n...", 8, 8)
