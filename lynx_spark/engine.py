@@ -151,9 +151,13 @@ class LynxEngine:
         queries (possibly other namespaces) that this query did not
         re-register — otherwise a JOIN against a table this namespace
         lacks would silently read another namespace's stale view
-        instead of erroring. Called under _query_lock."""
+        instead of erroring. The catalog stores view names lowercased,
+        so the keep-set comparison must be case-insensitive or a
+        mixed-case measurement's fresh view would be swept. Called
+        under _query_lock."""
+        keep_lower = {n.lower() for n in keep}
         for t in self.spark.catalog.listTables():
-            if t.isTemporary and t.name not in keep:
+            if t.isTemporary and t.name.lower() not in keep_lower:
                 self.spark.catalog.dropTempView(t.name)
 
 

@@ -190,20 +190,15 @@ def winnow_overlap_pairs(
     hotter than max_doc_freq are boilerplate and are dropped before
     the self-join (count window fused into the build, no extra
     pass)."""
-    from pyspark.sql.window import Window
+    from lynx_spark.operators.dedup import cap_doc_freq
 
-    fp = (
+    fp = cap_doc_freq(
         _with_winnow_fps(df, text_col, k, w)
         .select(F.col(id_col).alias("doc"), F.explode("fps").alias("fp"))
-        .distinct()
+        .distinct(),
+        max_doc_freq,
+        key_col="fp",
     )
-    if max_doc_freq is not None:
-        win = Window.partitionBy("fp")
-        fp = (
-            fp.withColumn("_df", F.count("*").over(win))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
     a = fp.alias("a")
     b = fp.alias("b")
     return (

@@ -50,19 +50,22 @@ MAX_BAND_BUCKET = 200
 
 
 def cap_doc_freq(
-    sh: DataFrame, max_doc_freq: int | None = MAX_SHINGLE_DF
+    sh: DataFrame,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+    key_col: str = "shingle",
 ) -> DataFrame:
-    """Drop shingles whose document frequency exceeds the cap — the
-    standalone form (count window keyed by shingle, no extra pass over
-    the documents). The internal pipeline fuses the same window into
-    the shingle table's one materialization (_capped_shingles_cached),
-    where the cache then carries hashpartitioning(shingle) straight
-    into the inverted-index self-join."""
+    """Drop keys whose document frequency exceeds the cap: a count
+    window over the key, fused into whatever pass computes ``sh`` (no
+    extra job), leaving the output hash-partitioned by the key — which
+    the inverted-index self-joins downstream consume with no further
+    exchange. THE single implementation of the cap: the shingle
+    pipeline (_capped_shingles_cached) and the winnowing overlap join
+    both call it."""
     if max_doc_freq is None:
         return sh
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("shingle")
+    w = Window.partitionBy(key_col)
     return (
         sh.withColumn("_df", F.count("*").over(w))
         .filter(F.col("_df") <= max_doc_freq)
@@ -85,17 +88,9 @@ def _capped_shingles_cached(
     hashpartitioning(shingle) — the inverted-index self-join
     downstream joins ON shingle, so it reads the cache with NO further
     exchange. One shuffle builds the table; the cap itself is free."""
-    sh = shingle_table(df, id_col, text_col, n)
-    if max_doc_freq is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count("*").over(w))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
-    sh = sh.persist()
+    sh = cap_doc_freq(
+        shingle_table(df, id_col, text_col, n), max_doc_freq
+    ).persist()
     sh.count()  # eager: branches must read the cache, not race to fill it
     return sh
 

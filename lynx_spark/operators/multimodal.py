@@ -94,8 +94,15 @@ def parse_wav_header(data: bytes) -> dict | None:
         (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
         if chunk_id == b"fmt " and body + 16 <= len(data):
+            (audio_format,) = struct.unpack_from("<H", data, body)
             channels, sample_rate = struct.unpack_from("<HI", data, body + 2)
             block_align, bits = struct.unpack_from("<HH", data, body + 12)
+            # only uncompressed frames make n_samples = data/block_align
+            # meaningful: PCM (1), IEEE float (3), extensible (0xFFFE).
+            # Compressed WAVE (MP3/ADPCM tags) would report garbage
+            # durations as real metadata — reject instead.
+            if audio_format not in (1, 3, 0xFFFE):
+                return None
             fmt = {
                 "channels": channels,
                 "sample_rate": sample_rate,
@@ -254,9 +261,12 @@ def resize_image(data: bytes, width: int, height: int) -> bytes:
 
         from PIL import Image  # noqa: PLC0415
 
-        img = Image.open(io.BytesIO(data)).resize((width, height))
+        src = Image.open(io.BytesIO(data))
+        # capture before resize(): PIL only sets .format on opened
+        # images, the resized copy would always report None
+        fmt = src.format or "PNG"
         out = io.BytesIO()
-        img.save(out, format=img.format or "PNG")
+        src.resize((width, height)).save(out, format=fmt)
         return out.getvalue()
     except ImportError as e:
         raise NotImplementedError(

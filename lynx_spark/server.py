@@ -116,18 +116,22 @@ def main() -> None:
         default=os.environ.get("LYNX_COLD_DIRECTORY"),
         help="enable the tiered engine (superset; absent in the reference)",
     )
+    def env_flag(name: str) -> bool:
+        return os.environ.get(name, "").strip().lower() not in (
+            "", "0", "false", "no", "off",
+        )
+
     parser.add_argument(
         "--expose-day",
         action="store_true",
-        default=os.environ.get("LYNX_EXPOSE_DAY", "") not in ("", "0", "false"),
+        default=env_flag("LYNX_EXPOSE_DAY"),
         help="surface the tiered engine's day partition column in query "
         "results (flagged superset; default keeps reference schema parity)",
     )
     parser.add_argument(
         "--multi-table",
         action="store_true",
-        default=os.environ.get("LYNX_MULTI_TABLE", "")
-        not in ("", "0", "false"),
+        default=env_flag("LYNX_MULTI_TABLE"),
         help="register every referenced table of the namespace so JOINs "
         "work over the ingest surface (flagged superset; default matches "
         "the reference: only the first FROM table exists)",

@@ -92,6 +92,28 @@ def atomic_write_json(path: Path, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+def committed_stream_batch(
+    cold_dir: Path, sink_id: str, batch_id: int
+) -> bool:
+    """Has this (sink, batch) already committed? True when its commit
+    file exists OR a snapshot has folded it (snapshots record each
+    sink's max committed batch id; micro-batches commit in order, so
+    max implies all-below). The streaming sink's replay-skip check."""
+    cdir = Path(cold_dir) / COMMITS_DIR
+    if (cdir / f"{sink_id}-{batch_id:09d}.json").exists():
+        return True
+    if not cdir.exists():
+        return False
+    for p in cdir.glob("snapshot-*.json"):
+        try:
+            snap = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if snap.get("stream_batches", {}).get(sink_id, -1) >= batch_id:
+            return True
+    return False
+
+
 class TieredEngine(LynxEngine):
     """LynxEngine + cold parquet tier with an exactly-once commit log."""
 
@@ -109,7 +131,34 @@ class TieredEngine(LynxEngine):
         self.cold_dir.mkdir(parents=True, exist_ok=True)
         self.expose_day = expose_day
         self._commit_cache: dict[str, dict] = {}
+        self._bootstrap_legacy_commit()
+        # the directory's existence marks "managed by the commit-log
+        # engine": created eagerly so a crash before the FIRST commit
+        # leaves the marker, and its orphan files are never mistaken
+        # for adoptable legacy data on restart
+        (self.cold_dir / COMMITS_DIR).mkdir(exist_ok=True)
         super().__init__(spark, wal_dir, max_segment_size, multi_table)
+
+    def _bootstrap_legacy_commit(self) -> None:
+        """Adopt a cold directory written before the commit log
+        existed: if there is parquet but no _commits/ at all (not even
+        the empty marker this engine creates at init), register every
+        present data file in one bootstrap commit so previously
+        queryable rows stay visible after the upgrade (no watermarks —
+        the old flush compacted the WAL synchronously, so those rows
+        are not in it)."""
+        if (self.cold_dir / COMMITS_DIR).exists():
+            return
+        legacy = [
+            str(p.relative_to(self.cold_dir))
+            for p in sorted(self.cold_dir.rglob("*.parquet"))
+            if p.relative_to(self.cold_dir).parts[0] not in RESERVED_DIRS
+        ]
+        if legacy:
+            atomic_write_json(
+                self.cold_dir / COMMITS_DIR / "legacy-000000.json",
+                {"files": legacy, "watermarks": {}},
+            )
 
     # ------------------------------------------------------- commit log
 
@@ -157,29 +206,27 @@ class TieredEngine(LynxEngine):
     COMMIT_COMPACT_THRESHOLD = 64
 
     def _maybe_compact_commits(self) -> None:
-        """Fold accumulated flush commits into one snapshot commit so
-        the per-query commit listing stays O(1) across thousands of
-        flushes. Only engine-owned ``flush-*``/``snapshot-*`` entries
-        are merged — a streaming sink's batch-keyed commits must stay
-        as files because the sink's replay-skip check is the file's
-        existence. Safe against concurrent readers: the snapshot is
-        renamed in before the merged files are unlinked, and every
+        """Fold accumulated commits into one snapshot so the per-query
+        commit listing stays O(1) across thousands of flushes AND
+        long-lived streaming sinks. Stream commits fold too: the
+        snapshot records each sink's max committed batch id
+        (micro-batches commit in order, so max means all-below), and
+        the sink's replay-skip check consults it alongside the file
+        existence check. Safe against concurrent readers: the snapshot
+        is renamed in before the merged files are unlinked, and every
         reader unions whatever set of files it lists (snapshot ⊇
         merged), so any interleaving yields the same visibility.
         Called under _wal_lock."""
         cdir = self.cold_dir / COMMITS_DIR
         if not cdir.exists():
             return
-        mergeable = [
-            p
-            for p in cdir.glob("*.json")
-            if p.name.startswith(("flush-", "snapshot-"))
-        ]
+        mergeable = list(cdir.glob("*.json"))
         if len(mergeable) < self.COMMIT_COMPACT_THRESHOLD:
             return
         files: set[str] = set()
         watermarks: dict[str, int] = {}
         flush_ids: dict[str, int] = {}
+        stream_batches: dict[str, int] = {}
         snap_id = 0
         for p in sorted(mergeable):
             commit = self._commit_cache.get(p.name) or json.loads(
@@ -190,16 +237,23 @@ class TieredEngine(LynxEngine):
                 watermarks[ns] = max(watermarks.get(ns, -1), seg)
             for ns, fid in commit.get("flush_ids", {}).items():
                 flush_ids[ns] = max(flush_ids.get(ns, 0), fid)
+            for sid, bid in commit.get("stream_batches", {}).items():
+                stream_batches[sid] = max(stream_batches.get(sid, -1), bid)
             name = p.name.removesuffix(".json")
+            tail = name.rsplit("-", 1)[-1]
             if name.startswith("flush-"):
-                tail = name.rsplit("-", 1)[-1]
                 ns = name[len("flush-") : -(len(tail) + 1)]
                 if tail.isdigit():
                     flush_ids[ns] = max(flush_ids.get(ns, 0), int(tail))
             elif name.startswith("snapshot-"):
-                tail = name.rsplit("-", 1)[-1]
                 if tail.isdigit():
                     snap_id = max(snap_id, int(tail))
+            elif not name.startswith("legacy"):  # a stream batch commit
+                sid = name[: -(len(tail) + 1)]
+                if tail.isdigit() and sid:
+                    stream_batches[sid] = max(
+                        stream_batches.get(sid, -1), int(tail)
+                    )
         snap = cdir / f"snapshot-{snap_id + 1:06d}.json"
         atomic_write_json(
             snap,
@@ -207,12 +261,14 @@ class TieredEngine(LynxEngine):
                 "files": sorted(files),
                 "watermarks": watermarks,
                 "flush_ids": flush_ids,
+                "stream_batches": stream_batches,
             },
         )
         self._commit_cache[snap.name] = json.loads(snap.read_text())
         for p in mergeable:
-            p.unlink()
-            self._commit_cache.pop(p.name, None)
+            if p.name != snap.name:
+                p.unlink()
+                self._commit_cache.pop(p.name, None)
 
     # ------------------------------------------------------------ replay
 
@@ -295,23 +351,27 @@ class TieredEngine(LynxEngine):
         batch = measurements_to_arrow([m])
         out_dir = self.cold_dir / namespace / table / f"day={day}"
         out_dir.mkdir(parents=True, exist_ok=True)
-        tmp = out_dir / f".tmp-m{fid:06d}"
+        tmp = out_dir / f".tmp-flush{fid:06d}"
         pq.write_table(batch, tmp)
-        final = out_dir / f"part-m{fid:06d}-00000.parquet"
+        # "flush" prefix is reserved (the streaming sink rejects sink
+        # ids that could collide), so the orphan GC's glob below can
+        # never match another writer's files
+        final = out_dir / f"part-flush{fid:06d}-00000.parquet"
         tmp.rename(final)  # still invisible: not in any commit yet
         return batch.num_rows, final
 
     def _gc_flush_orphans(self, namespace: str, committed: set[str]) -> None:
         """Delete invisible flush leftovers (crash before commit).
-        Only flush-named files (part-m*) are touched — streaming files
-        (part-<sink>-*) are the streaming sink's to manage."""
+        Only flush-named files (part-flush*/.tmp-flush*) are touched —
+        streaming files (part-<sink>-*, sink ids validated to never
+        start with 'flush') are the streaming sink's to manage."""
         ns_dir = self.cold_dir / namespace
         if not ns_dir.exists():
             return
-        for p in ns_dir.rglob("part-m*.parquet"):
+        for p in ns_dir.rglob("part-flush*.parquet"):
             if str(p.relative_to(self.cold_dir)) not in committed:
                 p.unlink()
-        for p in ns_dir.rglob(".tmp-*"):
+        for p in ns_dir.rglob(".tmp-flush*"):
             p.unlink()
 
     def _compact_wal(self, drop_namespace: str) -> None:
@@ -345,15 +405,24 @@ class TieredEngine(LynxEngine):
 
     # ------------------------------------------------------------ query
 
-    def _cold_table(self, namespace: str, table: str) -> DataFrame | None:
+    def _cold_table(
+        self,
+        namespace: str,
+        table: str,
+        committed: set[str] | None = None,
+    ) -> DataFrame | None:
         """Committed cold files for (namespace, table) as one DataFrame
         — explicit file list (visibility = the commit log), basePath so
         the hive ``day`` partition column is still derived and
-        prunable."""
+        prunable. Pass the already-computed committed set when calling
+        in a loop (query does) to avoid re-reading the commit log per
+        table."""
+        if committed is None:
+            committed = self._committed_files()
         prefix = f"{namespace}/{table}/"
         files = [
             str(self.cold_dir / rel)
-            for rel in sorted(self._committed_files())
+            for rel in sorted(committed)
             if rel.startswith(prefix)
         ]
         if not files:
@@ -381,9 +450,10 @@ class TieredEngine(LynxEngine):
         table_name = self._target_table(sql)
         with self._wal_lock:
             tables = self.buffer.tables(namespace) or {}
+            committed = self._committed_files()
             cold_tables = {
                 rel.split("/", 2)[1]
-                for rel in self._committed_files()
+                for rel in committed
                 if rel.split("/", 2)[0] == namespace
             }
             candidates = set(tables) | cold_tables
@@ -398,7 +468,9 @@ class TieredEngine(LynxEngine):
             else:
                 names = {table_name}
             views = {
-                name: self._tiered_table_df(namespace, name, tables, sql)
+                name: self._tiered_table_df(
+                    namespace, name, tables, sql, committed
+                )
                 for name in sorted(names)
             }
         with self._query_lock:
@@ -414,6 +486,7 @@ class TieredEngine(LynxEngine):
         table_name: str,
         tables: dict,
         sql: str,
+        committed: set[str] | None = None,
     ) -> DataFrame:
         """hot ∪ cold for one table (caller holds _wal_lock and knows
         at least one tier has it)."""
@@ -428,7 +501,7 @@ class TieredEngine(LynxEngine):
                 # day as DATE to line up with the inferred type of
                 # the cold tier's hive partition column
                 hot = hot.withColumn("day", F.to_date("timestamp"))
-        cold = self._cold_table(namespace, table_name)
+        cold = self._cold_table(namespace, table_name, committed)
         if cold is not None:
             lo, hi = extract_time_bounds(sql)
             if lo is not None:

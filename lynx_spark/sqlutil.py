@@ -158,8 +158,19 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
     w = toks[where_start:where_end]
     wu = uppers[where_start:where_end]
     # WHERE-local bail-outs: disjunction/negation/conditionals mean a
-    # matched comparison may not be a required conjunct
-    if "OR" in wu or "NOT" in wu or "CASE" in wu or "WHEN" in wu:
+    # matched comparison may not be a required conjunct. "!" is Spark's
+    # prefix negation; "IS" covers the postfix negations IS FALSE /
+    # IS UNKNOWN / IS NOT TRUE (bailing on every IS also forgoes
+    # pruning for harmless IS [NOT] NULL conjuncts — sound, just
+    # conservative).
+    if (
+        "OR" in wu
+        or "NOT" in wu
+        or "CASE" in wu
+        or "WHEN" in wu
+        or "IS" in wu
+        or "!" in w
+    ):
         return None, None
 
     def lit_us(tok: str) -> int | None:

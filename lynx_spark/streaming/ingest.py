@@ -143,15 +143,32 @@ def stream_to_cold_tier(
     import os
     import shutil
 
-    from lynx_spark.sources.coldtier import COMMITS_DIR, atomic_write_json
+    from lynx_spark.sources.coldtier import (
+        COMMITS_DIR,
+        atomic_write_json,
+        committed_stream_batch,
+    )
 
+    # "flush"/"snapshot"/"legacy" prefixes are the engine's commit
+    # namespace (and the flush orphan GC deletes uncommitted
+    # part-flush* files, so a colliding sink id would lose data)
+    if sink_id.startswith(("flush", "snapshot", "legacy")):
+        raise ValueError(
+            f"sink_id {sink_id!r} collides with the engine's reserved "
+            "commit prefixes (flush/snapshot/legacy)"
+        )
     cold_dir = Path(cold_dir)
+    # eagerly create the managed-directory marker (see TieredEngine
+    # _bootstrap_legacy_commit): a crash before this sink's first
+    # commit must not let a later engine adopt the uncommitted files
+    # as legacy data
+    (cold_dir / COMMITS_DIR).mkdir(parents=True, exist_ok=True)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         commit_path = (
             cold_dir / COMMITS_DIR / f"{sink_id}-{batch_id:09d}.json"
         )
-        if commit_path.exists():
+        if committed_stream_batch(cold_dir, sink_id, batch_id):
             return  # replayed batch already committed: exactly-once
         stage = cold_dir / "_staging" / f"{sink_id}-{batch_id:09d}"
         rows = batch.withColumn("day", F.to_date("ts")).persist()

@@ -130,3 +130,15 @@ def test_pruned_query_results_unchanged(engine):
     engine.write(WriteRequest("ns", "cpu", "edge", {}, DAY_US))
     vals = [r["value"] for r in engine.query("ns", bounded).collect()]
     assert vals == ["day1", "day2", "edge"]
+
+
+def test_negated_predicates_refuse_pruning():
+    """r2 review: postfix/prefix negations must not be read as
+    conjunctive bounds (they select the COMPLEMENT of the range)."""
+    for sql in [
+        "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') IS FALSE",
+        "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') IS UNKNOWN",
+        "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') IS NOT TRUE",
+        "SELECT * FROM cpu WHERE !(timestamp >= '1970-01-02')",
+    ]:
+        assert extract_time_bounds(sql) == (None, None), sql

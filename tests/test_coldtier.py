@@ -337,3 +337,57 @@ def test_commit_log_compaction_bounded_and_exact(spark, tmp_path):
         r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect()
     )
     assert vals == sorted(f"v{i}" for i in range(13))
+
+
+def test_gc_never_touches_stream_named_files(tiered, tmp_path):
+    """r2 review: a streaming sink whose id starts with 'm' must not
+    have its uncommitted files deleted by the flush orphan GC (flush
+    files use the reserved part-flush prefix now)."""
+    stream_file = (
+        tmp_path / "cold/ns/cpu/day=1970-01-01/part-metrics-000000001-00000.parquet"
+    )
+    stream_file.parent.mkdir(parents=True, exist_ok=True)
+    stream_file.write_bytes(b"placeholder")
+    _write(tiered, "1", 1)
+    tiered.flush("ns")
+    assert stream_file.exists()  # sink's to manage, not the GC's
+
+
+def test_stream_sink_rejects_reserved_sink_ids(spark, tmp_path):
+    from lynx_spark.streaming import parse_write_stream, stream_to_cold_tier
+    from lynx_spark.streaming.ingest import WRITE_SCHEMA
+
+    (tmp_path / "in").mkdir()
+    raw = spark.readStream.schema(WRITE_SCHEMA).json(str(tmp_path / "in"))
+    for bad in ("flush", "flushy", "snapshot2", "legacy"):
+        with pytest.raises(ValueError, match="reserved"):
+            stream_to_cold_tier(
+                parse_write_stream(raw), tmp_path / "cold", tmp_path / "ck", bad
+            )
+
+
+def test_legacy_cold_dir_bootstraps_visibility(spark, tmp_path):
+    """r2 review: a pre-commit-log cold layout (round-1 format: bare
+    parquet, no _commits/) must stay queryable after the upgrade."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    legacy = tmp_path / "cold/ns/cpu/day=1970-01-01"
+    legacy.mkdir(parents=True)
+    table = pa.table(
+        {
+            "timestamp": pa.array([1], type=pa.timestamp("us")),
+            "value": pa.array(["old"], type=pa.string()),
+        }
+    )
+    pq.write_table(table, legacy / "part-00000.parquet")
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    vals = [r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()]
+    assert vals == ["old"]
+    # and new flushes coexist with the adopted files
+    _write(eng, "new", 2, ns="ns")
+    eng.flush("ns")
+    vals = sorted(
+        r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert vals == ["new", "old"]

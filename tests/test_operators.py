@@ -439,3 +439,19 @@ def test_video_frame_sampling_plumbing(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     with pytest.raises(NotImplementedError):
         resize_image(b"\x89PNG\r\n\x1a\n...", 8, 8)
+
+
+def test_parse_wav_header_rejects_compressed_wave():
+    """r2 review: compressed RIFF/WAVE (MP3/ADPCM format tags) must
+    not report garbage PCM durations as real metadata."""
+    from lynx_spark.operators.multimodal import parse_wav_header
+
+    wav = bytearray(_wav_bytes(8000, 1, 16, 100))
+    import struct as _s
+
+    _s.pack_into("<H", wav, 20, 0x0055)  # wFormatTag = MP3
+    assert parse_wav_header(bytes(wav)) is None
+    _s.pack_into("<H", wav, 20, 0x0002)  # ADPCM
+    assert parse_wav_header(bytes(wav)) is None
+    _s.pack_into("<H", wav, 20, 3)  # IEEE float stays accepted
+    assert parse_wav_header(bytes(wav)) is not None

@@ -328,3 +328,22 @@ def test_cte_still_rejected_by_default(client):
         ).status_code
         == 500
     )
+
+
+def test_multi_table_mixed_case_table_names(multi_client):
+    """r2 review: the catalog lowercases view names; the stale-view
+    sweep must not drop the views the query just registered for a
+    mixed-case measurement."""
+    _w(multi_client, "ns", "CpuLoad", "1", 1, {"host": "a"})
+    _w(multi_client, "ns", "MemUse", "2", 1, {"host": "a"})
+    r = multi_client.post(
+        "/api/v1/query",
+        json={
+            "namespace": "ns",
+            "query": "SELECT c.value AS a, m.value AS b FROM CpuLoad c "
+            "JOIN MemUse m ON c.host = m.host",
+            "format": "Json",
+        },
+    )
+    assert r.status_code == 200
+    assert json.loads(r.get_data()) == [{"a": "1", "b": "2"}]

@@ -281,3 +281,50 @@ def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
         r["value"] for r in spark.sql("SELECT * FROM dedup_test").collect()
     )
     assert vals == ["a", "b", "c"]  # one copy of 'a', not two
+
+
+def test_stream_commits_fold_into_snapshot_and_still_skip_replay(
+    spark, json_dir, tmp_path
+):
+    """r2 review: long-lived sinks must not grow the commit log
+    unboundedly — stream commits fold into the snapshot (per-sink max
+    batch id) — AND a replayed batch must STILL be skipped afterwards
+    (the skip check consults snapshots, not just file existence)."""
+    import shutil
+
+    from lynx_spark.sources.coldtier import TieredEngine
+
+    from lynx_spark.streaming import (
+        parse_write_stream,
+        read_write_stream,
+        stream_to_cold_tier,
+    )
+
+    cold = tmp_path / "cold"
+    ckpt = tmp_path / "ck_fold"
+    q = stream_to_cold_tier(
+        parse_write_stream(read_write_stream(spark, json_dir)), cold, ckpt
+    )
+    q.awaitTermination(120)
+
+    # engine flushes trigger commit-log compaction over EVERYTHING
+    from lynx_spark.model import WriteRequest
+
+    eng = TieredEngine(spark, tmp_path / "wal", cold, 1024)
+    eng.COMMIT_COMPACT_THRESHOLD = 1
+    eng.write(WriteRequest("other", "cpu", "x", {}, 1))
+    eng.flush("other")  # triggers commit-log compaction
+    names = [p.name for p in (cold / "_commits").glob("*.json")]
+    assert any(n.startswith("snapshot-") for n in names)
+    assert not any(n.startswith("stream-") for n in names), names
+
+    # full replay of the stream: batch 0 must be skipped via snapshot
+    shutil.rmtree(ckpt)
+    q = stream_to_cold_tier(
+        parse_write_stream(read_write_stream(spark, json_dir)), cold, ckpt
+    )
+    q.awaitTermination(120)
+    vals = sorted(
+        r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert vals == ["1", "2", "3"]  # not doubled
