@@ -98,10 +98,18 @@ def parse_wav_header(data: bytes) -> dict | None:
             channels, sample_rate = struct.unpack_from("<HI", data, body + 2)
             block_align, bits = struct.unpack_from("<HH", data, body + 12)
             # only uncompressed frames make n_samples = data/block_align
-            # meaningful: PCM (1), IEEE float (3), extensible (0xFFFE).
-            # Compressed WAVE (MP3/ADPCM tags) would report garbage
+            # meaningful: PCM (1), IEEE float (3), or an EXTENSIBLE
+            # (0xFFFE) wrapper whose SubFormat GUID's leading tag is
+            # one of those. Compressed WAVE (MP3/ADPCM tags, directly
+            # or behind the extensible wrapper) would report garbage
             # durations as real metadata — reject instead.
-            if audio_format not in (1, 3, 0xFFFE):
+            if audio_format == 0xFFFE:
+                if body + 26 > len(data):
+                    return None
+                (sub_tag,) = struct.unpack_from("<H", data, body + 24)
+                if sub_tag not in (1, 3):
+                    return None
+            elif audio_format not in (1, 3):
                 return None
             fmt = {
                 "channels": channels,

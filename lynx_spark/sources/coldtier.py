@@ -54,8 +54,10 @@ cannot be namespaces then).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
+import re
 from pathlib import Path
 
 import pyarrow.parquet as pq
@@ -79,6 +81,9 @@ from lynx_spark.wal import (
 COMMITS_DIR = "_commits"
 RESERVED_DIRS = frozenset({COMMITS_DIR, "_staging"})
 
+#: per-process sequence for writer-unique snapshot filenames
+_FOLD_SEQ = itertools.count()
+
 
 def atomic_write_json(path: Path, payload: dict) -> None:
     """Write JSON durably: tmp file, fsync, atomic rename. The rename
@@ -92,26 +97,154 @@ def atomic_write_json(path: Path, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+def adopt_legacy_layout(cold_dir: Path) -> None:
+    """Adopt a cold directory written before the commit log existed:
+    if there is parquet but no _commits/ at all (not even the empty
+    marker every commit-log writer creates at startup), register every
+    present data file in one bootstrap commit so previously queryable
+    rows stay visible after the upgrade (no watermarks — the old flush
+    compacted the WAL synchronously, so those rows are not in it).
+    Called by BOTH the engine and the streaming sink before they
+    create the marker — whichever touches the directory first must not
+    orphan the legacy data for the other."""
+    cold_dir = Path(cold_dir)
+    if (cold_dir / COMMITS_DIR).exists():
+        return
+    legacy = [
+        str(p.relative_to(cold_dir))
+        for p in sorted(cold_dir.rglob("*.parquet"))
+        if p.relative_to(cold_dir).parts[0] not in RESERVED_DIRS
+    ]
+    if legacy:
+        atomic_write_json(
+            cold_dir / COMMITS_DIR / "legacy-000000.json",
+            {"files": legacy, "watermarks": {}},
+        )
+
+
 def committed_stream_batch(
     cold_dir: Path, sink_id: str, batch_id: int
 ) -> bool:
     """Has this (sink, batch) already committed? True when its commit
     file exists OR a snapshot has folded it (snapshots record each
     sink's max committed batch id; micro-batches commit in order, so
-    max implies all-below). The streaming sink's replay-skip check."""
+    max implies all-below). The streaming sink's replay-skip check.
+
+    A snapshot read can race a concurrent snapshot replacement (listed
+    file unlinked before read): answering False then would re-execute
+    a committed batch and unlink VISIBLE files, so a vanished-file
+    read retries the whole check instead of being skipped."""
     cdir = Path(cold_dir) / COMMITS_DIR
-    if (cdir / f"{sink_id}-{batch_id:09d}.json").exists():
-        return True
-    if not cdir.exists():
-        return False
-    for p in cdir.glob("snapshot-*.json"):
-        try:
-            snap = json.loads(p.read_text())
-        except (OSError, json.JSONDecodeError):
-            continue
-        if snap.get("stream_batches", {}).get(sink_id, -1) >= batch_id:
+    for _ in range(10):
+        if (cdir / f"{sink_id}-{batch_id:09d}.json").exists():
             return True
-    return False
+        if not cdir.exists():
+            return False
+        retry = False
+        for p in cdir.glob("snapshot-*.json"):
+            try:
+                snap = json.loads(p.read_text())
+            except FileNotFoundError:
+                retry = True  # folded away mid-check; re-list
+                break
+            except (OSError, json.JSONDecodeError):
+                continue
+            if snap.get("stream_batches", {}).get(sink_id, -1) >= batch_id:
+                return True
+        if not retry:
+            return False
+    return False  # give up retrying; at-least-once is the fallback
+
+
+def compact_commits(
+    cold_dir: Path,
+    threshold: int,
+    cache: dict[str, dict] | None = None,
+) -> None:
+    """Fold accumulated commits into one snapshot so the per-query
+    commit listing stays O(1) across thousands of flushes AND
+    long-lived streaming sinks (both the engine's flush and the sink's
+    write_batch call this). Stream commits fold too: the snapshot
+    records each sink's max committed batch id (micro-batches commit
+    in order, so max means all-below), and the sink's replay-skip
+    check consults it alongside the file existence check.
+
+    Safe against concurrent readers AND concurrent folds: the snapshot
+    is renamed in before anything is unlinked, every reader unions
+    whatever set of files it lists (snapshot ⊇ merged), a commit file
+    another fold already consumed is skipped (its contents live in
+    that fold's snapshot, which this fold did not list and therefore
+    does not delete), and unlinks tolerate already-gone files."""
+    cdir = Path(cold_dir) / COMMITS_DIR
+    if not cdir.exists():
+        return
+    mergeable = list(cdir.glob("*.json"))
+    if len(mergeable) < threshold:
+        return
+    files: set[str] = set()
+    watermarks: dict[str, int] = {}
+    flush_ids: dict[str, int] = {}
+    stream_batches: dict[str, int] = {}
+    snap_id = 0
+    merged: list[Path] = []
+    for p in sorted(mergeable):
+        commit = (cache or {}).get(p.name)
+        if commit is None:
+            try:
+                commit = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue  # consumed by a concurrent fold; skip
+        merged.append(p)
+        files.update(commit.get("files", []))
+        for ns, seg in commit.get("watermarks", {}).items():
+            watermarks[ns] = max(watermarks.get(ns, -1), seg)
+        for ns, fid in commit.get("flush_ids", {}).items():
+            flush_ids[ns] = max(flush_ids.get(ns, 0), fid)
+        for sid, bid in commit.get("stream_batches", {}).items():
+            stream_batches[sid] = max(stream_batches.get(sid, -1), bid)
+        name = p.name.removesuffix(".json")
+        tail = name.rsplit("-", 1)[-1]
+        if name.startswith("flush-"):
+            ns = name[len("flush-") : -(len(tail) + 1)]
+            if tail.isdigit():
+                flush_ids[ns] = max(flush_ids.get(ns, 0), int(tail))
+        elif name.startswith("snapshot-"):
+            sid_part = name.split("-")[1] if "-" in name else ""
+            if sid_part.isdigit():
+                snap_id = max(snap_id, int(sid_part))
+        elif not name.startswith("legacy"):  # a stream batch commit
+            sid = name[: -(len(tail) + 1)]
+            if tail.isdigit() and sid:
+                stream_batches[sid] = max(
+                    stream_batches.get(sid, -1), int(tail)
+                )
+    if not merged:
+        return
+    # writer-unique filename: two uncoordinated folds (engine flush +
+    # streaming sink are separate threads/processes) must never
+    # REPLACE each other's snapshot — a replaced snapshot whose source
+    # commits were already unlinked would lose visibility. Unique
+    # names make concurrent snapshots additive; the next fold merges
+    # them into one.
+    snap = cdir / (
+        f"snapshot-{snap_id + 1:06d}-p{os.getpid()}-{next(_FOLD_SEQ)}.json"
+    )
+    atomic_write_json(
+        snap,
+        {
+            "files": sorted(files),
+            "watermarks": watermarks,
+            "flush_ids": flush_ids,
+            "stream_batches": stream_batches,
+        },
+    )
+    if cache is not None:
+        cache[snap.name] = json.loads(snap.read_text())
+    for p in merged:
+        if p.name != snap.name:
+            p.unlink(missing_ok=True)
+            if cache is not None:
+                cache.pop(p.name, None)
 
 
 class TieredEngine(LynxEngine):
@@ -131,34 +264,13 @@ class TieredEngine(LynxEngine):
         self.cold_dir.mkdir(parents=True, exist_ok=True)
         self.expose_day = expose_day
         self._commit_cache: dict[str, dict] = {}
-        self._bootstrap_legacy_commit()
-        # the directory's existence marks "managed by the commit-log
-        # engine": created eagerly so a crash before the FIRST commit
+        adopt_legacy_layout(self.cold_dir)
+        # the directory's existence marks "managed by a commit-log
+        # writer": created eagerly so a crash before the FIRST commit
         # leaves the marker, and its orphan files are never mistaken
         # for adoptable legacy data on restart
         (self.cold_dir / COMMITS_DIR).mkdir(exist_ok=True)
         super().__init__(spark, wal_dir, max_segment_size, multi_table)
-
-    def _bootstrap_legacy_commit(self) -> None:
-        """Adopt a cold directory written before the commit log
-        existed: if there is parquet but no _commits/ at all (not even
-        the empty marker this engine creates at init), register every
-        present data file in one bootstrap commit so previously
-        queryable rows stay visible after the upgrade (no watermarks —
-        the old flush compacted the WAL synchronously, so those rows
-        are not in it)."""
-        if (self.cold_dir / COMMITS_DIR).exists():
-            return
-        legacy = [
-            str(p.relative_to(self.cold_dir))
-            for p in sorted(self.cold_dir.rglob("*.parquet"))
-            if p.relative_to(self.cold_dir).parts[0] not in RESERVED_DIRS
-        ]
-        if legacy:
-            atomic_write_json(
-                self.cold_dir / COMMITS_DIR / "legacy-000000.json",
-                {"files": legacy, "watermarks": {}},
-            )
 
     # ------------------------------------------------------- commit log
 
@@ -206,69 +318,11 @@ class TieredEngine(LynxEngine):
     COMMIT_COMPACT_THRESHOLD = 64
 
     def _maybe_compact_commits(self) -> None:
-        """Fold accumulated commits into one snapshot so the per-query
-        commit listing stays O(1) across thousands of flushes AND
-        long-lived streaming sinks. Stream commits fold too: the
-        snapshot records each sink's max committed batch id
-        (micro-batches commit in order, so max means all-below), and
-        the sink's replay-skip check consults it alongside the file
-        existence check. Safe against concurrent readers: the snapshot
-        is renamed in before the merged files are unlinked, and every
-        reader unions whatever set of files it lists (snapshot ⊇
-        merged), so any interleaving yields the same visibility.
-        Called under _wal_lock."""
-        cdir = self.cold_dir / COMMITS_DIR
-        if not cdir.exists():
-            return
-        mergeable = list(cdir.glob("*.json"))
-        if len(mergeable) < self.COMMIT_COMPACT_THRESHOLD:
-            return
-        files: set[str] = set()
-        watermarks: dict[str, int] = {}
-        flush_ids: dict[str, int] = {}
-        stream_batches: dict[str, int] = {}
-        snap_id = 0
-        for p in sorted(mergeable):
-            commit = self._commit_cache.get(p.name) or json.loads(
-                p.read_text()
-            )
-            files.update(commit.get("files", []))
-            for ns, seg in commit.get("watermarks", {}).items():
-                watermarks[ns] = max(watermarks.get(ns, -1), seg)
-            for ns, fid in commit.get("flush_ids", {}).items():
-                flush_ids[ns] = max(flush_ids.get(ns, 0), fid)
-            for sid, bid in commit.get("stream_batches", {}).items():
-                stream_batches[sid] = max(stream_batches.get(sid, -1), bid)
-            name = p.name.removesuffix(".json")
-            tail = name.rsplit("-", 1)[-1]
-            if name.startswith("flush-"):
-                ns = name[len("flush-") : -(len(tail) + 1)]
-                if tail.isdigit():
-                    flush_ids[ns] = max(flush_ids.get(ns, 0), int(tail))
-            elif name.startswith("snapshot-"):
-                if tail.isdigit():
-                    snap_id = max(snap_id, int(tail))
-            elif not name.startswith("legacy"):  # a stream batch commit
-                sid = name[: -(len(tail) + 1)]
-                if tail.isdigit() and sid:
-                    stream_batches[sid] = max(
-                        stream_batches.get(sid, -1), int(tail)
-                    )
-        snap = cdir / f"snapshot-{snap_id + 1:06d}.json"
-        atomic_write_json(
-            snap,
-            {
-                "files": sorted(files),
-                "watermarks": watermarks,
-                "flush_ids": flush_ids,
-                "stream_batches": stream_batches,
-            },
+        """Engine-side trigger for the shared commit-log compaction
+        (see module-level compact_commits). Called under _wal_lock."""
+        compact_commits(
+            self.cold_dir, self.COMMIT_COMPACT_THRESHOLD, self._commit_cache
         )
-        self._commit_cache[snap.name] = json.loads(snap.read_text())
-        for p in mergeable:
-            if p.name != snap.name:
-                p.unlink()
-                self._commit_cache.pop(p.name, None)
 
     # ------------------------------------------------------------ replay
 
@@ -373,6 +427,19 @@ class TieredEngine(LynxEngine):
                 p.unlink()
         for p in ns_dir.rglob(".tmp-flush*"):
             p.unlink()
+        # one-time sweep of the pre-rename flush patterns (part-mNNNNNN
+        # / .tmp-mNNNNNN): equally engine-owned, never visible, and no
+        # longer produced — the exact-width match cannot touch a
+        # streaming sink's part-<sink>- files
+        for p in ns_dir.rglob("part-m*.parquet"):
+            if (
+                re.fullmatch(r"part-m\d{6}-\d{5}\.parquet", p.name)
+                and str(p.relative_to(self.cold_dir)) not in committed
+            ):
+                p.unlink()
+        for p in ns_dir.rglob(".tmp-m*"):
+            if re.fullmatch(r"\.tmp-m\d{6}", p.name):
+                p.unlink()
 
     def _compact_wal(self, drop_namespace: str) -> None:
         """Rewrite each closed segment without the flushed namespace's

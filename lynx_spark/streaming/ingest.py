@@ -145,23 +145,31 @@ def stream_to_cold_tier(
 
     from lynx_spark.sources.coldtier import (
         COMMITS_DIR,
+        adopt_legacy_layout,
         atomic_write_json,
         committed_stream_batch,
+        compact_commits,
     )
 
     # "flush"/"snapshot"/"legacy" prefixes are the engine's commit
     # namespace (and the flush orphan GC deletes uncommitted
-    # part-flush* files, so a colliding sink id would lose data)
+    # part-flush* files, so a colliding sink id would lose data); an
+    # empty id could never fold into snapshot stream_batches, breaking
+    # replay-skip after compaction
+    if not sink_id.strip():
+        raise ValueError("sink_id must be non-empty")
     if sink_id.startswith(("flush", "snapshot", "legacy")):
         raise ValueError(
             f"sink_id {sink_id!r} collides with the engine's reserved "
             "commit prefixes (flush/snapshot/legacy)"
         )
     cold_dir = Path(cold_dir)
-    # eagerly create the managed-directory marker (see TieredEngine
-    # _bootstrap_legacy_commit): a crash before this sink's first
+    # adopt any pre-commit-log parquet FIRST (a sink can be the first
+    # commit-log writer to touch an upgraded dir), then create the
+    # managed-directory marker: a crash before this sink's first
     # commit must not let a later engine adopt the uncommitted files
     # as legacy data
+    adopt_legacy_layout(cold_dir)
     (cold_dir / COMMITS_DIR).mkdir(parents=True, exist_ok=True)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -195,7 +203,11 @@ def stream_to_cold_tier(
                     ).distinct().collect()
                 )
                 out = subset.select(
-                    F.col("ts").alias("timestamp"),
+                    # TIMESTAMP_NTZ to match the engine flush's Arrow
+                    # schema — mixed LTZ/NTZ files in one table dir
+                    # fail mergeSchema reads (session tz is UTC, so
+                    # the wall-clock values are identical)
+                    F.col("ts").cast("timestamp_ntz").alias("timestamp"),
                     "value",
                     *[
                         F.col("metadata").getItem(k).alias(k)
@@ -231,6 +243,10 @@ def stream_to_cold_tier(
                     rels.append(str(dst.relative_to(cold_dir)))
             atomic_write_json(commit_path, {"files": rels, "watermarks": {}})
             shutil.rmtree(stage, ignore_errors=True)
+            # sink-side fold: a flush-less deployment must not grow
+            # the commit log unboundedly either (concurrent-fold safe:
+            # writer-unique snapshot names, see compact_commits)
+            compact_commits(cold_dir, threshold=64)
         finally:
             rows.unpersist()
 

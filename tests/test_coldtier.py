@@ -391,3 +391,120 @@ def test_legacy_cold_dir_bootstraps_visibility(spark, tmp_path):
         r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
     )
     assert vals == ["new", "old"]
+
+
+def test_legacy_adoption_survives_sink_first_contact(spark, tmp_path):
+    """r2 review pass 2: if a streaming sink is the FIRST commit-log
+    writer to touch an upgraded legacy dir, the legacy rows must still
+    be adopted (the sink runs the same adoption before creating the
+    marker)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    legacy = tmp_path / "cold/ns/cpu/day=1970-01-01"
+    legacy.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "timestamp": pa.array([1], type=pa.timestamp("us")),
+                "value": pa.array(["old"], type=pa.string()),
+            }
+        ),
+        legacy / "part-00000.parquet",
+    )
+    from lynx_spark.streaming import parse_write_stream, stream_to_cold_tier
+    from lynx_spark.streaming.ingest import WRITE_SCHEMA
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b.json").write_text(
+        _json.dumps(
+            {
+                "namespace": "ns",
+                "measurement": "cpu",
+                "value": "streamed",
+                "metadata": {},
+                "timestamp": 2,
+            }
+        )
+    )
+    raw = spark.readStream.schema(WRITE_SCHEMA).json(str(d))
+    q = stream_to_cold_tier(
+        parse_write_stream(raw), tmp_path / "cold", tmp_path / "ck"
+    )
+    q.awaitTermination(120)
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    vals = sorted(
+        r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert vals == ["old", "streamed"]
+
+
+def test_stream_sink_rejects_empty_sink_id(spark, tmp_path):
+    from lynx_spark.streaming import parse_write_stream, stream_to_cold_tier
+    from lynx_spark.streaming.ingest import WRITE_SCHEMA
+
+    (tmp_path / "in2").mkdir()
+    raw = spark.readStream.schema(WRITE_SCHEMA).json(str(tmp_path / "in2"))
+    for bad in ("", "   "):
+        with pytest.raises(ValueError, match="non-empty"):
+            stream_to_cold_tier(
+                parse_write_stream(raw), tmp_path / "cold", tmp_path / "ck", bad
+            )
+
+
+def test_gc_sweeps_pre_rename_orphan_patterns(tiered, tmp_path):
+    """r2 review pass 2: uncommitted leftovers in the OLD flush naming
+    (part-mNNNNNN) are swept, while sink-style part-m... names are
+    untouched."""
+    day = tmp_path / "cold/ns/cpu/day=1970-01-01"
+    day.mkdir(parents=True, exist_ok=True)
+    old_orphan = day / "part-m000007-00000.parquet"
+    old_orphan.write_bytes(b"x")
+    old_tmp = day / ".tmp-m000007"
+    old_tmp.write_bytes(b"x")
+    sinkish = day / "part-metrics-000000001-00000.parquet"
+    sinkish.write_bytes(b"x")
+    _write(tiered, "1", 1)
+    tiered.flush("ns")
+    assert not old_orphan.exists()
+    assert not old_tmp.exists()
+    assert sinkish.exists()
+
+
+def test_flushed_and_streamed_files_coexist_in_one_table(spark, tmp_path):
+    """r2: engine-flushed and sink-streamed parquet for the SAME table
+    must be readable together (identical timestamp type, NTZ)."""
+    import json as _json
+
+    from lynx_spark.streaming import parse_write_stream, stream_to_cold_tier
+    from lynx_spark.streaming.ingest import WRITE_SCHEMA
+
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    _write(eng, "flushed", 1)
+    eng.flush("ns")
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b.json").write_text(
+        _json.dumps(
+            {
+                "namespace": "ns",
+                "measurement": "cpu",
+                "value": "streamed",
+                "metadata": {},
+                "timestamp": DAY_US,
+            }
+        )
+    )
+    raw = spark.readStream.schema(WRITE_SCHEMA).json(str(d))
+    q = stream_to_cold_tier(
+        parse_write_stream(raw), tmp_path / "cold", tmp_path / "ck"
+    )
+    q.awaitTermination(120)
+    rows = eng.query(
+        "ns", "SELECT value, timestamp FROM cpu ORDER BY timestamp"
+    ).collect()
+    assert [r["value"] for r in rows] == ["flushed", "streamed"]
+    assert str(rows[1]["timestamp"]).startswith("1970-01-02")

@@ -455,3 +455,25 @@ def test_parse_wav_header_rejects_compressed_wave():
     assert parse_wav_header(bytes(wav)) is None
     _s.pack_into("<H", wav, 20, 3)  # IEEE float stays accepted
     assert parse_wav_header(bytes(wav)) is not None
+
+
+def test_parse_wav_extensible_subformat():
+    """r2 review pass 2: EXTENSIBLE (0xFFFE) wrappers are accepted
+    only when their SubFormat tag is PCM/float."""
+    import struct as _s
+
+    from lynx_spark.operators.multimodal import parse_wav_header
+
+    def extensible(sub_tag):
+        ds = 100 * 2
+        ext = _s.pack("<HHIH", 22, 16, 0x3, sub_tag) + b"\x00" * 14
+        fmt_body = _s.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + ext
+        return (
+            b"RIFF" + _s.pack("<I", 36 + len(ext) + ds) + b"WAVE"
+            + b"fmt " + _s.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + _s.pack("<I", ds) + b"\x00" * ds
+        )
+
+    assert parse_wav_header(extensible(1)) is not None  # PCM behind 0xFFFE
+    assert parse_wav_header(extensible(0x0002)) is None  # ADPCM wrapped
+    assert parse_wav_header(extensible(0x0055)) is None  # MP3 wrapped
