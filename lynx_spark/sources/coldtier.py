@@ -97,27 +97,47 @@ def atomic_write_json(path: Path, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+#: file names only commit-log-era writers produce — never legacy data.
+#: part-flushNNNNNN-NNNNN is the engine's flush naming (introduced WITH
+#: the commit log); part-<sink>-<9-digit batch>-NNNNN is the streaming
+#: sink's. Excluding them from adoption means an in-flight (uncommitted,
+#: invisible) first flush/batch racing an adoption retry can never be
+#: made visible early.
+_COMMIT_ERA_FILE = re.compile(
+    r"part-flush\d{6}-\d{5}\.parquet$|part-.+-\d{9}-\d{5}\.parquet$"
+)
+
+
 def adopt_legacy_layout(cold_dir: Path) -> None:
     """Adopt a cold directory written before the commit log existed:
-    if there is parquet but no _commits/ at all (not even the empty
-    marker every commit-log writer creates at startup), register every
-    present data file in one bootstrap commit so previously queryable
-    rows stay visible after the upgrade (no watermarks — the old flush
-    compacted the WAL synchronously, so those rows are not in it).
-    Called by BOTH the engine and the streaming sink before they
-    create the marker — whichever touches the directory first must not
-    orphan the legacy data for the other."""
+    if there is parquet but no commit files at all, register every
+    present pre-commit-log data file in one bootstrap commit so
+    previously queryable rows stay visible after the upgrade (no
+    watermarks — the old flush compacted the WAL synchronously, so
+    those rows are not in it). Called by BOTH the engine and the
+    streaming sink before they create the marker — whichever touches
+    the directory first must not orphan the legacy data for the other.
+
+    ADVICE r2: a bare ``_commits/`` directory is NOT proof of adoption
+    — atomic_write_json mkdirs it before the bootstrap commit's
+    rename, so a crash in that window leaves the marker without the
+    commit. Adoption is therefore retried whenever no ``*.json``
+    commit exists yet; commit-log-era file names (which are invisible
+    precisely because no commit lists them) are excluded so the retry
+    cannot adopt another writer's uncommitted in-flight files."""
     cold_dir = Path(cold_dir)
-    if (cold_dir / COMMITS_DIR).exists():
+    cdir = cold_dir / COMMITS_DIR
+    if cdir.exists() and any(cdir.glob("*.json")):
         return
     legacy = [
         str(p.relative_to(cold_dir))
         for p in sorted(cold_dir.rglob("*.parquet"))
         if p.relative_to(cold_dir).parts[0] not in RESERVED_DIRS
+        and not _COMMIT_ERA_FILE.search(p.name)
     ]
     if legacy:
         atomic_write_json(
-            cold_dir / COMMITS_DIR / "legacy-000000.json",
+            cdir / "legacy-000000.json",
             {"files": legacy, "watermarks": {}},
         )
 
@@ -133,7 +153,11 @@ def committed_stream_batch(
     A snapshot read can race a concurrent snapshot replacement (listed
     file unlinked before read): answering False then would re-execute
     a committed batch and unlink VISIBLE files, so a vanished-file
-    read retries the whole check instead of being skipped."""
+    read retries the whole check. ADVICE r2: if retries exhaust
+    without a clean listing, this RAISES rather than answering False —
+    a wrong False makes write_batch unlink visible committed files,
+    while an exception just makes foreachBatch retry the micro-batch
+    with every committed file intact."""
     cdir = Path(cold_dir) / COMMITS_DIR
     for _ in range(10):
         if (cdir / f"{sink_id}-{batch_id:09d}.json").exists():
@@ -153,7 +177,11 @@ def committed_stream_batch(
                 return True
         if not retry:
             return False
-    return False  # give up retrying; at-least-once is the fallback
+    raise RuntimeError(
+        f"commit-log snapshot listing unstable after 10 retries for "
+        f"({sink_id}, batch {batch_id}); refusing to answer 'not "
+        f"committed' — retry the micro-batch"
+    )
 
 
 def compact_commits(
@@ -277,12 +305,32 @@ class TieredEngine(LynxEngine):
     def _load_commits(self) -> dict[str, dict]:
         """All committed entries (cached: commit files are immutable;
         only new filenames are read). The streaming sink may add
-        commits concurrently — each call picks them up."""
+        commits — and its compact_commits may FOLD them away —
+        concurrently: a commit unlinked between the glob and the read
+        (FileNotFoundError) restarts the listing, which then sees the
+        fold's snapshot (renamed in before its sources are unlinked,
+        so a re-list always sees a superset). ADVICE r2: never
+        silently skip a vanished commit — an under-approximated
+        committed set would let _gc_flush_orphans delete committed
+        files. Stale cache entries for folded-away commits are
+        harmless: their contents are a subset of the snapshot's."""
         cdir = self.cold_dir / COMMITS_DIR
         if cdir.exists():
-            for p in sorted(cdir.glob("*.json")):
-                if p.name not in self._commit_cache:
-                    self._commit_cache[p.name] = json.loads(p.read_text())
+            for _ in range(50):
+                try:
+                    for p in sorted(cdir.glob("*.json")):
+                        if p.name not in self._commit_cache:
+                            self._commit_cache[p.name] = json.loads(
+                                p.read_text()
+                            )
+                    break
+                except FileNotFoundError:
+                    continue  # folded away mid-listing; re-list
+            else:
+                raise RuntimeError(
+                    "commit log listing unstable after 50 retries; "
+                    "refusing to return a possibly-partial committed set"
+                )
         return self._commit_cache
 
     def _committed_files(self) -> set[str]:

@@ -162,13 +162,21 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
     # prefix negation; "IS" covers the postfix negations IS FALSE /
     # IS UNKNOWN / IS NOT TRUE (bailing on every IS also forgoes
     # pruning for harmless IS [NOT] NULL conjuncts — sound, just
-    # conservative).
+    # conservative). TRUE/FALSE/IF/IIF/XOR catch boolean-wrapper
+    # negations like ``(timestamp >= 'a') = false`` and
+    # ``if(timestamp >= 'a', false, true)`` whose inner comparison is
+    # NOT a required conjunct of the row filter.
     if (
         "OR" in wu
         or "NOT" in wu
         or "CASE" in wu
         or "WHEN" in wu
         or "IS" in wu
+        or "TRUE" in wu
+        or "FALSE" in wu
+        or "IF" in wu
+        or "IIF" in wu
+        or "XOR" in wu
         or "!" in w
     ):
         return None, None
@@ -204,8 +212,23 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
             hi = us if hi is None else min(hi, us)
 
     n = len(w)
+    # paren depth of every WHERE token: comparisons are tightened only
+    # at depth 0 (top-level AND conjuncts). A parenthesized comparison
+    # may be an argument of some enclosing expression that inverts it,
+    # so it is not necessarily a required conjunct.
+    wdepth: list[int] = []
+    d = 0
+    for t in w:
+        if t == "(":
+            wdepth.append(d)
+            d += 1
+        elif t == ")":
+            d -= 1
+            wdepth.append(d)
+        else:
+            wdepth.append(d)
     for i in range(n):
-        if wu[i] != "TIMESTAMP":
+        if wu[i] != "TIMESTAMP" or wdepth[i] != 0:
             continue
         if i + 1 < n and w[i + 1] == ".":
             continue  # 'timestamp' is a qualifier here, not the column

@@ -140,5 +140,22 @@ def test_negated_predicates_refuse_pruning():
         "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') IS UNKNOWN",
         "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') IS NOT TRUE",
         "SELECT * FROM cpu WHERE !(timestamp >= '1970-01-02')",
+        # ADVICE r2: boolean-wrapper negations — the inner comparison is
+        # NOT a required conjunct; tightening would drop exactly the
+        # selected rows
+        "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') = false",
+        "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') = FALSE",
+        "SELECT * FROM cpu WHERE if(timestamp >= '1970-01-02', false, true)",
+        "SELECT * FROM cpu WHERE iif(timestamp >= '1970-01-02', false, true)",
+        "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') XOR true",
+        "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02') != true",
+        # any parenthesized comparison is no longer tightened (depth-0
+        # conjuncts only) — sound, conservative
+        "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02')",
     ]:
         assert extract_time_bounds(sql) == (None, None), sql
+    # depth-0 conjuncts still prune alongside parenthesized residue
+    assert extract_time_bounds(
+        "SELECT * FROM cpu WHERE timestamp >= '1970-01-02' "
+        "AND (value = '1' AND value = '1')"
+    ) == (DAY_US, None)

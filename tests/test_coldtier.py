@@ -508,3 +508,123 @@ def test_flushed_and_streamed_files_coexist_in_one_table(spark, tmp_path):
     ).collect()
     assert [r["value"] for r in rows] == ["flushed", "streamed"]
     assert str(rows[1]["timestamp"]).startswith("1970-01-02")
+
+
+def test_adoption_retries_after_marker_crash(spark, tmp_path):
+    """ADVICE r3: a crash between atomic_write_json's mkdir of
+    _commits/ and the bootstrap commit's rename leaves the marker
+    directory WITHOUT the commit. '_commits exists but holds no
+    *.json' must be treated as unadopted, so legacy parquet is still
+    adopted on the next touch — while commit-log-era file names
+    (uncommitted in-flight flush/stream output) stay excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    legacy = tmp_path / "cold/ns/cpu/day=1970-01-01"
+    legacy.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "timestamp": pa.array([1], type=pa.timestamp("us")),
+                "value": pa.array(["old"], type=pa.string()),
+            }
+        ),
+        legacy / "part-00000.parquet",
+    )
+    # an uncommitted in-flight file from a crashed commit-log writer:
+    # must NOT be adopted (it is invisible by design)
+    pq.write_table(
+        pa.table(
+            {
+                "timestamp": pa.array([5], type=pa.timestamp("us")),
+                "value": pa.array(["inflight"], type=pa.string()),
+            }
+        ),
+        legacy / "part-flush000001-00000.parquet",
+    )
+    # simulate the crash window: marker exists, no commit inside
+    (tmp_path / "cold/_commits").mkdir()
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    vals = [r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()]
+    assert vals == ["old"]
+
+
+def test_load_commits_retries_when_fold_unlinks_mid_listing(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r3: a concurrent compact_commits may unlink a commit
+    file between the engine's glob and read_text. _load_commits must
+    re-list (the fold renames its snapshot in BEFORE unlinking, so a
+    re-list sees a superset) instead of crashing or skipping."""
+    import json as _json
+    from pathlib import Path
+
+    from lynx_spark.sources.coldtier import atomic_write_json
+
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    _write(eng, "1", 1)
+    eng.flush("ns")
+    cdir = tmp_path / "cold/_commits"
+    [commit] = list(cdir.glob("flush-*.json"))
+    payload = _json.loads(commit.read_text())
+    # pre-stage the fold's snapshot (superset of the commit)
+    atomic_write_json(
+        cdir / "snapshot-000001-p0-0.json",
+        {
+            "files": payload["files"],
+            "watermarks": payload["watermarks"],
+            "flush_ids": {"ns": 1},
+            "stream_batches": {},
+        },
+    )
+    eng._commit_cache.clear()
+
+    real = Path.read_text
+    state = {"fired": False}
+
+    def flaky(self, *a, **k):
+        if self.name == commit.name and not state["fired"]:
+            state["fired"] = True
+            self.unlink()  # the concurrent fold consumes it...
+            raise FileNotFoundError(self)  # ...before our read lands
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(Path, "read_text", flaky)
+    committed = eng._committed_files()
+    assert state["fired"]
+    assert set(payload["files"]) <= committed
+    monkeypatch.setattr(Path, "read_text", real)
+    vals = [r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()]
+    assert vals == ["1"]
+
+
+def test_committed_stream_batch_raises_when_listing_unstable(
+    tmp_path, monkeypatch
+):
+    """ADVICE r3: exhausting the retry budget must RAISE (foreachBatch
+    retries the micro-batch; committed files stay intact) — never
+    answer False, which would let write_batch unlink visible files."""
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from lynx_spark.sources.coldtier import (
+        atomic_write_json,
+        committed_stream_batch,
+    )
+
+    cdir = tmp_path / "cold/_commits"
+    atomic_write_json(
+        cdir / "snapshot-000001-p0-0.json",
+        {"files": [], "watermarks": {}, "stream_batches": {}},
+    )
+    real = Path.read_text
+
+    def always_vanished(self, *a, **k):
+        if self.name.startswith("snapshot-"):
+            raise FileNotFoundError(self)
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(Path, "read_text", always_vanished)
+    with _pytest.raises(RuntimeError, match="unstable"):
+        committed_stream_batch(tmp_path / "cold", "stream", 3)
