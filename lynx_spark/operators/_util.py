@@ -32,55 +32,54 @@ def banded_self_pairs(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct (a_id, b_id) pairs (a < b) agreeing on at least one
-    band — the self-join form used by the dedup operators.
+    band — the candidate-generation step of every LSH dedup operator.
 
-    ``max_bucket`` bounds the quadratic hole of LSH candidate
-    generation: a bucket of k near-identical documents yields k²/2
-    pairs (10⁶ copies of one boilerplate page → 5·10¹¹ pairs from a
-    single bucket). Buckets larger than ``max_bucket`` switch to the
-    star pattern — every member pairs with the bucket's minimum id
-    only — which keeps the duplicate cluster connected (any member
-    reaches any other through the representative) at linear cost.
-    There are at most N/max_bucket oversized buckets, so their key
-    set broadcasts; the common-case join never shuffles twice."""
+    Shape: ONE shuffle. Banded rows group by (band_no, bh) into a
+    sorted id set per bucket; pairs are then emitted by array
+    expressions (codegen, JVM-side) — all i<j combinations for normal
+    buckets, and for buckets larger than ``max_bucket`` the star
+    pattern: every member pairs with the bucket's minimum id only.
+    The star keeps a duplicate cluster connected (any member reaches
+    any other through the representative) at linear instead of
+    quadratic cost — the guard against the LSH hole where a bucket of
+    k near-identical documents yields k²/2 pairs (10⁶ copies of one
+    boilerplate page → 5·10¹¹ pairs from a single bucket). The
+    ``when`` picks the generator per bucket, so the quadratic branch
+    is never evaluated for oversized buckets.
+
+    Earlier revisions did a self-JOIN on the bucket key plus a
+    broadcast of oversized keys — two more exchanges and a broadcast
+    build per call for the same output. The one cost of the grouped
+    form is the transient per-bucket id array (a 10⁶-member bucket is
+    an ~8 MB aggregation buffer on one key, discarded at the explode);
+    per-bucket output stays bounded by min(k², max_bucket²)/2."""
     banded = explode_bands(df, id_col, band_cols)
-    star = None
-    if max_bucket is not None:
-        # The oversized-bucket key set is small by construction (at
-        # most N/max_bucket buckets exceed the cap), so it travels as
-        # a broadcast: the cap costs one map-side-combined aggregate
-        # inside the main job — no extra materialization pass. (For a
-        # pathological corpus where even N/max_bucket is too large to
-        # broadcast, lower the cap or pre-dedup exact copies first —
-        # exact dedup is upstream in the curation pipeline anyway.)
-        big = (
-            banded.groupBy("band_no", "bh")
-            .agg(F.count("*").alias("_c"), F.min(id_col).alias("_rep"))
-            .filter(F.col("_c") > max_bucket)
-            .select("band_no", "bh", "_rep")
+    buckets = banded.groupBy("band_no", "bh").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    ids = F.col("ids")
+    allpairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        big = F.broadcast(big)
-        star = (
-            banded.join(big, ["band_no", "bh"])
-            .filter(F.col(id_col) > F.col("_rep"))
-            .select(F.col("_rep").alias("a_id"), F.col(id_col).alias("b_id"))
+    )
+    if max_bucket is None:
+        gen = allpairs
+    else:
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda y: F.struct(ids[0].alias("a"), y.alias("b")),
         )
-        # same broadcast object on both joins -> one exchange, reused
-        banded = banded.join(big, ["band_no", "bh"], "left_anti")
-    a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("band_no"), F.col("bh")
+        gen = F.when(F.size(ids) <= max_bucket, allpairs).otherwise(star)
+    return (
+        buckets.select(F.explode(gen).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .distinct()
     )
-    b = banded.select(
-        F.col(id_col).alias("b_id"), F.col("band_no"), F.col("bh")
-    )
-    pairs = (
-        a.join(b, ["band_no", "bh"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-    )
-    if star is not None:
-        pairs = pairs.unionByName(star)
-    return pairs.distinct()
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

@@ -58,9 +58,9 @@ def cap_doc_freq(
     window over the key, fused into whatever pass computes ``sh`` (no
     extra job), leaving the output hash-partitioned by the key — which
     the inverted-index self-joins downstream consume with no further
-    exchange. THE single implementation of the cap: the shingle
-    pipeline (_capped_shingles_cached) and the winnowing overlap join
-    both call it."""
+    exchange. Used by the winnowing overlap join (functions/text.py);
+    the shingle pipeline instead fuses the cap into its collect_set
+    build (_capped_shingles_cached), which subsumes the distinct."""
     if max_doc_freq is None:
         return sh
     from pyspark.sql.window import Window
@@ -82,15 +82,39 @@ def _capped_shingles_cached(
 ) -> DataFrame:
     """Persisted, df-capped shingle table for multi-branch consumers.
 
-    The cap is a count window over the shingle key fused into the
-    single materialization pass (no second aggregate job, no
-    re-shingling), and the cache keeps the resulting
-    hashpartitioning(shingle) — the inverted-index self-join
-    downstream joins ON shingle, so it reads the cache with NO further
-    exchange. One shuffle builds the table; the cap itself is free."""
-    sh = cap_doc_freq(
-        shingle_table(df, id_col, text_col, n), max_doc_freq
-    ).persist()
+    ONE exchange builds it: the raw exploded shingles group by
+    ``shingle`` into ``collect_set(doc)``, which fuses the distinct
+    (set semantics), the document-frequency count (set size) and the
+    cap filter into a single aggregation — no separate distinct
+    exchange, no count window sort (r2's window variant cost q23 an
+    extra sort per build). Map-side partial aggregation dedups within
+    partitions before the shuffle. The per-shingle doc set is bounded
+    in expectation (boilerplate shingles are the outliers and they are
+    exactly what the cap drops right after the aggregate); a 10⁶-doc
+    stop-shingle is an ~8 MB array on one key — large but transient,
+    and only until the filter discards it.
+
+    The cache keeps the resulting hashpartitioning(shingle): the
+    inverted-index self-join downstream joins ON shingle and reads the
+    cache with NO further exchange."""
+    words = _words_col(text_col)
+    d = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), words.alias("w")
+    ).filter(F.size("w") >= n)
+    w = F.col("w")
+    length = F.size(w) - (n - 1)
+    shingle = F.slice(w, 1, length)
+    for k in range(1, n):
+        shingle = F.zip_with(
+            shingle,
+            F.slice(w, k + 1, length),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
+    raw = d.select("doc", F.explode(shingle).alias("shingle"))
+    grouped = raw.groupBy("shingle").agg(F.collect_set("doc").alias("docs"))
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("docs") <= max_doc_freq)
+    sh = grouped.select(F.explode("docs").alias("doc"), "shingle").persist()
     sh.count()  # eager: branches must read the cache, not race to fill it
     return sh
 
@@ -208,7 +232,12 @@ def minhash_signatures(
     Pass a precomputed (persisted) shingle table to share the scan
     with the verification stage."""
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
-    sig = sh.groupBy("doc").agg(*_minhash_aggs())
+    # n_sh rides along in the same aggregate: the Jaccard verification
+    # needs per-doc shingle counts, and folding them here saves a
+    # whole separate groupBy pass over the shingle table
+    sig = sh.groupBy("doc").agg(
+        *_minhash_aggs(), F.count("*").alias("n_sh")
+    )
     rows_per_band = MINHASH_NUM // MINHASH_BANDS
     for band in range(MINHASH_BANDS):
         cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
@@ -252,15 +281,22 @@ def minhash_lsh_pairs(
         sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)], max_bucket
     )
 
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_id"), "shingle")
     b = sh.select(F.col("doc").alias("b_id"), "shingle")
+    # LSH's point is that cands ≪ corpus (the band threshold keeps
+    # only probable near-dups), so when cands is small AQE converts
+    # these to broadcast joins from runtime shuffle sizes (cands ends
+    # in a shuffle, so its true size is known) and the cached shingle
+    # table streams through without re-shuffling; no static hint —
+    # at corpus scale cands can be too big to broadcast, and that
+    # decision belongs to runtime statistics.
     common = (
         cands.join(a, "a_id")
         .join(b, ["b_id", "shingle"])
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
+    sizes = sig.select("doc", "n_sh")  # folded into the signature agg
     sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
