@@ -1,0 +1,193 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+repetition/quality signals, deterministic sequence packing, stratified
+splits, and domain-mixture reweighting.
+
+The reference engine (jdockerty/lynx) has no corpus surface at all —
+these extend the training-data operator family (SURVEY §2 extensions)
+alongside dedup/similarity/text. Design rule shared by all four:
+**shuffle only where the semantics need cross-row state, and then only
+within a bounded key space.**
+
+- ``repetition_signals`` is pure per-row array expressions — zero
+  shuffles, embarrassingly parallel at any corpus size (the Gopher/
+  MassiveText repetition filters are per-document by construction).
+- ``pack_sequences`` windows per shard — packing is per-shard in any
+  real pipeline precisely so that no global total order exists; a
+  global-order window would serialize the corpus through one task.
+- ``stratified_split`` windows per stratum (strata are parallel).
+- ``mixture_weights`` aggregates to one row per domain — model-sized.
+
+Every operator is deterministic (md5-derived ordering, no RNG), so
+the DuckDB oracles compute bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: default context-window token budget for sequence packing
+PACK_BUDGET = 512
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document repetition metrics (the Gopher-style quality
+    signals used to drop boilerplate/spam before training):
+
+    - ``n_words``      — whitespace token count
+    - ``dup_word_frac``  — 1 - distinct_words/words (word-level
+      repetition; the single-line twin of duplicate-line fraction)
+    - ``top_word_frac``  — occurrences of the most frequent word /
+      n_words
+    - ``top_2gram_frac`` — occurrences of the most frequent word
+      2-gram / total 2-grams
+
+    All four are array expressions over the split words — per-row,
+    codegen'd, NO shuffle: the frequency scan is O(distinct·n) per
+    document, bounded by the document length, which beats an
+    explode + two-level groupBy (two full-corpus shuffles) at any
+    scale where documents are bounded and the corpus is not."""
+    w = F.col("_w")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    )
+    g = F.col("_g")
+    top_gram_count = F.array_max(
+        F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x)),
+        )
+    )
+    grams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _words(text_col).alias("_w"),
+        )
+        .filter(F.size("_w") >= 2)
+        .withColumn("_g", grams)
+        .select(
+            "doc_id",
+            F.size("_w").cast("long").alias("n_words"),
+            F.round(
+                1 - F.size(F.array_distinct(w)) / F.size(w), 4
+            ).alias("dup_word_frac"),
+            F.round(top_count / F.size(w), 4).alias("top_word_frac"),
+            F.round(top_gram_count / F.size(g), 4).alias("top_2gram_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """Deterministic greedy sequence packing: documents fill
+    fixed-``budget`` token bins in ``id`` order within each shard —
+    the standard pre-training step that concatenates documents into
+    context-window-sized rows. A document lands in the bin its
+    cumulative prefix starts in (documents longer than the remaining
+    space spill over; real packers then split or pad — the bin
+    assignment is the distributed part).
+
+    Tokens = whitespace words (the tokenizer-free approximation; swap
+    in a real tokenizer count upstream without changing the shape).
+    One window per shard: packing is per-shard so the corpus never
+    needs a global total order — shards pack in parallel."""
+    tokens = F.size(_words(text_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(shard_col).alias("shard"),
+            tokens.cast("long").alias("n_tokens"),
+        )
+        .withColumn("bin_id", F.floor(prefix / budget).cast("long"))
+        .withColumn("bin_offset", (prefix % budget).cast("long"))
+        .select("doc_id", "shard", "n_tokens", "bin_id", "bin_offset")
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Per-stratum train/val/test split: within each stratum, rows
+    order by md5 of the id (deterministic shuffle) and the first
+    ``train_frac`` become train, the next ``val_frac`` val, the rest
+    test — every stratum is split at the same fractions, unlike the
+    global hash split (q44) which only hits fractions in expectation.
+    Windows partition by the strata, so strata process in parallel
+    and no stratum ever needs more than its own rows."""
+    strata = [F.col(c) for c in strata_cols]
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata).orderBy(order)
+    frac = (F.row_number().over(w) - 1) / F.count("*").over(
+        Window.partitionBy(*strata)
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(c) for c in strata_cols],
+        F.when(frac < train_frac, "train")
+        .when(frac < train_frac + val_frac, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Per-domain sampling weights to move the corpus toward a target
+    mixture (the DoReMi/Pile-style domain reweighting step): for each
+    domain, ``weight = target_frac / actual_frac`` — >1 means
+    upsample, <1 downsample. Domains missing from ``targets`` get
+    target 0 (dropped). One hash aggregate to domain granularity
+    (model-sized output); the total arrives via a single-row broadcast
+    join rather than a window, so nothing ever single-partitions."""
+    target_map = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    actual = F.col("n_docs") / F.col("_total")
+    target = F.coalesce(target_map[F.col("domain")], F.lit(0.0))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            F.round(actual, 6).alias("actual_frac"),
+            F.round(target, 6).alias("target_frac"),
+            F.round(target / actual, 4).alias("weight"),
+        )
+    )

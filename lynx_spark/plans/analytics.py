@@ -41,6 +41,7 @@ from lynx_spark.functions.text import (
     with_text_stats,
     with_winnow_summary,
 )
+from lynx_spark.operators import corpus as cp
 from lynx_spark.operators import dedup as dd
 from lynx_spark.operators import similarity as sim
 from lynx_spark.operators.multimodal import binary_length_meta
@@ -1266,6 +1267,112 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring(norm, 1, 60).alias("norm_prefix"),
         F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@q(
+    "q49_repetition_signals",
+    oracle=r"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+g AS (SELECT doc_id, w,
+        list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1]) AS gr
+      FROM d WHERE len(w) >= 2)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  round(1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+    AS dup_word_frac,
+  round(list_max(list_transform(list_distinct(w),
+          x -> len(list_filter(w, y -> y = x))))
+        / CAST(len(w) AS DOUBLE), 4) AS top_word_frac,
+  round(list_max(list_transform(list_distinct(gr),
+          x -> len(list_filter(gr, y -> y = x))))
+        / CAST(len(gr) AS DOUBLE), 4) AS top_2gram_frac
+FROM g
+""",
+    description="Gopher-style repetition/quality signals (duplicate-"
+    "word fraction, top-word and top-2gram mass) as pure per-row array "
+    "expressions — zero shuffles at any corpus size",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.repetition_signals(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q50_sequence_packing",
+    oracle=rf"""
+WITH t AS (SELECT doc_id, source AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+p AS (SELECT doc_id, shard, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t)
+SELECT doc_id, shard, n_tokens,
+  CAST(floor(prefix / {cp.PACK_BUDGET}) AS BIGINT) AS bin_id,
+  CAST(prefix % {cp.PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM p
+""",
+    description="deterministic greedy sequence packing into fixed "
+    "token-budget bins, per shard (per-shard windows — no global "
+    "order, shards pack in parallel)",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.pack_sequences(
+        T(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
+@q(
+    "q51_stratified_split",
+    oracle="""
+SELECT doc_id, source, lang,
+  CASE WHEN frac < 0.8 THEN 'train'
+       WHEN frac < 0.9 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, source, lang,
+        (row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1)
+          / CAST(count(*) OVER (PARTITION BY source, lang) AS DOUBLE)
+          AS frac
+      FROM documents)
+""",
+    description="per-stratum deterministic train/val/test split "
+    "(md5-ordered within each (source, lang) stratum) — exact "
+    "fractions per stratum, strata processed in parallel",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.stratified_split(
+        T(spark, sf_dir, "documents"), "doc_id", ["source", "lang"]
+    )
+
+
+#: target language mixture for q52 (the DoReMi-style reweighting demo)
+_MIX_TARGETS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+
+
+@q(
+    "q52_mixture_weights",
+    oracle=f"""
+WITH counts AS (SELECT lang AS domain, count(*) AS n_docs
+                FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_docs) AS _total FROM counts)
+SELECT domain, n_docs,
+  round(n_docs / CAST(_total AS DOUBLE), 6) AS actual_frac,
+  round(CASE domain {' '.join(f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in _MIX_TARGETS.items())} ELSE 0.0 END, 6) AS target_frac,
+  round(CASE domain {' '.join(f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in _MIX_TARGETS.items())} ELSE 0.0 END
+        / (n_docs / CAST(_total AS DOUBLE)), 4) AS weight
+FROM counts, tot
+""",
+    description="domain-mixture reweighting: per-language sampling "
+    "weight = target_frac / actual_frac (one aggregate to domain "
+    "granularity + a single-row broadcast total)",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.mixture_weights(
+        T(spark, sf_dir, "documents"), "lang", _MIX_TARGETS
     )
 
 

@@ -477,3 +477,92 @@ def test_parse_wav_extensible_subformat():
     assert parse_wav_header(extensible(1)) is not None  # PCM behind 0xFFFE
     assert parse_wav_header(extensible(0x0002)) is None  # ADPCM wrapped
     assert parse_wav_header(extensible(0x0055)) is None  # MP3 wrapped
+
+
+# ------------------------------------------------------------- corpus ops
+
+
+def test_repetition_signals_known_values(spark):
+    from lynx_spark.operators.corpus import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}  # "solo" (<2 words) has no 2-grams: dropped
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == 0.5  # 2 distinct of 4
+    assert r1["top_word_frac"] == 0.75  # "a" x3 / 4
+    assert r1["top_2gram_frac"] == round(2 / 3, 4)  # "a a" x2 of 3
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_word_frac"] == 0.25
+    assert r2["top_2gram_frac"] == round(1 / 3, 4)
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    from lynx_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "w w w", "s1"),
+            (2, "w w w", "s1"),
+            (3, "w w w", "s1"),
+            (10, "w w", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", "text", "source", budget=4).collect()
+    }
+    # shard s1: prefixes 0, 3, 6 -> bins 0, 0, 1; offsets 0, 3, 2
+    assert (out[1]["bin_id"], out[1]["bin_offset"]) == (0, 0)
+    assert (out[2]["bin_id"], out[2]["bin_offset"]) == (0, 3)
+    assert (out[3]["bin_id"], out[3]["bin_offset"]) == (1, 2)
+    # shards pack independently
+    assert (out[10]["bin_id"], out[10]["bin_offset"]) == (0, 0)
+
+
+def test_stratified_split_exact_fractions(spark):
+    from lynx_spark.operators.corpus import stratified_split
+
+    df = spark.createDataFrame(
+        [(i, "s1" if i < 10 else "s2") for i in range(30)],
+        ["doc_id", "source"],
+    )
+    out = stratified_split(df, "doc_id", ["source"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["split"])
+    # every stratum is split at exactly 80/10/10 (10- and 20-row strata)
+    from collections import Counter
+
+    assert Counter(by["s1"]) == {"train": 8, "val": 1, "test": 1}
+    assert Counter(by["s2"]) == {"train": 16, "val": 2, "test": 2}
+    # deterministic across runs
+    again = stratified_split(df, "doc_id", ["source"]).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_weights_up_and_downsample(spark):
+    from lynx_spark.operators.corpus import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 3 else "b") for i in range(4)], ["doc_id", "lang"]
+    )
+    out = {
+        r["domain"]: r
+        for r in mixture_weights(df, "lang", {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert out["a"]["n_docs"] == 3 and out["b"]["n_docs"] == 1
+    assert out["a"]["weight"] == round(0.5 / 0.75, 4)  # downsample
+    assert out["b"]["weight"] == 2.0  # upsample
+    # unknown domains get target 0 -> weight 0
+    out2 = {
+        r["domain"]: r
+        for r in mixture_weights(df, "lang", {"a": 1.0}).collect()
+    }
+    assert out2["b"]["target_frac"] == 0.0 and out2["b"]["weight"] == 0.0
