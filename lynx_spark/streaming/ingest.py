@@ -118,6 +118,88 @@ def daily_rollup_stream(
     )
 
 
+def sliding_rate_stream(
+    parsed: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window write rates per (namespace, measurement) — the
+    overlapping-window companion to daily_rollup_stream's tumbling
+    days: each event lands in window/slide overlapping windows, the
+    shape behind moving-average dashboards and rate alerts. Watermark
+    bounds state exactly as in the tumbling case; at scale the state
+    store holds (#keys × windows-per-horizon) aggregates, independent
+    of stream length."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"),
+            "namespace",
+            "measurement",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "namespace",
+            "measurement",
+            "n",
+        )
+    )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    tag: str,
+    horizon: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair every left record
+    with the right records carrying the same ``tag`` value whose
+    event time falls within [left.ts, left.ts + horizon] — e.g. "for
+    each deploy event, the error measurements from the same host in
+    the next 10 minutes". The canonical Structured Streaming
+    stream-stream join: both sides watermarked, and the time-range
+    predicate is what lets Spark evict buffered state once the
+    watermark passes a row's join horizon — without it the join state
+    would grow with the stream. State per side is bounded by
+    (watermark + horizon) of data, independent of stream length."""
+    # rename FIRST, watermark the renamed event-time column: a
+    # watermark attached before a projection that renames the column
+    # does not follow the rename, and the join would buffer state
+    # forever (and emit nothing under some trigger modes)
+    lw = left.select(
+        F.col("namespace").alias("l_namespace"),
+        F.col("measurement").alias("l_measurement"),
+        F.col("value").alias("l_value"),
+        F.col("metadata").getItem(tag).alias("l_tag"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    rw = right.select(
+        F.col("measurement").alias("r_measurement"),
+        F.col("value").alias("r_value"),
+        F.col("metadata").getItem(tag).alias("r_tag"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    return lw.join(
+        rw,
+        (F.col("l_tag") == F.col("r_tag"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "l_namespace",
+        "l_measurement",
+        "l_value",
+        F.col("l_tag").alias(tag),
+        "l_ts",
+        "r_measurement",
+        "r_value",
+        "r_ts",
+    )
+
+
 def stream_to_cold_tier(
     parsed: DataFrame,
     cold_dir: str | Path,

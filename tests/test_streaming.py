@@ -328,3 +328,91 @@ def test_stream_commits_fold_into_snapshot_and_still_skip_replay(
         r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
     )
     assert vals == ["1", "2", "3"]  # not doubled
+
+
+def test_sliding_rate_stream_overlapping_windows(spark, tmp_path):
+    from lynx_spark.streaming import (
+        parse_write_stream,
+        read_write_stream,
+        sliding_rate_stream,
+    )
+
+    d = tmp_path / "in_rate"
+    HOUR_US = 3_600_000_000
+    # two writes 20 min apart -> the 1h/15min sliding windows overlap
+    _write_jsonl(
+        d / "b.json",
+        [_req("1", HOUR_US), _req("2", HOUR_US + 20 * 60_000_000)],
+    )
+    rates = sliding_rate_stream(
+        parse_write_stream(read_write_stream(spark, d))
+    )
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rate_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT window_start, n FROM rate_test ORDER BY window_start"
+    ).collect()
+    # event at 01:00 lands in 4 sliding windows (starts 00:15..01:00);
+    # event at 01:20 in 4 (starts 00:30..01:15); overlap = starts
+    # 00:30, 00:45, 01:00 -> counts [1, 2, 2, 2, 1]
+    assert [r["n"] for r in rows] == [1, 2, 2, 2, 1]
+    total = sum(r["n"] for r in rows)
+    assert total == 2 * 4  # each event in exactly window/slide = 4 windows
+
+
+def test_correlate_streams_interval_join(spark, tmp_path):
+    from lynx_spark.streaming import correlate_streams, parse_write_stream
+
+    MIN_US = 60_000_000
+    # Spark initializes the streaming watermark to epoch 0, so rows
+    # with event times at/near the epoch are treated as late and
+    # dropped from join state — use realistic timestamps
+    BASE = 1_700_000_000_000_000  # 2023-11-14 UTC
+    left_dir = tmp_path / "in_left"
+    right_dir = tmp_path / "in_right"
+    _write_jsonl(
+        left_dir / "b.json",
+        [_req("deploy-a", BASE, meas="deploy", tags={"host": "h1"})],
+    )
+    _write_jsonl(
+        right_dir / "b.json",
+        [
+            # same host, within 10 min -> matched
+            _req("err1", BASE + 5 * MIN_US, meas="errors", tags={"host": "h1"}),
+            # same host, beyond the horizon -> dropped
+            _req("err2", BASE + 11 * MIN_US, meas="errors", tags={"host": "h1"}),
+            # other host, in range -> dropped
+            _req("err3", BASE + 5 * MIN_US, meas="errors", tags={"host": "h2"}),
+            # same host, BEFORE the deploy -> dropped
+            _req("err0", BASE - MIN_US, meas="errors", tags={"host": "h1"}),
+        ],
+    )
+    from lynx_spark.streaming.ingest import WRITE_SCHEMA
+
+    left = parse_write_stream(
+        spark.readStream.schema(WRITE_SCHEMA).json(str(left_dir))
+    )
+    right = parse_write_stream(
+        spark.readStream.schema(WRITE_SCHEMA).json(str(right_dir))
+    )
+    joined = correlate_streams(left, right, tag="host", horizon="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("corr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_corr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM corr_test").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["l_value"], r["r_value"], r["host"]) == ("deploy-a", "err1", "h1")
