@@ -89,6 +89,44 @@ def bucket_expr(vec: Column, table: int = 0) -> Column:
     return out.cast("long")
 
 
+#: every hyperplane of every table as ONE array<array<double>> literal,
+#: ordered [t*PLANES_PER_TABLE + i] — the single-transform bucket path
+_ALL_PLANES = [p for table in HYPERPLANES for p in table]
+
+
+def with_buckets(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Add ``bucket0..bucket{NUM_TABLES-1}`` in one pass: all
+    NUM_TABLES×PLANES_PER_TABLE dot products come from a single
+    ``transform`` over one planes literal (small generated code that
+    the JIT actually compiles — 16 independently-unrolled fold
+    expressions were ~2× slower for identical results, the same
+    lesson as the IVF centroid literal), materialized once in a
+    ``_dots`` column so the per-table bit packing reads array slots
+    instead of recomputing folds. Fold order per plane is unchanged,
+    so bucket ids stay bit-identical to ``bucket_expr`` (asserted in
+    tests) and to the SQL oracle."""
+    planes_lit = F.array(
+        *[F.array(*[F.lit(x) for x in p]) for p in _ALL_PLANES]
+    )
+    out = df.withColumn(
+        "_dots",
+        F.transform(planes_lit, lambda p: dot(F.col(vec_col), p)),
+    )
+    dots = F.col("_dots")
+    for t in range(NUM_TABLES):
+        bits = [
+            F.when(
+                dots[t * PLANES_PER_TABLE + i] > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i in range(PLANES_PER_TABLE)
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        out = out.withColumn(f"bucket{t}", acc.cast("long"))
+    return out.drop("_dots")
+
+
 def cosine_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -105,12 +143,12 @@ def cosine_dedup_pairs(
     near-identical embeddings collapses every table into one bucket)
     with banded_self_pairs' star pattern, which keeps the duplicate
     cluster connected — exactly what dedup needs."""
-    vecs = ensure_parallelism(df).select(
-        F.col(id_col).cast("long").alias("nid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    vecs = with_buckets(
+        ensure_parallelism(df).select(
+            F.col(id_col).cast("long").alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
-    for t in range(NUM_TABLES):
-        vecs = vecs.withColumn(f"bucket{t}", bucket_expr(F.col("v"), t))
     vecs = vecs.persist()
     vecs.count()  # eager: see lsh_ann_topk
     cands = banded_self_pairs(
@@ -171,15 +209,15 @@ def lsh_ann_topk(
     candidate union."""
     from pyspark.sql.window import Window
 
-    vecs = ensure_parallelism(df).select(
-        F.col(id_col).cast("long").alias("nid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    vecs = with_buckets(
+        ensure_parallelism(df).select(
+            F.col(id_col).cast("long").alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
-    for t in range(NUM_TABLES):
-        vecs = vecs.withColumn(f"bucket{t}", bucket_expr(F.col("v"), t))
     # the bucketed table feeds NUM_TABLES join branches + the re-rank
-    # join; persist (eagerly) so the 16 hyperplane folds run once per
-    # vector and parallel branches read the cache instead of racing
+    # join; persist (eagerly) so the hyperplane transform runs once
+    # per vector and parallel branches read the cache instead of racing
     vecs = vecs.persist()
     vecs.count()
     queries = vecs.filter(F.col("nid") < max_query_id).select(
