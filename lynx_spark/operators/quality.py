@@ -1,0 +1,136 @@
+"""Data-quality operators: dataset profiling, declarative constraint
+validation, and an entropy-based text quality signal.
+
+The reference engine has no validation surface; these are the
+Deequ-style data-quality layer a large-scale pipeline runs before
+(and after) every transformation stage. Shared design rule: every
+check is an AGGREGATE over one scan — validation must never cost more
+than one pass at 100 TB, so all rules of a run fold into a single
+groupBy-free aggregation (conditional sums + distinct counts) with
+map-side partials.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column profile — one row per column with null count,
+    exact distinct count, and min/max (rendered to string so mixed
+    column types share one schema). ONE aggregation job computes
+    every metric (count_distinct adds its expand internally); the
+    unpivot to rows is a stack over the single aggregate row —
+    profiling a table costs one scan no matter how many columns."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in columns
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(columns)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative constraint: ``name`` and a boolean Column that
+    is True when the ROW VIOLATES the rule."""
+
+    name: str
+    violation: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"{col}_not_null", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Check:
+    c = F.col(col)
+    return Check(
+        f"{col}_between_{lo}_{hi}", c.isNull() | (c < lo) | (c > hi)
+    )
+
+
+def ordered(col_a: str, col_b: str) -> Check:
+    """col_a <= col_b (violated when a > b or either side is null)."""
+    a, b = F.col(col_a), F.col(col_b)
+    return Check(f"{col_a}_le_{col_b}", a.isNull() | b.isNull() | (a > b))
+
+
+def validate(
+    df: DataFrame,
+    checks: list[Check],
+    unique: list[str] | None = None,
+) -> DataFrame:
+    """Run every check in ONE aggregation pass: each rule is a
+    conditional sum over the same scan; the optional ``unique`` key
+    constraint rides along as count(*) - count_distinct(key...)
+    (exact surplus-row count). Output: (rule, n_violations) — empty
+    n_violations everywhere = the dataset passes."""
+    aggs = [
+        F.sum(c.violation.cast("long")).alias(c.name) for c in checks
+    ]
+    names = [c.name for c in checks]
+    if unique:
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(c) for c in unique])
+            ).alias("unique_" + "_".join(unique))
+        )
+        names.append("unique_" + "_".join(unique))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return row.select(
+        F.expr(f"stack({len(names)}, {stack}) AS (rule, n_violations)")
+    )
+
+
+def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy (bits) of the word distribution per document —
+    the language-model-free quality proxy: near-zero entropy means
+    degenerate repetition, unusually high entropy means noise. Pure
+    per-row array expressions (zero shuffle), like the repetition
+    signals. The per-word terms fold in SORTED word order — summation
+    order is the one thing two engines disagree on for floats, and
+    sorting removes it, so the DuckDB oracle is bit-identical."""
+    w = F.col("_w")
+    n = F.size(w)
+    terms = F.transform(
+        F.array_sort(F.array_distinct(w)),
+        lambda x: (
+            F.size(F.filter(w, lambda y: y == x)) / n
+        )
+        * -F.log2(F.size(F.filter(w, lambda y: y == x)) / n),
+    )
+    ent = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        )
+        .filter(F.size("_w") >= 1)
+        .select(
+            "doc_id",
+            F.size("_w").cast("long").alias("n_words"),
+            F.round(ent, 4).alias("word_entropy"),
+        )
+    )

@@ -43,6 +43,7 @@ from lynx_spark.functions.text import (
 )
 from lynx_spark.operators import corpus as cp
 from lynx_spark.operators import dedup as dd
+from lynx_spark.operators import quality as ql
 from lynx_spark.operators import similarity as sim
 from lynx_spark.operators.multimodal import binary_length_meta
 from lynx_spark.sources.tables import load_table, register_all
@@ -1373,6 +1374,88 @@ FROM counts, tot
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.mixture_weights(
         T(spark, sf_dir, "documents"), "lang", _MIX_TARGETS
+    )
+
+
+@q(
+    "q53_word_entropy",
+    oracle=r"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 1)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  round(list_sum(list_transform(list_sort(list_distinct(w)),
+    x -> (len(list_filter(w, y -> y = x)) / CAST(len(w) AS DOUBLE))
+         * -log2(len(list_filter(w, y -> y = x)) / CAST(len(w) AS DOUBLE))
+  )), 4) AS word_entropy
+FROM d
+""",
+    description="Shannon entropy of the per-document word distribution "
+    "(language-model-free quality proxy) — zero-shuffle array exprs; "
+    "terms fold in sorted word order so both engines sum identically",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.word_entropy(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_PROFILE_COLS = ["o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@q(
+    "q54_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+  CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_value,
+  CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    description="Deequ-style dataset profiling: null/distinct/min/max "
+    "per column in ONE aggregation pass over one scan (stack-unpivoted "
+    "to rows) — profiling cost stays a single pass at any width",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.profile_columns(T(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@q(
+    "q55_constraints",
+    oracle="""
+SELECT 'l_orderkey_not_null' AS rule,
+  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violations FROM lineitem
+UNION ALL
+SELECT 'l_quantity_between_1_50',
+  CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                  OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+UNION ALL
+SELECT 'l_quantity_le_l_extendedprice',
+  CAST(sum(CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL
+                  OR l_quantity > l_extendedprice THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+UNION ALL
+SELECT 'unique_l_orderkey_l_linenumber',
+  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+  FROM lineitem
+""",
+    description="declarative constraint validation (Deequ-style "
+    "checks): every rule a conditional sum in ONE aggregation pass, "
+    "uniqueness as count minus distinct-count riding the same scan",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return ql.validate(
+        li,
+        [
+            ql.not_null("l_orderkey"),
+            ql.in_range("l_quantity", 1, 50),
+            ql.ordered("l_quantity", "l_extendedprice"),
+        ],
+        unique=["l_orderkey", "l_linenumber"],
     )
 
 

@@ -566,3 +566,74 @@ def test_mixture_weights_up_and_downsample(spark):
         for r in mixture_weights(df, "lang", {"a": 1.0}).collect()
     }
     assert out2["b"]["target_frac"] == 0.0 and out2["b"]["weight"] == 0.0
+
+
+# ------------------------------------------------------------ quality ops
+
+
+def test_validate_counts_violations(spark):
+    from lynx_spark.operators import quality as ql
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 5.0),
+            (1, None, 3.0),   # null qty -> range violation
+            (2, 200.0, 5.0),  # qty > 100 -> range violation
+            (None, 10.0, 20.0),  # null key; qty > price -> ordered viol.
+        ],
+        ["k", "qty", "price"],
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in ql.validate(
+            df,
+            [
+                ql.not_null("k"),
+                ql.in_range("qty", 0, 100),
+                ql.ordered("qty", "price"),
+            ],
+            unique=["k"],
+        ).collect()
+    }
+    assert out["k_not_null"] == 1
+    assert out["qty_between_0_100"] == 2  # the null and the 200
+    # ordered: row2 (null qty), row4 (10 > 20? no...) -> rows where
+    # qty > price: row1 (10>5), row3 (200>5); nulls: row2 -> 3
+    assert out["qty_le_price"] == 3
+    # count(*) - count_distinct(k): the duplicate k=1 row AND the
+    # null-keyed row are surplus (a null key identifies nothing)
+    assert out["unique_k"] == 2
+
+
+def test_profile_columns_one_pass(spark):
+    from lynx_spark.operators import quality as ql
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], ["id", "s"]
+    )
+    rows = {r["col_name"]: r for r in ql.profile_columns(df, ["id", "s"]).collect()}
+    assert rows["id"]["n_rows"] == 3
+    assert rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 2
+    assert (rows["id"]["min_value"], rows["id"]["max_value"]) == ("1", "2")
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["n_distinct"] == 2
+    # ONE aggregation pass: no more than the single final-agg exchange
+    plan = ql.profile_columns(df, ["id", "s"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+
+
+def test_word_entropy_known_values(spark):
+    import math
+
+    from lynx_spark.operators import quality as ql
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b a b"), (3, "a b c d")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["word_entropy"] for r in ql.word_entropy(df, "doc_id", "text").collect()}
+    assert out[1] == 0.0  # degenerate repetition
+    assert out[2] == 1.0  # two equiprobable words
+    assert out[3] == 2.0  # four equiprobable words
+    assert math.isclose(out[2], 1.0)
