@@ -6,6 +6,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def words_col(text_col: str) -> Column:
+    """THE canonical whitespace tokenization, shared by every text
+    operator (dedup shingles, corpus signals, quality entropy) and
+    mirrored by each DuckDB oracle's string_split_regex — one
+    definition so word boundaries can never silently diverge between
+    operator families."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
 def explode_bands(df: DataFrame, id_col: str, band_cols: list[str]) -> DataFrame:
     """(id, band_no, bh) rows from one row per id with N band/bucket
     columns — the shared candidate-generation shape for every LSH
@@ -52,8 +61,23 @@ def banded_self_pairs(
     build per call for the same output. The one cost of the grouped
     form is the transient per-bucket id array (a 10⁶-member bucket is
     an ~8 MB aggregation buffer on one key, discarded at the explode);
-    per-bucket output stays bounded by min(k², max_bucket²)/2."""
+    per-bucket output stays bounded by min(k², max_bucket²)/2.
+
+    With ``max_bucket=None`` the quadratic pair array of a hot bucket
+    would materialize as ONE in-memory value (k²/2 structs — an OOM or
+    the 2³¹ array-element limit for k ~ 10⁵), so the uncapped case
+    keeps the old join form, which streams the quadratic output
+    instead of buffering it."""
     banded = explode_bands(df, id_col, band_cols)
+    if max_bucket is None:
+        a = banded.select(F.col(id_col).alias("a_id"), "band_no", "bh")
+        b = banded.select(F.col(id_col).alias("b_id"), "band_no", "bh")
+        return (
+            a.join(b, ["band_no", "bh"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
     buckets = banded.groupBy("band_no", "bh").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )
@@ -67,14 +91,11 @@ def banded_self_pairs(
             ),
         )
     )
-    if max_bucket is None:
-        gen = allpairs
-    else:
-        star = F.transform(
-            F.slice(ids, 2, F.size(ids)),
-            lambda y: F.struct(ids[0].alias("a"), y.alias("b")),
-        )
-        gen = F.when(F.size(ids) <= max_bucket, allpairs).otherwise(star)
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(ids[0].alias("a"), y.alias("b")),
+    )
+    gen = F.when(F.size(ids) <= max_bucket, allpairs).otherwise(star)
     return (
         buckets.select(F.explode(gen).alias("p"))
         .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))

@@ -23,16 +23,14 @@ the DuckDB oracles compute bit-identical results.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lynx_spark.operators._util import words_col as _words
+
 #: default context-window token budget for sequence packing
 PACK_BUDGET = 512
-
-
-def _words(text_col: str) -> Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
 def repetition_signals(

@@ -97,20 +97,10 @@ def _capped_shingles_cached(
     The cache keeps the resulting hashpartitioning(shingle): the
     inverted-index self-join downstream joins ON shingle and reads the
     cache with NO further exchange."""
-    words = _words_col(text_col)
     d = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), words.alias("w")
+        F.col(id_col).alias("doc"), _words_col(text_col).alias("w")
     ).filter(F.size("w") >= n)
-    w = F.col("w")
-    length = F.size(w) - (n - 1)
-    shingle = F.slice(w, 1, length)
-    for k in range(1, n):
-        shingle = F.zip_with(
-            shingle,
-            F.slice(w, k + 1, length),
-            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
-        )
-    raw = d.select("doc", F.explode(shingle).alias("shingle"))
+    raw = d.select("doc", F.explode(_shingle_expr(F.col("w"), n)).alias("shingle"))
     grouped = raw.groupBy("shingle").agg(F.collect_set("doc").alias("docs"))
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("docs") <= max_doc_freq)
@@ -120,7 +110,27 @@ def _capped_shingles_cached(
 
 
 def _words_col(text_col: str) -> F.Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    from lynx_spark.operators._util import words_col
+
+    return words_col(text_col)
+
+
+def _shingle_expr(w: F.Column, n: int) -> F.Column:
+    """Word n-gram array from a word array: zip_with-folding n shifted
+    slices (lambdas reference only their own arguments, so nothing
+    falls back to the interpreted outer-reference path). THE single
+    definition of shingling — shingle_table and the fused capped
+    build both use it, so the n-gram construction can never diverge
+    from the DuckDB oracles' shared CTE."""
+    length = F.size(w) - (n - 1)
+    shingle = F.slice(w, 1, length)
+    for k in range(1, n):
+        shingle = F.zip_with(
+            shingle,
+            F.slice(w, k + 1, length),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
+    return shingle
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -143,25 +153,15 @@ def shingle_table(
     """Distinct (id, shingle) pairs where shingle = space-joined word
     n-gram. Documents with fewer than n words are dropped (no shingle).
 
-    The n-grams are built JVM-side by zip_with-folding n shifted
-    slices of the word array (lambdas reference only their own
-    arguments, so nothing falls back to the interpreted outer-reference
-    path); no Python runs per row."""
-    words = _words_col(text_col)
+    The n-grams are built JVM-side (_shingle_expr); no Python runs
+    per row."""
     df = ensure_parallelism(df)
-    df = df.select(F.col(id_col).alias("doc"), words.alias("w")).filter(
-        F.size("w") >= n
-    )
-    w = F.col("w")
-    length = F.size(w) - (n - 1)
-    shingle = F.slice(w, 1, length)
-    for k in range(1, n):
-        shingle = F.zip_with(
-            shingle,
-            F.slice(w, k + 1, length),
-            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
-        )
-    return df.select("doc", F.explode(shingle).alias("shingle")).distinct()
+    df = df.select(
+        F.col(id_col).alias("doc"), _words_col(text_col).alias("w")
+    ).filter(F.size("w") >= n)
+    return df.select(
+        "doc", F.explode(_shingle_expr(F.col("w"), n)).alias("shingle")
+    ).distinct()
 
 
 def jaccard_pairs(

@@ -12,10 +12,19 @@ map-side partials.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _safe(name: str) -> str:
+    """Rule/alias names appear as column references inside a
+    ``stack(...)`` expression; fold anything non-identifier-safe
+    (floats, negative bounds, dots) to underscores so the generated
+    SQL always parses (r3 review: `x_between_0.5_1.5` crashed)."""
+    return re.sub(r"[^A-Za-z0-9_]", "_", name)
 
 
 def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -35,7 +44,7 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         ]
     row = df.agg(*aggs)
     stack = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
         for c in columns
     )
     return row.select(
@@ -59,20 +68,22 @@ class Check:
 
 
 def not_null(col: str) -> Check:
-    return Check(f"{col}_not_null", F.col(col).isNull())
+    return Check(_safe(f"{col}_not_null"), F.col(col).isNull())
 
 
 def in_range(col: str, lo, hi) -> Check:
     c = F.col(col)
     return Check(
-        f"{col}_between_{lo}_{hi}", c.isNull() | (c < lo) | (c > hi)
+        _safe(f"{col}_between_{lo}_{hi}"), c.isNull() | (c < lo) | (c > hi)
     )
 
 
 def ordered(col_a: str, col_b: str) -> Check:
     """col_a <= col_b (violated when a > b or either side is null)."""
     a, b = F.col(col_a), F.col(col_b)
-    return Check(f"{col_a}_le_{col_b}", a.isNull() | b.isNull() | (a > b))
+    return Check(
+        _safe(f"{col_a}_le_{col_b}"), a.isNull() | b.isNull() | (a > b)
+    )
 
 
 def validate(
@@ -86,19 +97,20 @@ def validate(
     (exact surplus-row count). Output: (rule, n_violations) — empty
     n_violations everywhere = the dataset passes."""
     aggs = [
-        F.sum(c.violation.cast("long")).alias(c.name) for c in checks
+        F.sum(c.violation.cast("long")).alias(_safe(c.name)) for c in checks
     ]
-    names = [c.name for c in checks]
+    names = [_safe(c.name) for c in checks]
     if unique:
+        uname = _safe("unique_" + "_".join(unique))
         aggs.append(
             (
                 F.count(F.lit(1))
                 - F.count_distinct(*[F.col(c) for c in unique])
-            ).alias("unique_" + "_".join(unique))
+            ).alias(uname)
         )
-        names.append("unique_" + "_".join(unique))
+        names.append(uname)
     row = df.agg(*aggs)
-    stack = ", ".join(f"'{n}', {n}" for n in names)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
     return row.select(
         F.expr(f"stack({len(names)}, {stack}) AS (rule, n_violations)")
     )
@@ -112,20 +124,24 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signals. The per-word terms fold in SORTED word order — summation
     order is the one thing two engines disagree on for floats, and
     sorting removes it, so the DuckDB oracle is bit-identical."""
+    from lynx_spark.operators._util import words_col
+
     w = F.col("_w")
     n = F.size(w)
-    terms = F.transform(
+    # counts first, entropy terms from counts: each distinct word is
+    # scanned against the word array ONCE (r3 review: inlining the
+    # filter in both the probability and the log doubled the dominant
+    # O(distinct·n) per-row cost for identical output)
+    counts = F.transform(
         F.array_sort(F.array_distinct(w)),
-        lambda x: (
-            F.size(F.filter(w, lambda y: y == x)) / n
-        )
-        * -F.log2(F.size(F.filter(w, lambda y: y == x)) / n),
+        lambda x: F.size(F.filter(w, lambda y: y == x)),
     )
+    terms = F.transform(counts, lambda c: (c / n) * -F.log2(c / n))
     ent = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
     return (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+            words_col(text_col).alias("_w"),
         )
         .filter(F.size("_w") >= 1)
         .select(

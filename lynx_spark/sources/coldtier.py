@@ -99,12 +99,18 @@ def atomic_write_json(path: Path, payload: dict) -> None:
 
 #: file names only commit-log-era writers produce — never legacy data.
 #: part-flushNNNNNN-NNNNN is the engine's flush naming (introduced WITH
-#: the commit log); part-<sink>-<9-digit batch>-NNNNN is the streaming
-#: sink's. Excluding them from adoption means an in-flight (uncommitted,
-#: invisible) first flush/batch racing an adoption retry can never be
-#: made visible early.
+#: the commit log); part-mNNNNNN-NNNNN was the earliest commit-log
+#: revision's flush naming (still engine-owned and never-visible, the
+#: same files _gc_flush_orphans sweeps); part-<sink>-<9-digit
+#: batch>-NNNNN is the streaming sink's. Excluding all three from
+#: adoption means an in-flight or crash-torn (uncommitted, invisible)
+#: flush/batch racing an adoption retry can never be made visible
+#: early (r3 review: the part-m form was missing, so a pre-rename
+#: crash orphan could have been adopted).
 _COMMIT_ERA_FILE = re.compile(
-    r"part-flush\d{6}-\d{5}\.parquet$|part-.+-\d{9}-\d{5}\.parquet$"
+    r"part-flush\d{6}-\d{5}\.parquet$"
+    r"|part-m\d{6}-\d{5}\.parquet$"
+    r"|part-.+-\d{9}-\d{5}\.parquet$"
 )
 
 

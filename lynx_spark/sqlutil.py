@@ -227,6 +227,18 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
             wdepth.append(d)
         else:
             wdepth.append(d)
+    def whole_conjunct(s: int, e: int) -> bool:
+        """True iff tokens [s..e] span a WHOLE top-level conjunct:
+        bounded by clause start/end or AND on both sides. Guards
+        against chained-comparison wrappers like
+        ``timestamp >= 'lit' = (1 > 2)`` (r3 review: parses
+        left-associatively as a boolean EQUALITY whose inner
+        comparison is not a required conjunct, yet contains no
+        TRUE/FALSE/NOT token to bail on)."""
+        return (s == 0 or wu[s - 1] == "AND") and (
+            e == n - 1 or wu[e + 1] == "AND"
+        )
+
     for i in range(n):
         if wu[i] != "TIMESTAMP" or wdepth[i] != 0:
             continue
@@ -236,6 +248,8 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
         # not a column occurrence ("timestamp >= TIMESTAMP '..'")
         if i + 1 < n and w[i + 1].startswith("'"):
             continue
+        # conjunct start: include a "t." qualifier before the column
+        start = i - 2 if (i >= 2 and w[i - 1] == ".") else i
         # forward: timestamp <op> [TIMESTAMP] 'lit'
         #          timestamp BETWEEN ['TIMESTAMP'] 'a' AND ['TIMESTAMP'] 'b'
         j = i + 1
@@ -247,7 +261,7 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
                 m = k + 2
                 if m < n and wu[m] == "TIMESTAMP":
                     m += 1
-                if m < n:
+                if m < n and whole_conjunct(start, m):
                     a, b = lit_us(w[k]), lit_us(w[m])
                     if a is not None and b is not None:
                         tighten(">=", a)
@@ -263,7 +277,7 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
                 k = j + len(op)
                 if k < n and wu[k] == "TIMESTAMP":
                     k += 1
-                if k < n:
+                if k < n and whole_conjunct(start, k):
                     us = lit_us(w[k])
                     if us is not None:
                         tighten(op, us)
@@ -276,7 +290,11 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
                 op_r, litpos = w[j - 1] + "=", j - 2
             else:
                 op_r, litpos = w[j], j - 1
-            if op_r in (">", ">=", "<", "<=", "=") and litpos >= 0:
+            if (
+                op_r in (">", ">=", "<", "<=", "=")
+                and litpos >= 0
+                and whole_conjunct(litpos, i)
+            ):
                 us = lit_us(w[litpos])
                 if us is not None:
                     flipped = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "=": "="}

@@ -152,6 +152,13 @@ def test_negated_predicates_refuse_pruning():
         # any parenthesized comparison is no longer tightened (depth-0
         # conjuncts only) — sound, conservative
         "SELECT * FROM cpu WHERE (timestamp >= '1970-01-02')",
+        # r3 review: chained comparisons wrap the inner comparison in
+        # a boolean equality with NO true/false/not token to bail on —
+        # the conjunct-boundary rule must refuse them
+        "SELECT * FROM cpu WHERE timestamp >= '1970-01-02' = (1 > 2)",
+        "SELECT * FROM cpu WHERE timestamp >= '1970-01-02' = (value = 'x')",
+        "SELECT * FROM cpu WHERE (1 > 2) = '1970-01-02' > timestamp",
+        "SELECT * FROM cpu WHERE timestamp BETWEEN '1970-01-01' AND '1970-01-02' = (1 > 2)",
     ]:
         assert extract_time_bounds(sql) == (None, None), sql
     # depth-0 conjuncts still prune alongside parenthesized residue

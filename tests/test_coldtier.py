@@ -628,3 +628,36 @@ def test_committed_stream_batch_raises_when_listing_unstable(
     monkeypatch.setattr(Path, "read_text", always_vanished)
     with _pytest.raises(RuntimeError, match="unstable"):
         committed_stream_batch(tmp_path / "cold", "stream", 3)
+
+
+def test_adoption_excludes_all_commit_era_orphans(spark, tmp_path):
+    """r3 review: the earliest commit-log revision's flush naming
+    (part-mNNNNNN-NNNNN) is engine-owned and never-visible, exactly
+    like part-flush*: an adoption retry must not commit such a crash
+    orphan. Round-1 names (part-NNNNN.parquet) predate the commit log
+    and ARE adopted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    legacy = tmp_path / "cold/ns/cpu/day=1970-01-01"
+    legacy.mkdir(parents=True)
+
+    def w(name, val):
+        pq.write_table(
+            pa.table(
+                {
+                    "timestamp": pa.array([1], type=pa.timestamp("us")),
+                    "value": pa.array([val], type=pa.string()),
+                }
+            ),
+            legacy / name,
+        )
+
+    w("part-00000.parquet", "round1-legacy")  # visible pre-commit-log
+    w("part-m000001-00000.parquet", "torn-flush")  # commit-log era
+    w("part-flush000002-00000.parquet", "torn-flush2")  # commit-log era
+    w("part-sinkA-000000003-00000.parquet", "torn-batch")  # sink era
+    (tmp_path / "cold/_commits").mkdir()  # marker-only crash window
+    eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
+    vals = [r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()]
+    assert vals == ["round1-legacy"]

@@ -637,3 +637,37 @@ def test_word_entropy_known_values(spark):
     assert out[2] == 1.0  # two equiprobable words
     assert out[3] == 2.0  # four equiprobable words
     assert math.isclose(out[2], 1.0)
+
+
+def test_validate_non_identifier_rule_names(spark):
+    """r3 review: float / negative bounds produce rule names that are
+    not bare SQL identifiers; validate must still run (sanitized names,
+    quoted references)."""
+    from lynx_spark.operators import quality as ql
+
+    df = spark.createDataFrame([(0.7,), (2.0,), (-3.0,)], ["x"])
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in ql.validate(
+            df, [ql.in_range("x", 0.5, 1.5), ql.in_range("x", -1, 1)]
+        ).collect()
+    }
+    assert out["x_between_0_5_1_5"] == 2  # 2.0 and -3.0
+    assert out["x_between__1_1"] == 2  # 2.0 and -3.0
+
+
+def test_banded_self_pairs_uncapped_uses_streaming_join(spark):
+    """r3 review: max_bucket=None must not materialize a bucket's k^2/2
+    pairs as one array value — the join fallback streams them. Output
+    equivalence with the capped-but-not-binding grouped path."""
+    from lynx_spark.operators._util import banded_self_pairs
+
+    df = spark.createDataFrame(
+        [(i, i % 3, i % 2) for i in range(40)], ["id", "b0", "b1"]
+    )
+    uncapped = banded_self_pairs(df, "id", ["b0", "b1"], None)
+    capped = banded_self_pairs(df, "id", ["b0", "b1"], 1000)
+    assert uncapped.exceptAll(capped).count() == 0
+    assert capped.exceptAll(uncapped).count() == 0
+    plan = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # the streaming form, not the grouped array
