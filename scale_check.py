@@ -33,6 +33,16 @@ QUERIES = [
     "q07_window_rank",
     "q12_events_daily",
     "q21_dedup_exact",
+    # dedup / similarity / corpus / quality at replicated-document and
+    # replicated-embedding scale: the families where quadratic
+    # candidate generation would show as a superlinear time ratio
+    "q22_ngram_jaccard",
+    "q23_minhash_lsh",
+    "q25_ann_lsh",
+    "q49_repetition_signals",
+    "q53_word_entropy",
+    "q54_profile",
+    "q55_constraints",
 ]
 
 
@@ -77,7 +87,43 @@ def synthesize(spark) -> None:
         str(OUT / "events.parquet")
     )
 
-    for t in ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]:
+    # documents: shift ids AND make texts disjoint across copies
+    # (per-word copy prefix) so shingle/minhash work grows linearly
+    # with the corpus instead of manufacturing 10-way near-dup
+    # clusters — the check isolates scaling from duplicate semantics
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    doc_copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc))
+        .withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", f"c{i}_$1")
+        )
+        for i in range(FACTOR)
+    ]
+    d_all = doc_copies[0]
+    for c in doc_copies[1:]:
+        d_all = d_all.unionByName(c)
+    d_all.repartition(32).write.mode("overwrite").parquet(
+        str(OUT / "documents.parquet")
+    )
+
+    # embeddings: shifted ids, identical vectors (bucket sizes grow
+    # FACTOR-fold — exactly the load ANN candidate generation must
+    # absorb linearly)
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    e_copies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vec))
+        for i in range(FACTOR)
+    ]
+    e_all = e_copies[0]
+    for c in e_copies[1:]:
+        e_all = e_all.unionByName(c)
+    e_all.repartition(32).write.mode("overwrite").parquet(
+        str(OUT / "embeddings.parquet")
+    )
+
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         shutil.copy(f"{BASE}/{t}.parquet", OUT / f"{t}.parquet")
 
 

@@ -112,3 +112,90 @@ def test_time_bound_pruning_is_sound(conjs, ts_list):
     for ts in ts_list:
         if all(py_op[op](ts, us(lit)) for op, lit, _ in conjs):
             assert partition_key(ts) in selected, (sql, ts, lo, hi)
+
+
+# ---------------------------------------------------- corpus invariants
+
+_words_st = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=1, max_size=30
+)
+_docs_st = st.lists(_words_st, min_size=1, max_size=20)
+
+
+@given(docs=_docs_st, budget=st.integers(min_value=1, max_value=40))
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_matches_reference(spark, docs, budget):
+    """Greedy per-shard packing equals the sequential Python reference:
+    bin = floor(prefix/budget), offset = prefix mod budget, prefix =
+    token sum of all earlier docs (id order) in the shard."""
+    from lynx_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(ws), f"s{i % 2}") for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df, "doc_id", "text", "source", budget).collect()
+    }
+    prefix: dict[str, int] = {}
+    for i, ws in enumerate(rows):
+        shard = ws[2]
+        n_tok = len(docs[i])
+        p = prefix.get(shard, 0)
+        assert got[i] == (n_tok, p // budget, p % budget), (i, budget)
+        prefix[shard] = p + n_tok
+    # offsets always inside the budget
+    assert all(off < budget for (_, _, off) in got.values())
+
+
+@given(docs=_docs_st)
+@settings(max_examples=8, deadline=None)
+def test_word_entropy_bounds(spark, docs):
+    """0 <= H <= log2(n_words); H == 0 exactly for single-word-type
+    docs — the information-theoretic range of Shannon entropy."""
+    import math
+
+    from lynx_spark.operators.quality import word_entropy
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in word_entropy(df, "doc_id", "text").collect()}
+    for i, ws in enumerate(docs):
+        h = out[i]["word_entropy"]
+        # +1e-4 slack: the operator rounds to 4 decimals, which can
+        # push a boundary value (e.g. log2(3)=1.58496… -> 1.585)
+        # just past the exact bound
+        assert -1e-9 <= h <= math.log2(len(ws)) + 1e-4, (ws, h)
+        if len(set(ws)) == 1:
+            assert h == 0.0
+
+
+@given(
+    strata=st.lists(st.integers(min_value=1, max_value=25), min_size=1, max_size=4)
+)
+@settings(max_examples=8, deadline=None)
+def test_stratified_split_fraction_invariant(spark, strata):
+    """Every stratum independently satisfies the exact-fraction rule:
+    #train = #{rank: (rank-1)/n < 0.8} regardless of stratum size."""
+    from collections import Counter
+
+    from lynx_spark.operators.corpus import stratified_split
+
+    rows, nid = [], 0
+    for s, n in enumerate(strata):
+        for _ in range(n):
+            rows.append((nid, f"s{s}"))
+            nid += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_split(df, "doc_id", ["source"]).collect()
+    by: dict[str, Counter] = {}
+    for r in out:
+        by.setdefault(r["source"], Counter())[r["split"]] += 1
+    for s, n in enumerate(strata):
+        c = by[f"s{s}"]
+        exp_train = sum(1 for r in range(1, n + 1) if (r - 1) / n < 0.8)
+        exp_val = sum(
+            1 for r in range(1, n + 1) if 0.8 <= (r - 1) / n < 0.9
+        )
+        assert c["train"] == exp_train, (n, dict(c))
+        assert c["val"] == exp_val, (n, dict(c))
+        assert sum(c.values()) == n
