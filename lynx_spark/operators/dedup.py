@@ -309,6 +309,107 @@ def minhash_lsh_pairs(
     )
 
 
+# ------------------------------------------------------ incremental dedup
+
+
+def incremental_exact_survivors(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact-tier incremental dedup: the continuous-ingestion shape.
+    ``seen_fps`` is the fingerprint store of everything already
+    ingested (one ``fingerprint`` column); the incoming batch dedups
+    within itself (min id per fingerprint) and then anti-joins the
+    store — survivors are exactly the rows to append, and their
+    fingerprints are the store's next delta. Both steps are one
+    shuffle on the fingerprint; when the store fits the broadcast
+    threshold AQE turns the anti-join map-side."""
+    fp = new_df.select(
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    batch = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("survivor_id")
+    )
+    return batch.join(seen_fps, "fingerprint", "left_anti")
+
+
+def incremental_minhash_matches(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-dup tier of incremental dedup: (new_id, seen_id, jaccard)
+    for incoming documents that near-duplicate the already-ingested
+    corpus — the cross-run twin of minhash_lsh_pairs. Signatures come
+    from ONE capped shingle table over the union (so document
+    frequencies — and the cap — see the whole corpus, exactly what a
+    persisted signature store would hold); candidates meet by band
+    equality ACROSS the two sets only (a bipartite join on the
+    composite (band_no, bh) key — never new×new or seen×seen), and
+    true Jaccard verifies. At scale the seen side's signatures and
+    shingles are loaded from the store instead of recomputed; the
+    join shapes are identical."""
+    from lynx_spark.operators._util import explode_bands
+
+    union = new_df.select(
+        F.col(id_col).cast("long").alias("_uid"), F.col(text_col).alias("_t")
+    ).unionByName(
+        seen_df.select(
+            F.col(id_col).cast("long").alias("_uid"),
+            F.col(text_col).alias("_t"),
+        )
+    )
+    sh = _capped_shingles_cached(union, "_uid", "_t", n, max_doc_freq)
+    sig = minhash_signatures(union, "_uid", "_t", n, shingles=sh).persist()
+    sig.count()
+    new_ids = new_df.select(F.col(id_col).cast("long").alias("doc")).distinct()
+    seen_ids = seen_df.select(F.col(id_col).cast("long").alias("doc")).distinct()
+    band_cols = [f"band{b}" for b in range(MINHASH_BANDS)]
+    # membership via semi join — no broadcast hint: the seen corpus is
+    # unbounded at scale, and AQE picks broadcast when a side is small
+    nb = explode_bands(
+        sig.join(new_ids, "doc", "left_semi"), "doc", band_cols
+    )
+    sb = explode_bands(
+        sig.join(seen_ids, "doc", "left_semi"), "doc", band_cols
+    )
+    cands = (
+        nb.select(F.col("doc").alias("new_id"), "band_no", "bh")
+        .join(
+            sb.select(F.col("doc").alias("seen_id"), "band_no", "bh"),
+            ["band_no", "bh"],
+        )
+        .select("new_id", "seen_id")
+        .distinct()
+    )
+    a = sh.select(F.col("doc").alias("new_id"), "shingle")
+    b = sh.select(F.col("doc").alias("seen_id"), "shingle")
+    common = (
+        cands.join(a, "new_id")
+        .join(b, ["seen_id", "shingle"])
+        .groupBy("new_id", "seen_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sig.select("doc", "n_sh")
+    sa = sizes.select(F.col("doc").alias("new_id"), F.col("n_sh").alias("na"))
+    sb2 = sizes.select(F.col("doc").alias("seen_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "new_id")
+        .join(sb2, "seen_id")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "seen_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 _SIMHASH_BITS = 64

@@ -1517,6 +1517,103 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: id boundary for the incremental-dedup queries: docs below are the
+#: "already ingested" corpus, docs at/above are the incoming batch
+_SEEN_MAX_ID = 250
+
+
+@q(
+    "q56_incremental_exact",
+    oracle=f"""
+WITH seen AS (SELECT DISTINCT md5(text) AS fingerprint FROM documents
+              WHERE doc_id < {_SEEN_MAX_ID}),
+batch AS (SELECT md5(text) AS fingerprint,
+                 CAST(min(doc_id) AS BIGINT) AS survivor_id
+          FROM documents WHERE doc_id >= {_SEEN_MAX_ID}
+          GROUP BY md5(text))
+SELECT fingerprint, survivor_id FROM batch
+WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
+""",
+    description="incremental exact dedup: incoming batch dedups "
+    "in-batch then anti-joins the ingested fingerprint store — the "
+    "continuous-ingestion shape (one shuffle on the fingerprint)",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    seen_fps = (
+        docs.filter(F.col("doc_id") < _SEEN_MAX_ID)
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    return dd.incremental_exact_survivors(
+        docs.filter(F.col("doc_id") >= _SEEN_MAX_ID),
+        seen_fps,
+        "doc_id",
+        "text",
+    )
+
+
+def _incremental_minhash_oracle() -> str:
+    rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
+    mh_exprs = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(dd.MINHASH_NUM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f")) AS band{b}"
+        for b in range(dd.MINHASH_BANDS)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.doc AS new_id, b.doc AS seen_id FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} "
+        f"AND a.doc >= {_SEEN_MAX_ID} AND b.doc < {_SEEN_MAX_ID}"
+        for b in range(dd.MINHASH_BANDS)
+    )
+    return f"""
+WITH {_shingle_cte()},
+sig AS (SELECT doc,
+    {mh_exprs}
+  FROM sh GROUP BY doc),
+bands AS (SELECT doc,
+    {band_exprs}
+  FROM sig),
+cand AS (
+{cand_union}),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT c.new_id, c.seen_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc = c.new_id
+  JOIN sh b ON b.doc = c.seen_id AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT new_id, seen_id,
+  round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = new_id
+JOIN sizes sb ON sb.doc = seen_id
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+"""
+
+
+@q(
+    "q57_incremental_minhash",
+    oracle=_incremental_minhash_oracle(),
+    description="incremental near-dup dedup: incoming batch vs the "
+    "ingested corpus via a BIPARTITE MinHash band join (never new x "
+    "new or seen x seen), Jaccard-verified — the cross-run twin of "
+    "q23 whose seen side reads a signature store at scale",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dd.incremental_minhash_matches(
+        docs.filter(F.col("doc_id") >= _SEEN_MAX_ID),
+        docs.filter(F.col("doc_id") < _SEEN_MAX_ID),
+        "doc_id",
+        "text",
+    )
+
+
 def _minhash_oracle() -> str:
     rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
     mh_exprs = ",\n    ".join(

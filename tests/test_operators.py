@@ -671,3 +671,41 @@ def test_banded_self_pairs_uncapped_uses_streaming_join(spark):
     assert capped.exceptAll(uncapped).count() == 0
     plan = uncapped._jdf.queryExecution().executedPlan().toString()
     assert "Join" in plan  # the streaming form, not the grouped array
+
+
+def test_incremental_dedup_tiers(spark):
+    """Cross-run dedup: the incoming batch dedups against the seen
+    corpus (exact via fingerprint store, near via bipartite MinHash) —
+    and never reports seen x seen or new x new pairs."""
+    seen = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark engines and formats"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+            (11, "the quick brown fox jumps over the lazy cat today"),  # near dup of 1
+            (12, "entirely novel content mentioning neither foxes nor sparks"),
+            (13, "entirely novel content mentioning neither foxes nor sparks"),  # in-batch dup
+        ],
+        ["doc_id", "text"],
+    )
+    seen_fps = seen.select(F.md5("text").alias("fingerprint")).distinct()
+    survivors = {
+        r["survivor_id"]
+        for r in dd.incremental_exact_survivors(new, seen_fps, "doc_id", "text").collect()
+    }
+    # 10 collides with the store; 13 collapses into 12 in-batch
+    assert survivors == {11, 12}
+    matches = {
+        (r["new_id"], r["seen_id"]): r["jaccard"]
+        for r in dd.incremental_minhash_matches(
+            new, seen, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert matches[(10, 1)] == 1.0  # exact dup across runs
+    assert (11, 1) in matches and matches[(11, 1)] >= 0.5  # near dup
+    assert all(n >= 10 and s < 10 for (n, s) in matches)  # bipartite only
