@@ -7,11 +7,13 @@ ONE JSON line:
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
 Each query is forced with a full count() after a shared warmup query
-that spins up the JVM/executor pool. Every query runs twice and the
-MINIMUM is reported — the engine is a long-running server (the
+that spins up the JVM/executor pool. Every query runs three times and
+the MINIMUM is reported — the engine is a long-running server (the
 reference holds one engine-lifetime SessionContext, lynx.rs:38), so
 steady-state (post-JIT) latency is the representative number; the
-first execution of a plan shape pays one-time whole-stage-codegen JIT.
+first execution of a plan shape pays one-time whole-stage-codegen JIT,
+and a second repetition filters GC/machine noise (r2's numbers showed
+2-4x first-vs-second variance on the dedup family with only two runs).
 """
 
 from __future__ import annotations
@@ -64,7 +66,7 @@ def main() -> None:
     for name in HEADLINE:
         spec = REGISTRY[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)

@@ -81,7 +81,24 @@ def banded_self_pairs(
     buckets = banded.groupBy("band_no", "bh").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )
-    ids = F.col("ids")
+    return (
+        buckets.select(
+            F.explode(sorted_pairs_expr(F.col("ids"), max_bucket)).alias("p")
+        )
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .distinct()
+    )
+
+
+def sorted_pairs_expr(ids: Column, max_size: int | None) -> Column:
+    """array<struct<a,b>> of i<j pairs from a SORTED id array — all
+    combinations for arrays within ``max_size``, else the star pattern
+    (every member paired with the minimum id), which keeps a duplicate
+    cluster connected at linear instead of quadratic cost. Pure array
+    expressions: JVM-side, codegen, no join. Shared by the LSH bucket
+    pair generation and the inverted-index (shingle-group) pair
+    generation. The ``when`` picks the generator per array, so the
+    quadratic branch is never evaluated for oversized arrays."""
     allpairs = F.flatten(
         F.transform(
             ids,
@@ -95,12 +112,9 @@ def banded_self_pairs(
         F.slice(ids, 2, F.size(ids)),
         lambda y: F.struct(ids[0].alias("a"), y.alias("b")),
     )
-    gen = F.when(F.size(ids) <= max_bucket, allpairs).otherwise(star)
-    return (
-        buckets.select(F.explode(gen).alias("p"))
-        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
-        .distinct()
-    )
+    if max_size is None:
+        return allpairs
+    return F.when(F.size(ids) <= max_size, allpairs).otherwise(star)
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

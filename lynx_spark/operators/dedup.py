@@ -48,6 +48,27 @@ MAX_SHINGLE_DF = 100
 #: default LSH bucket-size cap for banded_self_pairs' star fallback
 MAX_BAND_BUCKET = 200
 
+#: modulus of the minhash affine family: the Mersenne prime 2^31-1.
+#: With base reduced mod P first, a*x+b stays under 2^62 — no 64-bit
+#: overflow in either engine.
+MINHASH_PRIME = 2147483647
+
+_coef_rng = __import__("random").Random(20240613)
+#: the affine 'permutation' coefficients h_s(x) = (a_s*x + b_s) mod P —
+#: fixed literals so the DuckDB oracle runs the byte-identical family
+MINHASH_A = [_coef_rng.randrange(1, MINHASH_PRIME) for _ in range(MINHASH_NUM)]
+MINHASH_B = [_coef_rng.randrange(0, MINHASH_PRIME) for _ in range(MINHASH_NUM)]
+
+
+def base_hash_expr(col: F.Column) -> F.Column:
+    """60-bit integer content hash: the first 15 hex digits of md5 as
+    a long. Portable bit-for-bit: Spark ``conv(substr(md5,1,15),16,10)``
+    equals DuckDB ``('0x' || substr(md5,1,15))::BIGINT`` (asserted in
+    tests). ONE md5 per distinct shingle replaces the r1 family's
+    MINHASH_NUM md5s per (doc, shingle) row — the minhash functions
+    are then integer affine transforms of this base."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
 
 def cap_doc_freq(
     sh: DataFrame,
@@ -60,7 +81,7 @@ def cap_doc_freq(
     the inverted-index self-joins downstream consume with no further
     exchange. Used by the winnowing overlap join (functions/text.py);
     the shingle pipeline instead fuses the cap into its collect_set
-    build (_capped_shingles_cached), which subsumes the distinct."""
+    build (_grouped_shingles), which subsumes the distinct."""
     if max_doc_freq is None:
         return sh
     from pyspark.sql.window import Window
@@ -73,40 +94,50 @@ def cap_doc_freq(
     )
 
 
-def _capped_shingles_cached(
+def _grouped_shingles(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int,
     max_doc_freq: int | None,
 ) -> DataFrame:
-    """Persisted, df-capped shingle table for multi-branch consumers.
+    """Df-capped shingle groups: one row per distinct shingle with the
+    SORTED set of documents containing it and the shingle's 60-bit
+    base hash.
 
     ONE exchange builds it: the raw exploded shingles group by
     ``shingle`` into ``collect_set(doc)``, which fuses the distinct
     (set semantics), the document-frequency count (set size) and the
     cap filter into a single aggregation — no separate distinct
-    exchange, no count window sort (r2's window variant cost q23 an
-    extra sort per build). Map-side partial aggregation dedups within
-    partitions before the shuffle. The per-shingle doc set is bounded
-    in expectation (boilerplate shingles are the outliers and they are
-    exactly what the cap drops right after the aggregate); a 10⁶-doc
-    stop-shingle is an ~8 MB array on one key — large but transient,
-    and only until the filter discards it.
+    exchange, no count window sort. Map-side partial aggregation
+    dedups within partitions before the shuffle. The per-shingle doc
+    set is bounded in expectation (boilerplate shingles are the
+    outliers and they are exactly what the cap drops right after the
+    aggregate); a 10⁶-doc stop-shingle is an ~8 MB array on one key —
+    large but transient, and only until the filter discards it.
 
-    The cache keeps the resulting hashpartitioning(shingle): the
-    inverted-index self-join downstream joins ON shingle and reads the
-    cache with NO further exchange."""
+    ``base`` is computed here — below the explode that downstream
+    consumers apply — so the md5 runs once per DISTINCT shingle, not
+    once per (doc, shingle) occurrence."""
     d = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), _words_col(text_col).alias("w")
     ).filter(F.size("w") >= n)
     raw = d.select("doc", F.explode(_shingle_expr(F.col("w"), n)).alias("shingle"))
-    grouped = raw.groupBy("shingle").agg(F.collect_set("doc").alias("docs"))
+    grouped = raw.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("doc")).alias("docs")
+    )
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("docs") <= max_doc_freq)
-    sh = grouped.select(F.explode("docs").alias("doc"), "shingle").persist()
-    sh.count()  # eager: branches must read the cache, not race to fill it
-    return sh
+    return grouped.withColumn("base", base_hash_expr(F.col("shingle")))
+
+
+def _exploded_shingles(grouped: DataFrame) -> DataFrame:
+    """(doc, shingle, base) rows from the grouped table. The Generate
+    node evaluates its input row once, so ``base`` is NOT recomputed
+    per emitted row."""
+    return grouped.select(
+        F.explode("docs").alias("doc"), "shingle", "base"
+    )
 
 
 def _words_col(text_col: str) -> F.Column:
@@ -174,30 +205,60 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
-    candidate generation = inverted-index self-join on the shingle
-    (only docs sharing a shingle meet); |A ∩ B| falls out of the join
-    group count; |A ∪ B| = |A| + |B| - |A ∩ B|. Shingles hotter than
-    ``max_doc_freq`` are dropped BEFORE the self-join (cap_doc_freq) —
-    the fix for the one quadratic hole in the inverted-index shape.
-    Jaccard is then computed over the capped shingle space (sizes
-    too, so the ratio stays consistent); the documented trade-off is
-    that a pair overlapping ONLY in boilerplate shingles is no longer
-    reported — at the cap default that changes nothing at test scale.
+    candidate generation = the inverted index itself: the df-capped
+    shingle groups already hold, per shingle, the sorted set of
+    documents containing it — all i<j pairs come straight out of those
+    arrays (sorted_pairs_expr: codegen array exprs, NO self-join, no
+    per-partition hash build over the exploded table). Shingles hotter
+    than ``max_doc_freq`` are dropped in the same aggregation — the
+    fix for the one quadratic hole in the inverted-index shape; with
+    the cap the per-shingle pair array is bounded by cap²/2. A pair
+    appears once per SHARED shingle, so |A ∩ B| is just the pair
+    count: one groupBy over the pair stream, then two joins against
+    the (tiny, broadcastable) per-doc size table finish the Jaccard.
+    Every candidate's verification work rides in that single
+    aggregation — intersecting per-doc shingle sets per pair instead
+    (the q23 shape) costs candidates × doc-length here, because the
+    inverted index yields EVERY overlapping pair as a candidate, not
+    an LSH-filtered subset. The ratio lives entirely in the capped
+    shingle space, so the documented trade-off is that a pair
+    overlapping ONLY in boilerplate shingles is no longer reported —
+    at the cap default that changes nothing at test scale.
 
-    The shingle table feeds three plan branches (sizes + both join
-    sides); persisting it turns three explode+distinct passes into one
-    (MLlib-style internal persist — the ContextCleaner reclaims it
-    when the result DataFrame is garbage collected; at 100 TB this
-    becomes a checkpoint to storage)."""
-    sh = _capped_shingles_cached(df, id_col, text_col, n, max_doc_freq)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
-        .agg(F.count("*").alias("n_common"))
+    The grouped shingle table feeds two branches (pair arrays +
+    per-doc sizes); one internal persist (MLlib-style — the
+    ContextCleaner reclaims it when the result DataFrame is garbage
+    collected; at 100 TB this becomes a checkpoint to storage)."""
+    from lynx_spark.operators._util import sorted_pairs_expr
+
+    grouped = _grouped_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    grouped.count()  # eager: branches must read the cache, not race to fill it
+    sh = _exploded_shingles(grouped)
+    if max_doc_freq is None:
+        # uncapped: a hot shingle's pair ARRAY would be one quadratic
+        # in-memory value; the exploded self-join streams it instead
+        a = sh.select(F.col("doc").alias("a_id"), "shingle")
+        b = sh.select(F.col("doc").alias("b_id"), "shingle")
+        pair_stream = (
+            a.join(b, "shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+    else:
+        # capped: per-shingle doc arrays are <= max_doc_freq, so the
+        # i<j pair arrays are bounded by cap²/2 — pure codegen exprs.
+        # Most shingles are singletons (no pair); filtering them FIRST
+        # keeps the nested-transform machinery off the vast majority
+        # of rows
+        pair_stream = (
+            grouped.filter(F.size("docs") >= 2)
+            .select(F.explode(sorted_pairs_expr(F.col("docs"), None)).alias("p"))
+            .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        )
+    common = pair_stream.groupBy("a_id", "b_id").agg(
+        F.count("*").alias("n_common")
     )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -210,13 +271,43 @@ def jaccard_pairs(
     )
 
 
+def _jaccard_verify(
+    cands: DataFrame,
+    docsets: DataFrame,
+    left: str,
+    right: str,
+    threshold: float,
+) -> DataFrame:
+    """(left, right, jaccard) for candidate pairs passing the exact
+    Jaccard threshold, computed from per-document shingle sets via
+    array_intersect — two key-equality joins (AQE broadcasts the
+    small side; the candidate set after LSH/banding is ≪ corpus) and
+    zero further aggregation."""
+    sa = docsets.select(F.col("doc").alias(left), F.col("shset").alias("_sa"))
+    sb = docsets.select(F.col("doc").alias(right), F.col("shset").alias("_sb"))
+    n_common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    jac = n_common / (F.size("_sa") + F.size("_sb") - n_common)
+    return (
+        cands.join(sa, left)
+        .join(sb, right)
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(left, right, "jaccard")
+    )
+
+
 def _minhash_aggs() -> list[F.Column]:
-    """MINHASH_NUM min-aggregations. The 'hash family' is
-    md5(seed || ':' || shingle) compared as a string — a uniform
-    permutation surrogate whose twin exists in any SQL dialect (the
-    oracle runs the byte-identical computation in DuckDB)."""
+    """MINHASH_NUM min-aggregations over the affine family
+    h_s(base) = (a_s * (base mod P) + b_s) mod P — integer-only per
+    row (the one md5 behind ``base`` ran once per DISTINCT shingle in
+    the grouped build). A uniform permutation surrogate whose twin
+    exists in any SQL dialect; the oracle runs the byte-identical
+    computation in DuckDB. r1 used min(md5(seed || shingle)) per
+    function — MINHASH_NUM string hashes per (doc, shingle) row,
+    which dominated the whole q23 profile at sf0.1."""
+    x = F.col("base") % MINHASH_PRIME
     return [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        F.min((MINHASH_A[s] * x + MINHASH_B[s]) % MINHASH_PRIME).alias(f"mh{s}")
         for s in range(MINHASH_NUM)
     ]
 
@@ -227,16 +318,28 @@ def minhash_signatures(
     text_col: str,
     n: int = SHINGLE_N,
     shingles: DataFrame | None = None,
+    with_shingle_sets: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature + banded LSH bucket hashes.
-    Pass a precomputed (persisted) shingle table to share the scan
-    with the verification stage."""
-    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
+    Pass a precomputed (doc, shingle, base) table to share the build
+    with the verification stage; ``with_shingle_sets`` folds the
+    per-doc shingle set into the SAME aggregation (the Jaccard
+    verification consumes it via array_intersect — no second pass
+    over the shingle table, no verification joins against it)."""
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = shingle_table(df, id_col, text_col, n)
+    if "base" not in sh.columns:
+        sh = sh.withColumn("base", base_hash_expr(F.col("shingle")))
     # n_sh rides along in the same aggregate: the Jaccard verification
     # needs per-doc shingle counts, and folding them here saves a
     # whole separate groupBy pass over the shingle table
+    extra = (
+        [F.collect_set("shingle").alias("shset")] if with_shingle_sets else []
+    )
     sig = sh.groupBy("doc").agg(
-        *_minhash_aggs(), F.count("*").alias("n_sh")
+        *_minhash_aggs(), F.count("*").alias("n_sh"), *extra
     )
     rows_per_band = MINHASH_NUM // MINHASH_BANDS
     for band in range(MINHASH_BANDS):
@@ -261,52 +364,34 @@ def minhash_lsh_pairs(
     and deduped. Only candidates pay the exact-Jaccard verification.
 
     Two scale caps close the shape's quadratic holes:
-    - ``max_doc_freq`` drops boilerplate shingles (cap_doc_freq)
-      before signatures AND verification, so one stop-phrase never
-      dominates either stage; signatures over the capped space are
-      what the oracle computes too.
+    - ``max_doc_freq`` drops boilerplate shingles in the grouped
+      build, so one stop-phrase never dominates either stage;
+      signatures over the capped space are what the oracle computes
+      too.
     - ``max_bucket`` bounds candidate fan-out when one LSH bucket
       holds many near-identical documents (star pattern in
       banded_self_pairs keeps the cluster connected).
 
-    The shingle table feeds both the signatures and the verification
-    joins, and the signature table feeds one join pair per band — one
-    persisted copy of each (see jaccard_pairs note)."""
-    sh = _capped_shingles_cached(df, id_col, text_col, n, max_doc_freq)
-    # sig feeds both sides of the candidate self-join (and the bucket
-    # cap's aggregate); persist so the 12-way min-agg runs once
-    sig = minhash_signatures(df, id_col, text_col, n, shingles=sh).persist()
-    sig.count()
+    ONE persisted table (sig) carries everything downstream of the
+    shingle build: minhash minima, band hashes AND the per-doc shingle
+    set, all folded into a single aggregation — the verification stage
+    is then two joins on the candidate ids with an array_intersect,
+    never touching the shingle table again. Per-doc sets are bounded
+    by document length, so sig rows stay executor-sized at any corpus
+    scale (this IS the signature store an incremental pipeline would
+    persist)."""
+    grouped = _grouped_shingles(df, id_col, text_col, n, max_doc_freq)
+    sig = minhash_signatures(
+        df, id_col, text_col, n,
+        shingles=_exploded_shingles(grouped),
+        with_shingle_sets=True,
+    ).persist()
+    sig.count()  # eager: three branches read it (bands + both verify sides)
     cands = banded_self_pairs(
         sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)], max_bucket
     )
-
-    a = sh.select(F.col("doc").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc").alias("b_id"), "shingle")
-    # LSH's point is that cands ≪ corpus (the band threshold keeps
-    # only probable near-dups), so when cands is small AQE converts
-    # these to broadcast joins from runtime shuffle sizes (cands ends
-    # in a shuffle, so its true size is known) and the cached shingle
-    # table streams through without re-shuffling; no static hint —
-    # at corpus scale cands can be too big to broadcast, and that
-    # decision belongs to runtime statistics.
-    common = (
-        cands.join(a, "a_id")
-        .join(b, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = sig.select("doc", "n_sh")  # folded into the signature agg
-    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        common.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    docsets = sig.select("doc", "shset")
+    return _jaccard_verify(cands, docsets, "a_id", "b_id", threshold)
 
 
 # ------------------------------------------------------ incremental dedup
@@ -366,8 +451,12 @@ def incremental_minhash_matches(
             F.col(text_col).alias("_t"),
         )
     )
-    sh = _capped_shingles_cached(union, "_uid", "_t", n, max_doc_freq)
-    sig = minhash_signatures(union, "_uid", "_t", n, shingles=sh).persist()
+    grouped = _grouped_shingles(union, "_uid", "_t", n, max_doc_freq)
+    sig = minhash_signatures(
+        union, "_uid", "_t", n,
+        shingles=_exploded_shingles(grouped),
+        with_shingle_sets=True,
+    ).persist()
     sig.count()
     new_ids = new_df.select(F.col(id_col).cast("long").alias("doc")).distinct()
     seen_ids = seen_df.select(F.col(id_col).cast("long").alias("doc")).distinct()
@@ -389,25 +478,8 @@ def incremental_minhash_matches(
         .select("new_id", "seen_id")
         .distinct()
     )
-    a = sh.select(F.col("doc").alias("new_id"), "shingle")
-    b = sh.select(F.col("doc").alias("seen_id"), "shingle")
-    common = (
-        cands.join(a, "new_id")
-        .join(b, ["seen_id", "shingle"])
-        .groupBy("new_id", "seen_id")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = sig.select("doc", "n_sh")
-    sa = sizes.select(F.col("doc").alias("new_id"), F.col("n_sh").alias("na"))
-    sb2 = sizes.select(F.col("doc").alias("seen_id"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        common.join(sa, "new_id")
-        .join(sb2, "seen_id")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "seen_id", "jaccard")
-    )
+    docsets = sig.select("doc", "shset")
+    return _jaccard_verify(cands, docsets, "new_id", "seen_id", threshold)
 
 
 # ---------------------------------------------------------------- simhash

@@ -1488,7 +1488,9 @@ sh_raw AS (
         FROM words WHERE len(w) >= {n})),
 hot AS (SELECT shingle FROM sh_raw GROUP BY shingle
         HAVING count(*) > {max_doc_freq}),
-sh AS (SELECT doc, shingle FROM sh_raw
+sh AS (SELECT doc, shingle,
+              ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
+       FROM sh_raw
        WHERE shingle NOT IN (SELECT shingle FROM hot))
 """
 
@@ -1556,7 +1558,9 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _incremental_minhash_oracle() -> str:
     rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
     mh_exprs = ",\n    ".join(
-        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(dd.MINHASH_NUM)
+        f"min(({dd.MINHASH_A[s]} * (base % {dd.MINHASH_PRIME}) "
+        f"+ {dd.MINHASH_B[s]}) % {dd.MINHASH_PRIME}) AS mh{s}"
+        for s in range(dd.MINHASH_NUM)
     )
     band_exprs = ",\n    ".join(
         "md5(concat_ws('|', "
@@ -1617,7 +1621,9 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
     mh_exprs = ",\n    ".join(
-        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(dd.MINHASH_NUM)
+        f"min(({dd.MINHASH_A[s]} * (base % {dd.MINHASH_PRIME}) "
+        f"+ {dd.MINHASH_B[s]}) % {dd.MINHASH_PRIME}) AS mh{s}"
+        for s in range(dd.MINHASH_NUM)
     )
     band_exprs = ",\n    ".join(
         "md5(concat_ws('|', "
