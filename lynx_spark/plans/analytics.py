@@ -43,6 +43,7 @@ from lynx_spark.functions.text import (
 )
 from lynx_spark.operators import corpus as cp
 from lynx_spark.operators import dedup as dd
+from lynx_spark.operators import graph as gr
 from lynx_spark.operators import quality as ql
 from lynx_spark.operators import similarity as sim
 from lynx_spark.operators.multimodal import binary_length_meta
@@ -1618,7 +1619,11 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """The full MinHash-LSH pipeline as a CTE chain ending in
+    ``pairs(a_id, b_id, jaccard)`` — shared by the q23 oracle and the
+    cluster-resolution oracles (q58/q59) that consume the pairs as a
+    graph edge list."""
     rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
     mh_exprs = ",\n    ".join(
         f"min(({dd.MINHASH_A[s]} * (base % {dd.MINHASH_PRIME}) "
@@ -1636,8 +1641,7 @@ def _minhash_oracle() -> str:
         f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc < b.doc"
         for b in range(dd.MINHASH_BANDS)
     )
-    return f"""
-WITH {_shingle_cte()},
+    return f"""{_shingle_cte()},
 sig AS (SELECT doc,
     {mh_exprs}
   FROM sh GROUP BY doc),
@@ -1652,13 +1656,20 @@ common AS (
   FROM cand c
   JOIN sh a ON a.doc = c.a_id
   JOIN sh b ON b.doc = c.b_id AND b.shingle = a.shingle
-  GROUP BY 1, 2)
-SELECT a_id, b_id,
-  round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc = a_id
-JOIN sizes sb ON sb.doc = b_id
-WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id,
+    round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc = a_id
+  JOIN sizes sb ON sb.doc = b_id
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}
+SELECT a_id, b_id, jaccard FROM pairs
 """
 
 
@@ -1672,6 +1683,57 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
     )
+
+
+def _dedup_cluster_ctes() -> str:
+    """Recursive reachability over the MinHash pair graph: cluster_id =
+    the minimum doc id reachable through near-dup pairs (symmetrized).
+    The UNION (not UNION ALL) dedups rows, so the recursion terminates
+    at the transitive closure."""
+    return f"""{_minhash_pair_ctes()},
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id AS BIGINT) AS r
+  FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+clusters AS (
+  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)"""
+
+
+@q(
+    "q58_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_dedup_cluster_ctes()}
+SELECT doc_id, cluster_id FROM clusters
+""",
+    description="dedup-cluster resolution: connected components of the "
+    "near-dup pair graph via min-label propagation (one shuffle per "
+    "round, rounds = graph diameter — near-cliques from LSH buckets "
+    "keep it tiny); cluster_id = min doc id, the keep-first survivor",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return gr.dedup_clusters(docs, pairs, "doc_id")
+
+
+@q(
+    "q59_dedup_corpus",
+    oracle=f"""
+WITH RECURSIVE {_dedup_cluster_ctes()}
+SELECT cluster_id AS survivor_id, count(*) AS cluster_size
+FROM clusters GROUP BY cluster_id
+""",
+    description="materialized near-dedup: one row per duplicate "
+    "cluster (survivor doc id + cluster size) — filtering the corpus "
+    "to survivor_id IS the deduplicated training set",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return gr.dedup_corpus_survivors(docs, pairs, "doc_id")
 
 
 @q(
