@@ -91,6 +91,47 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(F.trim(normalized)))
 
 
+# ------------------------------------------------------- PII redaction
+
+#: RE2-compatible (and java.util.regex-compatible) patterns — no
+#: lookarounds, so Spark and the DuckDB oracle compile them identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact the three bread-and-butter PII classes every
+    published curation pipeline scrubs (C4, Dolma, RefinedWeb): email
+    addresses, IPv4 addresses, phone numbers. Adds
+
+    - ``n_emails`` / ``n_ips`` / ``n_phones`` — match counts (audit
+      trail; pipelines track redaction rates per source), and
+    - ``redacted`` — the text with matches replaced by ``[EMAIL]`` /
+      ``[IP]`` / ``[PHONE]`` placeholders.
+
+    Redaction order: emails first (their host part would otherwise be
+    half-eaten by the IP pattern), then IPs, then phones. All six
+    expressions are JVM regex ops over one pass of the row — zero
+    shuffle, codegen'd, embarrassingly parallel at any corpus size.
+    The regexes are the deterministic heuristic tier (like
+    ``with_language``): no lookarounds or Unicode classes, so the
+    DuckDB (RE2) oracle and Spark (java.util.regex) agree match for
+    match."""
+    text = F.col(text_col)
+    out = df.withColumn(
+        "n_emails", F.regexp_count(text, F.lit(PII_EMAIL)).cast("long")
+    )
+    out = out.withColumn("n_ips", F.regexp_count(text, F.lit(PII_IPV4)).cast("long"))
+    out = out.withColumn(
+        "n_phones", F.regexp_count(text, F.lit(PII_PHONE)).cast("long")
+    )
+    redacted = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    redacted = F.regexp_replace(redacted, PII_IPV4, "[IP]")
+    redacted = F.regexp_replace(redacted, PII_PHONE, "[PHONE]")
+    return out.withColumn("redacted", redacted)
+
+
 def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID; 'und' when nothing matches. A real
     lang-id model is out of scope for the container — this is the

@@ -1,0 +1,192 @@
+"""Corpus-level unigram language-model scoring: per-document log
+probability under the corpus's own word distribution, and DSIR-style
+importance weights against a target domain.
+
+The reference engine (jdockerty/lynx) has no corpus surface — these
+extend the training-data operator family (SURVEY §2 extensions) with
+the two standard *model-based* quality signals that need CROSS-document
+state (unlike the per-row signals in operators/corpus.py and
+operators/quality.py):
+
+- ``unigram_scores``: how (a)typical each document is for the corpus —
+  the language-model-perplexity filter of CCNet/RefinedWeb pipelines,
+  with the corpus's own unigram distribution standing in for the
+  external KenLM model (swap the vocab DataFrame to use one).
+- ``dsir_weights``: Data Selection via Importance Resampling (Xie et
+  al., 2023, arXiv:2302.03169) — per-document log importance ratio
+  log p_target(doc) − log p_corpus(doc) under smoothed unigram models;
+  documents resembling the target domain get positive weights and are
+  preferentially sampled.
+
+Shape at 100 TB — two aggregation trees plus one join, no collect:
+
+1. ``(doc, word) -> n`` counts: explode + groupBy. Partial (map-side)
+   aggregation absorbs within-document repetition before the shuffle.
+2. Vocabulary ``word -> count``: a second groupBy over (1) — rides the
+   same hash partitioning on ``word`` is NOT possible (``(doc, word)``
+   keys hash differently), but the input to this shuffle is already
+   one row per (doc, word), far smaller than the token stream.
+3. Model totals (N, |V|): single-row aggregate, broadcast.
+4. Score join ``counts ⋈ vocab`` on ``word``: the build side has ONE
+   row per word, so a hot stopword skews probe volume only — AQE's
+   skew-join split handles it without salting (no row multiplication
+   can occur with a unique build key). In production the standard knob
+   is vocabulary truncation to top-V words + OOV smoothing, which
+   makes the build side broadcastable; kept out of the default path so
+   the DuckDB oracle is exact.
+
+Determinism: per-document log terms fold in sorted word order (the
+q53 trick) so Spark and DuckDB sum bit-identically; outputs round to
+4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lynx_spark.operators._util import words_col as _words
+
+#: add-k smoothing for the DSIR models — keeps words absent from the
+#: target corpus at a finite (negative) log ratio instead of -inf
+DSIR_ALPHA = 0.5
+
+
+def doc_word_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc_id, word, n)`` — per-document word multiplicities.
+
+    The shared first pass of every corpus-LM operator: explode the
+    whitespace tokens (the canonical ``words_col`` tokenization) and
+    count per (doc, word). Map-side partial aggregation collapses
+    within-partition repeats, so the shuffle carries one row per
+    (doc, word), not one per token."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(_words(text_col)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _fold_sorted(terms: Column) -> Column:
+    """Left-fold sum over an array<struct<word,lp>> SORTED by word —
+    the deterministic float summation both engines reproduce."""
+    return F.aggregate(
+        F.transform(terms, lambda x: x["lp"]),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def unigram_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document log probability under the corpus's own unigram
+    model: ``logprob = Σ_w n_w · ln(c_w / N)`` and its per-token mean
+    (the quantity thresholded by perplexity filters; perplexity =
+    exp(−avg_logprob)).
+
+    Output: ``(doc_id, n_tokens, logprob, avg_logprob)`` — one row per
+    document with ≥1 token.
+
+    No smoothing: every scored word is in the vocabulary by
+    construction (the model is trained on the same corpus). To score
+    against an EXTERNAL model, join ``doc_word_counts`` to your own
+    ``(word, logp)`` table instead."""
+    # one internal persist (the MLlib pattern the dedup/similarity
+    # families use): counts feeds the vocab, the totals AND the score
+    # join — without it Catalyst rebuilds the explode+groupBy subtree
+    # per consumer and the corpus is scanned three times
+    counts = doc_word_counts(df, id_col, text_col).persist()
+    vocab = counts.groupBy("word").agg(F.sum("n").alias("c")).persist()
+    stats = vocab.agg(F.sum("c").alias("total"))
+    lp = F.col("n") * F.log(F.col("c") / F.col("total"))
+    per_doc = (
+        counts.join(vocab, "word")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("word"), lp.alias("lp")))
+            ).alias("_terms"),
+        )
+    )
+    total_lp = _fold_sorted(F.col("_terms"))
+    # + 0.0 folds IEEE negative zero to positive zero (a round() result
+    # of -0.0 renders as "-0.0" in one engine and "0.0" in the other)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.round(total_lp, 4) + 0.0).alias("logprob"),
+        (F.round(total_lp / F.col("n_tokens"), 4) + 0.0).alias("avg_logprob"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., 2023, arXiv:2302.03169,
+    with unigram features): for each document,
+
+        log_ratio = Σ_w n_w · [ ln p̂_t(w) − ln p̂_c(w) ]
+
+    where p̂_t / p̂_c are add-``alpha``-smoothed unigram models of the
+    ``target``-filtered subset and the full corpus, both smoothed over
+    the CORPUS vocabulary (so target-absent words stay finite).
+    Positive ``avg_log_ratio`` ⇒ the document looks more like the
+    target domain than the corpus at large ⇒ upsample.
+
+    Output: ``(doc_id, n_tokens, log_ratio, avg_log_ratio)``.
+
+    Same two-aggregation + unique-build-key-join shape as
+    ``unigram_scores``; the target model is a filtered second
+    aggregate over the same (doc, word) counts, NOT a second pass over
+    the text."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        target.alias("_is_target"),
+    )
+    # persist: counts feeds the model aggregation AND the score join
+    # (see unigram_scores); corpus_v feeds totals and the join
+    counts = doc_word_counts(base, "doc_id", "_text").persist()
+    flagged = counts.join(base.select("doc_id", "_is_target"), "doc_id")
+    corpus_v = flagged.groupBy("word").agg(
+        F.sum("n").alias("cc"),
+        F.sum(F.when(F.col("_is_target"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
+    ).persist()
+    stats = corpus_v.agg(
+        F.sum("cc").alias("nc"),
+        F.sum("ct").alias("nt"),
+        F.count("*").alias("v"),
+    )
+    a = F.lit(float(alpha))
+    lp = F.col("n") * (
+        F.log((F.col("ct") + a) / (F.col("nt") + a * F.col("v")))
+        - F.log((F.col("cc") + a) / (F.col("nc") + a * F.col("v")))
+    )
+    per_doc = (
+        counts.join(corpus_v, "word")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("word"), lp.alias("lp")))
+            ).alias("_terms"),
+        )
+    )
+    total = _fold_sorted(F.col("_terms"))
+    # + 0.0: normalize IEEE negative zero (see unigram_scores)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.round(total, 4) + 0.0).alias("log_ratio"),
+        (F.round(total / F.col("n_tokens"), 4) + 0.0).alias("avg_log_ratio"),
+    )

@@ -17,6 +17,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _safe(name: str) -> str:
@@ -113,6 +114,39 @@ def validate(
     stack = ", ".join(f"'{n}', `{n}`" for n in names)
     return row.select(
         F.expr(f"stack({len(names)}, {stack}) AS (rule, n_violations)")
+    )
+
+
+def top_fraction(
+    df: DataFrame,
+    score_col: str,
+    by_cols: list[str],
+    keep_frac: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group percentile gate: keep the top ``keep_frac`` of rows
+    by ``score_col`` WITHIN each ``by_cols`` group — the standard
+    quality-threshold step of curation pipelines where an absolute
+    cutoff would gut some domains and pass everything in others
+    (quality scores are not comparable across domains; fractions are).
+
+    Adds ``score_frac`` — the row's rank fraction within its group
+    (0 = best) — and keeps rows with ``score_frac < keep_frac``.
+    Ordering breaks ties on ``tiebreak_col`` so the kept set is
+    deterministic even when scores collide (rounded scores do).
+
+    One window per group: groups rank in parallel and no task ever
+    holds more than its group's rows — the same bounded-key-space rule
+    as ``stratified_split``. At 100 TB the gate is a single shuffle on
+    the group key; a skewed giant domain is the one case to watch
+    (one domain = one partition's sort) — pre-aggregate to a score
+    histogram and threshold on that when a single domain outgrows a
+    task."""
+    group = Window.partitionBy(*by_cols)
+    w = group.orderBy(F.col(score_col).desc(), F.col(tiebreak_col))
+    frac = (F.row_number().over(w) - 1) / F.count("*").over(group)
+    return df.withColumn("score_frac", F.round(frac, 6)).filter(
+        F.col("score_frac") < keep_frac
     )
 
 

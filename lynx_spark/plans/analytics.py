@@ -44,6 +44,7 @@ from lynx_spark.functions.text import (
 from lynx_spark.operators import corpus as cp
 from lynx_spark.operators import dedup as dd
 from lynx_spark.operators import graph as gr
+from lynx_spark.operators import lm
 from lynx_spark.operators import quality as ql
 from lynx_spark.operators import similarity as sim
 from lynx_spark.operators.multimodal import binary_length_meta
@@ -1378,9 +1379,8 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "q53_word_entropy",
-    oracle=r"""
+# the q53 oracle, shared verbatim by the q62 percentile gate built on it
+_ENTROPY_ORACLE = r"""
 WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
            FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 1)
 SELECT doc_id,
@@ -1390,7 +1390,12 @@ SELECT doc_id,
          * -log2(len(list_filter(w, y -> y = x)) / CAST(len(w) AS DOUBLE))
   )), 4) AS word_entropy
 FROM d
-""",
+"""
+
+
+@q(
+    "q53_word_entropy",
+    oracle=_ENTROPY_ORACLE,
     description="Shannon entropy of the per-document word distribution "
     "(language-model-free quality proxy) — zero-shuffle array exprs; "
     "terms fold in sorted word order so both engines sum identically",
@@ -1457,6 +1462,131 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
             ql.ordered("l_quantity", "l_extendedprice"),
         ],
         unique=["l_orderkey", "l_linenumber"],
+    )
+
+
+@q(
+    "q60_unigram_lm",
+    oracle=r"""
+WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w WHERE word <> ''
+      GROUP BY doc_id, word),
+v AS (SELECT word, sum(n) AS c FROM c GROUP BY word),
+s AS (SELECT sum(c) AS total FROM v),
+d AS (SELECT c.doc_id, sum(c.n) AS n_tokens,
+        list_sum(list(c.n * ln(v.c / CAST(s.total AS DOUBLE))
+                      ORDER BY c.word)) AS lp
+      FROM c JOIN v USING (word), s
+      GROUP BY c.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(lp, 4) + 0 AS logprob, round(lp / n_tokens, 4) + 0 AS avg_logprob
+FROM d
+""",
+    description="per-document log probability under the corpus's own "
+    "unigram model (the CCNet/RefinedWeb perplexity-filter shape): two "
+    "aggregation trees + one unique-build-key join, log terms folded "
+    "in sorted word order for cross-engine determinism",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.unigram_scores(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q61_dsir_weights",
+    oracle=r"""
+WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w WHERE word <> ''
+      GROUP BY doc_id, word),
+c2 AS (SELECT c.*, (d.lang = 'en') AS is_t
+       FROM c JOIN documents d USING (doc_id)),
+v AS (SELECT word, sum(n) AS cc,
+        sum(CASE WHEN is_t THEN n ELSE 0 END) AS ct
+      FROM c2 GROUP BY word),
+s AS (SELECT sum(cc) AS nc, sum(ct) AS nt, count(*) AS vsz FROM v),
+d2 AS (SELECT c.doc_id, sum(c.n) AS n_tokens,
+         list_sum(list(c.n * (ln((v.ct + 0.5) / (s.nt + 0.5 * s.vsz))
+                            - ln((v.cc + 0.5) / (s.nc + 0.5 * s.vsz)))
+                       ORDER BY c.word)) AS lr
+       FROM c JOIN v USING (word), s
+       GROUP BY c.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(lr, 4) + 0 AS log_ratio, round(lr / n_tokens, 4) + 0 AS avg_log_ratio
+FROM d2
+""",
+    description="DSIR importance weights (arXiv:2302.03169, unigram "
+    "features): log p_target(doc) - log p_corpus(doc) under "
+    "add-0.5-smoothed models, target = lang='en' — documents that look "
+    "like the target domain get positive weights; the target model is "
+    "a filtered second aggregate over the SAME (doc,word) counts",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.dsir_weights(
+        T(spark, sf_dir, "documents"), "doc_id", "text", F.col("lang") == "en"
+    )
+
+
+@q(
+    "q62_entropy_gate",
+    oracle=f"""
+WITH e AS ({_ENTROPY_ORACLE}),
+j AS (SELECT e.*, d.source FROM e JOIN documents d USING (doc_id)),
+r AS (SELECT *,
+        round((row_number() OVER (PARTITION BY source
+                 ORDER BY word_entropy DESC, doc_id) - 1)
+              / CAST(count(*) OVER (PARTITION BY source) AS DOUBLE), 6)
+          AS score_frac
+      FROM j)
+SELECT doc_id, source, n_words, word_entropy, score_frac
+FROM r WHERE score_frac < 0.5
+""",
+    description="per-domain quality percentile gate: keep the top half "
+    "of each source by word entropy — fractions, not absolute cutoffs, "
+    "so no domain is gutted; one window per domain, domains rank in "
+    "parallel",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    ent = ql.word_entropy(docs, "doc_id", "text")
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+    return ql.top_fraction(
+        ent.join(src, "doc_id"), "word_entropy", ["source"], 0.5, "doc_id"
+    ).select("doc_id", "source", "n_words", "word_entropy", "score_frac")
+
+
+@q(
+    "q63_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{tx.PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{tx.PII_IPV4}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '{tx.PII_PHONE}')) AS BIGINT) AS n_phones,
+  substr(red, 1, 60) AS red_prefix,
+  CAST(length(red) AS BIGINT) AS red_len
+FROM (SELECT doc_id, text,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '{tx.PII_EMAIL}', '[EMAIL]', 'g'),
+          '{tx.PII_IPV4}', '[IP]', 'g'),
+          '{tx.PII_PHONE}', '[PHONE]', 'g') AS red
+      FROM documents)
+""",
+    description="PII detection + redaction (C4/Dolma-style scrub): "
+    "email/IPv4/phone counts and placeholder-redacted text, all JVM "
+    "regex over one row pass — zero shuffle; RE2-compatible patterns "
+    "so the DuckDB oracle matches match-for-match (this corpus "
+    "contains no PII — the synthetic-PII unit tests exercise the "
+    "redaction itself)",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = tx.with_pii_redacted(T(spark, sf_dir, "documents"))
+    return red.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.substring("redacted", 1, 60).alias("red_prefix"),
+        F.length("redacted").cast("long").alias("red_len"),
     )
 
 

@@ -709,3 +709,121 @@ def test_incremental_dedup_tiers(spark):
     assert matches[(10, 1)] == 1.0  # exact dup across runs
     assert (11, 1) in matches and matches[(11, 1)] >= 0.5  # near dup
     assert all(n >= 10 and s < 10 for (n, s) in matches)  # bipartite only
+
+
+# --------------------------------------------------- unigram LM family
+
+
+def test_unigram_scores_hand_computed(spark):
+    from math import log
+
+    from lynx_spark.operators import lm
+
+    # corpus: 6 tokens total; p(a)=3/6, p(b)=2/6, p(c)=1/6
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in lm.unigram_scores(df, "doc_id", "text").collect()}
+    lp1 = 2 * log(3 / 6) + log(2 / 6)
+    lp2 = log(3 / 6) + log(2 / 6) + log(1 / 6)
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 3
+    assert rows[1]["logprob"] == pytest.approx(round(lp1, 4))
+    assert rows[2]["logprob"] == pytest.approx(round(lp2, 4))
+    assert rows[2]["avg_logprob"] < rows[1]["avg_logprob"]  # rarer words
+
+
+def test_unigram_scores_skips_empty_docs(spark):
+    from lynx_spark.operators import lm
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "   "), (3, "")], ["doc_id", "text"]
+    )
+    out = lm.unigram_scores(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from lynx_spark.operators import lm
+
+    # target docs speak "ham"; corpus-at-large speaks "spam"
+    df = spark.createDataFrame(
+        [
+            (1, "ham ham eggs", True),
+            (2, "ham eggs eggs", True),
+            (3, "spam spam spam", False),
+            (4, "ham spam eggs", False),
+        ],
+        ["doc_id", "text", "is_t"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm.dsir_weights(df, "doc_id", "text", F.col("is_t")).collect()
+    }
+    # target-vocabulary docs score positive, off-target negative,
+    # the mixed doc in between
+    assert out[1]["avg_log_ratio"] > 0 and out[2]["avg_log_ratio"] > 0
+    assert out[3]["avg_log_ratio"] < 0
+    assert out[3]["avg_log_ratio"] < out[4]["avg_log_ratio"] < out[1]["avg_log_ratio"]
+
+
+# ------------------------------------------------- percentile gate
+
+
+def test_top_fraction_exact_per_group(spark):
+    from lynx_spark.operators import quality as ql
+
+    rows = [(g, i, float(i)) for g in ("x", "y") for i in range(10)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "score"])
+    kept = ql.top_fraction(df, "score", ["grp"], 0.3, "rid").collect()
+    by_grp = {}
+    for r in kept:
+        by_grp.setdefault(r["grp"], set()).add(r["rid"])
+    # top 30% of 10 rows = ranks 0,1,2 = the 3 highest scores
+    assert by_grp == {"x": {9, 8, 7}, "y": {9, 8, 7}}
+    assert all(r["score_frac"] < 0.3 for r in kept)
+
+
+def test_top_fraction_deterministic_on_ties(spark):
+    from lynx_spark.operators import quality as ql
+
+    df = spark.createDataFrame(
+        [("g", i, 1.0) for i in range(4)], ["grp", "rid", "score"]
+    )
+    kept = {r["rid"] for r in ql.top_fraction(df, "score", ["grp"], 0.5, "rid").collect()}
+    assert kept == {0, 1}  # tiebreak on rid ascending
+
+
+# ------------------------------------------------------ PII redaction
+
+
+def test_pii_redaction_synthetic(spark):
+    from lynx_spark.functions.text import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk and alice@test.io now"),
+            (2, "host 192.168.0.1 then 10.0.0.255 end"),
+            (3, "call +1 555-123-4567 or 555 987 6543 today"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in with_pii_redacted(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["redacted"] == "mail [EMAIL] and [EMAIL] now"
+    assert out[2]["n_ips"] == 2 and out[2]["redacted"] == "host [IP] then [IP] end"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["redacted"] == "call +1 [PHONE] or [PHONE] today"
+    assert out[4]["redacted"] == out[4]["text"]
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_pii_email_not_eaten_by_ip_pattern(spark):
+    from lynx_spark.functions.text import with_pii_redacted
+
+    # the email pattern requires an alpha TLD, so a numeric mail host
+    # is NOT an email — it falls through to the IP tier instead of
+    # being silently left in the text
+    df = spark.createDataFrame([(1, "x user@1.2.3.4 y")], ["doc_id", "text"])
+    row = with_pii_redacted(df).collect()[0]
+    assert row["redacted"] == "x user@[IP] y"
+    assert row["n_emails"] == 0 and row["n_ips"] == 1
