@@ -15,8 +15,11 @@ Config via CLI/env like the reference (main.rs:19-29):
     LYNX_WAL_MAX_SEGMENT_SIZE (default 52428800)
 
 Superset (absent in the reference): LYNX_COLD_DIRECTORY enables the
-tiered engine (hot buffer + date-partitioned parquet) and the
-POST /api/v1/flush route ({"namespace": ...} -> rows flushed).
+tiered engine (hot buffer + date-partitioned parquet) and two routes:
+POST /api/v1/flush ({"namespace": ...} -> rows flushed) and
+POST /api/v1/optimize ({"namespace": .., "table"?: .., "min_files"?:
+2, "vacuum"?: false} -> files replaced/deleted) — small-file
+compaction of the cold tier via the commit log's rewrite entries.
 """
 
 from __future__ import annotations
@@ -60,6 +63,29 @@ def create_app(engine: LynxEngine) -> Flask:
             payload = request.get_json(force=False, silent=False)
             rows = engine.flush(payload["namespace"])
             return jsonify({"rows_flushed": rows})
+        except Exception as e:  # noqa: BLE001
+            print(repr(e), file=sys.stderr)
+            return Response(status=500)
+
+    @app.post("/api/v1/optimize")
+    def optimize():  # superset: pack small cold files (+ opt. vacuum)
+        from lynx_spark.sources.coldtier import TieredEngine
+
+        if not isinstance(engine, TieredEngine):
+            return Response(status=404)  # no cold tier configured
+        try:
+            payload = request.get_json(force=False, silent=False)
+            replaced = engine.optimize(
+                payload["namespace"],
+                table=payload.get("table"),
+                min_files=int(payload.get("min_files", 2)),
+            )
+            deleted = 0
+            if payload.get("vacuum"):
+                deleted = engine.vacuum(payload["namespace"])
+            return jsonify(
+                {"files_replaced": replaced, "files_deleted": deleted}
+            )
         except Exception as e:  # noqa: BLE001
             print(repr(e), file=sys.stderr)
             return Response(status=500)

@@ -60,6 +60,7 @@ import os
 import re
 from pathlib import Path
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,6 +111,7 @@ def atomic_write_json(path: Path, payload: dict) -> None:
 _COMMIT_ERA_FILE = re.compile(
     r"part-flush\d{6}-\d{5}\.parquet$"
     r"|part-m\d{6}-\d{5}\.parquet$"
+    r"|part-opt\d{6}-\d{5}\.parquet$"
     r"|part-.+-\d{9}-\d{5}\.parquet$"
 )
 
@@ -216,8 +218,10 @@ def compact_commits(
     if len(mergeable) < threshold:
         return
     files: set[str] = set()
+    replaced: set[str] = set()
     watermarks: dict[str, int] = {}
     flush_ids: dict[str, int] = {}
+    opt_ids: dict[str, int] = {}
     stream_batches: dict[str, int] = {}
     snap_id = 0
     merged: list[Path] = []
@@ -230,6 +234,9 @@ def compact_commits(
                 continue  # consumed by a concurrent fold; skip
         merged.append(p)
         files.update(commit.get("files", []))
+        replaced.update(commit.get("replaced", []))
+        for ns, oid in commit.get("opt_ids", {}).items():
+            opt_ids[ns] = max(opt_ids.get(ns, 0), oid)
         for ns, seg in commit.get("watermarks", {}).items():
             watermarks[ns] = max(watermarks.get(ns, -1), seg)
         for ns, fid in commit.get("flush_ids", {}).items():
@@ -242,6 +249,10 @@ def compact_commits(
             ns = name[len("flush-") : -(len(tail) + 1)]
             if tail.isdigit():
                 flush_ids[ns] = max(flush_ids.get(ns, 0), int(tail))
+        elif name.startswith("optimize-"):
+            ns = name[len("optimize-") : -(len(tail) + 1)]
+            if tail.isdigit():
+                opt_ids[ns] = max(opt_ids.get(ns, 0), int(tail))
         elif name.startswith("snapshot-"):
             sid_part = name.split("-")[1] if "-" in name else ""
             if sid_part.isdigit():
@@ -263,12 +274,19 @@ def compact_commits(
     snap = cdir / (
         f"snapshot-{snap_id + 1:06d}-p{os.getpid()}-{next(_FOLD_SEQ)}.json"
     )
+    # fold the rewrite subtraction eagerly (visible = files − replaced;
+    # a replaced name is never re-added, so subtracting early is safe)
+    # but KEEP the replaced names: vacuum needs them to find deletable
+    # physical files, and un-folded optimize commits must keep
+    # subtracting against older snapshots' file lists
     atomic_write_json(
         snap,
         {
-            "files": sorted(files),
+            "files": sorted(files - replaced),
+            "replaced": sorted(replaced),
             "watermarks": watermarks,
             "flush_ids": flush_ids,
+            "opt_ids": opt_ids,
             "stream_batches": stream_batches,
         },
     )
@@ -340,11 +358,36 @@ class TieredEngine(LynxEngine):
         return self._commit_cache
 
     def _committed_files(self) -> set[str]:
+        """VISIBLE files: every committed file minus every file a
+        rewrite (optimize) commit replaced. The subtraction is
+        order-free because file names are writer-unique and never
+        reused: a name in any ``replaced`` list is permanently dead."""
+        files: set[str] = set()
+        replaced: set[str] = set()
+        for commit in self._load_commits().values():
+            files.update(commit.get("files", []))
+            replaced.update(commit.get("replaced", []))
+        return files - replaced
+
+    def _replaced_files(self) -> set[str]:
+        """Tombstoned files: replaced by an optimize rewrite, invisible
+        to queries, but retained on disk until ``vacuum`` — an
+        in-flight query planned before the rewrite may still hold them
+        in its pinned file list."""
         return {
             rel
             for commit in self._load_commits().values()
-            for rel in commit.get("files", [])
+            for rel in commit.get("replaced", [])
         }
+
+    def _protected_files(self) -> set[str]:
+        """Files the orphan GC must never touch: visible ∪ tombstoned
+        (tombstones die via vacuum, not via the GC)."""
+        files: set[str] = set()
+        for commit in self._load_commits().values():
+            files.update(commit.get("files", []))
+            files.update(commit.get("replaced", []))
+        return files
 
     def _watermarks(self) -> dict[str, int]:
         """Per-namespace flush watermark: records of ns in WAL segments
@@ -425,8 +468,7 @@ class TieredEngine(LynxEngine):
             tables = self.buffer.tables(namespace)  # snapshot, not pop
             if tables is None:
                 return 0
-            committed = self._committed_files()
-            self._gc_flush_orphans(namespace, committed)
+            self._gc_flush_orphans(namespace, self._protected_files())
             self.wal.rotate()
             watermark = self.wal.active_segment.id
             fid = self._next_flush_id(namespace)
@@ -468,19 +510,31 @@ class TieredEngine(LynxEngine):
         tmp.rename(final)  # still invisible: not in any commit yet
         return batch.num_rows, final
 
-    def _gc_flush_orphans(self, namespace: str, committed: set[str]) -> None:
-        """Delete invisible flush leftovers (crash before commit).
-        Only flush-named files (part-flush*/.tmp-flush*) are touched —
-        streaming files (part-<sink>-*, sink ids validated to never
-        start with 'flush') are the streaming sink's to manage."""
+    def _gc_flush_orphans(self, namespace: str, protected: set[str]) -> None:
+        """Delete invisible engine-written leftovers (crash before
+        commit): flush-named (part-flush*/.tmp-flush*) and
+        optimize-named (part-opt*/.tmp-opt*) files not in the
+        ``protected`` set (visible ∪ tombstoned — tombstones are
+        vacuum's to delete, not the GC's). Streaming files
+        (part-<sink>-*, sink ids validated to never start with 'flush'
+        or 'opt') are the streaming sink's to manage."""
         ns_dir = self.cold_dir / namespace
         if not ns_dir.exists():
             return
         for p in ns_dir.rglob("part-flush*.parquet"):
-            if str(p.relative_to(self.cold_dir)) not in committed:
+            if str(p.relative_to(self.cold_dir)) not in protected:
                 p.unlink()
         for p in ns_dir.rglob(".tmp-flush*"):
             p.unlink()
+        for p in ns_dir.rglob("part-opt*.parquet"):
+            if (
+                re.fullmatch(r"part-opt\d{6}-\d{5}\.parquet", p.name)
+                and str(p.relative_to(self.cold_dir)) not in protected
+            ):
+                p.unlink()
+        for p in ns_dir.rglob(".tmp-opt*"):
+            if re.fullmatch(r"\.tmp-opt\d{6}(-\d{5})?", p.name):
+                p.unlink()
         # one-time sweep of the pre-rename flush patterns (part-mNNNNNN
         # / .tmp-mNNNNNN): equally engine-owned, never visible, and no
         # longer produced — the exact-width match cannot touch a
@@ -488,12 +542,116 @@ class TieredEngine(LynxEngine):
         for p in ns_dir.rglob("part-m*.parquet"):
             if (
                 re.fullmatch(r"part-m\d{6}-\d{5}\.parquet", p.name)
-                and str(p.relative_to(self.cold_dir)) not in committed
+                and str(p.relative_to(self.cold_dir)) not in protected
             ):
                 p.unlink()
         for p in ns_dir.rglob(".tmp-m*"):
             if re.fullmatch(r"\.tmp-m\d{6}", p.name):
                 p.unlink()
+
+    # --------------------------------------------------------- optimize
+
+    def _next_optimize_id(self, namespace: str) -> int:
+        highest = 0
+        for name, commit in self._load_commits().items():
+            if name.startswith(f"optimize-{namespace}-"):
+                tail = name.removesuffix(".json").rsplit("-", 1)[-1]
+                if tail.isdigit():
+                    highest = max(highest, int(tail))
+            highest = max(
+                highest, commit.get("opt_ids", {}).get(namespace, 0)
+            )
+        return highest + 1
+
+    def optimize(self, namespace: str, table: str | None = None, min_files: int = 2) -> int:
+        """Bin-pack small committed files: rewrite every day partition
+        holding ≥ ``min_files`` visible files into one file, and commit
+        the swap as a single rewrite entry ``{"files": [new],
+        "replaced": [old]}`` — the small-file compaction every
+        flush-per-minute or streaming deployment needs (a day that
+        accumulated 1 000 micro-batch files costs 1 000 opens + footer
+        reads per scan and starves row-group pruning).
+
+        Protocol properties (same commit log as flush):
+        - The rewrite commit's atomic rename is the ONE commit point:
+          before it the new part-opt files are invisible orphans (GC'd
+          at the next flush); after it visibility flips atomically for
+          the whole group.
+        - Replaced files become invisible but stay on DISK until
+          ``vacuum`` — an already-planned query holds a pinned file
+          list, and the "committed parquet is never deleted" invariant
+          extends to tombstones (the Delta/Iceberg retention model).
+        - Visibility is ``∪files − ∪replaced`` across commits: order-
+          free because names are writer-unique and never reused, so
+          the log needs no sequence numbers and folds freely.
+
+        Returns the number of files replaced. Runs under the write
+        lock (mutual exclusion with flush/query listing). The rewrite
+        itself streams through the driver here — day slices arrive
+        flush-sized in this single-node shell; on a cluster the same
+        commit protocol wraps an executor-side rewrite job, the log
+        does not care who wrote the bytes. Rows are re-sorted by
+        timestamp so the packed file's row-group min/max stats support
+        range pruning within the day."""
+        with self._wal_lock:
+            visible = self._committed_files()
+            groups: dict[str, list[str]] = {}
+            for rel in sorted(visible):
+                parts = rel.split("/")
+                if len(parts) != 4 or parts[0] != namespace:
+                    continue
+                if table is not None and parts[1] != table:
+                    continue
+                groups.setdefault("/".join(parts[:3]), []).append(rel)
+            fid = self._next_optimize_id(namespace)
+            new_rels: list[str] = []
+            old_rels: list[str] = []
+            seq = 0
+            for day_dir, rels in sorted(groups.items()):
+                if len(rels) < min_files:
+                    continue
+                merged = pa.concat_tables(
+                    [pq.read_table(self.cold_dir / rel) for rel in rels],
+                    promote_options="permissive",  # tag-schema drift
+                ).sort_by("timestamp")
+                out_dir = self.cold_dir / day_dir
+                tmp = out_dir / f".tmp-opt{fid:06d}-{seq:05d}"
+                pq.write_table(merged, tmp)
+                final = out_dir / f"part-opt{fid:06d}-{seq:05d}.parquet"
+                tmp.rename(final)  # invisible until the commit below
+                new_rels.append(str(final.relative_to(self.cold_dir)))
+                old_rels.extend(rels)
+                seq += 1
+            if not old_rels:
+                return 0
+            atomic_write_json(
+                self.cold_dir
+                / COMMITS_DIR
+                / f"optimize-{namespace}-{fid:06d}.json",
+                {"files": new_rels, "replaced": old_rels},
+            )
+            self._maybe_compact_commits()
+            return len(old_rels)
+
+    def vacuum(self, namespace: str | None = None) -> int:
+        """Physically delete tombstoned (replaced-by-optimize) files.
+        Separate from optimize so the caller controls the retention
+        window: run it once no query planned before the rewrite can
+        still be executing (the single-process twin of Delta's VACUUM
+        retention). Tombstone NAMES stay in the log forever — they are
+        what keeps ``∪files − ∪replaced`` correct — but they fold into
+        snapshots, so the log's size stays bounded. Idempotent: files
+        already gone are skipped. Returns files deleted."""
+        with self._wal_lock:
+            deleted = 0
+            for rel in sorted(self._replaced_files()):
+                if namespace is not None and not rel.startswith(namespace + "/"):
+                    continue
+                p = self.cold_dir / rel
+                if p.exists():
+                    p.unlink()
+                    deleted += 1
+            return deleted
 
     def _compact_wal(self, drop_namespace: str) -> None:
         """Rewrite each closed segment without the flushed namespace's

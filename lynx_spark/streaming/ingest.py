@@ -240,10 +240,10 @@ def stream_to_cold_tier(
     # replay-skip after compaction
     if not sink_id.strip():
         raise ValueError("sink_id must be non-empty")
-    if sink_id.startswith(("flush", "snapshot", "legacy")):
+    if sink_id.startswith(("flush", "snapshot", "legacy", "opt", "optimize")):
         raise ValueError(
             f"sink_id {sink_id!r} collides with the engine's reserved "
-            "commit prefixes (flush/snapshot/legacy)"
+            "commit prefixes (flush/optimize/snapshot/legacy)"
         )
     cold_dir = Path(cold_dir)
     # adopt any pre-commit-log parquet FIRST (a sink can be the first

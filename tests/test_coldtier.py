@@ -661,3 +661,131 @@ def test_adoption_excludes_all_commit_era_orphans(spark, tmp_path):
     eng = TieredEngine(spark, tmp_path / "wal", tmp_path / "cold", 1024)
     vals = [r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()]
     assert vals == ["round1-legacy"]
+
+
+# ----------------------------------------------------- optimize/vacuum
+
+
+def _day_files(tmp_path, day="day=1970-01-01"):
+    return sorted(p.name for p in (tmp_path / "cold/ns/cpu" / day).glob("*.parquet"))
+
+
+def test_optimize_packs_day_and_preserves_results(spark, tmp_path):
+    """N flush files in one day partition -> one part-opt file; query
+    results identical; replaced files stay on disk (pinned-reader
+    safety) until vacuum; visibility survives a restart."""
+    eng = _restart(spark, tmp_path)
+    for i in range(3):
+        _write(eng, str(i), i + 1)
+        eng.flush("ns")
+    assert len(_day_files(tmp_path)) == 3
+    before = sorted(
+        r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert eng.optimize("ns") == 3  # three files replaced
+    after = sorted(
+        r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert after == before == ["0", "1", "2"]
+    # one visible file; tombstones still physically present
+    visible = eng._committed_files()
+    assert len(visible) == 1 and "part-opt" in next(iter(visible))
+    assert len(_day_files(tmp_path)) == 4  # 3 tombstones + 1 packed
+    # a second optimize is a no-op (single visible file per day)
+    assert eng.optimize("ns") == 0
+    assert eng.vacuum("ns") == 3
+    assert len(_day_files(tmp_path)) == 1
+    eng.wal.close()
+    eng2 = _restart(spark, tmp_path)
+    vals = sorted(r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect())
+    assert vals == ["0", "1", "2"]
+
+
+def test_optimize_merges_tag_schema_drift(spark, tmp_path):
+    """Files with different tag columns pack into one file with the
+    union schema (nulls where a tag is absent), same as the query-time
+    mergeSchema union."""
+    eng = _restart(spark, tmp_path)
+    _write(eng, "a", 1, {"host": "h1"})
+    eng.flush("ns")
+    _write(eng, "b", 2, {"zone": "z1"})
+    eng.flush("ns")
+    assert eng.optimize("ns") == 2
+    rows = {
+        r["value"]: r
+        for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    }
+    assert rows["a"]["host"] == "h1" and rows["a"]["zone"] is None
+    assert rows["b"]["zone"] == "z1" and rows["b"]["host"] is None
+
+
+def test_optimize_crash_before_commit_is_invisible(spark, tmp_path):
+    """part-opt files written but the rewrite commit never renamed:
+    nothing changes for queries, the orphans are GC'd by the next
+    flush, and a retried optimize succeeds."""
+    import lynx_spark.sources.coldtier as ct
+
+    eng = _restart(spark, tmp_path)
+    for i in range(2):
+        _write(eng, str(i), i + 1)
+        eng.flush("ns")
+
+    orig = ct.atomic_write_json
+
+    def crash(path, payload):
+        raise OSError("crash before rewrite commit")
+
+    ct.atomic_write_json = crash
+    try:
+        with pytest.raises(OSError):
+            eng.optimize("ns")
+    finally:
+        ct.atomic_write_json = orig
+    # orphan part-opt file exists but is invisible
+    assert any("part-opt" in n for n in _day_files(tmp_path))
+    assert all("part-opt" not in rel for rel in eng._committed_files())
+    vals = sorted(r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect())
+    assert vals == ["0", "1"]
+    # next flush GCs the orphan
+    _write(eng, "2", 3)
+    eng.flush("ns")
+    assert not any("part-opt" in n for n in _day_files(tmp_path))
+    # retry succeeds and replaces all three files
+    assert eng.optimize("ns") == 3
+    vals = sorted(r["value"] for r in eng.query("ns", "SELECT * FROM cpu").collect())
+    assert vals == ["0", "1", "2"]
+
+
+def test_optimize_rewrite_survives_commit_log_fold(spark, tmp_path):
+    """The visible = files − replaced subtraction must survive
+    compact_commits folding the optimize commit into a snapshot."""
+    from lynx_spark.sources.coldtier import compact_commits
+
+    eng = _restart(spark, tmp_path)
+    for i in range(3):
+        _write(eng, str(i), i + 1)
+        eng.flush("ns")
+    eng.optimize("ns")
+    compact_commits(tmp_path / "cold", threshold=1)
+    eng.wal.close()
+    eng2 = _restart(spark, tmp_path)
+    visible = eng2._committed_files()
+    assert len(visible) == 1 and "part-opt" in next(iter(visible))
+    vals = sorted(r["value"] for r in eng2.query("ns", "SELECT * FROM cpu").collect())
+    assert vals == ["0", "1", "2"]
+    # tombstones survive the fold too (vacuum still finds them)
+    assert eng2.vacuum("ns") == 3
+    assert len(_day_files(tmp_path)) == 1
+
+
+def test_optimize_scopes_to_table_and_min_files(spark, tmp_path):
+    eng = _restart(spark, tmp_path)
+    for i in range(2):
+        _write(eng, str(i), i + 1, table="cpu")
+        _write(eng, str(i), i + 1, table="mem")
+        eng.flush("ns")
+    # only cpu packs; mem's two files stay
+    assert eng.optimize("ns", table="cpu") == 2
+    assert sum("part-opt" in rel for rel in eng._committed_files()) == 1
+    assert eng.optimize("ns", min_files=3) == 0  # mem has only 2 files
+    assert eng.optimize("ns", table="mem") == 2

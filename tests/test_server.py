@@ -126,6 +126,35 @@ def test_flush_on_plain_engine_404(client):
     assert r.status_code == 404
 
 
+def test_optimize_route(tiered_client):
+    # two flushes -> two small files in the same day partition
+    for val in ("a", "b"):
+        w = dict(WRITE, value=val)
+        assert tiered_client.post("/api/v1/write", json=w).status_code == 200
+        assert (
+            tiered_client.post(
+                "/api/v1/flush", json={"namespace": "events"}
+            ).status_code
+            == 200
+        )
+    r = tiered_client.post(
+        "/api/v1/optimize", json={"namespace": "events", "vacuum": True}
+    )
+    assert r.status_code == 200
+    assert r.get_json() == {"files_replaced": 2, "files_deleted": 2}
+    r = tiered_client.post(
+        "/api/v1/query",
+        json={"namespace": "events", "query": "SELECT * FROM clicks", "format": "Json"},
+    )
+    assert r.status_code == 200
+    assert sorted(row["value"] for row in json.loads(r.get_data())) == ["a", "b"]
+
+
+def test_optimize_on_plain_engine_404(client):
+    r = client.post("/api/v1/optimize", json={"namespace": "events"})
+    assert r.status_code == 404
+
+
 def test_reference_testdata_fixtures(client):
     """Replay the reference's own curl fixtures
     (/root/reference/testdata/write.json + query.json) verbatim."""
