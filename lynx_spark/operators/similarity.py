@@ -388,3 +388,53 @@ def ivf_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cos_sim", "rnk")
     )
+
+
+# ----------------------------------------------------- embedding stats
+
+
+def normalize_vectors(
+    df: DataFrame, vec_col: str = "v", out_col: str = "v_unit"
+) -> DataFrame:
+    """L2-normalize an embedding column (the preprocessing step every
+    cosine-metric pipeline runs once at ingest so downstream similarity
+    reduces to a dot product). Pure per-row array expressions — zero
+    shuffle, codegen'd. Zero vectors normalize to NULL rather than NaN
+    so downstream dot products skip them via null semantics."""
+    n = norm(F.col(vec_col).cast("array<double>"))
+    unit = F.when(
+        n > 0,
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / n),
+    )
+    return df.withColumn(out_col, unit)
+
+
+def embedding_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-vector sanity statistics — dimension, L2 norm, component
+    mean, and the first normalized component — the ingest-time audit
+    that catches the classic embedding-pipeline failures (zero vectors
+    from an encoder crash, unnormalized mixes of model versions,
+    truncated dimensions) before they poison similarity search.
+    Per-row array folds in index order (the same sequential
+    accumulation the SQL oracle's list functions use) — zero shuffle,
+    embarrassingly parallel at any corpus size."""
+    e = F.col(vec_col).cast("array<double>")
+    sq = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+    l2 = F.sqrt(sq)
+    total = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+    unit = normalize_vectors(df, vec_col, "_unit")
+    # + 0.0 folds IEEE negative zero to positive zero (round() of a
+    # tiny negative mean renders "-0.0" vs "0.0" across engines)
+    return unit.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(label_col).cast("long").alias(label_col),
+        F.size(e).cast("long").alias("dim"),
+        F.round(l2, 4).alias("l2_norm"),
+        (F.round(total / F.size(e), 4) + 0.0).alias("mean_val"),
+        (F.round(F.element_at("_unit", 1), 4) + 0.0).alias("unit0"),
+    )

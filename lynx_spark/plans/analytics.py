@@ -1591,6 +1591,26 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q64_embedding_stats",
+    oracle="""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+  CAST(len(e) AS BIGINT) AS dim,
+  round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2_norm,
+  round(list_sum(e) / len(e), 4) + 0 AS mean_val,
+  round(e[1] / sqrt(list_sum(list_transform(e, x -> x * x))), 4) + 0 AS unit0
+FROM v
+""",
+    description="per-vector embedding audit (dim, L2 norm, component "
+    "mean, first normalized component) — the ingest-time check for "
+    "zero/unnormalized/truncated vectors; zero-shuffle per-row array "
+    "folds in index order, exercising normalize_vectors",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_stats(T(spark, sf_dir, "embeddings"))
+
+
+@q(
     "q21_dedup_exact",
     oracle="""
 SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS survivor_id,

@@ -43,6 +43,13 @@ QUERIES = [
     "q53_word_entropy",
     "q54_profile",
     "q55_constraints",
+    # round 3: cluster resolution (iterative joins), corpus-LM scoring
+    # (word-frequency join with hot stopword keys), percentile gate
+    # (per-domain window), PII scrub (pure per-row regex)
+    "q58_dedup_clusters",
+    "q60_unigram_lm",
+    "q62_entropy_gate",
+    "q63_pii_scrub",
 ]
 
 

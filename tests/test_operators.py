@@ -827,3 +827,30 @@ def test_pii_email_not_eaten_by_ip_pattern(spark):
     row = with_pii_redacted(df).collect()[0]
     assert row["redacted"] == "x user@[IP] y"
     assert row["n_emails"] == 0 and row["n_ips"] == 1
+
+
+# --------------------------------------------------- embedding stats
+
+
+def test_normalize_vectors_unit_norm_and_zero_guard(spark):
+    from lynx_spark.operators.similarity import normalize_vectors, norm
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "v"]
+    )
+    out = {r["vec_id"]: r for r in normalize_vectors(df, "v").collect()}
+    assert out[1]["v_unit"] == pytest.approx([0.6, 0.8])
+    assert out[2]["v_unit"] is None  # zero vector -> NULL, not NaN
+
+
+def test_embedding_stats_hand_computed(spark):
+    from lynx_spark.operators.similarity import embedding_stats
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 2.0, 2.0], 3)], ["vec_id", "embedding", "label"]
+    )
+    row = embedding_stats(df).collect()[0]
+    assert (row["dim"], row["label"]) == (3, 3)
+    assert row["l2_norm"] == pytest.approx(3.0)
+    assert row["mean_val"] == pytest.approx(round(5 / 3, 4))
+    assert row["unit0"] == pytest.approx(round(1 / 3, 4))
