@@ -71,12 +71,38 @@ def q(name: str, oracle: str | None = None, description: str = ""):
     return deco
 
 
+# Queries listed here are emitted FIRST by queries()/oracle_sql().  The
+# driver samples a prefix-biased subset (~50) of the registry per round;
+# front-loading the entries with no driver-green CORRECTNESS row yet
+# (q56-q59: never sampled) and the families whose implementation changed
+# since their last sample (q22/q23 minhash rewrite in r03, q30/q37
+# touched by the shared bit-twiddling) guarantees they get verified.
+_VERIFY_FIRST = [
+    "q56_incremental_exact",
+    "q57_incremental_minhash",
+    "q58_dedup_clusters",
+    "q59_dedup_corpus",
+    "q22_ngram_jaccard",
+    "q23_minhash_lsh",
+    "q30_simhash",
+    "q37_embed_dedup",
+    "q21_dedup_exact",
+    "q31_media_meta",
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    front = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in _VERIFY_FIRST]
+    return {n: REGISTRY[n] for n in front + rest}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {name: spec.oracle for name, spec in _ordered().items() if spec.oracle}
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1598,7 +1624,9 @@ SELECT vec_id, CAST(label AS BIGINT) AS label,
   CAST(len(e) AS BIGINT) AS dim,
   round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2_norm,
   round(list_sum(e) / len(e), 4) + 0 AS mean_val,
-  round(e[1] / sqrt(list_sum(list_transform(e, x -> x * x))), 4) + 0 AS unit0
+  CASE WHEN list_sum(list_transform(e, x -> x * x)) > 0
+       THEN round(e[1] / sqrt(list_sum(list_transform(e, x -> x * x))), 4) + 0
+       ELSE NULL END AS unit0
 FROM v
 """,
     description="per-vector embedding audit (dim, L2 norm, component "
