@@ -2293,3 +2293,63 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return binary_length_meta(docs, "doc_id", "payload")
+
+
+@q(
+    "q31b_media_dims",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 41 ELSE 14 END AS BIGINT) AS n_bytes,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+  CAST(16 + (doc_id * 7) % 240 AS BIGINT) AS width,
+  CAST(16 + (doc_id * 13) % 240 AS BIGINT) AS height
+FROM documents
+""",
+    description="multimodal CONTENT check: real PNG/JPEG/GIF payloads "
+    "(valid signatures + headers, synthesized per doc_id) decoded by "
+    "the hand-written stdlib header parsers; the oracle predicts "
+    "format + width + height arithmetically from doc_id, so a hash "
+    "match verifies the parsers on genuine media bytes",
+)
+def q31b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.multimodal import (
+        extract_media_metadata,
+        image_payload_udf,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    payloads = docs.withColumn("payload", image_payload_udf("doc_id"))
+    return extract_media_metadata(payloads, "doc_id", "payload")
+
+
+@q(
+    "q31c_audio_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'wav' AS format,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT) AS sample_rate,
+  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+  CAST(16 AS BIGINT) AS bits_per_sample,
+  CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+  CAST(floor((100 + doc_id % 400) * 1000.0 /
+       CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+       AS BIGINT) AS duration_ms
+FROM documents
+""",
+    description="audio CONTENT check: real PCM WAV payloads "
+    "(synthesized per doc_id) decoded by the hand-written RIFF chunk "
+    "walker; the oracle predicts sample rate / channels / sample "
+    "count / duration arithmetically from doc_id",
+)
+def q31c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.multimodal import (
+        extract_audio_metadata,
+        wav_payload_udf,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    payloads = docs.withColumn("payload", wav_payload_udf("doc_id"))
+    return extract_audio_metadata(payloads, "doc_id", "payload")

@@ -152,19 +152,76 @@ def test_sniff_format():
 
 
 def test_media_metadata_pipeline(spark):
+    from lynx_spark.operators.multimodal import synthesize_image
+
     blobs = [
-        (1, b"\x89PNG\r\n\x1a\n" + b"x" * 100),
-        (2, b"\xff\xd8\xff\xe0" + b"y" * 50),
+        (1, synthesize_image("png", 640, 480)),
+        (2, synthesize_image("jpeg", 1920, 1080)),
         (3, b"not an image"),
+        (4, b"\x89PNG\r\n\x1a\n" + b"x" * 100),  # magic, garbage header
     ]
     df = spark.createDataFrame(blobs, ["doc_id", "payload"])
     rows = {r["doc_id"]: r for r in extract_media_metadata(df, "doc_id", "payload").collect()}
-    assert rows[1]["format"] == "png" and rows[1]["n_bytes"] == 108
-    assert rows[2]["format"] == "jpeg" and rows[2]["n_bytes"] == 54
+    assert rows[1]["format"] == "png" and rows[1]["n_bytes"] == 45
+    assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
+    assert rows[2]["format"] == "jpeg" and rows[2]["n_bytes"] == 41
+    assert (rows[2]["width"], rows[2]["height"]) == (1920, 1080)
+    # non-image and malformed payloads report null dims, never fakes
     assert rows[3]["format"] == "unknown"
-    # fake dims are deterministic
-    assert rows[1]["width"] == extract_media_metadata(df, "doc_id", "payload").collect()[0]["width"] or True
-    assert all(16 <= rows[i]["width"] <= 255 for i in rows)
+    assert rows[3]["width"] is None and rows[3]["height"] is None
+    assert rows[4]["format"] == "png" and rows[4]["width"] is None
+
+
+def test_image_header_parsers_real_bytes():
+    """Hand-written header parsers on genuine (synthesized) media
+    bytes: round-trip dims per format, and reject truncation."""
+    from lynx_spark.operators.multimodal import (
+        decode_image_dims,
+        parse_gif_header,
+        parse_jpeg_header,
+        parse_png_header,
+        synthesize_image,
+    )
+
+    for fmt, parse in [
+        ("png", parse_png_header),
+        ("jpeg", parse_jpeg_header),
+        ("gif", parse_gif_header),
+    ]:
+        for w, h in [(1, 1), (16, 240), (640, 480), (65535, 3)]:
+            blob = synthesize_image(fmt, w, h)
+            assert parse(blob) == (w, h), (fmt, w, h)
+            assert decode_image_dims(blob) == (w, h), (fmt, w, h)
+            # truncating anywhere inside the header never crashes and
+            # never fabricates dimensions from partial reads
+            for cut in range(0, 10):
+                assert parse(blob[:cut]) is None
+    # progressive JPEG (SOF2) and fill-byte padding before markers
+    sof2 = (
+        b"\xff\xd8\xff\xff\xff\xc2"
+        + b"\x00\x11\x08" + (300).to_bytes(2, "big") + (500).to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01\xff\xd9"
+    )
+    assert parse_jpeg_header(sof2) == (500, 300)
+    # DHT before SOF is skipped via its length field
+    dht = b"\xff\xc4\x00\x05\x00\x01\x02"
+    with_tables = b"\xff\xd8" + dht + synthesize_image("jpeg", 32, 64)[2:]
+    assert parse_jpeg_header(with_tables) == (32, 64)
+    # SOS before any SOF -> no dims (don't scan entropy-coded data)
+    assert parse_jpeg_header(b"\xff\xd8\xff\xda\x00\x04\x01\x02rest") is None
+
+
+def test_wav_synth_round_trip():
+    from lynx_spark.operators.multimodal import parse_wav_header, synthesize_wav
+
+    parsed = parse_wav_header(synthesize_wav(16000, 2, 320))
+    assert parsed == {
+        "sample_rate": 16000,
+        "channels": 2,
+        "bits_per_sample": 16,
+        "n_samples": 320,
+        "duration_ms": 20,
+    }
 
 
 def test_decode_image_stub_raises():
