@@ -395,6 +395,111 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------ incremental dedup
+#
+# The store tier: fingerprints (exact) and minhash signatures + capped
+# shingle sets (near-dup) persist as parquet so a later batch loads the
+# "seen" side instead of recomputing it. At 100 TB the store is the
+# operational heart of continuous ingestion — append-only parquet,
+# hash-distributed on its join key (fingerprint / doc), with each
+# batch's survivors appended as the next delta.
+
+
+def write_fingerprint_store(
+    fps: DataFrame, path: str, mode: str = "append"
+) -> None:
+    """Append a batch's fingerprint delta to the parquet store. The
+    delta fed here is incremental_exact_survivors' output (already
+    anti-joined against the store), so the store stays duplicate-free
+    without a rewrite — append-only, the only write pattern that
+    scales to continuous ingestion."""
+    fps.select("fingerprint").write.mode(mode).parquet(path)
+
+
+def read_fingerprint_store(spark, path: str) -> DataFrame:
+    """The fingerprint store as a DataFrame (one ``fingerprint``
+    column) — the ``seen_fps`` side of incremental_exact_survivors."""
+    return spark.read.parquet(path).select("fingerprint")
+
+
+def build_signature_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """The near-dup store rows for a batch: per-doc minhash minima,
+    LSH band hashes AND the df-capped shingle set, all folded into one
+    aggregation (the same single-pass build minhash_lsh_pairs uses).
+    Rows are bounded by document length, so the store is O(corpus
+    docs), never O(shingles). Columns: doc, mh0..mh{N-1}, n_sh,
+    shset, band0..band{B-1}."""
+    d = df.select(
+        F.col(id_col).cast("long").alias("_uid"), F.col(text_col).alias("_t")
+    )
+    grouped = _grouped_shingles(d, "_uid", "_t", n, max_doc_freq)
+    return minhash_signatures(
+        d, "_uid", "_t", n,
+        shingles=_exploded_shingles(grouped),
+        with_shingle_sets=True,
+    )
+
+
+def write_signature_store(
+    sig: DataFrame, path: str, mode: str = "append"
+) -> None:
+    """Append a batch's signature rows to the parquet store."""
+    sig.write.mode(mode).parquet(path)
+
+
+def read_signature_store(spark, path: str) -> DataFrame:
+    """The signature store as a DataFrame — the ``seen`` side of
+    incremental_minhash_matches_from_store."""
+    return spark.read.parquet(path)
+
+
+def incremental_minhash_matches_from_store(
+    new_df: DataFrame,
+    seen_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(new_id, seen_id, jaccard) against a PERSISTED signature store:
+    the operational form of incremental_minhash_matches — the seen
+    side's signatures and shingle sets are loaded, never recomputed,
+    so each batch's cost is O(batch) + the bipartite band join.
+
+    Semantics note: the document-frequency cap is evaluated per batch
+    here (the store's rows were capped against THEIR batch), while the
+    recompute path caps against the union. The cap is a boilerplate
+    guard orders of magnitude above ordinary document frequencies, so
+    the two agree except on shingles crossing the cap exactly at a
+    batch boundary — the price of never rescanning the corpus."""
+    from lynx_spark.operators._util import explode_bands
+
+    new_sig = build_signature_store(
+        new_df, id_col, text_col, n, max_doc_freq
+    ).persist()
+    new_sig.count()  # eager: band join + verification both read it
+    band_cols = [f"band{b}" for b in range(MINHASH_BANDS)]
+    nb = explode_bands(new_sig, "doc", band_cols)
+    sb = explode_bands(seen_sig, "doc", band_cols)
+    cands = (
+        nb.select(F.col("doc").alias("new_id"), "band_no", "bh")
+        .join(
+            sb.select(F.col("doc").alias("seen_id"), "band_no", "bh"),
+            ["band_no", "bh"],
+        )
+        .select("new_id", "seen_id")
+        .distinct()
+    )
+    docsets = new_sig.select("doc", "shset").unionByName(
+        seen_sig.select("doc", "shset")
+    )
+    return _jaccard_verify(cands, docsets, "new_id", "seen_id", threshold)
 
 
 def incremental_exact_survivors(
@@ -438,9 +543,11 @@ def incremental_minhash_matches(
     persisted signature store would hold); candidates meet by band
     equality ACROSS the two sets only (a bipartite join on the
     composite (band_no, bh) key — never new×new or seen×seen), and
-    true Jaccard verifies. At scale the seen side's signatures and
-    shingles are loaded from the store instead of recomputed; the
-    join shapes are identical."""
+    true Jaccard verifies. incremental_minhash_matches_from_store is
+    the operational form — the seen side loaded from the persisted
+    parquet signature store instead of recomputed; this recompute
+    variant is its oracle-checkable twin (identical join shapes, df
+    cap over the union instead of per batch)."""
     from lynx_spark.operators._util import explode_bands
 
     union = new_df.select(

@@ -17,12 +17,12 @@ destination. Rounds needed = graph diameter, which for dedup graphs
 is small by construction: LSH bucket pairs form near-cliques, and the
 ``max_bucket`` star fallback links members directly to the bucket
 minimum (diameter <= 2 per bucket, so a handful of rounds even across
-chained buckets). For adversarial long-chain graphs the
-large-star/small-star variant (Kiveris et al., "Connected Components
-in MapReduce and Beyond") converges in O(log n) rounds with the same
-join-per-round shape; the propagation loop below is the right
-trade-off for dedup workloads and keeps every round a plain
-key-equality join Catalyst can plan.
+chained buckets). For adversarial long-chain graphs whose diameter
+exhausts MAX_CC_ITERS, the loop hands off to
+``star_connected_components`` — the large-star/small-star variant
+(Kiveris et al., "Connected Components in MapReduce and Beyond") that
+converges in O(log n) rounds with the same key-equality-shuffle
+building blocks.
 
 Convergence detection without a compare-join: labels only ever
 DECREASE, so the fixpoint is reached exactly when sum(labels) stops
@@ -41,9 +41,118 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: propagation-round guard; diameter of dedup pair graphs is tiny, so
-#: hitting this indicates a pathological chain (raise, don't return a
-#: silently-unconverged labeling)
+#: hitting this indicates a pathological chain — the loop then hands
+#: off to the O(log n) large-star/small-star variant instead of
+#: burning a round per hop of diameter
 MAX_CC_ITERS = 30
+#: round guard for the star variant (rounds ~ log(diameter); 50 covers
+#: any graph that fits in an exabyte)
+MAX_STAR_ITERS = 50
+
+
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (min, max) orientation, self
+    loops dropped, deduplicated — the representation both star
+    operations consume and emit."""
+    return (
+        e.select(
+            F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _edge_stats(e: DataFrame) -> tuple:
+    """(count, order-independent hash-sum) of a canonical edge set —
+    one scalar aggregate, the same trick as the label-sum convergence
+    check (DECIMAL(38,0) so no corpus overflows it)."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def star_connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "a_id",
+    dst_col: str = "b_id",
+    max_iter: int = MAX_STAR_ITERS,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) rounds regardless of diameter, where
+    min-label propagation needs a round per hop. Each round is two
+    window-min passes + two dedups — all key-equality shuffles.
+
+    - large-star: every vertex attaches its LARGER neighbors to the
+      minimum of its closed neighborhood (long tails fold in half);
+    - small-star: every vertex and its SMALLER neighbors attach to
+      that minimum (stars flatten onto the true minimum).
+
+    At the fixpoint the edge set is exactly the star forest linking
+    each vertex to its component's minimum id, detected by an
+    order-independent (count, hash-sum) pair going stable — both star
+    ops are idempotent on star forests. Output schema matches
+    connected_components: (id, component), singletons labeled by
+    themselves."""
+    from pyspark.sql.window import Window
+
+    e = _canonical_edges(
+        edges.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("d"),
+        )
+    ).localCheckpoint(eager=True)
+    stats = _edge_stats(e)
+    for _ in range(max_iter):
+        # large-star: symmetrize so every vertex is a center once per
+        # incident edge; m = min(center, min neighbor); larger
+        # neighbors re-attach to m
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m_large = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+        large = (
+            sym.withColumn("m", m_large)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("s"), F.col("m").alias("d"))
+        )
+        e1 = _canonical_edges(large)
+        # small-star: canonical orientation means the center's smaller
+        # neighbors are exactly the "a" side grouped by "b"; both the
+        # center and each smaller neighbor attach to the minimum
+        m_small = F.min("a").over(Window.partitionBy("b"))
+        small = (
+            e1.withColumn("m", m_small)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("s"), F.col("m").alias("d")),
+                        F.struct(F.col("b").alias("s"), F.col("m").alias("d")),
+                    )
+                ).alias("p")
+            )
+            .select("p.s", "p.d")
+        )
+        e2 = _canonical_edges(small).localCheckpoint(eager=True)
+        new_stats = _edge_stats(e2)
+        e = e2
+        if new_stats == stats:
+            break
+        stats = new_stats
+    else:
+        raise RuntimeError(
+            f"star_connected_components did not converge in {max_iter} rounds"
+        )
+    comp = e.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("component"))
+    v = vertices.select(F.col(id_col).cast("long").alias("id"))
+    return v.join(comp, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
 
 
 def connected_components(
@@ -108,12 +217,14 @@ def connected_components(
             e.unpersist()
             return labels
         prev_sum = new_sum
+    # diameter > max_iter: a pathological chain graph. Hand off to the
+    # O(log n) star variant instead of raising — propagation already
+    # shrank labels toward component minima, but the star algorithm
+    # restarts from the raw edges (its convergence proof needs them)
     e.unpersist()
     labels.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "pathological chain graph; raise max_iter or switch to the "
-        "large-star/small-star variant"
+    return star_connected_components(
+        vertices, edges, id_col, src_col, dst_col
     )
 
 

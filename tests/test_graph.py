@@ -65,9 +65,50 @@ def test_matches_union_find_on_random_graph(spark):
     assert _cc(spark, verts, edges) == _union_find(verts, edges)
 
 
-def test_nonconvergence_raises(spark):
+def test_exhausted_propagation_falls_back_to_star(spark):
+    """A chain whose diameter exceeds max_iter no longer raises: the
+    loop hands off to the large-star/small-star variant and still
+    returns the correct labeling."""
+    n = 40
+    got = _cc(
+        spark,
+        list(range(n)),
+        [(i, i + 1) for i in range(n - 1)],
+        max_iter=2,
+    )
+    assert got == {v: 0 for v in range(n)}
+
+
+def _star_cc(spark, vertex_ids, edge_pairs, **kw):
+    verts = spark.createDataFrame([(v,) for v in vertex_ids], ["id"])
+    edges = spark.createDataFrame(edge_pairs, "a_id: long, b_id: long")
+    out = gr.star_connected_components(verts, edges, "id", **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_star_chain_converges_in_log_rounds(spark):
+    """64-vertex chain (diameter 63): the star variant must finish
+    within 10 rounds — O(log n), where min-label propagation would
+    need 63. max_iter doubles as the round budget, so converging
+    under it IS the round-count assertion."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _star_cc(spark, list(range(n)), edges, max_iter=10)
+    assert got == {v: 0 for v in range(n)}
+
+
+def test_star_matches_union_find_on_random_graph(spark):
+    rng = random.Random(20250813)
+    verts = list(range(50))
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(35)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _star_cc(spark, verts, edges) == _union_find(verts, edges)
+
+
+def test_star_handles_empty_edges_and_singletons(spark):
+    assert _star_cc(spark, [3, 7, 9], []) == {3: 3, 7: 7, 9: 9}
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, [1, 2, 3], [(1, 2), (2, 3)], max_iter=1)
+        _star_cc(spark, list(range(20)), [(i, i + 1) for i in range(19)], max_iter=1)
 
 
 def test_dedup_corpus_survivors(spark):
