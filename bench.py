@@ -7,13 +7,16 @@ ONE JSON line:
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
 Each query is forced with a full count() after a shared warmup query
-that spins up the JVM/executor pool. Every query runs three times and
-the MINIMUM is reported — the engine is a long-running server (the
-reference holds one engine-lifetime SessionContext, lynx.rs:38), so
-steady-state (post-JIT) latency is the representative number; the
-first execution of a plan shape pays one-time whole-stage-codegen JIT,
-and a second repetition filters GC/machine noise (r2's numbers showed
-2-4x first-vs-second variance on the dedup family with only two runs).
+that spins up the JVM/executor pool. Every query runs three times
+(the heavy dedup/ANN family five — r4 showed +-25% min-of-3 swings on
+those 2-3s queries with ZERO code change, too noisy to detect a real
+1.3x regression) and the MINIMUM is reported — the engine is a
+long-running server (the reference holds one engine-lifetime
+SessionContext, lynx.rs:38), so steady-state (post-JIT) latency is
+the representative number. The JSON line additionally carries
+"queries_median" (per-query median of the post-warmup reps) and
+"noise_band" (mean of (median-min)/min across queries): compare two
+rounds' min values only where the delta exceeds the noise band.
 """
 
 from __future__ import annotations
@@ -61,12 +64,19 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     import gc
+    import statistics
+
+    # the heavy dedup/ANN queries need 5 reps for a stable min: their
+    # 2-3s runtimes swing +-25% at 3 reps on this harness
+    HEAVY_REPS = {"q22_ngram_jaccard", "q23_minhash_lsh", "q24_cosine_topk",
+                  "q25_ann_lsh", "q30_simhash"}
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         runs = []
-        for _ in range(3):
+        for _ in range(5 if name in HEAVY_REPS else 3):
             start = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
@@ -76,9 +86,12 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
         timings[name] = round(min(runs), 4)
+        # exclude the first (JIT-paying) rep from the median so it
+        # reflects steady-state dispersion, not compilation
+        medians[name] = round(statistics.median(runs[1:]), 4)
         print(
             f"# {name}: {timings[name]:.3f}s min of {[round(r, 3) for r in runs]} "
-            f"({n} rows)",
+            f"median {medians[name]:.3f}s ({n} rows)",
             file=sys.stderr,
         )
 
@@ -112,6 +125,11 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except (ValueError, IndexError):
         sf = None
+    noise = [
+        (medians[n] - timings[n]) / timings[n]
+        for n in medians
+        if timings[n] > 0
+    ]
     print(
         json.dumps(
             {
@@ -119,6 +137,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "noise_band": round(sum(noise) / len(noise), 4) if noise else 0.0,
                 "sf": sf,
             }
         )

@@ -105,8 +105,12 @@ def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
     published curation pipeline scrubs (C4, Dolma, RefinedWeb): email
     addresses, IPv4 addresses, phone numbers. Adds
 
-    - ``n_emails`` / ``n_ips`` / ``n_phones`` — match counts (audit
-      trail; pipelines track redaction rates per source), and
+    - ``n_emails`` / ``n_ips`` / ``n_phones`` — PROGRESSIVE match
+      counts: each class is counted on the text with the earlier
+      classes already redacted, so the three counts sum exactly to
+      the placeholders emitted (the audit-trail invariant; a phone
+      number embedded in an email's local part counts as part of the
+      email, not twice), and
     - ``redacted`` — the text with matches replaced by ``[EMAIL]`` /
       ``[IP]`` / ``[PHONE]`` placeholders.
 
@@ -119,17 +123,21 @@ def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
     DuckDB (RE2) oracle and Spark (java.util.regex) agree match for
     match."""
     text = F.col(text_col)
-    out = df.withColumn(
-        "n_emails", F.regexp_count(text, F.lit(PII_EMAIL)).cast("long")
+    after_email = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "[IP]")
+    redacted = F.regexp_replace(after_ip, PII_PHONE, "[PHONE]")
+    return (
+        df.withColumn(
+            "n_emails", F.regexp_count(text, F.lit(PII_EMAIL)).cast("long")
+        )
+        .withColumn(
+            "n_ips", F.regexp_count(after_email, F.lit(PII_IPV4)).cast("long")
+        )
+        .withColumn(
+            "n_phones", F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("long")
+        )
+        .withColumn("redacted", redacted)
     )
-    out = out.withColumn("n_ips", F.regexp_count(text, F.lit(PII_IPV4)).cast("long"))
-    out = out.withColumn(
-        "n_phones", F.regexp_count(text, F.lit(PII_PHONE)).cast("long")
-    )
-    redacted = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
-    redacted = F.regexp_replace(redacted, PII_IPV4, "[IP]")
-    redacted = F.regexp_replace(redacted, PII_PHONE, "[PHONE]")
-    return out.withColumn("redacted", redacted)
 
 
 def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -58,6 +58,13 @@ _coef_rng = __import__("random").Random(20240613)
 #: fixed literals so the DuckDB oracle runs the byte-identical family
 MINHASH_A = [_coef_rng.randrange(1, MINHASH_PRIME) for _ in range(MINHASH_NUM)]
 MINHASH_B = [_coef_rng.randrange(0, MINHASH_PRIME) for _ in range(MINHASH_NUM)]
+#: per-function 60-bit XOR mixers applied to the RAW base BEFORE the
+#: mod-P reduction: without them every h_s is affine in (base mod P),
+#: so two shingles colliding mod P would collide in ALL functions at
+#: once; xor-ing a distinct constant into the 60-bit base first makes
+#: the reductions per-function independent (identical bases still
+#: collide everywhere — that's the md5 prefix, not the family)
+MINHASH_K = [_coef_rng.randrange(0, 1 << 60) for _ in range(MINHASH_NUM)]
 
 
 def base_hash_expr(col: F.Column) -> F.Column:
@@ -297,17 +304,40 @@ def _jaccard_verify(
 
 
 def _minhash_aggs() -> list[F.Column]:
-    """MINHASH_NUM min-aggregations over the affine family
-    h_s(base) = (a_s * (base mod P) + b_s) mod P — integer-only per
-    row (the one md5 behind ``base`` ran once per DISTINCT shingle in
-    the grouped build). A uniform permutation surrogate whose twin
-    exists in any SQL dialect; the oracle runs the byte-identical
-    computation in DuckDB. r1 used min(md5(seed || shingle)) per
-    function — MINHASH_NUM string hashes per (doc, shingle) row,
-    which dominated the whole q23 profile at sf0.1."""
-    x = F.col("base") % MINHASH_PRIME
+    """MINHASH_NUM min-aggregations over the decorrelated affine
+    family h_s(base) = (a_s * ((base XOR k_s) mod P) + b_s) mod P —
+    integer-only per row (the one md5 behind ``base`` ran once per
+    DISTINCT shingle in the grouped build). The XOR mixes the function
+    index into the raw 60-bit base BEFORE the mod-P reduction, so a
+    base collision mod P does not collide in every function (see
+    MINHASH_K). All intermediates stay under 2^62 — no 64-bit overflow
+    in either engine. A uniform permutation surrogate whose twin
+    exists in any SQL dialect (minhash_sql_exprs); the oracle runs the
+    byte-identical computation in DuckDB. r1 used
+    min(md5(seed || shingle)) per function — MINHASH_NUM string hashes
+    per (doc, shingle) row, which dominated the whole q23 profile at
+    sf0.1."""
     return [
-        F.min((MINHASH_A[s] * x + MINHASH_B[s]) % MINHASH_PRIME).alias(f"mh{s}")
+        F.min(
+            (
+                MINHASH_A[s]
+                * (F.col("base").bitwiseXOR(F.lit(MINHASH_K[s])) % MINHASH_PRIME)
+                + MINHASH_B[s]
+            )
+            % MINHASH_PRIME
+        ).alias(f"mh{s}")
+        for s in range(MINHASH_NUM)
+    ]
+
+
+def minhash_sql_exprs() -> list[str]:
+    """The DuckDB twin of _minhash_aggs, bit-for-bit: one
+    ``min(...) AS mh{s}`` SQL expression per function over a ``base``
+    column — THE single source the oracle CTE generators interpolate,
+    so the SQL family can never drift from the Spark family."""
+    return [
+        f"min(({MINHASH_A[s]} * (xor(base, {MINHASH_K[s]}::BIGINT) "
+        f"% {MINHASH_PRIME}) + {MINHASH_B[s]}) % {MINHASH_PRIME}) AS mh{s}"
         for s in range(MINHASH_NUM)
     ]
 

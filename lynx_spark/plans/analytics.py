@@ -73,25 +73,29 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 
 # Queries listed here are emitted FIRST by queries()/oracle_sql().  The
 # driver samples a prefix-biased subset (~50) of the registry per round;
-# front-loading the entries with no driver-green CORRECTNESS row yet
-# (q56-q59: never sampled) and the families whose implementation changed
-# since their last sample (q22/q23 minhash rewrite in r03, q30/q37
-# touched by the shared bit-twiddling) guarantees they get verified.
+# front-loading entries with no driver-green row for their CURRENT
+# implementation guarantees they get verified. Round-5 list: the new
+# media-content checks (q31b/q31c), everything downstream of the
+# minhash decorrelation (q23/q57/q58/q59), the reworked PII counts
+# (q63), q64 (oracle guard added r04, not re-sampled since), and q31
+# (dims path rewritten). Short-lived by design — drop entries once
+# their CORRECTNESS row lands.
 _VERIFY_FIRST = [
-    "q56_incremental_exact",
+    "q31b_media_dims",
+    "q31c_audio_meta",
+    "q23_minhash_lsh",
     "q57_incremental_minhash",
     "q58_dedup_clusters",
     "q59_dedup_corpus",
-    "q22_ngram_jaccard",
-    "q23_minhash_lsh",
-    "q30_simhash",
-    "q37_embed_dedup",
-    "q21_dedup_exact",
+    "q63_pii_scrub",
+    "q64_embedding_stats",
     "q31_media_meta",
 ]
 
 
 def _ordered() -> dict[str, QuerySpec]:
+    unknown = set(_VERIFY_FIRST) - REGISTRY.keys()
+    assert not unknown, f"_VERIFY_FIRST names not in REGISTRY: {sorted(unknown)}"
     front = [n for n in _VERIFY_FIRST if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in _VERIFY_FIRST]
     return {n: REGISTRY[n] for n in front + rest}
@@ -1584,22 +1588,23 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q63_pii_scrub",
     oracle=f"""
+WITH s1 AS (SELECT doc_id, text,
+        regexp_replace(text, '{tx.PII_EMAIL}', '[EMAIL]', 'g') AS r1
+      FROM documents),
+s2 AS (SELECT *, regexp_replace(r1, '{tx.PII_IPV4}', '[IP]', 'g') AS r2 FROM s1)
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{tx.PII_EMAIL}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '{tx.PII_IPV4}')) AS BIGINT) AS n_ips,
-  CAST(len(regexp_extract_all(text, '{tx.PII_PHONE}')) AS BIGINT) AS n_phones,
-  substr(red, 1, 60) AS red_prefix,
-  CAST(length(red) AS BIGINT) AS red_len
-FROM (SELECT doc_id, text,
-        regexp_replace(regexp_replace(regexp_replace(text,
-          '{tx.PII_EMAIL}', '[EMAIL]', 'g'),
-          '{tx.PII_IPV4}', '[IP]', 'g'),
-          '{tx.PII_PHONE}', '[PHONE]', 'g') AS red
-      FROM documents)
+  CAST(len(regexp_extract_all(r1, '{tx.PII_IPV4}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(r2, '{tx.PII_PHONE}')) AS BIGINT) AS n_phones,
+  substr(regexp_replace(r2, '{tx.PII_PHONE}', '[PHONE]', 'g'), 1, 60) AS red_prefix,
+  CAST(length(regexp_replace(r2, '{tx.PII_PHONE}', '[PHONE]', 'g')) AS BIGINT) AS red_len
+FROM s2
 """,
     description="PII detection + redaction (C4/Dolma-style scrub): "
     "email/IPv4/phone counts and placeholder-redacted text, all JVM "
-    "regex over one row pass — zero shuffle; RE2-compatible patterns "
+    "regex over one row pass — zero shuffle; counts are PROGRESSIVE "
+    "(each class counted after the earlier classes are redacted) so "
+    "they sum to the placeholders emitted; RE2-compatible patterns "
     "so the DuckDB oracle matches match-for-match (this corpus "
     "contains no PII — the synthetic-PII unit tests exercise the "
     "redaction itself)",
@@ -1736,11 +1741,7 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_minhash_oracle() -> str:
     rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
-    mh_exprs = ",\n    ".join(
-        f"min(({dd.MINHASH_A[s]} * (base % {dd.MINHASH_PRIME}) "
-        f"+ {dd.MINHASH_B[s]}) % {dd.MINHASH_PRIME}) AS mh{s}"
-        for s in range(dd.MINHASH_NUM)
-    )
+    mh_exprs = ",\n    ".join(dd.minhash_sql_exprs())
     band_exprs = ",\n    ".join(
         "md5(concat_ws('|', "
         + ", ".join(f"mh{b * rows + r}" for r in range(rows))
@@ -1803,11 +1804,7 @@ def _minhash_pair_ctes() -> str:
     cluster-resolution oracles (q58/q59) that consume the pairs as a
     graph edge list."""
     rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
-    mh_exprs = ",\n    ".join(
-        f"min(({dd.MINHASH_A[s]} * (base % {dd.MINHASH_PRIME}) "
-        f"+ {dd.MINHASH_B[s]}) % {dd.MINHASH_PRIME}) AS mh{s}"
-        for s in range(dd.MINHASH_NUM)
-    )
+    mh_exprs = ",\n    ".join(dd.minhash_sql_exprs())
     band_exprs = ",\n    ".join(
         "md5(concat_ws('|', "
         + ", ".join(f"mh{b * rows + r}" for r in range(rows))

@@ -294,6 +294,69 @@ def test_banded_bucket_cap_star_pattern(spark):
     assert members == set(range(30))
 
 
+def test_minhash_functions_decorrelated():
+    """Two bases that collide mod P (base2 = base1 + P) must NOT
+    collide in every minhash function: the per-function XOR mixers act
+    on the raw 60-bit base before the mod-P reduction. Without them,
+    h_s is affine in (base mod P) and such a pair collides in ALL
+    MINHASH_NUM functions at once (recall/estimate bias). Also pins
+    Spark/DuckDB/pure-Python bit-for-bit agreement on the family."""
+    import duckdb
+
+    def family_py(base: int) -> list[int]:
+        return [
+            (
+                dd.MINHASH_A[s] * ((base ^ dd.MINHASH_K[s]) % dd.MINHASH_PRIME)
+                + dd.MINHASH_B[s]
+            )
+            % dd.MINHASH_PRIME
+            for s in range(dd.MINHASH_NUM)
+        ]
+
+    base1 = 123456789012345
+    base2 = base1 + dd.MINHASH_PRIME
+    assert base1 % dd.MINHASH_PRIME == base2 % dd.MINHASH_PRIME
+    h1, h2 = family_py(base1), family_py(base2)
+    differing = sum(a != b for a, b in zip(h1, h2))
+    # all 12 should differ for a random-ish base; demand a majority so
+    # the test can't flake on an unlucky constant
+    assert differing >= dd.MINHASH_NUM // 2 + 1, (h1, h2)
+
+    # DuckDB twin agrees bit-for-bit (each row is its own group, so
+    # the min() in minhash_sql_exprs reduces over one value)
+    exprs = ", ".join(dd.minhash_sql_exprs())
+    rows = duckdb.sql(
+        f"SELECT base, {exprs} FROM (VALUES ({base1}), ({base2})) t(base) "
+        "GROUP BY base ORDER BY base"
+    ).fetchall()
+    by_base = {r[0]: list(r[1:]) for r in rows}
+    assert by_base[base1] == h1
+    assert by_base[base2] == h2
+
+
+def test_minhash_spark_matches_python_family(spark):
+    """The Spark _minhash_aggs expression equals the pure-Python
+    formula on single-shingle groups."""
+    bases = [0, 1, 7, 123456789012345, (1 << 60) - 1]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bases)], "doc: long, base: long"
+    )
+    got = {
+        r["doc"]: [r[f"mh{s}"] for s in range(dd.MINHASH_NUM)]
+        for r in df.groupBy("doc").agg(*dd._minhash_aggs()).collect()
+    }
+    for i, b in enumerate(bases):
+        want = [
+            (
+                dd.MINHASH_A[s] * ((b ^ dd.MINHASH_K[s]) % dd.MINHASH_PRIME)
+                + dd.MINHASH_B[s]
+            )
+            % dd.MINHASH_PRIME
+            for s in range(dd.MINHASH_NUM)
+        ]
+        assert got[i] == want, f"base {b}"
+
+
 def test_minhash_bucket_cap_keeps_cluster_connected(spark):
     """minhash_lsh_pairs with a binding bucket cap still links every
     copy of a mass-duplicated document to the cluster."""
@@ -744,7 +807,10 @@ def test_incremental_dedup_tiers(spark):
     new = spark.createDataFrame(
         [
             (10, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
-            (11, "the quick brown fox jumps over the lazy cat today"),  # near dup of 1
+            # near dup of 1: jaccard 0.778 — high enough that the 4x3
+            # LSH banding finds it reliably (a 0.6-jaccard pair is a
+            # coin flip by design: band-collision recall ~62% there)
+            (11, "the quick brown fox jumps over the lazy dog now"),
             (12, "entirely novel content mentioning neither foxes nor sparks"),
             (13, "entirely novel content mentioning neither foxes nor sparks"),  # in-batch dup
         ],
@@ -886,6 +952,33 @@ def test_pii_email_not_eaten_by_ip_pattern(spark):
     assert row["n_emails"] == 0 and row["n_ips"] == 1
 
 
+def test_pii_counts_sum_to_placeholders_emitted(spark):
+    """Progressive-count invariant: a phone number inside an email's
+    local part (and an IP inside its host) is part of the EMAIL —
+    counts are taken on the progressively redacted text, so
+    n_emails + n_ips + n_phones equals the placeholders emitted."""
+    from lynx_spark.functions.text import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [
+            (1, "call 555-123-4567 or mail 555-123-4567@spam.example.com"),
+            (2, "ping 10.0.0.1 or mail admin@10.0.0.99.example.com"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in with_pii_redacted(df).collect()}
+    # the embedded phone was consumed by the email redaction: 1+1, not 1+2
+    assert out[1]["redacted"] == "call [PHONE] or mail [EMAIL]"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert out[2]["redacted"] == "ping [IP] or mail [EMAIL]"
+    assert (out[2]["n_emails"], out[2]["n_ips"]) == (1, 1)
+    for row in out.values():
+        emitted = sum(
+            row["redacted"].count(p) for p in ("[EMAIL]", "[IP]", "[PHONE]")
+        )
+        assert row["n_emails"] + row["n_ips"] + row["n_phones"] == emitted
+
+
 # --------------------------------------------------- embedding stats
 
 
@@ -904,10 +997,39 @@ def test_embedding_stats_hand_computed(spark):
     from lynx_spark.operators.similarity import embedding_stats
 
     df = spark.createDataFrame(
-        [(7, [1.0, 2.0, 2.0], 3)], ["vec_id", "embedding", "label"]
+        [(7, [1.0, 2.0, 2.0], 3), (8, [0.0, 0.0, 0.0], 1)],
+        ["vec_id", "embedding", "label"],
     )
-    row = embedding_stats(df).collect()[0]
+    rows = {r["vec_id"]: r for r in embedding_stats(df).collect()}
+    row = rows[7]
     assert (row["dim"], row["label"]) == (3, 3)
     assert row["l2_norm"] == pytest.approx(3.0)
     assert row["mean_val"] == pytest.approx(round(5 / 3, 4))
     assert row["unit0"] == pytest.approx(round(1 / 3, 4))
+    # zero vector: norm 0, unit0 NULL (the q64 oracle's CASE guard
+    # mirrors exactly this — division must not produce NaN/inf)
+    zero = rows[8]
+    assert zero["l2_norm"] == 0.0
+    assert zero["unit0"] is None
+
+
+def test_embedding_stats_zero_vector_oracle_parity():
+    """The q64 DuckDB oracle's zero-norm CASE guard agrees with the
+    Spark path on zero/ordinary vectors (unit fixture for the guard —
+    the driver corpus contains no zero vector)."""
+    import duckdb
+
+    got = duckdb.sql(
+        """
+WITH v AS (SELECT * FROM (VALUES
+  (7, [1.0, 2.0, 2.0]), (8, [0.0, 0.0, 0.0])) t(vec_id, e))
+SELECT vec_id,
+  round(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2_norm,
+  CASE WHEN list_sum(list_transform(e, x -> x * x)) > 0
+       THEN round(e[1] / sqrt(list_sum(list_transform(e, x -> x * x))), 4) + 0
+       ELSE NULL END AS unit0
+FROM v ORDER BY vec_id
+"""
+    ).fetchall()
+    assert got[0] == (7, 3.0, 0.3333)
+    assert got[1] == (8, 0.0, None)
