@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lynx_spark.operators._util import words_col as _words
+from lynx_spark.operators.dedup import _shingle_expr
 
 #: default context-window token budget for sequence packing
 PACK_BUDGET = 512
@@ -188,4 +189,180 @@ def mixture_weights(
             F.round(target, 6).alias("target_frac"),
             F.round(target / actual, 4).alias("weight"),
         )
+    )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: the top-``k`` word
+    ``n``-grams that appear in at least ``min_docs`` distinct
+    documents, with their total occurrence and document counts — the
+    signal behind the C4/MassiveText "remove most common lines"
+    boilerplate rule (our documents are single-line, so the n-gram is
+    the line surrogate).
+
+    Shape at 100 TB: the per-row n-gram build is a codegen'd array
+    expression (no explode until after it), then ONE shuffle keyed by
+    the n-gram. ``count(*)`` gets map-side partials; the exact
+    distinct-document count plans as a two-stage aggregate on
+    (ngram, doc_id) — still one key family, and hot boilerplate grams
+    are exactly the rows that survive, so partial aggregation absorbs
+    the skew. Top-k fuses into TakeOrderedAndProject (no global sort);
+    ordering is total (count desc, then the gram itself) so the kept
+    set is deterministic under any partitioning."""
+    w = F.col("_w")
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _words(text_col).alias("_w"),
+        )
+        .filter(F.size(w) >= n)
+        .select("doc_id", F.explode(_shingle_expr(w, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(k)
+    )
+
+
+def duplicated_window_fraction(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span fraction: slide a ``k``-word
+    window over each document, md5 each window, and report what
+    fraction of a document's windows also occur in ANOTHER document —
+    the window-granular approximation of exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": duplicated 50-token spans; we window words).
+
+    Plan: one codegen'd window build per row, then two shuffles —
+    (1) groupBy window-hash to count distinct documents per window,
+    (2) join the counts back on the hash and re-aggregate per
+    document. Window hashes are high-cardinality (near-unique), so
+    both shuffles distribute evenly; the md5 keeps the join key at 32
+    bytes regardless of ``k``. Within-document repeats don't count as
+    duplication (n_docs > 1 is the cross-document test), matching the
+    dedup semantics rather than the repetition signals (q49)."""
+    w = F.col("_w")
+    windows = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _words(text_col).alias("_w"),
+        )
+        .filter(F.size(w) >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(_shingle_expr(w, k), lambda s: F.md5(s))
+            ).alias("h"),
+        )
+    )
+    per_hash = windows.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("_nd")
+    )
+    dup = F.sum((F.col("_nd") > 1).cast("long"))
+    return (
+        windows.join(per_hash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            dup.alias("n_dup_windows"),
+            F.round(dup / F.count("*"), 4).alias("dup_window_frac"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram rule): flag
+    every training document that shares at least one word ``n``-gram
+    with the held-out evaluation set, returning ``(doc_id,
+    n_shared_grams)`` for the flagged documents — the upstream step
+    before dropping or splitting them out of the corpus.
+
+    Per-document grams are distinct'd BEFORE the join (array_distinct
+    inside the row, no shuffle), so a gram repeated inside one
+    training document counts once. The holdout side collapses to its
+    distinct gram set and is broadcast — eval benchmarks are MBs
+    against a 100 TB corpus, so the contamination check is a
+    broadcast-hash semi-join embedded in the training scan: zero
+    shuffles on the big side until the tiny per-doc count aggregate."""
+    w = F.col("_w")
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                _words(text_col).alias("_w"),
+            )
+            .filter(F.size(w) >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(_shingle_expr(w, n))
+                ).alias("g"),
+            )
+        )
+
+    holdout_grams = grams(holdout).select("g").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(holdout_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def temperature_mixture(
+    df: DataFrame, domain_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled domain sampling (the multilingual-corpus
+    rebalancing rule: p_i ∝ n_i^alpha, alpha < 1 upsamples the tail):
+    per domain, the natural fraction, the temperature-scaled sampling
+    fraction, and the implied up/down-sampling factor.
+
+    One hash aggregate to domain granularity, then a single-row
+    broadcast join carries both normalizers — model-sized all the way
+    after the first scan, same shape as ``mixture_weights``.
+
+    ``alpha=0.5`` maps the power to ``sqrt``, which IEEE 754 requires
+    to be correctly rounded — so Spark and any oracle engine agree
+    bit-for-bit; a generic ``pow`` is only faithfully rounded and may
+    differ in the last ulp across libm implementations, which matters
+    because results cross an exact-hash comparison."""
+    scaled = (
+        F.sqrt(F.col("n_docs"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs"), F.lit(alpha))
+    )
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = counts.select(
+        F.sum("n_docs").alias("_total"),
+        F.sum(scaled).alias("_total_scaled"),
+    )
+    natural = F.col("n_docs") / F.col("_total")
+    temp = scaled / F.col("_total_scaled")
+    return counts.join(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        F.round(natural, 6).alias("natural_frac"),
+        F.round(temp, 6).alias("temp_frac"),
+        F.round(temp / natural, 4).alias("sample_factor"),
     )

@@ -184,3 +184,81 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(ent, 4).alias("word_entropy"),
         )
     )
+
+
+#: stopword probe list for the Gopher-style document filter — the
+#: MassiveText rule checks that a document contains at least two of a
+#: small English function-word list (a cheap "is this natural text"
+#: test); shared with the DuckDB oracle via gopher_rules' caller.
+GOPHER_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_word_len: float = 4.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_hits: int = 2,
+    max_dup_word_frac: float = 0.6,
+) -> DataFrame:
+    """Composite Gopher/MassiveText document filter: the four classic
+    per-document quality rules, each reported as its own boolean plus
+    the conjunctive ``keep`` verdict — pipelines want the per-rule
+    breakdown (to audit WHY documents fall) as much as the verdict.
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_word_len, max_mean_word_len]
+    - at least ``min_stopword_hits`` occurrences of common function
+      words (the "is this natural language" probe)
+    - duplicate-word fraction at most ``max_dup_word_frac`` (the
+      repetition gate; the single-line twin of duplicate-line
+      fraction)
+
+    Every rule is a per-row array expression over one words split —
+    zero shuffles, embarrassingly parallel at any corpus size, same
+    design as ``repetition_signals``. Mean word length and the
+    duplicate fraction divide exact integer sums, so the booleans are
+    engine-portable without rounding games."""
+    from lynx_spark.operators._util import words_col
+
+    w = F.col("_w")
+    n = F.size(w)
+    mean_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / n
+    stop_hits = F.size(
+        F.filter(w, lambda x: x.isin(GOPHER_STOPWORDS))
+    )
+    dup_frac = 1 - F.size(F.array_distinct(w)) / n
+    word_count_ok = (n >= min_words) & (n <= max_words)
+    mean_len_ok = (mean_len >= min_mean_word_len) & (
+        mean_len <= max_mean_word_len
+    )
+    stopwords_ok = stop_hits >= min_stopword_hits
+    repetition_ok = dup_frac <= max_dup_word_frac
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            words_col(text_col).alias("_w"),
+        )
+        .filter(n >= 1)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_words"),
+            F.round(mean_len, 4).alias("mean_word_len"),
+            stop_hits.cast("long").alias("n_stopwords"),
+            F.round(dup_frac, 4).alias("dup_word_frac"),
+            word_count_ok.alias("word_count_ok"),
+            mean_len_ok.alias("mean_word_len_ok"),
+            stopwords_ok.alias("stopwords_ok"),
+            repetition_ok.alias("repetition_ok"),
+            (
+                word_count_ok & mean_len_ok & stopwords_ok & repetition_ok
+            ).alias("keep"),
+        )
+    )

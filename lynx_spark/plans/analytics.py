@@ -81,6 +81,11 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q65_frequent_ngrams",
+    "q66_duplicated_windows",
+    "q67_decontaminate",
+    "q68_temperature_mixture",
+    "q69_gopher_filter",
     "q31b_media_dims",
     "q31c_audio_meta",
     "q23_minhash_lsh",
@@ -2350,3 +2355,168 @@ def q31c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.withColumn("payload", wav_payload_udf("doc_id"))
     return extract_audio_metadata(payloads, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# round 5: corpus boilerplate / substring dedup / decontamination /
+# temperature sampling / composite Gopher filter
+# ---------------------------------------------------------------------------
+
+# shared CTE prefix: words per document, mirrored on the Spark side by
+# _util.words_col — the one tokenization both engines agree on
+_WORDS_CTE = r"""
+WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+           FROM documents)
+"""
+
+
+@q(
+    "q65_frequent_ngrams",
+    oracle=_WORDS_CTE
+    + r"""
+, g AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+            AS ngram
+        FROM d WHERE len(w) >= 3)
+SELECT ngram,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY ngram
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, ngram
+LIMIT 50
+""",
+    description="corpus boilerplate detection: top-50 word 3-grams "
+    "appearing in >=2 distinct documents (C4-style most-common-lines "
+    "rule at n-gram granularity) — codegen'd gram build, ONE shuffle "
+    "keyed by the gram, top-k fused into TakeOrderedAndProject",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.frequent_ngrams(
+        T(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_docs=2, k=50
+    )
+
+
+@q(
+    "q66_duplicated_windows",
+    oracle=_WORDS_CTE
+    + r"""
+, wnd AS (SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(w) - 7),
+                                  i -> md5(array_to_string(w[i:i+7], ' '))))
+              AS h
+          FROM d WHERE len(w) >= 8),
+hc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM wnd GROUP BY h)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_windows,
+  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 4) AS dup_window_frac
+FROM wnd JOIN hc USING (h)
+GROUP BY doc_id
+""",
+    description="per-document duplicated-span fraction over sliding "
+    "8-word windows (window-granular exact-substring dedup, Lee et "
+    "al. 2022) — md5'd windows, two evenly-distributed shuffles on a "
+    "near-unique hash key",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.duplicated_window_fraction(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8
+    )
+
+
+@q(
+    "q67_decontaminate",
+    oracle=_WORDS_CTE
+    + r"""
+, g AS (SELECT doc_id, source,
+          unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+                 i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])))
+            AS g
+        FROM d WHERE len(w) >= 5),
+eg AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN eg USING (g)
+WHERE source <> 'src0'
+GROUP BY doc_id
+""",
+    description="benchmark decontamination (GPT-3/PaLM 5-gram rule): "
+    "training documents sharing any word 5-gram with the src0 holdout "
+    "— holdout gram set broadcast into the training scan, zero "
+    "shuffles on the corpus side before the per-doc count",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return cp.ngram_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
+@q(
+    "q68_temperature_mixture",
+    oracle="""
+WITH counts AS (SELECT source AS domain, count(*) AS n_docs
+                FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS _total, sum(sqrt(n_docs)) AS _total_scaled
+        FROM counts)
+SELECT domain, n_docs,
+  round(n_docs / CAST(_total AS DOUBLE), 6) AS natural_frac,
+  round(sqrt(n_docs) / _total_scaled, 6) AS temp_frac,
+  round((sqrt(n_docs) / _total_scaled)
+        / (n_docs / CAST(_total AS DOUBLE)), 4) AS sample_factor
+FROM counts, tot
+""",
+    description="temperature-scaled domain sampling (p_i ~ n_i^0.5, "
+    "the multilingual rebalancing rule): per-source natural vs "
+    "temperature fractions and the implied sampling factor — one "
+    "aggregate to domain granularity + a single-row broadcast; "
+    "alpha=0.5 uses IEEE-exact sqrt so both engines agree bit-for-bit",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.temperature_mixture(
+        T(spark, sf_dir, "documents"), "source", alpha=0.5
+    )
+
+
+@q(
+    "q69_gopher_filter",
+    oracle=_WORDS_CTE
+    + """
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  round(list_sum(list_transform(w, x -> len(x)))
+        / CAST(len(w) AS DOUBLE), 4) AS mean_word_len,
+  CAST(len(list_filter(w, x ->
+        x IN ('the','and','of','to','in','a','is'))) AS BIGINT)
+    AS n_stopwords,
+  round(1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+    AS dup_word_frac,
+  len(w) BETWEEN 20 AND 1000 AS word_count_ok,
+  list_sum(list_transform(w, x -> len(x))) / CAST(len(w) AS DOUBLE)
+    BETWEEN 4.0 AND 10.0 AS mean_word_len_ok,
+  len(list_filter(w, x -> x IN ('the','and','of','to','in','a','is'))) >= 2
+    AS stopwords_ok,
+  1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) <= 0.6
+    AS repetition_ok,
+  (len(w) BETWEEN 20 AND 1000)
+    AND (list_sum(list_transform(w, x -> len(x))) / CAST(len(w) AS DOUBLE)
+         BETWEEN 4.0 AND 10.0)
+    AND (len(list_filter(w, x ->
+           x IN ('the','and','of','to','in','a','is'))) >= 2)
+    AND (1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) <= 0.6)
+    AS keep
+FROM d WHERE len(w) >= 1
+""",
+    description="composite Gopher/MassiveText document filter: word "
+    "count, mean word length, stopword-presence and repetition rules "
+    "as per-rule booleans plus the conjunctive keep verdict — pure "
+    "per-row array expressions, zero shuffles",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.gopher_rules(T(spark, sf_dir, "documents"), "doc_id", "text")

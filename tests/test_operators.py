@@ -1033,3 +1033,107 @@ FROM v ORDER BY vec_id
     ).fetchall()
     assert got[0] == (7, 3.0, 0.3333)
     assert got[1] == (8, 0.0, None)
+
+
+# ---------------------------------------------------------------------------
+# round 5: corpus boilerplate / substring dedup / decontamination /
+# temperature sampling / composite Gopher filter
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_ngrams_counts_and_order(spark):
+    from lynx_spark.operators import corpus as cp
+
+    rows = [
+        (1, "alpha beta gamma delta"),       # grams: a b g, b g d
+        (2, "alpha beta gamma epsilon"),     # shares "alpha beta gamma"
+        (3, "alpha beta gamma alpha beta gamma"),  # two more occurrences
+        (4, "zeta eta"),                     # shorter than n -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cp.frequent_ngrams(df, "doc_id", "text", n=3, min_docs=2, k=10)
+    got = {r["ngram"]: (r["n_occurrences"], r["n_docs"]) for r in out.collect()}
+    # "alpha beta gamma": docs 1,2 once each + doc 3 twice = 4 occurrences, 3 docs
+    assert got["alpha beta gamma"] == (4, 3)
+    # single-doc grams are filtered by min_docs
+    assert "beta gamma delta" not in got
+    top = out.collect()[0]
+    assert top["ngram"] == "alpha beta gamma"
+
+
+def test_duplicated_window_fraction_cross_doc_only(spark):
+    from lynx_spark.operators import corpus as cp
+
+    shared = "one two three four"
+    rows = [
+        (1, f"{shared} x y z"),          # windows at k=4: 4 windows, 1 shared
+        (2, f"p q r {shared}"),          # shares exactly one window with doc 1
+        (3, "a b c d a b c d"),          # within-doc repeat only -> no dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in cp.duplicated_window_fraction(df, "doc_id", "text", k=4).collect()
+    }
+    assert out[1]["n_windows"] == 4 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_dup_windows"] == 1
+    # the repeated "a b c d" window stays within doc 3: not duplication
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_window_frac"] == 0.0
+
+
+def test_ngram_decontaminate_flags_and_dedups_grams(spark):
+    from lynx_spark.operators import corpus as cp
+
+    leak = "q w e r t"
+    train = spark.createDataFrame(
+        [
+            (10, f"{leak} extra words here"),       # one shared 5-gram region
+            (11, f"{leak} pad {leak}"),             # same gram twice -> counts once
+            (12, "totally clean document with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    holdout = spark.createDataFrame(
+        [(90, f"prefix {leak} suffix")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in cp.ngram_decontaminate(train, holdout, "doc_id", "text", n=5).collect()
+    }
+    assert 10 in out and out[10] >= 1
+    # doc 11 contains the leaked gram twice but per-doc grams are distinct'd
+    assert out[11] == out[10] == 1 if out[10] == 1 else True
+    assert 12 not in out
+
+
+def test_temperature_mixture_sqrt_rebalances_tail(spark):
+    from lynx_spark.operators import corpus as cp
+
+    rows = [(i, "a") for i in range(1)] + [(i + 10, "b") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = {r["domain"]: r for r in cp.temperature_mixture(df, "domain").collect()}
+    # sqrt weights 1 and 2 -> temp fracs 1/3 and 2/3
+    assert out["a"]["temp_frac"] == round(1 / 3, 6)
+    assert out["b"]["temp_frac"] == round(2 / 3, 6)
+    # tail domain upsampled, head downsampled
+    assert out["a"]["sample_factor"] > 1 > out["b"]["sample_factor"]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from lynx_spark.operators.quality import gopher_rules
+
+    good = " ".join(["the", "and"] + [f"word{i}" for i in range(22)])
+    rows = [
+        (1, good),
+        (2, "the and of to"),                      # too few words
+        (3, " ".join(["the", "and"] + ["ab"] * 30)),   # mean word len < 4
+        (4, " ".join(f"word{i:03d}" for i in range(30))),  # no stopwords
+        (5, " ".join(["the", "and", "word"] + ["dup"] * 47)),  # repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["keep"]
+    assert not out[2]["word_count_ok"] and not out[2]["keep"]
+    assert not out[3]["mean_word_len_ok"] and not out[3]["keep"]
+    assert not out[4]["stopwords_ok"] and not out[4]["keep"]
+    assert not out[5]["repetition_ok"] and not out[5]["keep"]
