@@ -496,11 +496,17 @@ def incremental_minhash_matches_from_store(
     n: int = SHINGLE_N,
     threshold: float = 0.5,
     max_doc_freq: int | None = MAX_SHINGLE_DF,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, seen_id, jaccard) against a PERSISTED signature store:
     the operational form of incremental_minhash_matches — the seen
     side's signatures and shingle sets are loaded, never recomputed,
     so each batch's cost is O(batch) + the bipartite band join.
+
+    ``new_sig`` lets a caller that already built the batch's
+    signature rows (the streaming tier builds them anyway as the
+    store's next delta) pass them in instead of paying the build
+    twice; the caller owns that frame's persistence.
 
     Semantics note: the document-frequency cap is evaluated per batch
     here (the store's rows were capped against THEIR batch), while the
@@ -510,10 +516,11 @@ def incremental_minhash_matches_from_store(
     batch boundary — the price of never rescanning the corpus."""
     from lynx_spark.operators._util import explode_bands
 
-    new_sig = build_signature_store(
-        new_df, id_col, text_col, n, max_doc_freq
-    ).persist()
-    new_sig.count()  # eager: band join + verification both read it
+    if new_sig is None:
+        new_sig = build_signature_store(
+            new_df, id_col, text_col, n, max_doc_freq
+        ).persist()
+        new_sig.count()  # eager: band join + verification both read it
     band_cols = [f"band{b}" for b in range(MINHASH_BANDS)]
     nb = explode_bands(new_sig, "doc", band_cols)
     sb = explode_bands(seen_sig, "doc", band_cols)

@@ -7,3 +7,8 @@ from lynx_spark.streaming.ingest import (  # noqa: F401
     sliding_rate_stream,
     stream_to_cold_tier,
 )
+from lynx_spark.streaming.incremental import (  # noqa: F401
+    dedup_document_stream,
+    near_dup_document_stream,
+    read_document_stream,
+)

@@ -1,0 +1,200 @@
+"""Streaming incremental dedup: the continuous form of the q56/q57
+store tier (operators/dedup.py write/read_fingerprint_store,
+build_signature_store) — documents arrive as a Structured Streaming
+source, each micro-batch dedups against the PERSISTED store from all
+earlier batches, survivors append to the corpus sink and their
+fingerprints/signatures become the store's next delta.
+
+The reference engine has no streaming surface (SURVEY §2C); this is
+the deliberate superset that makes the dedup family operational for
+continuous ingestion, the shape a 100 TB training-data pipeline
+actually runs: the store grows O(distinct documents), each batch costs
+O(batch) plus one anti-join (exact tier) or one bipartite band join
+(near tier) against the store — never a rescan of the corpus.
+
+Exactly-once across micro-batch replays, without the cold tier's
+commit machinery (this sink owns its whole directory, so it can be
+simpler): every batch writes to batch-id-keyed subdirectories with
+``mode=overwrite`` (a replayed batch rebuilds exactly its own files)
+and then atomically renames a marker JSON. Readers — including the
+NEXT batch loading the store — only read marker-committed batch
+directories, so a half-written replay attempt is invisible
+everywhere, not just inside the stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lynx_spark.operators import dedup as dd
+
+#: the document-corpus ingest contract: stable id, raw text, domain
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), False),
+        StructField("source", StringType(), True),
+    ]
+)
+
+_COMMITS = "_commits"
+
+
+def read_document_stream(spark: SparkSession, json_dir: str | Path) -> DataFrame:
+    """File-source stream of JSONL documents (one per line)."""
+    return spark.readStream.schema(DOC_SCHEMA).json(str(json_dir))
+
+
+def _committed_batches(root: Path) -> list[int]:
+    commits = root / _COMMITS
+    if not commits.exists():
+        return []
+    return sorted(
+        int(p.stem[1:]) for p in commits.glob("b*.json")
+    )
+
+
+def _commit(root: Path, batch_id: int, payload: dict) -> None:
+    commits = root / _COMMITS
+    commits.mkdir(parents=True, exist_ok=True)
+    tmp = commits / f".b{batch_id:09d}.json.tmp"
+    tmp.write_text(json.dumps(payload))
+    os.replace(tmp, commits / f"b{batch_id:09d}.json")
+
+
+def _batch_dir(root: Path, name: str, batch_id: int) -> Path:
+    return root / name / f"batch={batch_id:09d}"
+
+
+def _committed_store(
+    spark: SparkSession, root: Path, name: str
+) -> DataFrame | None:
+    """Union of the marker-committed batch directories of one store —
+    None when no batch has committed yet. Partition discovery gives a
+    ``batch`` column; callers project it away. Reading an explicit
+    path list (not the parent dir) is what keeps half-written replay
+    attempts invisible to the NEXT batch."""
+    paths = [
+        str(_batch_dir(root, name, b)) for b in _committed_batches(root)
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def dedup_document_stream(
+    docs: DataFrame,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+):
+    """Exact-tier streaming dedup: per micro-batch, dedup within the
+    batch (min doc_id per md5 fingerprint), anti-join the committed
+    fingerprint store, append survivors under ``<store>/corpus`` and
+    their fingerprints under ``<store>/fingerprints`` — the streaming
+    twin of incremental_exact_survivors (q56), sharing its operator.
+
+    Returns the StreamingQuery (availableNow trigger: the caller
+    drains what exists and awaits termination; swap the trigger for
+    continuous deployments)."""
+    root = Path(store_dir)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return  # replayed, fully committed batch: exactly-once
+        spark = batch.sparkSession
+        seen = _committed_store(spark, root, "fingerprints")
+        if seen is None:
+            seen = spark.createDataFrame([], "fingerprint string")
+        surv = dd.incremental_exact_survivors(
+            batch, seen.select("fingerprint"), "doc_id", "text"
+        )
+        # survivor rows carry the batch's full payload: join the
+        # fingerprint winners back to the batch rows (one shuffle on
+        # doc_id; the batch side is micro-batch-sized)
+        rows = batch.join(
+            surv.select(F.col("survivor_id").alias("doc_id")), "doc_id"
+        ).persist()
+        rows.count()  # eager: corpus write + fingerprint write share it
+        rows.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "corpus", batch_id))
+        )
+        rows.select(F.md5("text").alias("fingerprint")).write.mode(
+            "overwrite"
+        ).parquet(str(_batch_dir(root, "fingerprints", batch_id)))
+        rows.unpersist()
+        _commit(root, batch_id, {"tier": "exact"})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def near_dup_document_stream(
+    docs: DataFrame,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    threshold: float = 0.5,
+):
+    """Near-dup tier streaming dedup: per micro-batch, build minhash
+    signatures for the batch, band-join them against the committed
+    signature store (bipartite: new×seen only, never new×new of prior
+    batches), verify with true Jaccard, write the matches under
+    ``<store>/matches`` and append the batch's signatures under
+    ``<store>/signatures`` — the streaming twin of
+    incremental_minhash_matches_from_store (q57), sharing its
+    operator and store schema.
+
+    Matches are advisory output (downstream decides drop/keep); every
+    batch's signatures join the store regardless, so later batches
+    also match against near-dup survivors, mirroring the batch tier."""
+    root = Path(store_dir)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        spark = batch.sparkSession
+        seen = _committed_store(spark, root, "signatures")
+        sig = dd.build_signature_store(batch, "doc_id", "text").persist()
+        sig.count()  # eager: match join + store write share it
+        if seen is not None:
+            matches = dd.incremental_minhash_matches_from_store(
+                batch,
+                seen.drop("batch"),
+                "doc_id",
+                "text",
+                threshold=threshold,
+                new_sig=sig,
+            )
+        else:
+            matches = spark.createDataFrame(
+                [], "new_id long, seen_id long, jaccard double"
+            )
+        matches.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "matches", batch_id))
+        )
+        sig.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "signatures", batch_id))
+        )
+        sig.unpersist()
+        _commit(root, batch_id, {"tier": "near"})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

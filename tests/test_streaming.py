@@ -416,3 +416,102 @@ def test_correlate_streams_interval_join(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r["l_value"], r["r_value"], r["host"]) == ("deploy-a", "err1", "h1")
+
+
+# ---------------------------------------------------------------------------
+# round 5: streaming incremental dedup against the persisted store
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t, "source": "s"})
+            for i, t in rows
+        )
+    )
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """Batch 2's duplicates of batch 1 are dropped via the COMMITTED
+    fingerprint store, in-batch dups collapse, and the corpus sink
+    holds exactly the distinct texts."""
+    from lynx_spark.streaming import dedup_document_stream
+
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, "alpha text"), (2, "beta text")])
+    _write_docs(
+        d / "b2.json",
+        [(11, "alpha text"), (12, "gamma text"), (13, "gamma text")],
+    )
+    from lynx_spark.streaming.incremental import DOC_SCHEMA
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = dedup_document_stream(docs, store, tmp_path / "ck")
+    q.awaitTermination(120)
+
+    corpus = spark.read.parquet(str(store / "corpus"))
+    got = sorted((r["doc_id"], r["text"]) for r in corpus.collect())
+    assert got == [(1, "alpha text"), (2, "beta text"), (12, "gamma text")]
+    fps = spark.read.parquet(str(store / "fingerprints"))
+    assert fps.select("fingerprint").distinct().count() == 3
+
+
+def test_streaming_exact_dedup_replay_is_exactly_once(spark, tmp_path):
+    """Restarting the stream over the same source (fresh checkpoint =
+    full replay) must not duplicate corpus rows or fingerprints: the
+    batch-id-keyed overwrite + marker skip makes replays no-ops."""
+    from lynx_spark.streaming import (
+        dedup_document_stream,
+        read_document_stream,
+    )
+
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, "alpha text"), (2, "beta text")])
+    store = tmp_path / "store"
+    for ck in ("ck1", "ck2"):  # second run replays batch 0 from scratch
+        q = dedup_document_stream(
+            read_document_stream(spark, d), store, tmp_path / ck
+        )
+        q.awaitTermination(120)
+
+    corpus = spark.read.parquet(str(store / "corpus"))
+    assert corpus.count() == 2
+    assert len(list((store / "_commits").glob("b*.json"))) == 1
+
+
+def test_streaming_near_dup_matches_store(spark, tmp_path):
+    """Near tier: batch 2's near-duplicate of a batch-1 document
+    surfaces as a (new_id, seen_id, jaccard) match row via the
+    persisted signature store; novel documents match nothing."""
+    from lynx_spark.streaming import near_dup_document_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy dog near the river shore"
+    other = "completely different text about spark query engines and columnar formats"
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, base), (2, other)])
+    _write_docs(d / "b2.json", [(21, near), (22, "novel words entirely fresh here today")])
+    from lynx_spark.streaming.incremental import DOC_SCHEMA
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = near_dup_document_stream(docs, store, tmp_path / "ck", threshold=0.5)
+    q.awaitTermination(180)
+
+    matches = spark.read.parquet(str(store / "matches"))
+    rows = [(r["new_id"], r["seen_id"]) for r in matches.collect()]
+    assert rows == [(21, 1)]
+    # signatures of BOTH batches persisted for future batches
+    sigs = spark.read.parquet(str(store / "signatures"))
+    assert sorted(r["doc"] for r in sigs.collect()) == [1, 2, 21, 22]
