@@ -49,6 +49,8 @@ HEADLINE = [
     "q25_ann_lsh",
     "q26_text_stats",
     "q30_simhash",
+    "q65_frequent_ngrams",
+    "q66_duplicated_windows",
 ]
 
 
@@ -69,7 +71,7 @@ def main() -> None:
     # the heavy dedup/ANN queries need 5 reps for a stable min: their
     # 2-3s runtimes swing +-25% at 3 reps on this harness
     HEAVY_REPS = {"q22_ngram_jaccard", "q23_minhash_lsh", "q24_cosine_topk",
-                  "q25_ann_lsh", "q30_simhash"}
+                  "q25_ann_lsh", "q30_simhash", "q66_duplicated_windows"}
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

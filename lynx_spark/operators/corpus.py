@@ -245,14 +245,18 @@ def duplicated_window_fraction(
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better": duplicated 50-token spans; we window words).
 
-    Plan: one codegen'd window build per row, then two shuffles —
-    (1) groupBy window-hash to count distinct documents per window,
-    (2) join the counts back on the hash and re-aggregate per
-    document. Window hashes are high-cardinality (near-unique), so
-    both shuffles distribute evenly; the md5 keeps the join key at 32
-    bytes regardless of ``k``. Within-document repeats don't count as
-    duplication (n_docs > 1 is the cross-document test), matching the
-    dedup semantics rather than the repetition signals (q49)."""
+    Plan: one codegen'd window build per row, then exactly two
+    shuffles and ONE pass over the exploded windows — "occurs in more
+    than one document" is min(doc_id) ≠ max(doc_id) over a window
+    partitioned by the hash (cheaper than the equivalent
+    countDistinct-groupBy + join-back, which scans the exploded
+    windows twice and adds a join), followed by the per-document
+    re-aggregation. Window hashes are high-cardinality
+    (near-unique), so both shuffles distribute evenly; the md5 keeps
+    the shuffle key at 32 bytes regardless of ``k``. Within-document
+    repeats don't count as duplication (the min≠max test is exactly
+    cross-document), matching the dedup semantics rather than the
+    repetition signals (q49)."""
     w = F.col("_w")
     windows = (
         df.select(
@@ -267,12 +271,13 @@ def duplicated_window_fraction(
             ).alias("h"),
         )
     )
-    per_hash = windows.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("_nd")
-    )
-    dup = F.sum((F.col("_nd") > 1).cast("long"))
+    by_hash = Window.partitionBy("h")
+    is_dup = (
+        F.min("doc_id").over(by_hash) != F.max("doc_id").over(by_hash)
+    ).cast("long")
+    dup = F.sum("_dup")
     return (
-        windows.join(per_hash, "h")
+        windows.withColumn("_dup", is_dup)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),

@@ -438,3 +438,55 @@ def embedding_stats(
         (F.round(total / F.size(e), 4) + 0.0).alias("mean_val"),
         (F.round(F.element_at("_unit", 1), 4) + 0.0).alias("unit0"),
     )
+
+
+# ------------------------------------------------------------ SemDeDup
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.25,
+    n_centroids: int = IVF_K,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs via cluster-then-compare — k-means the
+    embeddings (the SAME deterministic trainer the IVF index uses),
+    then compare cosine similarity only WITHIN each cluster and keep
+    pairs at or above ``threshold``. The published recipe for
+    web-scale semantic dedup: clustering makes the pairwise step
+    tractable because high-similarity pairs land in the same Voronoi
+    cell.
+
+    Scale shape: training collects only the k×dim model; assignment
+    is one codegen'd projection; the pairwise step is a self-join on
+    the cell id — quadratic IN THE CELL, linear in the corpus when
+    ``n_centroids`` grows with it (SemDeDup's published configs use
+    tens of thousands of clusters precisely so cells stay
+    bounded-size; here k=8 matches the IVF demo scale). Compare
+    cosine_dedup_pairs (q37): same verify step, LSH-bucket candidates
+    instead of trained-cluster candidates."""
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    centroids = train_ivf_centroids(vecs, n_centroids, iters)
+    assigned = vecs.withColumn(
+        "cid", _ivf_assign(F.col("v"), centroids)
+    ).persist()
+    assigned.count()  # eager: both sides of the self-join read it
+    a = assigned.select(
+        F.col("cid"), F.col("nid").alias("a_id"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("nid").alias("b_id"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 5))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )

@@ -81,6 +81,7 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q70_semdedup",
     "q65_frequent_ngrams",
     "q66_duplicated_windows",
     "q67_decontaminate",
@@ -1998,19 +1999,17 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(
-    max_query_id: int = 20,
-    k: int = 3,
-    n_centroids: int = sim.IVF_K,
-    iters: int = sim.IVF_ITERS,
-    nprobe: int = sim.IVF_NPROBE,
-) -> str:
-    """The IVF oracle TRAINS the same quantizer in SQL: seed centroids
-    = the k lowest-id vectors, fixed Lloyd iterations with
-    sorted-sum/rounded means (summation order is the only cross-engine
-    divergence and sorting removes it — verified bit-identical), then
-    probe + exact-cosine re-rank. Distances are rounded to 8dp before
-    every argmin, mirroring operators/similarity._ivf_assign."""
+def _ivf_train_sql(
+    n_centroids: int, iters: int
+) -> tuple[str, str]:
+    """The SQL k-means trainer shared by the IVF and SemDeDup
+    oracles: seed centroids = the k lowest-id vectors, fixed Lloyd
+    iterations with sorted-sum/rounded means (summation order is the
+    only cross-engine divergence and sorting removes it — verified
+    bit-identical), ending in ``af`` = every vector with its assigned
+    cell. Returns (WITH-prefix through af, final-centroid CTE name).
+    Distances are rounded to 8dp before every argmin, mirroring
+    operators/similarity._ivf_assign."""
     dist = (
         "round(list_sum(list_transform(list_zip({a}, {b}), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))), 8)"
@@ -2036,8 +2035,7 @@ c{it} AS (
   WHERE c.cid NOT IN (SELECT cid FROM m{it}))""")
         prev = f"c{it}"
     d_final = dist.format(a="x.v", b="c.cv")
-    d_probe = dist.format(a="q.v", b="c.cv")
-    return f"""
+    prefix = f"""
 WITH v AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY nid) - 1 AS BIGINT) AS cid, v AS cv
@@ -2046,7 +2044,26 @@ c0 AS (
 af AS (
   SELECT x.nid, x.v,
     (SELECT c.cid FROM {prev} c ORDER BY {d_final}, c.cid LIMIT 1) AS cid
-  FROM v x),
+  FROM v x)"""
+    return prefix, prev
+
+
+def _ivf_oracle(
+    max_query_id: int = 20,
+    k: int = 3,
+    n_centroids: int = sim.IVF_K,
+    iters: int = sim.IVF_ITERS,
+    nprobe: int = sim.IVF_NPROBE,
+) -> str:
+    """Probe + exact-cosine re-rank over the SQL-trained quantizer
+    (_ivf_train_sql)."""
+    dist = (
+        "round(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), 8)"
+    )
+    train_prefix, prev = _ivf_train_sql(n_centroids, iters)
+    d_probe = dist.format(a="q.v", b="c.cv")
+    return f"""{train_prefix},
 probes AS (
   SELECT q.nid AS qid, q.v AS qv, c.cid
   FROM v q, {prev} c
@@ -2520,3 +2537,40 @@ FROM d WHERE len(w) >= 1
 )
 def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.gopher_rules(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _semdedup_oracle(
+    threshold: float = 0.25,
+    n_centroids: int = sim.IVF_K,
+    iters: int = sim.IVF_ITERS,
+) -> str:
+    """SemDeDup oracle: trains the bit-identical k-means model in SQL
+    (_ivf_train_sql), then within-cell pairwise cosine at or above the
+    threshold."""
+    train_prefix, _ = _ivf_train_sql(n_centroids, iters)
+    return f"""{train_prefix},
+pr AS (
+  SELECT a.nid AS a_id, b.nid AS b_id, a.v AS av, b.v AS bv
+  FROM af a JOIN af b ON a.cid = b.cid AND a.nid < b.nid),
+elems AS (SELECT a_id, b_id, unnest(av) AS x, unnest(bv) AS y FROM pr),
+sums AS (
+  SELECT a_id, b_id,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cos_sim
+  FROM elems GROUP BY a_id, b_id)
+SELECT a_id, b_id, cos_sim FROM sums WHERE cos_sim >= {threshold}
+"""
+
+
+@q(
+    "q70_semdedup",
+    oracle=_semdedup_oracle(),
+    description="SemDeDup (arXiv:2303.09540): k-means the embeddings "
+    "with the IVF trainer, cosine-compare only within each cluster — "
+    "the cluster-then-compare semantic dedup recipe; the oracle "
+    "trains the bit-identical model in SQL",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.semdedup_pairs(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.25,
+    )

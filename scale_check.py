@@ -50,6 +50,14 @@ QUERIES = [
     "q60_unigram_lm",
     "q62_entropy_gate",
     "q63_pii_scrub",
+    # round 5: corpus boilerplate (gram-keyed agg with hot keys),
+    # sliding-window substring dedup (two shuffles on a near-unique
+    # hash), decontamination (broadcast semi join), Gopher filter
+    # (pure per-row arrays)
+    "q65_frequent_ngrams",
+    "q66_duplicated_windows",
+    "q67_decontaminate",
+    "q69_gopher_filter",
 ]
 
 

@@ -1137,3 +1137,31 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not out[3]["mean_word_len_ok"] and not out[3]["keep"]
     assert not out[4]["stopwords_ok"] and not out[4]["keep"]
     assert not out[5]["repetition_ok"] and not out[5]["keep"]
+
+
+def test_semdedup_finds_near_identical_in_same_cell(spark):
+    """Two near-identical vectors must land in the same k-means cell
+    and surface as a high-cosine pair; orthogonal vectors must not
+    pair even within a cell."""
+    import math
+
+    def unit(i, dim=8):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    rows = [(i, unit(i)) for i in range(8)]
+    # 8 and 9: near-duplicates of each other, far from the axes
+    base = [1.0] * 8
+    nearly = [1.0] * 7 + [0.9]
+    rows += [(8, base), (9, nearly)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from lynx_spark.operators.similarity import semdedup_pairs
+
+    pairs = semdedup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, n_centroids=4, iters=1
+    ).collect()
+    got = {(r["a_id"], r["b_id"]): r["cos_sim"] for r in pairs}
+    assert (8, 9) in got and got[(8, 9)] > 0.99
+    # axis vectors are mutually orthogonal: no pair among them
+    assert all(a == 8 or b == 9 for (a, b) in got)
