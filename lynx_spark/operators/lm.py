@@ -190,3 +190,45 @@ def dsir_weights(
         (F.round(total, 4) + 0.0).alias("log_ratio"),
         (F.round(total / F.col("n_tokens"), 4) + 0.0).alias("avg_log_ratio"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359): per language, rank documents by their
+    unigram-LM score and split into head/middle/tail tertiles — the
+    published Common-Crawl curation step where "head" (lowest
+    perplexity = highest avg log prob) feeds training and "tail" is
+    dropped or down-weighted.
+
+    Buckets are per-LANGUAGE because perplexities are not comparable
+    across languages (each language's model sees different token
+    statistics) — same reasoning as the per-domain percentile gate
+    (quality.top_fraction). ntile(3) over a (avg_logprob desc,
+    doc_id) total order is deterministic and engine-portable; one
+    window shuffle keyed by language on a model-sized per-doc frame,
+    languages rank in parallel."""
+    from pyspark.sql.window import Window
+
+    scores = unigram_scores(df, id_col, text_col)
+    langs = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    tert = F.ntile(3).over(w)
+    return (
+        scores.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(tert == 1, "head")
+            .when(tert == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

@@ -81,6 +81,7 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q71_ccnet_buckets",
     "q70_semdedup",
     "q65_frequent_ngrams",
     "q66_duplicated_windows",
@@ -2573,4 +2574,41 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup_pairs(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.25,
+    )
+
+
+@q(
+    "q71_ccnet_buckets",
+    oracle=r"""
+WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w WHERE word <> ''
+      GROUP BY doc_id, word),
+v AS (SELECT word, sum(n) AS c FROM c GROUP BY word),
+s AS (SELECT sum(c) AS total FROM v),
+d AS (SELECT c.doc_id, sum(c.n) AS n_tokens,
+        list_sum(list(c.n * ln(v.c / CAST(s.total AS DOUBLE))
+                      ORDER BY c.word)) AS lp
+      FROM c JOIN v USING (word), s
+      GROUP BY c.doc_id),
+scored AS (SELECT d.doc_id, doc.lang,
+             round(d.lp / d.n_tokens, 4) + 0 AS avg_logprob
+           FROM d JOIN documents doc USING (doc_id)),
+t AS (SELECT doc_id, lang, avg_logprob,
+        ntile(3) OVER (PARTITION BY lang
+                       ORDER BY avg_logprob DESC, doc_id) AS tert
+      FROM scored)
+SELECT doc_id, lang, avg_logprob,
+  CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+    AS ppl_bucket
+FROM t
+""",
+    description="CCNet perplexity buckets (arXiv:1911.00359): per "
+    "language, head/middle/tail tertiles by unigram-LM score — "
+    "per-language because perplexities are incomparable across "
+    "languages; one window shuffle on a per-doc frame",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.ccnet_buckets(
+        T(spark, sf_dir, "documents"), "doc_id", "text", "lang"
     )

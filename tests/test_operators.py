@@ -1165,3 +1165,22 @@ def test_semdedup_finds_near_identical_in_same_cell(spark):
     assert (8, 9) in got and got[(8, 9)] > 0.99
     # axis vectors are mutually orthogonal: no pair among them
     assert all(a == 8 or b == 9 for (a, b) in got)
+
+
+def test_ccnet_buckets_order_within_language(spark):
+    """Within each language, every head document scores at least as
+    high (avg log prob; i.e. lower perplexity) as every tail
+    document, and tertiles cover all docs."""
+    from lynx_spark.operators.lm import ccnet_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ccnet_buckets(docs, "doc_id", "text", "lang").collect()
+    assert len(out) == docs.count()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {}).setdefault(
+            r["ppl_bucket"], []
+        ).append(r["avg_logprob"])
+    for lang, buckets in by_lang.items():
+        if "head" in buckets and "tail" in buckets:
+            assert min(buckets["head"]) >= max(buckets["tail"]), lang
