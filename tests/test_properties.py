@@ -199,3 +199,50 @@ def test_stratified_split_fraction_invariant(spark, strata):
         assert c["train"] == exp_train, (n, dict(c))
         assert c["val"] == exp_val, (n, dict(c))
         assert sum(c.values()) == n
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_duplicated_window_fraction_invariants(spark, docs, k):
+    """n_windows == n_words-k+1 per kept doc; dup counts bounded by
+    window counts; fractions in [0,1]."""
+    from lynx_spark.operators.corpus import duplicated_window_fraction
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicated_window_fraction(df, "doc_id", "text", k=k).collect()
+    words = {i: [w for w in t.split() if w] for i, t in rows}
+    for r in out:
+        n = len(words[r["doc_id"]])
+        assert r["n_windows"] == n - k + 1
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0.0 <= r["dup_window_frac"] <= 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=6)
+)
+def test_temperature_mixture_sums_to_one(spark, counts):
+    """Temperature fractions form a distribution; alpha<1 moves mass
+    from head to tail (sample_factor anti-monotone in n_docs)."""
+    from lynx_spark.operators.corpus import temperature_mixture
+
+    rows = [
+        (f"d{d}", i) for d, c in enumerate(counts) for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, ["domain", "x"])
+    out = temperature_mixture(df, "domain").collect()
+    assert abs(sum(r["temp_frac"] for r in out) - 1.0) < 1e-3
+    assert abs(sum(r["natural_frac"] for r in out) - 1.0) < 1e-3
+    by_n = sorted(out, key=lambda r: r["n_docs"])
+    for a, b in zip(by_n, by_n[1:]):
+        if a["n_docs"] < b["n_docs"]:
+            assert a["sample_factor"] >= b["sample_factor"]

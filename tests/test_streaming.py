@@ -515,3 +515,23 @@ def test_streaming_near_dup_matches_store(spark, tmp_path):
     # signatures of BOTH batches persisted for future batches
     sigs = spark.read.parquet(str(store / "signatures"))
     assert sorted(r["doc"] for r in sigs.collect()) == [1, 2, 21, 22]
+
+
+def test_streaming_near_dup_replay_is_exactly_once(spark, tmp_path):
+    """Full replay (fresh checkpoint) of the near tier must not
+    duplicate match rows or signature rows: marker-committed batch
+    dirs make the replay a no-op."""
+    from lynx_spark.streaming import near_dup_document_stream, read_document_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, base), (2, "other words entirely")])
+    store = tmp_path / "store"
+    for ck in ("ck1", "ck2"):
+        q = near_dup_document_stream(
+            read_document_stream(spark, d), store, tmp_path / ck
+        )
+        q.awaitTermination(120)
+    sigs = spark.read.parquet(str(store / "signatures"))
+    assert sorted(r["doc"] for r in sigs.collect()) == [1, 2]
+    assert len(list((store / "_commits").glob("b*.json"))) == 1
