@@ -371,3 +371,79 @@ def temperature_mixture(
         F.round(temp, 6).alias("temp_frac"),
         F.round(temp / natural, 4).alias("sample_factor"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping chunks (the
+    long-document step before packing/embedding: context windows of
+    ``max_tokens`` words advancing by ``max_tokens - overlap``). One
+    row per chunk with its 0-based ``chunk_id``, 1-based
+    ``start_word``, actual length (the tail chunk may be short — both
+    engines clamp slices at the end) and the chunk text.
+
+    Pure per-row array expressions + one posexplode-shaped expansion
+    — zero shuffles, parallel at any corpus size; output volume is
+    bounded by ``n/(max_tokens-overlap)`` chunks per document."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    w = F.col("_w")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(stride))
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _words(text_col).alias("_w"),
+        )
+        .filter(F.size(w) >= 1)
+        .select(
+            "doc_id",
+            F.col("_w"),
+            F.explode(starts).alias("start_word"),
+        )
+        .select(
+            "doc_id",
+            (
+                (F.col("start_word") - 1) / stride
+            ).cast("long").alias("chunk_id"),
+            F.col("start_word").cast("long").alias("start_word"),
+            F.size(F.slice(w, F.col("start_word"), max_tokens))
+            .cast("long")
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice(w, F.col("start_word"), max_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def sample_per_domain(
+    df: DataFrame, id_col: str, domain_col: str, budget: int
+) -> DataFrame:
+    """Deterministic per-domain downsampling to a document budget:
+    within each domain, order by md5 of the id (a reproducible
+    shuffle — the same device q44/q51 use) and keep the first
+    ``budget`` documents. The *application* of mixture decisions
+    (q52/q68 compute the weights; this materializes a capped sample
+    per domain).
+
+    One window shuffle keyed by the domain; domains sample in
+    parallel and no task holds more than its domain's rows. At
+    100 TB a skewed giant domain is the watch item — same note as
+    quality.top_fraction: pre-aggregate to per-domain counts and
+    hash-threshold when one domain outgrows a task."""
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("domain").orderBy(order, F.col("doc_id"))
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= budget)
+    )

@@ -258,3 +258,38 @@ def dedup_corpus_survivors(
     return clusters.groupBy(F.col("cluster_id").alias("survivor_id")).agg(
         F.count("*").alias("cluster_size")
     )
+
+
+def cluster_best_survivors(
+    clusters: DataFrame, scores: DataFrame, score_col: str
+) -> DataFrame:
+    """Quality-aware dedup survivors: given cluster assignments
+    (``doc_id``, ``cluster_id``) and per-document quality scores,
+    keep the highest-scoring document of each cluster (doc-id
+    tiebreak) — real pipelines keep the BEST copy of a duplicate
+    cluster, not the first-seen one (keep-first is what
+    dedup_corpus_survivors' min-id convention gives).
+
+    One join on doc_id plus one window keyed by cluster_id — both
+    shuffles on high-cardinality keys; clusters are near-cliques from
+    LSH buckets, so no window partition outgrows a task."""
+    from pyspark.sql.window import Window
+
+    j = clusters.join(scores, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            score_col,
+            "cluster_size",
+        )
+    )

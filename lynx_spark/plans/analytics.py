@@ -81,6 +81,9 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q72_chunk_documents",
+    "q73_domain_sample",
+    "q74_best_survivors",
     "q71_ccnet_buckets",
     "q70_semdedup",
     "q65_frequent_ngrams",
@@ -2612,3 +2615,88 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.ccnet_buckets(
         T(spark, sf_dir, "documents"), "doc_id", "text", "lang"
     )
+
+
+_CHUNK_MAX, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
+
+
+@q(
+    "q72_chunk_documents",
+    oracle=_WORDS_CTE
+    + f"""
+, g AS (SELECT doc_id, w, unnest(generate_series(1, len(w), {_CHUNK_STRIDE}))
+          AS start_word
+        FROM d WHERE len(w) >= 1)
+SELECT doc_id,
+  CAST((start_word - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+  CAST(start_word AS BIGINT) AS start_word,
+  CAST(len(w[start_word : start_word + {_CHUNK_MAX - 1}]) AS BIGINT)
+    AS chunk_len,
+  array_to_string(w[start_word : start_word + {_CHUNK_MAX - 1}], ' ')
+    AS chunk_text
+FROM g
+""",
+    description="fixed-size overlapping document chunking (64-word "
+    "windows advancing by 48: the long-document step before packing/"
+    "embedding) — per-row array expressions plus one explode, zero "
+    "shuffles; tail chunks clamp identically in both engines",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.chunk_documents(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP,
+    )
+
+
+@q(
+    "q73_domain_sample",
+    oracle="""
+SELECT doc_id, domain, CAST(rn AS BIGINT) AS sample_rank
+FROM (SELECT doc_id, source AS domain,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          AS rn
+      FROM documents)
+WHERE rn <= 10
+""",
+    description="deterministic per-domain downsampling to a 10-doc "
+    "budget (md5-ordered reproducible shuffle — applies the mixture "
+    "decision q52/q68 compute); one window shuffle keyed by domain",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.sample_per_domain(
+        T(spark, sf_dir, "documents"), "doc_id", "source", budget=10
+    )
+
+
+@q(
+    "q74_best_survivors",
+    oracle=f"""
+WITH RECURSIVE {_dedup_cluster_ctes()},
+ent AS ({_ENTROPY_ORACLE}),
+j AS (SELECT c.doc_id, c.cluster_id, e.word_entropy
+      FROM clusters c JOIN ent e USING (doc_id)),
+best AS (
+  SELECT cluster_id, doc_id, word_entropy,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY word_entropy DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS sz
+  FROM j)
+SELECT cluster_id, doc_id AS survivor_id, word_entropy,
+  CAST(sz AS BIGINT) AS cluster_size
+FROM best WHERE rn = 1
+""",
+    description="quality-aware dedup survivors: per near-dup cluster "
+    "keep the highest-entropy document (doc-id tiebreak) instead of "
+    "keep-first — cluster resolution (q58) joined to the quality "
+    "signal (q53), one window keyed by cluster",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = gr.dedup_clusters(docs, pairs, "doc_id")
+    scores = ql.word_entropy(docs, "doc_id", "text").select(
+        "doc_id", "word_entropy"
+    )
+    return gr.cluster_best_survivors(clusters, scores, "word_entropy")

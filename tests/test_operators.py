@@ -1184,3 +1184,54 @@ def test_ccnet_buckets_order_within_language(spark):
     for lang, buckets in by_lang.items():
         if "head" in buckets and "tail" in buckets:
             assert min(buckets["head"]) >= max(buckets["tail"]), lang
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from lynx_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    out = sorted(
+        chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 2 over 10 words: starts 1,3,5,7,9
+    assert [r["start_word"] for r in out] == [1, 3, 5, 7, 9]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-word overlap
+    assert out[-1]["chunk_len"] == 2  # tail clamps
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)
+
+
+def test_sample_per_domain_budget_and_determinism(spark):
+    from lynx_spark.operators.corpus import sample_per_domain
+
+    rows = [(i, "a" if i < 20 else "b") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out1 = sample_per_domain(df, "doc_id", "domain", budget=5).collect()
+    out2 = sample_per_domain(df, "doc_id", "domain", budget=5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    by_dom = {}
+    for r in out1:
+        by_dom.setdefault(r["domain"], []).append(r["sample_rank"])
+    assert len(by_dom["a"]) == 5  # capped
+    assert len(by_dom["b"]) == 5  # b has exactly 5 docs: all kept
+    assert sorted(by_dom["a"]) == [1, 2, 3, 4, 5]
+
+
+def test_cluster_best_survivors_picks_highest_score(spark):
+    from lynx_spark.operators.graph import cluster_best_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], ["doc_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5)], ["doc_id", "s"]
+    )
+    out = {r["cluster_id"]: r for r in cluster_best_survivors(clusters, scores, "s").collect()}
+    # doc 2 and 3 tie at 0.9: lowest id wins
+    assert out[1]["survivor_id"] == 2 and out[1]["cluster_size"] == 3
+    assert out[7]["survivor_id"] == 7 and out[7]["cluster_size"] == 1
