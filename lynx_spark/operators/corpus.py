@@ -447,3 +447,64 @@ def sample_per_domain(
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= budget)
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score: DataFrame,
+    score_col: str,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Global best-first corpus selection under a token budget —
+    WITHOUT a global sort: keep the highest-``score_col`` documents
+    until ``budget_frac`` of the corpus's tokens are spent, at
+    histogram-bucket granularity (scores round to 2dp buckets; whole
+    buckets are taken best-first while the running total stays within
+    budget — the last bucket that would overflow is dropped entirely).
+
+    This is the scale-correct shape for "take the best X% of tokens":
+    a naive rank-then-cumsum orders the whole corpus through one
+    window partition, serializing 100 TB through one task. Here
+    per-bucket token sums aggregate to a model-sized frame (≤ a few
+    thousand buckets), the cumulative threshold is computed THERE,
+    and the corpus-side work is one broadcast-joined filter — same
+    two-phase pattern as quality.top_fraction's histogram note.
+
+    Bucket granularity trades selection precision for scalability;
+    callers needing exact-token cuts re-rank only the single boundary
+    bucket (bounded work)."""
+    tokens = F.size(_words(text_col))
+    docs = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens.cast("long").alias("n_tokens"),
+    ).join(
+        score.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(score_col).alias("_s"),
+        ),
+        "doc_id",
+    )
+    bucketed = docs.withColumn("bucket", F.round(F.col("_s"), 2))
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_bucket.select(F.sum("_bt").alias("_total"))
+    kept_buckets = (
+        per_bucket.join(F.broadcast(total))
+        .withColumn("_cum", F.sum("_bt").over(w))
+        .filter(F.col("_cum") <= budget_frac * F.col("_total"))
+        .select("bucket")
+    )
+    return (
+        bucketed.join(F.broadcast(kept_buckets), "bucket")
+        .select(
+            "doc_id",
+            F.col("_s").alias(score_col),
+            "n_tokens",
+        )
+    )

@@ -81,6 +81,7 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q75_token_budget",
     "q72_chunk_documents",
     "q73_domain_sample",
     "q74_best_survivors",
@@ -1821,7 +1822,15 @@ def _minhash_pair_ctes() -> str:
         + f")) AS band{b}"
         for b in range(dd.MINHASH_BANDS)
     )
-    cand_union = "\n  UNION\n".join(
+    # UNION ALL + explicit outer DISTINCT, NOT a bare UNION chain:
+    # DuckDB 1.0.0 drops UNION's dedup when these CTEs sit inside a
+    # WITH RECURSIVE query (q58/q59/q74 embed them under the cluster
+    # closure) — a pair matching in two bands then reaches `common`
+    # twice, the double-counted intersection drives the Jaccard
+    # denominator to zero, the NULL comparison drops the edge, and
+    # the cluster closure silently loses a component merge (first
+    # manifests at sf0.1, where one pair matches in two bands).
+    cand_union = "\n  UNION ALL\n".join(
         f"  SELECT a.doc AS a_id, b.doc AS b_id FROM bands a "
         f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc < b.doc"
         for b in range(dd.MINHASH_BANDS)
@@ -1834,7 +1843,8 @@ bands AS (SELECT doc,
     {band_exprs}
   FROM sig),
 cand AS (
-{cand_union}),
+  SELECT DISTINCT a_id, b_id FROM (
+{cand_union})),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
 common AS (
   SELECT c.a_id, c.b_id, count(*) AS n_common
@@ -2700,3 +2710,37 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "word_entropy"
     )
     return gr.cluster_best_survivors(clusters, scores, "word_entropy")
+
+
+@q(
+    "q75_token_budget",
+    oracle=f"""
+WITH ent AS ({_ENTROPY_ORACLE}),
+docs AS (SELECT doc_id, n_words AS n_tokens, word_entropy,
+           round(word_entropy, 2) AS bucket
+         FROM ent),
+pb AS (SELECT bucket, sum(n_tokens) AS bt FROM docs GROUP BY bucket),
+tot AS (SELECT sum(bt) AS total FROM pb),
+kb AS (SELECT bucket
+       FROM (SELECT bucket,
+               sum(bt) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM pb), tot
+       WHERE cum <= 0.5 * total)
+SELECT doc_id, word_entropy, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM docs JOIN kb USING (bucket)
+""",
+    description="global token-budget selection WITHOUT a global sort: "
+    "keep highest-entropy documents until 50% of corpus tokens, at "
+    "2dp histogram-bucket granularity — per-bucket sums aggregate to "
+    "a model-sized frame, the cumulative threshold is computed there, "
+    "and the corpus side is one broadcast-joined filter",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    scores = ql.word_entropy(docs, "doc_id", "text").select(
+        "doc_id", "word_entropy"
+    )
+    return cp.token_budget_select(
+        docs, "doc_id", "text", scores, "word_entropy", budget_frac=0.5
+    )
