@@ -730,3 +730,77 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (fraction of agreeing signature
+    components — the only similarity a sketch-only pipeline ever
+    sees) next to the TRUE n-gram Jaccard, with the absolute error.
+    The operational check that the sketch family is calibrated before
+    trusting it at a scale where exact verification is unaffordable
+    (run on a sample; the estimator's error bound is
+    O(1/sqrt(num_hashes))).
+
+    Same single-aggregation signature build and banded candidate
+    generation as minhash_lsh_pairs — the audit audits the REAL
+    candidate set, not a recomputed one. Zero-overlap candidates
+    (band collision without shared shingles) stay in the output with
+    true_jaccard 0: those are exactly the estimator's worst case."""
+    from lynx_spark.operators._util import banded_self_pairs
+
+    grouped = _grouped_shingles(df, id_col, text_col, n, max_doc_freq)
+    sig = minhash_signatures(
+        df, id_col, text_col, n,
+        shingles=_exploded_shingles(grouped),
+        with_shingle_sets=True,
+    ).persist()
+    sig.count()  # eager: candidate bands + both audit sides read it
+    cands = banded_self_pairs(
+        sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)], max_bucket
+    )
+    mh_arr = F.array(*[F.col(f"mh{s}") for s in range(MINHASH_NUM)])
+    side = lambda tag: sig.select(  # noqa: E731
+        F.col("doc").alias(f"{tag}_id"),
+        mh_arr.alias(f"_{tag}mh"),
+        F.col("shset").alias(f"_{tag}sh"),
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_amh"), F.col("_bmh"), lambda x, y: x == y
+                ),
+                lambda m: m,
+            )
+        )
+        / F.lit(float(MINHASH_NUM)),
+        4,
+    )
+    n_common = F.size(F.array_intersect(F.col("_ash"), F.col("_bsh")))
+    true_j = F.round(
+        n_common
+        / (F.size(F.col("_ash")) + F.size(F.col("_bsh")) - n_common),
+        4,
+    )
+    return (
+        cands.join(side("a"), "a_id")
+        .join(side("b"), "b_id")
+        .withColumn("est_jaccard", est)
+        .withColumn("true_jaccard", true_j)
+        .select(
+            "a_id",
+            "b_id",
+            "est_jaccard",
+            "true_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 4)
+            .alias("abs_err"),
+        )
+    )

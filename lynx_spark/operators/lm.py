@@ -232,3 +232,51 @@ def ccnet_buckets(
             .alias("ppl_bucket"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf (the keyword-extraction
+    / topic-tagging step): tf = in-document count, idf =
+    ln(N / df_word) with document frequency over the corpus.
+
+    Shape: the (doc, word) counts aggregate once (the same frame the
+    unigram LM builds); document frequencies aggregate that frame to
+    vocabulary granularity — bounded by the vocabulary, not the
+    corpus — and join back on the word (unique build key, the q60
+    shape: AQE broadcasts when the vocab fits, skew-splits the hot
+    stopwords when it doesn't). Top-k per document is one window over
+    the per-doc term lists; scores round before ranking so both
+    engines rank the same values (term tiebreak makes the order
+    total)."""
+    from pyspark.sql.window import Window
+
+    counts = doc_word_counts(df, id_col, text_col)
+    dfreq = counts.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("_n")
+    )
+    scored = (
+        counts.join(dfreq, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.round(F.col("n") * F.log(F.col("_n") / F.col("_df")), 4) + 0.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            F.col("word").alias("term"),
+            "tfidf",
+            "rnk",
+        )
+    )

@@ -81,6 +81,8 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q76_tfidf_terms",
+    "q77_sketch_audit",
     "q75_token_budget",
     "q72_chunk_documents",
     "q73_domain_sample",
@@ -1809,11 +1811,11 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pair_ctes() -> str:
-    """The full MinHash-LSH pipeline as a CTE chain ending in
-    ``pairs(a_id, b_id, jaccard)`` — shared by the q23 oracle and the
-    cluster-resolution oracles (q58/q59) that consume the pairs as a
-    graph edge list."""
+def _minhash_cand_ctes() -> str:
+    """The MinHash-LSH candidate chain (shingles → signatures → band
+    hashes → deduped candidate pairs) — shared by the pair oracle
+    below and the sketch-audit oracle (q77), which consumes the raw
+    candidates rather than the thresholded pairs."""
     rows = dd.MINHASH_NUM // dd.MINHASH_BANDS
     mh_exprs = ",\n    ".join(dd.minhash_sql_exprs())
     band_exprs = ",\n    ".join(
@@ -1844,7 +1846,15 @@ bands AS (SELECT doc,
   FROM sig),
 cand AS (
   SELECT DISTINCT a_id, b_id FROM (
-{cand_union})),
+{cand_union}))"""
+
+
+def _minhash_pair_ctes() -> str:
+    """The full MinHash-LSH pipeline as a CTE chain ending in
+    ``pairs(a_id, b_id, jaccard)`` — shared by the q23 oracle and the
+    cluster-resolution oracles (q58/q59) that consume the pairs as a
+    graph edge list."""
+    return f"""{_minhash_cand_ctes()},
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
 common AS (
   SELECT c.a_id, c.b_id, count(*) AS n_common
@@ -2743,4 +2753,83 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cp.token_budget_select(
         docs, "doc_id", "text", scores, "word_entropy", budget_frac=0.5
+    )
+
+
+@q(
+    "q76_tfidf_terms",
+    oracle=r"""
+WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w WHERE word <> ''
+      GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS _df FROM c GROUP BY word),
+nd AS (SELECT count(DISTINCT doc_id) AS _n FROM documents),
+scored AS (SELECT c.doc_id, c.word,
+             round(c.n * ln(nd._n / CAST(dfreq._df AS DOUBLE)), 4) + 0
+               AS tfidf
+           FROM c JOIN dfreq USING (word), nd),
+ranked AS (SELECT doc_id, word AS term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, word) AS BIGINT) AS rnk
+           FROM scored)
+SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+    description="per-document top-3 terms by tf-idf (keyword "
+    "extraction): document frequencies aggregate to vocabulary "
+    "granularity and join back on the unique word key (q60 shape); "
+    "rounded scores + term tiebreak give both engines a total rank "
+    "order",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.tfidf_top_terms(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_audit_oracle() -> str:
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)"
+        for s in range(dd.MINHASH_NUM)
+    )
+    return f"""
+WITH {_minhash_cand_ctes()},
+est AS (
+  SELECT c.a_id, c.b_id,
+    round(({eq_sum}) / {float(dd.MINHASH_NUM)}, 4) AS est_jaccard
+  FROM cand c
+  JOIN sig a ON a.doc = c.a_id
+  JOIN sig b ON b.doc = c.b_id),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc = c.a_id
+  JOIN sh b ON b.doc = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+truej AS (
+  SELECT e.a_id, e.b_id, e.est_jaccard,
+    round(COALESCE(cm.n_common, 0)
+          / CAST(sa.n_sh + sb.n_sh - COALESCE(cm.n_common, 0) AS DOUBLE),
+          4) AS true_jaccard
+  FROM est e
+  JOIN sizes sa ON sa.doc = e.a_id
+  JOIN sizes sb ON sb.doc = e.b_id
+  LEFT JOIN common cm ON cm.a_id = e.a_id AND cm.b_id = e.b_id)
+SELECT a_id, b_id, est_jaccard, true_jaccard,
+  round(abs(est_jaccard - true_jaccard), 4) AS abs_err
+FROM truej
+"""
+
+
+@q(
+    "q77_sketch_audit",
+    oracle=_minhash_audit_oracle(),
+    description="MinHash sketch-accuracy audit: estimated Jaccard "
+    "(agreeing signature components / 12) vs true n-gram Jaccard for "
+    "every LSH candidate pair, with absolute error — the calibration "
+    "check before trusting sketches where exact verification is "
+    "unaffordable; zero-overlap candidates stay in (worst case)",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_estimate_audit(
+        T(spark, sf_dir, "documents"), "doc_id", "text"
     )
