@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lynx_spark.operators._util import ensure_parallelism
 from lynx_spark.operators._util import words_col as _words
 from lynx_spark.operators.dedup import _shingle_expr
 
@@ -218,7 +219,7 @@ def frequent_ngrams(
     set is deterministic under any partitioning."""
     w = F.col("_w")
     return (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).cast("long").alias("doc_id"),
             _words(text_col).alias("_w"),
         )
@@ -259,7 +260,7 @@ def duplicated_window_fraction(
     repetition signals (q49)."""
     w = F.col("_w")
     windows = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).cast("long").alias("doc_id"),
             _words(text_col).alias("_w"),
         )
@@ -311,7 +312,7 @@ def ngram_decontaminate(
 
     def grams(df: DataFrame) -> DataFrame:
         return (
-            df.select(
+            ensure_parallelism(df).select(
                 F.col(id_col).cast("long").alias("doc_id"),
                 _words(text_col).alias("_w"),
             )
@@ -396,7 +397,7 @@ def chunk_documents(
     w = F.col("_w")
     starts = F.sequence(F.lit(1), F.size(w), F.lit(stride))
     return (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).cast("long").alias("doc_id"),
             _words(text_col).alias("_w"),
         )
