@@ -198,3 +198,76 @@ def near_dup_document_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_document_stream(
+    docs: DataFrame,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+):
+    """End-to-end streaming curation — the continuous twin of the
+    batch pipeline (plans/pipeline.curate_documents, q48): each
+    micro-batch flows quality gate → PII scrub → incremental exact
+    dedup, and only documents passing ALL stages land in the curated
+    corpus:
+
+    1. Gopher composite filter (quality.gopher_rules) drops
+       low-quality documents — per-row expressions, no state;
+    2. PII redaction (functions/text.with_pii_redacted) rewrites the
+       surviving text — per-row regex, no state;
+    3. exact dedup against the committed fingerprint store
+       (fingerprints of the REDACTED text, so two documents equal
+       after scrubbing dedup as equal — the order the batch pipeline
+       uses too).
+
+    Stage order matters for cost: the stateless gates run first so
+    the stateful dedup join only sees documents worth keeping.
+    Outputs under ``<store>``: ``corpus/`` (curated rows: doc_id,
+    source, redacted text), ``fingerprints/`` (store deltas), with
+    the same batch-keyed overwrite + marker commit discipline as
+    dedup_document_stream — exactly-once under full replay."""
+    from lynx_spark.functions.text import with_pii_redacted
+    from lynx_spark.operators.quality import gopher_rules
+
+    root = Path(store_dir)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        spark = batch.sparkSession
+        kept = batch.join(
+            gopher_rules(batch, "doc_id", "text")
+            .filter(F.col("keep"))
+            .select("doc_id"),
+            "doc_id",
+        )
+        scrubbed = with_pii_redacted(kept, "text").select(
+            "doc_id",
+            "source",
+            F.col("redacted").alias("text"),
+        )
+        seen = _committed_store(spark, root, "fingerprints")
+        if seen is None:
+            seen = spark.createDataFrame([], "fingerprint string")
+        surv = dd.incremental_exact_survivors(
+            scrubbed, seen.select("fingerprint"), "doc_id", "text"
+        )
+        rows = scrubbed.join(
+            surv.select(F.col("survivor_id").alias("doc_id")), "doc_id"
+        ).persist()
+        rows.count()  # eager: corpus write + fingerprint write share it
+        rows.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "corpus", batch_id))
+        )
+        rows.select(F.md5("text").alias("fingerprint")).write.mode(
+            "overwrite"
+        ).parquet(str(_batch_dir(root, "fingerprints", batch_id)))
+        rows.unpersist()
+        _commit(root, batch_id, {"tier": "curate"})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -535,3 +535,33 @@ def test_streaming_near_dup_replay_is_exactly_once(spark, tmp_path):
     sigs = spark.read.parquet(str(store / "signatures"))
     assert sorted(r["doc"] for r in sigs.collect()) == [1, 2]
     assert len(list((store / "_commits").glob("b*.json"))) == 1
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """Quality gate -> PII scrub -> incremental dedup across two
+    micro-batches: low-quality docs drop, PII is redacted in the
+    curated corpus, and a post-scrub duplicate from a later batch
+    dedups against the store."""
+    from lynx_spark.streaming import curate_document_stream
+
+    good = " ".join(["the", "and"] + [f"word{i}" for i in range(22)])
+    with_pii = good + " contact someone@example.com now"
+    junk = "the and of"  # fails the word-count rule
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, good), (2, junk), (3, with_pii)])
+    # doc 11: same text as doc 3 after redaction -> dedups vs store
+    _write_docs(d / "b2.json", [(11, good + " contact other@example.org now")])
+    from lynx_spark.streaming.incremental import DOC_SCHEMA
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = curate_document_stream(docs, store, tmp_path / "ck")
+    q.awaitTermination(120)
+
+    corpus = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(store / "corpus")).collect()}
+    assert set(corpus) == {1, 3}  # junk dropped; 11 deduped vs 3
+    assert "[EMAIL]" in corpus[3] and "someone" not in corpus[3]
