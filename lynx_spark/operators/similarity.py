@@ -490,3 +490,66 @@ def semdedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
+
+
+# ----------------------------------------------------- centroid audit
+
+
+def label_centroid_audit(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-class embedding-quality audit: for every label, the class
+    centroid's L2 norm plus the average and minimum cosine of the
+    class's vectors to their centroid — the standard check for class
+    collapse (avg ≈ 1: embeddings degenerate onto one direction) and
+    mislabeled outliers (min ≪ avg) before training on labeled
+    embeddings.
+
+    Determinism WITHOUT per-group folds: float summation order is the
+    one thing two engines disagree on, and the usual fix (sort the
+    terms, fold sequentially) builds an O(group)-sized array — fine
+    per document, wrong per LABEL, whose groups grow with the corpus.
+    Instead every summed term is rounded first and accumulated as a
+    DECIMAL: decimal addition is exact, hence order-independent, so
+    any partial-aggregation schedule in either engine produces the
+    identical total. Shapes: one explode to (label, pos) granularity
+    for the centroid means (bounded by labels × dim — model-sized),
+    centroids broadcast back, one final label-granular aggregate."""
+    vecs = ensure_parallelism(df).select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    elems = vecs.select(
+        "label", "nid", F.posexplode("v").alias("pos", "val")
+    )
+    cent_elems = elems.groupBy("label", "pos").agg(
+        (
+            F.sum(F.round(F.col("val"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("_m")
+    )
+    centroids = cent_elems.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("_m")))
+            ),
+            lambda s: F.round(s.getField("_m"), 6),
+        ).alias("c")
+    )
+    scored = vecs.join(F.broadcast(centroids), "label").withColumn(
+        "_cos", F.round(cosine(F.col("v"), F.col("c")), 5)
+    )
+    dec = F.sum(F.col("_cos").cast("decimal(28,5)"))
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(norm(F.first("c")), 4).alias("centroid_norm"),
+            F.round(dec.cast("double") / F.count("*"), 4).alias(
+                "avg_cos_to_centroid"
+            ),
+            F.round(F.min("_cos"), 5).alias("min_cos_to_centroid"),
+        )
+    )

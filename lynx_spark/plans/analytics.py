@@ -81,6 +81,7 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q78_centroid_audit",
     "q76_tfidf_terms",
     "q77_sketch_audit",
     "q75_token_budget",
@@ -2832,4 +2833,44 @@ FROM truej
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_estimate_audit(
         T(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@q(
+    "q78_centroid_audit",
+    oracle="""
+WITH v AS (SELECT label, vec_id AS nid, embedding::DOUBLE[] AS v
+           FROM embeddings),
+elems AS (SELECT label, nid, u.i AS pos, v[u.i] AS val
+          FROM v CROSS JOIN LATERAL unnest(range(1, len(v) + 1)) u(i)),
+ce AS (SELECT label, pos,
+         CAST(sum(CAST(round(val, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           / count(*) AS m
+       FROM elems GROUP BY label, pos),
+cent AS (SELECT label, list(round(m, 6) ORDER BY pos) AS c
+         FROM ce GROUP BY label),
+pe AS (SELECT s.label, s.nid, unnest(s.v) AS x, unnest(cent.c) AS y
+       FROM v s JOIN cent USING (label)),
+cos AS (SELECT label, nid,
+          round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS c
+        FROM pe GROUP BY label, nid)
+SELECT cos.label, CAST(count(*) AS BIGINT) AS n_vecs,
+  round(sqrt(list_sum(list_transform(any_value(cent.c), e -> e * e))), 4)
+    AS centroid_norm,
+  round(CAST(sum(CAST(cos.c AS DECIMAL(28,5))) AS DOUBLE) / count(*), 4)
+    AS avg_cos_to_centroid,
+  round(min(cos.c), 5) AS min_cos_to_centroid
+FROM cos JOIN cent USING (label)
+GROUP BY cos.label
+""",
+    description="per-label embedding centroid audit (class-collapse / "
+    "outlier check): centroid norm, average and minimum cosine to the "
+    "class centroid — order-independent DECIMAL accumulation of "
+    "pre-rounded terms makes per-LABEL sums engine-deterministic "
+    "without O(group) sorted folds; centroids are model-sized and "
+    "broadcast",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.label_centroid_audit(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label"
     )

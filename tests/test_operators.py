@@ -1235,3 +1235,19 @@ def test_cluster_best_survivors_picks_highest_score(spark):
     # doc 2 and 3 tie at 0.9: lowest id wins
     assert out[1]["survivor_id"] == 2 and out[1]["cluster_size"] == 3
     assert out[7]["survivor_id"] == 7 and out[7]["cluster_size"] == 1
+
+
+def test_label_centroid_audit_detects_collapse_and_outlier(spark):
+    """A tight class scores avg cosine ~1; a class with an opposite-
+    direction outlier shows min far below avg."""
+    tight = [(i, [1.0, 0.0, 0.01 * i], 0) for i in range(4)]
+    spread = [(10, [0.0, 1.0, 0.0], 1), (11, [0.0, 0.99, 0.1], 1),
+              (12, [0.0, -1.0, 0.0], 1)]  # outlier
+    df = spark.createDataFrame(
+        tight + spread, "vec_id long, embedding array<double>, label int"
+    )
+    from lynx_spark.operators.similarity import label_centroid_audit
+
+    out = {r["label"]: r for r in label_centroid_audit(df, "vec_id", "embedding", "label").collect()}
+    assert out[0]["n_vecs"] == 4 and out[0]["avg_cos_to_centroid"] > 0.99
+    assert out[1]["min_cos_to_centroid"] < -0.9 < 0 < out[1]["avg_cos_to_centroid"]
