@@ -58,6 +58,13 @@ QUERIES = [
     "q66_duplicated_windows",
     "q67_decontaminate",
     "q69_gopher_filter",
+    # round-5b: chunk explode, WindowGroupLimit sampling, vocab-join
+    # tf-idf, candidate-join sketch audit, decimal-agg centroid audit
+    "q72_chunk_documents",
+    "q73_domain_sample",
+    "q76_tfidf_terms",
+    "q77_sketch_audit",
+    "q78_centroid_audit",
 ]
 
 
