@@ -246,3 +246,33 @@ def test_temperature_mixture_sums_to_one(spark, counts):
     for a, b in zip(by_n, by_n[1:]):
         if a["n_docs"] < b["n_docs"]:
             assert a["sample_factor"] >= b["sample_factor"]
+
+
+def test_centroid_audit_invariant_to_partitioning(spark):
+    """The decimal-accumulation claim: per-label sums must be
+    bit-identical under different partitionings (different partial-
+    aggregation schedules). Floats would drift; decimals cannot."""
+    from lynx_spark.operators.similarity import label_centroid_audit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    outs = []
+    for parts in (1, 3, 17):
+        df = emb.repartition(parts)
+        outs.append(sorted(
+            tuple(r) for r in
+            label_centroid_audit(df, "vec_id", "embedding", "label").collect()
+        ))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_temperature_mixture_invariant_to_partitioning(spark):
+    from lynx_spark.operators.corpus import temperature_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    outs = []
+    for parts in (1, 5, 13):
+        outs.append(sorted(
+            tuple(r) for r in
+            temperature_mixture(docs.repartition(parts), "source").collect()
+        ))
+    assert outs[0] == outs[1] == outs[2]
