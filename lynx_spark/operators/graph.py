@@ -293,3 +293,48 @@ def cluster_best_survivors(
             "cluster_size",
         )
     )
+
+
+def update_clusters(
+    assignments: DataFrame,
+    new_docs: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "new_id",
+    dst_col: str = "seen_id",
+) -> DataFrame:
+    """Incremental cluster maintenance: fold a new batch into an
+    existing (doc_id, cluster_id) assignment without re-running
+    connected components over the whole corpus's pair graph. The
+    prior assignment collapses to one edge per already-clustered
+    document (doc → its cluster id — the transitive closure of
+    everything seen so far); union those with the batch's new pairs
+    (from the incremental near-dup tier: new×seen and new×new) and
+    one CC pass over THAT graph re-resolves labels. Cost per batch:
+    O(existing docs + batch pairs) edges through the O(log n) star
+    CC — never a re-derivation of historical pairs, which is the
+    part that would re-scan the corpus.
+
+    ``new_pairs`` uses the incremental tier's column names
+    (new_id/seen_id). A cluster id stays stable unless the batch
+    bridges it to a lower-id cluster — min-label semantics, same as
+    the batch path, so a full recompute over all pairs yields the
+    IDENTICAL assignment (pinned by test)."""
+    prior_edges = assignments.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(
+        F.col("doc_id").alias("a_id"), F.col("cluster_id").alias("b_id")
+    )
+    batch_edges = new_pairs.select(
+        F.col(src_col).alias("a_id"), F.col(dst_col).alias("b_id")
+    )
+    vertices = assignments.select("doc_id").unionByName(
+        new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    ).distinct()
+    return dedup_clusters(
+        vertices,
+        prior_edges.unionByName(batch_edges),
+        "doc_id",
+        "a_id",
+        "b_id",
+    )

@@ -262,3 +262,57 @@ def gopher_rules(
             ).alias("keep"),
         )
     )
+
+
+def length_histogram(
+    df: DataFrame, text_col: str, bucket_width: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of document word counts — the corpus
+    profiling step behind length-filter threshold choices (where do
+    the cliffs sit before cutting at min/max words). One aggregate to
+    bucket granularity (model-sized — buckets, not documents), the
+    corpus fraction via a single-row broadcast total, same shape as
+    mixture_weights."""
+    from lynx_spark.operators._util import words_col
+
+    bucket = (
+        F.floor(F.size(words_col(text_col)) / bucket_width) * bucket_width
+    ).cast("long")
+    counts = df.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count("*").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("_t"))
+    return counts.join(F.broadcast(total)).select(
+        "bucket_lo",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_t"), 4).alias("frac"),
+    )
+
+
+def zipf_audit(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Top-``k`` corpus word frequencies with their Zipf rank — the
+    sanity curve (log freq vs log rank should fall near a -1 slope
+    for natural text; a flat head signals boilerplate flooding, a
+    truncated tail signals over-aggressive filtering). One explode +
+    one word-keyed aggregate with map-side partials; top-k fuses into
+    TakeOrderedAndProject and the rank assignment happens on the
+    k-row result (a window over k rows, not the vocabulary)."""
+    from pyspark.sql.window import Window
+
+    from lynx_spark.operators._util import words_col
+
+    counts = (
+        df.select(F.explode(words_col(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("freq"), "word")
+    return counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "word",
+        "freq",
+        F.round(F.log(F.col("freq")), 4).alias("log_freq"),
+    )

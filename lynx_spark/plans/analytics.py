@@ -81,6 +81,8 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q79_length_histogram",
+    "q80_zipf_audit",
     "q78_centroid_audit",
     "q76_tfidf_terms",
     "q77_sketch_audit",
@@ -2874,3 +2876,44 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroid_audit(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label"
     )
+
+
+@q(
+    "q79_length_histogram",
+    oracle=_WORDS_CTE
+    + """
+, b AS (SELECT CAST(floor(len(w) / 10) * 10 AS BIGINT) AS bucket_lo
+        FROM d),
+counts AS (SELECT bucket_lo, count(*) AS n_docs FROM b GROUP BY bucket_lo),
+tot AS (SELECT sum(n_docs) AS t FROM counts)
+SELECT bucket_lo, CAST(n_docs AS BIGINT) AS n_docs,
+  round(n_docs / CAST(t AS DOUBLE), 4) AS frac
+FROM counts, tot
+""",
+    description="fixed-width word-count histogram (length-filter "
+    "threshold profiling): one aggregate to bucket granularity, "
+    "fraction via single-row broadcast total",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.length_histogram(T(spark, sf_dir, "documents"), "text")
+
+
+@q(
+    "q80_zipf_audit",
+    oracle=_WORDS_CTE
+    + """
+, words AS (SELECT unnest(w) AS word FROM d),
+counts AS (SELECT word, count(*) AS freq FROM words WHERE word <> ''
+           GROUP BY word ORDER BY freq DESC, word LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank,
+  word, CAST(freq AS BIGINT) AS freq,
+  round(ln(freq), 4) AS log_freq
+FROM counts
+""",
+    description="Zipf curve audit: top-100 corpus word frequencies "
+    "with rank (flat head = boilerplate flooding, truncated tail = "
+    "over-filtering) — word-keyed agg with map-side partials, top-k "
+    "fused, rank windowed over the 100-row result only",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.zipf_audit(T(spark, sf_dir, "documents"), "text")

@@ -121,3 +121,35 @@ def test_dedup_corpus_survivors(spark):
         for r in gr.dedup_corpus_survivors(docs, pairs).collect()
     }
     assert out == {0: 3, 1: 2, 2: 1}
+
+
+def test_update_clusters_matches_full_recompute(spark):
+    """Two-batch incremental cluster maintenance == full recompute:
+    the prior assignment's doc->cluster edges carry the old closure,
+    so only the batch's pairs are new work."""
+    from lynx_spark.operators import graph as gr
+    from pyspark.sql import functions as F
+
+    b1_docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    b1_pairs = spark.createDataFrame([(0, 1), (2, 3)], ["a_id", "b_id"])
+    assign1 = gr.dedup_clusters(b1_docs, b1_pairs, "doc_id")
+
+    b2_docs = spark.createDataFrame([(10,), (11,), (12,)], ["doc_id"])
+    # 10 bridges clusters {0,1} and {2,3}; 11-12 form a new pair
+    b2_pairs = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 12)], ["new_id", "seen_id"]
+    )
+    inc = gr.update_clusters(assign1, b2_docs, b2_pairs)
+
+    all_docs = b1_docs.unionByName(b2_docs)
+    all_pairs = b1_pairs.unionByName(
+        b2_pairs.select(
+            F.col("new_id").alias("a_id"), F.col("seen_id").alias("b_id")
+        )
+    )
+    full = gr.dedup_clusters(all_docs, all_pairs, "doc_id")
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    got = {r["doc_id"]: r["cluster_id"] for r in inc.collect()}
+    assert got[10] == got[0] == got[3] == 0  # bridge merged both into 0
+    assert got[11] == got[12] == 11
+    assert got[4] == 4 and got[5] == 5  # untouched singletons stay
