@@ -271,3 +271,79 @@ def curate_document_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cluster_document_stream(
+    docs: DataFrame,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    threshold: float = 0.5,
+):
+    """Streaming near-dup CLUSTERING: the near tier plus incremental
+    cluster maintenance — each micro-batch band-joins the committed
+    signature store (new×seen), finds its in-batch pairs (new×new),
+    folds both into the prior cluster assignment via
+    graph.update_clusters (prior assignment → doc→cluster edges, one
+    O(log n) CC pass — historical pairs are never re-derived), and
+    commits the updated assignment snapshot alongside the signature
+    delta. ``<store>/assignments/batch=N`` holds the FULL assignment
+    after batch N (compact: two longs per document); the latest
+    committed snapshot is the queryable dedup state at any moment —
+    the streaming answer to q58.
+
+    Exactly-once by the same batch-keyed overwrite + marker
+    discipline; a replayed batch rebuilds its snapshot from the
+    PRIOR batch's committed state, so replays converge to identical
+    snapshots."""
+    from lynx_spark.operators import graph as gr
+
+    root = Path(store_dir)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        committed = _committed_batches(root)
+        if batch_id in set(committed):
+            return
+        spark = batch.sparkSession
+        seen_sig = _committed_store(spark, root, "signatures")
+        sig = dd.build_signature_store(batch, "doc_id", "text").persist()
+        sig.count()
+        in_batch = dd.minhash_lsh_pairs(
+            batch, "doc_id", "text", threshold=threshold
+        ).select(
+            F.col("a_id").alias("new_id"), F.col("b_id").alias("seen_id")
+        )
+        if seen_sig is not None:
+            cross = dd.incremental_minhash_matches_from_store(
+                batch, seen_sig.drop("batch"), "doc_id", "text",
+                threshold=threshold, new_sig=sig,
+            ).select("new_id", "seen_id")
+            pairs = in_batch.unionByName(cross)
+        else:
+            pairs = in_batch
+        prior_batches = [b for b in committed if b < batch_id]
+        if prior_batches:
+            prior = spark.read.parquet(
+                str(_batch_dir(root, "assignments", max(prior_batches)))
+            ).select("doc_id", "cluster_id")
+        else:
+            prior = spark.createDataFrame(
+                [], "doc_id long, cluster_id long"
+            )
+        assignments = gr.update_clusters(
+            prior, batch.select("doc_id"), pairs
+        )
+        assignments.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "assignments", batch_id))
+        )
+        sig.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "signatures", batch_id))
+        )
+        sig.unpersist()
+        _commit(root, batch_id, {"tier": "cluster"})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -565,3 +565,46 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     corpus = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(store / "corpus")).collect()}
     assert set(corpus) == {1, 3}  # junk dropped; 11 deduped vs 3
     assert "[EMAIL]" in corpus[3] and "someone" not in corpus[3]
+
+
+def test_streaming_clustering_matches_batch_resolution(spark, tmp_path):
+    """Streaming cluster maintenance across two micro-batches equals
+    the batch q58 resolution over the full corpus: in-batch pairs,
+    cross-batch pairs and prior-assignment folding all compose."""
+    from lynx_spark.operators import dedup as dd
+    from lynx_spark.operators import graph as gr
+    from lynx_spark.streaming import cluster_document_stream
+    from lynx_spark.streaming.incremental import DOC_SCHEMA
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy dog near the river shore"
+    other = "completely different text about spark query engines and columnar formats"
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, base), (2, other)])
+    _write_docs(d / "b2.json", [(21, near), (22, base)])  # both near/dup of 1
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = cluster_document_stream(docs, store, tmp_path / "ck")
+    q.awaitTermination(180)
+
+    batches = sorted(
+        p.name for p in (store / "assignments").iterdir() if p.is_dir()
+    )
+    latest = spark.read.parquet(str(store / "assignments" / batches[-1]))
+    got = {r["doc_id"]: r["cluster_id"] for r in latest.collect()}
+
+    all_docs = spark.createDataFrame(
+        [(1, base), (2, other), (21, near), (22, base)], ["doc_id", "text"]
+    )
+    pairs = dd.minhash_lsh_pairs(all_docs, "doc_id", "text", threshold=0.5)
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in gr.dedup_clusters(all_docs, pairs, "doc_id").collect()
+    }
+    assert got == want
+    assert got[21] == got[22] == got[1] == 1  # near-dups fold into 1
+    assert got[2] == 2
