@@ -804,3 +804,74 @@ def minhash_estimate_audit(
             .alias("abs_err"),
         )
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH recall audit: one row comparing the exhaustive n-gram
+    Jaccard pairs (ground truth — affordable on a SAMPLE, which is
+    how this runs at corpus scale) against what MinHash-LSH banding
+    found at the same threshold. Because LSH candidates are verified
+    with true Jaccard over the same capped shingles, found ⊆ truth —
+    precision is 1 by construction and RECALL is the metric: pairs
+    the banding missed are near-dups that slip through dedup.
+    Companion to the sketch-accuracy audit (estimator calibration);
+    this one audits the CANDIDATE GENERATOR.
+
+    Output: (n_true_pairs, n_found_pairs, recall). Three single-row
+    aggregates broadcast-joined — the pair frames never leave the
+    executors."""
+    truth = jaccard_pairs(
+        df, id_col, text_col, threshold=threshold
+    ).select("a_id", "b_id")
+    found = minhash_lsh_pairs(
+        df, id_col, text_col, threshold=threshold
+    ).select("a_id", "b_id")
+    hit = truth.join(found, ["a_id", "b_id"])
+    return (
+        truth.agg(F.count("*").alias("n_true_pairs"))
+        .join(F.broadcast(found.agg(F.count("*").alias("n_found_pairs"))))
+        .join(F.broadcast(hit.agg(F.count("*").alias("_n_hit"))))
+        .select(
+            "n_true_pairs",
+            "n_found_pairs",
+            F.round(F.col("_n_hit") / F.col("n_true_pairs"), 4).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def per_source_dedup_stats(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    domain_col: str,
+) -> DataFrame:
+    """Per-domain duplication report: for each source, how many
+    documents, how many sit in a multi-document near-dup cluster,
+    and the duplication rate — the reporting layer pipelines publish
+    after a dedup pass (which domains are flooding the corpus with
+    copies). Cluster sizes are computed globally (a cluster may span
+    sources — each member still counts as duplicated in ITS source);
+    one window on the cluster assignment plus one domain-granular
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    sized = clusters.withColumn(
+        "_sz", F.count("*").over(Window.partitionBy("cluster_id"))
+    )
+    joined = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+    ).join(sized, "doc_id")
+    dup = F.sum((F.col("_sz") > 1).cast("long"))
+    return joined.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        dup.alias("n_dup_docs"),
+        F.round(dup / F.count("*"), 4).alias("dup_rate"),
+    )

@@ -81,6 +81,8 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q81_lsh_recall",
+    "q82_source_dedup_stats",
     "q79_length_histogram",
     "q80_zipf_audit",
     "q78_centroid_audit",
@@ -2917,3 +2919,67 @@ FROM counts
 )
 def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.zipf_audit(T(spark, sf_dir, "documents"), "text")
+
+
+@q(
+    "q81_lsh_recall",
+    oracle=f"""
+WITH {_minhash_pair_ctes()},
+tcommon AS (
+  SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2),
+tpairs AS (
+  SELECT a_id, b_id FROM tcommon
+  JOIN sizes sa ON sa.doc = a_id
+  JOIN sizes sb ON sb.doc = b_id
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5),
+agg AS (
+  SELECT
+    (SELECT count(*) FROM tpairs) AS n_true_pairs,
+    (SELECT count(*) FROM pairs) AS n_found_pairs,
+    (SELECT count(*) FROM pairs p
+       JOIN tpairs t ON t.a_id = p.a_id AND t.b_id = p.b_id) AS n_hit)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+  CAST(n_found_pairs AS BIGINT) AS n_found_pairs,
+  round(n_hit / CAST(n_true_pairs AS DOUBLE), 4) AS recall
+FROM agg
+""",
+    description="LSH recall audit: exhaustive n-gram Jaccard pairs "
+    "(ground truth, run on a sample at scale) vs what MinHash banding "
+    "found at the same threshold — found is a subset by construction, "
+    "recall is the metric; audits the CANDIDATE GENERATOR where q77 "
+    "audits the estimator",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.lsh_recall_audit(
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+@q(
+    "q82_source_dedup_stats",
+    oracle=f"""
+WITH RECURSIVE {_dedup_cluster_ctes()},
+sized AS (
+  SELECT c.doc_id, c.cluster_id,
+    count(*) OVER (PARTITION BY c.cluster_id) AS sz
+  FROM clusters c)
+SELECT d.source AS domain,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  round(sum(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.source
+""",
+    description="per-source duplication report after near-dedup: "
+    "docs, documents in multi-member clusters, duplication rate — "
+    "which domains flood the corpus with copies; one cluster-keyed "
+    "window + one domain-granular aggregate",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = gr.dedup_clusters(docs, pairs, "doc_id")
+    return dd.per_source_dedup_stats(docs, clusters, "doc_id", "source")
