@@ -81,6 +81,7 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q30_simhash",
     "q81_lsh_recall",
     "q82_source_dedup_stats",
     "q79_length_histogram",
@@ -2319,8 +2320,31 @@ def q29b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q30_simhash",
-    oracle=None,  # 64-bit hash bit-ops are not portably SQL-expressible
-    description="SimHash signatures via Arrow-batched pandas UDF",
+    # the 64-bit majority vote IS portable after all: md5 hex → UBIGINT,
+    # per-bit shifts, and a two's-complement fold for bit 63 (the
+    # -2^63 term), verified bit-for-bit against the scalar reference
+    oracle=r"""
+WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS hv
+      FROM w WHERE word <> ''),
+bits AS (SELECT doc_id, u.k,
+           CASE WHEN (hv >> CAST(u.k AS INTEGER)) & 1 = 1 THEN 1 ELSE 0 END AS b
+         FROM h CROSS JOIN LATERAL unnest(range(0, 64)) u(k)),
+agg AS (SELECT doc_id, k, sum(b) AS pos, count(*) AS n FROM bits
+        GROUP BY doc_id, k),
+sig AS (SELECT doc_id,
+          CAST(sum(CASE WHEN 2 * pos > n
+               THEN CASE WHEN k = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << CAST(k AS INTEGER)) END
+               ELSE 0 END) AS BIGINT) AS simhash
+        FROM agg GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+""",
+    description="SimHash signatures via Arrow-batched pandas UDF; the "
+    "oracle reproduces the 64-bit majority vote in SQL (md5-hex "
+    "UBIGINT, per-bit shifts, two's-complement fold at bit 63)",
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_signatures(T(spark, sf_dir, "documents"), "doc_id", "text")
