@@ -516,3 +516,189 @@ def sample_video_frames(
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         batches, schema=FRAME_META_SCHEMA
     )
+
+
+# ----------------------------------------------------------- video (MP4)
+
+
+def parse_mp4_header(data: bytes) -> dict | None:
+    """Decode an MP4 (ISO BMFF) header by hand — no video library.
+
+    Walks the top-level box list for ``moov``, reads ``mvhd``
+    (movie timescale + duration, version 0 or 1) and counts ``trak``
+    boxes, pulling width/height from the first ``tkhd`` that has
+    them (16.16 fixed point). Returns {timescale, duration_ms,
+    n_tracks, width, height} or None for anything that is not a
+    well-formed MP4 (no moov/mvhd, truncated boxes, zero
+    timescale). The video twin of parse_wav_header's chunk walk."""
+    if data is None or len(data) < 16:
+        return None
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                return  # truncated/corrupt box: stop walking
+            yield btype, pos + 8, pos + size
+            pos += size
+
+    mvhd = None
+    n_tracks = 0
+    width = height = None
+    for btype, body, bend in boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in boxes(data, body, bend):
+            if ctype == b"mvhd" and cbody < cend:
+                version = data[cbody]
+                if version == 0 and cbody + 20 <= cend:
+                    timescale, duration = struct.unpack_from(
+                        ">II", data, cbody + 12
+                    )
+                elif version == 1 and cbody + 32 <= cend:
+                    (timescale,) = struct.unpack_from(">I", data, cbody + 20)
+                    (duration,) = struct.unpack_from(">Q", data, cbody + 24)
+                else:
+                    continue
+                mvhd = (timescale, duration)
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, tbody, tend in boxes(data, cbody, cend):
+                    if ttype != b"tkhd" or width is not None:
+                        continue
+                    version = data[tbody]
+                    off = 76 if version == 0 else 88
+                    if tbody + off + 8 <= tend:
+                        w_fx, h_fx = struct.unpack_from(
+                            ">II", data, tbody + off
+                        )
+                        if w_fx and h_fx:
+                            width, height = w_fx >> 16, h_fx >> 16
+    if mvhd is None or mvhd[0] <= 0:
+        return None
+    timescale, duration = mvhd
+    return {
+        "timescale": timescale,
+        "duration_ms": int(duration * 1000 / timescale),
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def synthesize_mp4(
+    timescale: int,
+    duration_units: int,
+    width: int,
+    height: int,
+    n_tracks: int = 1,
+) -> bytes:
+    """Minimal REAL MP4: ftyp + moov(mvhd + n_tracks×trak(tkhd)) —
+    every field parse_mp4_header reads is genuine ISO BMFF."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomiso2")
+    mvhd_body = (
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration_units)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1)  # next track id
+    )
+    tkhd_body = (
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration_units)
+        + b"\x00" * 8
+        + struct.pack(">hhh", 0, 0, 0)
+        + b"\x00" * 2
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    traks = b"".join(
+        _box(b"trak", _box(b"tkhd", tkhd_body)) for _ in range(n_tracks)
+    )
+    return ftyp + _box(b"moov", _box(b"mvhd", mvhd_body) + traks)
+
+
+def mp4_payload_for_id(doc_id: int) -> bytes:
+    """Deterministic real MP4 payload keyed by doc_id: timescale
+    cycles 600/1000/90000, duration = timescale × (1 + doc_id % 30)
+    seconds (so duration_ms = 1000 × (1 + doc_id % 30) exactly),
+    width/height arithmetic like image_payload_for_id, track count
+    1 + doc_id % 2 — closed forms a SQL oracle predicts."""
+    ts = (600, 1000, 90000)[doc_id % 3]
+    secs = 1 + doc_id % 30
+    return synthesize_mp4(
+        ts,
+        ts * secs,
+        16 + (doc_id * 7) % 240,
+        16 + (doc_id * 13) % 240,
+        1 + doc_id % 2,
+    )
+
+
+@F.pandas_udf(BinaryType())
+def mp4_payload_udf(ids: pd.Series) -> pd.Series:
+    return ids.map(lambda i: mp4_payload_for_id(int(i)))
+
+
+def extract_video_metadata(
+    df: DataFrame, id_col: str, bin_col: str
+) -> DataFrame:
+    """Per-blob MP4 metadata via mapInPandas (Arrow-batched, blobs
+    never leave the executors) — the video member of the
+    extract_media/audio_metadata family."""
+    out_schema = (
+        "doc_id long, format string, timescale long, duration_ms long, "
+        "n_tracks long, width long, height long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for blob in pdf[bin_col]:
+                b = bytes(blob) if blob is not None else b""
+                m = parse_mp4_header(b)
+                fmt = sniff_format(b)
+                if m is None:
+                    metas.append((fmt, None, None, None, None, None))
+                else:
+                    metas.append(
+                        (
+                            fmt,
+                            m["timescale"],
+                            m["duration_ms"],
+                            m["n_tracks"],
+                            m["width"],
+                            m["height"],
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": [m[0] for m in metas],
+                    "timescale": pd.array(
+                        [m[1] for m in metas], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [m[2] for m in metas], dtype="Int64"
+                    ),
+                    "n_tracks": pd.array(
+                        [m[3] for m in metas], dtype="Int64"
+                    ),
+                    "width": pd.array([m[4] for m in metas], dtype="Int64"),
+                    "height": pd.array([m[5] for m in metas], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -81,6 +81,7 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q31d_video_meta",
     "q30_simhash",
     "q81_lsh_recall",
     "q82_source_dedup_stats",
@@ -3007,3 +3008,34 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
     clusters = gr.dedup_clusters(docs, pairs, "doc_id")
     return dd.per_source_dedup_stats(docs, clusters, "doc_id", "source")
+
+
+@q(
+    "q31d_video_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'mp4' AS format,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END
+       AS BIGINT) AS timescale,
+  CAST(1000 * (1 + doc_id % 30) AS BIGINT) AS duration_ms,
+  CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+  CAST(16 + (doc_id * 7) % 240 AS BIGINT) AS width,
+  CAST(16 + (doc_id * 13) % 240 AS BIGINT) AS height
+FROM documents
+""",
+    description="video CONTENT check: real ISO-BMFF MP4 payloads "
+    "(synthesized per doc_id) decoded by the hand-written box walker "
+    "(moov/mvhd/trak/tkhd); the oracle predicts timescale, duration, "
+    "track count and 16.16-fixed dimensions arithmetically — "
+    "completes the image/audio/video modality set",
+)
+def q31d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.multimodal import (
+        extract_video_metadata,
+        mp4_payload_udf,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    payloads = docs.withColumn("payload", mp4_payload_udf("doc_id"))
+    return extract_video_metadata(payloads, "doc_id", "payload")

@@ -1251,3 +1251,39 @@ def test_label_centroid_audit_detects_collapse_and_outlier(spark):
     out = {r["label"]: r for r in label_centroid_audit(df, "vec_id", "embedding", "label").collect()}
     assert out[0]["n_vecs"] == 4 and out[0]["avg_cos_to_centroid"] > 0.99
     assert out[1]["min_cos_to_centroid"] < -0.9 < 0 < out[1]["avg_cos_to_centroid"]
+
+
+def test_mp4_header_parser_real_bytes():
+    """Hand-written ISO BMFF walker: round-trips synthesized movies,
+    rejects truncation and junk, handles multi-track."""
+    from lynx_spark.operators.multimodal import (
+        parse_mp4_header,
+        synthesize_mp4,
+    )
+
+    b = synthesize_mp4(90000, 90000 * 7, 1920, 1080, n_tracks=2)
+    m = parse_mp4_header(b)
+    assert m == {
+        "timescale": 90000, "duration_ms": 7000, "n_tracks": 2,
+        "width": 1920, "height": 1080,
+    }
+    assert parse_mp4_header(b[: len(b) // 2]) is None  # moov truncated
+    assert parse_mp4_header(b"\x00\x00\x00\x18ftypisom") is None  # no moov
+    assert parse_mp4_header(b"junkjunkjunkjunk") is None
+
+
+def test_video_metadata_pipeline(spark):
+    from lynx_spark.operators.multimodal import (
+        extract_video_metadata,
+        synthesize_mp4,
+    )
+
+    rows = [
+        (1, synthesize_mp4(1000, 5000, 640, 480)),
+        (2, b"not a video"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(2)
+    out = {r["doc_id"]: r for r in extract_video_metadata(df, "doc_id", "payload").collect()}
+    assert out[1]["format"] == "mp4" and out[1]["duration_ms"] == 5000
+    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert out[2]["format"] == "unknown" and out[2]["duration_ms"] is None
