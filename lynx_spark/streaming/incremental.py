@@ -278,6 +278,7 @@ def cluster_document_stream(
     store_dir: str | Path,
     checkpoint_dir: str | Path,
     threshold: float = 0.5,
+    retain_snapshots: int = 2,
 ):
     """Streaming near-dup CLUSTERING: the near tier plus incremental
     cluster maintenance — each micro-batch band-joins the committed
@@ -294,7 +295,11 @@ def cluster_document_stream(
     Exactly-once by the same batch-keyed overwrite + marker
     discipline; a replayed batch rebuilds its snapshot from the
     PRIOR batch's committed state, so replays converge to identical
-    snapshots."""
+    snapshots. Snapshots are full corpus-sized tables, so only the
+    newest ``retain_snapshots`` committed ones are kept (a replayed
+    batch only ever reads the immediately prior snapshot; older ones
+    are unreachable) — the assignment store stays O(retain × corpus),
+    not O(batches × corpus)."""
     from lynx_spark.operators import graph as gr
 
     root = Path(store_dir)
@@ -340,6 +345,17 @@ def cluster_document_stream(
         )
         sig.unpersist()
         _commit(root, batch_id, {"tier": "cluster"})
+        # bounded retention: committed snapshots older than the newest
+        # retain_snapshots are unreachable (replays read only the
+        # immediately prior committed snapshot) — drop their files
+        import shutil
+
+        survivors = sorted(_committed_batches(root))[-retain_snapshots:]
+        for b in _committed_batches(root):
+            if b not in survivors:
+                shutil.rmtree(
+                    _batch_dir(root, "assignments", b), ignore_errors=True
+                )
 
     return (
         docs.writeStream.foreachBatch(write_batch)

@@ -608,3 +608,27 @@ def test_streaming_clustering_matches_batch_resolution(spark, tmp_path):
     assert got == want
     assert got[21] == got[22] == got[1] == 1  # near-dups fold into 1
     assert got[2] == 2
+
+
+def test_streaming_clustering_snapshot_retention(spark, tmp_path):
+    """Only the newest retain_snapshots assignment snapshots survive;
+    the latest still answers queries."""
+    from lynx_spark.streaming import cluster_document_stream
+    from lynx_spark.streaming.incremental import DOC_SCHEMA
+
+    d = tmp_path / "in"
+    for i in range(3):
+        _write_docs(d / f"b{i}.json", [(100 * i + 1, f"unique words batch {i} here now")])
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = cluster_document_stream(docs, store, tmp_path / "ck", retain_snapshots=1)
+    q.awaitTermination(180)
+
+    snaps = sorted(p.name for p in (store / "assignments").iterdir() if p.is_dir())
+    assert len(snaps) == 1  # only the newest kept
+    latest = spark.read.parquet(str(store / "assignments" / snaps[-1]))
+    assert latest.count() == 3  # full assignment still present
