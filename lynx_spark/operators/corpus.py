@@ -350,7 +350,10 @@ def temperature_mixture(
     to be correctly rounded — so Spark and any oracle engine agree
     bit-for-bit; a generic ``pow`` is only faithfully rounded and may
     differ in the last ulp across libm implementations, which matters
-    because results cross an exact-hash comparison."""
+    because results cross an exact-hash comparison. The normalizer
+    Σ sqrt(n_i) is itself a float sum, so it accumulates pre-rounded
+    terms as a DECIMAL (exact, order-independent — the q78 pattern;
+    r5 review: a plain double sum depends on partial-agg order)."""
     scaled = (
         F.sqrt(F.col("n_docs"))
         if alpha == 0.5
@@ -361,7 +364,9 @@ def temperature_mixture(
     )
     totals = counts.select(
         F.sum("n_docs").alias("_total"),
-        F.sum(scaled).alias("_total_scaled"),
+        F.sum(F.round(scaled, 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("_total_scaled"),
     )
     natural = F.col("n_docs") / F.col("_total")
     temp = scaled / F.col("_total_scaled")
@@ -438,7 +443,10 @@ def sample_per_domain(
     100 TB a skewed giant domain is the watch item — same note as
     quality.top_fraction: pre-aggregate to per-domain counts and
     hash-threshold when one domain outgrows a task."""
-    order = F.md5(F.col(id_col).cast("string"))
+    # the window resolves against the RENAMED frame, so it must order
+    # by doc_id, not id_col (r5 review: any id_col other than literal
+    # "doc_id" failed to resolve)
+    order = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy("domain").orderBy(order, F.col("doc_id"))
     return (
         df.select(

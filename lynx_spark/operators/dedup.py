@@ -410,18 +410,58 @@ def minhash_lsh_pairs(
     by document length, so sig rows stay executor-sized at any corpus
     scale (this IS the signature store an incremental pipeline would
     persist)."""
+    sig, cands = _sig_and_candidates(
+        df, id_col, text_col, n, max_doc_freq, max_bucket
+    )
+    return _jaccard_verify(
+        cands, sig.select("doc", "shset"), "a_id", "b_id", threshold
+    )
+
+
+def _sig_and_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+):
+    """THE shared candidate generator: the persisted signature table
+    (minhash minima + band hashes + capped shingle sets, one
+    aggregation) and its banded candidate pairs. minhash_lsh_pairs
+    and the sketch audit both consume this single build, so an audit
+    always audits the REAL candidate set and a change to candidate
+    generation can never diverge between them (r5 review: the audit
+    previously copy-pasted this stage)."""
     grouped = _grouped_shingles(df, id_col, text_col, n, max_doc_freq)
     sig = minhash_signatures(
         df, id_col, text_col, n,
         shingles=_exploded_shingles(grouped),
         with_shingle_sets=True,
     ).persist()
-    sig.count()  # eager: three branches read it (bands + both verify sides)
+    sig.count()  # eager: candidate bands + verify sides all read it
     cands = banded_self_pairs(
         sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)], max_bucket
     )
-    docsets = sig.select("doc", "shset")
-    return _jaccard_verify(cands, docsets, "a_id", "b_id", threshold)
+    return sig, cands
+
+
+def minhash_pairs_from_sig(
+    sig: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Verified near-dup pairs from an ALREADY-BUILT signature table
+    (build_signature_store / _sig_and_candidates output): banded
+    candidates + true-Jaccard verification, skipping the signature
+    build — for callers that computed signatures anyway (the
+    streaming cluster tier builds them as the store delta)."""
+    cands = banded_self_pairs(
+        sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)], max_bucket
+    )
+    return _jaccard_verify(
+        cands, sig.select("doc", "shset"), "a_id", "b_id", threshold
+    )
 
 
 # ------------------------------------------------------ incremental dedup
@@ -749,22 +789,13 @@ def minhash_estimate_audit(
     (run on a sample; the estimator's error bound is
     O(1/sqrt(num_hashes))).
 
-    Same single-aggregation signature build and banded candidate
-    generation as minhash_lsh_pairs — the audit audits the REAL
-    candidate set, not a recomputed one. Zero-overlap candidates
-    (band collision without shared shingles) stay in the output with
-    true_jaccard 0: those are exactly the estimator's worst case."""
-    from lynx_spark.operators._util import banded_self_pairs
-
-    grouped = _grouped_shingles(df, id_col, text_col, n, max_doc_freq)
-    sig = minhash_signatures(
-        df, id_col, text_col, n,
-        shingles=_exploded_shingles(grouped),
-        with_shingle_sets=True,
-    ).persist()
-    sig.count()  # eager: candidate bands + both audit sides read it
-    cands = banded_self_pairs(
-        sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)], max_bucket
+    Shares _sig_and_candidates with minhash_lsh_pairs — the audit
+    audits the REAL candidate set by construction, not a re-created
+    one. Zero-overlap candidates (band collision without shared
+    shingles) stay in the output with true_jaccard 0: those are
+    exactly the estimator's worst case."""
+    sig, cands = _sig_and_candidates(
+        df, id_col, text_col, n, max_doc_freq, max_bucket
     )
     mh_arr = F.array(*[F.col(f"mh{s}") for s in range(MINHASH_NUM)])
     side = lambda tag: sig.select(  # noqa: E731
@@ -839,9 +870,11 @@ def lsh_recall_audit(
         .select(
             "n_true_pairs",
             "n_found_pairs",
-            F.round(F.col("_n_hit") / F.col("n_true_pairs"), 4).alias(
-                "recall"
-            ),
+            F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(F.col("_n_hit") / F.col("n_true_pairs"), 4)
+            )
+            .alias("recall"),
         )
     )
 

@@ -567,6 +567,8 @@ def parse_mp4_header(data: bytes) -> dict | None:
                 for ttype, tbody, tend in boxes(data, cbody, cend):
                     if ttype != b"tkhd" or width is not None:
                         continue
+                    if tbody >= tend:  # zero-body box: treat as absent
+                        continue
                     version = data[tbody]
                     off = 76 if version == 0 else 88
                     if tbody + off + 8 <= tend:

@@ -2534,7 +2534,9 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH counts AS (SELECT source AS domain, count(*) AS n_docs
                 FROM documents GROUP BY source),
-tot AS (SELECT sum(n_docs) AS _total, sum(sqrt(n_docs)) AS _total_scaled
+tot AS (SELECT sum(n_docs) AS _total,
+          CAST(sum(CAST(round(sqrt(n_docs), 6) AS DECIMAL(28,6))) AS DOUBLE)
+            AS _total_scaled
         FROM counts)
 SELECT domain, n_docs,
   round(n_docs / CAST(_total AS DOUBLE), 6) AS natural_frac,
@@ -2967,7 +2969,8 @@ agg AS (
        JOIN tpairs t ON t.a_id = p.a_id AND t.b_id = p.b_id) AS n_hit)
 SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
   CAST(n_found_pairs AS BIGINT) AS n_found_pairs,
-  round(n_hit / CAST(n_true_pairs AS DOUBLE), 4) AS recall
+  CASE WHEN n_true_pairs = 0 THEN 1.0
+       ELSE round(n_hit / CAST(n_true_pairs AS DOUBLE), 4) END AS recall
 FROM agg
 """,
     description="LSH recall audit: exhaustive n-gram Jaccard pairs "

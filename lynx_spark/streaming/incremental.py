@@ -77,6 +77,64 @@ def _batch_dir(root: Path, name: str, batch_id: int) -> Path:
     return root / name / f"batch={batch_id:09d}"
 
 
+def _bind_lineage(root: Path, checkpoint_dir: str | Path) -> None:
+    """A store directory is bound to ONE checkpoint lineage: batch ids
+    are only stable within a checkpoint, so markers written under a
+    previous lineage would mis-skip renumbered batches with DIFFERENT
+    contents — new documents silently dropped (r5 review). The first
+    stream records its checkpoint path; pointing a different
+    checkpoint at a store that already has commits fails loudly.
+    Deleting and recreating the SAME checkpoint path is the supported
+    full-replay mode (the markers then make the replay exactly-once);
+    an unused store rebinds freely."""
+    lineage = root / "_lineage.json"
+    me = str(Path(checkpoint_dir).resolve())
+    if lineage.exists():
+        prev = json.loads(lineage.read_text()).get("checkpoint")
+        if prev == me:
+            return
+        if _committed_batches(root):
+            raise ValueError(
+                f"store {root} is bound to checkpoint {prev}; refusing "
+                f"different checkpoint {me} — resume with the original "
+                "checkpointLocation (delete and recreate it at the same "
+                "path for a full replay), or use a fresh store directory"
+            )
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / ".lineage.tmp"
+    tmp.write_text(json.dumps({"checkpoint": me}))
+    os.replace(tmp, lineage)
+
+
+def _exact_dedup_commit(
+    root: Path, rows_in: DataFrame, batch_id: int, tier: str
+) -> None:
+    """The shared exact-dedup commit tail (r5 review: previously
+    duplicated between the dedup and curation streams): anti-join the
+    committed fingerprint store, append the surviving rows and their
+    fingerprint delta under batch-keyed overwrite dirs, then commit
+    the marker — one copy of the exactly-once protocol."""
+    spark = rows_in.sparkSession
+    seen = _committed_store(spark, root, "fingerprints")
+    if seen is None:
+        seen = spark.createDataFrame([], "fingerprint string")
+    surv = dd.incremental_exact_survivors(
+        rows_in, seen.select("fingerprint"), "doc_id", "text"
+    )
+    rows = rows_in.join(
+        surv.select(F.col("survivor_id").alias("doc_id")), "doc_id"
+    ).persist()
+    rows.count()  # eager: corpus write + fingerprint write share it
+    rows.write.mode("overwrite").parquet(
+        str(_batch_dir(root, "corpus", batch_id))
+    )
+    rows.select(F.md5("text").alias("fingerprint")).write.mode(
+        "overwrite"
+    ).parquet(str(_batch_dir(root, "fingerprints", batch_id)))
+    rows.unpersist()
+    _commit(root, batch_id, {"tier": tier})
+
+
 def _committed_store(
     spark: SparkSession, root: Path, name: str
 ) -> DataFrame | None:
@@ -108,32 +166,14 @@ def dedup_document_stream(
     drains what exists and awaits termination; swap the trigger for
     continuous deployments)."""
     root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch_id in set(_committed_batches(root)):
             return  # replayed, fully committed batch: exactly-once
-        spark = batch.sparkSession
-        seen = _committed_store(spark, root, "fingerprints")
-        if seen is None:
-            seen = spark.createDataFrame([], "fingerprint string")
-        surv = dd.incremental_exact_survivors(
-            batch, seen.select("fingerprint"), "doc_id", "text"
-        )
-        # survivor rows carry the batch's full payload: join the
-        # fingerprint winners back to the batch rows (one shuffle on
-        # doc_id; the batch side is micro-batch-sized)
-        rows = batch.join(
-            surv.select(F.col("survivor_id").alias("doc_id")), "doc_id"
-        ).persist()
-        rows.count()  # eager: corpus write + fingerprint write share it
-        rows.write.mode("overwrite").parquet(
-            str(_batch_dir(root, "corpus", batch_id))
-        )
-        rows.select(F.md5("text").alias("fingerprint")).write.mode(
-            "overwrite"
-        ).parquet(str(_batch_dir(root, "fingerprints", batch_id)))
-        rows.unpersist()
-        _commit(root, batch_id, {"tier": "exact"})
+        # survivor rows carry the batch's full payload (the join back
+        # to the batch happens inside the shared commit tail)
+        _exact_dedup_commit(root, batch, batch_id, "exact")
 
     return (
         docs.writeStream.foreachBatch(write_batch)
@@ -162,6 +202,7 @@ def near_dup_document_stream(
     batch's signatures join the store regardless, so later batches
     also match against near-dup survivors, mirroring the batch tier."""
     root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch_id in set(_committed_batches(root)):
@@ -230,11 +271,11 @@ def curate_document_stream(
     from lynx_spark.operators.quality import gopher_rules
 
     root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch_id in set(_committed_batches(root)):
             return
-        spark = batch.sparkSession
         kept = batch.join(
             gopher_rules(batch, "doc_id", "text")
             .filter(F.col("keep"))
@@ -246,24 +287,7 @@ def curate_document_stream(
             "source",
             F.col("redacted").alias("text"),
         )
-        seen = _committed_store(spark, root, "fingerprints")
-        if seen is None:
-            seen = spark.createDataFrame([], "fingerprint string")
-        surv = dd.incremental_exact_survivors(
-            scrubbed, seen.select("fingerprint"), "doc_id", "text"
-        )
-        rows = scrubbed.join(
-            surv.select(F.col("survivor_id").alias("doc_id")), "doc_id"
-        ).persist()
-        rows.count()  # eager: corpus write + fingerprint write share it
-        rows.write.mode("overwrite").parquet(
-            str(_batch_dir(root, "corpus", batch_id))
-        )
-        rows.select(F.md5("text").alias("fingerprint")).write.mode(
-            "overwrite"
-        ).parquet(str(_batch_dir(root, "fingerprints", batch_id)))
-        rows.unpersist()
-        _commit(root, batch_id, {"tier": "curate"})
+        _exact_dedup_commit(root, scrubbed, batch_id, "curate")
 
     return (
         docs.writeStream.foreachBatch(write_batch)
@@ -303,6 +327,7 @@ def cluster_document_stream(
     from lynx_spark.operators import graph as gr
 
     root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         committed = _committed_batches(root)
@@ -312,9 +337,10 @@ def cluster_document_stream(
         seen_sig = _committed_store(spark, root, "signatures")
         sig = dd.build_signature_store(batch, "doc_id", "text").persist()
         sig.count()
-        in_batch = dd.minhash_lsh_pairs(
-            batch, "doc_id", "text", threshold=threshold
-        ).select(
+        # in-batch pairs from the ALREADY-built signatures (r5 review:
+        # minhash_lsh_pairs here rebuilt the identical signature table
+        # — the batch's most expensive stage — a second time)
+        in_batch = dd.minhash_pairs_from_sig(sig, threshold).select(
             F.col("a_id").alias("new_id"), F.col("b_id").alias("seen_id")
         )
         if seen_sig is not None:

@@ -1287,3 +1287,34 @@ def test_video_metadata_pipeline(spark):
     assert out[1]["format"] == "mp4" and out[1]["duration_ms"] == 5000
     assert (out[1]["width"], out[1]["height"]) == (640, 480)
     assert out[2]["format"] == "unknown" and out[2]["duration_ms"] is None
+
+
+def test_mp4_zero_body_tkhd_no_crash():
+    """A truncated blob ending in a size-8 tkhd box must return what
+    the walker can read, never raise (r5 review finding)."""
+    import struct
+
+    from lynx_spark.operators.multimodal import parse_mp4_header, synthesize_mp4
+
+    good = synthesize_mp4(1000, 2000, 64, 48)
+    # moov containing mvhd + a bare 8-byte tkhd... inside a trak
+    mvhd_start = good.index(b"mvhd") - 4
+    mvhd_box = good[mvhd_start : mvhd_start + 108]
+    bare_tkhd = struct.pack(">I", 8) + b"tkhd"
+    trak = struct.pack(">I", 8 + len(bare_tkhd)) + b"trak" + bare_tkhd
+    moov_body = mvhd_box + trak
+    moov = struct.pack(">I", 8 + len(moov_body)) + b"moov" + moov_body
+    blob = good[:24] + moov  # ftyp + crafted moov
+    m = parse_mp4_header(blob)
+    assert m is not None and m["duration_ms"] == 2000
+    assert m["width"] is None  # zero-body tkhd treated as absent
+
+
+def test_sample_per_domain_nonstandard_id_col(spark):
+    from lynx_spark.operators.corpus import sample_per_domain
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(8)], ["my_id", "site"]
+    )
+    out = sample_per_domain(df, "my_id", "site", budget=3).collect()
+    assert len(out) == 3

@@ -475,11 +475,13 @@ def test_streaming_exact_dedup_replay_is_exactly_once(spark, tmp_path):
     d = tmp_path / "in"
     _write_docs(d / "b1.json", [(1, "alpha text"), (2, "beta text")])
     store = tmp_path / "store"
-    for ck in ("ck1", "ck2"):  # second run replays batch 0 from scratch
-        q = dedup_document_stream(
-            read_document_stream(spark, d), store, tmp_path / ck
-        )
+    ck = tmp_path / "ck"
+    for _ in range(2):  # second run replays batch 0 from scratch
+        q = dedup_document_stream(read_document_stream(spark, d), store, ck)
         q.awaitTermination(120)
+        import shutil
+
+        shutil.rmtree(ck)  # same-path fresh checkpoint = full replay
 
     corpus = spark.read.parquet(str(store / "corpus"))
     assert corpus.count() == 2
@@ -527,11 +529,13 @@ def test_streaming_near_dup_replay_is_exactly_once(spark, tmp_path):
     d = tmp_path / "in"
     _write_docs(d / "b1.json", [(1, base), (2, "other words entirely")])
     store = tmp_path / "store"
-    for ck in ("ck1", "ck2"):
-        q = near_dup_document_stream(
-            read_document_stream(spark, d), store, tmp_path / ck
-        )
+    ck = tmp_path / "ck"
+    for _ in range(2):
+        q = near_dup_document_stream(read_document_stream(spark, d), store, ck)
         q.awaitTermination(120)
+        import shutil
+
+        shutil.rmtree(ck)  # same-path fresh checkpoint = full replay
     sigs = spark.read.parquet(str(store / "signatures"))
     assert sorted(r["doc"] for r in sigs.collect()) == [1, 2]
     assert len(list((store / "_commits").glob("b*.json"))) == 1
@@ -632,3 +636,21 @@ def test_streaming_clustering_snapshot_retention(spark, tmp_path):
     assert len(snaps) == 1  # only the newest kept
     latest = spark.read.parquet(str(store / "assignments" / snaps[-1]))
     assert latest.count() == 3  # full assignment still present
+
+
+def test_store_refuses_foreign_checkpoint(spark, tmp_path):
+    """A store with commits is bound to its checkpoint lineage: a
+    different checkpointLocation must fail loudly instead of
+    mis-skipping renumbered batches (exactly-once would silently
+    drop new documents otherwise)."""
+    import pytest as _pytest
+
+    from lynx_spark.streaming import dedup_document_stream, read_document_stream
+
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, "alpha text")])
+    store = tmp_path / "store"
+    q = dedup_document_stream(read_document_stream(spark, d), store, tmp_path / "ck1")
+    q.awaitTermination(120)
+    with _pytest.raises(ValueError, match="bound to checkpoint"):
+        dedup_document_stream(read_document_stream(spark, d), store, tmp_path / "ck2")
