@@ -276,3 +276,32 @@ def test_temperature_mixture_invariant_to_partitioning(spark):
             temperature_mixture(docs.repartition(parts), "source").collect()
         ))
     assert outs[0] == outs[1] == outs[2]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_words=st.integers(min_value=1, max_value=40),
+    max_tokens=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_covers_every_word(spark, n_words, max_tokens, overlap_frac):
+    """Every word lands in at least one chunk; full consecutive
+    chunks overlap by exactly `overlap` words; chunk_ids are dense
+    from 0."""
+    from lynx_spark.operators.corpus import chunk_documents
+
+    overlap = int(max_tokens * overlap_frac)
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    out = sorted(
+        chunk_documents(df, "doc_id", "text", max_tokens, overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(words)
+    assert [r["chunk_id"] for r in out] == list(range(len(out)))
+    stride = max_tokens - overlap
+    for a, b in zip(out, out[1:]):
+        assert b["start_word"] - a["start_word"] == stride
