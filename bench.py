@@ -51,6 +51,9 @@ HEADLINE = [
     "q30_simhash",
     "q65_frequent_ngrams",
     "q66_duplicated_windows",
+    "q72_chunk_documents",
+    "q76_tfidf_terms",
+    "q77_sketch_audit",
 ]
 
 
@@ -71,7 +74,8 @@ def main() -> None:
     # the heavy dedup/ANN queries need 5 reps for a stable min: their
     # 2-3s runtimes swing +-25% at 3 reps on this harness
     HEAVY_REPS = {"q22_ngram_jaccard", "q23_minhash_lsh", "q24_cosine_topk",
-                  "q25_ann_lsh", "q30_simhash", "q66_duplicated_windows"}
+                  "q25_ann_lsh", "q30_simhash", "q66_duplicated_windows",
+                  "q77_sketch_audit"}
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
