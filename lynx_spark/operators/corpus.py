@@ -400,7 +400,15 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than max_tokens")
     stride = max_tokens - overlap
     w = F.col("_w")
-    starts = F.sequence(F.lit(1), F.size(w), F.lit(stride))
+    # starts stop at n - overlap: a later start would emit a chunk
+    # fully contained in the previous one (r5 review: with defaults,
+    # any doc with stride < n <= max_tokens duplicated its tail);
+    # coverage still holds — the last start exceeds n - max_tokens
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size(w) - overlap),
+        F.lit(stride),
+    )
     return (
         ensure_parallelism(df).select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -483,7 +491,11 @@ def token_budget_select(
 
     Bucket granularity trades selection precision for scalability;
     callers needing exact-token cuts re-rank only the single boundary
-    bucket (bounded work)."""
+    bucket (bounded work).
+
+    ``score`` must carry a ``doc_id`` column keyed like ``id_col``
+    (the convention every quality-score producer here emits — same
+    contract as cluster_best_survivors)."""
     tokens = F.size(_words(text_col))
     docs = df.select(
         F.col(id_col).cast("long").alias("doc_id"),

@@ -858,10 +858,10 @@ def lsh_recall_audit(
     executors."""
     truth = jaccard_pairs(
         df, id_col, text_col, threshold=threshold
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").persist()
     found = minhash_lsh_pairs(
         df, id_col, text_col, threshold=threshold
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").persist()
     hit = truth.join(found, ["a_id", "b_id"])
     return (
         truth.agg(F.count("*").alias("n_true_pairs"))

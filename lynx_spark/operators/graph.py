@@ -272,19 +272,26 @@ def cluster_best_survivors(
 
     One join on doc_id plus one window keyed by cluster_id — both
     shuffles on high-cardinality keys; clusters are near-cliques from
-    LSH buckets, so no window partition outgrows a task."""
+    LSH buckets, so no window partition outgrows a task.
+
+    Scores LEFT-join (r5 review: an inner join made unscored
+    documents unable to survive and undercounted cluster_size):
+    cluster sizes come from the assignment alone, unscored members
+    rank after scored ones (desc puts nulls last in both engines,
+    made explicit via desc_nulls_last), and a fully-unscored cluster
+    still emits its min-id survivor with a null score."""
     from pyspark.sql.window import Window
 
-    j = clusters.join(scores, "doc_id")
+    sized = clusters.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
+    )
+    j = sized.join(scores, "doc_id", "left")
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc(score_col), F.asc("doc_id")
+        F.desc_nulls_last(score_col), F.asc("doc_id")
     )
     return (
         j.withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "cluster_size",
-            F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
-        )
         .filter(F.col("_rn") == 1)
         .select(
             "cluster_id",

@@ -538,10 +538,24 @@ def parse_mp4_header(data: bytes) -> dict | None:
         while pos + 8 <= end:
             (size,) = struct.unpack_from(">I", buf, pos)
             btype = buf[pos + 4 : pos + 8]
-            if size < 8 or pos + size > end:
+            body = pos + 8
+            if size == 0:  # legal: box extends to end of enclosure
+                bend = end
+            elif size == 1:  # legal: 64-bit largesize follows the type
+                if pos + 16 > end:
+                    return
+                (large,) = struct.unpack_from(">Q", buf, pos + 8)
+                if large < 16 or pos + large > end:
+                    return
+                body, bend = pos + 16, pos + large
+            elif size < 8 or pos + size > end:
                 return  # truncated/corrupt box: stop walking
-            yield btype, pos + 8, pos + size
-            pos += size
+            else:
+                bend = pos + size
+            yield btype, body, bend
+            if size == 0:
+                return  # to-EOF box is by definition the last one
+            pos = bend
 
     mvhd = None
     n_tracks = 0
@@ -582,7 +596,9 @@ def parse_mp4_header(data: bytes) -> dict | None:
     timescale, duration = mvhd
     return {
         "timescale": timescale,
-        "duration_ms": int(duration * 1000 / timescale),
+        # integer division: exact for 64-bit version-1 durations,
+        # where a double's 53-bit mantissa would drift (r5 review)
+        "duration_ms": duration * 1000 // timescale,
         "n_tracks": n_tracks,
         "width": width,
         "height": height,

@@ -211,8 +211,11 @@ def gopher_rules(
 
     - word count within [min_words, max_words]
     - mean word length within [min_mean_word_len, max_mean_word_len]
-    - at least ``min_stopword_hits`` occurrences of common function
-      words (the "is this natural language" probe)
+    - at least ``min_stopword_hits`` DISTINCT common function words,
+      case-insensitive (the "is this natural language" probe — the
+      MassiveText rule; r5 review: counting total case-sensitive
+      occurrences let 'to to to to' pass and title-cased function
+      words go unseen)
     - duplicate-word fraction at most ``max_dup_word_frac`` (the
       repetition gate; the single-line twin of duplicate-line
       fraction)
@@ -221,7 +224,9 @@ def gopher_rules(
     zero shuffles, embarrassingly parallel at any corpus size, same
     design as ``repetition_signals``. Mean word length and the
     duplicate fraction divide exact integer sums, so the booleans are
-    engine-portable without rounding games."""
+    engine-portable without rounding games. Empty-string tokens (the
+    split-of-empty-text artifact) are filtered, so a whitespace-only
+    document is dropped rather than scored as one phantom word."""
     from lynx_spark.operators._util import words_col
 
     w = F.col("_w")
@@ -232,7 +237,10 @@ def gopher_rules(
         lambda acc, x: acc + x,
     ) / n
     stop_hits = F.size(
-        F.filter(w, lambda x: x.isin(GOPHER_STOPWORDS))
+        F.array_intersect(
+            F.transform(w, lambda x: F.lower(x)),
+            F.array(*[F.lit(sw) for sw in GOPHER_STOPWORDS]),
+        )
     )
     dup_frac = 1 - F.size(F.array_distinct(w)) / n
     word_count_ok = (n >= min_words) & (n <= max_words)
@@ -244,7 +252,7 @@ def gopher_rules(
     return (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            words_col(text_col).alias("_w"),
+            F.filter(words_col(text_col), lambda x: x != "").alias("_w"),
         )
         .filter(n >= 1)
         .select(

@@ -519,7 +519,8 @@ def label_centroid_audit(
         F.col(label_col).alias("label"),
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).persist()
+    vecs.count()  # eager: centroid build + scoring join both read it
     elems = vecs.select(
         "label", "nid", F.posexplode("v").alias("pos", "val")
     )

@@ -2565,26 +2565,28 @@ SELECT doc_id,
   CAST(len(w) AS BIGINT) AS n_words,
   round(list_sum(list_transform(w, x -> len(x)))
         / CAST(len(w) AS DOUBLE), 4) AS mean_word_len,
-  CAST(len(list_filter(w, x ->
-        x IN ('the','and','of','to','in','a','is'))) AS BIGINT)
+  CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+        ['the','and','of','to','in','a','is'])) AS BIGINT)
     AS n_stopwords,
   round(1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
     AS dup_word_frac,
   len(w) BETWEEN 20 AND 1000 AS word_count_ok,
   list_sum(list_transform(w, x -> len(x))) / CAST(len(w) AS DOUBLE)
     BETWEEN 4.0 AND 10.0 AS mean_word_len_ok,
-  len(list_filter(w, x -> x IN ('the','and','of','to','in','a','is'))) >= 2
+  len(list_intersect(list_transform(w, x -> lower(x)),
+      ['the','and','of','to','in','a','is'])) >= 2
     AS stopwords_ok,
   1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) <= 0.6
     AS repetition_ok,
   (len(w) BETWEEN 20 AND 1000)
     AND (list_sum(list_transform(w, x -> len(x))) / CAST(len(w) AS DOUBLE)
          BETWEEN 4.0 AND 10.0)
-    AND (len(list_filter(w, x ->
-           x IN ('the','and','of','to','in','a','is'))) >= 2)
+    AND (len(list_intersect(list_transform(w, x -> lower(x)),
+           ['the','and','of','to','in','a','is'])) >= 2)
     AND (1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) <= 0.6)
     AS keep
-FROM d WHERE len(w) >= 1
+FROM (SELECT doc_id, list_filter(w, x -> x <> '') AS w FROM d)
+WHERE len(w) >= 1
 """,
     description="composite Gopher/MassiveText document filter: word "
     "count, mean word length, stopword-presence and repetition rules "
@@ -2677,8 +2679,9 @@ _CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
     "q72_chunk_documents",
     oracle=_WORDS_CTE
     + f"""
-, g AS (SELECT doc_id, w, unnest(generate_series(1, len(w), {_CHUNK_STRIDE}))
-          AS start_word
+, g AS (SELECT doc_id, w,
+          unnest(generate_series(1, greatest(1, len(w) - {_CHUNK_OVERLAP}),
+                                 {_CHUNK_STRIDE})) AS start_word
         FROM d WHERE len(w) >= 1)
 SELECT doc_id,
   CAST((start_word - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
@@ -2728,11 +2731,11 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE {_dedup_cluster_ctes()},
 ent AS ({_ENTROPY_ORACLE}),
 j AS (SELECT c.doc_id, c.cluster_id, e.word_entropy
-      FROM clusters c JOIN ent e USING (doc_id)),
+      FROM clusters c LEFT JOIN ent e USING (doc_id)),
 best AS (
   SELECT cluster_id, doc_id, word_entropy,
     row_number() OVER (PARTITION BY cluster_id
-                       ORDER BY word_entropy DESC, doc_id) AS rn,
+                       ORDER BY word_entropy DESC NULLS LAST, doc_id) AS rn,
     count(*) OVER (PARTITION BY cluster_id) AS sz
   FROM j)
 SELECT cluster_id, doc_id AS survivor_id, word_entropy,

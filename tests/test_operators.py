@@ -1195,11 +1195,13 @@ def test_chunk_documents_overlap_and_tail(spark):
         chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=2).collect(),
         key=lambda r: r["chunk_id"],
     )
-    # stride 2 over 10 words: starts 1,3,5,7,9
-    assert [r["start_word"] for r in out] == [1, 3, 5, 7, 9]
+    # stride 2 over 10 words: starts 1,3,5,7 — a start at 9 would
+    # emit words 9-10, fully contained in chunk 7-10, so it is not
+    # generated (no duplicated tail)
+    assert [r["start_word"] for r in out] == [1, 3, 5, 7]
     assert out[0]["chunk_text"] == "w0 w1 w2 w3"
     assert out[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-word overlap
-    assert out[-1]["chunk_len"] == 2  # tail clamps
+    assert out[-1]["chunk_text"] == "w6 w7 w8 w9"  # covers to the end
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -1318,3 +1320,66 @@ def test_sample_per_domain_nonstandard_id_col(spark):
     )
     out = sample_per_domain(df, "my_id", "site", budget=3).collect()
     assert len(out) == 3
+
+
+def test_chunk_documents_no_contained_tail(spark):
+    """r5 review: with stride < n <= max_tokens the old starts
+    emitted a tail chunk fully inside chunk 0."""
+    from lynx_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(60)))], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, "doc_id", "text", max_tokens=64, overlap=16).collect()
+    assert len(out) == 1 and out[0]["chunk_len"] == 60
+
+
+def test_cluster_best_survivors_unscored_members(spark):
+    """Unscored docs still count toward cluster_size and can survive
+    (null score, min id) when nothing in the cluster is scored."""
+    from lynx_spark.operators.graph import cluster_best_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7)], ["doc_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame([(2, 0.5)], ["doc_id", "s"])
+    out = {r["cluster_id"]: r for r in cluster_best_survivors(clusters, scores, "s").collect()}
+    assert out[1]["survivor_id"] == 2 and out[1]["cluster_size"] == 2
+    # cluster 7 fully unscored: min-id survivor with null score
+    assert out[7]["survivor_id"] == 7 and out[7]["s"] is None
+    assert out[7]["cluster_size"] == 2
+
+
+def test_mp4_largesize_and_eof_boxes():
+    """Legal ISO BMFF size=1 (64-bit largesize) and size=0 (to-EOF)
+    boxes parse instead of aborting the walk (r5 review)."""
+    import struct
+
+    from lynx_spark.operators.multimodal import parse_mp4_header, synthesize_mp4
+
+    good = synthesize_mp4(1000, 3000, 320, 240)
+    moov_start = good.index(b"moov") - 4
+    ftyp, moov = good[:moov_start], good[moov_start:]
+    # largesize mdat between ftyp and moov
+    payload = b"\x00" * 32
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    m = parse_mp4_header(ftyp + mdat + moov)
+    assert m is not None and m["duration_ms"] == 3000
+    # size=0 mdat AFTER moov (extends to EOF)
+    mdat0 = struct.pack(">I", 0) + b"mdat" + payload
+    m2 = parse_mp4_header(ftyp + moov + mdat0)
+    assert m2 is not None and m2["duration_ms"] == 3000
+
+
+def test_gopher_stopwords_distinct_and_case_insensitive(spark):
+    from lynx_spark.operators.quality import gopher_rules
+
+    filler = [f"word{i}" for i in range(22)]
+    rows = [
+        (1, " ".join(["to"] * 4 + filler)),      # one distinct stopword
+        (2, " ".join(["The", "And"] + filler)),  # title-cased pair
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert not out[1]["stopwords_ok"] and out[1]["n_stopwords"] == 1
+    assert out[2]["stopwords_ok"] and out[2]["n_stopwords"] == 2
