@@ -529,3 +529,109 @@ def token_budget_select(
             "n_tokens",
         )
     )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """Packing-efficiency audit over ``pack_sequences``: per shard,
+    how full the fixed-budget bins actually are and how many documents
+    spill across a bin boundary — the feedback metric a pre-training
+    pipeline watches when tuning the context-window budget (low fill
+    ⇒ wasted compute on padding; high spill ⇒ many truncated/split
+    documents).
+
+    All inputs are exact longs from the packing window, so every
+    statistic is a deterministic integer aggregate (the only doubles
+    are final rounded ratios of exact sums). One aggregate at shard
+    granularity on top of the packing window — output is model-sized
+    (one row per shard)."""
+    packed = pack_sequences(df, id_col, text_col, shard_col, budget)
+    spills = F.when(
+        F.col("bin_offset") + F.col("n_tokens") > budget, 1
+    ).otherwise(0)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(spills).cast("long").alias("n_spill_docs"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_bins",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens") / (F.col("n_bins") * F.lit(budget)), 4
+            ).alias("fill_frac"),
+            "n_spill_docs",
+            F.round(F.col("n_spill_docs") / F.col("n_docs"), 4).alias(
+                "spill_frac"
+            ),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word ``n``-grams whose FIRST corpus occurrence (minimum
+    doc id over all documents containing the gram) is this document —
+    the memorization/boilerplate lens dual to exact-substring dedup
+    (q66): novelty ≈ 1 means original content, ≈ 0 means the document
+    restates earlier text. Documents shorter than ``n`` words emit
+    n_grams = 0 and NULL novelty (no gram evidence either way).
+
+    Scale shape: the gram table aggregates to VOCABULARY granularity
+    (min doc id per distinct gram — the q60/q76 shape: vocabulary
+    grows sub-linearly in the corpus), joins back on the unique gram
+    key, and re-aggregates to one row per document. Two key-bounded
+    shuffles, no self-join, no window over the corpus."""
+    d = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _words(text_col).alias("w"),
+    )
+    grams = d.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_expr(F.col("w"), n))).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    # left join restores docs shorter than n words (no grams at all)
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            # NULL novelty for gram-less docs (ANSI mode: guard the /0)
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_novel") / F.col("n_grams"), 4),
+            ).alias("novelty"),
+        )
+    )

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lynx_spark.operators._util import words_col as _words
 
@@ -279,4 +280,98 @@ def tfidf_top_terms(
             "tfidf",
             "rnk",
         )
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query-term set — the
+    sparse-retrieval primitive training pipelines use for
+    decontamination lookups and retrieval-augmented data curation
+    (idf = ln(1 + (N − df + ½)/(df + ½)), the Robertson/Sparck-Jones
+    form; k1/b at the canonical 1.2/0.75).
+
+    Scale shape: the exploded token stream is filtered to the query
+    terms BEFORE any shuffle, so the term-frequency aggregation's
+    input is |terms|-bounded per document, not corpus-sized; document
+    length and the (N, avgdl) model totals are one aggregate each
+    (single-row broadcast — the q60 shape); per-term document
+    frequencies aggregate the tiny tf frame. Per-document scores sum
+    rounded DECIMAL terms (exact, order-independent — the q78 trick),
+    and the final top-k is an orderBy+limit that Catalyst executes as
+    TakeOrderedAndProject (no global sort materializes).
+
+    Output: the k highest-scoring documents with rank, matched-term
+    count, and score."""
+    terms_arr = F.array(*[F.lit(t) for t in query_terms])
+    d = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _words(text_col).alias("w"),
+    )
+    lens = d.select("doc_id", F.size("w").cast("long").alias("dl"))
+    totals = lens.agg(
+        F.count("*").cast("long").alias("n_corpus"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.col("w"), lambda x: F.array_contains(terms_arr, x))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_corpus") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B)
+                        * F.col("dl")
+                        / (F.col("sum_dl") / F.col("n_corpus"))
+                    )
+                ),
+                6,
+            ).cast("decimal(28,6)"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_matched"),
+        F.round(F.sum("term_score").cast("double"), 4).alias("bm25"),
+    )
+    topk = per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "doc_id", "n_terms_matched", "bm25", "rnk"
     )

@@ -324,3 +324,105 @@ def zipf_audit(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
         "freq",
         F.round(F.log(F.col("freq")), 4).alias("log_freq"),
     )
+
+
+#: fixed logistic-classifier weights for ``classifier_scores`` —
+#: (bias, stopword-ratio, mean-word-length, distinct-word-ratio,
+#: saturating length). Stand-ins for a trained fastText/logreg quality
+#: model's coefficients: positive on stopword density and lexical
+#: diversity (natural prose), mildly positive on word length and
+#: document length. Swap with trained values without changing the plan.
+CLASSIFIER_WEIGHTS = (-2.0, 3.0, 0.2, 1.5, 0.8)
+
+
+def classifier_scores(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """FastText/CCNet-style model-based quality classification, as a
+    fixed-weight logistic regression over cheap per-document features:
+    score = sigmoid(w · x) with x = (1, stopword_ratio,
+    mean_word_len, distinct_ratio, n_words/(n_words+100)). This is
+    the *shape* of the "quality classifier" gate every web-scale
+    pipeline runs (GPT-3's WebText-vs-CommonCrawl logreg, CCNet's
+    fastText filter): featurize per row, apply a tiny linear model,
+    threshold. The weights are a frozen constant — production swaps
+    in trained coefficients; the plan is identical.
+
+    Pure per-row JVM expressions (array filters + arithmetic), zero
+    shuffle, embarrassingly parallel — the model is IN the closed
+    form, so 100 TB costs one scan. Features are rounded to 4dp
+    before the dot product so both engines feed bit-identical inputs
+    to exp()."""
+    b, w_stop, w_wlen, w_distinct, w_len = CLASSIFIER_WEIGHTS
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words).cast("double")
+    from lynx_spark.functions.text import STOPWORDS
+
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, w))
+    ).cast("double")
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    n_distinct = F.size(F.array_distinct(words)).cast("double")
+    f_stop = F.round(stop_hits / n_words, 4)
+    f_wlen = F.round(total_chars / n_words, 4)
+    f_distinct = F.round(n_distinct / n_words, 4)
+    f_len = F.round(n_words / (n_words + F.lit(100.0)), 4)
+    z = (
+        F.lit(b)
+        + F.lit(w_stop) * f_stop
+        + F.lit(w_wlen) * f_wlen
+        + F.lit(w_distinct) * f_distinct
+        + F.lit(w_len) * f_len
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        f_stop.alias("f_stopword"),
+        f_wlen.alias("f_word_len"),
+        f_distinct.alias("f_distinct"),
+        f_len.alias("f_length"),
+        F.round(score, 4).alias("quality_prob"),
+        (F.round(score, 4) >= threshold).alias("keep"),
+    )
+
+
+def language_mix(
+    df: DataFrame, source_col: str, lang_col: str
+) -> DataFrame:
+    """Per-source language-composition audit: document share of every
+    (source, language) cell plus the source's language entropy — the
+    corpus-health report that catches a crawl source silently going
+    monolingual (entropy → 0) or a language-ID regression flooding a
+    source with misdetected languages (entropy jumps).
+
+    One aggregate to (source, lang) granularity — model-sized: sources
+    × languages, nowhere near data-sized — then entropy over that tiny
+    frame via a window. Entropy terms are rounded and accumulated as
+    DECIMAL (exact, order-independent addition — the q78 trick), so
+    any partial-aggregation schedule in either engine produces the
+    identical sum."""
+    cells = df.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("source")
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    with_share = cells.withColumn("share", F.round(share, 4))
+    # a share so small it rounds to 0.0000 contributes a 0 term (its
+    # true p·ln p is below the rounding quantum anyway), never log(0)
+    term = F.when(
+        F.col("share") > 0,
+        F.round(-F.col("share") * F.log(F.col("share")), 6),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,6)")
+    ent = F.sum(term).over(w).cast("double")
+    return with_share.select(
+        "source",
+        "lang",
+        "n_docs",
+        "share",
+        F.round(ent, 4).alias("source_lang_entropy"),
+    )

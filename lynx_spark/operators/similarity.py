@@ -554,3 +554,157 @@ def label_centroid_audit(
             F.round(F.min("_cos"), 5).alias("min_cos_to_centroid"),
         )
     )
+
+# ------------------------------------------------------- kNN graph
+
+
+def knn_graph(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: every vector's top-k
+    most-cosine-similar neighbors among vectors sharing an LSH bucket
+    with it in at least one hash table. The corpus-wide variant of
+    ``lsh_ann_topk`` (there: a small query set probes the index; here:
+    every vector is a query) — the building block for kNN-graph
+    curation steps (graph-based density pruning, SemDeDup-style
+    neighborhood audits, label propagation over embeddings).
+
+    Scale shape: candidates come from ``banded_self_pairs`` — ONE
+    shuffle groups the exploded (table, bucket) rows, pairs are
+    emitted by codegen array expressions with the star-pattern cap
+    guarding oversized buckets, so candidate count is linear in the
+    corpus for bounded buckets and NEVER all-pairs. The undirected
+    pairs are then symmetrized (each edge scored once, read twice)
+    and a per-source window keeps the top k. No cross join, no
+    driver-side data, one window shuffle keyed by the source vector.
+    Recall lever = NUM_TABLES × PLANES_PER_TABLE, exactly as in
+    ``lsh_ann_topk``."""
+    from pyspark.sql.window import Window
+
+    vecs = with_buckets(
+        ensure_parallelism(df).select(
+            F.col(id_col).cast("long").alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).persist()
+    vecs.count()  # eager: pair-gen + two scoring joins read it
+    pairs = banded_self_pairs(
+        vecs, "nid", [f"bucket{t}" for t in range(NUM_TABLES)]
+    )
+    scored = (
+        pairs.join(
+            vecs.select(F.col("nid").alias("a_id"), F.col("v").alias("va")),
+            "a_id",
+        )
+        .join(
+            vecs.select(F.col("nid").alias("b_id"), F.col("v").alias("vb")),
+            "b_id",
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 5))
+        .select("a_id", "b_id", "cos_sim")
+    )
+    # each undirected candidate edge scored once, used for both ends
+    edges = scored.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("nbr"), "cos_sim"
+    ).unionAll(
+        scored.select(
+            F.col("b_id").alias("src"), F.col("a_id").alias("nbr"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("nbr"))
+    return (
+        edges.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("src", "nbr", "cos_sim", "rnk")
+    )
+
+
+# --------------------------------------------- scalar quantization
+
+
+def quantization_audit(
+    df: DataFrame, id_col: str, vec_col: str, bits: int = 8
+) -> DataFrame:
+    """Scalar (per-dimension affine) quantization audit: quantize each
+    embedding to ``bits``-bit integer codes against corpus-wide
+    per-dimension [min, max] ranges, dequantize, and report the
+    per-vector reconstruction error — the go/no-go check before
+    storing a 100 TB embedding corpus at 4× compression (the FAISS
+    ``SQ8`` recipe: code = round((x - min_d) / (max_d - min_d) *
+    (2^bits - 1))).
+
+    Scale shape: the per-dimension ranges aggregate the posexploded
+    corpus to DIM rows (a model-sized frame, like the IVF centroids)
+    and come back as one literal via a driver collect of 2×DIM
+    scalars; quantize/dequantize/error are then pure per-row array
+    expressions — zero further shuffle. Quantization uses
+    floor(x + 0.5) (not round()) so banker's-rounding differences
+    between engines cannot flip a code; constant dimensions
+    (max == min) quantize to code 0 and reconstruct to the constant.
+
+    Output: one row per vector — exact integer code checksum plus
+    rounded mean-squared and max-absolute reconstruction error."""
+    levels = (1 << bits) - 1
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dims = (
+        vecs.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )  # 2×DIM scalars — the same model-sized collect as IVF training
+    mn_lit = F.array(*[F.lit(float(r["mn"])) for r in dims])
+    mx_lit = F.array(*[F.lit(float(r["mx"])) for r in dims])
+    with_rng = vecs.withColumn(
+        "_z",
+        F.zip_with(
+            F.zip_with("v", mn_lit, lambda x, lo: F.struct(x.alias("x"), lo.alias("lo"))),
+            mx_lit,
+            lambda s, hi: F.struct(
+                s.getField("x").alias("x"),
+                s.getField("lo").alias("lo"),
+                hi.alias("hi"),
+            ),
+        ),
+    )
+    code = lambda s: F.when(  # noqa: E731
+        s.getField("hi") > s.getField("lo"),
+        F.floor(
+            (s.getField("x") - s.getField("lo"))
+            / (s.getField("hi") - s.getField("lo"))
+            * levels
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0))
+    deq = lambda s: F.when(  # noqa: E731
+        s.getField("hi") > s.getField("lo"),
+        code(s).cast("double")
+        / levels
+        * (s.getField("hi") - s.getField("lo"))
+        + s.getField("lo"),
+    ).otherwise(s.getField("lo"))
+    err = lambda s: deq(s) - s.getField("x")  # noqa: E731
+    quant = with_rng.select(
+        "vec_id",
+        F.aggregate(
+            F.col("_z"), F.lit(0).cast("long"), lambda acc, s: acc + code(s).cast("long")
+        ).alias("code_sum"),
+        F.round(
+            F.aggregate(
+                F.col("_z"), F.lit(0.0), lambda acc, s: acc + err(s) * err(s)
+            )
+            / F.size("_z"),
+            10,
+        ).alias("mse"),
+        F.round(
+            F.aggregate(
+                F.col("_z"), F.lit(0.0),
+                lambda acc, s: F.greatest(acc, F.abs(err(s))),
+            ),
+            8,
+        ).alias("max_abs_err"),
+    )
+    return quant

@@ -81,6 +81,13 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
+    "q83_knn_graph",
+    "q84_quality_classifier",
+    "q85_pack_efficiency",
+    "q86_language_mix",
+    "q87_ngram_novelty",
+    "q88_quantization_audit",
+    "q89_bm25_search",
     "q31d_video_meta",
     "q30_simhash",
     "q81_lsh_recall",
@@ -3045,3 +3052,290 @@ def q31d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.withColumn("payload", mp4_payload_udf("doc_id"))
     return extract_video_metadata(payloads, "doc_id", "payload")
+
+
+# ------------------------------------------------- round-5 extensions
+
+
+def _knn_graph_oracle(k: int = 5) -> str:
+    bucket_cols = []
+    for t in range(sim.NUM_TABLES):
+        plane_dots = [
+            f"list_dot_product(e, [{', '.join(repr(v) for v in p)}])"
+            for p in sim.HYPERPLANES[t]
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, d in enumerate(plane_dots)
+        )
+        bucket_cols.append(f"CAST({bucket} AS BIGINT) AS bucket{t}")
+    buckets_sql = ",\n    ".join(bucket_cols)
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM v a "
+        f"JOIN v b ON a.bucket{t} = b.bucket{t} AND a.vec_id < b.vec_id"
+        for t in range(sim.NUM_TABLES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+    {buckets_sql}
+  FROM embeddings),
+cand AS (
+{cand_union}),
+pairs AS (
+  SELECT c.a_id, c.b_id, a.e AS ae, b.e AS be
+  FROM cand c JOIN v a ON a.vec_id = c.a_id JOIN v b ON b.vec_id = c.b_id),
+elems AS (SELECT a_id, b_id, unnest(ae) AS x, unnest(be) AS y FROM pairs),
+sums AS (
+  SELECT a_id, b_id,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cos_sim
+  FROM elems GROUP BY a_id, b_id),
+edges AS (
+  SELECT a_id AS src, b_id AS nbr, cos_sim FROM sums
+  UNION ALL
+  SELECT b_id, a_id, cos_sim FROM sums),
+ranked AS (
+  SELECT src, nbr, cos_sim,
+    CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, nbr)
+         AS BIGINT) AS rnk
+  FROM edges)
+SELECT src, nbr, cos_sim, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+@q(
+    "q83_knn_graph",
+    oracle=_knn_graph_oracle(5),
+    description="corpus-wide approximate kNN graph: every vector's "
+    "top-5 cosine neighbors among LSH-bucket candidates (the q25 "
+    "machinery with every vector as a query) — one banded_self_pairs "
+    "shuffle, each undirected edge scored once and read twice, one "
+    "per-source window; never all-pairs",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.knn_graph(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5
+    )
+
+
+def _classifier_oracle() -> str:
+    b, w_stop, w_wlen, w_distinct, w_len = ql.CLASSIFIER_WEIGHTS
+    stop_list = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+    return rf"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+f AS (SELECT doc_id,
+        round(len(list_filter(w, x -> list_contains([{stop_list}], x)))
+              / CAST(len(w) AS DOUBLE), 4) AS f_stopword,
+        round(list_sum(list_transform(w, x -> len(x)))
+              / CAST(len(w) AS DOUBLE), 4) AS f_word_len,
+        round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+          AS f_distinct,
+        round(len(w) / (len(w) + 100.0), 4) AS f_length
+      FROM d),
+z AS (SELECT doc_id, f_stopword, f_word_len, f_distinct, f_length,
+        {b} + {w_stop} * f_stopword + {w_wlen} * f_word_len
+        + {w_distinct} * f_distinct + {w_len} * f_length AS z
+      FROM f)
+SELECT doc_id, f_stopword, f_word_len, f_distinct, f_length,
+  round(1.0 / (1.0 + exp(-z)), 4) AS quality_prob,
+  round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+FROM z
+"""
+
+
+@q(
+    "q84_quality_classifier",
+    oracle=_classifier_oracle(),
+    description="fastText/CCNet-shape quality classifier: fixed-weight "
+    "logistic regression over per-document features (stopword ratio, "
+    "word length, lexical diversity, saturating length) — the model "
+    "lives in the closed form, so scoring 100 TB is one scan of pure "
+    "per-row JVM expressions, zero shuffle",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.classifier_scores(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q85_pack_efficiency",
+    oracle=rf"""
+WITH t AS (SELECT doc_id, source AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+p AS (SELECT doc_id, shard, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t),
+packed AS (SELECT shard, n_tokens,
+             CAST(floor(prefix / {cp.PACK_BUDGET}) AS BIGINT) AS bin_id,
+             CAST(prefix % {cp.PACK_BUDGET} AS BIGINT) AS bin_offset
+           FROM p)
+SELECT shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  round(sum(n_tokens) / CAST((max(bin_id) + 1) * {cp.PACK_BUDGET} AS DOUBLE),
+        4) AS fill_frac,
+  CAST(sum(CASE WHEN bin_offset + n_tokens > {cp.PACK_BUDGET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_spill_docs,
+  round(sum(CASE WHEN bin_offset + n_tokens > {cp.PACK_BUDGET}
+            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS spill_frac
+FROM packed GROUP BY shard
+""",
+    description="packing-efficiency audit over q50's bins: per-shard "
+    "fill fraction and boundary-spill rate (the padding-waste / "
+    "truncation feedback metric for context-window budget tuning) — "
+    "exact integer aggregates at shard granularity, model-sized output",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.pack_efficiency(
+        T(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
+@q(
+    "q86_language_mix",
+    oracle="""
+WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source, lang),
+tot AS (SELECT source, sum(n_docs) AS t FROM cells GROUP BY source),
+sh AS (SELECT c.source, c.lang, c.n_docs,
+         round(c.n_docs / CAST(t.t AS DOUBLE), 4) AS share
+       FROM cells c JOIN tot t USING (source)),
+ent AS (SELECT source,
+          round(CAST(sum(CAST(CASE WHEN share > 0
+                  THEN round(-share * ln(share), 6) ELSE 0.0 END
+                AS DECIMAL(28,6))) AS DOUBLE), 4) AS source_lang_entropy
+        FROM sh GROUP BY source)
+SELECT sh.source, sh.lang, sh.n_docs, sh.share, ent.source_lang_entropy
+FROM sh JOIN ent USING (source)
+""",
+    description="per-source language-composition audit: share of every "
+    "(source, lang) cell + the source's language entropy (crawl gone "
+    "monolingual / language-ID regression detector) — one aggregate to "
+    "a model-sized frame; entropy terms sum as DECIMAL (exact, "
+    "order-independent — the q78 trick)",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.language_mix(T(spark, sf_dir, "documents"), "source", "lang")
+
+
+@q(
+    "q87_ngram_novelty",
+    oracle=_WORDS_CTE
+    + r"""
+, g AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            generate_series(1, len(w) - 4),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4]))) AS gr
+        FROM d WHERE len(w) >= 5),
+fs AS (SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY gr),
+per AS (SELECT g.doc_id,
+          CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+        FROM g JOIN fs USING (gr) GROUP BY g.doc_id)
+SELECT d.doc_id,
+  COALESCE(per.n_grams, 0) AS n_grams,
+  COALESCE(per.n_novel, 0) AS n_novel,
+  round(per.n_novel / CAST(per.n_grams AS DOUBLE), 4) AS novelty
+FROM d LEFT JOIN per USING (doc_id)
+""",
+    description="per-document 5-gram novelty: fraction of a document's "
+    "distinct word 5-grams first seen (min doc id) in that document — "
+    "the memorization/boilerplate lens dual to q66; aggregates to "
+    "VOCABULARY granularity and joins back on the unique gram key "
+    "(the q60/q76 shape), no self-join",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.ngram_novelty(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q88_quantization_audit",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+elems AS (SELECT v.vec_id, u.i AS pos, e[u.i] AS x
+          FROM v CROSS JOIN LATERAL unnest(range(1, len(e) + 1)) u(i)),
+dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM elems GROUP BY pos),
+qz AS (SELECT elems.vec_id, x, mn, mx,
+         CASE WHEN mx > mn
+              THEN floor((x - mn) / (mx - mn) * 255 + 0.5)
+              ELSE 0 END AS code
+       FROM elems JOIN dims USING (pos)),
+r AS (SELECT vec_id, code,
+        (CASE WHEN mx > mn THEN code / 255 * (mx - mn) + mn
+              ELSE mn END) - x AS err
+      FROM qz)
+SELECT vec_id,
+  CAST(sum(code) AS BIGINT) AS code_sum,
+  round(sum(err * err) / count(*), 10) AS mse,
+  round(max(abs(err)), 8) AS max_abs_err
+FROM r GROUP BY vec_id
+""",
+    description="8-bit scalar-quantization audit (FAISS SQ8 recipe): "
+    "per-dimension corpus ranges aggregate the posexploded corpus to "
+    "DIM rows and return as one literal (model-sized collect, like "
+    "the IVF centroids); quantize/dequantize/reconstruction-error are "
+    "then pure per-row array folds — floor(x+0.5) so rounding-mode "
+    "differences can never flip a code",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.quantization_audit(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+BM25_QUERY_TERMS = ("spark", "hash", "window")
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = lm.BM25_K1, lm.BM25_B
+    return rf"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+totals AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+tf AS (SELECT doc_id,
+         unnest(list_filter(w, x -> list_contains([{terms}], x))) AS term
+       FROM d),
+tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tf GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df_t
+          FROM tfc GROUP BY term),
+sc AS (SELECT tfc.doc_id,
+         CAST(round(
+           ln(1.0 + (n_corpus - df_t + 0.5) / (df_t + 0.5))
+           * (tf * {k1 + 1.0}) / (tf + {k1} * ({1.0 - b} + {b} * dl
+                                               / (sum_dl / n_corpus))), 6)
+         AS DECIMAL(28,6)) AS term_score
+       FROM tfc JOIN dfreq USING (term) JOIN lens USING (doc_id)
+       CROSS JOIN totals),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+          round(CAST(sum(term_score) AS DOUBLE), 4) AS bm25
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, n_terms_matched, bm25,
+  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+FROM per ORDER BY bm25 DESC, doc_id LIMIT {k}
+"""
+
+
+@q(
+    "q89_bm25_search",
+    oracle=_bm25_oracle(10),
+    description="Okapi BM25 top-10 retrieval for a fixed term set "
+    "(decontamination-lookup / retrieval-curation primitive): token "
+    "stream filtered to the query terms BEFORE any shuffle, model "
+    "totals broadcast, per-document scores sum rounded DECIMAL terms "
+    "(order-independent), top-k via TakeOrderedAndProject",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.bm25_topk(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        BM25_QUERY_TERMS, k=10,
+    )

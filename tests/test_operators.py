@@ -1383,3 +1383,137 @@ def test_gopher_stopwords_distinct_and_case_insensitive(spark):
     out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
     assert not out[1]["stopwords_ok"] and out[1]["n_stopwords"] == 1
     assert out[2]["stopwords_ok"] and out[2]["n_stopwords"] == 2
+
+
+# ----------------------------------------------- round-5 session B ops
+
+
+def test_knn_graph_symmetry_and_k(spark):
+    from lynx_spark.operators.similarity import knn_graph
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0] + [0.0] * 61),
+        (2, [0.99, 0.1, 0.0] + [0.0] * 61),  # near 1
+        (3, [0.0, 1.0, 0.0] + [0.0] * 61),
+        (4, [0.0, 0.98, 0.2] + [0.0] * 61),  # near 3
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = knn_graph(df, "vec_id", "embedding", k=2).collect()
+    by_src = {}
+    for r in rows:
+        assert r["src"] != r["nbr"]  # no self edges
+        assert r["rnk"] <= 2
+        by_src.setdefault(r["src"], []).append(r)
+    # near pairs find each other in both directions with equal score
+    s12 = [r for r in by_src.get(1, []) if r["nbr"] == 2]
+    s21 = [r for r in by_src.get(2, []) if r["nbr"] == 1]
+    assert s12 and s21 and s12[0]["cos_sim"] == s21[0]["cos_sim"]
+    assert s12[0]["cos_sim"] > 0.99
+
+
+def test_classifier_scores_monotone_in_stopwords(spark):
+    from lynx_spark.operators.quality import classifier_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the a an of and to in is on for it as the a an of"),
+            (2, "xylophone quartz vortex jumble kraken nimbus zephyr"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in classifier_scores(df, "doc_id", "text").collect()}
+    assert rows[1]["f_stopword"] > rows[2]["f_stopword"]
+    assert rows[1]["quality_prob"] > rows[2]["quality_prob"]
+    for r in rows.values():
+        assert 0.0 <= r["quality_prob"] <= 1.0
+        assert r["keep"] == (r["quality_prob"] >= 0.5)
+
+
+def test_pack_efficiency_exact_fixture(spark):
+    from lynx_spark.operators.corpus import pack_efficiency
+
+    # budget 4: shard s gets docs of 3,3,2 tokens -> bins 0,0,1;
+    # doc 2 starts at offset 3 and spills past the bin boundary
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s"),
+            (2, "d e f", "s"),
+            (3, "g h", "s"),
+        ],
+        ["doc_id", "text", "shard"],
+    )
+    row = pack_efficiency(df, "doc_id", "text", "shard", budget=4).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["n_bins"] == 2  # prefixes 0,3,6 -> bins 0,0,1
+    assert row["total_tokens"] == 8
+    assert row["n_spill_docs"] == 1  # doc 2: offset 3 + 3 > 4
+    assert row["fill_frac"] == 1.0  # 8 tokens over 2 bins x 4 budget
+
+
+def test_ngram_novelty_copy_and_short_doc(spark):
+    from lynx_spark.operators.corpus import ngram_novelty
+
+    base = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "tiny doc")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text").collect()}
+    assert rows[1]["novelty"] == 1.0  # first occurrence of every gram
+    assert rows[2]["novelty"] == 0.0  # exact restatement
+    assert rows[3]["n_grams"] == 0 and rows[3]["novelty"] is None
+
+
+def test_quantization_audit_bounds_and_constant_dim(spark):
+    from lynx_spark.operators.similarity import quantization_audit
+
+    vecs = [
+        (1, [0.0, 5.0, 1.0]),
+        (2, [1.0, 5.0, 0.0]),  # dim 1 constant across corpus
+        (3, [0.5, 5.0, 0.25]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = quantization_audit(df, "vec_id", "embedding").collect()
+    for r in rows:
+        # 8-bit affine: error bounded by half a quantization step of
+        # the widest dimension (range 1.0 here)
+        assert r["max_abs_err"] <= 1.0 / 255 / 2 + 1e-12
+        assert r["mse"] >= 0.0
+    # the constant dimension contributes code 0 / zero error: a vector
+    # sitting exactly on dim mins has code_sum 0
+    r1 = {r["vec_id"]: r for r in rows}
+    assert r1[1]["code_sum"] == 0 + 255  # dim0 at min, dim1 const, dim2 at max
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from lynx_spark.operators.lm import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark hash window spark"),
+            (2, "spark filler filler filler filler filler filler"),
+            (3, "no relevant terms here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, "doc_id", "text", ("spark", "hash", "window"), k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1  # densest doc wins
+    assert 3 not in ids  # zero-match docs never appear
+    assert rows[0]["n_terms_matched"] == 3
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_language_mix_entropy_extremes(spark):
+    from lynx_spark.operators.quality import language_mix
+
+    df = spark.createDataFrame(
+        [("a", "en"), ("a", "en"), ("b", "en"), ("b", "de")],
+        ["source", "lang"],
+    )
+    rows = language_mix(df, "source", "lang").collect()
+    ent = {r["source"]: r["source_lang_entropy"] for r in rows}
+    assert ent["a"] == 0.0  # monolingual
+    assert abs(ent["b"] - 0.6931) < 1e-3  # ln 2: 50/50 split
+    shares = sorted(r["share"] for r in rows if r["source"] == "b")
+    assert shares == [0.5, 0.5]
