@@ -54,6 +54,10 @@ HEADLINE = [
     "q72_chunk_documents",
     "q76_tfidf_terms",
     "q77_sketch_audit",
+    # session B flagships: corpus-wide kNN graph (the heaviest new
+    # shape) + BM25 retrieval (filtered-stream aggregation)
+    "q83_knn_graph",
+    "q89_bm25_search",
 ]
 
 
@@ -75,7 +79,7 @@ def main() -> None:
     # 2-3s runtimes swing +-25% at 3 reps on this harness
     HEAVY_REPS = {"q22_ngram_jaccard", "q23_minhash_lsh", "q24_cosine_topk",
                   "q25_ann_lsh", "q30_simhash", "q66_duplicated_windows",
-                  "q77_sketch_audit"}
+                  "q77_sketch_audit", "q83_knn_graph"}
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

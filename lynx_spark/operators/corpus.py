@@ -589,11 +589,17 @@ def ngram_novelty(
     restates earlier text. Documents shorter than ``n`` words emit
     n_grams = 0 and NULL novelty (no gram evidence either way).
 
-    Scale shape: the gram table aggregates to VOCABULARY granularity
-    (min doc id per distinct gram — the q60/q76 shape: vocabulary
-    grows sub-linearly in the corpus), joins back on the unique gram
-    key, and re-aggregates to one row per document. Two key-bounded
-    shuffles, no self-join, no window over the corpus."""
+    Scale shape: ONE exchange partitions the gram stream by gram; the
+    per-gram minimum doc id is a window over that partitioning (an
+    unbounded MIN needs no sort — Spark plans a partition-wide frame),
+    so no vocabulary table materializes and no join back is needed
+    (an earlier groupBy+join form scanned the corpus twice and cost
+    three extra exchanges — plan-audited); one further groupBy
+    re-aggregates to document granularity. No self-join, no
+    corpus-wide window — the partition key is the gram, whose
+    cardinality grows with vocabulary, not corpus size."""
+    from pyspark.sql.window import Window
+
     d = ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("doc_id"),
         _words(text_col).alias("w"),
@@ -602,9 +608,11 @@ def ngram_novelty(
         "doc_id",
         F.explode(F.array_distinct(_shingle_expr(F.col("w"), n))).alias("g"),
     )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    first_seen = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+    )
     per_doc = (
-        grams.join(first_seen, "g")
+        first_seen
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),

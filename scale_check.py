@@ -65,6 +65,16 @@ QUERIES = [
     "q76_tfidf_terms",
     "q77_sketch_audit",
     "q78_centroid_audit",
+    # session B: kNN graph (banded self-pairs over replicated
+    # embeddings — THE quadratic-risk shape), novelty (gram-keyed
+    # window with hot keys under replication), quantization audit
+    # (posexplode agg + literal), BM25 (filtered token stream),
+    # classifier (pure per-row)
+    "q83_knn_graph",
+    "q84_quality_classifier",
+    "q87_ngram_novelty",
+    "q88_quantization_audit",
+    "q89_bm25_search",
 ]
 
 
