@@ -643,3 +643,66 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered pair of
+    distinct sources (a < b), how many distinct ``window``-word
+    shingle hashes appear in BOTH — the corpus-level view of
+    exact-substring duplication (q66 reports per-document fractions;
+    this reports WHICH domains share content, the mirror-site /
+    syndication detector that decides whether two crawl sources
+    should be deduped against each other).
+
+    Scale shape: the shingle stream collapses to distinct
+    (hash, source) rows FIRST (one aggregation — md5 window hashes
+    are near-unique, so this is the big-but-linear step; md5 because
+    the DuckDB oracle computes the identical digest), then the
+    per-hash source set (bounded by the number of sources, not the
+    corpus) expands to source pairs via codegen array expressions —
+    no self-join on the hash key, no quadratic term anywhere: output
+    and intermediate are both bounded by sources², a model-sized
+    frame."""
+    d = ensure_parallelism(df).select(
+        F.col(source_col).alias("source"),
+        _words(text_col).alias("w"),
+    )
+    hashes = d.filter(F.size("w") >= window).select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _shingle_expr(F.col("w"), window),
+                    lambda s: F.md5(s),
+                )
+            )
+        ).alias("h"),
+    )
+    per_hash = hashes.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = per_hash.filter(F.size("srcs") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("srcs"), i + F.lit(2), F.size("srcs")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_windows"))
+    )

@@ -732,3 +732,46 @@ def quantization_audit(
         ).alias("max_abs_err"),
     )
     return quant
+
+
+def dimension_stats(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-dimension embedding distribution audit: mean, standard
+    deviation, min/max and a zero-variance flag for every dimension —
+    the whitening/anisotropy pre-check (a dead dimension means a
+    truncated encoder; wildly uneven variances mean the corpus needs
+    whitening before cosine retrieval; a non-zero mean vector is the
+    classic anisotropy symptom that inflates all cosines).
+
+    Shape: ONE aggregation of the posexploded corpus to DIM rows —
+    model-sized output, map-side partials absorb the explosion.
+    Means/variances accumulate rounded DECIMAL terms (exact,
+    order-independent addition — the q78 trick), so any
+    partial-aggregation schedule in either engine matches bit-for-bit;
+    variance uses the two-pass-free E[x²]−E[x]² form on those exact
+    sums."""
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    elems = vecs.select(F.posexplode("v").alias("pos", "x"))
+    sx = F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).cast("double")
+    sxx = F.sum(
+        F.round(F.col("x") * F.col("x"), 10).cast("decimal(28,10)")
+    ).cast("double")
+    n = F.count("*")
+    mean = sx / n
+    var = sxx / n - mean * mean
+    return (
+        elems.groupBy(F.col("pos").cast("long").alias("dim"))
+        .agg(
+            n.cast("long").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            # tiny negative var from rounding folds to 0 before sqrt
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+            F.round(F.min("x"), 6).alias("min_val"),
+            F.round(F.max("x"), 6).alias("max_val"),
+            (F.max("x") == F.min("x")).alias("is_constant"),
+        )
+    )

@@ -81,35 +81,13 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
-    "q83_knn_graph",
-    "q84_quality_classifier",
-    "q85_pack_efficiency",
-    "q86_language_mix",
-    "q87_ngram_novelty",
-    "q88_quantization_audit",
-    "q89_bm25_search",
-    "q31d_video_meta",
+    # round-5 REWRITES of already-green queries (history can't detect
+    # these — keep until their post-rewrite CORRECTNESS row lands):
+    # minhash decorrelation touched q23/q57/q58/q59, PII progressive
+    # counts q63, the r04 oracle guard q64, SimHash full oracle q30,
+    # image-dims path q31. Never-sampled queries need no entry here —
+    # _never_driver_green() auto-promotes them from the history files.
     "q30_simhash",
-    "q81_lsh_recall",
-    "q82_source_dedup_stats",
-    "q79_length_histogram",
-    "q80_zipf_audit",
-    "q78_centroid_audit",
-    "q76_tfidf_terms",
-    "q77_sketch_audit",
-    "q75_token_budget",
-    "q72_chunk_documents",
-    "q73_domain_sample",
-    "q74_best_survivors",
-    "q71_ccnet_buckets",
-    "q70_semdedup",
-    "q65_frequent_ngrams",
-    "q66_duplicated_windows",
-    "q67_decontaminate",
-    "q68_temperature_mixture",
-    "q69_gopher_filter",
-    "q31b_media_dims",
-    "q31c_audio_meta",
     "q23_minhash_lsh",
     "q57_incremental_minhash",
     "q58_dedup_clusters",
@@ -120,11 +98,39 @@ _VERIFY_FIRST = [
 ]
 
 
+def _never_driver_green() -> list[str]:
+    """Registry names with no green row in any CORRECTNESS_r*.json at
+    the repo root — auto-promoted ahead of everything else so the
+    driver's prefix-biased ~50-query sample always verifies new
+    queries without anyone hand-maintaining the list (the manual
+    _VERIFY_FIRST remains for re-verifying REWRITTEN queries, which
+    history can't detect). Best-effort: missing/unreadable history
+    files mean nothing auto-promotes."""
+    import json
+    from pathlib import Path
+
+    green: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    try:
+        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+            try:
+                data = json.loads(f.read_text())
+            except (OSError, ValueError):
+                continue
+            for name, row in data.items():
+                if isinstance(row, dict) and row.get("rows_match"):
+                    green.add(name)
+    except OSError:
+        return []
+    return [n for n in REGISTRY if n not in green]
+
+
 def _ordered() -> dict[str, QuerySpec]:
     unknown = set(_VERIFY_FIRST) - REGISTRY.keys()
     assert not unknown, f"_VERIFY_FIRST names not in REGISTRY: {sorted(unknown)}"
-    front = [n for n in _VERIFY_FIRST if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in _VERIFY_FIRST]
+    auto = [n for n in _never_driver_green() if n not in _VERIFY_FIRST]
+    front = auto + [n for n in _VERIFY_FIRST if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in front]
     return {n: REGISTRY[n] for n in front + rest}
 
 
@@ -3338,4 +3344,68 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bm25_topk(
         T(spark, sf_dir, "documents"), "doc_id", "text",
         BM25_QUERY_TERMS, k=10,
+    )
+
+
+@q(
+    "q90_dimension_stats",
+    oracle="""
+WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+elems AS (SELECT u.i - 1 AS dim, e[u.i] AS x
+          FROM v CROSS JOIN LATERAL unnest(range(1, len(e) + 1)) u(i)),
+agg AS (SELECT dim,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(round(x * x, 10) AS DECIMAL(28,10))) AS DOUBLE)
+            AS sxx,
+          min(x) AS mn, max(x) AS mx
+        FROM elems GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+  round(sx / n, 6) AS mean,
+  round(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)), 6) AS std,
+  round(mn, 6) AS min_val,
+  round(mx, 6) AS max_val,
+  mx = mn AS is_constant
+FROM agg
+""",
+    description="per-dimension embedding distribution audit (dead "
+    "dimensions, whitening variances, anisotropy means): ONE "
+    "aggregation of the posexploded corpus to DIM rows, decimal-"
+    "accumulated sums so any partial-aggregation schedule matches",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.dimension_stats(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+@q(
+    "q91_source_overlap",
+    oracle=_WORDS_CTE
+    + r"""
+, g AS (SELECT DISTINCT source,
+          unnest(list_distinct(list_transform(
+            generate_series(1, len(w) - 7),
+            i -> md5(array_to_string(w[i:i+7], ' '))))) AS h
+        FROM d WHERE len(w) >= 8),
+per_hash AS (SELECT h, list_sort(list(DISTINCT source)) AS srcs
+             FROM g GROUP BY h),
+pairs AS (SELECT u1.a AS source_a, u2.b AS source_b
+          FROM per_hash
+          CROSS JOIN LATERAL unnest(srcs) u1(a)
+          CROSS JOIN LATERAL unnest(srcs) u2(b)
+          WHERE u1.a < u2.b AND len(srcs) >= 2)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_windows
+FROM pairs GROUP BY source_a, source_b
+""",
+    description="cross-source contamination matrix: distinct 8-word "
+    "window hashes shared by every source pair (mirror-site / "
+    "syndication detector at corpus level — q66's per-document dual); "
+    "hash stream collapses to distinct (hash, source) first, per-hash "
+    "source sets expand to pairs via array exprs — intermediates "
+    "bounded by sources², never a hash self-join",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.source_overlap_matrix(
+        T(spark, sf_dir, "documents"), "doc_id", "text", "source"
     )

@@ -1517,3 +1517,35 @@ def test_language_mix_entropy_extremes(spark):
     assert abs(ent["b"] - 0.6931) < 1e-3  # ln 2: 50/50 split
     shares = sorted(r["share"] for r in rows if r["source"] == "b")
     assert shares == [0.5, 0.5]
+
+
+def test_dimension_stats_dead_dim_and_anisotropy(spark):
+    from lynx_spark.operators.similarity import dimension_stats
+
+    vecs = [
+        (1, [1.0, 7.0, 0.0]),
+        (2, [3.0, 7.0, 4.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = {r["dim"]: r for r in dimension_stats(df, "vec_id", "embedding").collect()}
+    assert rows[1]["is_constant"] and rows[1]["std"] == 0.0
+    assert not rows[0]["is_constant"]
+    assert rows[0]["mean"] == 2.0 and rows[0]["std"] == 1.0
+    assert rows[2]["min_val"] == 0.0 and rows[2]["max_val"] == 4.0
+
+
+def test_source_overlap_matrix_shared_and_disjoint(spark):
+    from lynx_spark.operators.corpus import source_overlap_matrix
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-window
+    df = spark.createDataFrame(
+        [
+            (1, shared + " iota", "s1"),     # windows include the shared one
+            (2, shared, "s2"),               # exactly the shared window
+            (3, "totally different words with no overlap at all here", "s3"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = source_overlap_matrix(df, "doc_id", "text", "source").collect()
+    pairs = {(r["source_a"], r["source_b"]): r["shared_windows"] for r in rows}
+    assert pairs == {("s1", "s2"): 1}  # s3 shares nothing; pair is ordered
