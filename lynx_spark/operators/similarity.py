@@ -148,18 +148,29 @@ def cosine_dedup_pairs(
             F.col(id_col).cast("long").alias("nid"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     vecs = vecs.persist()
     vecs.count()  # eager: see lsh_ann_topk
     cands = banded_self_pairs(
         vecs, "nid", [f"bucket{t}" for t in range(NUM_TABLES)], max_bucket
     )
-    va = vecs.select(F.col("nid").alias("a_id"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("nid").alias("b_id"), F.col("v").alias("vb"))
+    va = vecs.select(
+        F.col("nid").alias("a_id"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = vecs.select(
+        F.col("nid").alias("b_id"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         cands.join(va, "a_id")
         .join(vb, "b_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 5))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
@@ -180,13 +191,23 @@ def cosine_topk(
     vecs = ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     queries = vecs.filter(F.col("nid") < max_query_id).select(
-        F.col("nid").alias("qid"), F.col("v").alias("qv")
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
+    # norms fold ONCE per vector (corpus side) and once per query
+    # (rides the broadcast); a pair costs one dot fold, not three —
+    # bit-identical to cosine(): the norm is the same double either way
     scored = (
         vecs.join(F.broadcast(queries), F.col("qid") != F.col("nid"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 5))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 5
+            ),
+        )
         .select("qid", "nid", "cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
@@ -214,15 +235,16 @@ def lsh_ann_topk(
             F.col(id_col).cast("long").alias("nid"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     # the bucketed table feeds NUM_TABLES join branches + the re-rank
-    # join; persist (eagerly) so the hyperplane transform runs once
-    # per vector and parallel branches read the cache instead of racing
+    # join; persist (eagerly) so the hyperplane transform + norm run
+    # once per vector and parallel branches read the cache
     vecs = vecs.persist()
     vecs.count()
     queries = vecs.filter(F.col("nid") < max_query_id).select(
         F.col("nid").alias("qid"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(NUM_TABLES)],
     )
     # one join on the exploded (table, bucket) key instead of
@@ -240,9 +262,14 @@ def lsh_ann_topk(
         .distinct()
     )
     scored = (
-        cands.join(vecs.select("nid", "v"), "nid")
-        .join(F.broadcast(queries.select("qid", "qv")), "qid")
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 5))
+        cands.join(vecs.select("nid", "v", "nrm"), "nid")
+        .join(F.broadcast(queries.select("qid", "qv", "qn")), "qid")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 5
+            ),
+        )
         .select("qid", "nid", "cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
@@ -475,18 +502,25 @@ def semdedup_pairs(
     centroids = train_ivf_centroids(vecs, n_centroids, iters)
     assigned = vecs.withColumn(
         "cid", _ivf_assign(F.col("v"), centroids)
-    ).persist()
+    ).withColumn("nrm", norm(F.col("v"))).persist()
     assigned.count()  # eager: both sides of the self-join read it
     a = assigned.select(
-        F.col("cid"), F.col("nid").alias("a_id"), F.col("v").alias("va")
+        F.col("cid"), F.col("nid").alias("a_id"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        F.col("cid"), F.col("nid").alias("b_id"), F.col("v").alias("vb")
+        F.col("cid"), F.col("nid").alias("b_id"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, "cid")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 5))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
