@@ -706,3 +706,57 @@ def source_overlap_matrix(
         )
         .agg(F.count("*").cast("long").alias("shared_windows"))
     )
+
+
+def pack_materialize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    budget: int = PACK_BUDGET,
+    eos: str = " <eos> ",
+) -> DataFrame:
+    """Materialize ``pack_sequences``'s bin assignment into actual
+    training rows: one row per (shard, bin) with the member documents
+    concatenated in id order behind ``eos`` separators — the final
+    step that turns a curated corpus into fixed-budget context-window
+    rows ready for tokenization.
+
+    Shape: the same per-shard packing window as q50 (documents keep
+    their text through it), then ONE aggregation to (shard, bin)
+    granularity: members collect as (doc_id, text) structs, sort by
+    the struct's leading doc_id (deterministic regardless of
+    accumulation order), and join behind ``eos``. The collected array
+    is bounded by the bin budget — a bin holds at most
+    ``budget``-ish tokens by construction, so the per-group state is
+    context-window-sized, never corpus-sized (the one long document
+    that spills past the budget is still a single member)."""
+    tokens = F.size(_words(text_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    assigned = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(shard_col).alias("shard"),
+            F.col(text_col).alias("_t"),
+            tokens.cast("long").alias("n_tokens"),
+        )
+        .withColumn("bin_id", F.floor(prefix / budget).cast("long"))
+    )
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("_t").alias("t")))
+    )
+    return (
+        assigned.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(members, lambda m: m.getField("t")), eos
+            ).alias("packed_text"),
+        )
+    )

@@ -3409,3 +3409,32 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.source_overlap_matrix(
         T(spark, sf_dir, "documents"), "doc_id", "text", "source"
     )
+
+
+@q(
+    "q92_pack_materialize",
+    oracle=rf"""
+WITH t AS (SELECT doc_id, source AS shard, text,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+p AS (SELECT doc_id, shard, text, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t)
+SELECT shard,
+  CAST(floor(prefix / {cp.PACK_BUDGET}) AS BIGINT) AS bin_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
+FROM p GROUP BY shard, CAST(floor(prefix / {cp.PACK_BUDGET}) AS BIGINT)
+""",
+    description="bin materialization: q50's packing window carried "
+    "through to one row per (shard, bin) with member texts joined in "
+    "doc-id order behind <eos> — per-group state bounded by the bin "
+    "budget (context-window-sized), one window + one aggregation",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.pack_materialize(
+        T(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )

@@ -1549,3 +1549,21 @@ def test_source_overlap_matrix_shared_and_disjoint(spark):
     rows = source_overlap_matrix(df, "doc_id", "text", "source").collect()
     pairs = {(r["source_a"], r["source_b"]): r["shared_windows"] for r in rows}
     assert pairs == {("s1", "s2"): 1}  # s3 shares nothing; pair is ordered
+
+
+def test_pack_materialize_order_and_budget(spark):
+    from lynx_spark.operators.corpus import pack_materialize
+
+    df = spark.createDataFrame(
+        [
+            (2, "c d", "s"),
+            (1, "a b", "s"),
+            (3, "e f", "s"),
+        ],
+        ["doc_id", "text", "shard"],
+    )
+    rows = {r["bin_id"]: r for r in
+            pack_materialize(df, "doc_id", "text", "shard", budget=4).collect()}
+    assert rows[0]["packed_text"] == "a b <eos> c d"  # id order, not input order
+    assert rows[0]["n_docs"] == 2 and rows[0]["n_tokens"] == 4
+    assert rows[1]["packed_text"] == "e f"
