@@ -375,3 +375,58 @@ def bm25_topk(
     return topk.withColumn("rnk", F.row_number().over(w).cast("long")).select(
         "doc_id", "n_terms_matched", "bm25", "rnk"
     )
+
+
+RRF_K = 60  # the canonical reciprocal-rank-fusion constant
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    ranked candidate lists — the standard hybrid-retrieval combiner
+    (sparse BM25 ⊕ dense embedding ranks): score(d) = Σ 1/(rrf_k +
+    rank_i(d)) over the lists containing d. Rank-based, so the two
+    systems' incomparable score scales never mix.
+
+    Inputs carry (``id_col``, ``rnk``) — the shape every top-k
+    operator here emits. A full outer join on the id aligns the
+    lists (both sides are top-k results — model-sized, the join is
+    trivially broadcastable at any corpus scale); absent ranks
+    contribute zero. Deterministic: doubles 1/(k+r) are exact
+    functions of integer ranks, identical in both engines; final
+    order by (score desc, id)."""
+    a = ranked_a.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col("rnk").alias("_ra"),
+    )
+    b = ranked_b.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col("rnk").alias("_rb"),
+    )
+    fused = (
+        a.join(b, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_ra").alias("rank_sparse"),
+            F.col("_rb").alias("rank_dense"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("_ra")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("_rb")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    topk = fused.orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -3438,3 +3438,85 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.pack_materialize(
         T(spark, sf_dir, "documents"), "doc_id", "text", "source"
     )
+
+
+def _hybrid_oracle(k_each: int = 50, k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = lm.BM25_K1, lm.BM25_B
+    return rf"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+totals AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+tf AS (SELECT doc_id,
+         unnest(list_filter(w, x -> list_contains([{terms}], x))) AS term
+       FROM d),
+tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tf GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df_t
+          FROM tfc GROUP BY term),
+sc AS (SELECT tfc.doc_id,
+         CAST(round(
+           ln(1.0 + (n_corpus - df_t + 0.5) / (df_t + 0.5))
+           * (tf * {k1 + 1.0}) / (tf + {k1} * ({1.0 - b} + {b} * dl
+                                               / (sum_dl / n_corpus))), 6)
+         AS DECIMAL(28,6)) AS term_score
+       FROM tfc JOIN dfreq USING (term) JOIN lens USING (doc_id)
+       CROSS JOIN totals),
+sparse AS (SELECT doc_id,
+             round(CAST(sum(term_score) AS DOUBLE), 4) AS bm25
+           FROM sc GROUP BY doc_id
+           ORDER BY bm25 DESC, doc_id LIMIT {k_each}),
+sparse_r AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS BIGINT) AS rnk
+             FROM sparse),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dp AS (SELECT q.vec_id AS qid, n.vec_id AS nid, q.e AS qe, n.e AS ne
+       FROM v q JOIN v n ON q.vec_id < 1 AND n.vec_id <> q.vec_id),
+elems AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y FROM dp),
+sums AS (SELECT qid, nid,
+           round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5)
+             AS cos_sim
+         FROM elems GROUP BY qid, nid),
+dense_r AS (SELECT nid AS doc_id, rnk FROM (
+              SELECT nid, cos_sim,
+                CAST(row_number() OVER (ORDER BY cos_sim DESC, nid)
+                     AS BIGINT) AS rnk
+              FROM sums) WHERE rnk <= {k_each}),
+fused AS (SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+            s.rnk AS rank_sparse, de.rnk AS rank_dense,
+            round(COALESCE(1.0 / ({lm.RRF_K} + s.rnk), 0.0)
+                  + COALESCE(1.0 / ({lm.RRF_K} + de.rnk), 0.0), 6)
+              AS rrf_score
+          FROM sparse_r s FULL OUTER JOIN dense_r de
+            ON s.doc_id = de.doc_id),
+topk AS (SELECT * FROM fused
+         ORDER BY rrf_score DESC, doc_id LIMIT {k})
+SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+    AS rnk
+FROM topk
+"""
+
+
+@q(
+    "q93_hybrid_search",
+    oracle=_hybrid_oracle(),
+    description="hybrid retrieval: BM25 top-50 (sparse) fused with "
+    "embedding-cosine top-50 for query vector 0 (dense) via "
+    "reciprocal-rank fusion (Cormack 2009, k=60) — rank-based so the "
+    "two score scales never mix; both inputs are model-sized top-k "
+    "frames, the fusion join is trivially broadcastable",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sparse = lm.bm25_topk(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        BM25_QUERY_TERMS, k=50,
+    ).select("doc_id", "rnk")
+    dense = sim.cosine_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        max_query_id=1, k=50,
+    ).select(F.col("nid").alias("doc_id"), "rnk")
+    return lm.rrf_fuse(sparse, dense, "doc_id", k=10)

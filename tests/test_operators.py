@@ -1567,3 +1567,17 @@ def test_pack_materialize_order_and_budget(spark):
     assert rows[0]["packed_text"] == "a b <eos> c d"  # id order, not input order
     assert rows[0]["n_docs"] == 2 and rows[0]["n_tokens"] == 4
     assert rows[1]["packed_text"] == "e f"
+
+
+def test_rrf_fuse_overlap_and_singletons(spark):
+    from lynx_spark.operators.lm import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(20, 1), (30, 2)], ["doc_id", "rnk"])
+    rows = {r["doc_id"]: r for r in rrf_fuse(a, b, "doc_id", k=10).collect()}
+    # doc 20 appears in both lists -> highest fused score
+    assert rows[20]["rnk"] == 1
+    assert rows[20]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert rows[10]["rank_dense"] is None
+    assert rows[10]["rrf_score"] == round(1 / 61, 6)
+    assert rows[30]["rank_sparse"] is None
