@@ -368,6 +368,29 @@ def train_ivf_centroids(
     return centroids
 
 
+def save_ivf_index(spark, path: str, centroids: list[list[float]]) -> None:
+    """Persist a trained IVF coarse quantizer as parquet (cid,
+    centroid) rows — train once on a corpus sample, reuse across every
+    later query batch and session (the FAISS write_index analogue, and
+    the similarity-tier twin of the dedup fingerprint/signature
+    stores). The model is k×dim scalars; the parquet is bytes."""
+    rows = [(cid, list(map(float, c))) for cid, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cid INT, centroid ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> list[list[float]]:
+    """Load a persisted IVF quantizer back into the literal-embeddable
+    centroid list (sorted by cid — the order is part of the model:
+    cell ids must mean the same cell across sessions)."""
+    rows = spark.read.parquet(path).orderBy("cid").collect()
+    assert [r["cid"] for r in rows] == list(range(len(rows))), (
+        "IVF index corrupt: non-contiguous cell ids"
+    )
+    return [list(r["centroid"]) for r in rows]
+
+
 def ivf_ann_topk(
     df: DataFrame,
     id_col: str,
@@ -377,35 +400,54 @@ def ivf_ann_topk(
     n_centroids: int = IVF_K,
     iters: int = IVF_ITERS,
     nprobe: int = IVF_NPROBE,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k — the trained-quantizer alternative to the
     hyperplane LSH path: vectors partition into centroid cells, a query
     scans only its nprobe nearest cells, exact cosine re-ranks. At
     corpus scale the cell assignment is one codegen'd projection and
     candidates meet by cell-id equality — never a cross join; recall
-    is tuned by n_centroids/nprobe exactly like FAISS's IVF."""
+    is tuned by n_centroids/nprobe exactly like FAISS's IVF.
+
+    Pass ``centroids`` (e.g. from ``load_ivf_index``) to skip
+    training and query against a persisted quantizer — assignment and
+    probing are pure functions of the centroid list, so a loaded
+    model reproduces the trained-inline results exactly."""
     from pyspark.sql.window import Window
 
     vecs = ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    centroids = train_ivf_centroids(vecs, n_centroids, iters)
+    if centroids is None:
+        centroids = train_ivf_centroids(vecs, n_centroids, iters)
     # cell assignment feeds the candidate join and the re-rank
-    vecs = vecs.withColumn("cid", _ivf_assign(F.col("v"), centroids)).persist()
+    vecs = (
+        vecs.withColumn("cid", _ivf_assign(F.col("v"), centroids))
+        .withColumn("nrm", norm(F.col("v")))
+        .persist()
+    )
     vecs.count()
     queries = vecs.filter(F.col("nid") < max_query_id).select(
         F.col("nid").alias("qid"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.explode(
             _ivf_probe_cids(F.col("v"), centroids, nprobe)
         ).alias("cid"),
     )
+    # norms fold once per vector (see lsh_ann_topk) — a candidate
+    # costs one dot fold, bit-identical to cosine()
     scored = (
-        vecs.select("cid", "nid", "v")
+        vecs.select("cid", "nid", "v", "nrm")
         .join(F.broadcast(queries), "cid")
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 5))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 5
+            ),
+        )
         .select("qid", "nid", "cos_sim")
         .distinct()  # a pair may meet in several probed cells
     )

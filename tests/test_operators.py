@@ -1581,3 +1581,24 @@ def test_rrf_fuse_overlap_and_singletons(spark):
     assert rows[10]["rank_dense"] is None
     assert rows[10]["rrf_score"] == round(1 / 61, 6)
     assert rows[30]["rank_sparse"] is None
+
+
+def test_ivf_index_persist_roundtrip(spark, tmp_path):
+    from lynx_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = df.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    trained = sim.train_ivf_centroids(vecs)
+    path = str(tmp_path / "ivf_index")
+    sim.save_ivf_index(spark, path, trained)
+    loaded = sim.load_ivf_index(spark, path)
+    assert loaded == trained  # the model survives parquet bit-for-bit
+    inline = sim.ivf_ann_topk(df, "vec_id", "embedding", max_query_id=5).collect()
+    stored = sim.ivf_ann_topk(
+        df, "vec_id", "embedding", max_query_id=5, centroids=loaded
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, stored))
