@@ -31,6 +31,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -385,6 +387,107 @@ def cluster_document_stream(
 
     return (
         docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+#: the embedding ingest contract: stable id + fixed-dim vector
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def read_embedding_stream(spark: SparkSession, json_dir: str | Path) -> DataFrame:
+    return spark.readStream.schema(EMB_SCHEMA).json(str(json_dir))
+
+
+def embedding_stream_assign(
+    vecs: DataFrame,
+    index_path: str | Path,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    threshold: float = 0.95,
+):
+    """Streaming embedding ingestion against a PERSISTED IVF index
+    (similarity.save_ivf_index): per micro-batch, assign each vector
+    to its quantizer cell, flag near-duplicates against the committed
+    vector store (cosine ≥ ``threshold``, candidates restricted to
+    the SAME cell — the SemDeDup cluster-then-compare shape, bipartite
+    new×seen like the text near-dup tier), append matches under
+    ``<store>/vec_matches`` and the batch's assigned vectors under
+    ``<store>/vectors``. The continuous form of the embedding dedup /
+    ANN family: the index is trained once offline, every batch costs
+    one assignment projection plus one cell-keyed bipartite join
+    against the store — never a rescan, never new×new of prior
+    batches.
+
+    Exactly-once via the shared marker-commit machinery (a replayed
+    batch rebuilds exactly its own files; readers see only committed
+    batch directories)."""
+    from lynx_spark.operators import similarity as sim
+
+    root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
+    index_path = str(index_path)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        spark = batch.sparkSession
+        centroids = sim.load_ivf_index(spark, index_path)
+        assigned = (
+            batch.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+            .withColumn("cid", sim._ivf_assign(F.col("v"), centroids))
+            .withColumn("nrm", sim.norm(F.col("v")))
+            .persist()
+        )
+        assigned.count()  # eager: match join + store write share it
+        seen = _committed_store(spark, root, "vectors")
+        if seen is not None:
+            matches = (
+                assigned.alias("n")
+                .join(
+                    seen.drop("batch").alias("s"),
+                    F.col("n.cid") == F.col("s.cid"),
+                )
+                .withColumn(
+                    "cos_sim",
+                    F.round(
+                        sim.dot(F.col("n.v"), F.col("s.v"))
+                        / (F.col("n.nrm") * F.col("s.nrm")),
+                        5,
+                    ),
+                )
+                .filter(F.col("cos_sim") >= threshold)
+                .select(
+                    F.col("n.vec_id").alias("new_id"),
+                    F.col("s.vec_id").alias("seen_id"),
+                    "cos_sim",
+                )
+            )
+        else:
+            matches = spark.createDataFrame(
+                [], "new_id long, seen_id long, cos_sim double"
+            )
+        matches.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "vec_matches", batch_id))
+        )
+        assigned.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "vectors", batch_id))
+        )
+        assigned.unpersist()
+        _commit(root, batch_id, {"tier": "embedding"})
+
+    return (
+        vecs.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", str(checkpoint_dir))
         .trigger(availableNow=True)
         .start()

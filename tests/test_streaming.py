@@ -654,3 +654,66 @@ def test_store_refuses_foreign_checkpoint(spark, tmp_path):
     q.awaitTermination(120)
     with _pytest.raises(ValueError, match="bound to checkpoint"):
         dedup_document_stream(read_document_stream(spark, d), store, tmp_path / "ck2")
+
+
+def test_streaming_embedding_assign_against_persisted_index(spark, tmp_path):
+    """Two micro-batches of vectors assigned via a PERSISTED IVF
+    index: cell ids match the batch assignment, a batch-2 copy of a
+    batch-1 vector is flagged as a cross-batch near-dup (same cell,
+    cosine 1.0), and the store accumulates all committed vectors."""
+    from pyspark.sql import functions as F
+    from lynx_spark.operators import similarity as sim
+    from lynx_spark.streaming.incremental import embedding_stream_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    index_path = str(tmp_path / "ivf")
+    sim.save_ivf_index(spark, index_path, sim.train_ivf_centroids(vecs))
+
+    rows = [
+        (int(r["nid"]), [float(x) for x in r["v"]])
+        for r in vecs.orderBy("nid").limit(4).collect()
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"vec_id": i, "embedding": v}) for i, v in rows[:2]
+        )
+    )
+    # batch 2: one fresh vector + an exact copy of batch 1's first
+    (d / "b2.json").write_text(
+        "\n".join(
+            json.dumps({"vec_id": i, "embedding": v})
+            for i, v in [rows[2], (100, rows[0][1])]
+        )
+    )
+    from lynx_spark.streaming.incremental import EMB_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = embedding_stream_assign(stream, index_path, store, tmp_path / "ck")
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(str(store / "vectors"))
+    assert stored.count() == 4
+    # assignments match the batch-side pure function of the same index
+    centroids = sim.load_ivf_index(spark, index_path)
+    expect = {
+        r["nid"]: r["cid"]
+        for r in vecs.limit(4)
+        .withColumn("cid", sim._ivf_assign(F.col("v"), centroids))
+        .collect()
+    }
+    got = {r["vec_id"]: r["cid"] for r in stored.collect() if r["vec_id"] != 100}
+    assert got == {k: v for k, v in expect.items() if k in got}
+    matches = spark.read.parquet(str(store / "vec_matches"))
+    m = [(r["new_id"], r["seen_id"], r["cos_sim"]) for r in matches.collect()]
+    assert (100, rows[0][0], 1.0) in m  # the cross-batch exact copy
