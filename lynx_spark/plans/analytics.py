@@ -3520,3 +3520,59 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_query_id=1, k=50,
     ).select(F.col("nid").alias("doc_id"), "rnk")
     return lm.rrf_fuse(sparse, dense, "doc_id", k=10)
+
+
+@q(
+    "q94_image_features",
+    oracle="""
+WITH docs AS (SELECT doc_id,
+                8 + (doc_id * 3) % 24 AS w,
+                8 + (doc_id * 5) % 24 AS h,
+                doc_id % 251 AS s
+              FROM documents),
+px AS (SELECT doc_id, w, h, s, ux.x AS x, uy.y AS y
+       FROM docs
+       CROSS JOIN LATERAL unnest(range(0, w)) ux(x)
+       CROSS JOIN LATERAL unnest(range(0, h)) uy(y)),
+sums AS (SELECT doc_id, w, h,
+           sum((x * 7 + s) % 256) AS sr,
+           sum((y * 11 + s) % 256) AS sg,
+           sum(((x + y) * 13 + s) % 256) AS sb
+         FROM px GROUP BY doc_id, w, h),
+thumb AS (SELECT d.doc_id,
+            sum(  ((uj.j * d.w // 4) * 7 + d.s) % 256
+                + ((ui.i * d.h // 4) * 11 + d.s) % 256
+                + (((uj.j * d.w // 4) + (ui.i * d.h // 4)) * 13 + d.s) % 256
+            ) AS cks
+          FROM docs d
+          CROSS JOIN LATERAL unnest(range(0, 4)) ui(i)
+          CROSS JOIN LATERAL unnest(range(0, 4)) uj(j)
+          GROUP BY d.doc_id)
+SELECT s.doc_id, 'bmp' AS format,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  floor(CAST(sr AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_r,
+  floor(CAST(sg AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_g,
+  floor(CAST(sb AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_b,
+  CAST(t.cks AS BIGINT) AS resize4_checksum
+FROM sums s JOIN thumb t USING (doc_id)
+""",
+    description="image CONTENT check at PIXEL level: real 24-bit BMP "
+    "payloads (synthesized per doc_id with a closed-form pixel "
+    "pattern) decoded by the hand-written stdlib codec inside "
+    "Arrow-batched mapInPandas; per-channel means from exact integer "
+    "sums and a REAL 4×4 nearest-neighbor-resize checksum — the "
+    "oracle predicts every decoded-pixel statistic arithmetically, "
+    "so a green row proves decode, orientation, channel order AND "
+    "resize, not just headers",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.multimodal import (
+        bmp_payload_udf,
+        extract_image_features,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    payloads = docs.withColumn("payload", bmp_payload_udf("doc_id"))
+    return extract_image_features(payloads, "doc_id", "payload")

@@ -1602,3 +1602,50 @@ def test_ivf_index_persist_roundtrip(spark, tmp_path):
         df, "vec_id", "embedding", max_query_id=5, centroids=loaded
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, stored))
+
+
+def test_bmp_codec_padding_orientation_and_resize():
+    import numpy as np
+    from lynx_spark.operators import multimodal as mm
+
+    # odd width -> padded stride; exact pattern round-trip
+    b = mm.synthesize_bmp(10, 7, 42)
+    px = mm.decode_bmp_pixels(b)
+    assert px.shape == (7, 10, 3)
+    assert px[3, 4, 0] == (4 * 7 + 42) % 256      # r(x)
+    assert px[3, 4, 1] == (3 * 11 + 42) % 256     # g(y) — orientation
+    assert px[3, 4, 2] == ((4 + 3) * 13 + 42) % 256
+    assert (mm.decode_bmp_pixels(mm.encode_bmp(px)) == px).all()
+    # decode_image/resize_image take the real stdlib path for BMP
+    assert (mm.decode_image(b) == px).all()
+    out = mm.resize_image(b, 4, 4)
+    thumb = mm.decode_bmp_pixels(out)
+    assert thumb.shape == (4, 4, 3)
+    assert (thumb == mm.resize_nearest(px, 4, 4)).all()
+    # top-down (negative height) BMPs decode to the same orientation
+    neg = bytearray(mm.encode_bmp(px))
+    import struct as st
+    h = st.unpack_from("<i", neg, 22)[0]
+    st.pack_into("<i", neg, 22, -h)
+    body = np.frombuffer(bytes(neg[54:]), dtype=np.uint8).copy()
+    stride = (10 * 3 + 3) & ~3
+    flipped = body.reshape(7, stride)[::-1].copy()
+    neg = bytes(neg[:54]) + flipped.tobytes()
+    assert (mm.decode_bmp_pixels(neg) == px).all()
+
+
+def test_image_features_real_decode(spark):
+    from lynx_spark.operators.multimodal import (
+        bmp_payload_udf,
+        extract_image_features,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.col("id").cast("long").alias("doc_id"))
+    payloads = df.withColumn("payload", bmp_payload_udf("doc_id"))
+    rows = {r["doc_id"]: r for r in
+            extract_image_features(payloads, "doc_id", "payload").collect()}
+    r0 = rows[0]  # w=8, h=8, s=0
+    assert r0["format"] == "bmp" and r0["width"] == 8 and r0["height"] == 8
+    # mean_r for s=0, w=8: mean of (x*7)%256 over x=0..7 = 7*3.5 = 24.5
+    assert r0["mean_r"] == 24.5
