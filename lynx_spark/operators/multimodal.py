@@ -317,11 +317,16 @@ def synthesize_image(fmt: str, width: int, height: int) -> bytes:
 
 
 def synthesize_wav(
-    sample_rate: int, channels: int, n_samples: int, bits: int = 16
+    sample_rate: int, channels: int, n_samples: int, bits: int = 16,
+    pattern_seed: int | None = None,
 ) -> bytes:
     """Minimal REAL PCM WAV payload: RIFF header + fmt chunk + a data
-    chunk of silence sized channels*bits/8*n_samples — everything
-    parse_wav_header reads is genuine."""
+    chunk sized channels*bits/8*n_samples — everything
+    parse_wav_header reads is genuine. Default data is silence; with
+    ``pattern_seed`` the (16-bit mono) samples carry the closed-form
+    pattern v_i = ((i*37 + seed) % 65536) − 32768, so every statistic
+    of the DECODED samples is SQL-predictable (the audio analogue of
+    synthesize_bmp's pixel pattern)."""
     block_align = channels * bits // 8
     data_size = block_align * n_samples
     fmt = struct.pack(
@@ -329,8 +334,18 @@ def synthesize_wav(
         1, channels, sample_rate,
         sample_rate * block_align, block_align, bits,
     )
+    if pattern_seed is None:
+        data = b"\x00" * data_size
+    else:
+        assert channels == 1 and bits == 16, "pattern is 16-bit mono"
+        import numpy as np  # noqa: PLC0415
+
+        i = np.arange(n_samples, dtype=np.int64)
+        data = (
+            ((i * 37 + pattern_seed) % 65536) - 32768
+        ).astype("<i2").tobytes()
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    body += b"data" + struct.pack("<I", data_size) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -891,3 +906,91 @@ def extract_image_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+# ----------------------------------------- REAL sample path: PCM WAV
+
+
+def decode_audio_samples(data: bytes):
+    """REAL PCM sample decode: walk the RIFF chunks to the ``data``
+    chunk and return the int16 numpy sample array (mono 16-bit — the
+    layout this codec owns; the header parser above handles the
+    general metadata case). The audio twin of decode_bmp_pixels."""
+    import numpy as np  # noqa: PLC0415
+
+    meta = parse_wav_header(data)
+    if meta is None:
+        raise ValueError("not a WAV payload")
+    if meta["channels"] != 1 or meta["bits_per_sample"] != 16:
+        raise ValueError("sample decode supports 16-bit mono PCM")
+    # find the data chunk the same way the header walk does
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if cid == b"data":
+            raw = data[pos + 8 : pos + 8 + size]
+            return np.frombuffer(raw, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    raise ValueError("WAV payload has no data chunk")
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, rms double, peak long, zero_crossings long"
+)
+
+
+def audio_payload_for_id(doc_id: int) -> bytes:
+    """Deterministic patterned WAV keyed by doc_id: 16-bit mono,
+    n_samples = 50 + doc_id % 200, seed = doc_id % 9973 — closed-form
+    for the q95 oracle."""
+    return synthesize_wav(
+        16000, 1, 50 + doc_id % 200, pattern_seed=doc_id % 9973
+    )
+
+
+@F.pandas_udf(BinaryType())
+def audio_payload_udf(ids: pd.Series) -> pd.Series:
+    return ids.map(lambda i: audio_payload_for_id(int(i)))
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str, bin_col: str
+) -> DataFrame:
+    """REAL audio feature extraction over a binary column: decode the
+    PCM samples (stdlib RIFF walk + numpy), RMS from the exact
+    integer energy sum, peak amplitude, and zero-crossing count — the
+    shape of every audio-curation feature step (silence/clip
+    detection, speech-activity proxies), as Arrow-batched mapInPandas.
+    Partition-preserving, no shuffle. Rounding uses the
+    floor(x·1e4+0.5) form shared with the image features so both
+    engines round ties identically."""
+    id_name, bin_name = id_col, bin_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in it:
+            out = []
+            for i, data in zip(pdf[id_name], pdf[bin_name]):
+                v = decode_audio_samples(bytes(data)).astype(np.int64)
+                n = len(v)
+                energy = int((v * v).sum())
+                nonneg = v >= 0
+                out.append(
+                    {
+                        "doc_id": int(i),
+                        "n_samples": n,
+                        "rms": math.floor(
+                            math.sqrt(energy / n) * 10000 + 0.5
+                        )
+                        / 10000,
+                        "peak": int(np.abs(v).max()),
+                        "zero_crossings": int(
+                            (nonneg[1:] != nonneg[:-1]).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

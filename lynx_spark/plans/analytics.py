@@ -3576,3 +3576,45 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.withColumn("payload", bmp_payload_udf("doc_id"))
     return extract_image_features(payloads, "doc_id", "payload")
+
+
+@q(
+    "q95_audio_features",
+    oracle="""
+WITH docs AS (SELECT doc_id,
+                50 + doc_id % 200 AS n,
+                doc_id % 9973 AS s
+              FROM documents),
+samp AS (SELECT doc_id, n, u.i AS i,
+           ((u.i * 37 + s) % 65536) - 32768 AS v,
+           CASE WHEN u.i >= 1
+                THEN (((u.i * 37 + s) % 65536) - 32768 >= 0)
+                     <> ((((u.i - 1) * 37 + s) % 65536) - 32768 >= 0)
+                ELSE FALSE END AS crossed
+         FROM docs CROSS JOIN LATERAL unnest(range(0, n)) u(i))
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_samples,
+  floor(sqrt(CAST(sum(v * v) AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS rms,
+  CAST(max(abs(v)) AS BIGINT) AS peak,
+  CAST(sum(CASE WHEN crossed THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_crossings
+FROM samp GROUP BY doc_id, n
+""",
+    description="audio CONTENT check at SAMPLE level: real 16-bit mono "
+    "PCM payloads (closed-form sample pattern per doc_id) decoded by "
+    "the stdlib RIFF data-chunk walk inside Arrow-batched mapInPandas; "
+    "RMS from the exact integer energy sum, peak, zero crossings — "
+    "the oracle predicts every decoded-sample statistic "
+    "arithmetically (audio twin of q94)",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.multimodal import (
+        audio_payload_udf,
+        extract_audio_features,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    payloads = docs.withColumn("payload", audio_payload_udf("doc_id"))
+    return extract_audio_features(payloads, "doc_id", "payload")

@@ -1649,3 +1649,27 @@ def test_image_features_real_decode(spark):
     assert r0["format"] == "bmp" and r0["width"] == 8 and r0["height"] == 8
     # mean_r for s=0, w=8: mean of (x*7)%256 over x=0..7 = 7*3.5 = 24.5
     assert r0["mean_r"] == 24.5
+
+
+def test_audio_features_real_decode(spark):
+    from lynx_spark.operators.multimodal import (
+        audio_payload_udf,
+        decode_audio_samples,
+        extract_audio_features,
+        synthesize_wav,
+    )
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    df = spark.range(4).select(F.col("id").cast("long").alias("doc_id"))
+    payloads = df.withColumn("payload", audio_payload_udf("doc_id"))
+    rows = {r["doc_id"]: r for r in
+            extract_audio_features(payloads, "doc_id", "payload").collect()}
+    r0 = rows[0]  # n=50, s=0: v_i = 37i - 32768
+    assert r0["n_samples"] == 50
+    v = np.arange(50) * 37 - 32768
+    assert r0["peak"] == int(np.abs(v).max())
+    assert r0["zero_crossings"] == 0  # 37*49 - 32768 still negative
+    # silence payload decodes to zeros
+    z = decode_audio_samples(synthesize_wav(8000, 1, 10))
+    assert (z == 0).all() and len(z) == 10
