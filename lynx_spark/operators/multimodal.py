@@ -994,3 +994,105 @@ def extract_audio_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+# ------------------------------------- REAL frame path: BMP sequence
+
+# MP4 above is header-real (box walker) but frame decode needs codecs
+# no stdlib has. LYNV is a raw length-prefixed BMP-sequence container
+# — the moral equivalent of MJPEG/y4m — so FRAME-level work (seek,
+# sample, decode pixels) is genuinely real end-to-end: container walk,
+# frame extraction AND pixel decode all hand-written, with decoded
+# statistics a SQL oracle predicts arithmetically (q96).
+
+_LYNV_MAGIC = b"LYNV"
+
+
+def synthesize_video(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    """REAL raw-video payload: LYNV magic + u32 frame count, then
+    length-prefixed 24-bit BMP frames. Frame k's pixels carry the
+    synthesize_bmp pattern with seed (seed + k*17) % 251 — every
+    decoded frame statistic is closed-form."""
+    out = [_LYNV_MAGIC, struct.pack("<I", n_frames)]
+    for k in range(n_frames):
+        frame = synthesize_bmp(width, height, (seed + k * 17) % 251)
+        out.append(struct.pack("<I", len(frame)))
+        out.append(frame)
+    return b"".join(out)
+
+
+def iter_video_frames(data: bytes):
+    """Walk a LYNV container, yielding raw BMP frame payloads —
+    the real seek/extract step frame sampling builds on."""
+    if data is None or data[:4] != _LYNV_MAGIC:
+        raise ValueError("not a LYNV payload")
+    n = struct.unpack_from("<I", data, 4)[0]
+    pos = 8
+    for _ in range(n):
+        size = struct.unpack_from("<I", data, pos)[0]
+        yield data[pos + 4 : pos + 4 + size]
+        pos += 4 + size
+
+
+def video_payload_for_id(doc_id: int) -> bytes:
+    """Deterministic LYNV video keyed by doc_id: 2 + doc_id % 5
+    frames of (8 + (doc_id*3) % 8) × (8 + (doc_id*5) % 8) pixels,
+    seed doc_id % 251 — closed-form for the q96 oracle."""
+    return synthesize_video(
+        2 + doc_id % 5,
+        8 + (doc_id * 3) % 8,
+        8 + (doc_id * 5) % 8,
+        doc_id % 251,
+    )
+
+
+@F.pandas_udf(BinaryType())
+def video_payload_udf(ids: pd.Series) -> pd.Series:
+    return ids.map(lambda i: video_payload_for_id(int(i)))
+
+
+VIDEO_FRAME_FEATURES_SCHEMA = (
+    "doc_id long, frame_no long, width long, height long, mean_rgb double"
+)
+
+
+def extract_video_frame_features(
+    df: DataFrame, id_col: str, bin_col: str, stride: int = 2
+) -> DataFrame:
+    """REAL frame sampling + pixel decode over a video binary column:
+    every ``stride``-th frame of the LYNV container is extracted and
+    its pixels decoded (stdlib BMP codec); per-frame mean of r+g+b
+    comes from the exact integer sum — the shape of every
+    video-curation step (keyframe features, near-dup thumbnails,
+    NSFW sampling). One input row fans out to its sampled frames
+    through Arrow-batched mapInPandas; blobs never leave the
+    executor, no shuffle."""
+    id_name, bin_name = id_col, bin_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in it:
+            out = []
+            for i, data in zip(pdf[id_name], pdf[bin_name]):
+                for k, frame in enumerate(iter_video_frames(bytes(data))):
+                    if k % stride:
+                        continue
+                    px = decode_bmp_pixels(frame)
+                    h, w, _ = px.shape
+                    total = int(px.astype(np.int64).sum())
+                    out.append(
+                        {
+                            "doc_id": int(i),
+                            "frame_no": k,
+                            "width": w,
+                            "height": h,
+                            "mean_rgb": math.floor(
+                                total / (w * h) * 10000 + 0.5
+                            )
+                            / 10000,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, VIDEO_FRAME_FEATURES_SCHEMA)

@@ -3618,3 +3618,49 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.withColumn("payload", audio_payload_udf("doc_id"))
     return extract_audio_features(payloads, "doc_id", "payload")
+
+
+@q(
+    "q96_video_frames",
+    oracle="""
+WITH docs AS (SELECT doc_id,
+                2 + doc_id % 5 AS nf,
+                8 + (doc_id * 3) % 8 AS w,
+                8 + (doc_id * 5) % 8 AS h,
+                doc_id % 251 AS s
+              FROM documents),
+frames AS (SELECT doc_id, w, h, uk.k AS frame_no,
+             (s + uk.k * 17) % 251 AS sk
+           FROM docs CROSS JOIN LATERAL unnest(range(0, nf)) uk(k)
+           WHERE uk.k % 2 = 0),
+px AS (SELECT doc_id, frame_no, w, h,
+         ((ux.x * 7 + sk) % 256)
+         + ((uy.y * 11 + sk) % 256)
+         + (((ux.x + uy.y) * 13 + sk) % 256) AS rgb
+       FROM frames
+       CROSS JOIN LATERAL unnest(range(0, w)) ux(x)
+       CROSS JOIN LATERAL unnest(range(0, h)) uy(y))
+SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  floor(CAST(sum(rgb) AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000
+    AS mean_rgb
+FROM px GROUP BY doc_id, frame_no, w, h
+""",
+    description="video CONTENT check at FRAME level: real LYNV "
+    "raw-video payloads (length-prefixed BMP frames, the MJPEG/y4m "
+    "moral equivalent) — container walk, stride-2 frame sampling AND "
+    "pixel decode all hand-written stdlib; the oracle predicts every "
+    "sampled frame's decoded mean arithmetically (completes the "
+    "image/audio/video CONTENT set: q94/q95/q96)",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.multimodal import (
+        extract_video_frame_features,
+        video_payload_udf,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    payloads = docs.withColumn("payload", video_payload_udf("doc_id"))
+    return extract_video_frame_features(payloads, "doc_id", "payload")

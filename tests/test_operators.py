@@ -1673,3 +1673,26 @@ def test_audio_features_real_decode(spark):
     # silence payload decodes to zeros
     z = decode_audio_samples(synthesize_wav(8000, 1, 10))
     assert (z == 0).all() and len(z) == 10
+
+
+def test_video_frame_features_real_decode(spark):
+    from lynx_spark.operators.multimodal import (
+        extract_video_frame_features,
+        video_payload_udf,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(6).select(F.col("id").cast("long").alias("doc_id"))
+    payloads = df.withColumn("payload", video_payload_udf("doc_id"))
+    rows = extract_video_frame_features(payloads, "doc_id", "payload").collect()
+    by_doc = {}
+    for r in rows:
+        assert r["frame_no"] % 2 == 0  # stride-2 sampling
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
+    # doc 4: 2 + 4%5 = 6 frames -> sampled 0,2,4
+    assert sorted(by_doc[4]) == [0, 2, 4]
+    # doc 0: 2 frames -> only frame 0
+    assert by_doc[0] == [0]
+    # decoded means differ across frames of one doc (seed advances)
+    v4 = {r["frame_no"]: r["mean_rgb"] for r in rows if r["doc_id"] == 4}
+    assert len(set(v4.values())) == len(v4)
