@@ -259,3 +259,32 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+#: GPT-2-style pre-tokenizer, restricted to syntax RE2 (DuckDB) and
+#: java.util.regex (Spark) interpret identically — contractions,
+#: letter runs, digit runs, non-space symbol runs. The real GPT-2
+#: pattern adds lookahead-based space handling RE2 cannot express;
+#: this is the standard portable approximation.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count vs BPE-style pre-token count per row —
+    the pair every token-budget decision needs (whitespace counts
+    underestimate BPE costs on punctuation- and digit-heavy text; the
+    ratio is the correction factor). Pure JVM regexp expressions,
+    zero shuffle; the pre-tokenizer pattern is the portable
+    (lookahead-free) GPT-2 shape, identical under RE2 and Java
+    regex so the DuckDB oracle matches token-for-token."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    pre = F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    n_ws = F.size(words).cast("long")
+    n_bpe = F.size(pre).cast("long")
+    return df.withColumn("n_ws_tokens", n_ws).withColumn(
+        "n_bpe_pretokens", n_bpe
+    ).withColumn(
+        "bpe_ratio",
+        F.when(n_ws > 0, F.round(n_bpe / n_ws, 4)),
+    )

@@ -851,3 +851,54 @@ def dimension_stats(
             (F.max("x") == F.min("x")).alias("is_constant"),
         )
     )
+
+
+# ------------------------------------------------ on-disk ANN store
+
+
+def write_ann_store(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
+    """Materialize the corpus as an on-disk ANN store: vectors +
+    precomputed norms written as parquet PARTITIONED BY the first
+    hash table's LSH bucket (hive ``bucket0=`` directories). At
+    100 TB this is the serving layout: a query computes its own
+    bucket ids driver-side (pure arithmetic on the query vector) and
+    the scan prunes to the matching directories — candidate
+    generation becomes PartitionFilters, no shuffle, no index
+    server. The remaining tables' buckets ride along as columns for
+    cheap post-scan refinement."""
+    vecs = with_buckets(
+        df.select(
+            F.col(id_col).cast("long").alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).withColumn("nrm", norm(F.col("v")))
+    vecs.write.mode("overwrite").partitionBy("bucket0").parquet(path)
+
+
+def query_ann_store(
+    spark, path: str, query_vec: list[float], k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors for one query vector against the
+    partitioned store: the query's bucket0 is computed DRIVER-SIDE
+    (the same sign-pattern arithmetic as with_buckets, on k×dim
+    scalars), the scan filters ``bucket0 = <id>`` — Catalyst turns
+    that into PartitionFilters, reading one directory of the store —
+    and exact cosine re-ranks the pruned candidates. The plan is
+    asserted shuffle-free up to the final top-k."""
+    qb = 0
+    for i, plane in enumerate(HYPERPLANES[0]):
+        d = sum(a * b for a, b in zip(query_vec, plane))
+        if d > 0:
+            qb |= 1 << i
+    qn = sum(x * x for x in query_vec) ** 0.5
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    store = spark.read.parquet(path).filter(F.col("bucket0") == qb)
+    return (
+        store.withColumn(
+            "cos_sim",
+            F.round(dot(qv, F.col("v")) / (F.lit(float(qn)) * F.col("nrm")), 5),
+        )
+        .select("nid", "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc("nid"))
+        .limit(k)
+    )

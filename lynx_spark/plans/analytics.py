@@ -3664,3 +3664,35 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.withColumn("payload", video_payload_udf("doc_id"))
     return extract_video_frame_features(payloads, "doc_id", "payload")
+
+
+def _bpe_oracle() -> str:
+    pattern_sql = tx.BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return rf"""
+WITH d AS (SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_ws,
+             len(regexp_extract_all(text, '{pattern_sql}')) AS n_bpe
+           FROM documents)
+SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
+  CAST(n_bpe AS BIGINT) AS n_bpe_pretokens,
+  CASE WHEN n_ws > 0 THEN round(n_bpe / CAST(n_ws AS DOUBLE), 4) END
+    AS bpe_ratio
+FROM d
+"""
+
+
+@q(
+    "q97_bpe_pretokens",
+    oracle=_bpe_oracle(),
+    description="whitespace vs BPE-style pre-token counts per document "
+    "(the token-budget correction factor: whitespace undercounts "
+    "punctuation/digit-heavy text) — the GPT-2 pre-tokenizer in its "
+    "portable lookahead-free form, identical under Java regex and "
+    "RE2; pure JVM regexp expressions, zero shuffle (cross-engine "
+    "parity spot-checked on contraction/punctuation/digit text in "
+    "unit tests)",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.with_token_counts(
+        T(spark, sf_dir, "documents").select("doc_id", "text")
+    ).drop("text")

@@ -1696,3 +1696,59 @@ def test_video_frame_features_real_decode(spark):
     # decoded means differ across frames of one doc (seed advances)
     v4 = {r["frame_no"]: r["mean_rgb"] for r in rows if r["doc_id"] == 4}
     assert len(set(v4.values())) == len(v4)
+
+
+def test_ann_store_partition_pruned_query(spark, tmp_path):
+    from lynx_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann_store")
+    sim.write_ann_store(emb, "vec_id", "embedding", path)
+
+    qrow = emb.filter(F.col("vec_id") == 3).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    res = sim.query_ann_store(spark, path, qvec, k=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # candidate generation IS partition pruning: one bucket directory
+    assert "PartitionFilters: [isnotnull(bucket0" in plan
+    rows = res.collect()
+    assert rows[0]["nid"] == 3 and rows[0]["cos_sim"] == 1.0  # finds itself
+    # pruned result == brute force restricted to the same bucket
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    b = sim.with_buckets(vecs)
+    qb = [r["bucket0"] for r in b.filter(F.col("nid") == 3).collect()][0]
+    full = {r["nid"] for r in b.filter(F.col("bucket0") == qb).collect()}
+    assert {r["nid"] for r in rows} <= full
+
+
+def test_bpe_pretokens_cross_engine_parity(spark):
+    """The portable GPT-2 pre-tokenizer counts match DuckDB's RE2 on
+    contraction/punctuation/digit-heavy text — the inputs the
+    whitespace count gets wrong."""
+    import duckdb
+    from lynx_spark.functions.text import (
+        BPE_PRETOKEN_PATTERN,
+        with_token_counts,
+    )
+
+    cases = [
+        "it's a test-case, with 42 numbers... and   spaces",
+        "don't!!! stop-me: 3.14 x2",
+        "plain words only",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in with_token_counts(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        n = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))",
+            [t, BPE_PRETOKEN_PATTERN],
+        ).fetchone()[0]
+        assert got[i]["n_bpe_pretokens"] == n
+    assert got[0]["n_bpe_pretokens"] > got[0]["n_ws_tokens"]  # punct splits
