@@ -3696,3 +3696,42 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_token_counts(
         T(spark, sf_dir, "documents").select("doc_id", "text")
     ).drop("text")
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@q(
+    "q98_event_pivot",
+    oracle="""
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view
+FROM events GROUP BY 1
+""",
+    description="PIVOT reshape: daily event counts spread into one "
+    "column per event type (Spark's pivot with an EXPLICIT value "
+    "list — the listed form skips the extra distinct-values job a "
+    "bare pivot() runs, and makes the plan a plain single-aggregate "
+    "with conditional counts, one shuffle)",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumn(
+            f"n_{t}", F.coalesce(F.col(t), F.lit(0)).cast("long")
+        ).drop(t)
+    return out

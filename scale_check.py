@@ -75,6 +75,16 @@ QUERIES = [
     "q87_ngram_novelty",
     "q88_quantization_audit",
     "q89_bm25_search",
+    # session B tail: source-set overlap (near-unique hash agg),
+    # packed-bin string materialization, media content via
+    # mapInPandas (image pixels / audio samples / video frames),
+    # regex pre-tokenizer
+    "q91_source_overlap",
+    "q92_pack_materialize",
+    "q94_image_features",
+    "q95_audio_features",
+    "q96_video_frames",
+    "q97_bpe_pretokens",
 ]
 
 
