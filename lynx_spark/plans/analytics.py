@@ -3735,3 +3735,104 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"n_{t}", F.coalesce(F.col(t), F.lit(0)).cast("long")
         ).drop(t)
     return out
+
+
+def _funnel_oracle() -> str:
+    b, w_stop, w_wlen, w_distinct, w_len = ql.CLASSIFIER_WEIGHTS
+    stop_list = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+    return rf"""
+WITH RECURSIVE {_dedup_cluster_ctes()},
+gd AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS w
+       FROM documents),
+gop AS (SELECT doc_id,
+          (len(w) BETWEEN 20 AND 1000)
+          AND (list_sum(list_transform(w, x -> len(x)))
+               / CAST(len(w) AS DOUBLE) BETWEEN 4.0 AND 10.0)
+          AND (len(list_intersect(list_transform(w, x -> lower(x)),
+                 ['the','and','of','to','in','a','is'])) >= 2)
+          AND (1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) <= 0.6)
+            AS gkeep
+        FROM gd WHERE len(w) >= 1),
+cd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+       FROM documents),
+cf AS (SELECT doc_id,
+         round(len(list_filter(w, x -> list_contains([{stop_list}], x)))
+               / CAST(len(w) AS DOUBLE), 4) AS f_stopword,
+         round(list_sum(list_transform(w, x -> len(x)))
+               / CAST(len(w) AS DOUBLE), 4) AS f_word_len,
+         round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+           AS f_distinct,
+         round(len(w) / (len(w) + 100.0), 4) AS f_length
+       FROM cd),
+clf AS (SELECT doc_id,
+          round(1.0 / (1.0 + exp(-({b} + {w_stop} * f_stopword
+            + {w_wlen} * f_word_len + {w_distinct} * f_distinct
+            + {w_len} * f_length))), 4) >= 0.5 AS ckeep
+        FROM cf),
+flags AS (SELECT d.doc_id,
+            COALESCE(g.gkeep, FALSE) AS gkeep,
+            COALESCE(c.ckeep, FALSE) AS ckeep,
+            cl.cluster_id
+          FROM documents d
+          LEFT JOIN gop g USING (doc_id)
+          LEFT JOIN clf c USING (doc_id)
+          JOIN clusters cl ON cl.doc_id = d.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_raw,
+  CAST(sum(CASE WHEN gkeep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+  CAST(sum(CASE WHEN gkeep AND ckeep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_classifier_pass,
+  CAST(sum(CASE WHEN gkeep AND ckeep AND cluster_id = doc_id
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_final_survivors
+FROM flags
+"""
+
+
+@q(
+    "q99_curation_funnel",
+    oracle=_funnel_oracle(),
+    description="curation-funnel observability report: one row of "
+    "per-stage survivor counts — raw → Gopher rules → quality "
+    "classifier → near-dup keep-first survivor (cluster minimum on "
+    "the FULL corpus, the q58 semantics) — the numbers a pipeline "
+    "owner watches to see which gate is eating the corpus; every "
+    "stage reuses its standalone operator, aggregated to ONE row",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    gop = ql.gopher_rules(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("_g")
+    )
+    clf = ql.classifier_scores(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("_c")
+    )
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = gr.dedup_clusters(docs, pairs, "doc_id")
+    flags = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(gop, "doc_id", "left")
+        .join(clf, "doc_id", "left")
+        .join(clusters, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("_g", F.lit(False)).alias("gkeep"),
+            F.coalesce("_c", F.lit(False)).alias("ckeep"),
+            "cluster_id",
+        )
+    )
+    keep2 = F.col("gkeep") & F.col("ckeep")
+    return flags.agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(F.when(F.col("gkeep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gopher_pass"),
+        F.sum(F.when(keep2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classifier_pass"),
+        F.sum(
+            F.when(keep2 & (F.col("cluster_id") == F.col("doc_id")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_final_survivors"),
+    )
