@@ -3836,3 +3836,37 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_final_survivors"),
     )
+
+
+@q(
+    "q100_event_unpivot",
+    oracle="""
+WITH p AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+  FROM events GROUP BY 1)
+SELECT day, event_type, CAST(n AS BIGINT) AS n FROM (
+  SELECT day, 'click' AS event_type, n_click AS n FROM p
+  UNION ALL SELECT day, 'error', n_error FROM p
+  UNION ALL SELECT day, 'purchase', n_purchase FROM p
+  UNION ALL SELECT day, 'signup', n_signup FROM p
+  UNION ALL SELECT day, 'view', n_view FROM p)
+WHERE n > 0
+""",
+    description="UNPIVOT reshape (q98's inverse): the wide daily "
+    "matrix melts back to (day, event_type, n) long form via stack() "
+    "— one generator expression, no join, no extra shuffle beyond "
+    "the pivot aggregation; zero-count cells drop (matching pivot's "
+    "missing-combination semantics in reverse)",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q98(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) as (event_type, n)".format(
+        n=len(_EVENT_TYPES),
+        args=", ".join(f"'{t}', n_{t}" for t in _EVENT_TYPES),
+    )
+    return wide.select("day", F.expr(stack_expr)).filter(F.col("n") > 0)
