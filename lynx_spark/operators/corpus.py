@@ -92,6 +92,40 @@ def repetition_signals(
     )
 
 
+def _pack_assign(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    budget: int,
+    keep_text: bool = False,
+) -> DataFrame:
+    """THE packing window shared by pack_sequences, pack_efficiency
+    (via pack_sequences) and pack_materialize: per-shard prefix token
+    sums in doc-id order, bin = floor(prefix / budget) — one
+    definition so the audited bin statistics and the materialized
+    training bins can never diverge."""
+    tokens = F.size(_words(text_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    cols = [
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        tokens.cast("long").alias("n_tokens"),
+    ]
+    if keep_text:
+        cols.append(F.col(text_col).alias("_t"))
+    return (
+        df.select(*cols)
+        .withColumn("bin_id", F.floor(prefix / budget).cast("long"))
+        .withColumn("bin_offset", (prefix % budget).cast("long"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -731,21 +765,8 @@ def pack_materialize(
     ``budget``-ish tokens by construction, so the per-group state is
     context-window-sized, never corpus-sized (the one long document
     that spills past the budget is still a single member)."""
-    tokens = F.size(_words(text_col))
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    assigned = (
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(shard_col).alias("shard"),
-            F.col(text_col).alias("_t"),
-            tokens.cast("long").alias("n_tokens"),
-        )
-        .withColumn("bin_id", F.floor(prefix / budget).cast("long"))
+    assigned = _pack_assign(
+        df, id_col, text_col, shard_col, budget, keep_text=True
     )
     members = F.array_sort(
         F.collect_list(F.struct(F.col("doc_id"), F.col("_t").alias("t")))

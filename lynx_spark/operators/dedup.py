@@ -859,9 +859,11 @@ def lsh_recall_audit(
     truth = jaccard_pairs(
         df, id_col, text_col, threshold=threshold
     ).select("a_id", "b_id").persist()
+    truth.count()  # eager: the hit join + count branch share the cache
     found = minhash_lsh_pairs(
         df, id_col, text_col, threshold=threshold
     ).select("a_id", "b_id").persist()
+    found.count()  # eager, ditto (see lsh_ann_topk)
     hit = truth.join(found, ["a_id", "b_id"])
     return (
         truth.agg(F.count("*").alias("n_true_pairs"))

@@ -210,8 +210,6 @@ def ccnet_buckets(
     doc_id) total order is deterministic and engine-portable; one
     window shuffle keyed by language on a model-sized per-doc frame,
     languages rank in parallel."""
-    from pyspark.sql.window import Window
-
     scores = unigram_scores(df, id_col, text_col)
     langs = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -251,8 +249,6 @@ def tfidf_top_terms(
     the per-doc term lists; scores round before ranking so both
     engines rank the same values (term tiebreak makes the order
     total)."""
-    from pyspark.sql.window import Window
-
     counts = doc_word_counts(df, id_col, text_col)
     dfreq = counts.groupBy("word").agg(
         F.countDistinct("doc_id").alias("_df")

@@ -879,7 +879,12 @@ def extract_image_features(
         for pdf in it:
             out = []
             for i, data in zip(pdf[id_name], pdf[bin_name]):
-                px = decode_bmp_pixels(bytes(data))
+                # degrade like extract_media_metadata: an undecodable
+                # blob yields no feature row, never a failed job
+                try:
+                    px = decode_bmp_pixels(bytes(data))
+                except (TypeError, ValueError):
+                    continue
                 h, w, _ = px.shape
                 sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n = h * w
@@ -973,8 +978,13 @@ def extract_audio_features(
         for pdf in it:
             out = []
             for i, data in zip(pdf[id_name], pdf[bin_name]):
-                v = decode_audio_samples(bytes(data)).astype(np.int64)
+                try:
+                    v = decode_audio_samples(bytes(data)).astype(np.int64)
+                except (TypeError, ValueError):
+                    continue
                 n = len(v)
+                if n == 0:
+                    continue
                 energy = int((v * v).sum())
                 nonneg = v >= 0
                 out.append(
@@ -1075,10 +1085,17 @@ def extract_video_frame_features(
         for pdf in it:
             out = []
             for i, data in zip(pdf[id_name], pdf[bin_name]):
-                for k, frame in enumerate(iter_video_frames(bytes(data))):
+                try:
+                    frames = list(iter_video_frames(bytes(data)))
+                except (TypeError, ValueError):
+                    continue
+                for k, frame in enumerate(frames):
                     if k % stride:
                         continue
-                    px = decode_bmp_pixels(frame)
+                    try:
+                        px = decode_bmp_pixels(frame)
+                    except ValueError:
+                        continue
                     h, w, _ = px.shape
                     total = int(px.astype(np.int64).sum())
                     out.append(

@@ -141,10 +141,11 @@ def _committed_store(
     spark: SparkSession, root: Path, name: str
 ) -> DataFrame | None:
     """Union of the marker-committed batch directories of one store —
-    None when no batch has committed yet. Partition discovery gives a
-    ``batch`` column; callers project it away. Reading an explicit
-    path list (not the parent dir) is what keeps half-written replay
-    attempts invisible to the NEXT batch."""
+    None when no batch has committed yet. Each ``batch=N`` directory
+    is read as its own base path, so NO partition column is inferred
+    — the frame carries exactly the store's data columns. Reading an
+    explicit path list (not the parent dir) is what keeps
+    half-written replay attempts invisible to the NEXT batch."""
     paths = [
         str(_batch_dir(root, name, b)) for b in _committed_batches(root)
     ]
@@ -216,7 +217,7 @@ def near_dup_document_stream(
         if seen is not None:
             matches = dd.incremental_minhash_matches_from_store(
                 batch,
-                seen.drop("batch"),
+                seen,
                 "doc_id",
                 "text",
                 threshold=threshold,
@@ -347,7 +348,7 @@ def cluster_document_stream(
         )
         if seen_sig is not None:
             cross = dd.incremental_minhash_matches_from_store(
-                batch, seen_sig.drop("batch"), "doc_id", "text",
+                batch, seen_sig, "doc_id", "text",
                 threshold=threshold, new_sig=sig,
             ).select("new_id", "seen_id")
             pairs = in_batch.unionByName(cross)
@@ -433,13 +434,13 @@ def embedding_stream_assign(
 
     root = Path(store_dir)
     _bind_lineage(root, checkpoint_dir)
-    index_path = str(index_path)
+    # the index is immutable — load the k×dim model ONCE, not per batch
+    centroids = sim.load_ivf_index(vecs.sparkSession, str(index_path))
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch_id in set(_committed_batches(root)):
             return
         spark = batch.sparkSession
-        centroids = sim.load_ivf_index(spark, index_path)
         assigned = (
             batch.select(
                 F.col("vec_id").cast("long").alias("vec_id"),
@@ -455,7 +456,7 @@ def embedding_stream_assign(
             matches = (
                 assigned.alias("n")
                 .join(
-                    seen.drop("batch").alias("s"),
+                    seen.alias("s"),
                     F.col("n.cid") == F.col("s.cid"),
                 )
                 .withColumn(

@@ -1752,3 +1752,29 @@ def test_bpe_pretokens_cross_engine_parity(spark):
         ).fetchone()[0]
         assert got[i]["n_bpe_pretokens"] == n
     assert got[0]["n_bpe_pretokens"] > got[0]["n_ws_tokens"]  # punct splits
+
+
+def test_media_feature_extractors_degrade_on_bad_payloads(spark):
+    """A null or foreign-format blob yields no feature row — never a
+    failed job (review finding: the extractors crashed the task)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+    from lynx_spark.operators.multimodal import (
+        bmp_payload_for_id,
+        extract_audio_features,
+        extract_image_features,
+        extract_video_frame_features,
+    )
+
+    rows = [
+        (1, bmp_payload_for_id(1)),
+        (2, None),
+        (3, b"not media at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"]).withColumn(
+        "payload", F.col("payload").cast(BinaryType())
+    )
+    img = extract_image_features(df, "doc_id", "payload").collect()
+    assert [r["doc_id"] for r in img] == [1]  # only the real BMP survives
+    assert extract_audio_features(df, "doc_id", "payload").count() == 0
+    assert extract_video_frame_features(df, "doc_id", "payload").count() == 0
