@@ -3870,3 +3870,56 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         args=", ".join(f"'{t}', n_{t}" for t in _EVENT_TYPES),
     )
     return wide.select("day", F.expr(stack_expr)).filter(F.col("n") > 0)
+
+
+@q(
+    "q101_rank_distributions",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+      AS purchase_value
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events, purchase_value,
+  round(percent_rank() OVER (ORDER BY n_events, user_id), 4) AS activity_pr,
+  round(cume_dist() OVER (ORDER BY n_events, user_id), 4) AS activity_cd,
+  CAST(ntile(10) OVER (ORDER BY purchase_value DESC, user_id) AS BIGINT)
+    AS value_decile
+FROM daily
+""",
+    description="rank-distribution window breadth: percent_rank, "
+    "cume_dist and ntile deciles over per-user event aggregates — "
+    "completes the window-function surface (rank/dense_rank/"
+    "row_number/lag/lead/frames/ntile-tertiles covered elsewhere); "
+    "one aggregation + one window ordering, deterministic via id "
+    "tiebreaks. NOTE the global ordering serializes the (model-"
+    "sized, one-row-per-user) aggregate through one task — exact "
+    "global ranks are inherently a global sort; at 100 TB swap in "
+    "the q75 histogram-threshold shape for approximate ranks",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.col("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("purchase_value"),
+        )
+    )
+    w_act = Window.orderBy(F.asc("n_events"), F.asc("user_id"))
+    w_val = Window.orderBy(F.desc("purchase_value"), F.asc("user_id"))
+    return daily.select(
+        "user_id",
+        "n_events",
+        "purchase_value",
+        F.round(F.percent_rank().over(w_act), 4).alias("activity_pr"),
+        F.round(F.cume_dist().over(w_act), 4).alias("activity_cd"),
+        F.ntile(10).over(w_val).cast("long").alias("value_decile"),
+    )

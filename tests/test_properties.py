@@ -305,3 +305,86 @@ def test_chunk_documents_covers_every_word(spark, n_words, max_tokens, overlap_f
     stride = max_tokens - overlap
     for a, b in zip(out, out[1:]):
         assert b["start_word"] - a["start_word"] == stride
+
+
+# ---- stdlib media codecs (Spark-free, hypothesis) -------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=250),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_pattern_roundtrip_property(w, h, seed):
+    """synthesize → decode recovers the exact pixel pattern for ANY
+    dimensions (including stride-padding widths) and seed."""
+    import numpy as np
+    from lynx_spark.operators import multimodal as mm
+
+    px = mm.decode_bmp_pixels(mm.synthesize_bmp(w, h, seed))
+    assert px.shape == (h, w, 3)
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    assert (px[:, :, 0] == (x * 7 + seed) % 256).all()
+    assert (px[:, :, 1] == np.broadcast_to((y * 11 + seed) % 256, (h, w))).all()
+    assert (px[:, :, 2] == ((x + y) * 13 + seed) % 256).all()
+    # encode is the exact inverse of decode
+    assert (mm.decode_bmp_pixels(mm.encode_bmp(px)) == px).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=30),
+    h=st.integers(min_value=1, max_value=30),
+    ow=st.integers(min_value=1, max_value=8),
+    oh=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_resize_nearest_samples_source_pixels(w, h, ow, oh):
+    """Every output pixel of a nearest resize IS some source pixel at
+    the floor-mapped index — no interpolation, no out-of-range."""
+    import numpy as np
+    from lynx_spark.operators import multimodal as mm
+
+    px = mm.decode_bmp_pixels(mm.synthesize_bmp(w, h, 3))
+    out = mm.resize_nearest(px, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    for i in range(oh):
+        for j in range(ow):
+            assert (out[i, j] == px[(i * h) // oh, (j * w) // ow]).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=9972),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_pattern_roundtrip_property(n, seed):
+    import numpy as np
+    from lynx_spark.operators import multimodal as mm
+
+    v = mm.decode_audio_samples(
+        mm.synthesize_wav(16000, 1, n, pattern_seed=seed)
+    )
+    i = np.arange(n, dtype=np.int64)
+    assert (v.astype(np.int64) == ((i * 37 + seed) % 65536) - 32768).all()
+
+
+@given(
+    nf=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=250),
+)
+@settings(max_examples=40, deadline=None)
+def test_lynv_container_roundtrip_property(nf, w, h, seed):
+    from lynx_spark.operators import multimodal as mm
+
+    frames = list(
+        mm.iter_video_frames(mm.synthesize_video(nf, w, h, seed))
+    )
+    assert len(frames) == nf
+    for k, frame in enumerate(frames):
+        px = mm.decode_bmp_pixels(frame)
+        assert px.shape == (h, w, 3)
+        assert px[0, 0, 0] == ((seed + k * 17) % 251) % 256
