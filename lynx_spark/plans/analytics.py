@@ -3923,3 +3923,74 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_act), 4).alias("activity_cd"),
         F.ntile(10).over(w_val).cast("long").alias("value_decile"),
     )
+
+
+@q(
+    "q102_multimodal_manifest",
+    oracle=r"""
+WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_ws_tokens
+           FROM documents)
+SELECT doc_id, n_ws_tokens,
+  CAST(8 + (doc_id * 3) % 24 AS BIGINT) AS img_width,
+  CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS img_height,
+  CAST(50 + doc_id % 200 AS BIGINT) AS audio_samples,
+  CAST((2 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_video_frames_sampled
+FROM t
+""",
+    description="multimodal sample manifest: one row per training "
+    "sample joining REAL decoded properties of every modality — text "
+    "token count, image dims from the BMP pixel decode, audio sample "
+    "count from the PCM decode, sampled-frame count from the video "
+    "container walk — the pre-training data-loader contract; three "
+    "mapInPandas feature stages (partition-preserving) joined on the "
+    "sample id, video frames re-aggregated to one row",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators.multimodal import (
+        audio_payload_udf,
+        bmp_payload_udf,
+        extract_audio_features,
+        extract_image_features,
+        extract_video_frame_features,
+        video_payload_udf,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    text = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_ws_tokens"),
+    )
+    img = extract_image_features(
+        docs.withColumn("payload", bmp_payload_udf("doc_id")),
+        "doc_id",
+        "payload",
+    ).select(
+        "doc_id",
+        F.col("width").alias("img_width"),
+        F.col("height").alias("img_height"),
+    )
+    audio = extract_audio_features(
+        docs.withColumn("payload", audio_payload_udf("doc_id")),
+        "doc_id",
+        "payload",
+    ).select("doc_id", F.col("n_samples").alias("audio_samples"))
+    video = (
+        extract_video_frame_features(
+            docs.withColumn("payload", video_payload_udf("doc_id")),
+            "doc_id",
+            "payload",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_video_frames_sampled"))
+    )
+    return (
+        text.join(img, "doc_id")
+        .join(audio, "doc_id")
+        .join(video, "doc_id")
+    )
