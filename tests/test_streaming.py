@@ -717,3 +717,42 @@ def test_streaming_embedding_assign_against_persisted_index(spark, tmp_path):
     matches = spark.read.parquet(str(store / "vec_matches"))
     m = [(r["new_id"], r["seen_id"], r["cos_sim"]) for r in matches.collect()]
     assert (100, rows[0][0], 1.0) in m  # the cross-batch exact copy
+
+
+def test_streaming_embedding_replay_is_exactly_once(spark, tmp_path):
+    """Full replay (fresh checkpoint) of the embedding tier must not
+    duplicate stored vectors or match rows — marker-committed batch
+    dirs make the replay a no-op (same contract as the text tiers)."""
+    from pyspark.sql import functions as F
+    from lynx_spark.operators import similarity as sim
+    from lynx_spark.streaming import embedding_stream_assign
+    from lynx_spark.streaming.incremental import EMB_SCHEMA
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    index_path = str(tmp_path / "ivf")
+    sim.save_ivf_index(spark, index_path, sim.train_ivf_centroids(vecs))
+    rows = [
+        (int(r["nid"]), [float(x) for x in r["v"]])
+        for r in vecs.orderBy("nid").limit(2).collect()
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(json.dumps({"vec_id": i, "embedding": v}) for i, v in rows)
+    )
+    store = tmp_path / "store"
+    ck = tmp_path / "ck"
+    for _ in range(2):
+        stream = spark.readStream.schema(EMB_SCHEMA).json(str(d))
+        q = embedding_stream_assign(stream, index_path, store, ck)
+        q.awaitTermination(120)
+        import shutil
+
+        shutil.rmtree(ck)  # same-path fresh checkpoint = full replay
+    stored = spark.read.parquet(str(store / "vectors"))
+    assert sorted(r["vec_id"] for r in stored.collect()) == [r[0] for r in rows]
+    assert len(list((store / "_commits").glob("b*.json"))) == 1
