@@ -3994,3 +3994,61 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(audio, "doc_id")
         .join(video, "doc_id")
     )
+
+
+@q(
+    "q103_lateral_topn",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+""",
+    description="correlated LATERAL subquery: each customer's top-2 "
+    "orders by price — the dependent-join SQL surface (Catalyst "
+    "decorrelates the lateral into a ranked join; semantically the "
+    "per-key top-n that q07 expresses as a window). Deterministic "
+    "via the (price DESC, orderkey) total order",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+    )
+
+
+@q(
+    "q104_grouping_sets",
+    oracle="""
+SELECT source, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+""",
+    description="explicit GROUPING SETS (the general form behind "
+    "q14's ROLLUP / q33's CUBE): per-(source,lang), per-source, "
+    "per-lang and grand-total aggregates in ONE pass with a "
+    "grouping-id disambiguator — Catalyst expands to a single "
+    "Expand + hash aggregate, one shuffle",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT source, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+"""
+    )
