@@ -902,3 +902,48 @@ def query_ann_store(
         .orderBy(F.desc("cos_sim"), F.asc("nid"))
         .limit(k)
     )
+
+
+def ann_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_query_id: int = 20,
+    k: int = 3,
+) -> DataFrame:
+    """ANN recall@k audit: for each query, how many of the EXACT top-k
+    cosine neighbors the LSH index actually returned — the
+    retrieval-side twin of the dedup recall audit (q81): q81 audits
+    the near-dup candidate generator, this audits the ANN index, the
+    number a retrieval deployment watches when tuning
+    NUM_TABLES/PLANES_PER_TABLE. Truth = brute force over the query
+    set (affordable on a query SAMPLE at corpus scale, exactly like
+    q81's pair sample).
+
+    Output: one row — n_queries, mean recall@k, worst per-query
+    recall. Per-query recalls aggregate exactly (hit counts are
+    integers; the two ratios divide exact sums)."""
+    truth = cosine_topk(df, id_col, vec_col, max_query_id, k).select(
+        "qid", "nid"
+    )
+    found = lsh_ann_topk(df, id_col, vec_col, max_query_id, k).select(
+        "qid", "nid"
+    )
+    hits = truth.join(found, ["qid", "nid"]).groupBy("qid").agg(
+        F.count("*").alias("_h")
+    )
+    per_q = (
+        truth.groupBy("qid")
+        .agg(F.count("*").alias("_t"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("_h", F.lit(0)).alias("_h"),
+            "_t",
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.sum("_h") / F.sum("_t"), 4).alias("mean_recall"),
+        F.round(F.min(F.col("_h") / F.col("_t")), 4).alias("worst_recall"),
+    )

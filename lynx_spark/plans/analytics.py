@@ -4052,3 +4052,84 @@ FROM documents
 GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
 """
     )
+
+
+def _ann_recall_oracle(max_q: int = 20, k: int = 3) -> str:
+    bucket_cols = []
+    for t in range(sim.NUM_TABLES):
+        plane_dots = [
+            f"list_dot_product(e, [{', '.join(repr(v) for v in p)}])"
+            for p in sim.HYPERPLANES[t]
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, d in enumerate(plane_dots)
+        )
+        bucket_cols.append(f"CAST({bucket} AS BIGINT) AS bucket{t}")
+    buckets_sql = ",\n    ".join(bucket_cols)
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS qid, n.vec_id AS nid FROM v q "
+        f"JOIN v n ON q.bucket{t} = n.bucket{t} AND n.vec_id <> q.vec_id "
+        f"WHERE q.vec_id < {max_q}"
+        for t in range(sim.NUM_TABLES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+    {buckets_sql}
+  FROM embeddings),
+tpairs AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid, q.e AS qe, n.e AS ne
+  FROM v q JOIN v n ON q.vec_id < {max_q} AND n.vec_id <> q.vec_id),
+telems AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y FROM tpairs),
+tsums AS (
+  SELECT qid, nid,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cs
+  FROM telems GROUP BY qid, nid),
+truth AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rnk
+    FROM tsums) WHERE rnk <= {k}),
+cand AS (
+{cand_union}),
+fpairs AS (
+  SELECT c.qid, c.nid, q.e AS qe, n.e AS ne
+  FROM cand c JOIN v q ON q.vec_id = c.qid JOIN v n ON n.vec_id = c.nid),
+felems AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y FROM fpairs),
+fsums AS (
+  SELECT qid, nid,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cs
+  FROM felems GROUP BY qid, nid),
+found AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rnk
+    FROM fsums) WHERE rnk <= {k}),
+hits AS (SELECT t.qid, count(*) AS h
+         FROM truth t JOIN found f ON f.qid = t.qid AND f.nid = t.nid
+         GROUP BY t.qid),
+per_q AS (SELECT t.qid, COALESCE(h.h, 0) AS h, count(*) AS tt
+          FROM truth t LEFT JOIN hits h ON h.qid = t.qid
+          GROUP BY t.qid, h.h)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+  round(sum(h) / CAST(sum(tt) AS DOUBLE), 4) AS mean_recall,
+  round(min(h / CAST(tt AS DOUBLE)), 4) AS worst_recall
+FROM per_q
+"""
+
+
+@q(
+    "q105_ann_recall",
+    oracle=_ann_recall_oracle(),
+    description="ANN recall@3 audit: the LSH index (q25) scored "
+    "against brute-force truth (q24) over a 20-query sample — the "
+    "retrieval twin of q81's dedup-recall audit, the number that "
+    "tunes NUM_TABLES/PLANES_PER_TABLE; exact integer hit counts, "
+    "one row out",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_recall_audit(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        max_query_id=20, k=3,
+    )
