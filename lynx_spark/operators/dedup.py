@@ -910,3 +910,90 @@ def per_source_dedup_stats(
         dup.alias("n_dup_docs"),
         F.round(dup / F.count("*"), 4).alias("dup_rate"),
     )
+
+
+def _bloom_positions(fp_hex: str, m_bits: int) -> tuple[int, ...]:
+    """k=4 Bloom probe positions for an md5-hex fingerprint, derived
+    from the digest's own 128 bits (4 independent 32-bit slices) —
+    the fingerprint IS the hash family, no re-hashing needed."""
+    return tuple(
+        int(fp_hex[i * 8 : (i + 1) * 8], 16) % m_bits for i in range(4)
+    )
+
+
+def build_fingerprint_bloom(seen_fps: DataFrame, m_bits: int = 1 << 23) -> bytes:
+    """Distributed Bloom-filter build over the fingerprint store:
+    each partition folds its fingerprints into a local bitset
+    (executor-side), and the driver only OR-merges the m/8-byte
+    filters — the store's DATA never reaches the driver, just filter
+    bytes (1 MiB at the default 2²³ bits; size m ≈ 10·n for ~1% fpp
+    with k=4)."""
+    m = m_bits
+
+    def fold(it):
+        bits = bytearray(m // 8)
+        for row in it:
+            for pos in _bloom_positions(row["fingerprint"], m):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        yield bytes(bits)
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        return bytes(x | y for x, y in zip(a, b))
+
+    parts = seen_fps.select("fingerprint").rdd.mapPartitions(fold)
+    return parts.fold(bytes(m // 8), merge)
+
+
+def bloom_prefiltered_survivors(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = 1 << 23,
+) -> DataFrame:
+    """Exact-tier incremental dedup with a Bloom prefilter — the
+    Common-Crawl-scale shape of ``incremental_exact_survivors``: a
+    Bloom filter built distributed over the store's fingerprints
+    (``build_fingerprint_bloom``) broadcasts to the batch scan, and
+    only rows whose fingerprint MIGHT be in the store reach the
+    anti-join. At 100 TB the store anti-join's probe volume drops
+    from the whole batch to ~(dup_rate + fpp) of it — new content
+    short-circuits map-side without shuffling against the store.
+
+    Correctness is UNCHANGED from the plain path (asserted in tests):
+    a Bloom filter has no false negatives, so every true duplicate
+    still reaches the anti-join that removes it; false positives are
+    simply anti-joined away."""
+    fp = new_df.select(
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    batch = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("survivor_id")
+    )
+    bits = build_fingerprint_bloom(seen_fps, m_bits)
+    spark = new_df.sparkSession
+    bc = spark.sparkContext.broadcast(bits)
+    m = m_bits
+
+    import pandas as pd  # noqa: PLC0415
+
+    @F.pandas_udf("boolean")
+    def _might_be_seen(fps: pd.Series) -> pd.Series:
+        # Arrow-batched membership probe (UDFs-are-the-slow-path rule:
+        # when Python is unavoidable, batch it)
+        b = bc.value
+
+        def chk(fp_hex: str) -> bool:
+            return all(
+                b[pos >> 3] & (1 << (pos & 7))
+                for pos in _bloom_positions(fp_hex, m)
+            )
+
+        return fps.map(chk)
+
+    maybe_dup = batch.filter(_might_be_seen("fingerprint"))
+    fresh = batch.filter(~_might_be_seen("fingerprint"))
+    # only the maybe-dups pay the store join; fresh rows pass through
+    confirmed_new = maybe_dup.join(seen_fps, "fingerprint", "left_anti")
+    return fresh.unionByName(confirmed_new)

@@ -1778,3 +1778,31 @@ def test_media_feature_extractors_degrade_on_bad_payloads(spark):
     assert [r["doc_id"] for r in img] == [1]  # only the real BMP survives
     assert extract_audio_features(df, "doc_id", "payload").count() == 0
     assert extract_video_frame_features(df, "doc_id", "payload").count() == 0
+
+
+def test_bloom_prefiltered_survivors_matches_plain_path(spark):
+    """The Bloom-prefiltered exact tier returns EXACTLY the plain
+    anti-join's survivors (no false negatives by construction; false
+    positives are anti-joined away)."""
+    from lynx_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    seen_docs = spark.createDataFrame(
+        [(i, f"seen text number {i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    seen_fps = seen_docs.select(F.md5("text").alias("fingerprint"))
+    new_docs = spark.createDataFrame(
+        [(100 + i, f"seen text number {i}") for i in range(25)]  # dups
+        + [(200 + i, f"fresh text number {i}") for i in range(25)]  # new
+        + [(300, "fresh text number 0")],  # in-batch dup of a new doc
+        ["doc_id", "text"],
+    )
+    plain = dd.incremental_exact_survivors(new_docs, seen_fps, "doc_id", "text")
+    bloomed = dd.bloom_prefiltered_survivors(
+        new_docs, seen_fps, "doc_id", "text", m_bits=1 << 16
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, bloomed.collect()))
+    assert a == b
+    assert len(a) == 25  # only the fresh texts survive, min-id kept
