@@ -4133,3 +4133,43 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         max_query_id=20, k=3,
     )
+
+
+def _ann_recall_multiprobe_oracle(max_q: int = 20, k: int = 3) -> str:
+    """The q105 oracle with Hamming-1 multiprobe on the query side:
+    candidates meet when the corpus bucket equals the query bucket OR
+    any single-bit flip of it."""
+    base = _ann_recall_oracle(max_q, k)
+    for t in range(sim.NUM_TABLES):
+        flips = ", ".join(
+            f"xor(q.bucket{t}, {1 << i})"
+            for i in range(sim.PLANES_PER_TABLE)
+        )
+        old = (
+            f"JOIN v n ON q.bucket{t} = n.bucket{t} "
+            f"AND n.vec_id <> q.vec_id"
+        )
+        new = (
+            f"JOIN v n ON n.bucket{t} IN (q.bucket{t}, {flips}) "
+            f"AND n.vec_id <> q.vec_id"
+        )
+        assert old in base
+        base = base.replace(old, new)
+    return base
+
+
+@q(
+    "q106_ann_multiprobe_recall",
+    oracle=_ann_recall_multiprobe_oracle(),
+    description="multiprobe-LSH recall@3 audit (Lv et al. 2007): "
+    "Hamming-1 bucket probing on the QUERY side only — same index, "
+    "same corpus layout, ≤5× probe rows for the small query set — "
+    "scored against the same brute-force truth as q105; the "
+    "measured recall lift (q105 vs q106) is the recall-vs-cost "
+    "lever quantified",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_recall_audit(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        max_query_id=20, k=3, multiprobe=True,
+    )
