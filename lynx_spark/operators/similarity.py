@@ -900,7 +900,8 @@ def write_ann_store(df: DataFrame, id_col: str, vec_col: str, path: str) -> None
 
 
 def query_ann_store(
-    spark, path: str, query_vec: list[float], k: int = 5
+    spark, path: str, query_vec: list[float], k: int = 5,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors for one query vector against the
     partitioned store: the query's bucket0 is computed DRIVER-SIDE
@@ -916,7 +917,12 @@ def query_ann_store(
             qb |= 1 << i
     qn = sum(x * x for x in query_vec) ** 0.5
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    store = spark.read.parquet(path).filter(F.col("bucket0") == qb)
+    probes = [qb] + (
+        [qb ^ (1 << i) for i in range(PLANES_PER_TABLE)] if multiprobe else []
+    )
+    # one directory per probe — multiprobe reads 1+PLANES_PER_TABLE
+    # partitions instead of 1, still PartitionFilters-pruned
+    store = spark.read.parquet(path).filter(F.col("bucket0").isin(probes))
     return (
         store.withColumn(
             "cos_sim",

@@ -1723,6 +1723,14 @@ def test_ann_store_partition_pruned_query(spark, tmp_path):
     qb = [r["bucket0"] for r in b.filter(F.col("nid") == 3).collect()][0]
     full = {r["nid"] for r in b.filter(F.col("bucket0") == qb).collect()}
     assert {r["nid"] for r in rows} <= full
+    # multiprobe widens the candidate set but stays partition-pruned
+    mp = sim.query_ann_store(spark, path, qvec, k=5, multiprobe=True)
+    assert "PartitionFilters: [bucket0" in (
+        mp._jdf.queryExecution().executedPlan().toString()
+    ) or "PartitionFilters: [isnotnull(bucket0" in (
+        mp._jdf.queryExecution().executedPlan().toString()
+    )
+    assert mp.collect()[0]["nid"] == 3  # still finds itself first
 
 
 def test_bpe_pretokens_cross_engine_parity(spark):
