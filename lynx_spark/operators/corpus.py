@@ -145,22 +145,8 @@ def pack_sequences(
     in a real tokenizer count upstream without changing the shape).
     One window per shard: packing is per-shard so the corpus never
     needs a global total order — shards pack in parallel."""
-    tokens = F.size(_words(text_col))
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(shard_col).alias("shard"),
-            tokens.cast("long").alias("n_tokens"),
-        )
-        .withColumn("bin_id", F.floor(prefix / budget).cast("long"))
-        .withColumn("bin_offset", (prefix % budget).cast("long"))
-        .select("doc_id", "shard", "n_tokens", "bin_id", "bin_offset")
+    return _pack_assign(df, id_col, text_col, shard_col, budget).select(
+        "doc_id", "shard", "n_tokens", "bin_id", "bin_offset"
     )
 
 
@@ -780,4 +766,46 @@ def pack_materialize(
                 F.transform(members, lambda m: m.getField("t")), eos
             ).alias("packed_text"),
         )
+    )
+
+
+def export_balanced_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Materialize a curated corpus as ``n_shards`` hive-partitioned
+    parquet shards (``shard=K/``) balanced by document hash — the
+    export step that hands a training corpus to a data loader. Shard
+    assignment is md5-uniform (balanced in expectation, independent
+    of doc-id clustering or source skew) and DETERMINISTIC: the same
+    corpus always exports byte-identical shard membership, so
+    training runs are reproducible from the manifest alone.
+
+    One write, no pre-shuffle beyond the partitioned write itself;
+    returns the shard manifest (docs + tokens per shard — the frame
+    a loader uses to plan epochs) computed from the written data, so
+    the manifest can never disagree with the files."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("long")
+    out = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    written = df.sparkSession.read.parquet(path)
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
     )
