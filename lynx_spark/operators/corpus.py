@@ -788,15 +788,20 @@ def export_balanced_shards(
     returns the shard manifest (docs + tokens per shard — the frame
     a loader uses to plan epochs) computed from the written data, so
     the manifest can never disagree with the files."""
-    shard = (
-        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10)
-        .cast("long")
-        % n_shards
-    ).cast("long")
+    from lynx_spark.operators.dedup import base_hash_expr
+
+    # NULL text coalesces to '' so every document lands in a real
+    # shard=K directory (NULL would route to __HIVE_DEFAULT_PARTITION__
+    # outside the documented layout) — and the shared base_hash_expr
+    # is the one tested md5→long derivation, not a private variant
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    shard = (base_hash_expr(txt) % n_shards).cast("long")
     out = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
-        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+        F.coalesce(F.size(_words(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
         shard.alias("shard"),
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -921,27 +921,40 @@ def _bloom_positions(fp_hex: str, m_bits: int) -> tuple[int, ...]:
     )
 
 
+def _or_bytes(a: bytes, b: bytes) -> bytes:
+    """Bitwise-OR of two equal-length filters via big-int OR — one
+    C-level op instead of a per-byte Python loop (review finding:
+    the generator form did 10⁶ interpreted ops per merge)."""
+    return (int.from_bytes(a, "big") | int.from_bytes(b, "big")).to_bytes(
+        len(a), "big"
+    )
+
+
 def build_fingerprint_bloom(seen_fps: DataFrame, m_bits: int = 1 << 23) -> bytes:
     """Distributed Bloom-filter build over the fingerprint store:
     each partition folds its fingerprints into a local bitset
     (executor-side), and the driver only OR-merges the m/8-byte
     filters — the store's DATA never reaches the driver, just filter
     bytes (1 MiB at the default 2²³ bits; size m ≈ 10·n for ~1% fpp
-    with k=4)."""
+    with k=4); merges combine in a tree, so the driver sees
+    O(log partitions) filters, not all of them sequentially."""
+    assert m_bits % 8 == 0, "m_bits must be a multiple of 8"
     m = m_bits
 
     def fold(it):
         bits = bytearray(m // 8)
         for row in it:
-            for pos in _bloom_positions(row["fingerprint"], m):
+            fp = row["fingerprint"]
+            if fp is None:
+                continue
+            for pos in _bloom_positions(fp, m):
                 bits[pos >> 3] |= 1 << (pos & 7)
         yield bytes(bits)
 
-    def merge(a: bytes, b: bytes) -> bytes:
-        return bytes(x | y for x, y in zip(a, b))
-
     parts = seen_fps.select("fingerprint").rdd.mapPartitions(fold)
-    return parts.fold(bytes(m // 8), merge)
+    if parts.getNumPartitions() == 0:
+        return bytes(m // 8)
+    return parts.treeReduce(_or_bytes)
 
 
 def bloom_prefiltered_survivors(
@@ -976,15 +989,17 @@ def bloom_prefiltered_survivors(
     bc = spark.sparkContext.broadcast(bits)
     m = m_bits
 
-    import pandas as pd  # noqa: PLC0415
-
     @F.pandas_udf("boolean")
     def _might_be_seen(fps: pd.Series) -> pd.Series:
         # Arrow-batched membership probe (UDFs-are-the-slow-path rule:
         # when Python is unavoidable, batch it)
         b = bc.value
 
-        def chk(fp_hex: str) -> bool:
+        def chk(fp_hex) -> bool:
+            if fp_hex is None:
+                # a NULL fingerprint can't be in the store; matches
+                # the plain path, where NULL never joins and survives
+                return False
             return all(
                 b[pos >> 3] & (1 << (pos & 7))
                 for pos in _bloom_positions(fp_hex, m)
@@ -992,8 +1007,16 @@ def bloom_prefiltered_survivors(
 
         return fps.map(chk)
 
-    maybe_dup = batch.filter(_might_be_seen("fingerprint"))
-    fresh = batch.filter(~_might_be_seen("fingerprint"))
+    # probe ONCE: flag on a persisted frame, then split — two naive
+    # filter() branches would re-run the md5 scan, the fingerprint
+    # shuffle and the Python probe per branch (review finding)
+    flagged = batch.withColumn(
+        "_maybe", _might_be_seen("fingerprint")
+    ).persist()
+    flagged.count()  # eager: both split branches read the cache
+    fresh = flagged.filter(~F.col("_maybe")).drop("_maybe")
     # only the maybe-dups pay the store join; fresh rows pass through
-    confirmed_new = maybe_dup.join(seen_fps, "fingerprint", "left_anti")
+    confirmed_new = flagged.filter(F.col("_maybe")).drop("_maybe").join(
+        seen_fps, "fingerprint", "left_anti"
+    )
     return fresh.unionByName(confirmed_new)

@@ -3960,11 +3960,11 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
+    from lynx_spark.operators._util import words_col
+
     text = docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long")
-        .alias("n_ws_tokens"),
+        F.size(words_col("text")).cast("long").alias("n_ws_tokens"),
     )
     img = extract_image_features(
         docs.withColumn("payload", bmp_payload_udf("doc_id")),
