@@ -5,8 +5,47 @@ from lynx_spark.operators.dedup import (  # noqa: F401
     shingle_table,
     simhash_signatures,
 )
+from lynx_spark.operators.dedup import (  # noqa: F401
+    bloom_prefiltered_survivors,
+    build_fingerprint_bloom,
+    incremental_exact_survivors,
+    lsh_recall_audit,
+)
 from lynx_spark.operators.similarity import (  # noqa: F401
     HYPERPLANES,
+    ann_recall_audit,
     cosine_topk,
+    dimension_stats,
+    ivf_ann_topk,
+    knn_graph,
+    load_ivf_index,
     lsh_ann_topk,
+    quantization_audit,
+    query_ann_store,
+    save_ivf_index,
+    semdedup_pairs,
+    write_ann_store,
+)
+from lynx_spark.operators.corpus import (  # noqa: F401
+    chunk_documents,
+    export_balanced_shards,
+    ngram_novelty,
+    pack_efficiency,
+    pack_materialize,
+    pack_sequences,
+    source_overlap_matrix,
+    token_budget_select,
+)
+from lynx_spark.operators.lm import (  # noqa: F401
+    bm25_topk,
+    rrf_fuse,
+    tfidf_top_terms,
+    unigram_scores,
+)
+from lynx_spark.operators.quality import (  # noqa: F401
+    classifier_scores,
+    gopher_rules,
+    language_mix,
+    profile_columns,
+    word_entropy,
 )
