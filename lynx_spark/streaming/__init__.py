@@ -15,4 +15,5 @@ from lynx_spark.streaming.incremental import (  # noqa: F401
     near_dup_document_stream,
     read_document_stream,
     read_embedding_stream,
+    read_store_snapshot,
 )

@@ -137,6 +137,34 @@ def _exact_dedup_commit(
     _commit(root, batch_id, {"tier": tier})
 
 
+def read_store_snapshot(
+    spark: SparkSession,
+    store_dir: str | Path,
+    name: str,
+    as_of: int | None = None,
+) -> DataFrame | None:
+    """Time-travel read of a streaming store: the union of
+    marker-committed batch directories with batch id ≤ ``as_of``
+    (None = latest). The marker commits already define a total order
+    of immutable batch directories, so any historical corpus /
+    fingerprint / signature / vector state is reproducible EXACTLY —
+    the "train on the corpus as of batch N" contract a reproducible
+    training pipeline needs. Returns None when nothing had committed
+    by ``as_of``."""
+    root = Path(store_dir)
+    batches = [
+        b for b in _committed_batches(root) if as_of is None or b <= as_of
+    ]
+    paths = [
+        str(d)
+        for b in batches
+        if (d := _batch_dir(root, name, b)).exists()
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
 def _committed_store(
     spark: SparkSession, root: Path, name: str
 ) -> DataFrame | None:

@@ -756,3 +756,36 @@ def test_streaming_embedding_replay_is_exactly_once(spark, tmp_path):
     stored = spark.read.parquet(str(store / "vectors"))
     assert sorted(r["vec_id"] for r in stored.collect()) == [r[0] for r in rows]
     assert len(list((store / "_commits").glob("b*.json"))) == 1
+
+
+def test_store_snapshot_time_travel(spark, tmp_path):
+    """read_store_snapshot(as_of=N) reproduces the corpus exactly as
+    it stood after batch N committed — the reproducible-training-set
+    contract the marker commits make possible."""
+    from lynx_spark.streaming import (
+        dedup_document_stream,
+        read_document_stream,
+        read_store_snapshot,
+    )
+
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, "alpha text"), (2, "beta text")])
+    _write_docs(d / "b2.json", [(11, "alpha text"), (12, "gamma text")])
+    store = tmp_path / "store"
+    docs = (
+        spark.readStream.schema(
+            __import__(
+                "lynx_spark.streaming.incremental", fromlist=["DOC_SCHEMA"]
+            ).DOC_SCHEMA
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = dedup_document_stream(docs, store, tmp_path / "ck")
+    q.awaitTermination(120)
+
+    latest = read_store_snapshot(spark, store, "corpus")
+    assert latest.count() == 3  # alpha, beta, gamma survive overall
+    first = read_store_snapshot(spark, store, "corpus", as_of=0)
+    assert sorted(r["doc_id"] for r in first.collect()) == [1, 2]
+    assert read_store_snapshot(spark, store, "corpus", as_of=-1) is None
