@@ -4173,3 +4173,105 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         max_query_id=20, k=3, multiprobe=True,
     )
+
+
+def _dataset_card_oracle() -> str:
+    b, w_stop, w_wlen, w_distinct, w_len = ql.CLASSIFIER_WEIGHTS
+    stop_list = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+    return rf"""
+WITH ent AS ({_ENTROPY_ORACLE}),
+gd AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS w
+       FROM documents),
+gop AS (SELECT doc_id,
+          (len(w) BETWEEN 20 AND 1000)
+          AND (list_sum(list_transform(w, x -> len(x)))
+               / CAST(len(w) AS DOUBLE) BETWEEN 4.0 AND 10.0)
+          AND (len(list_intersect(list_transform(w, x -> lower(x)),
+                 ['the','and','of','to','in','a','is'])) >= 2)
+          AND (1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) <= 0.6)
+            AS gkeep
+        FROM gd WHERE len(w) >= 1),
+cd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+       FROM documents),
+cf AS (SELECT doc_id,
+         round(len(list_filter(w, x -> list_contains([{stop_list}], x)))
+               / CAST(len(w) AS DOUBLE), 4) AS f_stopword,
+         round(list_sum(list_transform(w, x -> len(x)))
+               / CAST(len(w) AS DOUBLE), 4) AS f_word_len,
+         round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+           AS f_distinct,
+         round(len(w) / (len(w) + 100.0), 4) AS f_length
+       FROM cd),
+clf AS (SELECT doc_id,
+          round(1.0 / (1.0 + exp(-({b} + {w_stop} * f_stopword
+            + {w_wlen} * f_word_len + {w_distinct} * f_distinct
+            + {w_len} * f_length))), 4) AS prob
+        FROM cf)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+  (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+    AS n_sources,
+  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+  (SELECT CAST(sum(n_words) AS BIGINT) FROM ent) AS total_tokens,
+  (SELECT round(CAST(sum(CAST(round(word_entropy, 4)
+              AS DECIMAL(28,4))) AS DOUBLE) / count(*), 4)
+     FROM ent) AS mean_entropy,
+  (SELECT round(sum(CASE WHEN gkeep THEN 1 ELSE 0 END)
+                / CAST((SELECT count(*) FROM documents) AS DOUBLE), 4)
+     FROM gop) AS gopher_pass_rate,
+  (SELECT round(CAST(sum(CAST(prob AS DECIMAL(28,4))) AS DOUBLE)
+                / count(*), 4)
+     FROM clf) AS mean_quality_prob
+"""
+
+
+@q(
+    "q107_dataset_card",
+    oracle=_dataset_card_oracle(),
+    description="corpus datasheet (the 'dataset card' numbers a data "
+    "release publishes): docs, sources, languages, total tokens, "
+    "mean word entropy, Gopher pass rate and mean classifier "
+    "probability — every statistic is a one-pass aggregate of an "
+    "existing operator's output; means accumulate rounded DECIMAL "
+    "terms (order-independent), output is ONE row",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    ent = ql.word_entropy(docs, "doc_id", "text")
+    gop = ql.gopher_rules(docs, "doc_id", "text")
+    clf = ql.classifier_scores(docs, "doc_id", "text")
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    tok = ent.agg(
+        F.sum("n_words").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("word_entropy"), 4).cast("decimal(28,4)"))
+            .cast("double")
+            / F.count("*"),
+            4,
+        ).alias("mean_entropy"),
+    )
+    n_docs_sub = docs.count()
+    gpass = gop.agg(
+        F.round(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            / F.lit(float(n_docs_sub)),
+            4,
+        ).alias("gopher_pass_rate")
+    )
+    qprob = clf.agg(
+        F.round(
+            F.sum(F.col("quality_prob").cast("decimal(28,4)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("mean_quality_prob")
+    )
+    return (
+        base.join(F.broadcast(tok))
+        .join(F.broadcast(gpass))
+        .join(F.broadcast(qprob))
+    )

@@ -168,18 +168,13 @@ def read_store_snapshot(
 def _committed_store(
     spark: SparkSession, root: Path, name: str
 ) -> DataFrame | None:
-    """Union of the marker-committed batch directories of one store —
-    None when no batch has committed yet. Each ``batch=N`` directory
-    is read as its own base path, so NO partition column is inferred
-    — the frame carries exactly the store's data columns. Reading an
-    explicit path list (not the parent dir) is what keeps
-    half-written replay attempts invisible to the NEXT batch."""
-    paths = [
-        str(_batch_dir(root, name, b)) for b in _committed_batches(root)
-    ]
-    if not paths:
-        return None
-    return spark.read.parquet(*paths)
+    """Latest committed view of one store — read_store_snapshot with
+    no as_of bound. Each ``batch=N`` directory is read as its own
+    base path, so NO partition column is inferred — the frame
+    carries exactly the store's data columns. Reading an explicit
+    path list (not the parent dir) is what keeps half-written replay
+    attempts invisible to the NEXT batch."""
+    return read_store_snapshot(spark, root, name)
 
 
 def dedup_document_stream(
