@@ -129,7 +129,11 @@ def _ordered() -> dict[str, QuerySpec]:
     unknown = set(_VERIFY_FIRST) - REGISTRY.keys()
     assert not unknown, f"_VERIFY_FIRST names not in REGISTRY: {sorted(unknown)}"
     auto = [n for n in _never_driver_green() if n not in _VERIFY_FIRST]
-    front = auto + [n for n in _VERIFY_FIRST if n in REGISTRY]
+    # manual REWRITES outrank never-sampled queries: the front list can
+    # exceed the driver's ~50-query sample, and a rewrite of a
+    # previously-green query losing verification is worse than a brand-
+    # new query waiting one round
+    front = [n for n in _VERIFY_FIRST if n in REGISTRY] + auto
     rest = [n for n in REGISTRY if n not in front]
     return {n: REGISTRY[n] for n in front + rest}
 
