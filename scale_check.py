@@ -85,6 +85,13 @@ QUERIES = [
     "q95_audio_features",
     "q96_video_frames",
     "q97_bpe_pretokens",
+    # session B audits/composites: hybrid RRF (two top-k legs),
+    # curation funnel (gates + CC), recall audits (bucket joins +
+    # brute-force truth over a fixed query sample), dataset card
+    "q93_hybrid_search",
+    "q99_curation_funnel",
+    "q105_ann_recall",
+    "q107_dataset_card",
 ]
 
 
