@@ -180,9 +180,10 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     from lynx_spark.plans.analytics import REGISTRY
 
     out = {}
+    reps = int(os.environ.get("SCALE_REPS", "3"))
     for name in QUERIES:
         runs = []
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
