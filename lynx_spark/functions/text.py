@@ -288,3 +288,36 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         "bpe_ratio",
         F.when(n_ws > 0, F.round(n_bpe / n_ws, 4)),
     )
+
+
+def with_char_class_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-class composition per document — the C4/RefinedWeb
+    quality features that catch OCR garbage, code dumps, and
+    shouting: uppercase ratio, digit ratio, punctuation ratio, and
+    non-ASCII ratio over non-space characters. Pure JVM regexp
+    counts (length minus stripped length — no extraction arrays),
+    zero shuffle; every class is an explicit character set both Java
+    regex and RE2 read identically, so the DuckDB oracle matches
+    count-for-count."""
+    text = F.col(text_col)
+
+    def _count(pattern: str) -> Column:
+        return (
+            F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+        ).cast("long")
+
+    n_nonspace = _count(r"[^\s]")
+    n_upper = _count(r"[A-Z]")
+    n_digit = _count(r"[0-9]")
+    n_punct = _count(r"""[!-/:-@\[-`{-~]""")
+    n_nonascii = _count(r"[^\x00-\x7F]")
+    frac = lambda n: F.when(  # noqa: E731
+        n_nonspace > 0, F.round(n / n_nonspace, 4)
+    )
+    return (
+        df.withColumn("n_nonspace", n_nonspace)
+        .withColumn("upper_frac", frac(n_upper))
+        .withColumn("digit_frac", frac(n_digit))
+        .withColumn("punct_frac", frac(n_punct))
+        .withColumn("nonascii_frac", frac(n_nonascii))
+    )

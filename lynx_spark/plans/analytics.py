@@ -4279,3 +4279,36 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(gpass))
         .join(F.broadcast(qprob))
     )
+
+
+@q(
+    "q108_char_classes",
+    oracle=r"""
+WITH c AS (SELECT doc_id,
+             len(regexp_replace(text, '\s', '', 'g')) AS ns,
+             len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS nu,
+             len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+             len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+               AS np,
+             len(text) - len(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+               AS na
+           FROM documents)
+SELECT doc_id, CAST(ns AS BIGINT) AS n_nonspace,
+  CASE WHEN ns > 0 THEN round(nu / CAST(ns AS DOUBLE), 4) END AS upper_frac,
+  CASE WHEN ns > 0 THEN round(nd / CAST(ns AS DOUBLE), 4) END AS digit_frac,
+  CASE WHEN ns > 0 THEN round(np / CAST(ns AS DOUBLE), 4) END AS punct_frac,
+  CASE WHEN ns > 0 THEN round(na / CAST(ns AS DOUBLE), 4) END
+    AS nonascii_frac
+FROM c
+""",
+    description="character-class composition (C4/RefinedWeb quality "
+    "features: uppercase/digit/punctuation/non-ASCII ratios over "
+    "non-space chars — the OCR-garbage/code-dump/shouting detectors) "
+    "— pure JVM regexp-strip counts, zero shuffle; classes are "
+    "explicit character sets identical under Java regex and RE2 "
+    "(unit-tested on mixed-case/unicode/punct fixtures)",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.with_char_class_stats(
+        T(spark, sf_dir, "documents").select("doc_id", "text")
+    ).drop("text")

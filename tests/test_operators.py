@@ -1854,3 +1854,17 @@ def test_heavy_document_bounded_by_caps(spark):
     got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
     assert (1, 2) in got  # the identical monsters still pair
     assert time.perf_counter() - t0 < 120
+
+
+def test_char_class_stats_mixed_fixtures(spark):
+    from lynx_spark.functions.text import with_char_class_stats
+
+    df = spark.createDataFrame(
+        [(1, "Hello WORLD 42!!"), (2, "naïve café ±5°"), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_char_class_stats(df).collect()}
+    assert rows[1]["upper_frac"] == round(6 / 14, 4)
+    assert rows[1]["punct_frac"] == round(2 / 14, 4)
+    assert rows[2]["nonascii_frac"] == round(4 / 12, 4)  # ï é ± °
+    assert rows[3]["n_nonspace"] == 0 and rows[3]["upper_frac"] is None
