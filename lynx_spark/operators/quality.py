@@ -426,3 +426,40 @@ def language_mix(
         "share",
         F.round(ent, 4).alias("source_lang_entropy"),
     )
+
+
+def approx_percent_rank(
+    df: DataFrame, val_col: str, out_col: str = "pct_rank"
+) -> DataFrame:
+    """Percentile rank WITHOUT a global sort — the scale-correct form
+    of q101's percent_rank: aggregate to VALUE granularity (counts
+    per distinct value — model-sized for discrete scores), compute
+    the cumulative count strictly below each value over that tiny
+    frame, broadcast back. For rows ordered solely by the value this
+    IS percent_rank (ties share the rank of their first row:
+    pct = count_below / (n − 1)); the thing given up vs a global
+    window is only the within-tie ordering, which percent_rank
+    over the bare value doesn't have either. The q75
+    histogram-threshold shape applied to ranking."""
+    counts = df.groupBy(F.col(val_col).alias("_v")).agg(
+        F.count("*").alias("_c")
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = counts.withColumn(
+        "_below", F.coalesce(F.sum("_c").over(w), F.lit(0))
+    )
+    total = df.count()
+    return (
+        df.join(
+            F.broadcast(cum.select("_v", "_below")),
+            df[val_col] == F.col("_v"),
+        )
+        .drop("_v")
+        .withColumn(
+            out_col,
+            F.round(F.col("_below") / F.lit(float(max(total - 1, 1))), 4),
+        )
+        .drop("_below")
+    )

@@ -4312,3 +4312,35 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_char_class_stats(
         T(spark, sf_dir, "documents").select("doc_id", "text")
     ).drop("text")
+
+
+@q(
+    "q109_approx_ranks",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id),
+counts AS (SELECT n_events AS v, count(*) AS c FROM daily GROUP BY 1),
+cum AS (SELECT v,
+          COALESCE(SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM counts),
+tot AS (SELECT count(*) AS n FROM daily)
+SELECT d.user_id, d.n_events,
+  round(cum.below / CAST(greatest(tot.n - 1, 1) AS DOUBLE), 4) AS pct_rank
+FROM daily d JOIN cum ON cum.v = d.n_events CROSS JOIN tot
+""",
+    description="percentile rank WITHOUT a global sort (closes q101's "
+    "documented caveat): per-value counts aggregate to a model-sized "
+    "frame, the strict-below cumulative is windowed THERE, and the "
+    "corpus side is one broadcast join — identical to percent_rank "
+    "over the bare value (ties share their first row's rank); the "
+    "q75 histogram-threshold shape applied to ranking",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    return ql.approx_percent_rank(daily, "n_events")
