@@ -8,6 +8,7 @@ from lynx_spark.streaming.ingest import (  # noqa: F401
     stream_to_cold_tier,
 )
 from lynx_spark.streaming.incremental import (  # noqa: F401
+    bloom_dedup_document_stream,
     cluster_document_stream,
     curate_document_stream,
     dedup_document_stream,

@@ -28,6 +28,8 @@ import json
 import os
 from pathlib import Path
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -512,6 +514,128 @@ def embedding_stream_assign(
 
     return (
         vecs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _committed_bloom(root: Path, m_bits: int) -> bytes | None:
+    """OR-merge of the committed per-batch Bloom delta filters —
+    membership state for the whole ingested corpus from FILTER BYTES
+    alone (m/8 bytes per batch), never a rescan of the fingerprint
+    parquet. None when no batch has committed a filter yet."""
+    from lynx_spark.operators.dedup import _or_bytes
+
+    merged: bytes | None = None
+    for b in _committed_batches(root):
+        f = _batch_dir(root, "blooms", b) / "filter.bin"
+        if not f.exists():
+            continue
+        bits = f.read_bytes()
+        if len(bits) != m_bits // 8:
+            raise ValueError(
+                f"bloom filter size mismatch in batch {b}: "
+                f"{len(bits)} bytes vs m_bits={m_bits}"
+            )
+        merged = bits if merged is None else _or_bytes(merged, bits)
+    return merged
+
+
+def bloom_dedup_document_stream(
+    docs: DataFrame,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    m_bits: int = 1 << 23,
+):
+    """Exact-tier streaming dedup with PERSISTED Bloom delta filters —
+    the Common-Crawl-scale variant of ``dedup_document_stream``: each
+    committed batch also writes the Bloom filter of ITS fingerprint
+    delta (m/8 bytes); the next batch OR-merges the committed filter
+    bytes (never rescanning the fingerprint parquet), prefilters its
+    rows through the merged filter, and only the maybe-dup remainder
+    pays the anti-join against the committed store. Per-batch
+    membership cost becomes O(batch) probes + O(batches) 1 MiB filter
+    reads, independent of corpus size.
+
+    Output contract and exactly-once protocol are IDENTICAL to the
+    plain tier (asserted in tests): no false negatives, so every true
+    duplicate still reaches the anti-join; the delta filter commits
+    atomically with its batch (written before the marker, invisible
+    until it)."""
+    from lynx_spark.operators.dedup import (
+        _bloom_positions,
+        build_fingerprint_bloom,
+    )
+
+    root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
+    assert m_bits % 8 == 0
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        spark = batch.sparkSession
+        fp = batch.select(
+            F.md5(F.col("text")).alias("fingerprint"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        in_batch = fp.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("survivor_id")
+        )
+        merged = _committed_bloom(root, m_bits)
+        if merged is None:
+            surv = in_batch
+        else:
+            bc = spark.sparkContext.broadcast(merged)
+            m = m_bits
+
+            @F.pandas_udf("boolean")
+            def _maybe(fps: pd.Series) -> pd.Series:
+                b = bc.value
+
+                def chk(fp_hex) -> bool:
+                    if fp_hex is None:
+                        return False
+                    return all(
+                        b[pos >> 3] & (1 << (pos & 7))
+                        for pos in _bloom_positions(fp_hex, m)
+                    )
+
+                return fps.map(chk)
+
+            flagged = in_batch.withColumn(
+                "_maybe", _maybe("fingerprint")
+            ).persist()
+            flagged.count()
+            fresh = flagged.filter(~F.col("_maybe")).drop("_maybe")
+            seen = _committed_store(spark, root, "fingerprints")
+            confirmed = (
+                flagged.filter(F.col("_maybe"))
+                .drop("_maybe")
+                .join(seen.select("fingerprint"), "fingerprint", "left_anti")
+            )
+            surv = fresh.unionByName(confirmed)
+        rows = batch.join(
+            surv.select(F.col("survivor_id").alias("doc_id")), "doc_id"
+        ).persist()
+        rows.count()  # eager: three writes share it
+        rows.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "corpus", batch_id))
+        )
+        delta_fp = rows.select(F.md5("text").alias("fingerprint"))
+        delta_fp.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "fingerprints", batch_id))
+        )
+        delta_bits = build_fingerprint_bloom(delta_fp, m_bits)
+        bdir = _batch_dir(root, "blooms", batch_id)
+        bdir.mkdir(parents=True, exist_ok=True)
+        (bdir / "filter.bin").write_bytes(delta_bits)
+        rows.unpersist()
+        _commit(root, batch_id, {"tier": "exact-bloom"})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", str(checkpoint_dir))
         .trigger(availableNow=True)
         .start()

@@ -789,3 +789,50 @@ def test_store_snapshot_time_travel(spark, tmp_path):
     first = read_store_snapshot(spark, store, "corpus", as_of=0)
     assert sorted(r["doc_id"] for r in first.collect()) == [1, 2]
     assert read_store_snapshot(spark, store, "corpus", as_of=-1) is None
+
+
+def test_bloom_streaming_tier_matches_plain_tier(spark, tmp_path):
+    """The Bloom-delta streaming tier produces the IDENTICAL corpus to
+    the plain exact tier over the same batches, writes one filter per
+    committed batch, and replay stays exactly-once."""
+    from lynx_spark.streaming.incremental import (
+        DOC_SCHEMA,
+        bloom_dedup_document_stream,
+        dedup_document_stream,
+    )
+
+    d = tmp_path / "in"
+    _write_docs(d / "b1.json", [(1, "alpha text"), (2, "beta text")])
+    _write_docs(
+        d / "b2.json",
+        [(11, "alpha text"), (12, "gamma text"), (13, "gamma text")],
+    )
+
+    def run(fn, store, ck):
+        docs = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        q = fn(docs, store, ck)
+        q.awaitTermination(120)
+        return sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(str(store / "corpus")).collect()
+        )
+
+    plain = run(dedup_document_stream, tmp_path / "s1", tmp_path / "ck1")
+    bloom = run(bloom_dedup_document_stream, tmp_path / "s2", tmp_path / "ck2")
+    assert plain == bloom == [
+        (1, "alpha text"), (2, "beta text"), (12, "gamma text")
+    ]
+    blooms = sorted((tmp_path / "s2" / "blooms").glob("batch=*/filter.bin"))
+    assert len(blooms) == 2  # one delta filter per committed batch
+    # replay with a fresh checkpoint is a no-op (markers gate it)
+    import shutil
+
+    shutil.rmtree(tmp_path / "ck2")
+    again = run(
+        bloom_dedup_document_stream, tmp_path / "s2", tmp_path / "ck2"
+    )
+    assert again == bloom
