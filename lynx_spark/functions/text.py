@@ -222,6 +222,25 @@ def with_winnow_summary(
     )
 
 
+def _exploded_fps(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int, out_id: str
+) -> DataFrame:
+    """(id, fp) rows from the winnowing fingerprint arrays, with the
+    array frame PERSISTED (eagerly) before the explode. The barrier is
+    load-bearing, not a cache nicety: fused into one codegen stage
+    with a pushed-down scan filter, Generate over the giant winnow
+    expression re-evaluates it per OUTPUT row (measured: a hang at
+    sf0.001 — minutes instead of 0.8s); materializing the arrays
+    first makes the explode read computed values. Callers unpersist
+    via the ContextCleaner when the frame is garbage collected (the
+    similarity-module convention)."""
+    base = _with_winnow_fps(df, text_col, k, w).select(
+        F.col(id_col).alias(out_id), "fps"
+    ).persist()
+    base.count()  # eager: force the winnow computation ONCE
+    return base.select(out_id, F.explode("fps").alias("fp")).distinct()
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     id_col: str,
@@ -242,9 +261,7 @@ def winnow_overlap_pairs(
     from lynx_spark.operators.dedup import cap_doc_freq
 
     fp = cap_doc_freq(
-        _with_winnow_fps(df, text_col, k, w)
-        .select(F.col(id_col).alias("doc"), F.explode("fps").alias("fp"))
-        .distinct(),
+        _exploded_fps(df, id_col, text_col, k, w, "doc"),
         max_doc_freq,
         key_col="fp",
     )
@@ -320,4 +337,41 @@ def with_char_class_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("digit_frac", frac(n_digit))
         .withColumn("punct_frac", frac(n_punct))
         .withColumn("nonascii_frac", frac(n_nonascii))
+    )
+
+
+def incremental_winnow_matches(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_common: int = 2,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_doc_freq: int | None = 20,
+) -> DataFrame:
+    """Incremental partial-overlap detection: (new_id, seen_id,
+    n_common) for incoming documents sharing >= ``min_common``
+    winnowing fingerprints with the ALREADY-INGESTED corpus — the
+    winnow tier of the incremental dedup family (exact q56, minhash
+    q57, embedding stream tier), catching the copied-paragraph case
+    whole-document similarity misses. Bipartite by construction:
+    new×seen fingerprint equality only, never new×new or a seen-side
+    rescan beyond its fingerprint table (which IS the store shape —
+    persist it like the q56/q57 stores). ``max_doc_freq`` caps
+    boilerplate fingerprints on the seen side, same guard as
+    winnow_overlap_pairs."""
+    from lynx_spark.operators.dedup import cap_doc_freq
+
+    new_fp = _exploded_fps(new_df, id_col, text_col, k, w, "new_id")
+    seen_fp = _exploded_fps(seen_df, id_col, text_col, k, w, "doc")
+    if max_doc_freq is not None:
+        seen_fp = cap_doc_freq(seen_fp, max_doc_freq, key_col="fp")
+    return (
+        new_fp.join(
+            seen_fp.select(F.col("doc").alias("seen_id"), "fp"), "fp"
+        )
+        .groupBy("new_id", "seen_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
     )

@@ -4344,3 +4344,57 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_events"))
     )
     return ql.approx_percent_rank(daily, "n_events")
+
+
+@q(
+    "q110_incremental_winnow",
+    oracle=rf"""
+WITH norm AS (
+  SELECT doc_id, source,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= {tx.WINNOW_K} THEN
+      list_transform(generate_series(1, len(t) - {tx.WINNOW_K - 1}),
+                     i -> md5(substr(t, i, {tx.WINNOW_K})))
+    ELSE []::VARCHAR[] END AS hs
+  FROM norm),
+f AS (
+  SELECT doc_id, source,
+    CASE WHEN len(hs) >= {tx.WINNOW_W} THEN
+      list_distinct(list_transform(
+        generate_series(1, len(hs) - {tx.WINNOW_W - 1}),
+        j -> list_min(hs[j:j + {tx.WINNOW_W - 1}])))
+    ELSE []::VARCHAR[] END AS fps
+  FROM g),
+fp AS (SELECT doc_id, source, unnest(fps) AS fp FROM f),
+seen AS (SELECT doc_id, fp FROM (
+           SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS _df
+           FROM fp WHERE source = 'src0')
+         WHERE _df <= 20)
+SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
+  CAST(count(*) AS BIGINT) AS n_common
+FROM fp n JOIN seen s ON n.fp = s.fp
+WHERE n.source <> 'src0'
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+    description="incremental partial-overlap detection (winnow tier "
+    "of the incremental dedup family, completing exact/minhash/"
+    "embedding): incoming (non-src0) documents sharing ≥2 winnowing "
+    "fingerprints with the ingested (src0) corpus — bipartite "
+    "new×seen fingerprint join only, with the seen-side doc-frequency "
+    "cap dropping boilerplate fingerprints (the word-salad corpus "
+    "makes hot fingerprints the norm — uncapped, the join is "
+    "quadratic in practice, measured as a hang at sf0.001); catches "
+    "the copied-paragraph case whole-document similarity misses",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return tx.incremental_winnow_matches(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+    )
