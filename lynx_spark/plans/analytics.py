@@ -95,6 +95,9 @@ _VERIFY_FIRST = [
     "q63_pii_scrub",
     "q64_embedding_stats",
     "q31_media_meta",
+    # newest operator with a just-fixed plan pathology (persist-before-
+    # explode): guarantee its first driver row lands this round
+    "q110_incremental_winnow",
 ]
 
 
