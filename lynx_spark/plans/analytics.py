@@ -121,7 +121,16 @@ def _never_driver_green() -> list[str]:
             except (OSError, ValueError):
                 continue
             for name, row in data.items():
-                if isinstance(row, dict) and row.get("rows_match"):
+                if not isinstance(row, dict):
+                    continue
+                # oracled pass, or a rows-only query that the driver
+                # already sampled (no_oracle is the strongest check it
+                # can ever get — re-promoting it would burn a slot of
+                # the ~50-query sample every round forever)
+                if row.get("rows_match") or (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                ):
                     green.add(name)
     except OSError:
         return []
