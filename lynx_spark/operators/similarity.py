@@ -956,7 +956,10 @@ def ann_recall_audit(
     integers; the two ratios divide exact sums)."""
     truth = cosine_topk(df, id_col, vec_col, max_query_id, k).select(
         "qid", "nid"
-    )
+    ).persist()
+    truth.count()  # eager: the hit join + per-query totals share the
+    # cache — without it the brute-force truth subplan (the expensive
+    # BroadcastNestedLoop scan) executes once per consumer
     found = lsh_ann_topk(
         df, id_col, vec_col, max_query_id, k, multiprobe=multiprobe
     ).select("qid", "nid")
