@@ -92,6 +92,11 @@ QUERIES = [
     "q99_curation_funnel",
     "q105_ann_recall",
     "q107_dataset_card",
+    # session C: histogram percent-rank (must NOT global-sort under
+    # growth), incremental winnow (bipartite fingerprint join — the
+    # newest quadratic-risk candidate generator)
+    "q109_approx_ranks",
+    "q110_incremental_winnow",
 ]
 
 
@@ -181,7 +186,11 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
     out = {}
     reps = int(os.environ.get("SCALE_REPS", "3"))
-    for name in QUERIES:
+    # SCALE_ONLY=q109_...,q110_... measures a subset without paying for
+    # the full sweep (incremental evidence for newly added operators)
+    only = os.environ.get("SCALE_ONLY")
+    names = only.split(",") if only else QUERIES
+    for name in names:
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
