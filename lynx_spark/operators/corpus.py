@@ -456,6 +456,50 @@ def chunk_documents(
     )
 
 
+def paragraph_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, para_tokens: int = 20
+) -> DataFrame:
+    """Sub-document (paragraph-granular) exact dedup, the Dolma/CCNet
+    dedup mode between whole-document (exact dedup) and sliding-window
+    (duplicated-windows) granularity: split every document into
+    non-overlapping ``para_tokens``-word paragraphs, hash each, and
+    keep only the FIRST occurrence of each paragraph corpus-wide
+    (first = smallest (doc_id, chunk_id), the deterministic rule both
+    engines share). Returns per-document n_paras / n_kept / kept_frac
+    — the retained-fraction signal a curation pipeline thresholds on
+    (a document whose paragraphs all appear earlier elsewhere is pure
+    boilerplate even when no whole-document twin exists).
+
+    Plan: the paragraph split is per-row array expressions (zero
+    shuffle, chunk_documents with overlap=0); first-occurrence is
+    min(doc_id·1e5 + chunk_id) over a Window keyed by the paragraph
+    hash — the q66 shape: ONE hash-keyed exchange, no join — then one
+    doc-keyed aggregate. chunk_id < 1e5 always holds (it is bounded
+    by words-per-doc / para_tokens), so the packed key is collision-
+    free and fits a long at any doc_id the testdata or a 100 TB
+    corpus uses."""
+    paras = chunk_documents(
+        df, id_col, text_col, max_tokens=para_tokens, overlap=0
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.col("chunk_text")).alias("_h"),
+    )
+    key = F.col("doc_id") * 100000 + F.col("chunk_id")
+    first = F.min(key).over(Window.partitionBy("_h"))
+    return (
+        paras.withColumn("_kept", (key == first).cast("int"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum("_kept").cast("long").alias("n_kept"),
+        )
+        .withColumn(
+            "kept_frac", F.round(F.col("n_kept") / F.col("n_paras"), 4)
+        )
+    )
+
+
 def sample_per_domain(
     df: DataFrame, id_col: str, domain_col: str, budget: int
 ) -> DataFrame:

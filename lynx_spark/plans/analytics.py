@@ -4410,3 +4410,37 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
     )
+
+
+@q(
+    "q111_paragraph_dedup",
+    oracle=_WORDS_CTE
+    + """
+, g AS (SELECT doc_id, w,
+          unnest(generate_series(1, greatest(1, len(w)), 20)) AS s
+        FROM d WHERE len(w) >= 1),
+p AS (SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS chunk_id,
+        md5(array_to_string(w[s : s + 19], ' ')) AS h
+      FROM g),
+f AS (SELECT doc_id, chunk_id,
+        min(doc_id * 100000 + chunk_id) OVER (PARTITION BY h) AS fk
+      FROM p)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(sum(CASE WHEN doc_id * 100000 + chunk_id = fk THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept,
+  round(sum(CASE WHEN doc_id * 100000 + chunk_id = fk THEN 1 ELSE 0 END)
+    / CAST(count(*) AS DOUBLE), 4) AS kept_frac
+FROM f GROUP BY doc_id
+""",
+    description="paragraph-granular exact dedup (the Dolma/CCNet "
+    "sub-document mode between whole-document q21 and sliding-window "
+    "q66): 20-word non-overlapping paragraphs, corpus-wide keep-first "
+    "by (doc_id, chunk_id), per-document retained fraction — the "
+    "boilerplate-document signal curation thresholds on; paragraph "
+    "split is zero-shuffle, first-occurrence is one hash-keyed "
+    "window, then one doc aggregate",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.paragraph_dedup_stats(
+        T(spark, sf_dir, "documents"), "doc_id", "text"
+    )

@@ -97,6 +97,8 @@ QUERIES = [
     # newest quadratic-risk candidate generator)
     "q109_approx_ranks",
     "q110_incremental_winnow",
+    # paragraph-granular dedup: hash-keyed window (the q66 shape)
+    "q111_paragraph_dedup",
 ]
 
 

@@ -1208,6 +1208,45 @@ def test_chunk_documents_overlap_and_tail(spark):
         chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)
 
 
+def test_paragraph_dedup_keep_first(spark):
+    from lynx_spark.operators.corpus import paragraph_dedup_stats
+
+    para_a = " ".join(f"a{i}" for i in range(4))
+    para_b = " ".join(f"b{i}" for i in range(4))
+    para_c = " ".join(f"c{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, f"{para_a} {para_b}"),  # both paragraphs first here
+            (2, f"{para_b} {para_c}"),  # b repeats doc 1, c is novel
+            (3, f"{para_a} {para_b}"),  # pure boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup_stats(
+            df, "doc_id", "text", para_tokens=4
+        ).collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_kept"] == 1  # keeps c, drops the repeated b
+    assert out[3]["n_kept"] == 0 and out[3]["kept_frac"] == 0.0
+    assert out[2]["kept_frac"] == 0.5
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    """A paragraph repeated WITHIN one document keeps only its first
+    instance — the (doc_id, chunk_id) order breaks the tie."""
+    from lynx_spark.operators.corpus import paragraph_dedup_stats
+
+    para = " ".join(f"x{i}" for i in range(4))
+    df = spark.createDataFrame([(7, f"{para} {para}")], ["doc_id", "text"])
+    (row,) = paragraph_dedup_stats(
+        df, "doc_id", "text", para_tokens=4
+    ).collect()
+    assert row["n_paras"] == 2 and row["n_kept"] == 1
+
+
 def test_sample_per_domain_budget_and_determinism(spark):
     from lynx_spark.operators.corpus import sample_per_domain
 
