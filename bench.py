@@ -58,6 +58,10 @@ HEADLINE = [
     # shape) + BM25 retrieval (filtered-stream aggregation)
     "q83_knn_graph",
     "q89_bm25_search",
+    # session C: incremental winnow (the heaviest textual compute —
+    # ~one md5 per char position) + paragraph-granular dedup
+    "q110_incremental_winnow",
+    "q111_paragraph_dedup",
 ]
 
 
@@ -79,7 +83,8 @@ def main() -> None:
     # 2-3s runtimes swing +-25% at 3 reps on this harness
     HEAVY_REPS = {"q22_ngram_jaccard", "q23_minhash_lsh", "q24_cosine_topk",
                   "q25_ann_lsh", "q30_simhash", "q66_duplicated_windows",
-                  "q77_sketch_audit", "q83_knn_graph"}
+                  "q77_sketch_audit", "q83_knn_graph",
+                  "q110_incremental_winnow"}
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
