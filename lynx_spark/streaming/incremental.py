@@ -520,17 +520,26 @@ def embedding_stream_assign(
     )
 
 
-def _committed_bloom(root: Path, m_bits: int) -> bytes | None:
+def _committed_bloom(root: Path, m_bits: int) -> tuple[bytes | None, bool]:
     """OR-merge of the committed per-batch Bloom delta filters —
     membership state for the whole ingested corpus from FILTER BYTES
     alone (m/8 bytes per batch), never a rescan of the fingerprint
-    parquet. None when no batch has committed a filter yet."""
+    parquet. Returns (merged, complete): merged is None when no batch
+    has committed a filter yet; complete is False when some COMMITTED
+    batch has no filter (a store previously populated by the plain
+    tier) — such a store's membership cannot be prefiltered, because
+    a fingerprint ingested by a filterless batch would pass the bloom
+    as 'definitely fresh' (a false negative the Bloom contract
+    forbids). Callers must route every row through the anti-join in
+    that case."""
     from lynx_spark.operators.dedup import _or_bytes
 
     merged: bytes | None = None
+    complete = True
     for b in _committed_batches(root):
         f = _batch_dir(root, "blooms", b) / "filter.bin"
         if not f.exists():
+            complete = False
             continue
         bits = f.read_bytes()
         if len(bits) != m_bits // 8:
@@ -539,7 +548,7 @@ def _committed_bloom(root: Path, m_bits: int) -> bytes | None:
                 f"{len(bits)} bytes vs m_bits={m_bits}"
             )
         merged = bits if merged is None else _or_bytes(merged, bits)
-    return merged
+    return merged, complete
 
 
 def bloom_dedup_document_stream(
@@ -583,8 +592,17 @@ def bloom_dedup_document_stream(
         in_batch = fp.groupBy("fingerprint").agg(
             F.min("doc_id").alias("survivor_id")
         )
-        merged = _committed_bloom(root, m_bits)
-        if merged is None:
+        merged, complete = _committed_bloom(root, m_bits)
+        if not complete:
+            # a committed batch carries no filter (plain-tier history):
+            # the merged bloom would report its fingerprints as fresh
+            # (false negatives) — degrade to the plain tier's full
+            # anti-join, correctness over the prefilter speedup
+            seen = _committed_store(spark, root, "fingerprints")
+            surv = in_batch.join(
+                seen.select("fingerprint"), "fingerprint", "left_anti"
+            )
+        elif merged is None:
             surv = in_batch
         else:
             bc = spark.sparkContext.broadcast(merged)

@@ -791,6 +791,47 @@ def test_store_snapshot_time_travel(spark, tmp_path):
     assert read_store_snapshot(spark, store, "corpus", as_of=-1) is None
 
 
+def test_bloom_tier_on_plain_store_degrades_to_anti_join(spark, tmp_path):
+    """Pointing the Bloom tier at a store whose committed history was
+    written by the PLAIN tier (no delta filters) must not produce
+    false negatives: a filterless committed batch means the merged
+    bloom cannot vouch for 'definitely fresh', so the tier degrades
+    to the plain anti-join and the cross-tier duplicate is still
+    dropped."""
+    import shutil
+
+    from lynx_spark.streaming.incremental import (
+        DOC_SCHEMA,
+        bloom_dedup_document_stream,
+        dedup_document_stream,
+    )
+
+    d = tmp_path / "in"
+    store, ck = tmp_path / "s", tmp_path / "ck"
+    _write_docs(d / "b1.json", [(1, "alpha text"), (2, "beta text")])
+
+    def run(fn):
+        docs = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        q = fn(docs, store, ck)
+        q.awaitTermination(120)
+
+    run(dedup_document_stream)  # batch 0 commits WITHOUT a filter
+    _write_docs(d / "b2.json", [(11, "alpha text"), (12, "gamma text")])
+    shutil.rmtree(ck)  # same-path replay: batch 0 skips via its marker
+    run(bloom_dedup_document_stream)
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(store / "corpus")).collect()
+    )
+    assert got == [
+        (1, "alpha text"), (2, "beta text"), (12, "gamma text")
+    ]
+
+
 def test_bloom_streaming_tier_matches_plain_tier(spark, tmp_path):
     """The Bloom-delta streaming tier produces the IDENTICAL corpus to
     the plain exact tier over the same batches, writes one filter per
