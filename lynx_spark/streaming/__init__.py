@@ -16,5 +16,6 @@ from lynx_spark.streaming.incremental import (  # noqa: F401
     near_dup_document_stream,
     read_document_stream,
     read_embedding_stream,
+    diff_store_snapshots,
     read_store_snapshot,
 )

@@ -167,6 +167,47 @@ def read_store_snapshot(
     return spark.read.parquet(*paths)
 
 
+def diff_store_snapshots(
+    spark: SparkSession,
+    store_dir: str | Path,
+    name: str,
+    as_of_a: int,
+    as_of_b: int | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """What changed between two committed snapshots of a store — the
+    reproducibility audit behind "training run X used corpus v3, run
+    Y used v5; what moved?". Returns (key, change) rows where change
+    is 'added' or 'removed', comparing the ``as_of_a`` snapshot to
+    ``as_of_b`` (None = latest) by ``key_col``. Batch directories are
+    immutable and append-only under the marker total order, so for a
+    pure append store the 'removed' side is empty and the diff is
+    exactly the batches in (a, b] — but the diff is computed by
+    anti-joins, not assumed, so it also holds for stores whose tiers
+    rewrite survivors. Two broadcast-friendly anti-joins; no
+    collect."""
+    a = read_store_snapshot(spark, store_dir, name, as_of=as_of_a)
+    b = read_store_snapshot(spark, store_dir, name, as_of=as_of_b)
+    empty = None
+    for side in (a, b):
+        if side is not None:
+            empty = side.select(key_col).limit(0)
+            break
+    if empty is None:
+        raise ValueError(
+            f"store {store_dir}/{name} has no committed batches to diff"
+        )
+    ka = a.select(key_col) if a is not None else empty
+    kb = b.select(key_col) if b is not None else empty
+    added = kb.join(ka, key_col, "left_anti").select(
+        key_col, F.lit("added").alias("change")
+    )
+    removed = ka.join(kb, key_col, "left_anti").select(
+        key_col, F.lit("removed").alias("change")
+    )
+    return added.unionByName(removed)
+
+
 def _committed_store(
     spark: SparkSession, root: Path, name: str
 ) -> DataFrame | None:

@@ -790,6 +790,25 @@ def test_store_snapshot_time_travel(spark, tmp_path):
     assert sorted(r["doc_id"] for r in first.collect()) == [1, 2]
     assert read_store_snapshot(spark, store, "corpus", as_of=-1) is None
 
+    # snapshot diff: v0 -> latest added exactly doc 12 (11 deduped
+    # away), removed nothing (append-only store)
+    from lynx_spark.streaming.incremental import diff_store_snapshots
+
+    diff = sorted(
+        (r["doc_id"], r["change"])
+        for r in diff_store_snapshots(
+            spark, store, "corpus", as_of_a=0
+        ).collect()
+    )
+    assert diff == [(12, "added")]
+    # diffing an empty snapshot against latest reports the full corpus
+    full = diff_store_snapshots(spark, store, "corpus", as_of_a=-1)
+    assert sorted(r["doc_id"] for r in full.collect()) == [1, 2, 12]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        diff_store_snapshots(spark, tmp_path / "nostore", "corpus", 0)
+
 
 def test_bloom_tier_on_plain_store_degrades_to_anti_join(spark, tmp_path):
     """Pointing the Bloom tier at a store whose committed history was
