@@ -152,7 +152,14 @@ def read_store_snapshot(
     fingerprint / signature / vector state is reproducible EXACTLY —
     the "train on the corpus as of batch N" contract a reproducible
     training pipeline needs. Returns None when nothing had committed
-    by ``as_of``."""
+    by ``as_of``.
+
+    DELTA stores only (corpus/fingerprints/signatures/matches/vectors
+    — each batch dir holds that batch's additions, so the union IS
+    the state). The cluster stream's ``assignments`` store is a
+    FULL-snapshot-per-batch store: unioning its dirs double-counts;
+    read its single newest committed dir instead (and note its older
+    snapshots are garbage-collected past retain_snapshots)."""
     root = Path(store_dir)
     batches = [
         b for b in _committed_batches(root) if as_of is None or b <= as_of
