@@ -98,6 +98,9 @@ _VERIFY_FIRST = [
     # newest operator with a just-fixed plan pathology (persist-before-
     # explode): guarantee its first driver row lands this round
     "q110_incremental_winnow",
+    # newest operator, registered last so auto-promotion would place it
+    # beyond the ~50-query sample: guarantee its first driver row
+    "q111_paragraph_dedup",
 ]
 
 
