@@ -307,6 +307,51 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_pair_frequencies(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Adjacent-character-pair frequencies weighted by word frequency
+    — the statistic BPE tokenizer TRAINING computes for its first
+    merge (Sennrich et al. 2016: the most frequent symbol pair
+    becomes the first merge rule). Returns the ``top_k`` pairs with
+    their weighted counts and a deterministic rank (count desc, then
+    pair — so both engines agree on ties).
+
+    Scale shape: the only corpus-sized stage is the word-frequency
+    aggregate (word-keyed shuffle WITH map-side partial combine — the
+    q80 Zipf shape); pair expansion runs over the DISTINCT-word
+    vocabulary (model-sized), and top-k fuses into
+    TakeOrderedAndProject — no global sort of anything corpus-sized.
+    Iterating merges (BPE proper) would re-run this over re-segmented
+    symbols; one iteration is the distributed-counting shape all of
+    them share."""
+    wc = (
+        df.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = wc.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wc").cast("long").alias("n"))
+    from pyspark.sql.window import Window
+
+    top = agg.orderBy(F.desc("n"), F.asc("pair")).limit(top_k)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("pair")))
+        .cast("long"),
+    )
+
+
 def with_char_class_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Character-class composition per document — the C4/RefinedWeb
     quality features that catch OCR garbage, code dumps, and

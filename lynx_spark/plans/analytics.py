@@ -98,9 +98,10 @@ _VERIFY_FIRST = [
     # newest operator with a just-fixed plan pathology (persist-before-
     # explode): guarantee its first driver row lands this round
     "q110_incremental_winnow",
-    # newest operator, registered last so auto-promotion would place it
-    # beyond the ~50-query sample: guarantee its first driver row
+    # newest operators, registered last so auto-promotion would place
+    # them beyond the ~50-query sample: guarantee their first driver rows
     "q111_paragraph_dedup",
+    "q112_bpe_pair_freqs",
 ]
 
 
@@ -4447,3 +4448,29 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.paragraph_dedup_stats(
         T(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+@q(
+    "q112_bpe_pair_freqs",
+    oracle=_WORDS_CTE
+    + """
+, wd AS (SELECT unnest(w) AS word FROM d),
+wc AS (SELECT word, count(*) AS c FROM wd WHERE len(word) >= 2
+       GROUP BY word),
+ix AS (SELECT word, c, unnest(generate_series(1, len(word) - 1)) AS i
+       FROM wc),
+agg AS (SELECT substr(word, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS n
+        FROM ix GROUP BY 1)
+SELECT pair, n,
+  CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+FROM agg ORDER BY n DESC, pair LIMIT 50
+""",
+    description="BPE tokenizer-training pair statistics (Sennrich et "
+    "al. 2016 first-merge counts): adjacent character pairs weighted "
+    "by word frequency, top-50 with deterministic rank — the "
+    "distributed-counting shape every BPE merge iteration shares; "
+    "corpus touches only the word-frequency aggregate (map-side "
+    "combine), pair expansion runs on the vocabulary",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bpe_pair_frequencies(T(spark, sf_dir, "documents"))

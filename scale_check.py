@@ -99,6 +99,8 @@ QUERIES = [
     "q110_incremental_winnow",
     # paragraph-granular dedup: hash-keyed window (the q66 shape)
     "q111_paragraph_dedup",
+    # BPE pair stats: word-keyed agg w/ map-side combine (q80 shape)
+    "q112_bpe_pair_freqs",
 ]
 
 

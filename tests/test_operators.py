@@ -1895,6 +1895,23 @@ def test_heavy_document_bounded_by_caps(spark):
     assert time.perf_counter() - t0 < 120
 
 
+def test_bpe_pair_frequencies_weighted_counts(spark):
+    """Pair counts are word-frequency weighted, single-char words are
+    ignored, and ties rank deterministically by pair string."""
+    from lynx_spark.functions.text import bpe_pair_frequencies
+
+    df = spark.createDataFrame(
+        # "ab" twice, "abc" once, "x" ignored (single char)
+        [(1, "ab abc x"), (2, "ab")],
+        ["doc_id", "text"],
+    )
+    rows = {r["pair"]: r for r in bpe_pair_frequencies(df).collect()}
+    # "ab": 2 from the word 'ab' + 1 from 'abc' = 3; "bc": 1 from 'abc'
+    assert rows["ab"]["n"] == 3 and rows["ab"]["rank"] == 1
+    assert rows["bc"]["n"] == 1
+    assert "x" not in "".join(rows)  # no pair from the 1-char word
+
+
 def test_char_class_stats_mixed_fixtures(spark):
     from lynx_spark.functions.text import with_char_class_stats
 
