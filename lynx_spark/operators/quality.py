@@ -326,6 +326,62 @@ def zipf_audit(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    sizes: tuple[int, ...] = (100, 500, 1000, 5000),
+) -> DataFrame:
+    """Token coverage / OOV rate at candidate vocabulary sizes — the
+    tokenizer-design companion to the Zipf audit (q80) and the BPE
+    pair counts (q112): for each K, what fraction of all token
+    occurrences falls inside the top-K-by-frequency vocabulary, and
+    the out-of-vocabulary remainder a tokenizer of that size pays in
+    <unk>/byte-fallback tokens. One row per K with covered/total
+    counts (exact integers) and the two derived rates.
+
+    Scale shape: the corpus is touched only by the word-frequency
+    aggregate (map-side combine); ranking is a window over the
+    DISTINCT-word vocabulary (model-sized, the q75 threshold
+    argument), and the K-membership join is a tiny-sizes-literal
+    broadcast against that vocabulary."""
+    from lynx_spark.operators._util import words_col
+
+    counts = (
+        df.select(F.explode(words_col(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "word")),
+    )
+    spark = df.sparkSession
+    sizes_df = spark.createDataFrame(
+        [(int(k),) for k in sizes], "vocab_size long"
+    )
+    total = counts.agg(F.sum("freq").cast("long").alias("total"))
+    per = (
+        F.broadcast(sizes_df)
+        .join(ranked, F.col("rank") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("freq").cast("long").alias("covered"))
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered",
+            "total",
+            F.round(F.col("covered") / F.col("total"), 4).alias("coverage"),
+            F.round(1 - F.col("covered") / F.col("total"), 4).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("vocab_size")
+    )
+
+
 #: fixed logistic-classifier weights for ``classifier_scores`` —
 #: (bias, stopword-ratio, mean-word-length, distinct-word-ratio,
 #: saturating length). Stand-ins for a trained fastText/logreg quality

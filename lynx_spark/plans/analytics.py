@@ -102,6 +102,7 @@ _VERIFY_FIRST = [
     # them beyond the ~50-query sample: guarantee their first driver rows
     "q111_paragraph_dedup",
     "q112_bpe_pair_freqs",
+    "q113_vocab_coverage",
 ]
 
 
@@ -4474,3 +4475,33 @@ FROM agg ORDER BY n DESC, pair LIMIT 50
 )
 def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_frequencies(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "q113_vocab_coverage",
+    oracle=_WORDS_CTE
+    + """
+, words AS (SELECT unnest(w) AS word FROM d),
+counts AS (SELECT word, count(*) AS freq FROM words WHERE word <> ''
+           GROUP BY word),
+ranked AS (SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rank
+           FROM counts),
+total AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts),
+sizes AS (SELECT unnest([100, 500, 1000, 5000]) AS vocab_size)
+SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
+  CAST(sum(r.freq) AS BIGINT) AS covered, t.total,
+  round(sum(r.freq) / CAST(t.total AS DOUBLE), 4) AS coverage,
+  round(1 - sum(r.freq) / CAST(t.total AS DOUBLE), 4) AS oov_rate
+FROM sizes s JOIN ranked r ON r.rank <= s.vocab_size CROSS JOIN total t
+GROUP BY s.vocab_size, t.total
+""",
+    description="vocabulary coverage / OOV-rate curve (tokenizer "
+    "design: what top-K vocabulary covers which fraction of token "
+    "occurrences, and the <unk>/byte-fallback remainder) — corpus "
+    "touched only by the word-frequency aggregate; ranking windows "
+    "the model-sized vocabulary and K-membership is a broadcast "
+    "against a 4-row sizes literal",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.vocab_coverage(T(spark, sf_dir, "documents"))

@@ -101,6 +101,8 @@ QUERIES = [
     "q111_paragraph_dedup",
     # BPE pair stats: word-keyed agg w/ map-side combine (q80 shape)
     "q112_bpe_pair_freqs",
+    # vocab coverage: vocabulary window + sizes broadcast
+    "q113_vocab_coverage",
 ]
 
 

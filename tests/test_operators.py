@@ -1912,6 +1912,23 @@ def test_bpe_pair_frequencies_weighted_counts(spark):
     assert "x" not in "".join(rows)  # no pair from the 1-char word
 
 
+def test_vocab_coverage_curve(spark):
+    """Coverage at K=1 is the top word's share; a K beyond the whole
+    vocabulary covers everything (OOV 0)."""
+    from lynx_spark.operators.quality import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c")], ["doc_id", "text"]
+    )  # freqs: a=4, b=2, c=1; total=7
+    out = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(df, sizes=(1, 10)).collect()
+    }
+    assert out[1]["covered"] == 4 and out[1]["total"] == 7
+    assert out[1]["coverage"] == round(4 / 7, 4)
+    assert out[10]["covered"] == 7 and out[10]["oov_rate"] == 0.0
+
+
 def test_char_class_stats_mixed_fixtures(spark):
     from lynx_spark.functions.text import with_char_class_stats
 
