@@ -858,3 +858,110 @@ def export_balanced_shards(
         )
         .orderBy("shard")
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    expected_k: float = 100.0,
+) -> DataFrame:
+    """Poisson probability-proportional-to-size (PPS) sampling with
+    Horvitz-Thompson inverse-probability weights: document *i* is
+    included iff u_i < k·w_i / W, so inclusion probability is
+    π_i = min(1, k·w_i/W) and E[sample size] ≈ k. The survey-sampling
+    way to thin a corpus toward a token budget while keeping every
+    downstream aggregate unbiased (estimate Σf by Σ f/π over the
+    sample).
+
+    Deterministic and engine-portable by construction: u_i is the
+    shared 60-bit md5 hash of the id divided by 2^60, and the
+    selection predicate uses only IEEE-correctly-rounded operations
+    (int→double conversion, multiply, divide) on bit-identical
+    inputs — so Spark and the DuckDB oracle select the exact same
+    set, with no transcendental in the decision path (the
+    Efraimidis-Spirakis exponential-key formulation would put ln()
+    inside the ORDER BY, where a 1-ulp libm difference could flip a
+    rank; the Poisson design needs no sort at all).
+
+    100 TB shape: ONE tiny total-weight aggregation broadcast back,
+    then a pure map-side filter — no global sort, no shuffle of the
+    data itself, unlike top-k reservoir designs."""
+    from lynx_spark.operators.dedup import base_hash_expr
+
+    w = F.col(weight_col).cast("double")
+    total = df.agg(
+        F.sum(F.col(weight_col).cast("long")).cast("long").alias("_w_total")
+    )
+    u = base_hash_expr(F.col(id_col).cast("string")) / F.lit(
+        float(1 << 60)
+    )
+    pi_raw = F.lit(float(expected_k)) * w / F.col("_w_total").cast("double")
+    return (
+        df.crossJoin(F.broadcast(total))
+        .withColumn("_u", u)
+        .filter(F.col("_u") < pi_raw)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round(F.least(pi_raw, F.lit(1.0)), 9).alias("incl_prob"),
+            F.round(
+                F.lit(1.0) / F.least(pi_raw, F.lit(1.0)), 6
+            ).alias("ht_weight"),
+        )
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    difficulty_col: str,
+) -> DataFrame:
+    """Curriculum training order with round-robin domain interleaving:
+    within each domain, documents rank easiest-first (``stage`` =
+    row_number by the difficulty column); the global training
+    position is the CLOSED FORM pos = (stage-1)·n_domains +
+    domain_idx, which interleaves domains at every stage (easy docs
+    from all domains first, no domain streak longer than 1) without
+    any global sort. Positions are strictly ordering priorities —
+    unequal domain sizes leave gaps once small domains exhaust, which
+    a loader's ORDER BY pos ignores.
+
+    100 TB shape: one window shuffle keyed by domain (same cost
+    envelope as stratified_split); the domain dimension is a
+    distinct-aggregate of model size, broadcast back. Contrast with
+    the naive ORDER BY (difficulty, …) over the full corpus — a
+    global range-exchange this formulation never pays."""
+    w = Window.partitionBy("domain").orderBy(
+        F.col(difficulty_col), F.col("doc_id")
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.col(difficulty_col),
+    )
+    dim = (
+        base.select("domain")
+        .distinct()
+        .withColumn(
+            "domain_idx",
+            F.row_number().over(Window.orderBy("domain")).cast("long"),
+        )
+    )
+    dim = dim.crossJoin(
+        F.broadcast(dim.agg(F.count("*").cast("long").alias("n_domains")))
+    )
+    return (
+        base.withColumn("stage", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(dim), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            "stage",
+            (
+                (F.col("stage") - 1) * F.col("n_domains")
+                + F.col("domain_idx")
+            ).cast("long").alias("pos"),
+        )
+    )

@@ -519,3 +519,56 @@ def approx_percent_rank(
         )
         .drop("_below")
     )
+
+
+def category_drift_psi(
+    cur: DataFrame,
+    ref: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Population-stability-index drift monitor over a categorical
+    column: for each category, the share in the reference period vs
+    the current period and its PSI contribution
+    (p_cur − p_ref)·ln(p_cur / p_ref), with add-one (Laplace)
+    smoothing so a category present in only one period contributes a
+    large-but-finite term instead of ±∞. Σ psi_term is the headline
+    drift score (rule of thumb: <0.1 stable, >0.25 shifted) — the
+    between-corpus-snapshots audit a training pipeline runs before
+    trusting a refreshed crawl.
+
+    100 TB shape: two map-side-partial count aggregations down to
+    category cardinality (model-sized), an outer join of the two tiny
+    aggregates, and one broadcast scalar row for the totals — the
+    data itself is scanned once per side and never shuffled."""
+    ref_cnt = ref.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").cast("long").alias("n_ref")
+    )
+    cur_cnt = cur.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").cast("long").alias("n_cur")
+    )
+    joined = (
+        ref_cnt.join(cur_cnt, "category", "full_outer")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+    )
+    totals = joined.agg(
+        F.sum("n_ref").cast("long").alias("_t_ref"),
+        F.sum("n_cur").cast("long").alias("_t_cur"),
+        F.count("*").cast("long").alias("_n_cat"),
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        F.col("_t_ref") + F.col("_n_cat")
+    ).cast("double")
+    p_cur = (F.col("n_cur") + 1).cast("double") / (
+        F.col("_t_cur") + F.col("_n_cat")
+    ).cast("double")
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "category",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 9).alias("share_ref"),
+        F.round(p_cur, 9).alias("share_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias(
+            "psi_term"
+        ),
+    )

@@ -4505,3 +4505,102 @@ GROUP BY s.vocab_size, t.total
 )
 def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.vocab_coverage(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "q114_pps_sample",
+    oracle="""
+WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_total FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+  round(least(100.0 * n_chars / CAST(w_total AS DOUBLE), 1.0), 9)
+    AS incl_prob,
+  round(1.0 / least(100.0 * n_chars / CAST(w_total AS DOUBLE), 1.0), 6)
+    AS ht_weight
+FROM documents CROSS JOIN tot
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        / 1152921504606846976.0
+      < 100.0 * n_chars / CAST(w_total AS DOUBLE)
+""",
+    description="Poisson probability-proportional-to-size corpus "
+    "sample (inclusion prob k*w/W, Horvitz-Thompson inverse weights; "
+    "w = n_chars, k = 100): the unbiased way to thin a corpus to a "
+    "token budget — one broadcast total + a map-side filter, no sort "
+    "and no data shuffle; selection uses only IEEE-exact arithmetic "
+    "on the shared 60-bit md5 hash, so both engines pick the "
+    "identical set",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.pps_sample(
+        T(spark, sf_dir, "documents"), "doc_id", "n_chars", expected_k=100.0
+    )
+
+
+@q(
+    "q115_curriculum_interleave",
+    oracle="""
+WITH base AS (SELECT doc_id, source AS domain, n_chars FROM documents),
+dim AS (SELECT domain,
+          CAST(row_number() OVER (ORDER BY domain) AS BIGINT) AS domain_idx
+        FROM (SELECT DISTINCT domain FROM base)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_domains FROM dim),
+st AS (SELECT doc_id, domain,
+         CAST(row_number() OVER (
+           PARTITION BY domain ORDER BY n_chars, doc_id) AS BIGINT) AS stage
+       FROM base)
+SELECT st.doc_id, st.domain, st.stage,
+  CAST((st.stage - 1) * n.n_domains + d.domain_idx AS BIGINT) AS pos
+FROM st JOIN dim d USING (domain) CROSS JOIN n
+""",
+    description="curriculum training order with round-robin domain "
+    "interleaving: per-domain easiest-first stage (difficulty = "
+    "n_chars) and the closed-form global position (stage-1)*n_domains"
+    " + domain_idx — easy docs from every domain lead and no domain "
+    "streaks, computed with ONE domain-keyed window shuffle instead "
+    "of the global range-exchange a naive ORDER BY difficulty pays",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.curriculum_interleave(
+        T(spark, sf_dir, "documents"), "doc_id", "source", "n_chars"
+    )
+
+
+@q(
+    "q116_drift_psi",
+    oracle="""
+WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+rc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_ref
+       FROM ev WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+cc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_cur
+       FROM ev WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+j AS (SELECT coalesce(rc.category, cc.category) AS category,
+        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM rc FULL OUTER JOIN cc ON rc.category = cc.category),
+t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        CAST(sum(n_cur) AS BIGINT) AS t_cur,
+        CAST(count(*) AS BIGINT) AS n_cat FROM j)
+SELECT category, n_ref, n_cur,
+  round((n_ref + 1) / CAST(t_ref + n_cat AS DOUBLE), 9) AS share_ref,
+  round((n_cur + 1) / CAST(t_cur + n_cat AS DOUBLE), 9) AS share_cur,
+  round(((n_cur + 1) / CAST(t_cur + n_cat AS DOUBLE)
+         - (n_ref + 1) / CAST(t_ref + n_cat AS DOUBLE))
+        * ln(((n_cur + 1) / CAST(t_cur + n_cat AS DOUBLE))
+             / ((n_ref + 1) / CAST(t_ref + n_cat AS DOUBLE))), 9)
+    AS psi_term
+FROM j CROSS JOIN t
+""",
+    description="population-stability-index drift monitor between two "
+    "corpus periods (events before/after Jan 16 as reference vs "
+    "current): per-category shares with add-one smoothing and PSI "
+    "contribution (p_cur-p_ref)*ln(p_cur/p_ref) — the "
+    "refresh-the-crawl audit; two count aggregations to category "
+    "cardinality, tiny outer join, one broadcast totals row, data "
+    "never shuffled",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return ql.category_drift_psi(
+        ev.filter(F.col("ts") >= boundary),
+        ev.filter(F.col("ts") < boundary),
+        "event_type",
+    )

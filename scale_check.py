@@ -103,6 +103,12 @@ QUERIES = [
     "q112_bpe_pair_freqs",
     # vocab coverage: vocabulary window + sizes broadcast
     "q113_vocab_coverage",
+    # PPS sample: one broadcast total + map-side filter, no sort
+    "q114_pps_sample",
+    # curriculum interleave: one domain-keyed window, NO global sort
+    "q115_curriculum_interleave",
+    # PSI drift: two count aggs to category cardinality + tiny join
+    "q116_drift_psi",
 ]
 
 

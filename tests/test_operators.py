@@ -1941,3 +1941,76 @@ def test_char_class_stats_mixed_fixtures(spark):
     assert rows[1]["punct_frac"] == round(2 / 14, 4)
     assert rows[2]["nonascii_frac"] == round(4 / 12, 4)  # ï é ± °
     assert rows[3]["n_nonspace"] == 0 and rows[3]["upper_frac"] is None
+
+
+def test_pps_sample_design_properties(spark):
+    """Poisson PPS: inclusion follows u < k*w/W exactly, the
+    Horvitz-Thompson estimate of total weight from the sample is
+    near-exact (w/pi = W/k for every uncapped doc), and selection is
+    deterministic."""
+    from lynx_spark.operators.corpus import pps_sample
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    true_w = sum(w for _, w in rows)
+    out1 = pps_sample(df, "doc_id", "wt", expected_k=50.0).collect()
+    out2 = pps_sample(df, "doc_id", "wt", expected_k=50.0).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # E[n] = 50; md5-uniform u keeps realized n in a wide band
+    assert 25 <= len(out1) <= 90
+    # HT estimate sum(w_i / pi_i): exactly n * W/k when no pi caps at 1
+    est = sum(r["weight"] / r["incl_prob"] for r in out1)
+    assert abs(est - len(out1) * true_w / 50.0) / true_w < 0.01
+    for r in out1:
+        assert 0 < r["incl_prob"] <= 1.0
+        assert abs(r["ht_weight"] - 1.0 / r["incl_prob"]) < 1e-4
+
+
+def test_curriculum_interleave_positions(spark):
+    """Closed-form interleave: unique positions, stage-1 docs from
+    every domain occupy the first n_domains slots, within-domain
+    order is easiest-first."""
+    from lynx_spark.operators.corpus import curriculum_interleave
+
+    rows = [
+        (1, "a", 30), (2, "a", 10), (3, "a", 20),
+        (4, "b", 5), (5, "b", 50),
+        (6, "c", 7),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "dom", "diff"])
+    out = curriculum_interleave(df, "doc_id", "dom", "diff").collect()
+    by_pos = sorted(out, key=lambda r: r["pos"])
+    assert len({r["pos"] for r in out}) == len(out)
+    # first wave: easiest of a (doc 2), b (doc 4), c (doc 6) interleaved
+    assert [r["doc_id"] for r in by_pos[:3]] == [2, 4, 6]
+    # within domain a: stages follow ascending difficulty 10 < 20 < 30
+    a = {r["doc_id"]: r["stage"] for r in out if r["domain"] == "a"}
+    assert (a[2], a[3], a[1]) == (1, 2, 3)
+    # no same-domain adjacency inside a full wave
+    assert by_pos[0]["domain"] != by_pos[1]["domain"] != by_pos[2]["domain"]
+
+
+def test_category_drift_psi_hand_computed(spark):
+    """PSI terms match the hand formula with add-one smoothing, and a
+    category present on only one side gets a finite contribution."""
+    import math
+
+    from lynx_spark.operators.quality import category_drift_psi
+
+    ref = spark.createDataFrame(
+        [("A",)] * 6 + [("B",)] * 2, ["cat"]
+    )
+    cur = spark.createDataFrame(
+        [("A",)] * 2 + [("C",)] * 2, ["cat"]
+    )
+    out = {r["category"]: r for r in category_drift_psi(cur, ref, "cat").collect()}
+    assert set(out) == {"A", "B", "C"}
+    # totals: t_ref=8, t_cur=4, n_cat=3
+    pa_ref, pa_cur = 7 / 11, 3 / 7
+    assert abs(out["A"]["share_ref"] - round(pa_ref, 9)) < 1e-9
+    assert abs(out["A"]["share_cur"] - round(pa_cur, 9)) < 1e-9
+    expect = (pa_cur - pa_ref) * math.log(pa_cur / pa_ref)
+    assert abs(out["A"]["psi_term"] - expect) < 1e-8
+    # C absent from ref: smoothing keeps it finite and positive
+    assert out["C"]["n_ref"] == 0 and out["C"]["psi_term"] > 0
+    assert out["B"]["n_cur"] == 0 and out["B"]["psi_term"] > 0
