@@ -965,3 +965,50 @@ def curriculum_interleave(
             ).cast("long").alias("pos"),
         )
     )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Materialize a temperature mixture into an actual document
+    selection: the APPLICATION step after q52/q68 compute weights.
+    Each domain gets a token quota floor(temp_frac · budget) (p_d ∝
+    n_d^alpha — the multilingual rebalancing rule), and documents
+    fill their domain's quota in md5-of-id order (the reproducible
+    shuffle q44/q73 use) until the running token total would exceed
+    it. Output = the selected corpus with per-domain quota and
+    running total, ready to hand to packing/export.
+
+    100 TB shape: the mixture weights come from temperature_mixture's
+    domain-granular aggregate (model-sized, broadcast back); the
+    selection is ONE window shuffle keyed by domain — never a global
+    sort. alpha=0.5 keeps the power IEEE-exact (sqrt) and the
+    normalizer is decimal-summed, so quotas are bit-identical in the
+    SQL twin."""
+    quotas = temperature_mixture(df, domain_col, alpha=alpha).select(
+        "domain",
+        F.floor(F.col("temp_frac") * F.lit(int(budget)))
+        .cast("long")
+        .alias("quota_tokens"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(F.broadcast(quotas), "domain")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
+        .select(
+            "doc_id", "domain", "n_tokens", "cum_tokens", "quota_tokens"
+        )
+    )

@@ -572,3 +572,73 @@ def category_drift_psi(
             "psi_term"
         ),
     )
+
+
+def numeric_drift_ks(
+    cur: DataFrame,
+    ref: DataFrame,
+    val_col: str,
+    nbins: int = 20,
+) -> DataFrame:
+    """Kolmogorov-Smirnov-style drift monitor over a NUMERIC column —
+    the continuous twin of category_drift_psi: both periods histogram
+    into ``nbins`` shared equal-width bins (bounds from the union, so
+    the bins mean the same thing on both sides), and each bin reports
+    the two cumulative shares plus their absolute gap. max(ks_term)
+    over the output IS the (histogram-granular) KS statistic.
+
+    Bin granularity is the scale lever: the exact KS statistic needs
+    both samples globally sorted (a full range-exchange at 100 TB);
+    at histogram granularity the ECDFs — and their max gap — are
+    computed on an nbins-row frame, and the corpus pays only two
+    map-side-partial count aggregations. Binning arithmetic is pure
+    IEEE subtract/divide/floor on both engines, so bucket membership
+    is bit-identical."""
+    vals_cur = cur.select(F.col(val_col).cast("double").alias("_v"))
+    vals_ref = ref.select(F.col(val_col).cast("double").alias("_v"))
+    bounds = vals_cur.unionAll(vals_ref).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+
+    def binned(side: DataFrame, out: str) -> DataFrame:
+        b = F.when(width == 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(nbins - 1),
+                F.floor((F.col("_v") - F.col("_lo")) / width),
+            )
+        )
+        return (
+            side.crossJoin(F.broadcast(bounds))
+            .select(b.cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    joined = (
+        binned(vals_ref, "n_ref")
+        .join(binned(vals_cur, "n_cur"), "bin", "full_outer")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+    )
+    totals = joined.agg(
+        F.sum("n_ref").cast("long").alias("_t_ref"),
+        F.sum("n_cur").cast("long").alias("_t_cur"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_ref = F.sum("n_ref").over(w).cast("double") / F.col("_t_ref").cast(
+        "double"
+    )
+    cum_cur = F.sum("n_cur").over(w).cast("double") / F.col("_t_cur").cast(
+        "double"
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(cum_ref, 9).alias("cum_share_ref"),
+        F.round(cum_cur, 9).alias("cum_share_cur"),
+        F.round(F.abs(cum_cur - cum_ref), 9).alias("ks_term"),
+    )

@@ -4604,3 +4604,97 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") < boundary),
         "event_type",
     )
+
+
+@q(
+    "q117_drift_ks",
+    oracle="""
+WITH vc AS (SELECT CAST(value AS DOUBLE) AS _v FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'),
+vr AS (SELECT CAST(value AS DOUBLE) AS _v FROM events
+       WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
+bounds AS (SELECT min(_v) AS _lo, max(_v) AS _hi
+           FROM (SELECT _v FROM vc UNION ALL SELECT _v FROM vr)),
+rc AS (SELECT CAST(CASE WHEN (_hi - _lo) / 20.0 = 0 THEN 0
+         ELSE least(19, floor((_v - _lo) / ((_hi - _lo) / 20.0))) END
+         AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_ref
+       FROM vr CROSS JOIN bounds GROUP BY 1),
+cc AS (SELECT CAST(CASE WHEN (_hi - _lo) / 20.0 = 0 THEN 0
+         ELSE least(19, floor((_v - _lo) / ((_hi - _lo) / 20.0))) END
+         AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_cur
+       FROM vc CROSS JOIN bounds GROUP BY 1),
+j AS (SELECT coalesce(rc.bin, cc.bin) AS bin,
+        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j)
+SELECT bin, n_ref, n_cur,
+  round(CAST(sum(n_ref) OVER w AS DOUBLE) / CAST(t_ref AS DOUBLE), 9)
+    AS cum_share_ref,
+  round(CAST(sum(n_cur) OVER w AS DOUBLE) / CAST(t_cur AS DOUBLE), 9)
+    AS cum_share_cur,
+  round(abs(CAST(sum(n_cur) OVER w AS DOUBLE) / CAST(t_cur AS DOUBLE)
+            - CAST(sum(n_ref) OVER w AS DOUBLE) / CAST(t_ref AS DOUBLE)),
+        9) AS ks_term
+FROM j CROSS JOIN t
+WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    description="Kolmogorov-Smirnov-style numeric drift monitor (the "
+    "continuous twin of q116): both event periods histogram into 20 "
+    "shared equal-width bins, per-bin cumulative shares and their "
+    "absolute gap; max(ks_term) is the histogram-granular KS "
+    "statistic — ECDFs computed on the bin-granular frame, never a "
+    "global sort; bucket membership is IEEE-exact on both engines",
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    return ql.numeric_drift_ks(
+        ev.filter(F.col("ts") >= boundary),
+        ev.filter(F.col("ts") < boundary),
+        "value",
+        nbins=20,
+    )
+
+
+@q(
+    "q118_mixture_materialize",
+    oracle="""
+WITH counts AS (SELECT source AS domain, count(*) AS n_docs
+                FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(CAST(round(sqrt(n_docs), 6) AS DECIMAL(28,6)))
+                 AS DOUBLE) AS _total_scaled
+        FROM counts),
+quotas AS (SELECT domain,
+             CAST(floor(round(sqrt(n_docs) / _total_scaled, 6) * 20000)
+               AS BIGINT) AS quota_tokens
+           FROM counts, tot),
+base AS (SELECT doc_id, source AS domain, CAST(n_chars AS BIGINT)
+           AS n_tokens FROM documents),
+cum AS (SELECT doc_id, domain, n_tokens,
+          CAST(sum(n_tokens) OVER (
+            PARTITION BY domain
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+        FROM base)
+SELECT c.doc_id, c.domain, c.n_tokens, c.cum_tokens, q.quota_tokens
+FROM cum c JOIN quotas q USING (domain)
+WHERE c.cum_tokens <= q.quota_tokens
+""",
+    description="materialize the temperature mixture into an actual "
+    "selection (the application step after q68's weights): each "
+    "domain gets a token quota floor(temp_frac * 20000), filled in "
+    "reproducible md5-of-id order until the running total would "
+    "overflow — domain-granular broadcast quotas + ONE domain-keyed "
+    "window, never a global sort; sqrt + decimal-summed normalizer "
+    "keeps quotas bit-identical across engines",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.materialize_mixture(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        "n_chars",
+        budget=20000,
+    )

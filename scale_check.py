@@ -109,6 +109,10 @@ QUERIES = [
     "q115_curriculum_interleave",
     # PSI drift: two count aggs to category cardinality + tiny join
     "q116_drift_psi",
+    # KS drift: histogram-granular ECDFs, no global sort
+    "q117_drift_ks",
+    # mixture materialization: broadcast quotas + one domain window
+    "q118_mixture_materialize",
 ]
 
 

@@ -2014,3 +2014,54 @@ def test_category_drift_psi_hand_computed(spark):
     # C absent from ref: smoothing keeps it finite and positive
     assert out["C"]["n_ref"] == 0 and out["C"]["psi_term"] > 0
     assert out["B"]["n_cur"] == 0 and out["B"]["psi_term"] > 0
+
+
+def test_numeric_drift_ks_detects_shift(spark):
+    """Shifted distribution produces a large max ks_term; identical
+    distributions produce ~0 everywhere; cum shares are monotone to
+    1.0."""
+    from lynx_spark.operators.quality import numeric_drift_ks
+
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(200)], ["v"])
+    cur_same = spark.createDataFrame(
+        [(float(i % 50),) for i in range(200)], ["v"]
+    )
+    cur_shift = spark.createDataFrame(
+        [(50.0 + i % 50,) for i in range(200)], ["v"]
+    )
+    same = numeric_drift_ks(cur_same, ref, "v", nbins=10).collect()
+    assert max(r["ks_term"] for r in same) < 1e-9
+    shift = sorted(
+        numeric_drift_ks(cur_shift, ref, "v", nbins=10).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert max(r["ks_term"] for r in shift) > 0.9  # disjoint supports
+    assert abs(shift[-1]["cum_share_ref"] - 1.0) < 1e-9
+    assert abs(shift[-1]["cum_share_cur"] - 1.0) < 1e-9
+    cums = [r["cum_share_cur"] for r in shift]
+    assert cums == sorted(cums)
+
+
+def test_materialize_mixture_quota_semantics(spark):
+    """Per-domain selections never exceed their quota, fill in
+    deterministic order, and the tail-domain upsampling of alpha=0.5
+    shows as a higher quota share than the natural share."""
+    from lynx_spark.operators.corpus import materialize_mixture
+
+    rows = [(i, "big" if i < 90 else "small", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "dom", "toks"])
+    out = materialize_mixture(df, "doc_id", "dom", "toks", budget=300)
+    got = out.collect()
+    by_dom: dict = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_dom.items():
+        assert max(x["cum_tokens"] for x in rs) <= rs[0]["quota_tokens"]
+    # alpha=0.5: sqrt(90)/(sqrt(90)+sqrt(10)) ~ 0.75 vs natural 0.9 —
+    # the small domain's quota share (~0.25) beats its natural 0.1
+    q_small = by_dom["small"][0]["quota_tokens"]
+    q_big = by_dom["big"][0]["quota_tokens"]
+    assert q_small / (q_small + q_big) > 0.2
+    # determinism
+    again = out.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
