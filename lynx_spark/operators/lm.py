@@ -426,3 +426,78 @@ def rrf_fuse(
     ).limit(k)
     w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
     return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def train_logreg(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 3,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Distributed full-batch logistic-regression TRAINING — the
+    supervised twin of the IVF k-means trainer (similarity.py): the
+    corpus never leaves the executors; each gradient-descent
+    iteration is ONE aggregation whose model-sized result (one
+    gradient component per feature, plus the loss) is collected and
+    folded into the next iteration's literal weights. The pattern
+    every from-the-corpus quality-classifier bootstrap (fastText-
+    style filters trained on heuristic labels) runs at 100 TB: d+2
+    scalars cross the driver per iteration, nothing else.
+
+    Bit-identical in SQL by construction (the q68 decimal device,
+    pushed one level deeper): per-row gradient terms x_j·(σ(w·x)−y)
+    round to 12 decimals and sum as DECIMAL(38,12) — exact and
+    order-independent — so both engines derive the same weights; all
+    remaining arithmetic (int→double, ·, ÷, −, and exp at equal
+    arguments) is identically rounded. Returns one row per iteration:
+    the average log-loss BEFORE that iteration's update and the
+    weights AFTER it (bias first, then feature_cols order).
+
+    Features should be pre-scaled to O(1) magnitudes (the caller owns
+    scaling, as with any GD); labels are 0/1."""
+    spark = df.sparkSession
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    n = float(df.count())
+    w = [0.0] * len(xs)
+    rows = []
+    for it in range(1, iters + 1):
+        z = F.lit(w[0])
+        for wj, xj in zip(w[1:], xs[1:]):
+            z = z + F.lit(wj) * xj
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [
+            F.sum(
+                F.round(xj * (p - y), 12).cast("decimal(38,12)")
+            ).alias(f"g{j}")
+            for j, xj in enumerate(xs)
+        ]
+        aggs.append(
+            F.sum(
+                F.round(
+                    -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)),
+                    9,
+                ).cast("decimal(38,9)")
+            ).alias("l")
+        )
+        got = df.agg(*aggs).collect()[0]
+        w = [
+            wj - lr * (float(got[f"g{j}"]) / n)
+            for j, wj in enumerate(w)
+        ]
+        rows.append((it, float(got["l"]) / n) + tuple(w))
+    names = ["iteration", "avg_loss"] + [
+        f"w_{c}" for c in ["bias"] + list(feature_cols)
+    ]
+    out = spark.createDataFrame(rows, names)
+    # rounding happens ENGINE-side (Spark round = half-up, matching
+    # the oracle's) — Python's round() is half-even and would be the
+    # one place the two could disagree
+    return out.select(
+        F.col("iteration").cast("long"),
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(c)
+            for c in names[1:]
+        ],
+    )

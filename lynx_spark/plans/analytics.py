@@ -4698,3 +4698,87 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         budget=20000,
     )
+
+
+def _logreg_oracle(iters: int = 3, lr: float = 2.0) -> str:
+    """Build the q119 oracle: the SAME gradient-descent recurrence as
+    lm.train_logreg, unrolled as chained CTEs. Per-row gradient terms
+    round to 12 decimals and sum as DECIMAL (exact, order-free), so
+    the weight trajectory is bit-identical to Spark's; every other
+    step is IEEE-identical arithmetic on equal inputs."""
+
+    def p(w0: str, w1: str, w2: str) -> str:
+        return f"1.0/(1.0 + exp(-({w0} + {w1}*x1 + {w2}*x2)))"
+
+    parts = [
+        r"""
+WITH f AS (SELECT CAST(n_chars AS DOUBLE)/1000.0 AS x1,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)/100.0
+           AS x2,
+         CASE WHEN n_chars >= 280 THEN 1.0 ELSE 0.0 END AS y
+       FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f)"""
+    ]
+    prev = ("0.0", "0.0", "0.0")
+    for t in range(1, iters + 1):
+        pt = p(*prev)
+        src = "f" if t == 1 else f"f, w{t-1}"
+        parts.append(
+            f""",
+i{t} AS (SELECT
+  CAST(sum(CAST(round(1.0*({pt} - y), 12) AS DECIMAL(38,12)))
+    AS DOUBLE) AS g0,
+  CAST(sum(CAST(round(x1*({pt} - y), 12) AS DECIMAL(38,12)))
+    AS DOUBLE) AS g1,
+  CAST(sum(CAST(round(x2*({pt} - y), 12) AS DECIMAL(38,12)))
+    AS DOUBLE) AS g2,
+  CAST(sum(CAST(round(-(y*ln({pt}) + (1.0-y)*ln(1.0 - {pt})), 9)
+    AS DECIMAL(38,9))) AS DOUBLE) AS l
+  FROM {src}),
+w{t} AS (SELECT {prev[0]} - {lr}*(g0/n) AS w0,
+  {prev[1]} - {lr}*(g1/n) AS w1,
+  {prev[2]} - {lr}*(g2/n) AS w2, l/n AS loss
+  FROM {"i" + str(t) + ", n" if t == 1 else f"i{t}, n, w{t-1}"})"""
+        )
+        prev = (f"w{t}.w0", f"w{t}.w1", f"w{t}.w2")
+    selects = [
+        f"""SELECT CAST({t} AS BIGINT) AS iteration,
+  round(loss, 6) AS avg_loss, round(w0, 6) AS w_bias,
+  round(w1, 6) AS w_len, round(w2, 6) AS w_words FROM w{t}"""
+        for t in range(1, iters + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@q(
+    "q119_train_classifier",
+    oracle=_logreg_oracle(),
+    description="distributed full-batch logistic-regression TRAINING "
+    "(the supervised twin of the q25b k-means trainer): 3 gradient "
+    "iterations over (length, word-count) features vs a heuristic "
+    "length label, each iteration ONE aggregation with d+2 scalars "
+    "crossing the driver; per-row gradient terms decimal-summed so "
+    "the SQL oracle reproduces the weight trajectory bit-for-bit",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators._util import words_col
+
+    docs = T(spark, sf_dir, "documents").select(
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x_len"),
+        (F.size(words_col("text")).cast("double") / F.lit(100.0)).alias(
+            "x_words"
+        ),
+        F.when(F.col("n_chars") >= 280, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("label"),
+    )
+    out = lm.train_logreg(
+        docs, ["x_len", "x_words"], "label", iters=3, lr=2.0
+    )
+    return out.select(
+        "iteration",
+        "avg_loss",
+        F.col("w_bias"),
+        F.col("w_x_len").alias("w_len"),
+        F.col("w_x_words").alias("w_words"),
+    )

@@ -113,6 +113,8 @@ QUERIES = [
     "q117_drift_ks",
     # mixture materialization: broadcast quotas + one domain window
     "q118_mixture_materialize",
+    # logreg training: one aggregation per gradient iteration
+    "q119_train_classifier",
 ]
 
 

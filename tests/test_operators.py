@@ -2065,3 +2065,43 @@ def test_materialize_mixture_quota_semantics(spark):
     # determinism
     again = out.collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_train_logreg_matches_numpy_reference(spark):
+    """The distributed one-agg-per-iteration trainer reproduces a
+    straight numpy full-batch GD (same decimal-rounded term sums),
+    loss decreases monotonically, and the separating feature gets a
+    positive weight."""
+    import numpy as np
+    from decimal import Decimal
+
+    from lynx_spark.operators.lm import train_logreg
+
+    rows = [
+        (float(i % 7) / 10.0, 1.0 if i % 7 >= 4 else 0.0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = sorted(
+        train_logreg(df, ["x"], "y", iters=4, lr=2.0).collect(),
+        key=lambda r: r["iteration"],
+    )
+    losses = [r["avg_loss"] for r in out]
+    assert losses == sorted(losses, reverse=True) and losses[-1] < losses[0]
+    assert out[-1]["w_x"] > 0  # x separates y upward
+
+    # numpy twin with the same per-term rounding
+    X = np.array([[1.0, r[0]] for r in rows])
+    y = np.array([r[1] for r in rows])
+    w = np.zeros(2)
+    n = float(len(rows))
+    for it in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        g = [
+            float(sum(Decimal(str(round(X[i, j] * (p[i] - y[i]), 12)))
+                      for i in range(len(rows))))
+            for j in range(2)
+        ]
+        w = np.array([w[j] - 2.0 * (g[j] / n) for j in range(2)])
+        assert abs(out[it]["w_bias"] - round(w[0], 6)) < 2e-6
+        assert abs(out[it]["w_x"] - round(w[1], 6)) < 2e-6
