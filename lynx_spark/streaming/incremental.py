@@ -706,3 +706,47 @@ def bloom_dedup_document_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drift_monitor_stream(
+    docs: DataFrame,
+    reference: DataFrame,
+    cat_col: str,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+):
+    """Per-micro-batch drift monitoring: every batch's categorical
+    distribution is compared against a FIXED reference corpus via the
+    PSI operator (quality.category_drift_psi — the batch twin is
+    q116), and the per-category report lands under
+    ``<store>/drift/batch=N`` with the usual marker-commit
+    exactly-once contract. The deploy-time shape of "alert when the
+    crawl shifts": the reference histogram is computed once per batch
+    at category cardinality (model-sized), the batch is scanned once,
+    nothing corpus-sized shuffles.
+
+    Reports are per-batch snapshots (read them back with
+    read_store_snapshot semantics on the ``drift`` family); a
+    deployment would gate ingestion on ``sum(psi_term)`` of the
+    latest batch."""
+    from lynx_spark.operators.quality import category_drift_psi
+
+    root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
+    ref_cats = reference.select(F.col(cat_col))
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        report = category_drift_psi(batch, ref_cats, cat_col)
+        report.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "drift", batch_id))
+        )
+        _commit(root, batch_id, {"tier": "drift"})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

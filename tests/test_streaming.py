@@ -896,3 +896,57 @@ def test_bloom_streaming_tier_matches_plain_tier(spark, tmp_path):
         bloom_dedup_document_stream, tmp_path / "s2", tmp_path / "ck2"
     )
     assert again == bloom
+
+
+def _write_docs_src(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t, "source": s})
+            for i, t, s in rows
+        )
+    )
+
+
+def test_streaming_drift_monitor_per_batch_reports(spark, tmp_path):
+    """Each micro-batch gets a PSI report vs the fixed reference: a
+    batch matching the reference mix scores ~0 total PSI, a shifted
+    batch scores clearly higher, and replay is exactly-once."""
+    from lynx_spark.streaming.incremental import (
+        DOC_SCHEMA,
+        drift_monitor_stream,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "t", "web" if i % 2 else "books") for i in range(40)],
+        ["doc_id", "text", "source"],
+    )
+    d = tmp_path / "in"
+    _write_docs_src(
+        d / "b1.json",
+        [(i, "t", "web" if i % 2 else "books") for i in range(20)],
+    )
+    _write_docs_src(
+        d / "b2.json", [(100 + i, "t", "web") for i in range(20)]
+    )
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = drift_monitor_stream(docs, ref, "source", store, tmp_path / "ck")
+    q.awaitTermination(120)
+
+    batches = sorted(
+        p.name for p in (store / "drift").glob("batch=*")
+    )
+    assert len(batches) == 2
+    psi = {}
+    for b in batches:
+        rows = spark.read.parquet(str(store / "drift" / b)).collect()
+        psi[b] = sum(r["psi_term"] for r in rows)
+    matched, shifted = sorted(psi.values())
+    assert matched < 0.01  # same mix as reference
+    assert shifted > 0.2  # all-web batch: strong shift
+    assert len(list((store / "_commits").glob("b*.json"))) == 2
