@@ -642,3 +642,79 @@ def numeric_drift_ks(
         F.round(cum_cur, 9).alias("cum_share_cur"),
         F.round(F.abs(cum_cur - cum_ref), 9).alias("ks_term"),
     )
+
+
+def classifier_eval_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Precision/recall/F1 sweep over classifier thresholds — the
+    calibration step between training a quality classifier (q119)
+    and deploying it as a gate (q84): pick the threshold whose
+    precision/recall trade-off matches the curation budget.
+
+    The histogram device one more time: the corpus aggregates ONCE
+    to (score-bucket → positives, total) — scores are already
+    rounded to 4dp, so the bucket frame is model-sized — and every
+    threshold evaluates against that tiny frame via a 9-row cross
+    join. A naive per-threshold pass would scan the corpus
+    len(thresholds) times; this scans it once."""
+    th = thresholds or [round(0.1 * i, 1) for i in range(1, 10)]
+    spark = scored.sparkSession
+    buckets = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+        F.count("*").alias("_n"),
+    )
+    tf = spark.createDataFrame([(float(t),) for t in th], "threshold double")
+    hit = F.col("_s") >= F.col("threshold")
+    agg = (
+        F.broadcast(tf)
+        .crossJoin(buckets)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(hit, F.col("_pos")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(hit, F.col("_n") - F.col("_pos")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~hit, F.col("_pos")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~hit, F.col("_n") - F.col("_pos")).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    p = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast(
+        "double"
+    )
+    r = F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast(
+        "double"
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.when(F.col("tp") + F.col("fp") > 0, p).otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("tp") + F.col("fn") > 0, r).otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                (F.col("tp") + F.col("fp") > 0)
+                & (F.col("tp") + F.col("fn") > 0)
+                & (p + r > 0),
+                F.lit(2.0) * p * r / (p + r),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    )

@@ -981,3 +981,60 @@ def ann_recall_audit(
         F.round(F.sum("_h") / F.sum("_t"), 4).alias("mean_recall"),
         F.round(F.min(F.col("_h") / F.col("_t")), 4).alias("worst_recall"),
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    max_query_id: int,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the k OTHER-label vectors closest in cosine space — the
+    negatives that actually teach a contrastive/retrieval model
+    something (random negatives are trivially separable; the hard
+    ones sit just across the decision boundary). The cosine_topk
+    plan with the label inequality pushed into the join condition:
+    only the model-sized anchor sample broadcasts, the corpus streams
+    once, ranking is per-anchor windows.
+
+    At 100 TB the anchor set is the lever (mine per training shard);
+    the corpus side is never collected or sorted globally."""
+    from pyspark.sql.window import Window
+
+    vecs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).cast("long").alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col(label_col).cast("long").alias("n_label"),
+        )
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    anchors = vecs.filter(F.col("nid") < max_query_id).select(
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("n_label").alias("q_label"),
+    )
+    scored = (
+        vecs.join(
+            F.broadcast(anchors), F.col("q_label") != F.col("n_label")
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+                5,
+            ),
+        )
+        .select("qid", "q_label", "nid", "n_label", "cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "q_label", "nid", "n_label", "cos_sim", "rnk")
+    )

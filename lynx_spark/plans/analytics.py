@@ -4782,3 +4782,112 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w_x_len").alias("w_len"),
         F.col("w_x_words").alias("w_words"),
     )
+
+
+@q(
+    "q120_hard_negatives",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS qid, q.label AS ql, n.vec_id AS nid, n.label AS nl,
+         q.e AS qe, n.e AS ne
+  FROM v q JOIN v n ON q.vec_id < 20 AND q.label <> n.label),
+elems AS (SELECT qid, ql, nid, nl, unnest(qe) AS x, unnest(ne) AS y
+          FROM pairs),
+sums AS (
+  SELECT qid, ql, nid, nl,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5) AS cos_sim
+  FROM elems GROUP BY qid, ql, nid, nl),
+ranked AS (
+  SELECT qid, ql, nid, nl, cos_sim,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
+         AS BIGINT) AS rnk
+  FROM sums)
+SELECT qid, CAST(ql AS BIGINT) AS q_label, nid,
+  CAST(nl AS BIGINT) AS n_label, cos_sim, rnk
+FROM ranked WHERE rnk <= 5
+""",
+    description="hard-negative mining for contrastive training: per "
+    "anchor, the 5 closest OTHER-label vectors by cosine — the "
+    "negatives that sit just across the decision boundary; the q24 "
+    "broadcast-anchors plan with the label inequality fused into the "
+    "join condition, corpus streamed once, per-anchor window top-k",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.hard_negatives(
+        T(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        max_query_id=20,
+        k=5,
+    )
+
+
+def _classifier_eval_oracle() -> str:
+    """q121 oracle: the q84 score CTEs + the q119 length label, then
+    the threshold sweep on the score-bucket histogram."""
+    base = _classifier_oracle()
+    ctes = base[: base.rindex("SELECT doc_id")]
+    ths = ", ".join(str(round(0.1 * i, 1)) for i in range(1, 10))
+    return (
+        ctes
+        + f""", sc AS (
+  SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS s,
+    CASE WHEN doc.n_chars >= 280 THEN 1 ELSE 0 END AS y
+  FROM z JOIN documents doc USING (doc_id)),
+b AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+        CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY s),
+th AS (SELECT CAST(unnest([{ths}]) AS DOUBLE) AS threshold),
+agg AS (SELECT threshold,
+  CAST(sum(CASE WHEN s >= threshold THEN pos ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN s >= threshold THEN n - pos ELSE 0 END) AS BIGINT)
+    AS fp,
+  CAST(sum(CASE WHEN s < threshold THEN pos ELSE 0 END) AS BIGINT) AS fn,
+  CAST(sum(CASE WHEN s < threshold THEN n - pos ELSE 0 END) AS BIGINT)
+    AS tn
+  FROM th CROSS JOIN b GROUP BY threshold)
+SELECT threshold, tp, fp, fn, tn,
+  round(CASE WHEN tp + fp > 0
+    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6)
+    AS precision,
+  round(CASE WHEN tp + fn > 0
+    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6)
+    AS recall,
+  round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+    AND CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+        + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) > 0
+    THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+         * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+         / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+            + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+    ELSE 0.0 END, 6) AS f1
+FROM agg
+"""
+    )
+
+
+@q(
+    "q121_classifier_eval",
+    oracle=_classifier_eval_oracle(),
+    description="classifier calibration sweep (the step between "
+    "training q119 and gating q84): precision/recall/F1 at 9 "
+    "thresholds against the heuristic length label — the corpus "
+    "aggregates ONCE to the 4dp score-bucket histogram and all "
+    "thresholds evaluate on that model-sized frame, instead of one "
+    "corpus scan per threshold",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    scored = ql.classifier_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_prob"
+    )
+    labeled = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 280, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return ql.classifier_eval_curve(
+        scored.join(labeled, "doc_id"), "quality_prob", "label"
+    )

@@ -115,6 +115,10 @@ QUERIES = [
     "q118_mixture_materialize",
     # logreg training: one aggregation per gradient iteration
     "q119_train_classifier",
+    # hard negatives: broadcast-anchor join (the q24/q83 shape)
+    "q120_hard_negatives",
+    # classifier eval: score-bucket histogram + 9-row threshold join
+    "q121_classifier_eval",
 ]
 
 

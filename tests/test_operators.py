@@ -2105,3 +2105,51 @@ def test_train_logreg_matches_numpy_reference(spark):
         w = np.array([w[j] - 2.0 * (g[j] / n) for j in range(2)])
         assert abs(out[it]["w_bias"] - round(w[0], 6)) < 2e-6
         assert abs(out[it]["w_x"] - round(w[1], 6)) < 2e-6
+
+
+def test_hard_negatives_label_and_rank_semantics(spark):
+    """Every mined negative has a different label than its anchor,
+    ranks are dense per anchor, and the closest other-label vector
+    comes first."""
+    from lynx_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label as anchor 0: excluded
+        (2, [0.95, 0.3], 1),   # closest other-label to anchor 0
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives(
+        df, "vec_id", "embedding", "label", max_query_id=1, k=3
+    ).collect()
+    assert all(r["q_label"] != r["n_label"] for r in out)
+    assert sorted(r["rnk"] for r in out) == [1, 2, 3]
+    first = next(r for r in out if r["rnk"] == 1)
+    assert first["nid"] == 2
+    assert 1 not in {r["nid"] for r in out}  # same-label excluded
+
+
+def test_classifier_eval_curve_counts_and_extremes(spark):
+    """Confusion counts always sum to N; threshold below every score
+    predicts all-positive (recall 1), above every score predicts
+    all-negative (tp=0); a perfectly separable scorer reaches f1=1 at
+    an interior threshold."""
+    from lynx_spark.operators.quality import classifier_eval_curve
+
+    rows = [(0.9, 1)] * 6 + [(0.8, 1)] * 2 + [(0.2, 0)] * 7 + [(0.1, 0)] * 5
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {
+        r["threshold"]: r
+        for r in classifier_eval_curve(df, "s", "y").collect()
+    }
+    n = len(rows)
+    for r in out.values():
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+    low, mid, high = out[0.1], out[0.5], out[0.9]
+    assert low["recall"] == 1.0 and low["fn"] == 0
+    assert mid["f1"] == 1.0 and mid["fp"] == 0 and mid["fn"] == 0
+    assert high["tp"] + high["fp"] <= 6  # only the 0.9 scores survive
