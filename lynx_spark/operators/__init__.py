@@ -16,6 +16,7 @@ from lynx_spark.operators.similarity import (  # noqa: F401
     ann_recall_audit,
     cosine_topk,
     dimension_stats,
+    hard_negatives,
     ivf_ann_topk,
     knn_graph,
     load_ivf_index,
@@ -28,11 +29,14 @@ from lynx_spark.operators.similarity import (  # noqa: F401
 )
 from lynx_spark.operators.corpus import (  # noqa: F401
     chunk_documents,
+    curriculum_interleave,
     export_balanced_shards,
+    materialize_mixture,
     ngram_novelty,
     pack_efficiency,
     pack_materialize,
     pack_sequences,
+    pps_sample,
     source_overlap_matrix,
     token_budget_select,
 )
@@ -40,12 +44,16 @@ from lynx_spark.operators.lm import (  # noqa: F401
     bm25_topk,
     rrf_fuse,
     tfidf_top_terms,
+    train_logreg,
     unigram_scores,
 )
 from lynx_spark.operators.quality import (  # noqa: F401
+    category_drift_psi,
+    classifier_eval_curve,
     classifier_scores,
     gopher_rules,
     language_mix,
+    numeric_drift_ks,
     profile_columns,
     word_entropy,
 )

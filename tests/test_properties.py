@@ -388,3 +388,74 @@ def test_lynv_container_roundtrip_property(nf, w, h, seed):
         px = mm.decode_bmp_pixels(frame)
         assert px.shape == (h, w, 3)
         assert px[0, 0, 0] == ((seed + k * 17) % 251) % 256
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=5, max_size=40
+    ),
+    k=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=8, deadline=None)
+def test_pps_sample_matches_python_reference(spark, weights, k):
+    """The distributed Poisson-PPS selection equals a sequential
+    Python evaluation of the same predicate u·W < k·w on the same
+    md5-derived u — for ANY weights and k — and every emitted
+    incl_prob is the true min(1, k·w/W)."""
+    import hashlib
+
+    from lynx_spark.operators.corpus import pps_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    got = {
+        r["doc_id"]: r
+        for r in pps_sample(df, "doc_id", "wt", expected_k=float(k)).collect()
+    }
+    W = float(sum(weights))
+    expect = set()
+    for i, w in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = h / float(1 << 60)
+        if u < float(k) * float(w) / W:
+            expect.add(i)
+    assert set(got) == expect
+    for i in expect:
+        pi = min(1.0, float(k) * weights[i] / W)
+        assert abs(got[i]["incl_prob"] - round(pi, 9)) < 1e-9
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_curriculum_interleave_is_a_valid_order(spark, rows):
+    """For any corpus: positions are unique, every domain's stages
+    are 1..n_d in ascending difficulty, and ordering by pos never
+    runs a later stage of any domain before an earlier stage of
+    another (the interleave invariant)."""
+    from lynx_spark.operators.corpus import curriculum_interleave
+
+    data = [(i, dom, diff) for i, (dom, diff) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "dom", "diff"])
+    out = curriculum_interleave(df, "doc_id", "dom", "diff").collect()
+    assert len({r["pos"] for r in out}) == len(out)
+    diff_of = {i: d for i, (_, d) in enumerate(rows)}
+    by_dom: dict = {}
+    for r in sorted(out, key=lambda r: r["stage"]):
+        by_dom.setdefault(r["domain"], []).append(r)
+    for rs in by_dom.values():
+        assert [r["stage"] for r in rs] == list(range(1, len(rs) + 1))
+        diffs = [diff_of[r["doc_id"]] for r in rs]
+        assert diffs == sorted(diffs)
+    # interleave invariant: pos order == stage-major order
+    by_pos = sorted(out, key=lambda r: r["pos"])
+    stages = [r["stage"] for r in by_pos]
+    assert stages == sorted(stages)
