@@ -420,3 +420,51 @@ def incremental_winnow_matches(
         .agg(F.count("*").cast("long").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+#: HTML entities the extractor decodes, in application order (amp LAST
+#: so '&amp;lt;' decodes to the literal '&lt;', not to '<' — the
+#: standard double-decode bug)
+_MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: Column) -> Column:
+    """Markup-to-text extraction — the C4/CommonCrawl acquisition
+    step that precedes every other text operator: drop <script>/
+    <style> blocks with their contents, strip remaining tags, decode
+    the bread-and-butter HTML entities (amp last, so escaped entities
+    stay escaped), and collapse the whitespace the removals leave
+    behind. Pure JVM regexp chain — zero shuffle, scales with
+    executors like the PII scrub it mirrors."""
+    # two separate rules instead of <(script|style)>…</\1>: a
+    # backreference would be Java-regex-only (RE2 engines — the DuckDB
+    # oracle's — have none), and nested <script><style> content is
+    # dropped either way
+    out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, rep in _MARKUP_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def with_markup_stripped(
+    df: DataFrame, html_col: str, out_col: str = "extracted"
+) -> DataFrame:
+    """Apply strip_markup and keep the per-document byte accounting
+    (raw vs extracted length — the boilerplate-overhead signal crawl
+    pipelines monitor)."""
+    clean = strip_markup(F.col(html_col))
+    return df.withColumn(out_col, clean).withColumn(
+        "markup_overhead",
+        (F.length(F.col(html_col)) - F.length(clean)).cast("long"),
+    )

@@ -29,6 +29,7 @@ from lynx_spark.operators.similarity import (  # noqa: F401
 )
 from lynx_spark.operators.corpus import (  # noqa: F401
     chunk_documents,
+    corpus_checksum,
     curriculum_interleave,
     export_balanced_shards,
     materialize_mixture,

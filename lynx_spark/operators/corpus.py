@@ -1012,3 +1012,32 @@ def materialize_mixture(
             "doc_id", "domain", "n_tokens", "cum_tokens", "quota_tokens"
         )
     )
+
+
+def corpus_checksum(
+    df: DataFrame, id_col: str, text_col: str, group_col: str | None = None
+) -> DataFrame:
+    """Order-insensitive corpus content checksum — the reproducibility
+    manifest entry a training run pins: per group (or globally), the
+    document count and the exact DECIMAL sum of every document's
+    60-bit content hash over (id, text). Any added, dropped, or
+    edited document changes the sum; identical corpora match across
+    engines, partitionings, and runs BECAUSE the sum is exact integer
+    arithmetic (a double sum would be partial-aggregation-order
+    dependent and a concat-then-hash would need a global sort).
+
+    One map-side-partial aggregation to group granularity; nothing
+    else. The content twin of export_balanced_shards' manifest."""
+    from lynx_spark.operators.dedup import base_hash_expr
+
+    h = base_hash_expr(
+        F.concat(F.col(id_col).cast("string"), F.lit("|"), F.col(text_col))
+    ).cast("decimal(38,0)")
+    keys = [F.col(group_col).alias("grp")] if group_col else []
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(h).cast("decimal(38,0)").alias("content_sum"),
+    ]
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)

@@ -4891,3 +4891,75 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.classifier_eval_curve(
         scored.join(labeled, "doc_id"), "quality_prob", "label"
     )
+
+
+@q(
+    "q122_strip_markup",
+    oracle=r"""
+WITH h AS (SELECT doc_id,
+    '<div id="' || CAST(doc_id AS VARCHAR)
+    || '"><script type="text/javascript">var x = 1 < 2;</script>'
+    || '<!-- boilerplate --><p>' || text
+    || '</p><br/>&amp; &lt;tail&gt; &nbsp;</div>' AS html
+  FROM documents),
+s AS (SELECT doc_id, html,
+    regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g')
+      AS s1 FROM h),
+s2 AS (SELECT doc_id, html,
+    regexp_replace(s1, '(?s)<!--.*?-->', ' ', 'g') AS s2 FROM s),
+s3 AS (SELECT doc_id, html,
+    regexp_replace(s2, '<[^>]*>', ' ', 'g') AS s3 FROM s2),
+e AS (SELECT doc_id, html,
+    replace(replace(replace(replace(replace(replace(
+      s3, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS e FROM s3),
+c AS (SELECT doc_id, html,
+    trim(regexp_replace(e, '\s+', ' ', 'g')) AS extracted FROM e)
+SELECT doc_id, extracted,
+  CAST(len(html) - len(extracted) AS BIGINT) AS markup_overhead
+FROM c
+""",
+    description="markup-to-text extraction (the C4/CommonCrawl "
+    "acquisition step): drop script blocks and comments with their "
+    "contents, strip tags, decode entities (amp last so escaped "
+    "entities stay escaped), collapse whitespace — pure JVM regexp "
+    "chain, zero shuffle; the query wraps each document in "
+    "deterministic real markup and the oracle verifies the extractor "
+    "recovers content + entity tail exactly",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<!-- boilerplate --><p>"),
+        F.col("text"),
+        F.lit("</p><br/>&amp; &lt;tail&gt; &nbsp;</div>"),
+    )
+    framed = docs.select("doc_id", html.alias("html"))
+    return tx.with_markup_stripped(framed, "html").select(
+        "doc_id", "extracted", "markup_overhead"
+    )
+
+
+@q(
+    "q123_corpus_checksum",
+    oracle="""
+SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                 1, 15))::UBIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0))
+    AS content_sum
+FROM documents GROUP BY source
+""",
+    description="order-insensitive corpus content checksum per source "
+    "(the reproducibility manifest a training run pins): exact "
+    "decimal sum of per-document 60-bit content hashes over "
+    "(id, text) — any add/drop/edit changes it, and the exact "
+    "integer sum is partition-order-free where a double sum or a "
+    "concat-then-hash would not be; one map-side-partial aggregate",
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.corpus_checksum(
+        T(spark, sf_dir, "documents"), "doc_id", "text", group_col="source"
+    )

@@ -119,6 +119,10 @@ QUERIES = [
     "q120_hard_negatives",
     # classifier eval: score-bucket histogram + 9-row threshold join
     "q121_classifier_eval",
+    # markup extraction: pure per-row regexp chain, zero shuffle
+    "q122_strip_markup",
+    # corpus checksum: one map-side-partial decimal aggregate
+    "q123_corpus_checksum",
 ]
 
 

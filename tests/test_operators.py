@@ -2153,3 +2153,52 @@ def test_classifier_eval_curve_counts_and_extremes(spark):
     assert low["recall"] == 1.0 and low["fn"] == 0
     assert mid["f1"] == 1.0 and mid["fp"] == 0 and mid["fn"] == 0
     assert high["tp"] + high["fp"] <= 6  # only the 0.9 scores survive
+
+
+def test_strip_markup_edge_cases(spark):
+    """Script/style contents drop entirely, escaped entities decode
+    exactly once (&amp;lt; -> &lt;, never <), comments vanish, and
+    whitespace collapses."""
+    from lynx_spark.functions.text import strip_markup
+
+    cases = [
+        (1, "<p>hello <b>world</b></p>", "hello world"),
+        (2, "<script>alert('x')</script>keep", "keep"),
+        (3, "<style type='x'>p{color:red}</style>keep", "keep"),
+        (4, "a &amp;lt; b", "a &lt; b"),
+        (5, "a &lt; b &amp; c", "a < b & c"),
+        (6, "x <!-- <b>hidden</b> --> y", "x y"),
+        (7, "  spaced\t\nout  ", "spaced out"),
+        (8, "<SCRIPT>UPPER()</SCRIPT>done", "done"),
+    ]
+    df = spark.createDataFrame(cases, ["i", "html", "want"])
+    out = df.select("i", "want", strip_markup(F.col("html")).alias("got"))
+    for r in out.collect():
+        assert r["got"] == r["want"], (r["i"], r["got"])
+
+
+def test_corpus_checksum_detects_any_change(spark):
+    """The checksum is invariant to row order/partitioning but changes
+    on any edit, addition, or removal."""
+    from lynx_spark.operators.corpus import corpus_checksum
+
+    rows = [(i, f"text {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = corpus_checksum(df, "doc_id", "text").collect()[0]
+    shuffled = corpus_checksum(
+        df.repartition(7), "doc_id", "text"
+    ).collect()[0]
+    assert (base["n_docs"], base["content_sum"]) == (
+        shuffled["n_docs"],
+        shuffled["content_sum"],
+    )
+    edited = spark.createDataFrame(
+        rows[:-1] + [(49, "text 49!")], ["doc_id", "text"]
+    )
+    assert (
+        corpus_checksum(edited, "doc_id", "text").collect()[0]["content_sum"]
+        != base["content_sum"]
+    )
+    dropped = spark.createDataFrame(rows[:-1], ["doc_id", "text"])
+    got = corpus_checksum(dropped, "doc_id", "text").collect()[0]
+    assert got["n_docs"] == 49 and got["content_sum"] != base["content_sum"]
