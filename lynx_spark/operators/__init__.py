@@ -21,6 +21,7 @@ from lynx_spark.operators.similarity import (  # noqa: F401
     knn_graph,
     load_ivf_index,
     lsh_ann_topk,
+    pca_whiten,
     quantization_audit,
     query_ann_store,
     save_ivf_index,
@@ -52,6 +53,7 @@ from lynx_spark.operators.quality import (  # noqa: F401
     category_drift_psi,
     classifier_eval_curve,
     classifier_scores,
+    feature_correlations,
     gopher_rules,
     language_mix,
     numeric_drift_ks,

@@ -718,3 +718,56 @@ def classifier_eval_curve(
             6,
         ).alias("f1"),
     )
+
+
+def feature_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over integer feature columns —
+    the feature-redundancy audit run before training a quality
+    classifier (two features correlated at 0.98 are one feature and
+    an invitation to overfit). NOT F.corr: that accumulates doubles
+    in partial-aggregation order and differs run to run; here every
+    moment (Σx, Σx², Σxy) is an exact DECIMAL sum of integer
+    products — order-free, engine-portable — and the correlation
+    formula runs on the exact moments afterward.
+
+    ONE aggregation for all pairs (map-side partials), then the
+    pair rows project from the single moment row: the corpus is
+    scanned once regardless of how many features."""
+    from itertools import combinations
+
+    dec = {c: F.col(c).cast("decimal(19,0)") for c in cols}
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"_s_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(F.sum(dec[a] * dec[b]).alias(f"_p_{a}_{b}"))
+    for c in cols:
+        aggs.append(F.sum(dec[c] * dec[c]).alias(f"_p_{c}_{c}"))
+    m = df.agg(*aggs)
+
+    nd = F.col("_n").cast("double")
+
+    def s(c):
+        return F.col(f"_s_{c}").cast("double")
+
+    def p(a, b):
+        return F.col(f"_p_{a}_{b}").cast("double")
+
+    outs = []
+    for a, b in combinations(cols, 2):
+        corr = (nd * p(a, b) - s(a) * s(b)) / (
+            F.sqrt(nd * p(a, a) - s(a) * s(a))
+            * F.sqrt(nd * p(b, b) - s(b) * s(b))
+        )
+        outs.append(
+            m.select(
+                F.lit(a).alias("feature_x"),
+                F.lit(b).alias("feature_y"),
+                F.col("_n").alias("n"),
+                F.round(corr, 6).alias("pearson_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

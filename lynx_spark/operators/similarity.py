@@ -1038,3 +1038,100 @@ def hard_negatives(
         .filter(F.col("rnk") <= k)
         .select("qid", "q_label", "nid", "n_label", "cos_sim", "rnk")
     )
+
+
+def pca_whiten(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_components: int | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Distributed PCA whitening of an embedding column — the
+    standard preprocessing before ANN indexing or SemDeDup-style
+    clustering (decorrelates dimensions, equalizes variance, often
+    recovers recall an anisotropic space loses).
+
+    100 TB shape — the tree-aggregate of outer products every
+    distributed PCA uses (Spark MLlib's RowMatrix does the same):
+
+    1. ONE mapInPandas pass emits per-batch moment partials
+       (n, Σx, flattened ΣxxT) — d + d² + 1 floats per batch, data
+       never leaves the executors;
+    2. the driver sums those model-sized partials (batches × d²
+       floats — the only collect) and eigendecomposes the d×d
+       covariance with numpy (model-sized, same as the IVF k-means
+       precedent);
+    3. projection back on the executors: a pandas_udf matmul against
+       the broadcast (d × k) whitening matrix.
+
+    Eigenvector SIGN is pinned (largest-|component| coordinate made
+    positive) so results are deterministic across runs. Genuinely
+    non-relational (eigendecomposition), so this operator is
+    tests-only — verified against numpy's PCA on the same data —
+    rather than DuckDB-oracled."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def moments(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = src.select("v").mapInPandas(
+        moments, "n double, s array<double>, ss array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_whiten: empty input")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts], axis=0)
+    ss = np.sum([p["ss"] for p in parts], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    k = n_components or d
+    evals, evecs = evals[:k], evecs[:, :k]
+    # pin sign: the largest-|coordinate| entry of each vector positive
+    for j in range(k):
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    W = evecs / np.sqrt(np.maximum(evals, 0.0) + eps)  # d x k whitener
+    W_b = [row.tolist() for row in W]
+    mean_b = mean.tolist()
+
+    def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Wl = np.array(W_b)
+        ml = np.array(mean_b)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].astype("int64"),
+                    "whitened": list((X - ml) @ Wl),
+                }
+            )
+
+    return src.mapInPandas(
+        project, "vid long, whitened array<double>"
+    ).select(F.col("vid").alias(id_col), "whitened")

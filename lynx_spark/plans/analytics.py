@@ -4963,3 +4963,59 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.corpus_checksum(
         T(spark, sf_dir, "documents"), "doc_id", "text", group_col="source"
     )
+
+
+@q(
+    "q124_feature_corr",
+    oracle=r"""
+WITH d AS (SELECT CAST(n_chars AS DECIMAL(19,0)) AS f_chars,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS DECIMAL(19,0))
+      AS f_words,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+      AS DECIMAL(19,0)) AS f_distinct
+  FROM documents),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) AS DOUBLE) AS nd,
+    CAST(sum(f_chars) AS DOUBLE) AS s_c,
+    CAST(sum(f_words) AS DOUBLE) AS s_w,
+    CAST(sum(f_distinct) AS DOUBLE) AS s_d,
+    CAST(sum(f_chars * f_words) AS DOUBLE) AS p_cw,
+    CAST(sum(f_chars * f_distinct) AS DOUBLE) AS p_cd,
+    CAST(sum(f_words * f_distinct) AS DOUBLE) AS p_wd,
+    CAST(sum(f_chars * f_chars) AS DOUBLE) AS p_cc,
+    CAST(sum(f_words * f_words) AS DOUBLE) AS p_ww,
+    CAST(sum(f_distinct * f_distinct) AS DOUBLE) AS p_dd
+  FROM d)
+SELECT 'f_chars' AS feature_x, 'f_words' AS feature_y, n,
+  round((nd * p_cw - s_c * s_w)
+        / (sqrt(nd * p_cc - s_c * s_c) * sqrt(nd * p_ww - s_w * s_w)), 6)
+    AS pearson_r
+FROM m
+UNION ALL
+SELECT 'f_chars', 'f_distinct', n,
+  round((nd * p_cd - s_c * s_d)
+        / (sqrt(nd * p_cc - s_c * s_c) * sqrt(nd * p_dd - s_d * s_d)), 6)
+FROM m
+UNION ALL
+SELECT 'f_words', 'f_distinct', n,
+  round((nd * p_wd - s_w * s_d)
+        / (sqrt(nd * p_ww - s_w * s_w) * sqrt(nd * p_dd - s_d * s_d)), 6)
+FROM m
+""",
+    description="feature-redundancy audit: exact pairwise Pearson "
+    "correlations over (chars, words, distinct words) from one "
+    "aggregation of decimal-exact integer moments — order-free "
+    "where F.corr's double accumulation is not; the corpus is "
+    "scanned once for all pairs",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lynx_spark.operators._util import words_col
+
+    feats = T(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("f_chars"),
+        F.size(words_col("text")).cast("long").alias("f_words"),
+        F.size(F.array_distinct(words_col("text")))
+        .cast("long")
+        .alias("f_distinct"),
+    )
+    return ql.feature_correlations(feats, ["f_chars", "f_words", "f_distinct"])

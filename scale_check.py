@@ -123,6 +123,8 @@ QUERIES = [
     "q122_strip_markup",
     # corpus checksum: one map-side-partial decimal aggregate
     "q123_corpus_checksum",
+    # feature correlations: one moment aggregation for all pairs
+    "q124_feature_corr",
 ]
 
 

@@ -2202,3 +2202,76 @@ def test_corpus_checksum_detects_any_change(spark):
     dropped = spark.createDataFrame(rows[:-1], ["doc_id", "text"])
     got = corpus_checksum(dropped, "doc_id", "text").collect()[0]
     assert got["n_docs"] == 49 and got["content_sum"] != base["content_sum"]
+
+
+def test_pca_whiten_matches_numpy_and_whitens(spark):
+    """Whitened output has ~identity covariance, matches a direct
+    numpy PCA-whitening of the same data (same sign convention), and
+    is invariant to input partitioning (the moment partials sum
+    exactly enough at this scale)."""
+    import numpy as np
+
+    from lynx_spark.operators.similarity import pca_whiten
+
+    rng = np.random.RandomState(7)
+    # anisotropic, correlated 6-dim data
+    A = rng.randn(6, 6)
+    X = rng.randn(300, 6) @ A + rng.randn(6) * 3
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_whiten(df, "vec_id", "embedding").collect()
+    got = np.array(
+        [r["whitened"] for r in sorted(out, key=lambda r: r["vec_id"])]
+    )
+    cov = np.cov(got.T, bias=True)
+    assert np.allclose(cov, np.eye(6), atol=1e-6)
+
+    mean = X.mean(axis=0)
+    c = (X - mean).T @ (X - mean) / len(X)
+    evals, evecs = np.linalg.eigh(c)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for j in range(6):
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    want = (X - mean) @ (evecs / np.sqrt(evals + 1e-9))
+    assert np.allclose(got, want, atol=1e-5)
+
+    repart = pca_whiten(
+        df.repartition(13), "vec_id", "embedding"
+    ).collect()
+    got2 = np.array(
+        [r["whitened"] for r in sorted(repart, key=lambda r: r["vec_id"])]
+    )
+    assert np.allclose(got, got2, atol=1e-6)
+
+
+def test_feature_correlations_exact_and_partition_free(spark):
+    """Matches numpy's corrcoef on the same integers, is invariant to
+    partitioning (decimal moments), and pins the known extremes
+    (perfectly linear pair -> 1.0)."""
+    import numpy as np
+
+    from lynx_spark.operators.quality import feature_correlations
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(1, 1000, 200)
+    b = 3 * a + 7  # perfectly linear
+    c = rng.randint(1, 1000, 200)
+    rows = [(int(a[i]), int(b[i]), int(c[i])) for i in range(200)]
+    df = spark.createDataFrame(rows, "fa long, fb long, fc long")
+    out = {
+        (r["feature_x"], r["feature_y"]): r["pearson_r"]
+        for r in feature_correlations(df, ["fa", "fb", "fc"]).collect()
+    }
+    assert out[("fa", "fb")] == 1.0
+    want_ac = float(np.corrcoef(a, c)[0, 1])
+    assert abs(out[("fa", "fc")] - want_ac) < 1e-6
+    repart = {
+        (r["feature_x"], r["feature_y"]): r["pearson_r"]
+        for r in feature_correlations(
+            df.repartition(11), ["fa", "fb", "fc"]
+        ).collect()
+    }
+    assert repart == out
