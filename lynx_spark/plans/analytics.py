@@ -5019,3 +5019,65 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f_distinct"),
     )
     return ql.feature_correlations(feats, ["f_chars", "f_words", "f_distinct"])
+
+
+@q(
+    "q125_dedup_threshold_sweep",
+    oracle=f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id,
+    round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc = a_id
+  JOIN sizes sb ON sb.doc = b_id
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.3),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+th AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+         AS threshold)
+SELECT threshold,
+  CAST(count(p.b_id) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT p.b_id) AS BIGINT) AS n_docs_removed,
+  round(count(DISTINCT p.b_id) / CAST(n_total AS DOUBLE), 6)
+    AS removed_frac
+FROM th LEFT JOIN pairs p ON p.jaccard >= th.threshold
+CROSS JOIN tot
+GROUP BY threshold, n_total
+""",
+    description="dedup-threshold sweep (the curation knob curve): for "
+    "Jaccard thresholds 0.3-0.9, how many near-dup pairs survive and "
+    "what corpus fraction keep-smallest dedup would remove — pairs "
+    "are generated ONCE at the loosest threshold, every tighter "
+    "threshold evaluates on that model-sized pair frame",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    ths = [round(0.3 + 0.1 * i, 1) for i in range(7)]
+    tf = spark.createDataFrame([(t,) for t in ths], "threshold double")
+    total = docs.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        F.broadcast(tf)
+        .join(pairs, pairs["jaccard"] >= tf["threshold"], "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("threshold", "n_total")
+        .agg(
+            F.count("b_id").cast("long").alias("n_pairs"),
+            F.countDistinct("b_id").cast("long").alias("n_docs_removed"),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_removed",
+            F.round(
+                F.col("n_docs_removed").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("removed_frac"),
+        )
+    )

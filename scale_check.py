@@ -125,6 +125,8 @@ QUERIES = [
     "q123_corpus_checksum",
     # feature correlations: one moment aggregation for all pairs
     "q124_feature_corr",
+    # dedup threshold sweep: pair frame built once, 7-row threshold join
+    "q125_dedup_threshold_sweep",
 ]
 
 
