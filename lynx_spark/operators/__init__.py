@@ -39,6 +39,7 @@ from lynx_spark.operators.corpus import (  # noqa: F401
     pack_materialize,
     pack_sequences,
     pps_sample,
+    repetition_plan,
     source_overlap_matrix,
     token_budget_select,
 )

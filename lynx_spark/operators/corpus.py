@@ -1041,3 +1041,55 @@ def corpus_checksum(
     if keys:
         return df.groupBy(*keys).agg(*aggs)
     return df.agg(*aggs)
+
+
+def repetition_plan(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Data-constrained repetition planning (Muennighoff et al. 2023,
+    arXiv:2305.16264): when the temperature mixture asks a tail
+    domain for more tokens than it has, repeat it — up to
+    ``max_epochs`` passes, past which repeated data stops helping —
+    and report the shortfall that must come from elsewhere. Per
+    domain: available tokens, the mixture's target, raw and capped
+    epoch counts, plannable tokens min(target, max_epochs·avail),
+    and the unmet shortfall. The planning step between computing
+    mixture weights (q68) and materializing a selection (q118).
+
+    Domain-granular throughout: ONE aggregation to (domain → docs,
+    tokens), the sqrt-temperature normalizer decimal-summed exactly
+    as temperature_mixture does, everything after runs on the
+    model-sized domain frame."""
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).cast("long").alias(
+            "avail_tokens"
+        ),
+    )
+    totals = counts.select(
+        F.sum(F.round(F.sqrt(F.col("n_docs")), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("_total_scaled"),
+    )
+    temp_frac = F.round(
+        F.sqrt(F.col("n_docs")) / F.col("_total_scaled"), 6
+    )
+    target = temp_frac * F.lit(float(budget))
+    avail = F.col("avail_tokens").cast("double")
+    raw_epochs = target / avail
+    planned = F.least(target, F.lit(max_epochs) * avail)
+    return counts.join(F.broadcast(totals)).select(
+        "domain",
+        "avail_tokens",
+        F.round(target, 2).alias("target_tokens"),
+        F.round(raw_epochs, 4).alias("epochs_raw"),
+        F.round(F.least(raw_epochs, F.lit(max_epochs)), 4).alias(
+            "epochs_capped"
+        ),
+        F.round(planned, 2).alias("planned_tokens"),
+        F.round(target - planned, 2).alias("shortfall_tokens"),
+    )

@@ -5081,3 +5081,40 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removed_frac"),
         )
     )
+
+
+@q(
+    "q126_repetition_plan",
+    oracle="""
+WITH counts AS (SELECT source AS domain, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS avail_tokens
+                FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(CAST(round(sqrt(n_docs), 6) AS DECIMAL(28,6)))
+                 AS DOUBLE) AS _total_scaled
+        FROM counts)
+SELECT domain, avail_tokens,
+  round(round(sqrt(n_docs) / _total_scaled, 6) * 100000.0, 2)
+    AS target_tokens,
+  round(round(sqrt(n_docs) / _total_scaled, 6) * 100000.0
+        / CAST(avail_tokens AS DOUBLE), 4) AS epochs_raw,
+  round(least(round(sqrt(n_docs) / _total_scaled, 6) * 100000.0
+              / CAST(avail_tokens AS DOUBLE), 4.0), 4) AS epochs_capped,
+  round(least(round(sqrt(n_docs) / _total_scaled, 6) * 100000.0,
+              4.0 * CAST(avail_tokens AS DOUBLE)), 2) AS planned_tokens,
+  round(round(sqrt(n_docs) / _total_scaled, 6) * 100000.0
+        - least(round(sqrt(n_docs) / _total_scaled, 6) * 100000.0,
+                4.0 * CAST(avail_tokens AS DOUBLE)), 2)
+    AS shortfall_tokens
+FROM counts, tot
+""",
+    description="data-constrained repetition planner (Muennighoff et "
+    "al. 2023): per domain, how many epochs of repetition the "
+    "temperature mixture's token target implies, capped at 4 where "
+    "repeated data stops helping, with the unmet shortfall — the "
+    "planning step between q68's weights and q118's materialization; "
+    "one domain-granular aggregation, everything else model-sized",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cp.repetition_plan(
+        T(spark, sf_dir, "documents"), "source", "n_chars", budget=100000
+    )

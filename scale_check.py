@@ -127,6 +127,8 @@ QUERIES = [
     "q124_feature_corr",
     # dedup threshold sweep: pair frame built once, 7-row threshold join
     "q125_dedup_threshold_sweep",
+    # repetition planner: one domain aggregation, model-sized after
+    "q126_repetition_plan",
 ]
 
 

@@ -2275,3 +2275,29 @@ def test_feature_correlations_exact_and_partition_free(spark):
         ).collect()
     }
     assert repart == out
+
+
+def test_repetition_plan_caps_and_shortfall(spark):
+    """A tiny domain asked for more than max_epochs of itself shows
+    the cap and a positive shortfall; a huge domain needs <1 epoch
+    and no shortfall; planned tokens never exceed the target."""
+    from lynx_spark.operators.corpus import repetition_plan
+
+    rows = [(i, "big", 100) for i in range(96)] + [
+        (1000 + i, "tiny", 10) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "dom", "toks"])
+    out = {
+        r["domain"]: r
+        for r in repetition_plan(df, "dom", "toks", budget=20000).collect()
+    }
+    tiny, big = out["tiny"], out["big"]
+    # sqrt temperature: tiny gets ~1/6 of the budget but has 40 tokens
+    assert tiny["epochs_raw"] > 4.0
+    assert tiny["epochs_capped"] == 4.0
+    assert tiny["planned_tokens"] == 4.0 * tiny["avail_tokens"]
+    assert tiny["shortfall_tokens"] > 0
+    assert big["epochs_raw"] < 4.0
+    assert big["shortfall_tokens"] == 0.0
+    for r in out.values():
+        assert r["planned_tokens"] <= r["target_tokens"] + 1e-6
