@@ -43,6 +43,9 @@ from lynx_spark.operators.corpus import (  # noqa: F401
     source_overlap_matrix,
     token_budget_select,
 )
+from lynx_spark.operators.graph import (  # noqa: F401
+    pagerank,
+)
 from lynx_spark.operators.lm import (  # noqa: F401
     bm25_topk,
     rrf_fuse,

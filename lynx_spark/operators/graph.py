@@ -345,3 +345,66 @@ def update_clusters(
         "a_id",
         "b_id",
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "vec_id",
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank centrality over a directed edge list — on a kNN
+    embedding graph this is a prototypicality score (high-centrality
+    documents sit in dense, well-connected regions; the
+    graph-density signal herding/graph-pruning selection methods
+    rank by). Fixed-iteration power method:
+
+        r_v ← (1−d)/N + d · Σ_{u→v} r_u / outdeg(u)
+
+    Dangling mass is not redistributed (the score variant — ranking
+    is unaffected, and the update stays a pure relational join).
+
+    100 TB shape: each iteration is one edges⋈ranks join + one
+    aggregation keyed by the destination — the textbook distributed
+    PR data flow, nothing driver-side, lineage bounded by the fixed
+    iteration count. Per-edge contributions round to 12 decimals and
+    sum as DECIMAL (exact, order-free), so ranks are bit-identical
+    across partitionings AND in the unrolled SQL oracle."""
+    n_df = nodes.agg(F.count("*").cast("double").alias("_n"))
+    base = nodes.select(F.col(node_col).cast("long").alias("_v"))
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("_src"),
+        F.col(edges.columns[1]).cast("long").alias("_dst"),
+    )
+    outdeg = e.groupBy("_src").agg(F.count("*").alias("_outdeg"))
+    e = e.join(outdeg, "_src")
+    ranks = base.crossJoin(F.broadcast(n_df)).select(
+        "_v", (F.lit(1.0) / F.col("_n")).alias("_r")
+    )
+    for _ in range(n_iters):
+        contribs = (
+            e.join(ranks, e["_src"] == ranks["_v"])
+            .select(
+                "_dst",
+                F.round(F.col("_r") / F.col("_outdeg"), 12)
+                .cast("decimal(38,12)")
+                .alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").cast("double").alias("_s"))
+        )
+        ranks = (
+            base.join(contribs, base["_v"] == contribs["_dst"], "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "_v",
+                (
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce("_s", F.lit(0.0))
+                ).alias("_r"),
+            )
+        )
+    return ranks.select(
+        F.col("_v").alias(node_col), F.round("_r", 8).alias("pagerank")
+    )

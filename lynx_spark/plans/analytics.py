@@ -5118,3 +5118,59 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.repetition_plan(
         T(spark, sf_dir, "documents"), "source", "n_chars", budget=100000
     )
+
+
+def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85) -> str:
+    """q127 oracle: the q83 kNN-graph CTEs feeding an unrolled
+    power-method recurrence. Per-edge contributions decimal-sum
+    exactly as graph.pagerank does; the teleport term is written as
+    (1.0 - d) so both engines perform the identical IEEE subtraction
+    (a 0.15 literal is a DIFFERENT double than 1.0 - 0.85)."""
+    base = _knn_graph_oracle(5)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    sql = (
+        ctes
+        + """, g AS (SELECT src, nbr FROM ranked WHERE rnk <= 5),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         FROM g GROUP BY src),
+r0 AS (SELECT vec_id, 1.0 / n AS r FROM nodes, nn)"""
+    )
+    prev = "r0"
+    for t in range(1, n_iters + 1):
+        sql += f""",
+c{t} AS (SELECT g.nbr AS vec_id,
+    CAST(sum(CAST(round(p.r / outd.outdeg, 12) AS DECIMAL(38,12)))
+      AS DOUBLE) AS s
+  FROM g JOIN outd USING (src) JOIN {prev} p ON p.vec_id = g.src
+  GROUP BY g.nbr),
+r{t} AS (SELECT nodes.vec_id,
+    (1.0 - {damping}) / n + {damping} * coalesce(c{t}.s, 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN c{t} ON c{t}.vec_id = nodes.vec_id)"""
+        prev = f"r{t}"
+    return sql + f"""
+SELECT vec_id, round(r, 8) AS pagerank FROM {prev}
+"""
+
+
+@q(
+    "q127_pagerank",
+    oracle=_pagerank_oracle(),
+    description="PageRank centrality over the q83 kNN embedding graph "
+    "(prototypicality for graph-based data selection): 3 power-method "
+    "iterations, each one edges-to-ranks join plus a destination-"
+    "keyed aggregation — per-edge contributions decimal-summed so "
+    "the trajectory is exact and the unrolled SQL oracle matches "
+    "bit-for-bit; the teleport term computes 1.0-0.85 identically "
+    "on both engines",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(emb, "vec_id", "embedding", k=5).select(
+        "src", "nbr"
+    )
+    return gr.pagerank(
+        edges, emb.select("vec_id"), "vec_id", n_iters=3, damping=0.85
+    )

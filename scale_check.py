@@ -129,6 +129,8 @@ QUERIES = [
     "q125_dedup_threshold_sweep",
     # repetition planner: one domain aggregation, model-sized after
     "q126_repetition_plan",
+    # PageRank: per-iteration edges-ranks join + dst-keyed aggregate
+    "q127_pagerank",
 ]
 
 

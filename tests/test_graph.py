@@ -153,3 +153,48 @@ def test_update_clusters_matches_full_recompute(spark):
     assert got[10] == got[0] == got[3] == 0  # bridge merged both into 0
     assert got[11] == got[12] == 11
     assert got[4] == 4 and got[5] == 5  # untouched singletons stay
+
+
+def test_pagerank_matches_networkless_reference(spark):
+    """Fixed-iteration PR on a hand graph equals a sequential Python
+    power method with the same rounding, a hub out-scores leaves, an
+    isolated node keeps only teleport mass, and partitioning does
+    not change ranks (decimal contribution sums)."""
+    from decimal import Decimal
+
+    from lynx_spark.operators.graph import pagerank
+
+    # star into 1: 2,3,4 -> 1; 1 -> 2; node 9 isolated
+    edge_rows = [(2, 1), (3, 1), (4, 1), (1, 2)]
+    node_rows = [(1,), (2,), (3,), (4,), (9,)]
+    edges = spark.createDataFrame(edge_rows, ["src", "nbr"])
+    nodes = spark.createDataFrame(node_rows, ["vec_id"])
+    got = {
+        r["vec_id"]: r["pagerank"]
+        for r in pagerank(edges, nodes, "vec_id", n_iters=3).collect()
+    }
+    # sequential reference with identical arithmetic
+    n = 5.0
+    outdeg = {1: 1, 2: 1, 3: 1, 4: 1}
+    r = {v: 1.0 / n for v, in node_rows}
+    for _ in range(3):
+        contrib: dict = {}
+        for s, d in edge_rows:
+            contrib.setdefault(d, []).append(
+                Decimal(str(round(r[s] / outdeg[s], 12)))
+            )
+        r = {
+            v: (1.0 - 0.85) / n + 0.85 * float(sum(contrib.get(v, [Decimal(0)])))
+            for v, in node_rows
+        }
+    for v, in node_rows:
+        assert abs(got[v] - round(r[v], 8)) < 1e-8, v
+    assert got[1] == max(got.values())
+    assert got[9] == min(got.values())
+    repart = {
+        r2["vec_id"]: r2["pagerank"]
+        for r2 in pagerank(
+            edges.repartition(5), nodes.repartition(3), "vec_id", n_iters=3
+        ).collect()
+    }
+    assert repart == got
