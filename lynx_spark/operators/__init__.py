@@ -48,6 +48,7 @@ from lynx_spark.operators.graph import (  # noqa: F401
 )
 from lynx_spark.operators.lm import (  # noqa: F401
     bm25_topk,
+    nb_langid_confusion,
     rrf_fuse,
     tfidf_top_terms,
     train_logreg,

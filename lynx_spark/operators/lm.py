@@ -501,3 +501,121 @@ def train_logreg(
             for c in names[1:]
         ],
     )
+
+
+def nb_langid_confusion(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes language-ID, trained AND evaluated
+    relationally: even ids train, odd ids test, output = the
+    confusion matrix (true label × predicted label × count). The
+    classic supervised eval loop — fit on half, measure on the held
+    half — expressed without leaving the engine, so the whole loop is
+    auditable by the SQL oracle.
+
+    The smoothing decomposition keeps it join-shaped: with add-one
+    smoothing, log P(w|l) = ln(c_lw + 1) − ln(T_l + V), and unseen
+    (l, w) pairs contribute ln(1) = 0 to the first term — so the
+    per-document score needs only the JOIN HITS against the
+    (label, word) count table plus the closed-form penalty
+    n_words · ln(T_l + V):
+
+        score(d, l) = ln P(l) − n_words(d)·ln(T_l + V)
+                      + Σ_{hits} ln(c_lw + 1)
+
+    100 TB shape: training is two aggregations (label×word counts,
+    label totals); scoring is one words⋈counts join and a
+    (doc, label) aggregation with decimal-summed hit terms (exact,
+    order-free); argmax is a per-doc window over |labels| rows. The
+    1-ulp-sensitive prior/penalty terms are rounded to 6dp before
+    ranking so the argmax is engine-portable."""
+    from lynx_spark.operators._util import words_col
+
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.col(label_col).alias("lbl"),
+        F.explode(words_col(text_col)).alias("word"),
+    ).filter(F.col("word") != "")
+    train = base.filter(F.col("doc") % 2 == 0)
+    # persists (the unigram_scores pattern): counts feeds totals,
+    # vocab AND the hits join; the exploded test side feeds lengths
+    # and hits — without them Catalyst re-runs the corpus explode per
+    # consumer (measured 5.5x at the 10x scale check; 1.5x with)
+    test = base.filter(F.col("doc") % 2 == 1).persist()
+
+    counts = train.groupBy("lbl", "word").agg(
+        F.count("*").cast("long").alias("c")
+    ).persist()
+    totals = counts.groupBy("lbl").agg(
+        F.sum("c").cast("long").alias("t_words")
+    )
+    vocab = counts.select("word").distinct().agg(
+        F.count("*").cast("long").alias("v_size")
+    )
+    doc_labels = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.col(label_col).alias("lbl"),
+        )
+        .filter(F.col("doc") % 2 == 0)
+    )
+    priors = doc_labels.groupBy("lbl").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    priors = priors.crossJoin(
+        F.broadcast(priors.agg(F.sum("n_docs").cast("long").alias("n_all")))
+    )
+
+    test_len = test.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.first("lbl").alias("true_lbl"),
+    )
+    # join hits: test word occurrences (WITH multiplicity) x counts
+    hits = (
+        test.join(counts.withColumnRenamed("lbl", "cand"), "word")
+        .select(
+            "doc",
+            "cand",
+            F.round(F.log(F.col("c") + 1), 9)
+            .cast("decimal(38,9)")
+            .alias("term"),
+        )
+        .groupBy("doc", "cand")
+        .agg(F.sum("term").cast("double").alias("hit_sum"))
+    )
+    cand = (
+        test_len.crossJoin(
+            F.broadcast(
+                priors.join(totals, "lbl").crossJoin(F.broadcast(vocab))
+            )
+        )
+        .withColumnRenamed("lbl", "cand")
+        .join(hits, ["doc", "cand"], "left")
+        .select(
+            "doc",
+            "true_lbl",
+            "cand",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n_all"))
+                - F.col("n_words")
+                * F.log((F.col("t_words") + F.col("v_size")).cast("double"))
+                + F.coalesce("hit_sum", F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("cand"))
+    preds = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc", "true_lbl", F.col("cand").alias("pred_lbl"))
+    )
+    return (
+        preds.groupBy("true_lbl", "pred_lbl")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

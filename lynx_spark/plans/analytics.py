@@ -5174,3 +5174,58 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(
         edges, emb.select("vec_id"), "vec_id", n_iters=3, damping=0.85
     )
+
+
+@q(
+    "q128_nb_langid_eval",
+    oracle=r"""
+WITH w AS (SELECT doc_id AS doc, lang AS lbl,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+wf AS (SELECT * FROM w WHERE word <> ''),
+train AS (SELECT * FROM wf WHERE doc % 2 = 0),
+test AS (SELECT * FROM wf WHERE doc % 2 = 1),
+counts AS (SELECT lbl, word, CAST(count(*) AS BIGINT) AS c
+           FROM train GROUP BY 1, 2),
+totals AS (SELECT lbl, CAST(sum(c) AS BIGINT) AS t_words
+           FROM counts GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v_size
+          FROM counts),
+priors AS (SELECT lang AS lbl, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+pr AS (SELECT lbl, n_docs,
+         CAST((SELECT sum(n_docs) FROM priors) AS BIGINT) AS n_all
+       FROM priors),
+tl AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_words,
+         min(lbl) AS true_lbl
+       FROM test GROUP BY doc),
+hits AS (SELECT t.doc, c.lbl AS cand,
+    CAST(sum(CAST(round(ln(c.c + 1), 9) AS DECIMAL(38,9))) AS DOUBLE)
+      AS hit_sum
+  FROM test t JOIN counts c ON c.word = t.word GROUP BY 1, 2),
+cand AS (SELECT tl.doc, tl.true_lbl, p.lbl AS cand,
+    round(ln(CAST(p.n_docs AS DOUBLE) / p.n_all)
+          - tl.n_words * ln(CAST(t.t_words + v.v_size AS DOUBLE))
+          + coalesce(h.hit_sum, 0.0), 6) AS score
+  FROM tl CROSS JOIN pr p
+  JOIN totals t ON t.lbl = p.lbl
+  CROSS JOIN vocab v
+  LEFT JOIN hits h ON h.doc = tl.doc AND h.cand = p.lbl),
+preds AS (SELECT doc, true_lbl, cand,
+    row_number() OVER (PARTITION BY doc ORDER BY score DESC, cand) AS rn
+  FROM cand)
+SELECT true_lbl, cand AS pred_lbl, CAST(count(*) AS BIGINT) AS n_docs
+FROM preds WHERE rn = 1 GROUP BY 1, 2
+""",
+    description="multinomial Naive Bayes language-ID trained on even "
+    "doc ids and evaluated on odd ones, output = the confusion "
+    "matrix: the supervised fit-and-measure loop fully in-engine — "
+    "training is two aggregations, scoring is one words-counts join "
+    "with decimal-summed hit terms (smoothing decomposed so unseen "
+    "words cost ln(1)=0 and need no join row), argmax a per-doc "
+    "window over the label candidates",
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.nb_langid_confusion(
+        T(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )

@@ -131,6 +131,8 @@ QUERIES = [
     "q126_repetition_plan",
     # PageRank: per-iteration edges-ranks join + dst-keyed aggregate
     "q127_pagerank",
+    # NB train+eval: two count aggs, one words-counts join, argmax window
+    "q128_nb_langid_eval",
 ]
 
 

@@ -2355,3 +2355,22 @@ def test_corpus_release_pipeline_composes(spark, tmp_path):
         c2["n_docs"],
         c2["content_sum"],
     )
+
+
+def test_nb_langid_learns_separable_vocab(spark):
+    """On vocab-separable data the trained NB classifies the held-out
+    half perfectly; priors dominate for empty-evidence docs; the
+    confusion matrix accounts for every test doc."""
+    from lynx_spark.operators.lm import nb_langid_confusion
+
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 4 < 2 else "bb"
+        word = "apfel birne kirsche" if lang == "aa" else "apple pear cherry"
+        rows.append((i, f"{word} {word}", lang))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = nb_langid_confusion(df, "doc_id", "text", "lang").collect()
+    assert sum(r["n_docs"] for r in out) == 20  # every odd doc predicted
+    assert all(r["true_lbl"] == r["pred_lbl"] for r in out)  # separable
+    got = {(r["true_lbl"], r["pred_lbl"]): r["n_docs"] for r in out}
+    assert got[("aa", "aa")] == 10 and got[("bb", "bb")] == 10
