@@ -532,14 +532,10 @@ def nb_langid_confusion(
     order-free); argmax is a per-doc window over |labels| rows. The
     1-ulp-sensitive prior/penalty terms are rounded to 6dp before
     ranking so the argmax is engine-portable."""
-    from lynx_spark.operators._util import words_col
-
-    from pyspark.sql.window import Window
-
     base = df.select(
         F.col(id_col).cast("long").alias("doc"),
         F.col(label_col).alias("lbl"),
-        F.explode(words_col(text_col)).alias("word"),
+        F.explode(_words(text_col)).alias("word"),
     ).filter(F.col("word") != "")
     train = base.filter(F.col("doc") % 2 == 0)
     # persists (the unigram_scores pattern): counts feeds totals,
@@ -573,7 +569,9 @@ def nb_langid_confusion(
 
     test_len = test.groupBy("doc").agg(
         F.count("*").cast("long").alias("n_words"),
-        F.first("lbl").alias("true_lbl"),
+        # min, not first: first() is partition-order dependent and the
+        # oracle's min(lbl) would diverge on duplicate-id inputs
+        F.min("lbl").alias("true_lbl"),
     )
     # join hits: test word occurrences (WITH multiplicity) x counts
     hits = (
