@@ -22,6 +22,8 @@ from lynx_spark.operators.similarity import (  # noqa: F401
     load_ivf_index,
     lsh_ann_topk,
     pca_whiten,
+    pq_audit,
+    pq_train_codebooks,
     quantization_audit,
     query_ann_store,
     save_ivf_index,

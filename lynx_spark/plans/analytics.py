@@ -5229,3 +5229,71 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.nb_langid_confusion(
         T(spark, sf_dir, "documents"), "doc_id", "text", "lang"
     )
+
+
+def _pq_oracle(dim: int = 64, m: int = 4, k: int = 8) -> str:
+    """q129 oracle: train the per-subspace PQ codebooks in SQL with
+    the exact _ivf_train_sql recipe (lowest-id seeds, one Lloyd
+    iteration, sorted-sum rounded means, 8dp-rounded argmin with cid
+    tie-break), then assign codes and fold the reconstruction error
+    — per subspace the chain is the q25b trainer with a name suffix."""
+    sub = dim // m
+    dist = (
+        "round(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))), 8)"
+    )
+    ctes = []
+    for j in range(m):
+        lo = j * sub + 1
+        hi = (j + 1) * sub
+        d_assign = dist.format(a="x.v", b="c.cv")
+        ctes.append(f"""
+v{j} AS (SELECT vec_id AS nid,
+    list_slice(embedding::DOUBLE[], {lo}, {hi}) AS v FROM embeddings),
+s{j} AS (
+  SELECT CAST(row_number() OVER (ORDER BY nid) - 1 AS BIGINT) AS cid,
+    v AS cv
+  FROM (SELECT nid, v FROM v{j} ORDER BY nid LIMIT {k})),
+a{j} AS (
+  SELECT x.nid, x.v,
+    (SELECT c.cid FROM s{j} c ORDER BY {d_assign}, c.cid LIMIT 1) AS cid
+  FROM v{j} x),
+m{j} AS (
+  SELECT cid, pos, round(list_sum(list_sort(list(val))) / count(*), 6) AS m
+  FROM (SELECT a.cid, u.i AS pos, a.v[u.i] AS val
+        FROM a{j} a CROSS JOIN LATERAL unnest(range(1, len(a.v) + 1)) u(i))
+  GROUP BY cid, pos),
+f{j} AS (
+  SELECT mm.cid, list(mm.m ORDER BY mm.pos) AS cv FROM m{j} mm GROUP BY mm.cid
+  UNION ALL
+  SELECT c.cid, c.cv FROM s{j} c
+  WHERE c.cid NOT IN (SELECT cid FROM m{j})),
+af{j} AS (
+  SELECT x.nid, c.cid, {dist.format(a="x.v", b="c.cv")} AS d
+  FROM v{j} x CROSS JOIN f{j} c
+  QUALIFY row_number() OVER (PARTITION BY x.nid
+    ORDER BY {dist.format(a="x.v", b="c.cv")}, c.cid) = 1)""")
+    joins = " ".join(f"JOIN af{j} a{j} USING (nid)" for j in range(1, m))
+    codes = ", ".join(f"a{j}.cid" for j in range(m))
+    errs = " + ".join(f"a{j}.d" for j in range(m))
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT nid AS vec_id, [{codes}] AS codes,
+  round(({errs}) / {float(dim)}, 6) AS recon_mse
+FROM af0 a0 {joins}
+"""
+    )
+
+
+@q(
+    "q129_pq_audit",
+    oracle=_pq_oracle(),
+    description="product-quantization audit completing the FAISS trio "
+    "(IVF q25b, SQ8 q88): per-subspace k-means codebooks trained "
+    "with the deterministic q25b recipe, per-vector codes and "
+    "reconstruction MSE — training collects only codebook scalars, "
+    "assignment is per-row literal-codebook folds, one scan; the "
+    "oracle trains the bit-identical model per subspace in SQL",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_audit(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")

@@ -133,6 +133,8 @@ QUERIES = [
     "q127_pagerank",
     # NB train+eval: two count aggs, one words-counts join, argmax window
     "q128_nb_langid_eval",
+    # PQ audit: model-sized training collects, per-row literal folds
+    "q129_pq_audit",
 ]
 
 

@@ -2374,3 +2374,34 @@ def test_nb_langid_learns_separable_vocab(spark):
     assert all(r["true_lbl"] == r["pred_lbl"] for r in out)  # separable
     got = {(r["true_lbl"], r["pred_lbl"]): r["n_docs"] for r in out}
     assert got[("aa", "aa")] == 10 and got[("bb", "bb")] == 10
+
+
+def test_pq_audit_codes_and_error(spark):
+    """Codes are valid indices, reconstruction beats the global-mean
+    baseline on clustered data, identical vectors get identical
+    codes, and partitioning does not change the audit."""
+    import numpy as np
+
+    from lynx_spark.operators.similarity import PQ_K, pq_audit
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 5
+    X = np.vstack([c + rng.randn(30, 16) * 0.1 for c in centers])
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_audit(df, "vec_id", "embedding", dim=16, m=2, k=4).collect()
+    assert len(out) == len(X)
+    for r in out:
+        assert len(r["codes"]) == 2
+        assert all(0 <= c < 4 for c in r["codes"])
+    mean_mse = float(((X - X.mean(axis=0)) ** 2).mean())
+    avg_recon = sum(r["recon_mse"] for r in out) / len(out)
+    assert avg_recon < mean_mse * 0.5  # quantization captures clusters
+    got = {r["vec_id"]: (tuple(r["codes"]), r["recon_mse"]) for r in out}
+    repart = {
+        r["vec_id"]: (tuple(r["codes"]), r["recon_mse"])
+        for r in pq_audit(
+            df.repartition(9), "vec_id", "embedding", dim=16, m=2, k=4
+        ).collect()
+    }
+    assert repart == got
