@@ -1213,3 +1213,79 @@ def pq_audit(
         codes.alias("codes"),
         F.round(sq_err / F.lit(float(dim)), 6).alias("recon_mse"),
     )
+
+
+# ------------------------------------- random projection (JL lemma)
+
+JL_OUT_DIM = 16
+
+_jl_rng = random.Random(20240915)
+#: dense Rademacher projection rows, scaled 1/sqrt(out_dim) — data-
+#: independent (Johnson-Lindenstrauss), so unlike PCA the exact same
+#: matrix is a literal in both engines and the oracle needs no training
+JL_ROWS: list[list[float]] = [
+    [
+        (1.0 if _jl_rng.random() < 0.5 else -1.0) / (JL_OUT_DIM ** 0.5)
+        for _ in range(EMBED_DIM)
+    ]
+    for _ in range(JL_OUT_DIM)
+]
+
+
+def jl_project(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16: the cheap,
+    data-independent dimensionality reduction used as an ANN
+    pre-filter or sketch (pairwise distances preserved within 1±ε
+    with high probability). One transform over the row-literal
+    matrix — per-row codegen folds, zero shuffle, no training, no
+    collect; the projection matrix is part of the code, so results
+    are reproducible everywhere forever."""
+    rows_lit = F.array(*[F.array(*[F.lit(x) for x in r]) for r in JL_ROWS])
+    return ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(
+            rows_lit, lambda r: dot(F.col(vec_col).cast("array<double>"), r)
+        ).alias("projected"),
+    )
+
+
+def jl_distortion_audit(
+    df: DataFrame, id_col: str, vec_col: str, max_sample_id: int = 20
+) -> DataFrame:
+    """Pairwise-distance distortion of the JL projection on a fixed
+    sample: per pair, original and projected squared L2 distance and
+    their ratio — the empirical check of the 1±ε guarantee before
+    trusting the sketch for candidate generation. The sample
+    broadcasts (model-sized); the corpus is only scanned to build
+    it."""
+    proj = jl_project(df, id_col, vec_col)
+    src = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).join(proj, id_col)
+    sample = src.filter(F.col(id_col) < max_sample_id)
+    a = sample.select(
+        F.col(id_col).alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("projected").alias("pa"),
+    )
+    b = sample.select(
+        F.col(id_col).alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("projected").alias("pb"),
+    )
+    d_orig = _l2sq(F.col("va"), F.col("vb"))
+    d_proj = _l2sq(F.col("pa"), F.col("pb"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(d_orig, 6).alias("d_orig"),
+            F.round(d_proj, 6).alias("d_proj"),
+            F.round(d_proj / d_orig, 6).alias("distortion"),
+        )
+        # identical-vector pairs would divide by zero; both engines
+        # drop them on the same rounded predicate
+        .filter(F.col("d_orig") > 0)
+    )

@@ -5297,3 +5297,48 @@ FROM af0 a0 {joins}
 )
 def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_audit(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+def _jl_oracle(max_sample_id: int = 20) -> str:
+    """q130 oracle: the projection matrix is a code literal (JL is
+    data-independent), so the oracle projects with the same
+    list_dot_product rows and folds the same positional distance
+    sums — no training CTEs at all."""
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in r) + "]" for r in sim.JL_ROWS
+    )
+    proj = (
+        "list_transform([" + rows + "], r -> list_dot_product(e, r))"
+    )
+    d = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE vec_id < {max_sample_id}),
+p AS (SELECT vec_id, e, {proj} AS pr FROM v)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  round({d.format(a="a.e", b="b.e")}, 6) AS d_orig,
+  round({d.format(a="a.pr", b="b.pr")}, 6) AS d_proj,
+  round({d.format(a="a.pr", b="b.pr")}
+        / {d.format(a="a.e", b="b.e")}, 6) AS distortion
+FROM p a JOIN p b ON a.vec_id < b.vec_id
+WHERE round({d.format(a="a.e", b="b.e")}, 6) > 0
+"""
+
+
+@q(
+    "q130_jl_distortion",
+    oracle=_jl_oracle(),
+    description="Johnson-Lindenstrauss random projection 64->16 with "
+    "a pairwise distortion audit on a fixed sample: the data-"
+    "independent dimensionality reduction (the matrix is a code "
+    "literal, reproducible everywhere) — per-row codegen folds, "
+    "zero shuffle, no training; the audit verifies the 1±eps "
+    "distance preservation empirically",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.jl_distortion_audit(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )

@@ -135,6 +135,8 @@ QUERIES = [
     "q128_nb_langid_eval",
     # PQ audit: model-sized training collects, per-row literal folds
     "q129_pq_audit",
+    # JL distortion: sample-bounded pair audit, corpus scanned once
+    "q130_jl_distortion",
 ]
 
 

@@ -2405,3 +2405,35 @@ def test_pq_audit_codes_and_error(spark):
         ).collect()
     }
     assert repart == got
+
+
+def test_jl_projection_preserves_distances_statistically(spark):
+    """Projection output matches a numpy matmul with the same literal
+    matrix; median pairwise distortion is ~1 and distances are never
+    annihilated (JL on 64->16)."""
+    import statistics
+
+    import numpy as np
+
+    from lynx_spark.operators.similarity import (
+        JL_ROWS,
+        jl_distortion_audit,
+        jl_project,
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(40, 64)
+    rows = [(i, X[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in jl_project(df, "vec_id", "embedding").collect()
+    }
+    want = X @ np.array(JL_ROWS).T
+    for i in range(40):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+    audit = jl_distortion_audit(df, "vec_id", "embedding", max_sample_id=40)
+    ds = [r["distortion"] for r in audit.collect()]
+    assert len(ds) == 40 * 39 // 2
+    assert 0.7 < statistics.median(ds) < 1.3
+    assert min(ds) > 0.1  # no pair collapses to zero
