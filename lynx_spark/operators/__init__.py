@@ -18,6 +18,7 @@ from lynx_spark.operators.similarity import (  # noqa: F401
     dimension_stats,
     hard_negatives,
     ivf_ann_topk,
+    ivfpq_ann_topk,
     jl_distortion_audit,
     jl_project,
     knn_graph,

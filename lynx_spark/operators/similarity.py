@@ -1289,3 +1289,116 @@ def jl_distortion_audit(
         # drop them on the same rounded predicate
         .filter(F.col("d_orig") > 0)
     )
+
+
+def ivfpq_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_query_id: int = 20,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the FAISS IndexIVFPQ
+    composition of the two quantizers here: the coarse IVF quantizer
+    routes vectors to cells, each vector's RESIDUAL (v − centroid)
+    is product-quantized, and queries score candidates in their
+    ``nprobe`` nearest cells by asymmetric distance (exact query
+    residual vs the candidate's codebook entries) — no full-vector
+    math on the database side at query time, which is the entire
+    point at 100 TB: the index holds m small codes per vector.
+
+    Plan shape: both trainings collect only model scalars (IVF k×dim
+    + PQ m·k·(dim/m)); encoding is a per-row literal-codebook
+    projection; the query side explodes to (query, probed cell) and
+    meets candidates by CELL EQUALITY — never a cross join — with
+    ADC folds per subspace and a per-query top-k window. Every
+    arithmetic step (8dp-rounded argmins, fixed-order subspace sums)
+    is mirrored bit-for-bit by the SQL oracle, which trains both
+    models in SQL."""
+    sub = EMBED_DIM // m
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents = train_ivf_centroids(vecs)
+    cl = _centroids_lit(cents)
+    res = vecs.withColumn("cid", _ivf_assign(F.col("v"), cents)).withColumn(
+        "rv",
+        F.zip_with(
+            F.col("v"),
+            F.element_at(cl, (F.col("cid") + 1).cast("int")),
+            lambda a, b: a - b,
+        ),
+    )
+    res = res.persist()
+    res.count()  # eager: PQ training + encoding both read it
+    books = pq_train_codebooks(
+        res.select("nid", F.col("rv").alias("v")),
+        dim=EMBED_DIM,
+        m=m,
+        k=pq_k,
+        iters=PQ_ITERS,
+    )
+    encoded = res.select(
+        "nid",
+        "cid",
+        *[
+            F.array_sort(
+                _ivf_dist_pairs(
+                    F.slice(F.col("rv"), j * sub + 1, sub), books[j]
+                )
+            )[0]
+            .getField("cid")
+            .alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+    probes = (
+        vecs.filter(F.col("nid") < max_query_id)
+        .select(
+            F.col("nid").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(
+                _ivf_probe_cids(F.col("v"), cents, nprobe)
+            ).alias("cid"),
+        )
+        .withColumn(
+            "rq",
+            F.zip_with(
+                F.col("qv"),
+                F.element_at(cl, (F.col("cid") + 1).cast("int")),
+                lambda a, b: a - b,
+            ),
+        )
+    )
+    book_lits = [
+        F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
+        for j in range(m)
+    ]
+    cand = probes.join(encoded, "cid").filter(F.col("qid") != F.col("nid"))
+    adc = None
+    for j in range(m):
+        dj = F.round(
+            _l2sq(
+                F.slice(F.col("rq"), j * sub + 1, sub),
+                F.element_at(
+                    book_lits[j], (F.col(f"code{j}") + 1).cast("int")
+                ),
+            ),
+            8,
+        )
+        adc = dj if adc is None else adc + dj
+    from pyspark.sql.window import Window
+
+    # no dedup needed: a DB vector lives in exactly one cell and the
+    # probed cells are distinct, so (qid, nid) appears at most once
+    scored = cand.select("qid", "nid", F.round(adc, 6).alias("adc_dist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "adc_dist", "rnk")
+    )

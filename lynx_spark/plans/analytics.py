@@ -5231,53 +5231,73 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_DIST = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1]-p[2])*(p[1]-p[2]))), 8)"
+)
+
+
+def _pq_chain_sql(
+    src: str, vec_expr: str, dim: int, m: int, k: int, tag: str = ""
+) -> list[str]:
+    """Per-subspace PQ training chains (the q25b k-means recipe with a
+    name suffix), sourced from any CTE/table ``src`` whose vector
+    expression is ``vec_expr`` — shared by the q129 audit (over raw
+    embeddings) and the q131 IVF-PQ oracle (over IVF residuals).
+    Emits v{tag}{j}/s../a../m../f../af.. per subspace; ``tag`` keeps
+    the names clear of _ivf_train_sql's a1/m1/a2/m2 when both chains
+    share one WITH clause."""
+    sub = dim // m
+    ctes = []
+    for j in range(m):
+        g = f"{tag}{j}"
+        lo = j * sub + 1
+        hi = (j + 1) * sub
+        d_assign = _PQ_DIST.format(a="x.v", b="c.cv")
+        ctes.append(f"""
+v{g} AS (SELECT nid,
+    list_slice({vec_expr}, {lo}, {hi}) AS v FROM {src}),
+s{g} AS (
+  SELECT CAST(row_number() OVER (ORDER BY nid) - 1 AS BIGINT) AS cid,
+    v AS cv
+  FROM (SELECT nid, v FROM v{g} ORDER BY nid LIMIT {k})),
+a{g} AS (
+  SELECT x.nid, x.v,
+    (SELECT c.cid FROM s{g} c ORDER BY {d_assign}, c.cid LIMIT 1) AS cid
+  FROM v{g} x),
+m{g} AS (
+  SELECT cid, pos, round(list_sum(list_sort(list(val))) / count(*), 6) AS m
+  FROM (SELECT a.cid, u.i AS pos, a.v[u.i] AS val
+        FROM a{g} a CROSS JOIN LATERAL unnest(range(1, len(a.v) + 1)) u(i))
+  GROUP BY cid, pos),
+f{g} AS (
+  SELECT mm.cid, list(mm.m ORDER BY mm.pos) AS cv FROM m{g} mm GROUP BY mm.cid
+  UNION ALL
+  SELECT c.cid, c.cv FROM s{g} c
+  WHERE c.cid NOT IN (SELECT cid FROM m{g})),
+af{g} AS (
+  SELECT x.nid, c.cid, {_PQ_DIST.format(a="x.v", b="c.cv")} AS d
+  FROM v{g} x CROSS JOIN f{g} c
+  QUALIFY row_number() OVER (PARTITION BY x.nid
+    ORDER BY {_PQ_DIST.format(a="x.v", b="c.cv")}, c.cid) = 1)""")
+    return ctes
+
+
 def _pq_oracle(dim: int = 64, m: int = 4, k: int = 8) -> str:
     """q129 oracle: train the per-subspace PQ codebooks in SQL with
     the exact _ivf_train_sql recipe (lowest-id seeds, one Lloyd
     iteration, sorted-sum rounded means, 8dp-rounded argmin with cid
     tie-break), then assign codes and fold the reconstruction error
     — per subspace the chain is the q25b trainer with a name suffix."""
-    sub = dim // m
-    dist = (
-        "round(list_sum(list_transform(list_zip({a}, {b}), "
-        "p -> (p[1]-p[2])*(p[1]-p[2]))), 8)"
-    )
-    ctes = []
-    for j in range(m):
-        lo = j * sub + 1
-        hi = (j + 1) * sub
-        d_assign = dist.format(a="x.v", b="c.cv")
-        ctes.append(f"""
-v{j} AS (SELECT vec_id AS nid,
-    list_slice(embedding::DOUBLE[], {lo}, {hi}) AS v FROM embeddings),
-s{j} AS (
-  SELECT CAST(row_number() OVER (ORDER BY nid) - 1 AS BIGINT) AS cid,
-    v AS cv
-  FROM (SELECT nid, v FROM v{j} ORDER BY nid LIMIT {k})),
-a{j} AS (
-  SELECT x.nid, x.v,
-    (SELECT c.cid FROM s{j} c ORDER BY {d_assign}, c.cid LIMIT 1) AS cid
-  FROM v{j} x),
-m{j} AS (
-  SELECT cid, pos, round(list_sum(list_sort(list(val))) / count(*), 6) AS m
-  FROM (SELECT a.cid, u.i AS pos, a.v[u.i] AS val
-        FROM a{j} a CROSS JOIN LATERAL unnest(range(1, len(a.v) + 1)) u(i))
-  GROUP BY cid, pos),
-f{j} AS (
-  SELECT mm.cid, list(mm.m ORDER BY mm.pos) AS cv FROM m{j} mm GROUP BY mm.cid
-  UNION ALL
-  SELECT c.cid, c.cv FROM s{j} c
-  WHERE c.cid NOT IN (SELECT cid FROM m{j})),
-af{j} AS (
-  SELECT x.nid, c.cid, {dist.format(a="x.v", b="c.cv")} AS d
-  FROM v{j} x CROSS JOIN f{j} c
-  QUALIFY row_number() OVER (PARTITION BY x.nid
-    ORDER BY {dist.format(a="x.v", b="c.cv")}, c.cid) = 1)""")
+    ctes = _pq_chain_sql("ve", "e", dim, m, k)
     joins = " ".join(f"JOIN af{j} a{j} USING (nid)" for j in range(1, m))
     codes = ", ".join(f"a{j}.cid" for j in range(m))
     errs = " + ".join(f"a{j}.d" for j in range(m))
     return (
-        "WITH " + ",".join(ctes) + f"""
+        "WITH ve AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS e "
+        "FROM embeddings),"
+        + ",".join(ctes)
+        + f"""
 SELECT nid AS vec_id, [{codes}] AS codes,
   round(({errs}) / {float(dim)}, 6) AS recon_mse
 FROM af0 a0 {joins}
@@ -5340,5 +5360,92 @@ WHERE round({d.format(a="a.e", b="b.e")}, 6) > 0
 )
 def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.jl_distortion_audit(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+def _ivfpq_oracle(
+    max_query_id: int = 20,
+    k: int = 3,
+    n_centroids: int = sim.IVF_K,
+    iters: int = sim.IVF_ITERS,
+    nprobe: int = sim.IVF_NPROBE,
+    dim: int = 64,
+    m: int = sim.PQ_M,
+    pq_k: int = sim.PQ_K,
+) -> str:
+    """q131 oracle: the q25b SQL-trained IVF quantizer feeding
+    residual PQ chains (tag 'p' keeps CTE names disjoint), then the
+    asymmetric-distance search — probe nprobe cells, score each
+    cell's candidates by per-subspace query-residual-vs-codebook
+    folds, per-query top-k. Every rounding and tie-break mirrors
+    similarity.ivfpq_ann_topk."""
+    sub = dim // m
+    train_prefix, cfinal = _ivf_train_sql(n_centroids, iters)
+    res = (
+        f"res AS (SELECT a.nid, a.cid, "
+        f"list_transform(list_zip(a.v, c.cv), p -> p[1]-p[2]) AS rv "
+        f"FROM af a JOIN {cfinal} c ON c.cid = a.cid)"
+    )
+    pq = _pq_chain_sql("res", "rv", dim, m, pq_k, tag="p")
+    code_joins = " ".join(
+        f"JOIN afp{j} p{j} ON p{j}.nid = r.nid" for j in range(m)
+    )
+    code_cols = ", ".join(f"p{j}.cid AS code{j}" for j in range(m))
+    d_probe = _PQ_DIST.format(a="q.v", b="c.cv")
+    book_joins = " ".join(
+        f"JOIN fp{j} b{j} ON b{j}.cid = c.code{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        _PQ_DIST.format(
+            a=f"list_slice(c.rq, {j * sub + 1}, {(j + 1) * sub})",
+            b=f"b{j}.cv",
+        )
+        for j in range(m)
+    )
+    return f"""{train_prefix},
+{res},{",".join(pq)},
+encoded AS (
+  SELECT r.nid, r.cid, {code_cols}
+  FROM res r {code_joins}),
+probes AS (
+  SELECT q.nid AS qid, q.v AS qv, c.cid, c.cv
+  FROM v q, {cfinal} c
+  WHERE q.nid < {max_query_id}
+  QUALIFY row_number() OVER (PARTITION BY q.nid
+    ORDER BY {d_probe}, c.cid) <= {nprobe}),
+rqs AS (
+  SELECT qid, cid,
+    list_transform(list_zip(qv, cv), p -> p[1]-p[2]) AS rq
+  FROM probes),
+cand AS (
+  SELECT r.qid, e.nid, r.rq,
+    {", ".join(f"e.code{j}" for j in range(m))}
+  FROM rqs r JOIN encoded e ON e.cid = r.cid AND e.nid <> r.qid),
+scored AS (
+  SELECT c.qid, c.nid, round({adc}, 6) AS adc_dist
+  FROM cand c {book_joins}),
+ranked AS (
+  SELECT qid, nid, adc_dist,
+    CAST(row_number() OVER (PARTITION BY qid
+      ORDER BY adc_dist, nid) AS BIGINT) AS rnk
+  FROM scored)
+SELECT qid, nid, adc_dist, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+@q(
+    "q131_ivfpq_search",
+    oracle=_ivfpq_oracle(),
+    description="IVF-PQ approximate search (the FAISS IndexIVFPQ "
+    "composition of q25b's coarse quantizer and q129's product "
+    "codebooks over residuals): queries probe nprobe cells and score "
+    "candidates by asymmetric distance against the m codebook "
+    "entries — no full database vector touched at query time; both "
+    "models train in SQL in the oracle, which mirrors every rounding "
+    "and tie-break",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivfpq_ann_topk(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )

@@ -137,6 +137,8 @@ QUERIES = [
     "q129_pq_audit",
     # JL distortion: sample-bounded pair audit, corpus scanned once
     "q130_jl_distortion",
+    # IVF-PQ: cell-equality candidates, codebook ADC folds
+    "q131_ivfpq_search",
 ]
 
 

@@ -2437,3 +2437,35 @@ def test_jl_projection_preserves_distances_statistically(spark):
     assert len(ds) == 40 * 39 // 2
     assert 0.7 < statistics.median(ds) < 1.3
     assert min(ds) > 0.1  # no pair collapses to zero
+
+
+def test_ivfpq_search_finds_planted_neighbors(spark):
+    """On clustered data, IVF-PQ retrieves same-cluster vectors for
+    every query (the planted nearest neighbors), ranks are dense, a
+    query never retrieves itself, and the search is deterministic."""
+    import numpy as np
+
+    from lynx_spark.operators.similarity import ivfpq_ann_topk
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(4, 64) * 10
+    X = np.vstack([centers[i % 4] + rng.randn(64) * 0.05 for i in range(80)])
+    rows = [(i, X[i].tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivfpq_ann_topk(
+        df, "vec_id", "embedding", max_query_id=8, k=3
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        assert r["qid"] != r["nid"]
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(range(8))
+    for qid, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == [1, 2, 3]
+        # all retrieved neighbors share the query's planted cluster
+        for r in rs:
+            assert r["nid"] % 4 == qid % 4
+    again = ivfpq_ann_topk(
+        df.repartition(7), "vec_id", "embedding", max_query_id=8, k=3
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
