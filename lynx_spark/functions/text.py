@@ -449,6 +449,10 @@ def strip_markup(col: Column) -> Column:
     # dropped either way
     out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    # truncated crawl pages: an unterminated script/style block would
+    # otherwise leak its JS/CSS body into the extracted text (only the
+    # opening tag would strip) — drop the unclosed tail entirely
+    out = F.regexp_replace(out, r"(?is)<(?:script|style)\b[^>]*>.*$", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, r"<[^>]*>", " ")
     for ent, rep in _MARKUP_ENTITIES:

@@ -1064,25 +1064,23 @@ def repetition_plan(
     tokens), the sqrt-temperature normalizer decimal-summed exactly
     as temperature_mixture does, everything after runs on the
     model-sized domain frame."""
-    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
-        F.count("*").alias("n_docs"),
+    # the weights come from temperature_mixture itself — ONE
+    # definition of the bit-exactness-critical sqrt/decimal-sum
+    # recipe (r5 review: an inline copy here could silently de-sync
+    # from the q68 oracle if either rounding ever changed)
+    weights = temperature_mixture(df, domain_col, alpha=0.5).select(
+        "domain", "temp_frac"
+    )
+    tokens = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.sum(F.col(tokens_col).cast("long")).cast("long").alias(
             "avail_tokens"
         ),
     )
-    totals = counts.select(
-        F.sum(F.round(F.sqrt(F.col("n_docs")), 6).cast("decimal(28,6)"))
-        .cast("double")
-        .alias("_total_scaled"),
-    )
-    temp_frac = F.round(
-        F.sqrt(F.col("n_docs")) / F.col("_total_scaled"), 6
-    )
-    target = temp_frac * F.lit(float(budget))
+    target = F.col("temp_frac") * F.lit(float(budget))
     avail = F.col("avail_tokens").cast("double")
     raw_epochs = target / avail
     planned = F.least(target, F.lit(max_epochs) * avail)
-    return counts.join(F.broadcast(totals)).select(
+    return tokens.join(F.broadcast(weights), "domain").select(
         "domain",
         "avail_tokens",
         F.round(target, 2).alias("target_tokens"),

@@ -459,7 +459,9 @@ def train_logreg(
     spark = df.sparkSession
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
-    n = float(df.count())
+    # n rides the first iteration's aggregation instead of a dedicated
+    # count() job (that was a full extra corpus scan at scale)
+    n: float | None = None
     w = [0.0] * len(xs)
     rows = []
     for it in range(1, iters + 1):
@@ -481,7 +483,12 @@ def train_logreg(
                 ).cast("decimal(38,9)")
             ).alias("l")
         )
+        aggs.append(F.count("*").alias("_n"))
         got = df.agg(*aggs).collect()[0]
+        if n is None:
+            if not got["_n"]:
+                raise ValueError("train_logreg: empty input")
+            n = float(got["_n"])
         w = [
             wj - lr * (float(got[f"g{j}"]) / n)
             for j, wj in enumerate(w)

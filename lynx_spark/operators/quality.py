@@ -594,8 +594,15 @@ def numeric_drift_ks(
     map-side-partial count aggregations. Binning arithmetic is pure
     IEEE subtract/divide/floor on both engines, so bucket membership
     is bit-identical."""
-    vals_cur = cur.select(F.col(val_col).cast("double").alias("_v"))
-    vals_ref = ref.select(F.col(val_col).cast("double").alias("_v"))
+    # NULLs are excluded, not binned: least(nbins-1, NULL) returns
+    # nbins-1 in BOTH engines (least skips null args), which would
+    # silently pile missing values into the top bin and fake a drift
+    vals_cur = cur.select(
+        F.col(val_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    vals_ref = ref.select(
+        F.col(val_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
     bounds = vals_cur.unionAll(vals_ref).agg(
         F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
     )
@@ -661,7 +668,12 @@ def classifier_eval_curve(
     threshold evaluates against that tiny frame via a 9-row cross
     join. A naive per-threshold pass would scan the corpus
     len(thresholds) times; this scans it once."""
-    th = thresholds or [round(0.1 * i, 1) for i in range(1, 10)]
+    th = (
+        thresholds
+        if thresholds is not None
+        else [round(0.1 * i, 1) for i in range(1, 10)]
+    )
+    assert th, "classifier_eval_curve: empty threshold list"
     spark = scored.sparkSession
     buckets = scored.groupBy(F.col(score_col).alias("_s")).agg(
         F.sum(F.col(label_col).cast("long")).alias("_pos"),
@@ -743,31 +755,36 @@ def feature_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs.append(F.sum(dec[a] * dec[b]).alias(f"_p_{a}_{b}"))
     for c in cols:
         aggs.append(F.sum(dec[c] * dec[c]).alias(f"_p_{c}_{c}"))
-    m = df.agg(*aggs)
+    # ONE scan, guaranteed: collect the single moment row (it is
+    # model-sized — the train_ivf_centroids precedent) instead of
+    # unioning one plan branch per pair over the same aggregate and
+    # trusting ReuseExchange to dedup them (r5 review). The formula
+    # then runs in Python doubles — every op (decimal→double cast,
+    # ·, −, ÷, sqrt) is IEEE-correctly-rounded, identical to the
+    # oracle's — and the 6dp rounding happens ENGINE-side because
+    # Python's round() is half-even.
+    import math
 
-    nd = F.col("_n").cast("double")
-
-    def s(c):
-        return F.col(f"_s_{c}").cast("double")
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["_n"])
+    nd = float(n)
+    s = {c: float(row[f"_s_{c}"]) for c in cols}
 
     def p(a, b):
-        return F.col(f"_p_{a}_{b}").cast("double")
+        return float(row[f"_p_{a}_{b}"])
 
-    outs = []
+    out_rows = []
     for a, b in combinations(cols, 2):
-        corr = (nd * p(a, b) - s(a) * s(b)) / (
-            F.sqrt(nd * p(a, a) - s(a) * s(a))
-            * F.sqrt(nd * p(b, b) - s(b) * s(b))
-        )
-        outs.append(
-            m.select(
-                F.lit(a).alias("feature_x"),
-                F.lit(b).alias("feature_y"),
-                F.col("_n").alias("n"),
-                F.round(corr, 6).alias("pearson_r"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        var_a = nd * p(a, a) - s[a] * s[a]
+        var_b = nd * p(b, b) - s[b] * s[b]
+        denom = math.sqrt(var_a) * math.sqrt(var_b)
+        corr = (nd * p(a, b) - s[a] * s[b]) / denom if denom else None
+        out_rows.append((a, b, n, corr))
+    return df.sparkSession.createDataFrame(
+        out_rows, "feature_x string, feature_y string, n long, pearson_r double"
+    ).select(
+        "feature_x",
+        "feature_y",
+        "n",
+        F.round("pearson_r", 6).alias("pearson_r"),
+    )

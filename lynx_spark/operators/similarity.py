@@ -1081,15 +1081,25 @@ def pca_whiten(
     )
 
     def moments(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate across the WHOLE partition and emit once: the
+        # driver collect then scales with partition count, not with
+        # corpus size (one row per Arrow batch would be corpus-bound)
+        n_acc, s_acc, ss_acc = 0.0, None, None
         for pdf in it:
             if not len(pdf):
                 continue
             X = np.vstack(pdf["v"].to_numpy())
+            n_acc += float(len(X))
+            s_b = X.sum(axis=0)
+            ss_b = X.T @ X
+            s_acc = s_b if s_acc is None else s_acc + s_b
+            ss_acc = ss_b if ss_acc is None else ss_acc + ss_b
+        if s_acc is not None:
             yield pd.DataFrame(
                 {
-                    "n": [float(len(X))],
-                    "s": [X.sum(axis=0).tolist()],
-                    "ss": [(X.T @ X).ravel().tolist()],
+                    "n": [n_acc],
+                    "s": [s_acc.tolist()],
+                    "ss": [ss_acc.ravel().tolist()],
                 }
             )
 
@@ -1298,6 +1308,7 @@ def ivfpq_ann_topk(
     max_query_id: int = 20,
     k: int = 3,
     nprobe: int = IVF_NPROBE,
+    dim: int = EMBED_DIM,
     m: int = PQ_M,
     pq_k: int = PQ_K,
 ) -> DataFrame:
@@ -1318,7 +1329,7 @@ def ivfpq_ann_topk(
     arithmetic step (8dp-rounded argmins, fixed-order subspace sums)
     is mirrored bit-for-bit by the SQL oracle, which trains both
     models in SQL."""
-    sub = EMBED_DIM // m
+    sub = dim // m
     vecs = ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -1337,7 +1348,7 @@ def ivfpq_ann_topk(
     res.count()  # eager: PQ training + encoding both read it
     books = pq_train_codebooks(
         res.select("nid", F.col("rv").alias("v")),
-        dim=EMBED_DIM,
+        dim=dim,
         m=m,
         k=pq_k,
         iters=PQ_ITERS,

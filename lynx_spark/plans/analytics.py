@@ -4905,8 +4905,14 @@ WITH h AS (SELECT doc_id,
 s AS (SELECT doc_id, html,
     regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g')
       AS s1 FROM h),
+sy AS (SELECT doc_id, html,
+    regexp_replace(s1, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g')
+      AS s1 FROM s),
+su AS (SELECT doc_id, html,
+    regexp_replace(s1, '(?is)<(?:script|style)\b[^>]*>.*$', ' ', 'g')
+      AS s1 FROM sy),
 s2 AS (SELECT doc_id, html,
-    regexp_replace(s1, '(?s)<!--.*?-->', ' ', 'g') AS s2 FROM s),
+    regexp_replace(s1, '(?s)<!--.*?-->', ' ', 'g') AS s2 FROM su),
 s3 AS (SELECT doc_id, html,
     regexp_replace(s2, '<[^>]*>', ' ', 'g') AS s3 FROM s2),
 e AS (SELECT doc_id, html,
@@ -5062,8 +5068,9 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = spark.createDataFrame([(t,) for t in ths], "threshold double")
     total = docs.agg(F.count("*").cast("long").alias("n_total"))
     return (
-        F.broadcast(tf)
-        .join(pairs, pairs["jaccard"] >= tf["threshold"], "left")
+        # the LEFT side of a left-outer BNLJ cannot broadcast; hint the
+        # pair frame (model-sized) so the intended plan is explicit
+        tf.join(F.broadcast(pairs), pairs["jaccard"] >= tf["threshold"], "left")
         .crossJoin(F.broadcast(total))
         .groupBy("threshold", "n_total")
         .agg(

@@ -2469,3 +2469,36 @@ def test_ivfpq_search_finds_planted_neighbors(spark):
         df.repartition(7), "vec_id", "embedding", max_query_id=8, k=3
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_numeric_drift_ks_excludes_nulls(spark):
+    """NULL values are excluded from the histogram, not silently
+    piled into the top bin by least()'s null-skipping (a NULL-heavy
+    batch must not fake a drift signal)."""
+    from lynx_spark.operators.quality import numeric_drift_ks
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(50)], ["v"])
+    cur = spark.createDataFrame(
+        [(float(i % 10),) for i in range(50)] + [(None,)] * 30,
+        "v double",
+    )
+    out = numeric_drift_ks(cur, ref, "v", nbins=5).collect()
+    assert sum(r["n_cur"] for r in out) == 50  # the 30 NULLs dropped
+    assert max(r["ks_term"] for r in out) < 1e-9  # identical otherwise
+
+
+def test_strip_markup_unterminated_script_tail(spark):
+    """A truncated page whose script block never closes must not leak
+    its JS body into the extracted text."""
+    from lynx_spark.functions.text import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep this <script>var x = track();", "keep this"),
+            (2, "text <style>p{color:red}", "text"),
+            (3, "<script>a()</script>after <script>unclosed", "after"),
+        ],
+        ["i", "html", "want"],
+    )
+    for r in df.select("i", "want", strip_markup(F.col("html")).alias("got")).collect():
+        assert r["got"] == r["want"], (r["i"], r["got"])
