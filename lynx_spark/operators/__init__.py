@@ -63,6 +63,7 @@ from lynx_spark.operators.quality import (  # noqa: F401
     category_drift_psi,
     classifier_eval_curve,
     classifier_scores,
+    countmin_audit,
     feature_correlations,
     gopher_rules,
     language_mix,

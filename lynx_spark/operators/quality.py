@@ -788,3 +788,108 @@ def feature_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         "n",
         F.round("pearson_r", 6).alias("pearson_r"),
     )
+
+
+# --------------------------------------------- count-min sketch audit
+
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+_cms_rng = __import__("random").Random(20241007)
+#: affine bucket family over the shared 60-bit base — the minhash
+#: device (xor-decorrelated mod-P affine, fixed literals) pointed at
+#: CMS rows instead of signature slots
+CMS_PRIME = 2147483647
+CMS_A = [_cms_rng.randrange(1, CMS_PRIME) for _ in range(CMS_DEPTH)]
+CMS_B = [_cms_rng.randrange(0, CMS_PRIME) for _ in range(CMS_DEPTH)]
+CMS_K = [_cms_rng.randrange(0, 1 << 60) for _ in range(CMS_DEPTH)]
+
+
+def _cms_bucket(base: Column, row: int) -> Column:
+    return (
+        (
+            F.lit(CMS_A[row])
+            * (base.bitwiseXOR(F.lit(CMS_K[row])) % CMS_PRIME)
+            + F.lit(CMS_B[row])
+        )
+        % CMS_PRIME
+        % CMS_WIDTH
+    ).cast("long")
+
+
+def cms_bucket_sql(row: int, base: str = "base") -> str:
+    """DuckDB twin of _cms_bucket, bit-for-bit — the single source
+    the q132 oracle interpolates."""
+    return (
+        f"(({CMS_A[row]} * (xor({base}, {CMS_K[row]}::BIGINT) "
+        f"% {CMS_PRIME}) + {CMS_B[row]}) % {CMS_PRIME}) % {CMS_WIDTH}"
+    )
+
+
+def countmin_audit(
+    df: DataFrame, text_col: str = "text", probe_top: int = 20
+) -> DataFrame:
+    """Count-min sketch accuracy audit — the third sketch family
+    beside HLL (q09b) and MinHash (q77): build a depth×width CMS of
+    the corpus word frequencies, then compare its estimates against
+    exact counts for the top-``probe_top`` words. CMS never
+    underestimates (est ≥ exact always — asserted in tests); the
+    overestimate column is the collision noise a deployment budgets
+    width against (E[over] ≤ N/width per row, min over depth rows).
+
+    100 TB shape: exact counts are one word-keyed aggregate
+    (map-side partials); the sketch is DEPTH more aggregations over
+    that vocabulary-granular frame — never over the token stream —
+    to a depth×width (model-sized) table; probes join it by bucket
+    equality."""
+    from lynx_spark.operators.dedup import base_hash_expr
+
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("exact"))
+        .withColumn("base", base_hash_expr(F.col("word")))
+        .persist()
+    )
+    sketch = None
+    for r in range(CMS_DEPTH):
+        part = wc.select(
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col("base"), r).alias("bucket"),
+            F.col("exact"),
+        )
+        sketch = part if sketch is None else sketch.unionAll(part)
+    sketch = sketch.groupBy("row", "bucket").agg(
+        F.sum("exact").cast("long").alias("cell")
+    )
+    w = Window.orderBy(F.desc("exact"), F.asc("word"))
+    probes = (
+        wc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= probe_top)
+        .select("word", "exact", "base", "rnk")
+    )
+    probe_rows = None
+    for r in range(CMS_DEPTH):
+        part = probes.select(
+            "word",
+            "exact",
+            "rnk",
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col("base"), r).alias("bucket"),
+        )
+        probe_rows = part if probe_rows is None else probe_rows.unionAll(part)
+    return (
+        probe_rows.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("word", "exact", "rnk")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+        .select(
+            "word",
+            "exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact")).cast("long").alias(
+                "overestimate"
+            ),
+            "rnk",
+        )
+    )

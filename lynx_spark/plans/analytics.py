@@ -5456,3 +5456,49 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_ann_topk(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )
+
+
+def _countmin_oracle(probe_top: int = 20) -> str:
+    """q132 oracle: CMS build + probe with the shared bucket family
+    (quality.cms_bucket_sql — single source, can't drift)."""
+    depth = ql.CMS_DEPTH
+    build = "\n   UNION ALL ".join(
+        f"SELECT {r} AS row, {ql.cms_bucket_sql(r)} AS bucket, exact FROM wc"
+        for r in range(depth)
+    )
+    probe = "\n   UNION ALL ".join(
+        f"SELECT word, exact, rnk, {r} AS row, {ql.cms_bucket_sql(r)}"
+        f" AS bucket FROM probes"
+        for r in range(depth)
+    )
+    return rf"""
+WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS exact,
+         ('0x' || substr(md5(word), 1, 15))::BIGINT AS base
+       FROM w WHERE word <> '' GROUP BY word),
+sk AS (SELECT row, bucket, CAST(sum(exact) AS BIGINT) AS cell FROM (
+   {build}) GROUP BY row, bucket),
+probes AS (SELECT word, exact, base,
+    CAST(row_number() OVER (ORDER BY exact DESC, word) AS BIGINT) AS rnk
+  FROM wc QUALIFY rnk <= {probe_top}),
+pr AS (
+   {probe})
+SELECT word, exact, CAST(min(cell) AS BIGINT) AS cms_est,
+  CAST(min(cell) - exact AS BIGINT) AS overestimate, rnk
+FROM pr JOIN sk USING (row, bucket) GROUP BY word, exact, rnk
+"""
+
+
+@q(
+    "q132_countmin_audit",
+    oracle=_countmin_oracle(),
+    description="count-min sketch accuracy audit (the third sketch "
+    "family beside HLL q09b and MinHash q77): depth-4 x width-256 "
+    "CMS of corpus word frequencies vs exact counts for the top-20 "
+    "words — the sketch builds over the vocabulary-granular count "
+    "frame, never the token stream, and probes join by bucket "
+    "equality; overestimate >= 0 is the CMS invariant",
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.countmin_audit(T(spark, sf_dir, "documents"))

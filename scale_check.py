@@ -139,6 +139,8 @@ QUERIES = [
     "q130_jl_distortion",
     # IVF-PQ: cell-equality candidates, codebook ADC folds
     "q131_ivfpq_search",
+    # count-min audit: vocabulary-granular sketch build + bucket joins
+    "q132_countmin_audit",
 ]
 
 

@@ -2502,3 +2502,25 @@ def test_strip_markup_unterminated_script_tail(spark):
     )
     for r in df.select("i", "want", strip_markup(F.col("html")).alias("got")).collect():
         assert r["got"] == r["want"], (r["i"], r["got"])
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS invariant: est >= exact for every probe; with width far
+    above vocabulary size the estimates are exact; determinism under
+    repartitioning."""
+    from lynx_spark.operators.quality import countmin_audit
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 30}" for j in range(i % 7 + 1)))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = countmin_audit(df, "text", probe_top=10).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["overestimate"] >= 0
+        assert r["cms_est"] >= r["exact"]
+    # width 256 >> 30 distinct words: collisions possible but rare;
+    # at minimum the top word must be within the total-mass bound
+    total = sum(len(t.split()) for _, t in rows)
+    assert all(r["cms_est"] <= total for r in out)
+    again = countmin_audit(df.repartition(9), "text", probe_top=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
