@@ -66,6 +66,7 @@ from lynx_spark.operators.quality import (  # noqa: F401
     countmin_audit,
     feature_correlations,
     gopher_rules,
+    hll_audit,
     language_mix,
     numeric_drift_ks,
     profile_columns,

@@ -893,3 +893,112 @@ def countmin_audit(
             "rnk",
         )
     )
+
+
+# ------------------------------------------- hyperloglog (from scratch)
+
+HLL_B = 8  # register-index bits
+HLL_M = 1 << HLL_B  # 256 registers
+#: 52-bit suffix width after the index bits of the 60-bit base hash
+HLL_W = 60 - HLL_B
+#: integer-domain scale for the harmonic sum: 2^(W+1), so the
+#: largest register value rho = W+1 (all-zero suffix) still maps to
+#: an integer term 2^((W+1)-rho) = 1 — scaling by 2^W would shift by
+#: -1 there (Java shift counts wrap mod 64: a silent sign flip)
+HLL_SCALE = HLL_W + 1
+#: alpha_m * m^2 * 2^(W+1) precomputed in Python and embedded as ONE
+#: literal in both engines (same decimal literal -> same double)
+HLL_NUMER = (
+    (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << HLL_SCALE)
+)
+
+
+def _hll_rho(w: Column) -> Column:
+    """Position of the first set bit from the top of the 52-bit
+    suffix (leading zeros + 1); W+1 for an all-zero suffix. A
+    generated comparison chain — pure codegen, and the SQL twin
+    (hll_rho_sql) is emitted by the same loop so the two can't
+    drift."""
+    # nested whens apply OUTERMOST-LAST: iterate low powers first so
+    # the final (outermost) branch tests the highest power — built
+    # high-power-first, every w >= 1 would fall into the lowest
+    # branch and report rho = W (caught by the accuracy unit test;
+    # the SQL twin shared the identical inversion, which is exactly
+    # the twin-bug class oracles cannot catch)
+    out = F.lit(HLL_W + 1)
+    for k in range(HLL_W):
+        out = F.when(w >= F.lit(1 << k), F.lit(HLL_W - k)).otherwise(out)
+    return out
+
+
+def hll_rho_sql(w: str = "w") -> str:
+    """DuckDB twin of _hll_rho — same chain, same constants."""
+    chain = f"{HLL_W + 1}"
+    for k in range(HLL_W):
+        chain = f"CASE WHEN {w} >= {1 << k} THEN {HLL_W - k} ELSE {chain} END"
+    return chain
+
+
+def hll_audit(df: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog built FROM SCRATCH — unlike q09b's engine-native
+    approx_count_distinct (whose sketch internals are
+    implementation-specific and can never be oracled), this one is
+    fully deterministic and engine-portable: 256 registers over the
+    shared 60-bit md5 hash, the harmonic sum kept in the INTEGER
+    domain (Σ 2^(W−reg) as a BIGINT — exact, order-free; a float
+    sum of 2^-reg terms would be partial-aggregation-order
+    dependent), and the small-range linear-counting correction of
+    the original paper. Output: one audit row comparing the estimate
+    to the exact distinct count.
+
+    100 TB shape: ONE aggregation to 256 register rows (max per
+    register, map-side partials), then scalar arithmetic. The exact
+    count for the audit column is the expensive side — a deployment
+    drops it and keeps the sketch."""
+    vals = df.select(F.col(col).cast("string").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    from lynx_spark.operators.dedup import base_hash_expr
+
+    h = base_hash_expr(F.col("s"))
+    hashed = vals.select(
+        (h % HLL_M).alias("idx"), F.shiftright(h, HLL_B).alias("w")
+    )
+    regs = hashed.groupBy("idx").agg(
+        F.max(_hll_rho(F.col("w"))).alias("reg")
+    )
+    agg = regs.agg(
+        F.count("*").cast("long").alias("n_present"),
+        # SQL-expr form: the Python shiftleft() binding takes only a
+        # literal bit count, the SQL function accepts a column
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_SCALE} - reg)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_present"))
+        * F.lit(1 << HLL_SCALE).cast("long")
+    ).cast("double")
+    e_raw = F.lit(HLL_NUMER) / s_total
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("double")
+    corrected = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(e_raw)
+    exact = vals.agg(
+        F.countDistinct("s").cast("long").alias("n_exact")
+    )
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            F.round(corrected, 4).alias("hll_estimate"),
+            F.round(
+                (corrected - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("rel_error"),
+            F.lit(HLL_M).cast("long").alias("m_registers"),
+        )
+    )

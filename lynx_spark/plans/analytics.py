@@ -5502,3 +5502,54 @@ FROM pr JOIN sk USING (row, bucket) GROUP BY word, exact, rnk
 )
 def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.countmin_audit(T(spark, sf_dir, "documents"))
+
+
+def _hll_oracle() -> str:
+    """q133 oracle: the from-scratch HLL with the shared rho chain
+    (quality.hll_rho_sql) and the integer-domain harmonic sum."""
+    m = ql.HLL_M
+    return f"""
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events
+              WHERE user_id IS NOT NULL),
+hashed AS (SELECT
+    ('0x' || substr(md5(s), 1, 15))::BIGINT % {m} AS idx,
+    ('0x' || substr(md5(s), 1, 15))::BIGINT // {1 << ql.HLL_B} AS w
+  FROM vals),
+regs AS (SELECT idx, max({ql.hll_rho_sql()}) AS reg
+         FROM hashed GROUP BY idx),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
+    CAST(sum((1::BIGINT << ({ql.HLL_SCALE} - reg))) AS BIGINT) AS s_present
+  FROM regs),
+exact AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM vals),
+est AS (SELECT n_exact, n_present,
+    CAST(s_present + ({m} - n_present) * {1 << ql.HLL_SCALE}::BIGINT
+      AS DOUBLE) AS s_total,
+    CAST({m} - n_present AS DOUBLE) AS zeros
+  FROM agg CROSS JOIN exact),
+fin AS (SELECT n_exact,
+    CASE WHEN {ql.HLL_NUMER!r} / s_total <= {2.5 * m}
+              AND zeros > 0
+         THEN {float(m)!r} * ln({float(m)!r} / zeros)
+         ELSE {ql.HLL_NUMER!r} / s_total END AS e
+  FROM est)
+SELECT n_exact, round(e, 4) AS hll_estimate,
+  round((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4)
+    AS rel_error,
+  CAST({m} AS BIGINT) AS m_registers
+FROM fin
+"""
+
+
+@q(
+    "q133_hll_audit",
+    oracle=_hll_oracle(),
+    description="HyperLogLog from scratch with an accuracy audit: "
+    "256 registers over the shared md5 hash, harmonic sum kept in "
+    "the INTEGER domain (exact and order-free where a float sum of "
+    "2^-reg terms would be partial-aggregation-order dependent), "
+    "linear-counting small-range correction — the fully-oracled "
+    "sketch twin of q09b's engine-native approx_count_distinct; one "
+    "aggregation to 256 register rows",
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ql.hll_audit(T(spark, sf_dir, "events"), "user_id")

@@ -141,6 +141,8 @@ QUERIES = [
     "q131_ivfpq_search",
     # count-min audit: vocabulary-granular sketch build + bucket joins
     "q132_countmin_audit",
+    # HLL from scratch: one aggregation to 256 register rows
+    "q133_hll_audit",
 ]
 
 

@@ -2524,3 +2524,27 @@ def test_countmin_never_underestimates(spark):
     assert all(r["cms_est"] <= total for r in out)
     again = countmin_audit(df.repartition(9), "text", probe_top=10).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_hll_audit_accuracy_across_ranges(spark):
+    """The from-scratch HLL lands within the expected error band in
+    both the linear-counting (small) and raw-estimator (large)
+    regimes, and is deterministic under repartitioning."""
+    from lynx_spark.operators.quality import hll_audit
+
+    small = spark.createDataFrame(
+        [(f"u{i % 40}",) for i in range(500)], ["uid"]
+    )
+    r = hll_audit(small, "uid").collect()[0]
+    assert r["n_exact"] == 40
+    assert abs(r["rel_error"]) < 0.1
+    large = spark.createDataFrame([(f"v{i}",) for i in range(5000)], ["uid"])
+    r2 = hll_audit(large, "uid").collect()[0]
+    assert r2["n_exact"] == 5000
+    # 1.04/sqrt(256) ~ 6.5% standard error: allow 3 sigma
+    assert abs(r2["rel_error"]) < 0.2
+    again = hll_audit(large.repartition(11), "uid").collect()[0]
+    assert (again["hll_estimate"], again["rel_error"]) == (
+        r2["hll_estimate"],
+        r2["rel_error"],
+    )
