@@ -939,6 +939,56 @@ def hll_rho_sql(w: str = "w") -> str:
     return chain
 
 
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The HLL sketch itself: ``(idx, reg)`` register rows — ONE
+    max-aggregation over the hashed values. Registers are the
+    MERGEABLE form (merge = max per idx), which is the entire point
+    of the sketch at scale: shards/batches/streams sketch
+    independently and union+max later, with the merged estimate
+    exactly equal to sketching the union (asserted in tests)."""
+    from lynx_spark.operators.dedup import base_hash_expr
+
+    h = base_hash_expr(F.col(col))
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        (h % HLL_M).alias("idx"), F.shiftright(h, HLL_B).alias("w")
+    )
+    return hashed.groupBy("idx").agg(
+        F.max(_hll_rho(F.col("w"))).cast("long").alias("reg")
+    )
+
+
+def hll_merge(*reg_frames: DataFrame) -> DataFrame:
+    """Merge HLL sketches: union the register frames, max per idx."""
+    out = reg_frames[0]
+    for r in reg_frames[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("idx").agg(F.max("reg").cast("long").alias("reg"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One estimate row from a register frame — the integer-domain
+    harmonic sum + linear-counting correction of hll_audit, exposed
+    for merged/streamed sketches."""
+    agg = regs.agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_SCALE} - reg)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_present"))
+        * F.lit(1 << HLL_SCALE).cast("long")
+    ).cast("double")
+    e_raw = F.lit(HLL_NUMER) / s_total
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("double")
+    corrected = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(e_raw)
+    return agg.select(F.round(corrected, 4).alias("hll_estimate"))
+
+
 def hll_audit(df: DataFrame, col: str) -> DataFrame:
     """HyperLogLog built FROM SCRATCH — unlike q09b's engine-native
     approx_count_distinct (whose sketch internals are
@@ -958,15 +1008,7 @@ def hll_audit(df: DataFrame, col: str) -> DataFrame:
     vals = df.select(F.col(col).cast("string").alias("s")).filter(
         F.col("s").isNotNull()
     )
-    from lynx_spark.operators.dedup import base_hash_expr
-
-    h = base_hash_expr(F.col("s"))
-    hashed = vals.select(
-        (h % HLL_M).alias("idx"), F.shiftright(h, HLL_B).alias("w")
-    )
-    regs = hashed.groupBy("idx").agg(
-        F.max(_hll_rho(F.col("w"))).alias("reg")
-    )
+    regs = hll_registers(vals, "s")
     agg = regs.agg(
         F.count("*").cast("long").alias("n_present"),
         # SQL-expr form: the Python shiftleft() binding takes only a

@@ -12,6 +12,7 @@ from lynx_spark.streaming.incremental import (  # noqa: F401
     cluster_document_stream,
     curate_document_stream,
     dedup_document_stream,
+    distinct_count_stream,
     drift_monitor_stream,
     embedding_stream_assign,
     near_dup_document_stream,

@@ -787,3 +787,58 @@ def numeric_drift_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def distinct_count_stream(
+    docs: DataFrame,
+    value_col: str,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+):
+    """Streaming distinct counting via a PERSISTED HyperLogLog
+    register store — the mergeable-sketch story end to end: each
+    micro-batch sketches its values (quality.hll_registers), merges
+    with the committed register table by max-per-register
+    (quality.hll_merge — merging sketches IS the operation, no raw
+    values retained), and writes the merged registers plus the
+    running estimate under ``registers/batch=N`` / ``counts/batch=N``
+    with the marker-commit exactly-once contract. State is 256 rows
+    forever, regardless of stream volume — the reason sketches exist.
+
+    Merged-estimate == union-estimate exactly (asserted in tests):
+    max-merge makes replay/merge order irrelevant."""
+    from lynx_spark.operators.quality import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        spark = batch.sparkSession
+        regs = hll_registers(
+            batch.select(F.col(value_col).cast("string").alias("s")), "s"
+        )
+        prior = _committed_store(spark, root, "registers")
+        merged = hll_merge(prior, regs) if prior is not None else regs
+        merged = merged.persist()
+        merged.count()  # eager: estimate + store write share it
+        merged.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "registers", batch_id))
+        )
+        hll_estimate_from_registers(merged).write.mode("overwrite").parquet(
+            str(_batch_dir(root, "counts", batch_id))
+        )
+        merged.unpersist()
+        _commit(root, batch_id, {"tier": "hll"})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

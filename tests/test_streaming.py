@@ -990,3 +990,53 @@ def test_streaming_numeric_drift_monitor(spark, tmp_path):
     lo, hi = sorted(ks.values())
     assert lo < 0.15 and hi > 0.9
     assert len(list((store / "_commits").glob("b*.json"))) == 2
+
+
+def test_streaming_hll_distinct_count_merges_exactly(spark, tmp_path):
+    """The persisted-register stream: after two batches the merged
+    estimate EQUALS the batch estimate over the union (max-merge
+    mergeability), state stays register-sized, replay is
+    exactly-once."""
+    import json as _json
+
+    from lynx_spark.operators.quality import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from lynx_spark.streaming.incremental import distinct_count_stream
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(_json.dumps({"u": f"a{i}"}) for i in range(300))
+    )
+    (d / "b2.json").write_text(
+        "\n".join(_json.dumps({"u": f"b{i}"}) for i in range(200))
+        + "\n"
+        + "\n".join(_json.dumps({"u": f"a{i}"}) for i in range(100))
+    )
+    docs = (
+        spark.readStream.schema("u string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = distinct_count_stream(docs, "u", store, tmp_path / "ck")
+    q.awaitTermination(120)
+
+    batches = sorted(p.name for p in (store / "counts").glob("batch=*"))
+    assert len(batches) == 2
+    last = spark.read.parquet(str(store / "counts" / batches[-1])).collect()[0]
+    union = spark.createDataFrame(
+        [(f"a{i}",) for i in range(300)] + [(f"b{i}",) for i in range(200)],
+        ["s"],
+    )
+    want = hll_estimate_from_registers(
+        hll_registers(union, "s")
+    ).collect()[0]
+    assert last["hll_estimate"] == want["hll_estimate"]  # mergeability
+    # 500 distinct, HLL standard error ~6.5%
+    assert abs(last["hll_estimate"] - 500) / 500 < 0.2
+    regs = spark.read.parquet(str(store / "registers" / batches[-1]))
+    assert regs.count() <= 256
+    assert len(list((store / "_commits").glob("b*.json"))) == 2
