@@ -1044,3 +1044,59 @@ def hll_audit(df: DataFrame, col: str) -> DataFrame:
             F.lit(HLL_M).cast("long").alias("m_registers"),
         )
     )
+
+
+def hll_group_audit(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-group HLL cardinality with an exactness audit — the
+    deployment shape of the sketch (per-domain / per-source distinct
+    dashboards): registers keyed by (group, idx), one max-aggregation
+    for every group at once, then the same integer-domain estimate
+    per group. A grouped exact COUNT(DISTINCT) pays a full
+    (group, value) shuffle; the sketch pays groups×256 rows."""
+    from lynx_spark.operators.dedup import base_hash_expr
+
+    vals = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(col).cast("string").alias("s"),
+    ).filter(F.col("s").isNotNull())
+    h = base_hash_expr(F.col("s"))
+    regs = (
+        vals.select(
+            "grp", (h % HLL_M).alias("idx"), F.shiftright(h, HLL_B).alias("w")
+        )
+        .groupBy("grp", "idx")
+        .agg(F.max(_hll_rho(F.col("w"))).alias("reg"))
+    )
+    agg = regs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_SCALE} - reg)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_present"))
+        * F.lit(1 << HLL_SCALE).cast("long")
+    ).cast("double")
+    e_raw = F.lit(HLL_NUMER) / s_total
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("double")
+    corrected = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(e_raw)
+    exact = vals.groupBy("grp").agg(
+        F.countDistinct("s").cast("long").alias("n_exact")
+    )
+    return (
+        agg.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            F.round(corrected, 4).alias("hll_estimate"),
+            F.round(
+                (corrected - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("rel_error"),
+        )
+    )

@@ -5553,3 +5553,59 @@ FROM fin
 )
 def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql.hll_audit(T(spark, sf_dir, "events"), "user_id")
+
+
+def _hll_group_oracle() -> str:
+    """q134 oracle: the q133 recipe with a GROUP BY — distinct words
+    per source via grouped registers."""
+    m = ql.HLL_M
+    return rf"""
+WITH vals AS (SELECT source AS grp,
+    unnest(string_split_regex(trim(text), '\s+')) AS s
+  FROM documents),
+vf AS (SELECT grp, s FROM vals WHERE s <> ''),
+hashed AS (SELECT grp,
+    ('0x' || substr(md5(s), 1, 15))::BIGINT % {m} AS idx,
+    ('0x' || substr(md5(s), 1, 15))::BIGINT // {1 << ql.HLL_B} AS w
+  FROM vf),
+regs AS (SELECT grp, idx, max({ql.hll_rho_sql()}) AS reg
+         FROM hashed GROUP BY grp, idx),
+agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_present,
+    CAST(sum((1::BIGINT << ({ql.HLL_SCALE} - reg))) AS BIGINT) AS s_present
+  FROM regs GROUP BY grp),
+exact AS (SELECT grp, CAST(count(DISTINCT s) AS BIGINT) AS n_exact
+          FROM vf GROUP BY grp),
+est AS (SELECT a.grp, e.n_exact,
+    CAST(s_present + ({m} - n_present) * {1 << ql.HLL_SCALE}::BIGINT
+      AS DOUBLE) AS s_total,
+    CAST({m} - n_present AS DOUBLE) AS zeros
+  FROM agg a JOIN exact e ON e.grp = a.grp),
+fin AS (SELECT grp, n_exact,
+    CASE WHEN {ql.HLL_NUMER!r} / s_total <= {2.5 * m} AND zeros > 0
+         THEN {float(m)!r} * ln({float(m)!r} / zeros)
+         ELSE {ql.HLL_NUMER!r} / s_total END AS e
+  FROM est)
+SELECT grp AS source, n_exact, round(e, 4) AS hll_estimate,
+  round((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4)
+    AS rel_error
+FROM fin
+"""
+
+
+@q(
+    "q134_hll_per_source",
+    oracle=_hll_group_oracle(),
+    description="per-source distinct-word cardinality via grouped HLL "
+    "registers (the per-domain dashboard shape): one (group, idx) "
+    "max-aggregation sketches every source at once — groups x 256 "
+    "rows of state vs the full (group, value) shuffle an exact "
+    "grouped COUNT DISTINCT pays; the exact side is kept as the "
+    "audit column",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return ql.hll_group_audit(words, "source", "word")

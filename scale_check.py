@@ -143,6 +143,8 @@ QUERIES = [
     "q132_countmin_audit",
     # HLL from scratch: one aggregation to 256 register rows
     "q133_hll_audit",
+    # grouped HLL: (group, idx) registers, groups x 256 state
+    "q134_hll_per_source",
 ]
 
 

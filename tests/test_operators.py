@@ -2548,3 +2548,18 @@ def test_hll_audit_accuracy_across_ranges(spark):
         r2["hll_estimate"],
         r2["rel_error"],
     )
+
+
+def test_hll_group_audit_per_group_accuracy(spark):
+    """Each group's estimate tracks its own cardinality (no
+    cross-group bleed) within the 256-register error band."""
+    from lynx_spark.operators.quality import hll_group_audit
+
+    rows = [("a", f"x{i}") for i in range(1000)] + [
+        ("b", f"y{i % 30}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in hll_group_audit(df, "g", "v").collect()}
+    assert out["a"]["n_exact"] == 1000 and out["b"]["n_exact"] == 30
+    assert abs(out["a"]["rel_error"]) < 0.2
+    assert abs(out["b"]["rel_error"]) < 0.1  # linear-counting regime
