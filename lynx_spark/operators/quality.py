@@ -1100,3 +1100,134 @@ def hll_group_audit(df: DataFrame, group_col: str, col: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------- KMV / theta set-op sketches
+
+KMV_K = 128
+#: (k-1) · 2^60 as one Python-float literal shared by both engines —
+#: the KMV estimator numerator over the integer 60-bit hash domain
+KMV_NUMER = float(KMV_K - 1) * float(1 << 60)
+#: 2^60 as a float literal for the theta-intersection estimator
+KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_set_ops_audit(
+    df: DataFrame,
+    side_col: str,
+    col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Set-operation cardinalities via KMV / theta sketches — the
+    capability HLL lacks: distinct counts of A, B, A∪B AND A∩B from
+    k-minimum-value sketches (the Apache DataSketches theta idea).
+    Thresholds live in the INTEGER hash domain (the k-th smallest
+    60-bit base per side), so sketch membership is exact arithmetic:
+
+    - |S| ≈ (k−1)·2^60 / θ_S  (θ_S = k-th smallest hash of S)
+    - A∩B: θ = min(θ_A, θ_B); count hashes below θ present in BOTH
+      sketches; |A∩B| ≈ count·2^60/θ.
+
+    Output one row per measure (a, b, union, intersection) with the
+    exact count as the audit column. 100 TB shape: everything after
+    the per-side distinct-hash aggregation is k-row-granular; exact
+    counts are the expensive audit side a deployment drops."""
+    from lynx_spark.operators.dedup import base_hash_expr
+
+    vals = df.select(
+        F.col(side_col).alias("side"),
+        F.col(col).cast("string").alias("s"),
+    ).filter(F.col("s").isNotNull())
+    hashes = (
+        vals.select("side", base_hash_expr(F.col("s")).alias("base"))
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("side").orderBy("base")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    thetas = (
+        ranked.filter(F.col("rn") == k)
+        .select("side", F.col("base").alias("theta"))
+    )
+    th = (
+        thetas.groupBy()
+        .pivot("side", ["a", "b"])
+        .agg(F.first("theta"))
+        .select(
+            F.col("a").alias("theta_a"), F.col("b").alias("theta_b")
+        )
+    )
+    sk = ranked.filter(F.col("rn") <= k).select("side", "base")
+    inter_count = (
+        sk.filter(F.col("side") == "a")
+        .select("base")
+        .join(sk.filter(F.col("side") == "b").select("base"), "base")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("base") < F.least("theta_a", "theta_b"))
+        .agg(F.count("*").cast("long").alias("n_inter_sk"))
+    )
+    union_theta = (
+        hashes.select("base")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("base")))
+        .filter(F.col("rn") == k)
+        .select(F.col("base").alias("theta_u"))
+    )
+    exact = vals.groupBy("side").agg(
+        F.countDistinct("s").cast("long").alias("n")
+    )
+    ex = (
+        exact.groupBy()
+        .pivot("side", ["a", "b"])
+        .agg(F.first("n"))
+        .select(F.col("a").alias("ex_a"), F.col("b").alias("ex_b"))
+    )
+    ex_union = (
+        vals.select("s").distinct().agg(F.count("*").cast("long").alias("ex_u"))
+    )
+    ex_inter = (
+        vals.filter(F.col("side") == "a")
+        .select("s")
+        .distinct()
+        .join(
+            vals.filter(F.col("side") == "b").select("s").distinct(), "s"
+        )
+        .agg(F.count("*").cast("long").alias("ex_i"))
+    )
+    base_row = (
+        th.crossJoin(F.broadcast(union_theta))
+        .crossJoin(F.broadcast(inter_count))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(ex_union))
+        .crossJoin(F.broadcast(ex_inter))
+    )
+    theta_min = F.least("theta_a", "theta_b").cast("double")
+    measures = [
+        ("a", F.lit(KMV_NUMER) / F.col("theta_a").cast("double"), F.col("ex_a")),
+        ("b", F.lit(KMV_NUMER) / F.col("theta_b").cast("double"), F.col("ex_b")),
+        ("union", F.lit(KMV_NUMER) / F.col("theta_u").cast("double"), F.col("ex_u")),
+        (
+            "intersection",
+            F.col("n_inter_sk").cast("double") * F.lit(KMV_DOMAIN) / theta_min,
+            F.col("ex_i"),
+        ),
+    ]
+    out = None
+    for name, est, exact_col in measures:
+        row = base_row.select(
+            F.lit(name).alias("measure"),
+            exact_col.cast("long").alias("n_exact"),
+            F.round(est, 4).alias("kmv_estimate"),
+            # an empty exact side (disjoint intersection) has no
+            # relative error — and ANSI mode would throw on the /0
+            F.when(
+                exact_col > 0,
+                F.round(
+                    (est - exact_col.cast("double"))
+                    / exact_col.cast("double"),
+                    4,
+                ),
+            ).alias("rel_error"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -5609,3 +5609,91 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
     return ql.hll_group_audit(words, "source", "word")
+
+
+def _kmv_oracle(k: int = ql.KMV_K) -> str:
+    """q135 oracle: KMV/theta set-op estimates in the integer hash
+    domain, estimator literals shared with quality.kmv_set_ops_audit."""
+    est_a = f"round({ql.KMV_NUMER!r} / CAST(theta_a AS DOUBLE), 4)"
+    est_b = f"round({ql.KMV_NUMER!r} / CAST(theta_b AS DOUBLE), 4)"
+    est_u = f"round({ql.KMV_NUMER!r} / CAST(theta_u AS DOUBLE), 4)"
+    est_i = (
+        f"round(CAST(n_inter_sk AS DOUBLE) * {ql.KMV_DOMAIN!r} "
+        f"/ CAST(least(theta_a, theta_b) AS DOUBLE), 4)"
+    )
+
+    def row(name, est, ex):
+        # the raw (unrounded) estimator expr for the error column:
+        # strip the round( wrapper and its trailing ", 4)"
+        raw = est.replace("round(", "", 1)[:-4]
+        return f"""SELECT '{name}' AS measure, {ex} AS n_exact,
+  {est} AS kmv_estimate,
+  CASE WHEN {ex} > 0 THEN
+    round(({raw} - CAST({ex} AS DOUBLE)) / CAST({ex} AS DOUBLE), 4)
+  ELSE NULL END AS rel_error
+FROM base_row"""
+
+    rows = "\nUNION ALL\n".join(
+        [
+            row("a", est_a, "ex_a"),
+            row("b", est_b, "ex_b"),
+            row("union", est_u, "ex_u"),
+            row("intersection", est_i, "ex_i"),
+        ]
+    )
+    return rf"""
+WITH w AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+    unnest(string_split_regex(trim(text), '\s+')) AS s
+  FROM documents),
+vf AS (SELECT side, s FROM w WHERE s <> ''),
+hashes AS (SELECT DISTINCT side,
+    ('0x' || substr(md5(s), 1, 15))::BIGINT AS base FROM vf),
+ranked AS (SELECT side, base,
+    row_number() OVER (PARTITION BY side ORDER BY base) AS rn
+  FROM hashes),
+th AS (SELECT
+    max(CASE WHEN side = 'a' THEN base END) AS theta_a,
+    max(CASE WHEN side = 'b' THEN base END) AS theta_b
+  FROM ranked WHERE rn = {k}),
+sk AS (SELECT side, base FROM ranked WHERE rn <= {k}),
+ic AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_sk FROM
+    (SELECT a.base FROM sk a JOIN sk b2
+       ON b2.base = a.base AND a.side = 'a' AND b2.side = 'b') x
+    CROSS JOIN th
+  WHERE x.base < least(theta_a, theta_b)),
+ut AS (SELECT base AS theta_u
+  FROM (SELECT DISTINCT base FROM hashes) d
+  QUALIFY row_number() OVER (ORDER BY base) = {k}),
+ex AS (SELECT
+    CAST(count(DISTINCT CASE WHEN side = 'a' THEN s END) AS BIGINT) AS ex_a,
+    CAST(count(DISTINCT CASE WHEN side = 'b' THEN s END) AS BIGINT) AS ex_b,
+    CAST(count(DISTINCT s) AS BIGINT) AS ex_u
+  FROM vf),
+exi AS (SELECT CAST(count(*) AS BIGINT) AS ex_i FROM
+    (SELECT DISTINCT s FROM vf WHERE side = 'a') a
+    JOIN (SELECT DISTINCT s FROM vf WHERE side = 'b') b USING (s)),
+base_row AS (SELECT * FROM th CROSS JOIN ut CROSS JOIN ic
+             CROSS JOIN ex CROSS JOIN exi)
+{rows}
+"""
+
+
+@q(
+    "q135_kmv_set_ops",
+    oracle=_kmv_oracle(),
+    description="set-operation cardinalities via KMV/theta sketches — "
+    "the capability HLL lacks: distinct counts of side A (even docs' "
+    "words), side B, A∪B AND A∩B from k=128 minimum hash values, "
+    "with thresholds in the exact integer hash domain and the exact "
+    "counts kept as audit columns; everything after the per-side "
+    "distinct-hash aggregate is k-row-granular",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return ql.kmv_set_ops_audit(words, "side", "word")

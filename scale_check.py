@@ -145,6 +145,8 @@ QUERIES = [
     "q133_hll_audit",
     # grouped HLL: (group, idx) registers, groups x 256 state
     "q134_hll_per_source",
+    # KMV set ops: k-row-granular after the distinct-hash aggregate
+    "q135_kmv_set_ops",
 ]
 
 

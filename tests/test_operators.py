@@ -2563,3 +2563,29 @@ def test_hll_group_audit_per_group_accuracy(spark):
     assert out["a"]["n_exact"] == 1000 and out["b"]["n_exact"] == 30
     assert abs(out["a"]["rel_error"]) < 0.2
     assert abs(out["b"]["rel_error"]) < 0.1  # linear-counting regime
+
+
+def test_kmv_set_ops_disjoint_and_identical(spark):
+    """Sketch set algebra ground truths: identical sides -> the
+    intersection estimate tracks the full size and union == side
+    size; disjoint sides -> intersection ~0 and union ~ a+b."""
+    from lynx_spark.operators.quality import kmv_set_ops_audit
+
+    same = spark.createDataFrame(
+        [("a", f"w{i}") for i in range(800)]
+        + [("b", f"w{i}") for i in range(800)],
+        ["side", "v"],
+    )
+    out = {r["measure"]: r for r in kmv_set_ops_audit(same, "side", "v").collect()}
+    assert out["a"]["n_exact"] == 800 and out["intersection"]["n_exact"] == 800
+    for m in ("a", "b", "union", "intersection"):
+        assert abs(out[m]["rel_error"]) < 0.35  # k=128 band, 3-sigmaish
+    disj = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(600)]
+        + [("b", f"y{i}") for i in range(600)],
+        ["side", "v"],
+    )
+    out2 = {r["measure"]: r for r in kmv_set_ops_audit(disj, "side", "v").collect()}
+    assert out2["intersection"]["n_exact"] == 0
+    assert out2["intersection"]["kmv_estimate"] < 100  # ~0 vs 1200 total
+    assert abs(out2["union"]["kmv_estimate"] - 1200) / 1200 < 0.35
