@@ -5697,3 +5697,53 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
     return ql.kmv_set_ops_audit(words, "side", "word")
+
+
+def _triangle_oracle() -> str:
+    """q136 oracle: the q83 kNN-graph CTEs feeding the canonical
+    a<b<c triangle enumeration."""
+    base = _knn_graph_oracle(5)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    return (
+        ctes
+        + """, g AS (SELECT src, nbr FROM ranked WHERE rnk <= 5),
+e AS (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b
+      FROM g WHERE src <> nbr),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM corners GROUP BY node),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)
+SELECT d.node, d.degree,
+  coalesce(tn.n_triangles, 0) AS n_triangles,
+  CASE WHEN d.degree > 1 THEN
+    round((2.0 * CAST(coalesce(tn.n_triangles, 0) AS DOUBLE))
+          / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+  ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN tn ON tn.node = d.node
+"""
+    )
+
+
+@q(
+    "q136_triangle_stats",
+    oracle=_triangle_oracle(),
+    description="per-node triangle count + local clustering "
+    "coefficient over the q83 kNN embedding graph (manifold-density "
+    "signal — prototypical regions triangulate, noise does not): the "
+    "canonical a<b<c enumeration via two equality self-joins, each "
+    "triangle materialized exactly once; degree capped at k by the "
+    "kNN construction, which bounds the wedge fan-out",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(emb, "vec_id", "embedding", k=5).select(
+        "src", "nbr"
+    )
+    return gr.triangle_stats(edges)

@@ -147,6 +147,8 @@ QUERIES = [
     "q134_hll_per_source",
     # KMV set ops: k-row-granular after the distinct-hash aggregate
     "q135_kmv_set_ops",
+    # triangles: equality self-joins, wedge fan-out capped by kNN degree
+    "q136_triangle_stats",
 ]
 
 

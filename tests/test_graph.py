@@ -198,3 +198,25 @@ def test_pagerank_matches_networkless_reference(spark):
         ).collect()
     }
     assert repart == got
+
+
+def test_triangle_stats_hand_graph(spark):
+    """Known graph: K4 plus a pendant — per-node triangle counts,
+    degrees and clustering coefficients match hand arithmetic; each
+    triangle counted exactly once per corner; duplicate/reversed
+    input edges collapse."""
+    from lynx_spark.operators.graph import triangle_stats
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = k4 + [(4, 5)] + [(2, 1), (3, 1)]  # reversed dups
+    df = spark.createDataFrame(edges, ["u", "v"])
+    out = {r["node"]: r for r in triangle_stats(df).collect()}
+    # K4: every node in 3 triangles, degree 3, coeff 1.0
+    for n in (1, 2, 3):
+        assert out[n]["degree"] == 3
+        assert out[n]["n_triangles"] == 3
+        assert out[n]["clustering_coeff"] == 1.0
+    assert out[4]["degree"] == 4 and out[4]["n_triangles"] == 3
+    assert abs(out[4]["clustering_coeff"] - 0.5) < 1e-9  # 2*3/(4*3)
+    assert out[5]["degree"] == 1 and out[5]["n_triangles"] == 0
+    assert out[5]["clustering_coeff"] == 0.0
