@@ -353,6 +353,7 @@ def pagerank(
     node_col: str = "vec_id",
     n_iters: int = 3,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank centrality over a directed edge list — on a kNN
     embedding graph this is a prototypicality score (high-centrality
@@ -373,23 +374,42 @@ def pagerank(
     across partitionings AND in the unrolled SQL oracle."""
     n_df = nodes.agg(F.count("*").cast("double").alias("_n"))
     base = nodes.select(F.col(node_col).cast("long").alias("_v"))
-    e = edges.select(
+    sel = [
         F.col(edges.columns[0]).cast("long").alias("_src"),
         F.col(edges.columns[1]).cast("long").alias("_dst"),
-    )
-    outdeg = e.groupBy("_src").agg(F.count("*").alias("_outdeg"))
-    e = e.join(outdeg, "_src")
+    ]
+    if weight_col:
+        # WEIGHTED variant: rank flows proportional to edge weight
+        # (on a similarity graph: cosine) instead of 1/outdeg. The
+        # per-node weight normalizer is an exact DECIMAL sum of the
+        # (already-rounded) weights, so it is order-free like every
+        # other moment here.
+        sel.append(F.col(weight_col).cast("double").alias("_w"))
+    e = edges.select(*sel)
+    if weight_col:
+        outw = e.groupBy("_src").agg(
+            F.sum(F.col("_w").cast("decimal(18,5)"))
+            .cast("double")
+            .alias("_outw")
+        )
+        e = e.join(outw, "_src")
+    else:
+        outdeg = e.groupBy("_src").agg(F.count("*").alias("_outdeg"))
+        e = e.join(outdeg, "_src")
     ranks = base.crossJoin(F.broadcast(n_df)).select(
         "_v", (F.lit(1.0) / F.col("_n")).alias("_r")
     )
     for _ in range(n_iters):
+        share = (
+            F.col("_r") * F.col("_w") / F.col("_outw")
+            if weight_col
+            else F.col("_r") / F.col("_outdeg")
+        )
         contribs = (
             e.join(ranks, e["_src"] == ranks["_v"])
             .select(
                 "_dst",
-                F.round(F.col("_r") / F.col("_outdeg"), 12)
-                .cast("decimal(38,12)")
-                .alias("_c"),
+                F.round(share, 12).cast("decimal(38,12)").alias("_c"),
             )
             .groupBy("_dst")
             .agg(F.sum("_c").cast("double").alias("_s"))

@@ -5747,3 +5747,61 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "nbr"
     )
     return gr.triangle_stats(edges)
+
+
+def _wpagerank_oracle(n_iters: int = 3, damping: float = 0.85) -> str:
+    """q137 oracle: the q127 recurrence with similarity-weighted
+    shares — r·w/W_u instead of r/outdeg, W_u an exact decimal sum
+    of the rounded cosine weights."""
+    base = _knn_graph_oracle(5)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    sql = (
+        ctes
+        + """, g AS (SELECT src, nbr, cos_sim FROM ranked WHERE rnk <= 5),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src,
+    CAST(sum(CAST(cos_sim AS DECIMAL(18,5))) AS DOUBLE) AS w_out
+  FROM g GROUP BY src),
+r0 AS (SELECT vec_id, 1.0 / n AS r FROM nodes, nn)"""
+    )
+    prev = "r0"
+    for t in range(1, n_iters + 1):
+        sql += f""",
+c{t} AS (SELECT g.nbr AS vec_id,
+    CAST(sum(CAST(round(p.r * g.cos_sim / o.w_out, 12)
+      AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM g JOIN outw o USING (src) JOIN {prev} p ON p.vec_id = g.src
+  GROUP BY g.nbr),
+r{t} AS (SELECT nodes.vec_id,
+    (1.0 - {damping}) / n + {damping} * coalesce(c{t}.s, 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN c{t} ON c{t}.vec_id = nodes.vec_id)"""
+        prev = f"r{t}"
+    return sql + f"""
+SELECT vec_id, round(r, 8) AS pagerank FROM {prev}
+"""
+
+
+@q(
+    "q137_weighted_pagerank",
+    oracle=_wpagerank_oracle(),
+    description="similarity-weighted PageRank over the kNN graph: "
+    "rank flows proportional to cosine weight (r*w/W_u) instead of "
+    "uniformly — the centrality that actually respects how close "
+    "neighbors are; same one-join-one-aggregate iteration shape as "
+    "q127, weight normalizers decimal-summed",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(emb, "vec_id", "embedding", k=5).select(
+        "src", "nbr", "cos_sim"
+    )
+    return gr.pagerank(
+        edges,
+        emb.select("vec_id"),
+        "vec_id",
+        n_iters=3,
+        damping=0.85,
+        weight_col="cos_sim",
+    )

@@ -149,6 +149,8 @@ QUERIES = [
     "q135_kmv_set_ops",
     # triangles: equality self-joins, wedge fan-out capped by kNN degree
     "q136_triangle_stats",
+    # weighted PageRank: same join+agg iterations, decimal normalizers
+    "q137_weighted_pagerank",
 ]
 
 

@@ -220,3 +220,40 @@ def test_triangle_stats_hand_graph(spark):
     assert abs(out[4]["clustering_coeff"] - 0.5) < 1e-9  # 2*3/(4*3)
     assert out[5]["degree"] == 1 and out[5]["n_triangles"] == 0
     assert out[5]["clustering_coeff"] == 0.0
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    """With all mass flowing 1->2 via a heavy edge vs 1->3 via a
+    light one, node 2 out-ranks node 3; uniform weights reproduce the
+    unweighted ranks exactly."""
+    from lynx_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.1), (2, 1, 0.5), (3, 1, 0.5)],
+        ["src", "nbr", "w"],
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["vec_id"])
+    got = {
+        r["vec_id"]: r["pagerank"]
+        for r in pagerank(
+            edges, nodes, "vec_id", n_iters=3, weight_col="w"
+        ).collect()
+    }
+    assert got[2] > got[3]
+    uniform = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        ["src", "nbr", "w"],
+    )
+    wref = {
+        r["vec_id"]: r["pagerank"]
+        for r in pagerank(
+            uniform, nodes, "vec_id", n_iters=3, weight_col="w"
+        ).collect()
+    }
+    plain = {
+        r["vec_id"]: r["pagerank"]
+        for r in pagerank(
+            uniform.select("src", "nbr"), nodes, "vec_id", n_iters=3
+        ).collect()
+    }
+    assert wref == plain
