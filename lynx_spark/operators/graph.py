@@ -37,7 +37,7 @@ recomputation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: propagation-round guard; diameter of dedup pair graphs is tiny, so
@@ -497,5 +497,91 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(F.col("degree") > 1, F.round(coeff, 6))
             .otherwise(F.lit(0.0))
             .alias("clustering_coeff"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str,
+    label_col: str,
+    seed_pred: Column,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation over a (kNN) graph — the
+    weak-supervision labeling step: seed nodes (``seed_pred``) keep
+    their true labels; every other node takes the MAJORITY label of
+    its neighbors, iterated ``n_rounds`` times. On an embedding kNN
+    graph this is the classic transductive label-spreading baseline
+    (labels flow along the manifold), used to bootstrap classifier
+    training sets from a small annotated seed.
+
+    Deterministic by construction: majority = argmax on (count desc,
+    label asc) — pure integer votes, no floats anywhere — so the SQL
+    oracle replays the rounds exactly. Per round: one edges⋈labels
+    join + one (node, label) count + one per-node argmax window;
+    unreached nodes stay NULL. Output: node, is_seed, true label,
+    propagated label after the final round."""
+    from pyspark.sql.window import Window
+
+    sym = (
+        edges.select(
+            F.col(edges.columns[0]).cast("long").alias("u"),
+            F.col(edges.columns[1]).cast("long").alias("v"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(edges.columns[1]).cast("long").alias("u"),
+                F.col(edges.columns[0]).cast("long").alias("v"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    base = labels.select(
+        F.col(node_col).cast("long").alias("node"),
+        F.col(label_col).cast("long").alias("true_label"),
+        seed_pred.alias("is_seed"),
+    ).persist()
+    current = base.select(
+        "node",
+        F.when(F.col("is_seed"), F.col("true_label")).alias("label"),
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    for _ in range(n_rounds):
+        votes = (
+            sym.join(
+                current.select(
+                    F.col("node").alias("v"), F.col("label")
+                ).filter(F.col("label").isNotNull()),
+                "v",
+            )
+            .groupBy("u", "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("label").alias("maj"))
+        )
+        current = (
+            base.join(winner, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("is_seed"), F.col("true_label"))
+                .otherwise(F.col("maj"))
+                .alias("label"),
+            )
+        )
+    return (
+        base.join(current, "node")
+        .select(
+            "node",
+            "is_seed",
+            "true_label",
+            F.col("label").alias("propagated_label"),
         )
     )

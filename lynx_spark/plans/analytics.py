@@ -5805,3 +5805,66 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=0.85,
         weight_col="cos_sim",
     )
+
+
+def _label_prop_oracle(n_rounds: int = 2) -> str:
+    """q138 oracle: the q83 kNN CTEs + symmetric edges + the exact
+    integer-vote majority recurrence, unrolled."""
+    base = _knn_graph_oracle(5)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    sql = (
+        ctes
+        + """, g AS (SELECT src, nbr FROM ranked WHERE rnk <= 5),
+sym AS (SELECT DISTINCT u, v FROM (
+    SELECT src AS u, nbr AS v FROM g
+    UNION ALL SELECT nbr, src FROM g)),
+base AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS true_label,
+    vec_id % 10 = 0 AS is_seed
+  FROM embeddings),
+l0 AS (SELECT node,
+    CASE WHEN is_seed THEN true_label ELSE NULL END AS label
+  FROM base)"""
+    )
+    prev = "l0"
+    for t in range(1, n_rounds + 1):
+        sql += f""",
+v{t} AS (SELECT s.u, c.label, CAST(count(*) AS BIGINT) AS votes
+  FROM sym s JOIN {prev} c ON c.node = s.v AND c.label IS NOT NULL
+  GROUP BY s.u, c.label),
+w{t}p AS (SELECT u AS node, label AS maj FROM v{t}
+  QUALIFY row_number() OVER (PARTITION BY u
+    ORDER BY votes DESC, label) = 1),
+l{t} AS (SELECT b.node,
+    CASE WHEN b.is_seed THEN b.true_label ELSE w.maj END AS label
+  FROM base b LEFT JOIN w{t}p w ON w.node = b.node)"""
+        prev = f"l{t}"
+    return sql + f"""
+SELECT b.node, b.is_seed, b.true_label,
+  c.label AS propagated_label
+FROM base b JOIN {prev} c ON c.node = b.node
+"""
+
+
+@q(
+    "q138_label_propagation",
+    oracle=_label_prop_oracle(),
+    description="semi-supervised label propagation over the kNN "
+    "embedding graph (weak-supervision bootstrap): 10% seeds keep "
+    "their labels, everyone else takes the iterated neighbor "
+    "majority — pure integer votes with a deterministic argmax, so "
+    "the oracle replays both rounds exactly; per round one join, one "
+    "count aggregate, one per-node window",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(emb, "vec_id", "embedding", k=5).select(
+        "src", "nbr"
+    )
+    return gr.label_propagation(
+        edges,
+        emb.select("vec_id", "label"),
+        "vec_id",
+        "label",
+        F.col("vec_id") % 10 == 0,
+        n_rounds=2,
+    )

@@ -151,6 +151,8 @@ QUERIES = [
     "q136_triangle_stats",
     # weighted PageRank: same join+agg iterations, decimal normalizers
     "q137_weighted_pagerank",
+    # label propagation: per-round join + integer-vote argmax window
+    "q138_label_propagation",
 ]
 
 

@@ -257,3 +257,36 @@ def test_weighted_pagerank_follows_weights(spark):
         ).collect()
     }
     assert wref == plain
+
+
+def test_label_propagation_fills_clusters(spark):
+    """Two fully-connected clusters with one seed each: every member
+    inherits its cluster's seed label in round 1; seeds never change;
+    an isolated node stays NULL."""
+    from pyspark.sql import functions as F
+
+    from lynx_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    edges = spark.createDataFrame(c1 + c2, ["u", "v"])
+    nodes = [(i, 7) for i in range(5)] + [(i, 3) for i in range(10, 15)]
+    nodes.append((99, 5))  # isolated
+    labels = spark.createDataFrame(nodes, ["vec_id", "label"])
+    out = {
+        r["node"]: r
+        for r in label_propagation(
+            edges,
+            labels,
+            "vec_id",
+            "label",
+            F.col("vec_id").isin(0, 10),
+            n_rounds=2,
+        ).collect()
+    }
+    for i in range(5):
+        assert out[i]["propagated_label"] == 7
+    for i in range(10, 15):
+        assert out[i]["propagated_label"] == 3
+    assert out[0]["is_seed"] and out[10]["is_seed"]
+    assert out[99]["propagated_label"] is None  # unreachable
