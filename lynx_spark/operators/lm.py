@@ -624,3 +624,84 @@ def nb_langid_confusion(
         preds.groupBy("true_lbl", "pred_lbl")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def stupid_backoff_scores(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.4
+) -> DataFrame:
+    """Bigram language-model scoring with STUPID BACKOFF (Brants et
+    al. 2007, "Large Language Models in Machine Translation") — the
+    backoff scheme built FOR distributed corpora: no discounting
+    normalization (which needs global renormalization passes), just
+
+        S(w2|w1) = C(w1 w2)/C(w1)     if the bigram was seen,
+                   α · C(w2)/N        otherwise (α = 0.4)
+
+    Per document: Σ ln S over its bigrams and the per-bigram mean —
+    one step up the n-gram ladder from the unigram q60 scorer, and
+    the mechanism CCNet-style KenLM filters use at order 5.
+
+    Plan: bigram and unigram counts are two aggregations with
+    map-side partials; scoring joins the document's bigram stream
+    against the bigram table (unique build key) with the unigram
+    fallbacks joined alongside; per-doc log terms round to 9dp and
+    sum as DECIMAL (exact, order-free)."""
+    words = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), _words(text_col).alias("w")
+    ).filter(F.size("w") >= 2)
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1), (x, i) -> "
+                "struct(x AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bigrams = bigrams.filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    ).persist()
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    uni = (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cu"))
+        .persist()
+    )
+    total = uni.agg(F.sum("cu").cast("long").alias("n_total"))
+    s = F.when(
+        F.col("cb").isNotNull(),
+        F.col("cb").cast("double") / F.col("cu1").cast("double"),
+    ).otherwise(
+        F.lit(alpha) * F.col("cu2").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    term = F.round(F.log(s), 9).cast("decimal(38,9)")
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("word").alias("w1"), F.col("cu").alias("cu1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("word").alias("w2"), F.col("cu").alias("cu2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(term).cast("double").alias("_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("_lp"), 4).alias("logscore"),
+        F.round(F.col("_lp") / F.col("n_bigrams").cast("double"), 4).alias(
+            "avg_logscore"
+        ),
+    )

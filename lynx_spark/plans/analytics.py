@@ -5868,3 +5868,47 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % 10 == 0,
         n_rounds=2,
     )
+
+
+@q(
+    "q139_bigram_backoff",
+    oracle=rf"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM d WHERE len(w) >= 2)
+  WHERE w[i] <> '' AND w[i + 1] <> ''),
+bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+        FROM bg GROUP BY w1, w2),
+uni AS (SELECT word, CAST(count(*) AS BIGINT) AS cu FROM
+  (SELECT unnest(w) AS word FROM d) WHERE word <> '' GROUP BY word),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+terms AS (SELECT b.doc_id,
+    CAST(round(ln(CASE WHEN c.cb IS NOT NULL
+      THEN CAST(c.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)
+      ELSE 0.4 * CAST(u2.cu AS DOUBLE) / CAST(n_total AS DOUBLE) END), 9)
+      AS DECIMAL(38,9)) AS term
+  FROM bg b
+  LEFT JOIN bgc c ON c.w1 = b.w1 AND c.w2 = b.w2
+  JOIN uni u1 ON u1.word = b.w1
+  JOIN uni u2 ON u2.word = b.w2
+  CROSS JOIN tot),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(sum(term) AS DOUBLE) AS lp
+  FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(lp, 4) AS logscore,
+  round(lp / CAST(n_bigrams AS DOUBLE), 4) AS avg_logscore
+FROM sc
+""",
+    description="bigram language-model scoring with stupid backoff "
+    "(Brants et al. 2007 — the backoff designed FOR distributed "
+    "corpora: no renormalization pass): per-document log score and "
+    "per-bigram mean, one rung up from the unigram q60 scorer; "
+    "bigram/unigram tables are two map-side-partial aggregations, "
+    "scoring is unique-build-key joins with decimal-summed log terms",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.stupid_backoff_scores(
+        T(spark, sf_dir, "documents"), "doc_id", "text"
+    )

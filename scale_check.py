@@ -153,6 +153,8 @@ QUERIES = [
     "q137_weighted_pagerank",
     # label propagation: per-round join + integer-vote argmax window
     "q138_label_propagation",
+    # bigram backoff: two count aggs + unique-build-key score joins
+    "q139_bigram_backoff",
 ]
 
 

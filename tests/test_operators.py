@@ -2589,3 +2589,30 @@ def test_kmv_set_ops_disjoint_and_identical(spark):
     assert out2["intersection"]["n_exact"] == 0
     assert out2["intersection"]["kmv_estimate"] < 100  # ~0 vs 1200 total
     assert abs(out2["union"]["kmv_estimate"] - 1200) / 1200 < 0.35
+
+
+def test_stupid_backoff_seen_vs_unseen(spark):
+    """A document made of corpus-frequent bigrams scores higher than
+    one forcing backoff paths; hand-check one doc's score against a
+    sequential reference."""
+    import math
+    from decimal import Decimal
+
+    from lynx_spark.operators.lm import stupid_backoff_scores
+
+    rows = [
+        (0, "the cat sat"), (1, "the cat sat"), (2, "the cat sat"),
+        (3, "cat the sat"),  # reversed: unseen bigrams, backoff
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in stupid_backoff_scores(df, "doc_id", "text").collect()}
+    assert out[0]["avg_logscore"] > out[3]["avg_logscore"]
+    # sequential reference for doc 0: bigrams (the,cat),(cat,sat)
+    # C(the cat)=3, C(the)=4; C(cat sat)=3, C(cat)=4
+    terms = [
+        Decimal(str(round(math.log(3 / 4), 9))),
+        Decimal(str(round(math.log(3 / 4), 9))),
+    ]
+    want = float(sum(terms))
+    assert abs(out[0]["logscore"] - round(want, 4)) < 1e-9
+    assert out[0]["n_bigrams"] == 2
