@@ -5912,3 +5912,55 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.stupid_backoff_scores(
         T(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+def _hits_oracle(n_iters: int = 2) -> str:
+    """q140 oracle: the q83 kNN edges feeding Kleinberg's mutual
+    recursion, decimal sums everywhere a float order could differ."""
+    base = _knn_graph_oracle(5)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    ds = "CAST(sum(CAST(round({x}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+    sql = (
+        ctes
+        + """, g AS (SELECT src, nbr FROM ranked WHERE rnk <= 5),
+nodes AS (SELECT vec_id AS v FROM embeddings),
+h0 AS (SELECT v, 1.0 AS h FROM nodes)"""
+    )
+    prev_h = "h0"
+    for t in range(1, n_iters + 1):
+        sql += f""",
+ra{t} AS (SELECT g.nbr AS v, {ds.format(x="p.h")} AS a
+  FROM g JOIN {prev_h} p ON p.v = g.src GROUP BY g.nbr),
+fa{t} AS (SELECT n.v, coalesce(ra{t}.a, 0.0) AS a
+  FROM nodes n LEFT JOIN ra{t} ON ra{t}.v = n.v),
+na{t} AS (SELECT {ds.format(x="a")} AS t FROM fa{t}),
+a{t}h AS (SELECT v, a / t AS a FROM fa{t} CROSS JOIN na{t}),
+rh{t} AS (SELECT g.src AS v, {ds.format(x="p.a")} AS h
+  FROM g JOIN a{t}h p ON p.v = g.nbr GROUP BY g.src),
+fh{t} AS (SELECT n.v, coalesce(rh{t}.h, 0.0) AS h
+  FROM nodes n LEFT JOIN rh{t} ON rh{t}.v = n.v),
+nh{t} AS (SELECT {ds.format(x="h")} AS t FROM fh{t}),
+h{t} AS (SELECT v, h / t AS h FROM fh{t} CROSS JOIN nh{t})"""
+        prev_h = f"h{t}"
+    return sql + f"""
+SELECT h.v AS vec_id, round(h.h, 8) AS hub, round(a.a, 8) AS authority
+FROM h{n_iters} h JOIN a{n_iters}h a ON a.v = h.v
+"""
+
+
+@q(
+    "q140_hits",
+    oracle=_hits_oracle(n_iters=1),
+    description="HITS hubs and authorities over the kNN query graph "
+    "(Kleinberg's mutual recursion, PageRank's sibling): fixed "
+    "iterations with L1 normalization, every cross-row sum a "
+    "decimal sum of rounded terms so the trajectory is order-free "
+    "and the unrolled oracle matches exactly; per half-step one "
+    "edges-scores join and one aggregation",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(emb, "vec_id", "embedding", k=5).select(
+        "src", "nbr"
+    )
+    return gr.hits_scores(edges, emb.select("vec_id"), "vec_id", n_iters=1)

@@ -155,6 +155,8 @@ QUERIES = [
     "q138_label_propagation",
     # bigram backoff: two count aggs + unique-build-key score joins
     "q139_bigram_backoff",
+    # HITS: per half-step one edges-scores join + one aggregation
+    "q140_hits",
 ]
 
 

@@ -290,3 +290,26 @@ def test_label_propagation_fills_clusters(spark):
         assert out[i]["propagated_label"] == 3
     assert out[0]["is_seed"] and out[10]["is_seed"]
     assert out[99]["propagated_label"] is None  # unreachable
+
+
+def test_hits_bipartite_hand_values(spark):
+    """Perfect bipartite hubs->authorities: symmetric L1-normalized
+    scores; isolated node gets zero; hub and authority roles don't
+    bleed."""
+    from lynx_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4)], ["src", "nbr"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], ["vec_id"])
+    out = {
+        r["vec_id"]: r
+        for r in hits_scores(edges, nodes, "vec_id", n_iters=2).collect()
+    }
+    for hub in (1, 2):
+        assert abs(out[hub]["hub"] - 0.5) < 1e-9
+        assert out[hub]["authority"] == 0.0
+    for auth in (3, 4):
+        assert abs(out[auth]["authority"] - 0.5) < 1e-9
+        assert out[auth]["hub"] == 0.0
+    assert out[5]["hub"] == 0.0 and out[5]["authority"] == 0.0
