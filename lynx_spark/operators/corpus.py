@@ -886,12 +886,23 @@ def pps_sample(
 
     100 TB shape: ONE tiny total-weight aggregation broadcast back,
     then a pure map-side filter — no global sort, no shuffle of the
-    data itself, unlike top-k reservoir designs."""
+    data itself, unlike top-k reservoir designs.
+
+    Weights may be fractional: both the per-row numerator and the
+    total use the same 9dp-rounded double (decimal-summed, so the
+    total is exact and order-free). The ``weight`` OUTPUT column
+    stays BIGINT (the q114 oracle contract) — fractional weights
+    participate exactly in the probabilities but render truncated
+    there; read ``incl_prob``/``ht_weight`` for estimation."""
     from lynx_spark.operators.dedup import base_hash_expr
 
-    w = F.col(weight_col).cast("double")
+    # numerator and denominator use the SAME 9dp-rounded weight: the
+    # total sums it as DECIMAL (exact, order-free — the q68 device),
+    # so fractional weights are honored instead of truncated, and for
+    # integral weights the total is bit-identical to an integer sum
+    w = F.round(F.col(weight_col).cast("double"), 9)
     total = df.agg(
-        F.sum(F.col(weight_col).cast("long")).cast("long").alias("_w_total")
+        F.sum(w.cast("decimal(38,9)")).cast("double").alias("_w_total")
     )
     u = base_hash_expr(F.col(id_col).cast("string")) / F.lit(
         float(1 << 60)

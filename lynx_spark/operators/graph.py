@@ -400,8 +400,14 @@ def pagerank(
         "_v", (F.lit(1.0) / F.col("_n")).alias("_r")
     )
     for _ in range(n_iters):
+        # _outw can sum to 0 if every edge weight from a node is 0 —
+        # those edges carry no rank (share 0) instead of NaN/ANSI-
+        # throwing; _outdeg >= 1 by construction and needs no guard
         share = (
-            F.col("_r") * F.col("_w") / F.col("_outw")
+            F.when(
+                F.col("_outw") != 0,
+                F.col("_r") * F.col("_w") / F.col("_outw"),
+            ).otherwise(F.lit(0.0))
             if weight_col
             else F.col("_r") / F.col("_outdeg")
         )
@@ -623,8 +629,13 @@ def hits_scores(
         # it each consumer re-runs the whole prior recursion
         scores = scores.persist()
         tot = scores.agg(dsum(F.col(col)).alias("_t"))
+        # an empty edge list (or all-zero scores) makes the L1 total
+        # 0 — keep the scores 0.0 instead of NaN-poisoning every node
         return scores.crossJoin(F.broadcast(tot)).select(
-            "_v", (F.col(col) / F.col("_t")).alias(col)
+            "_v",
+            F.when(F.col("_t") != 0, F.col(col) / F.col("_t"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
         ).persist()
 
     hubs = base.select("_v", F.lit(1.0).alias("h"))

@@ -469,6 +469,15 @@ def train_logreg(
         for wj, xj in zip(w[1:], xs[1:]):
             z = z + F.lit(wj) * xj
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        # loss guard: exp(-z) saturates p to exactly 0.0/1.0 for
+        # |z| >~ 745, where ln() goes NULL and sum() would silently
+        # drop the row, underreporting avg_loss; clamp INSIDE the
+        # loss only — the gradient terms x·(p−y) are fine saturated.
+        # 1.0 - 1e-12 is COMPUTED (identical IEEE subtraction both
+        # engines), never a decimal literal that could round apart
+        pc = F.greatest(
+            F.lit(1e-12), F.least(F.lit(1.0) - F.lit(1e-12), p)
+        )
         aggs = [
             F.sum(
                 F.round(xj * (p - y), 12).cast("decimal(38,12)")
@@ -478,7 +487,10 @@ def train_logreg(
         aggs.append(
             F.sum(
                 F.round(
-                    -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)),
+                    -(
+                        y * F.log(pc)
+                        + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc)
+                    ),
                     9,
                 ).cast("decimal(38,9)")
             ).alias("l")
@@ -627,7 +639,11 @@ def nb_langid_confusion(
 
 
 def stupid_backoff_scores(
-    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram language-model scoring with STUPID BACKOFF (Brants et
     al. 2007, "Large Language Models in Machine Translation") — the
@@ -645,32 +661,67 @@ def stupid_backoff_scores(
     map-side partials; scoring joins the document's bigram stream
     against the bigram table (unique build key) with the unigram
     fallbacks joined alongside; per-doc log terms round to 9dp and
-    sum as DECIMAL (exact, order-free)."""
-    words = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), _words(text_col).alias("w")
-    ).filter(F.size("w") >= 2)
-    bigrams = words.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(w, 1, size(w) - 1), (x, i) -> "
-                "struct(x AS w1, w[i + 1] AS w2))"
+    sum as DECIMAL (exact, order-free).
+
+    ``train_df`` (optional) separates the TRAIN corpus (count tables)
+    from the SCORED corpus ``df`` — the held-out evaluation shape,
+    and the only way the backoff branch can actually fire: scoring a
+    corpus against its own counts means every bigram is seen via
+    itself (cb >= 1, never NULL). Without ``train_df`` the counts
+    come from ``df`` (in-corpus typicality scoring, the q139 shape).
+    OOV policy under a held-out score: bigrams whose words are
+    outside the train vocabulary drop from the stream (the inner
+    unigram joins), so n_bigrams counts train-vocab bigrams only."""
+
+    def _bigram_stream(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = (
+            [F.col(id_col).cast("long").alias("doc_id")] if with_id else []
+        )
+        w = frame.select(*cols, _words(text_col).alias("w")).filter(
+            F.size("w") >= 2
+        )
+        out_cols = (["doc_id"] if with_id else []) + [
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        ]
+        return (
+            w.select(
+                *(["doc_id"] if with_id else []),
+                F.explode(
+                    F.expr(
+                        "transform(slice(w, 1, size(w) - 1), (x, i) -> "
+                        "struct(x AS w1, w[i + 1] AS w2))"
+                    )
+                ).alias("bg"),
             )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    bigrams = bigrams.filter(
-        (F.col("w1") != "") & (F.col("w2") != "")
-    ).persist()
-    bg_counts = bigrams.groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("cb")
-    )
-    uni = (
-        df.select(F.explode(_words(text_col)).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("cu"))
-        .persist()
-    )
+            .select(*out_cols)
+            .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+
+    def _uni_counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.explode(_words(text_col)).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("cu"))
+            .persist()
+        )
+
+    bigrams = _bigram_stream(df, with_id=True).persist()
+    if train_df is None:
+        # self-scoring: the count table reuses the persisted scoring
+        # stream instead of re-deriving it
+        bg_counts = bigrams.groupBy("w1", "w2").agg(
+            F.count("*").cast("long").alias("cb")
+        )
+        uni = _uni_counts(df)
+    else:
+        bg_counts = (
+            _bigram_stream(train_df, with_id=False)
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("long").alias("cb"))
+        )
+        uni = _uni_counts(train_df)
     total = uni.agg(F.sum("cu").cast("long").alias("n_total"))
     s = F.when(
         F.col("cb").isNotNull(),

@@ -1145,33 +1145,42 @@ def kmv_set_ops_audit(
     )
     w = Window.partitionBy("side").orderBy("base")
     ranked = hashes.withColumn("rn", F.row_number().over(w))
-    thetas = (
-        ranked.filter(F.col("rn") == k)
-        .select("side", F.col("base").alias("theta"))
+    # thetas AND per-side sketch sizes in ONE always-one-row global
+    # aggregate: below k distinct hashes a side has NO k-th value —
+    # its theta stays NULL and is treated as the domain max
+    # downstream (standard theta-sketch semantics: the sketch is
+    # COMPLETE, so estimates fall back to the exact retained count
+    # instead of going NULL)
+    th = ranked.agg(
+        F.max(
+            F.when((F.col("side") == "a") & (F.col("rn") == k), F.col("base"))
+        ).alias("theta_a"),
+        F.max(
+            F.when((F.col("side") == "b") & (F.col("rn") == k), F.col("base"))
+        ).alias("theta_b"),
+        F.count(F.when(F.col("side") == "a", 1)).cast("long").alias("n_a_h"),
+        F.count(F.when(F.col("side") == "b", 1)).cast("long").alias("n_b_h"),
     )
-    th = (
-        thetas.groupBy()
-        .pivot("side", ["a", "b"])
-        .agg(F.first("theta"))
-        .select(
-            F.col("a").alias("theta_a"), F.col("b").alias("theta_b")
-        )
-    )
+    dom = F.lit(1 << 60)  # exclusive upper bound of the 60-bit domain
+    eff_a = F.coalesce(F.col("theta_a"), dom)
+    eff_b = F.coalesce(F.col("theta_b"), dom)
     sk = ranked.filter(F.col("rn") <= k).select("side", "base")
     inter_count = (
         sk.filter(F.col("side") == "a")
         .select("base")
         .join(sk.filter(F.col("side") == "b").select("base"), "base")
         .crossJoin(F.broadcast(th))
-        .filter(F.col("base") < F.least("theta_a", "theta_b"))
+        .filter(F.col("base") < F.least(eff_a, eff_b))
         .agg(F.count("*").cast("long").alias("n_inter_sk"))
     )
     union_theta = (
         hashes.select("base")
         .distinct()
         .withColumn("rn", F.row_number().over(Window.orderBy("base")))
-        .filter(F.col("rn") == k)
-        .select(F.col("base").alias("theta_u"))
+        .agg(
+            F.max(F.when(F.col("rn") == k, F.col("base"))).alias("theta_u"),
+            F.count("*").cast("long").alias("n_u_h"),
+        )
     )
     exact = vals.groupBy("side").agg(
         F.countDistinct("s").cast("long").alias("n")
@@ -1201,11 +1210,20 @@ def kmv_set_ops_audit(
         .crossJoin(F.broadcast(ex_union))
         .crossJoin(F.broadcast(ex_inter))
     )
-    theta_min = F.least("theta_a", "theta_b").cast("double")
+    theta_min = F.least(eff_a, eff_b).cast("double")
+
+    def kmv_est(theta: Column, n_h: Column) -> Column:
+        # KMV is EXACT below k: no k-th value means the sketch holds
+        # every hash, so the estimate IS the retained count (theta at
+        # the domain max) — never NULL
+        return F.when(
+            theta.isNotNull(), F.lit(KMV_NUMER) / theta.cast("double")
+        ).otherwise(n_h.cast("double"))
+
     measures = [
-        ("a", F.lit(KMV_NUMER) / F.col("theta_a").cast("double"), F.col("ex_a")),
-        ("b", F.lit(KMV_NUMER) / F.col("theta_b").cast("double"), F.col("ex_b")),
-        ("union", F.lit(KMV_NUMER) / F.col("theta_u").cast("double"), F.col("ex_u")),
+        ("a", kmv_est(F.col("theta_a"), F.col("n_a_h")), F.col("ex_a")),
+        ("b", kmv_est(F.col("theta_b"), F.col("n_b_h")), F.col("ex_b")),
+        ("union", kmv_est(F.col("theta_u"), F.col("n_u_h")), F.col("ex_u")),
         (
             "intersection",
             F.col("n_inter_sk").cast("double") * F.lit(KMV_DOMAIN) / theta_min,

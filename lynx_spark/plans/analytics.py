@@ -81,28 +81,14 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
-    # round-5 REWRITES of already-green queries (history can't detect
-    # these — keep until their post-rewrite CORRECTNESS row lands):
-    # minhash decorrelation touched q23/q57/q58/q59, PII progressive
-    # counts q63, the r04 oracle guard q64, SimHash full oracle q30,
-    # image-dims path q31. Never-sampled queries need no entry here —
-    # _never_driver_green() auto-promotes them from the history files.
-    "q30_simhash",
-    "q23_minhash_lsh",
-    "q57_incremental_minhash",
-    "q58_dedup_clusters",
-    "q59_dedup_corpus",
-    "q63_pii_scrub",
-    "q64_embedding_stats",
-    "q31_media_meta",
-    # newest operator with a just-fixed plan pathology (persist-before-
-    # explode): guarantee its first driver row lands this round
-    "q110_incremental_winnow",
-    # newest operators, registered last so auto-promotion would place
-    # them beyond the ~50-query sample: guarantee their first driver rows
-    "q111_paragraph_dedup",
-    "q112_bpe_pair_freqs",
-    "q113_vocab_coverage",
+    # round-6: all 12 round-5 entries landed green in CORRECTNESS_r05
+    # and are pruned per this list's contract, so the whole prefix
+    # budget goes to the 37 never-driver-sampled entries that
+    # _never_driver_green() auto-promotes (q100-q109, q114-q140).
+    # Entries below are round-6 REWRITES of already-green queries
+    # (history can't detect those — keep until their post-rewrite
+    # CORRECTNESS row lands).
+    "q94_image_features",  # r06: real-PNG payloads for odd doc_ids
 ]
 
 
@@ -4710,6 +4696,11 @@ def _logreg_oracle(iters: int = 3, lr: float = 2.0) -> str:
     def p(w0: str, w1: str, w2: str) -> str:
         return f"1.0/(1.0 + exp(-({w0} + {w1}*x1 + {w2}*x2)))"
 
+    def pclamp(raw: str) -> str:
+        # the loss-only saturation clamp, the exact twin of
+        # train_logreg's: 1.0 - 1e-12 computed, not a literal
+        return f"greatest(1e-12, least(1.0 - 1e-12, {raw}))"
+
     parts = [
         r"""
 WITH f AS (SELECT CAST(n_chars AS DOUBLE)/1000.0 AS x1,
@@ -4722,6 +4713,7 @@ n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f)"""
     prev = ("0.0", "0.0", "0.0")
     for t in range(1, iters + 1):
         pt = p(*prev)
+        pcl = pclamp(pt)
         src = "f" if t == 1 else f"f, w{t-1}"
         parts.append(
             f""",
@@ -4732,7 +4724,7 @@ i{t} AS (SELECT
     AS DOUBLE) AS g1,
   CAST(sum(CAST(round(x2*({pt} - y), 12) AS DECIMAL(38,12)))
     AS DOUBLE) AS g2,
-  CAST(sum(CAST(round(-(y*ln({pt}) + (1.0-y)*ln(1.0 - {pt})), 9)
+  CAST(sum(CAST(round(-(y*ln({pcl}) + (1.0-y)*ln(1.0 - {pcl})), 9)
     AS DECIMAL(38,9))) AS DOUBLE) AS l
   FROM {src}),
 w{t} AS (SELECT {prev[0]} - {lr}*(g0/n) AS w0,
@@ -5613,21 +5605,34 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmv_oracle(k: int = ql.KMV_K) -> str:
     """q135 oracle: KMV/theta set-op estimates in the integer hash
-    domain, estimator literals shared with quality.kmv_set_ops_audit."""
-    est_a = f"round({ql.KMV_NUMER!r} / CAST(theta_a AS DOUBLE), 4)"
-    est_b = f"round({ql.KMV_NUMER!r} / CAST(theta_b AS DOUBLE), 4)"
-    est_u = f"round({ql.KMV_NUMER!r} / CAST(theta_u AS DOUBLE), 4)"
-    est_i = (
-        f"round(CAST(n_inter_sk AS DOUBLE) * {ql.KMV_DOMAIN!r} "
-        f"/ CAST(least(theta_a, theta_b) AS DOUBLE), 4)"
+    domain, estimator literals shared with quality.kmv_set_ops_audit
+    (including the below-k exact fallback: a side with no k-th hash
+    has a COMPLETE sketch — theta = the 2^60 domain max, estimate =
+    the retained count)."""
+    dom = 1 << 60
+    eff = (
+        f"least(coalesce(theta_a, {dom}), coalesce(theta_b, {dom}))"
+    )
+    raw_a = (
+        f"CASE WHEN theta_a IS NOT NULL THEN {ql.KMV_NUMER!r}"
+        f" / CAST(theta_a AS DOUBLE) ELSE CAST(n_a_h AS DOUBLE) END"
+    )
+    raw_b = (
+        f"CASE WHEN theta_b IS NOT NULL THEN {ql.KMV_NUMER!r}"
+        f" / CAST(theta_b AS DOUBLE) ELSE CAST(n_b_h AS DOUBLE) END"
+    )
+    raw_u = (
+        f"CASE WHEN theta_u IS NOT NULL THEN {ql.KMV_NUMER!r}"
+        f" / CAST(theta_u AS DOUBLE) ELSE CAST(n_u_h AS DOUBLE) END"
+    )
+    raw_i = (
+        f"CAST(n_inter_sk AS DOUBLE) * {ql.KMV_DOMAIN!r} "
+        f"/ CAST({eff} AS DOUBLE)"
     )
 
-    def row(name, est, ex):
-        # the raw (unrounded) estimator expr for the error column:
-        # strip the round( wrapper and its trailing ", 4)"
-        raw = est.replace("round(", "", 1)[:-4]
+    def row(name, raw, ex):
         return f"""SELECT '{name}' AS measure, {ex} AS n_exact,
-  {est} AS kmv_estimate,
+  round({raw}, 4) AS kmv_estimate,
   CASE WHEN {ex} > 0 THEN
     round(({raw} - CAST({ex} AS DOUBLE)) / CAST({ex} AS DOUBLE), 4)
   ELSE NULL END AS rel_error
@@ -5635,10 +5640,10 @@ FROM base_row"""
 
     rows = "\nUNION ALL\n".join(
         [
-            row("a", est_a, "ex_a"),
-            row("b", est_b, "ex_b"),
-            row("union", est_u, "ex_u"),
-            row("intersection", est_i, "ex_i"),
+            row("a", raw_a, "ex_a"),
+            row("b", raw_b, "ex_b"),
+            row("union", raw_u, "ex_u"),
+            row("intersection", raw_i, "ex_i"),
         ]
     )
     return rf"""
@@ -5652,18 +5657,21 @@ ranked AS (SELECT side, base,
     row_number() OVER (PARTITION BY side ORDER BY base) AS rn
   FROM hashes),
 th AS (SELECT
-    max(CASE WHEN side = 'a' THEN base END) AS theta_a,
-    max(CASE WHEN side = 'b' THEN base END) AS theta_b
-  FROM ranked WHERE rn = {k}),
+    max(CASE WHEN side = 'a' AND rn = {k} THEN base END) AS theta_a,
+    max(CASE WHEN side = 'b' AND rn = {k} THEN base END) AS theta_b,
+    CAST(count(CASE WHEN side = 'a' THEN 1 END) AS BIGINT) AS n_a_h,
+    CAST(count(CASE WHEN side = 'b' THEN 1 END) AS BIGINT) AS n_b_h
+  FROM ranked),
 sk AS (SELECT side, base FROM ranked WHERE rn <= {k}),
 ic AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_sk FROM
     (SELECT a.base FROM sk a JOIN sk b2
        ON b2.base = a.base AND a.side = 'a' AND b2.side = 'b') x
     CROSS JOIN th
-  WHERE x.base < least(theta_a, theta_b)),
-ut AS (SELECT base AS theta_u
-  FROM (SELECT DISTINCT base FROM hashes) d
-  QUALIFY row_number() OVER (ORDER BY base) = {k}),
+  WHERE x.base < {eff}),
+ut AS (SELECT max(CASE WHEN rn = {k} THEN base END) AS theta_u,
+    CAST(count(*) AS BIGINT) AS n_u_h
+  FROM (SELECT base, row_number() OVER (ORDER BY base) AS rn
+        FROM (SELECT DISTINCT base FROM hashes) d)),
 ex AS (SELECT
     CAST(count(DISTINCT CASE WHEN side = 'a' THEN s END) AS BIGINT) AS ex_a,
     CAST(count(DISTINCT CASE WHEN side = 'b' THEN s END) AS BIGINT) AS ex_b,

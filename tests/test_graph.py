@@ -313,3 +313,40 @@ def test_hits_bipartite_hand_values(spark):
         assert abs(out[auth]["authority"] - 0.5) < 1e-9
         assert out[auth]["hub"] == 0.0
     assert out[5]["hub"] == 0.0 and out[5]["authority"] == 0.0
+
+
+def test_hits_empty_edges_all_zero_not_nan(spark):
+    """An empty edge list leaves every score 0.0 — the L1 normalizer
+    total is 0 and the division guard must keep NaN out."""
+    from lynx_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame([], "src long, nbr long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["vec_id"])
+    out = hits_scores(edges, nodes, "vec_id", n_iters=2).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["hub"] == 0.0 and r["authority"] == 0.0
+
+
+def test_weighted_pagerank_zero_weight_node(spark):
+    """A node whose outgoing weights all sum to 0 contributes no rank
+    (guarded share), and every output stays finite."""
+    import math
+
+    from lynx_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.0), (1, 3, 0.0), (2, 3, 1.0)], ["src", "nbr", "w"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["vec_id"])
+    out = {
+        r["vec_id"]: r["pagerank"]
+        for r in pagerank(
+            edges, nodes, "vec_id", n_iters=2, weight_col="w"
+        ).collect()
+    }
+    assert all(math.isfinite(v) for v in out.values())
+    # node 1 receives nothing and sends nothing: teleport mass only
+    assert abs(out[1] - 0.15 / 3) < 1e-9
+    # node 3 gets node 2's full share; node 2 only teleport mass
+    assert out[3] > out[2] > 0.0

@@ -1966,6 +1966,23 @@ def test_pps_sample_design_properties(spark):
         assert abs(r["ht_weight"] - 1.0 / r["incl_prob"]) < 1e-4
 
 
+def test_pps_sample_fractional_weights(spark):
+    """Fractional weights must reach the denominator un-truncated:
+    400 docs of weight 0.5 give W=200, so every inclusion prob is
+    k*0.5/200 = 0.025 exactly (the pre-fix long-cast total truncated
+    each 0.5 to 0, making W=0 and the probabilities undefined)."""
+    from lynx_spark.operators.corpus import pps_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(400)], ["doc_id", "wt"]
+    )
+    out = pps_sample(df, "doc_id", "wt", expected_k=10.0).collect()
+    assert 1 <= len(out) <= 50  # E[n] = 10
+    for r in out:
+        assert r["incl_prob"] == 0.025
+        assert r["ht_weight"] == 40.0
+
+
 def test_curriculum_interleave_positions(spark):
     """Closed-form interleave: unique positions, stage-1 docs from
     every domain occupy the first n_domains slots, within-domain
@@ -2065,6 +2082,26 @@ def test_materialize_mixture_quota_semantics(spark):
     # determinism
     again = out.collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_train_logreg_saturated_loss_not_dropped(spark):
+    """Huge features saturate p to exactly 0/1 by iteration 2; the
+    misclassified saturated row's ln(0) loss term must be clamped
+    (~ -ln(1e-12) = 27.63), not NULL-dropped from the average."""
+    import math
+
+    from lynx_spark.operators.lm import train_logreg
+
+    rows = (
+        [(1e6, 1.0)] * 8 + [(-1e6, 0.0)] * 8
+        + [(1e6, 0.0)]  # misclassified once w moves positive
+    )
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = train_logreg(df, ["x"], "y", iters=2, lr=1.0).collect()
+    loss2 = out[1]["avg_loss"]
+    assert loss2 is not None and math.isfinite(loss2)
+    # one clamped ln(1e-12) term over 17 rows dominates iteration 2
+    assert abs(loss2 - (-math.log(1e-12)) / 17) < 0.5
 
 
 def test_train_logreg_matches_numpy_reference(spark):
@@ -2591,6 +2628,25 @@ def test_kmv_set_ops_disjoint_and_identical(spark):
     assert abs(out2["union"]["kmv_estimate"] - 1200) / 1200 < 0.35
 
 
+def test_kmv_small_sets_exact_fallback(spark):
+    """Below k=128 distinct values KMV is EXACT (the sketch retains
+    everything, theta = domain max): every estimate equals the exact
+    count with rel_error 0, never NULL."""
+    from lynx_spark.operators.quality import kmv_set_ops_audit
+
+    small = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(1, 6)]
+        + [("b", f"v{i}") for i in range(4, 9)],
+        ["side", "v"],
+    )
+    out = {r["measure"]: r for r in kmv_set_ops_audit(small, "side", "v").collect()}
+    want = {"a": 5, "b": 5, "union": 8, "intersection": 2}
+    for m, n in want.items():
+        assert out[m]["n_exact"] == n
+        assert out[m]["kmv_estimate"] == float(n)
+        assert out[m]["rel_error"] == 0.0
+
+
 def test_stupid_backoff_seen_vs_unseen(spark):
     """A document made of corpus-frequent bigrams scores higher than
     one forcing backoff paths; hand-check one doc's score against a
@@ -2616,3 +2672,33 @@ def test_stupid_backoff_seen_vs_unseen(spark):
     want = float(sum(terms))
     assert abs(out[0]["logscore"] - round(want, 4)) < 1e-9
     assert out[0]["n_bigrams"] == 2
+
+
+def test_stupid_backoff_held_out_backoff_branch(spark):
+    """Separate train/score corpora make the backoff branch REAL: a
+    scored bigram absent from the train counts must take the
+    alpha*C(w2)/N path (cb NULL), hand-checked against the formula."""
+    import math
+    from decimal import Decimal
+
+    from lynx_spark.operators.lm import stupid_backoff_scores
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat") for i in range(3)], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [(10, "sat the cat")], ["doc_id", "text"]
+    )
+    out = stupid_backoff_scores(
+        score, "doc_id", "text", train_df=train
+    ).collect()
+    assert len(out) == 1 and out[0]["n_bigrams"] == 2
+    # train counts: C(w)=3 each, N=9; bigram (sat,the) is UNSEEN ->
+    # alpha*C(the)/N = 0.4*3/9; (the,cat) seen -> 3/3 = 1 (ln = 0)
+    backoff_term = Decimal(str(round(math.log(0.4 * 3 / 9), 9)))
+    want = float(backoff_term)
+    assert abs(out[0]["logscore"] - round(want, 4)) < 1e-9
+    # self-scoring the same doc would find its own bigrams seen —
+    # the held-out path is strictly lower
+    self_out = stupid_backoff_scores(score, "doc_id", "text").collect()
+    assert out[0]["logscore"] < self_out[0]["logscore"]
