@@ -14,14 +14,16 @@ Header-level metadata decoding is REAL and library-free:
   ``decode_audio`` — sample rate, channels, bit depth, duration);
 - format sniffing by magic bytes (``sniff_format``).
 
-PIXEL-level work is REAL for 24-bit BMP — a hand-written stdlib
-codec (``decode_bmp_pixels`` / ``encode_bmp`` / ``resize_nearest``)
-decodes, resizes and re-encodes actual pixels, and
-``extract_image_features`` runs it as Arrow-batched ``mapInPandas``
-with a closed-form SQL oracle verifying the decoded statistics
-(q94). For PNG/JPEG/GIF pixels, ``decode_image`` / ``resize_image``
-still gate on PIL (absent here) and raise NotImplementedError —
-those branches are the integration points for a real deployment.
+PIXEL-level work is REAL for 24-bit BMP AND 8-bit RGB/RGBA
+non-interlaced PNG — hand-written stdlib codecs
+(``decode_bmp_pixels`` / ``encode_bmp``; ``decode_png_pixels`` /
+``encode_png`` with zlib + all five PNG row filters;
+``resize_nearest``) decode, resize and re-encode actual pixels, and
+``extract_image_features`` runs them as Arrow-batched
+``mapInPandas`` with a closed-form SQL oracle verifying the decoded
+statistics of BOTH codecs (q94). Only JPEG/GIF pixels still gate on
+PIL (absent here) and raise NotImplementedError — JPEG's DCT
+entropy coding is the one legitimately-library integration point.
 ``fake_decode_dims`` remains as a clearly-marked DETERMINISTIC FAKE
 for plumbing tests that want dims on arbitrary (non-media) bytes.
 
@@ -161,11 +163,14 @@ def decode_image_dims(data: bytes) -> tuple[int, int] | None:
 
 
 def decode_image(data: bytes):
-    """Real image decode. 24-bit BMP decodes with the hand-written
-    stdlib codec (decode_bmp_pixels — returns the (h, w, 3) RGB
-    array); other formats require PIL, absent in this container."""
+    """Real image decode. 24-bit BMP and 8-bit RGB/RGBA PNG decode
+    with the hand-written stdlib codecs (decode_bmp_pixels /
+    decode_png_pixels — return the (h, w, c) array); JPEG/GIF require
+    PIL, absent in this container."""
     if data is not None and data[:2] == b"BM":
         return decode_bmp_pixels(data)
+    if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(data)
     try:
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
@@ -475,11 +480,14 @@ FRAME_META_SCHEMA = (
 
 
 def resize_image(data: bytes, width: int, height: int) -> bytes:
-    """Real image resize. BMP payloads resize for real —
-    decode_bmp_pixels → resize_nearest → encode_bmp, all stdlib;
-    other formats require PIL, absent in this container."""
+    """Real image resize. BMP and 8-bit RGB/RGBA PNG payloads resize
+    for real — stdlib decode → resize_nearest → stdlib re-encode in
+    the same format; JPEG/GIF require PIL, absent in this
+    container."""
     if data is not None and data[:2] == b"BM":
         return encode_bmp(resize_nearest(decode_bmp_pixels(data), width, height))
+    if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
+        return encode_png(resize_nearest(decode_png_pixels(data), width, height))
     try:
         import io  # noqa: PLC0415
 
@@ -855,6 +863,223 @@ def bmp_payload_udf(ids: pd.Series) -> pd.Series:
     return ids.map(lambda i: bmp_payload_for_id(int(i)))
 
 
+# ------------------------------------------- REAL pixel path: PNG
+#
+# A full stdlib PNG codec for the 8-bit RGB/RGBA non-interlaced
+# subset: zlib (de)compression + the five per-row filters (None/Sub/
+# Up/Average/Paeth) implemented by hand. This closes the PIL gate for
+# PNG pixels — only JPEG's DCT entropy coding legitimately remains a
+# library integration point.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): nearest of left/up/
+    up-left to the linear estimate a + b − c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array (row 0 = top) as a REAL
+    8-bit RGB/RGBA non-interlaced PNG — stdlib zlib, hand-built
+    chunks. ``filter_type`` (0-4) is applied to every row, so the
+    decoder's unfilter paths are all reachable from round-trip
+    tests."""
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    h, w, c = pixels.shape
+    if c not in (3, 4):
+        raise ValueError(f"encode_png needs 3 or 4 channels, got {c}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    color_type = 2 if c == 3 else 6
+    raw = pixels.astype(np.int64)
+    zero_row = np.zeros((w, c), dtype=np.int64)
+    lines = []
+    prev = zero_row
+    for y in range(h):
+        row = raw[y]
+        left = np.vstack([np.zeros((1, c), dtype=np.int64), row[:-1]])
+        upleft = np.vstack([np.zeros((1, c), dtype=np.int64), prev[:-1]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        else:  # Paeth, vectorized with the spec's tie-breaking order
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            filt = row - pred
+        lines.append(
+            bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes()
+        )
+        prev = row
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        import zlib as z  # noqa: PLC0415
+
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(data: bytes):
+    """REAL PNG pixel decode for the 8-bit RGB/RGBA non-interlaced
+    subset: chunk walk → concatenated IDAT → zlib.decompress → per-row
+    unfilter (all five filter types) → (h, w, 3|4) uint8 array with
+    row 0 = top. Raises ValueError on anything outside that subset
+    (palette, 16-bit, interlaced, grayscale) — those payloads degrade
+    like any undecodable blob in the feature extractors."""
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if data is None or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt_m, interlace = struct.unpack(
+                ">II5B", body
+            )
+            if depth != 8 or color not in (2, 6):
+                raise ValueError(
+                    f"unsupported PNG layout: depth={depth} color={color}"
+                )
+            if comp != 0 or filt_m != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/interlace")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    bpp = 3 if color == 2 else 4
+    raw = zlib.decompress(idat)
+    stride = w * bpp + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG pixel payload has the wrong size")
+    out = np.zeros((h, w, bpp), dtype=np.int64)
+    prev = np.zeros((w, bpp), dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * stride]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w * bpp, offset=y * stride + 1
+        ).astype(np.int64).reshape(w, bpp)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: prefix sum per channel lane, mod 256
+            cur = np.cumsum(line, axis=0) % 256
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft == 3:  # Average — sequential in x (left dependency)
+            cur = np.zeros((w, bpp), dtype=np.int64)
+            for x in range(w):
+                a = cur[x - 1] if x else np.zeros(bpp, dtype=np.int64)
+                cur[x] = (line[x] + (a + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth — sequential in x
+            cur = np.zeros((w, bpp), dtype=np.int64)
+            zero = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                a = cur[x - 1] if x else zero
+                c_ = prev[x - 1] if x else zero
+                b_ = prev[x]
+                pred = np.array(
+                    [
+                        _paeth(int(a[i]), int(b_[i]), int(c_[i]))
+                        for i in range(bpp)
+                    ],
+                    dtype=np.int64,
+                )
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def synthesize_png(width: int, height: int, seed: int) -> bytes:
+    """REAL 8-bit RGB PNG carrying the SAME closed-form pixel pattern
+    as synthesize_bmp (r=(x*7+seed)%256, g=(y*11+seed)%256,
+    b=((x+y)*13+seed)%256) — so the q94 oracle's arithmetic predicts
+    PNG-decoded statistics too, proving the zlib+unfilter path, not
+    just headers."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = np.empty((height, width, 3), dtype=np.uint8)
+    px[:, :, 0] = np.broadcast_to((x * 7 + seed) % 256, (height, width))
+    px[:, :, 1] = np.broadcast_to((y * 11 + seed) % 256, (height, width))
+    px[:, :, 2] = ((x + y) * 13 + seed) % 256
+    # Sub filter: exercises a non-trivial unfilter path on every
+    # decode while staying deterministic
+    return encode_png(px, filter_type=1)
+
+
+def png_payload_for_id(doc_id: int) -> bytes:
+    """Deterministic PNG keyed by doc_id with the SAME dims/seed
+    formulas as bmp_payload_for_id — one oracle covers both codecs."""
+    return synthesize_png(
+        8 + (doc_id * 3) % 24, 8 + (doc_id * 5) % 24, doc_id % 251
+    )
+
+
+@F.pandas_udf(BinaryType())
+def mixed_image_payload_udf(ids: pd.Series) -> pd.Series:
+    """BMP for even doc_ids, PNG for odd — the q94 payload column
+    exercising BOTH stdlib pixel codecs under one closed-form
+    oracle."""
+    return ids.map(
+        lambda i: bmp_payload_for_id(int(i))
+        if int(i) % 2 == 0
+        else png_payload_for_id(int(i))
+    )
+
+
+def _decode_pixels_stdlib(data: bytes):
+    """Dispatch to the library-free pixel decoders (BMP, PNG);
+    ValueError for anything else — feature extractors degrade on it."""
+    if data is not None and data[:2] == b"BM":
+        return decode_bmp_pixels(data)
+    if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(data)
+    raise ValueError("no stdlib pixel codec for this payload")
+
+
 IMAGE_FEATURES_SCHEMA = (
     "doc_id long, format string, width long, height long, "
     "mean_r double, mean_g double, mean_b double, resize4_checksum long"
@@ -882,7 +1107,7 @@ def extract_image_features(
                 # degrade like extract_media_metadata: an undecodable
                 # blob yields no feature row, never a failed job
                 try:
-                    px = decode_bmp_pixels(bytes(data))
+                    px = _decode_pixels_stdlib(bytes(data))[:, :, :3]
                 except (TypeError, ValueError):
                     continue
                 h, w, _ = px.shape

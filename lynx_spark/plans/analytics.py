@@ -3555,7 +3555,8 @@ thumb AS (SELECT d.doc_id,
           CROSS JOIN LATERAL unnest(range(0, 4)) ui(i)
           CROSS JOIN LATERAL unnest(range(0, 4)) uj(j)
           GROUP BY d.doc_id)
-SELECT s.doc_id, 'bmp' AS format,
+SELECT s.doc_id,
+  CASE WHEN s.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   floor(CAST(sr AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_r,
   floor(CAST(sg AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_g,
@@ -3564,24 +3565,26 @@ SELECT s.doc_id, 'bmp' AS format,
 FROM sums s JOIN thumb t USING (doc_id)
 """,
     description="image CONTENT check at PIXEL level: real 24-bit BMP "
-    "payloads (synthesized per doc_id with a closed-form pixel "
-    "pattern) decoded by the hand-written stdlib codec inside "
-    "Arrow-batched mapInPandas; per-channel means from exact integer "
-    "sums and a REAL 4×4 nearest-neighbor-resize checksum — the "
-    "oracle predicts every decoded-pixel statistic arithmetically, "
-    "so a green row proves decode, orientation, channel order AND "
-    "resize, not just headers",
+    "(even doc_ids) and real zlib-compressed 8-bit RGB PNG (odd "
+    "doc_ids) payloads, synthesized per doc_id with ONE closed-form "
+    "pixel pattern and decoded by the hand-written stdlib codecs "
+    "inside Arrow-batched mapInPandas; per-channel means from exact "
+    "integer sums and a REAL 4×4 nearest-neighbor-resize checksum — "
+    "the oracle predicts every decoded-pixel statistic "
+    "arithmetically, so a green row proves BOTH codecs' decode "
+    "(incl. PNG inflate + Sub unfiltering), orientation, channel "
+    "order AND resize, not just headers",
 )
 def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lynx_spark.operators.multimodal import (
-        bmp_payload_udf,
         extract_image_features,
+        mixed_image_payload_udf,
     )
 
     docs = T(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
-    payloads = docs.withColumn("payload", bmp_payload_udf("doc_id"))
+    payloads = docs.withColumn("payload", mixed_image_payload_udf("doc_id"))
     return extract_image_features(payloads, "doc_id", "payload")
 
 

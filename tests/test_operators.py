@@ -225,7 +225,11 @@ def test_wav_synth_round_trip():
 
 
 def test_decode_image_stub_raises():
+    # JPEG is the remaining PIL integration point (PNG/BMP are
+    # stdlib-real now); malformed PNG fails in the stdlib codec
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0xxxx")
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")
 
 
@@ -1671,6 +1675,73 @@ def test_bmp_codec_padding_orientation_and_resize():
     flipped = body.reshape(7, stride)[::-1].copy()
     neg = bytes(neg[:54]) + flipped.tobytes()
     assert (mm.decode_bmp_pixels(neg) == px).all()
+
+
+def test_png_codec_round_trip_all_filters():
+    """Every PNG row filter (None/Sub/Up/Average/Paeth) must survive
+    an encode→decode round trip bit-exactly, RGB and RGBA, including
+    the w=1 edge (no left neighbor)."""
+    import numpy as np
+    from lynx_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for channels in (3, 4):
+        px = rng.randint(0, 256, size=(9, 11, channels)).astype(np.uint8)
+        for ft in range(5):
+            back = mm.decode_png_pixels(mm.encode_png(px, filter_type=ft))
+            assert back.shape == px.shape, (channels, ft)
+            assert (back == px).all(), (channels, ft)
+    skinny = rng.randint(0, 256, size=(6, 1, 3)).astype(np.uint8)
+    for ft in range(5):
+        assert (
+            mm.decode_png_pixels(mm.encode_png(skinny, filter_type=ft))
+            == skinny
+        ).all()
+
+
+def test_png_pattern_decode_image_and_resize():
+    """synthesize_png carries the closed-form BMP pattern through
+    zlib + Sub filtering; decode_image and resize_image take the
+    stdlib PNG path end-to-end."""
+    from lynx_spark.operators import multimodal as mm
+
+    b = mm.synthesize_png(10, 7, 42)
+    assert mm.sniff_format(b) == "png"
+    assert mm.parse_png_header(b) == (10, 7)
+    px = mm.decode_png_pixels(b)
+    assert px.shape == (7, 10, 3)
+    assert px[3, 4, 0] == (4 * 7 + 42) % 256
+    assert px[3, 4, 1] == (3 * 11 + 42) % 256
+    assert px[3, 4, 2] == ((4 + 3) * 13 + 42) % 256
+    # same pattern as the BMP twin, byte for byte
+    assert (mm.decode_bmp_pixels(mm.synthesize_bmp(10, 7, 42)) == px).all()
+    assert (mm.decode_image(b) == px).all()
+    thumb = mm.decode_png_pixels(mm.resize_image(b, 4, 4))
+    assert (thumb == mm.resize_nearest(px, 4, 4)).all()
+
+
+def test_image_features_mixed_bmp_png(spark):
+    """The q94 payload column: BMP for even ids, PNG for odd — both
+    codecs' decoded statistics match the one closed-form pattern."""
+    from pyspark.sql import functions as F
+
+    from lynx_spark.operators.multimodal import (
+        extract_image_features,
+        mixed_image_payload_udf,
+    )
+
+    df = spark.range(4).select(F.col("id").cast("long").alias("doc_id"))
+    payloads = df.withColumn("payload", mixed_image_payload_udf("doc_id"))
+    rows = {r["doc_id"]: r for r in
+            extract_image_features(payloads, "doc_id", "payload").collect()}
+    assert rows[0]["format"] == "bmp" and rows[1]["format"] == "png"
+    # doc 1: w = 8+3 = 11, h = 8+5 = 13, s = 1;
+    # mean_r = mean((x*7+1)%256, x<11) = (11 + 7*55)/11 = 36.0
+    assert rows[1]["width"] == 11 and rows[1]["height"] == 13
+    assert rows[1]["mean_r"] == 36.0
+    # same doc_id, same pattern: PNG (odd) and BMP (even) agree with
+    # the arithmetic regardless of codec
+    assert rows[0]["format"] == "bmp" and rows[0]["mean_r"] == 24.5
 
 
 def test_image_features_real_decode(spark):
