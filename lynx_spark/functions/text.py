@@ -406,10 +406,64 @@ def incremental_winnow_matches(
     persist it like the q56/q57 stores). ``max_doc_freq`` caps
     boilerplate fingerprints on the seen side, same guard as
     winnow_overlap_pairs."""
+    seen_fp = _exploded_fps(seen_df, id_col, text_col, k, w, "doc")
+    return incremental_winnow_matches_from_store(
+        new_df, seen_fp, id_col, text_col, min_common, k, w, max_doc_freq
+    )
+
+
+# ------------------------------------------- winnow fingerprint store
+#
+# The operational tier for the winnow family, mirroring the exact/
+# minhash stores (operators/dedup.py): a batch's (doc, fp) rows
+# persist as parquet, so a later batch loads the seen side instead of
+# re-fingerprinting the whole ingested corpus — at 100 TB the store
+# read is a column-pruned parquet scan keyed on fp, the recompute is
+# a full-corpus md5 pass.
+
+
+def build_winnow_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """A batch's (doc, fp) winnow fingerprint rows — the store shape
+    incremental_winnow_matches_from_store consumes."""
+    return _exploded_fps(df, id_col, text_col, k, w, "doc")
+
+
+def write_winnow_store(
+    fps: DataFrame, path: str, mode: str = "append"
+) -> None:
+    """Append a batch's (doc, fp) delta to the parquet store —
+    append-only, like the exact/minhash stores."""
+    fps.select("doc", "fp").write.mode(mode).parquet(path)
+
+
+def read_winnow_store(spark, path: str) -> DataFrame:
+    """The winnow store as the (doc, fp) seen side."""
+    return spark.read.parquet(path).select("doc", "fp")
+
+
+def incremental_winnow_matches_from_store(
+    new_df: DataFrame,
+    seen_fp: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_common: int = 2,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_doc_freq: int | None = 20,
+) -> DataFrame:
+    """incremental_winnow_matches with the seen side as an
+    ALREADY-FINGERPRINTED (doc, fp) table — the loaded store — so
+    batch N+1 never re-derives batch 1..N's fingerprints. Identical
+    output to the recompute twin on the same corpus (tested)."""
     from lynx_spark.operators.dedup import cap_doc_freq
 
     new_fp = _exploded_fps(new_df, id_col, text_col, k, w, "new_id")
-    seen_fp = _exploded_fps(seen_df, id_col, text_col, k, w, "doc")
     if max_doc_freq is not None:
         seen_fp = cap_doc_freq(seen_fp, max_doc_freq, key_col="fp")
     return (

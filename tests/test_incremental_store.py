@@ -102,3 +102,41 @@ def test_signature_store_append_across_batches(spark, batches, tmp_path):
     assert (21, 13) in pairs and (21, 14) in pairs
     assert (22, 1) in pairs and (22, 11) in pairs
     assert all(new != 23 for new, _ in pairs)
+
+
+def test_winnow_store_matches_recompute_twin(spark, batches, tmp_path):
+    """Winnow tier (q110's shape): batch 2 against the LOADED
+    fingerprint store equals the recompute twin, and appended deltas
+    reach batch 3."""
+    from lynx_spark.functions import text as tx
+
+    b1, b2, b3 = batches
+    store = str(tmp_path / "winnow")
+
+    tx.write_winnow_store(
+        tx.build_winnow_store(b1, "doc_id", "text"), store, mode="overwrite"
+    )
+    from_store = tx.incremental_winnow_matches_from_store(
+        b2, tx.read_winnow_store(spark, store), "doc_id", "text"
+    )
+    recompute = tx.incremental_winnow_matches(b2, b1, "doc_id", "text")
+    got = sorted(map(tuple, from_store.collect()))
+    assert got == sorted(map(tuple, recompute.collect()))
+    # the exact copy and the one-word variant of doc 1 both overlap it
+    assert {(a, b) for a, b, _ in got} >= {(11, 1), (12, 1)}
+
+    tx.write_winnow_store(tx.build_winnow_store(b2, "doc_id", "text"), store)
+    m3 = tx.incremental_winnow_matches_from_store(
+        b3, tx.read_winnow_store(spark, store), "doc_id", "text"
+    )
+    pairs = {(r["new_id"], r["seen_id"]) for r in m3.collect()}
+    # batch 3's copies match seen docs from BOTH deltas (char-gram
+    # winnow also surfaces doc 23's shared words — that sensitivity
+    # is the operator's point, so assert equality with the recompute
+    # twin rather than absence)
+    assert (21, 13) in pairs and (22, 1) in pairs and (22, 11) in pairs
+    seen_union = b1.unionByName(b2)
+    twin3 = tx.incremental_winnow_matches(b3, seen_union, "doc_id", "text")
+    assert sorted(map(tuple, m3.collect())) == sorted(
+        map(tuple, twin3.collect())
+    )
