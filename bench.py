@@ -62,6 +62,16 @@ HEADLINE = [
     # ~one md5 per char position) + paragraph-granular dedup
     "q110_incremental_winnow",
     "q111_paragraph_dedup",
+    # round 6: the graph/sketch/quantization families gain BENCH
+    # tracking (they had scale_check rows but no round-over-round
+    # perf signal) — PageRank + HITS (iterative, lineage-truncated),
+    # triangles (3 shuffle joins), IVF-PQ (train-dominated; the
+    # persisted-index tier makes that build-cadence), HLL audit
+    "q127_pagerank",
+    "q131_ivfpq_search",
+    "q133_hll_audit",
+    "q136_triangle_stats",
+    "q140_hits",
 ]
 
 
@@ -81,10 +91,15 @@ def main() -> None:
 
     # the heavy dedup/ANN queries need 5 reps for a stable min: their
     # 2-3s runtimes swing +-25% at 3 reps on this harness
+    # q03 is here for dispersion, not weight: its plan is static (two
+    # broadcast joins, no AQE flap) but reps decline ~0.97 -> 0.50s
+    # as JIT warms, so a 3-rep min lands mid-slope
     HEAVY_REPS = {"q22_ngram_jaccard", "q23_minhash_lsh", "q24_cosine_topk",
                   "q25_ann_lsh", "q30_simhash", "q66_duplicated_windows",
                   "q77_sketch_audit", "q83_knn_graph",
-                  "q110_incremental_winnow"}
+                  "q110_incremental_winnow", "q03_shipping_priority",
+                  "q127_pagerank", "q131_ivfpq_search", "q133_hll_audit",
+                  "q136_triangle_stats", "q140_hits"}
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
