@@ -50,6 +50,31 @@ MAX_CC_ITERS = 30
 MAX_STAR_ITERS = 50
 
 
+def _q12(col: Column) -> Column:
+    """floor(x·1e12 + 0.5) as an exact integer — the tie-safe
+    cross-engine quantizer (multimodal's floor device lifted to the
+    graph trajectories). round() on IDENTICAL doubles can disagree
+    between engines when the value sits exactly on a decimal tie
+    (Spark rounds the shortest decimal representation half-up, DuckDB
+    rounds x·10^d whose product can land a hair below the tie) —
+    observed on q127 at sf0.1. multiply/add/floor are IEEE-identical
+    on identical inputs, and the integer domain then sums exactly.
+    DECIMAL(38,0) so no in-degree at any scale overflows the sum."""
+    return F.floor(col * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
+
+
+def _unq12(agg: Column) -> Column:
+    """Back to double: an exact integer sum / 1e12 — the same two
+    IEEE ops in both engines."""
+    return agg.cast("double") / F.lit(1e12)
+
+
+def _round8(col: Column) -> Column:
+    """Tie-safe 8dp output rounding: floor(x·1e8 + 0.5)/1e8 (scores
+    here are non-negative, so the floor device IS half-up)."""
+    return F.floor(col * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+
+
 def _canonical_edges(e: DataFrame) -> DataFrame:
     """Undirected edge set in canonical (min, max) orientation, self
     loops dropped, deduplicated — the representation both star
@@ -369,9 +394,11 @@ def pagerank(
     100 TB shape: each iteration is one edges⋈ranks join + one
     aggregation keyed by the destination — the textbook distributed
     PR data flow, nothing driver-side, lineage bounded by the fixed
-    iteration count. Per-edge contributions round to 12 decimals and
-    sum as DECIMAL (exact, order-free), so ranks are bit-identical
-    across partitionings AND in the unrolled SQL oracle."""
+    iteration count. Per-edge contributions quantize to exact 1e-12
+    integers (the tie-safe _q12 floor device) and sum exactly, so
+    ranks are bit-identical across partitionings AND in the unrolled
+    SQL oracle — round() would diverge at decimal ties (sf0.1 q127
+    incident)."""
     n_df = nodes.agg(F.count("*").cast("double").alias("_n"))
     base = nodes.select(F.col(node_col).cast("long").alias("_v"))
     sel = [
@@ -413,12 +440,9 @@ def pagerank(
         )
         contribs = (
             e.join(ranks, e["_src"] == ranks["_v"])
-            .select(
-                "_dst",
-                F.round(share, 12).cast("decimal(38,12)").alias("_c"),
-            )
+            .select("_dst", _q12(share).alias("_c"))
             .groupBy("_dst")
-            .agg(F.sum("_c").cast("double").alias("_s"))
+            .agg(_unq12(F.sum("_c")).alias("_s"))
         )
         ranks = (
             base.join(contribs, base["_v"] == contribs["_dst"], "left")
@@ -432,7 +456,7 @@ def pagerank(
             )
         )
     return ranks.select(
-        F.col("_v").alias(node_col), F.round("_r", 8).alias("pagerank")
+        F.col("_v").alias(node_col), _round8(F.col("_r")).alias("pagerank")
     )
 
 
@@ -608,8 +632,9 @@ def hits_scores(
 
     Fixed mutual-recursion iterations with L1 normalization each
     half-step; every cross-row sum (the in/out aggregations AND the
-    normalizers) is a decimal sum of 12dp-rounded terms — exact,
-    order-free, bit-matched by the unrolled SQL oracle."""
+    normalizers) quantizes terms to exact 1e-12 integers (_q12, the
+    tie-safe floor device) and sums exactly — order-free and
+    bit-matched by the unrolled SQL oracle."""
     base = nodes.select(F.col(node_col).cast("long").alias("_v"))
     # the edge list feeds 2 joins per iteration: persist, or the
     # whole upstream edge construction (a kNN build, typically)
@@ -621,7 +646,7 @@ def hits_scores(
     e.count()
 
     def dsum(col: Column) -> Column:
-        return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+        return _unq12(F.sum(_q12(col)))
 
     def normalize(scores: DataFrame, col: str) -> DataFrame:
         # persist: the frame feeds its own normalizer aggregate, the
@@ -665,7 +690,7 @@ def hits_scores(
         hubs.join(auths, "_v")
         .select(
             F.col("_v").alias(node_col),
-            F.round("h", 8).alias("hub"),
-            F.round("a", 8).alias("authority"),
+            _round8(F.col("h")).alias("hub"),
+            _round8(F.col("a")).alias("authority"),
         )
     )

@@ -5122,12 +5122,28 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the tie-safe quantizer pair, SQL side (graph._q12/_unq12/_round8
+#: twins): floor((x)·1e12 + 0.5) summed as exact integers, outputs
+#: floor(x·1e8 + 0.5)/1e8 — round() on identical doubles diverges
+#: between engines at exact decimal ties (sf0.1 q127 incident)
+def _sql_q12sum(share: str) -> str:
+    return (
+        f"CAST(sum(CAST(floor(({share}) * 1000000000000.0 + 0.5) "
+        f"AS HUGEINT)) AS DOUBLE) / 1000000000000.0"
+    )
+
+
+def _sql_round8(x: str) -> str:
+    return f"floor(({x}) * 100000000.0 + 0.5) / 100000000.0"
+
+
 def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85) -> str:
     """q127 oracle: the q83 kNN-graph CTEs feeding an unrolled
-    power-method recurrence. Per-edge contributions decimal-sum
-    exactly as graph.pagerank does; the teleport term is written as
-    (1.0 - d) so both engines perform the identical IEEE subtraction
-    (a 0.15 literal is a DIFFERENT double than 1.0 - 0.85)."""
+    power-method recurrence. Per-edge contributions quantize and sum
+    exactly as graph.pagerank's _q12 device does; the teleport term
+    is written as (1.0 - d) so both engines perform the identical
+    IEEE subtraction (a 0.15 literal is a DIFFERENT double than
+    1.0 - 0.85)."""
     base = _knn_graph_oracle(5)
     ctes = base[: base.rindex("SELECT src, nbr")]
     sql = (
@@ -5143,17 +5159,17 @@ r0 AS (SELECT vec_id, 1.0 / n AS r FROM nodes, nn)"""
     for t in range(1, n_iters + 1):
         sql += f""",
 c{t} AS (SELECT g.nbr AS vec_id,
-    CAST(sum(CAST(round(p.r / outd.outdeg, 12) AS DECIMAL(38,12)))
-      AS DOUBLE) AS s
+    {_sql_q12sum("p.r / outd.outdeg")} AS s
   FROM g JOIN outd USING (src) JOIN {prev} p ON p.vec_id = g.src
   GROUP BY g.nbr),
 r{t} AS (SELECT nodes.vec_id,
-    (1.0 - {damping}) / n + {damping} * coalesce(c{t}.s, 0.0) AS r
+    (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / n
+      + CAST({damping} AS DOUBLE) * coalesce(c{t}.s, 0.0) AS r
   FROM nodes CROSS JOIN nn
   LEFT JOIN c{t} ON c{t}.vec_id = nodes.vec_id)"""
         prev = f"r{t}"
     return sql + f"""
-SELECT vec_id, round(r, 8) AS pagerank FROM {prev}
+SELECT vec_id, {_sql_round8("r")} AS pagerank FROM {prev}
 """
 
 
@@ -5780,17 +5796,17 @@ r0 AS (SELECT vec_id, 1.0 / n AS r FROM nodes, nn)"""
     for t in range(1, n_iters + 1):
         sql += f""",
 c{t} AS (SELECT g.nbr AS vec_id,
-    CAST(sum(CAST(round(p.r * g.cos_sim / o.w_out, 12)
-      AS DECIMAL(38,12))) AS DOUBLE) AS s
+    {_sql_q12sum("p.r * g.cos_sim / o.w_out")} AS s
   FROM g JOIN outw o USING (src) JOIN {prev} p ON p.vec_id = g.src
   GROUP BY g.nbr),
 r{t} AS (SELECT nodes.vec_id,
-    (1.0 - {damping}) / n + {damping} * coalesce(c{t}.s, 0.0) AS r
+    (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / n
+      + CAST({damping} AS DOUBLE) * coalesce(c{t}.s, 0.0) AS r
   FROM nodes CROSS JOIN nn
   LEFT JOIN c{t} ON c{t}.vec_id = nodes.vec_id)"""
         prev = f"r{t}"
     return sql + f"""
-SELECT vec_id, round(r, 8) AS pagerank FROM {prev}
+SELECT vec_id, {_sql_round8("r")} AS pagerank FROM {prev}
 """
 
 
@@ -5927,10 +5943,14 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hits_oracle(n_iters: int = 2) -> str:
     """q140 oracle: the q83 kNN edges feeding Kleinberg's mutual
-    recursion, decimal sums everywhere a float order could differ."""
+    recursion, tie-safe quantized sums everywhere a float order (or a
+    round() tie) could differ."""
     base = _knn_graph_oracle(5)
     ctes = base[: base.rindex("SELECT src, nbr")]
-    ds = "CAST(sum(CAST(round({x}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+    ds = (
+        "CAST(sum(CAST(floor(({x}) * 1000000000000.0 + 0.5) "
+        "AS HUGEINT)) AS DOUBLE) / 1000000000000.0"
+    )
     sql = (
         ctes
         + """, g AS (SELECT src, nbr FROM ranked WHERE rnk <= 5),
@@ -5954,7 +5974,8 @@ nh{t} AS (SELECT {ds.format(x="h")} AS t FROM fh{t}),
 h{t} AS (SELECT v, h / t AS h FROM fh{t} CROSS JOIN nh{t})"""
         prev_h = f"h{t}"
     return sql + f"""
-SELECT h.v AS vec_id, round(h.h, 8) AS hub, round(a.a, 8) AS authority
+SELECT h.v AS vec_id, {_sql_round8("h.h")} AS hub,
+  {_sql_round8("a.a")} AS authority
 FROM h{n_iters} h JOIN a{n_iters}h a ON a.v = h.v
 """
 
