@@ -561,7 +561,11 @@ def test_video_frame_sampling_plumbing(spark):
     # deterministic: same input -> same hashes
     again = sample_video_frames(df, "doc_id", "blob", n_frames=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # JPEG is the remaining PIL gate; malformed PNG fails in the
+    # stdlib codec (r06: PNG resize is library-free)
     with pytest.raises(NotImplementedError):
+        resize_image(b"\xff\xd8\xff\xe0...", 8, 8)
+    with pytest.raises(ValueError):
         resize_image(b"\x89PNG\r\n\x1a\n...", 8, 8)
 
 
