@@ -877,6 +877,29 @@ def dimension_stats(
     )
 
 
+# ------------------------------------------- persisted kNN edge store
+
+
+def write_knn_graph_store(edges: DataFrame, path: str) -> None:
+    """Materialize a kNN edge list (``knn_graph`` output: src, nbr,
+    cos_sim, rnk) as a parquet edge store — the graph tier's analogue
+    of the ANN/index/fingerprint stores. The whole graph family
+    (PageRank, triangles, weighted PR, label propagation, HITS)
+    consumes the SAME edges, and at 100 TB the banded self-join that
+    builds them is the expensive stage (an ANN sweep of the corpus)
+    while every downstream centrality/labeling pass is join-light on
+    k·N rows. Build once at ingest cadence, read many at query
+    cadence; identical results by construction (the edge list is the
+    algorithms' only data input)."""
+    edges.write.mode("overwrite").parquet(path)
+
+
+def read_knn_graph_store(spark, path: str) -> DataFrame:
+    """The stored edge list, ready for graph.pagerank / hits_scores /
+    label_propagation / triangle_stats."""
+    return spark.read.parquet(path)
+
+
 # ------------------------------------------------ on-disk ANN store
 
 

@@ -328,6 +328,42 @@ def test_hits_empty_edges_all_zero_not_nan(spark):
         assert r["hub"] == 0.0 and r["authority"] == 0.0
 
 
+def test_knn_graph_store_round_trip(spark, tmp_path):
+    """The persisted edge store feeds the whole graph family with
+    results identical to the directly-built edges — the operational
+    build-once/read-many tier for q127/q136/q137/q138/q140."""
+    from lynx_spark.operators.graph import hits_scores, pagerank
+    from lynx_spark.operators.similarity import (
+        knn_graph,
+        read_knn_graph_store,
+        write_knn_graph_store,
+    )
+    from lynx_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    edges = knn_graph(emb, "vec_id", "embedding", k=5)
+    store = str(tmp_path / "knn_edges")
+    write_knn_graph_store(edges, store)
+    stored = read_knn_graph_store(spark, store)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, edges.collect())
+    )
+    nodes = emb.select("vec_id")
+    direct_pr = pagerank(
+        edges.select("src", "nbr"), nodes, "vec_id", n_iters=2
+    )
+    stored_pr = pagerank(
+        stored.select("src", "nbr"), nodes, "vec_id", n_iters=2
+    )
+    assert sorted(map(tuple, stored_pr.collect())) == sorted(
+        map(tuple, direct_pr.collect())
+    )
+    stored_hits = hits_scores(
+        stored.select("src", "nbr"), nodes, "vec_id", n_iters=1
+    )
+    assert stored_hits.count() == nodes.count()
+
+
 def test_weighted_pagerank_zero_weight_node(spark):
     """A node whose outgoing weights all sum to 0 contributes no rank
     (guarded share), and every output stays finite."""
