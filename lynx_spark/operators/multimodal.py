@@ -14,16 +14,17 @@ Header-level metadata decoding is REAL and library-free:
   ``decode_audio`` — sample rate, channels, bit depth, duration);
 - format sniffing by magic bytes (``sniff_format``).
 
-PIXEL-level work is REAL for 24-bit BMP AND 8-bit RGB/RGBA
-non-interlaced PNG — hand-written stdlib codecs
+PIXEL-level work is REAL for 24-bit BMP, 8-bit RGB/RGBA
+non-interlaced PNG AND paletted GIF — hand-written stdlib codecs
 (``decode_bmp_pixels`` / ``encode_bmp``; ``decode_png_pixels`` /
 ``encode_png`` with zlib + all five PNG row filters;
-``resize_nearest``) decode, resize and re-encode actual pixels, and
-``extract_image_features`` runs them as Arrow-batched
+``decode_gif_pixels`` / ``encode_gif`` with a real variable-width
+LZW; ``resize_nearest``) decode, resize and re-encode actual
+pixels, and ``extract_image_features`` runs them as Arrow-batched
 ``mapInPandas`` with a closed-form SQL oracle verifying the decoded
-statistics of BOTH codecs (q94). Only JPEG/GIF pixels still gate on
-PIL (absent here) and raise NotImplementedError — JPEG's DCT
-entropy coding is the one legitimately-library integration point.
+statistics (q94 covers BMP+PNG). Only JPEG pixels still gate on PIL
+(absent here) and raise NotImplementedError — DCT entropy coding is
+the one legitimately-library integration point.
 ``fake_decode_dims`` remains as a clearly-marked DETERMINISTIC FAKE
 for plumbing tests that want dims on arbitrary (non-media) bytes.
 
@@ -163,14 +164,17 @@ def decode_image_dims(data: bytes) -> tuple[int, int] | None:
 
 
 def decode_image(data: bytes):
-    """Real image decode. 24-bit BMP and 8-bit RGB/RGBA PNG decode
-    with the hand-written stdlib codecs (decode_bmp_pixels /
-    decode_png_pixels — return the (h, w, c) array); JPEG/GIF require
-    PIL, absent in this container."""
+    """Real image decode. 24-bit BMP, 8-bit RGB/RGBA PNG and
+    GCT-paletted GIF decode with the hand-written stdlib codecs
+    (decode_bmp_pixels / decode_png_pixels / decode_gif_pixels —
+    return the (h, w, c) array); only JPEG requires PIL, absent in
+    this container."""
     if data is not None and data[:2] == b"BM":
         return decode_bmp_pixels(data)
     if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(data)
+    if data is not None and data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(data)
     try:
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
@@ -480,14 +484,25 @@ FRAME_META_SCHEMA = (
 
 
 def resize_image(data: bytes, width: int, height: int) -> bytes:
-    """Real image resize. BMP and 8-bit RGB/RGBA PNG payloads resize
-    for real — stdlib decode → resize_nearest → stdlib re-encode in
-    the same format; JPEG/GIF require PIL, absent in this
-    container."""
+    """Real image resize. BMP, 8-bit RGB/RGBA PNG and paletted GIF
+    payloads resize for real — stdlib decode → resize_nearest →
+    stdlib re-encode in the same format (GIF resizes in the INDEX
+    domain and keeps its palette, so no re-quantization); only JPEG
+    requires PIL, absent in this container."""
     if data is not None and data[:2] == b"BM":
         return encode_bmp(resize_nearest(decode_bmp_pixels(data), width, height))
     if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
         return encode_png(resize_nearest(decode_png_pixels(data), width, height))
+    if data is not None and data[:6] in (b"GIF87a", b"GIF89a"):
+        import numpy as np  # noqa: PLC0415
+
+        idx, pal = _decode_gif_indices(data)
+        small = resize_nearest(idx[:, :, None], width, height)[:, :, 0]
+        if pal.shape[0] < 256:  # encode_gif writes a full 256-entry GCT
+            pal = np.vstack(
+                [pal, np.zeros((256 - pal.shape[0], 3), dtype=np.uint8)]
+            )
+        return encode_gif(small, pal)
     try:
         import io  # noqa: PLC0415
 
@@ -863,6 +878,212 @@ def bmp_payload_udf(ids: pd.Series) -> pd.Series:
     return ids.map(lambda i: bmp_payload_for_id(int(i)))
 
 
+# ------------------------------------------- REAL pixel path: GIF
+#
+# A stdlib GIF codec: real LZW (variable-width codes, CLEAR/EOI,
+# 12-bit cap) over palette indices, global color table, non-interlaced
+# GIF87a/89a. With BMP and PNG below, this leaves JPEG as the ONLY
+# PIL-gated pixel format — DCT entropy coding is the one legitimately
+# library-shaped integration point.
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR, greedy longest-match dictionary
+    codes, EOI; code width grows with the dictionary and resets at
+    the 12-bit cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    out_bits.append((clear, width))
+    buf = b""
+    for idx in indices:
+        cand = buf + bytes([int(idx)])
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        # width grows the moment the DECODER's table reaches 2^width
+        # (it reads the next code one bit wider from then on); at the
+        # 12-bit cap, emit CLEAR and restart the dictionary
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        elif next_code >= (1 << 12):
+            out_bits.append((clear, width))
+            table, next_code, width = fresh()
+        buf = bytes([int(idx)])
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((eoi, width))
+    acc = n = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int):
+    """Inverse of _lzw_encode (the GIF spec decoder, incl. the
+    KwKwK self-referencing case). Returns the index list."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = n = pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while n < width:
+            if pos >= len(data):
+                return out  # missing EOI: tolerate truncation
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # the decoder's table runs ONE entry behind the encoder's (it
+        # adds nothing on the first post-CLEAR code), so the width
+        # bump fires at 2^width - 1 — the classic GIF LZW off-by-one
+        if len(table) + 1 == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+def encode_gif(indices_2d, palette) -> bytes:
+    """Encode an (h, w) uint8 index array + a 256×3 palette as a REAL
+    non-interlaced GIF89a with a global color table and genuine LZW
+    image data."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w = indices_2d.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.shape != (256, 3):
+        raise ValueError("encode_gif wants a 256x3 palette")
+    min_code = 8  # 256-entry table
+    lzw = _lzw_encode(np.asarray(indices_2d, dtype=np.uint8).ravel(), min_code)
+    out = bytearray(b"GIF89a")
+    # packed: GCT present, 8-bit color resolution, 256-entry table
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_pixels(data: bytes):
+    """REAL pixel decode for non-interlaced GIF87a/89a with a global
+    color table: walks the block stream (skipping extensions), LZW-
+    decodes the first image, maps indices through the palette →
+    (h, w, 3) uint8 RGB. Raises ValueError outside that subset
+    (interlaced, local color tables)."""
+    idx, pal = _decode_gif_indices(data)
+    return pal[idx]
+
+
+def _decode_gif_indices(data: bytes):
+    """(index array (h, w), palette (n, 3)) — the palette-domain
+    decode shared by decode_gif_pixels and the exact index-domain
+    resize path."""
+    import numpy as np  # noqa: PLC0415
+
+    if data is None or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pal = np.frombuffer(
+        data, dtype=np.uint8, count=gct_n * 3, offset=pos
+    ).reshape(gct_n, 3)
+    pos += gct_n * 3
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                bytes(_lzw_decode(bytes(lzw), min_code)), dtype=np.uint8
+            )
+            if idx.size != iw * ih:
+                raise ValueError("GIF pixel payload has the wrong size")
+            return idx.reshape(ih, iw), pal
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF missing image data")
+
+
+def synthesize_gif(width: int, height: int, seed: int) -> bytes:
+    """REAL GIF with the closed-form INDEX pattern
+    idx = (x*7 + y*11 + seed) % 256 over the palette
+    pal[i] = (i, (i*3)%256, (i*7)%256) — every decoded-pixel
+    statistic stays pure arithmetic, the palette-codec analogue of
+    synthesize_bmp/synthesize_png."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)[:, None]
+    idx = ((x * 7 + y * 11 + seed) % 256).astype(np.uint8)
+    idx = np.broadcast_to(idx, (height, width))
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([i, (i * 3) % 256, (i * 7) % 256], axis=1).astype(np.uint8)
+    return encode_gif(idx, pal)
+
+
 # ------------------------------------------- REAL pixel path: PNG
 #
 # A full stdlib PNG codec for the 8-bit RGB/RGBA non-interlaced
@@ -1071,12 +1292,14 @@ def mixed_image_payload_udf(ids: pd.Series) -> pd.Series:
 
 
 def _decode_pixels_stdlib(data: bytes):
-    """Dispatch to the library-free pixel decoders (BMP, PNG);
+    """Dispatch to the library-free pixel decoders (BMP, PNG, GIF);
     ValueError for anything else — feature extractors degrade on it."""
     if data is not None and data[:2] == b"BM":
         return decode_bmp_pixels(data)
     if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(data)
+    if data is not None and data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(data)
     raise ValueError("no stdlib pixel codec for this payload")
 
 

@@ -1724,6 +1724,45 @@ def test_png_pattern_decode_image_and_resize():
     assert (thumb == mm.resize_nearest(px, 4, 4)).all()
 
 
+def test_gif_codec_lzw_round_trips():
+    """Real LZW: random indices (dictionary overflow past the 12-bit
+    cap forces a mid-stream CLEAR), repetitive data (long chains +
+    the KwKwK self-reference), and single-color stress all round-trip
+    bit-exactly through encode_gif/decode_gif_pixels."""
+    import numpy as np
+    from lynx_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(0)
+    pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    for shape in [(1, 1), (3, 5), (100, 100), (137, 61)]:
+        idx = rng.randint(0, 256, size=shape).astype(np.uint8)
+        back = mm.decode_gif_pixels(mm.encode_gif(idx, pal))
+        assert back.shape == shape + (3,)
+        assert (back == pal[idx]).all(), shape
+    rep = np.tile(np.arange(16, dtype=np.uint8), (64, 4))
+    assert (mm.decode_gif_pixels(mm.encode_gif(rep, pal)) == pal[rep]).all()
+    flat = np.zeros((80, 80), dtype=np.uint8)
+    assert (mm.decode_gif_pixels(mm.encode_gif(flat, pal)) == pal[flat]).all()
+
+
+def test_gif_pattern_decode_image_and_resize():
+    """synthesize_gif carries a closed-form index pattern through
+    real LZW; decode_image and resize_image take the stdlib GIF path
+    (resize in the INDEX domain, palette preserved)."""
+    from lynx_spark.operators import multimodal as mm
+
+    b = mm.synthesize_gif(10, 7, 42)
+    assert mm.sniff_format(b) == "gif"
+    assert mm.parse_gif_header(b) == (10, 7)
+    px = mm.decode_gif_pixels(b)
+    assert px.shape == (7, 10, 3)
+    i34 = (4 * 7 + 3 * 11 + 42) % 256
+    assert tuple(px[3, 4]) == (i34, (i34 * 3) % 256, (i34 * 7) % 256)
+    assert (mm.decode_image(b) == px).all()
+    small = mm.decode_gif_pixels(mm.resize_image(b, 4, 4))
+    assert (small == mm.resize_nearest(px, 4, 4)).all()
+
+
 def test_image_features_mixed_bmp_png(spark):
     """The q94 payload column: BMP for even ids, PNG for odd — both
     codecs' decoded statistics match the one closed-form pattern."""

@@ -334,6 +334,62 @@ def test_bmp_pattern_roundtrip_property(w, h, seed):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=250),
+    ft=st.integers(min_value=0, max_value=4),
+    alpha=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_pattern_roundtrip_property(w, h, seed, ft, alpha):
+    """PNG twin of the BMP property: synthesize → decode recovers the
+    exact pattern for ANY dims/seed, and an encode under ANY of the
+    five row filters (RGB or RGBA) round-trips bit-exactly."""
+    import numpy as np
+    from lynx_spark.operators import multimodal as mm
+
+    px = mm.decode_png_pixels(mm.synthesize_png(w, h, seed))
+    assert px.shape == (h, w, 3)
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    assert (px[:, :, 0] == (x * 7 + seed) % 256).all()
+    assert (px[:, :, 1] == np.broadcast_to((y * 11 + seed) % 256, (h, w))).all()
+    assert (px[:, :, 2] == ((x + y) * 13 + seed) % 256).all()
+    if alpha:
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 4)).astype(np.uint8)
+    back = mm.decode_png_pixels(mm.encode_png(px, filter_type=ft))
+    assert back.shape == px.shape and (back == px).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=250),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_pattern_roundtrip_property(w, h, seed):
+    """GIF twin: the closed-form index pattern survives real LZW for
+    ANY dims/seed, and random indices round-trip bit-exactly."""
+    import numpy as np
+    from lynx_spark.operators import multimodal as mm
+
+    px = mm.decode_gif_pixels(mm.synthesize_gif(w, h, seed))
+    assert px.shape == (h, w, 3)
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    idx = (x * 7 + y * 11 + seed) % 256
+    assert (px[:, :, 0] == idx).all()
+    assert (px[:, :, 1] == (idx * 3) % 256).all()
+    assert (px[:, :, 2] == (idx * 7) % 256).all()
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    rand_idx = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    back = mm.decode_gif_pixels(mm.encode_gif(rand_idx, pal))
+    assert (back == pal[rand_idx]).all()
+
+
+@given(
     w=st.integers(min_value=1, max_value=30),
     h=st.integers(min_value=1, max_value=30),
     ow=st.integers(min_value=1, max_value=8),
