@@ -1,0 +1,92 @@
+"""Physical-plan regression guard: pins the load-bearing claims of
+PLANS.md so a silent plan regression (a broadcast decaying to a
+shuffle join, a pushed filter lifting off the scan, a zero-shuffle
+operator growing an exchange) fails CI instead of surfacing as a
+bench slowdown three rounds later. Plans are inspected at sf0.001 —
+the PROPERTIES asserted (join strategy, exchange count, pushdown)
+are scale-free; only the AQE broadcast/SMJ flip is size-dependent,
+and these queries' build sides are dimension/model-sized by design.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lynx_spark.plans.analytics import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        REGISTRY[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q03_double_broadcast_with_pushdown(spark):
+    plan = plan_of(spark, "q03_shipping_priority")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_q01_pushdown_no_join(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q05_all_broadcast(spark):
+    plan = plan_of(spark, "q05_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_q42_raw_ns_predicate_pushed(spark):
+    # the ts bound must reach the scan as a raw-nanosecond long, not
+    # the derived µs column (which would block pushdown)
+    plan = plan_of(spark, "q42_downsample")
+    assert "LessThan(ts," in plan
+
+
+def test_zero_shuffle_row_local_operators(spark):
+    for name in ("q63_pii_scrub", "q69_gopher_filter"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_q73_single_domain_exchange_with_group_limit(spark):
+    plan = plan_of(spark, "q73_domain_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # rn<=budget fuses into WindowGroupLimit: map tasks ship only
+    # their per-domain top rows through the one exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_q24_deliberate_broadcast_nested_loop(spark):
+    # the brute-force cosine baseline broadcasts the query side; a
+    # CartesianProduct here would mean the broadcast hint was lost
+    plan = plan_of(spark, "q24_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q21_dedup_exact",
+        "q22_ngram_jaccard",
+        "q23_minhash_lsh",
+        "q83_knn_graph",
+        "q110_incremental_winnow",
+    ],
+)
+def test_no_cartesian_products_in_dedup_family(spark, name):
+    # candidate generation is equality-join/window shaped everywhere;
+    # an accidental cross join is the classic quadratic regression
+    assert "CartesianProduct" not in plan_of(spark, name), name
