@@ -1279,16 +1279,28 @@ def png_payload_for_id(doc_id: int) -> bytes:
     )
 
 
+def gif_payload_for_id(doc_id: int) -> bytes:
+    """Deterministic GIF keyed by doc_id — same dims/seed formulas,
+    the palette-index pattern of synthesize_gif."""
+    return synthesize_gif(
+        8 + (doc_id * 3) % 24, 8 + (doc_id * 5) % 24, doc_id % 251
+    )
+
+
 @F.pandas_udf(BinaryType())
 def mixed_image_payload_udf(ids: pd.Series) -> pd.Series:
-    """BMP for even doc_ids, PNG for odd — the q94 payload column
-    exercising BOTH stdlib pixel codecs under one closed-form
-    oracle."""
-    return ids.map(
-        lambda i: bmp_payload_for_id(int(i))
-        if int(i) % 2 == 0
-        else png_payload_for_id(int(i))
-    )
+    """The q94 payload column cycling ALL THREE stdlib pixel codecs
+    by doc_id % 3 (0 → BMP, 1 → PNG, 2 → GIF) under one closed-form
+    oracle — a green row proves the BMP stride/orientation decode,
+    the PNG inflate + unfilter chain AND the GIF LZW + palette
+    mapping."""
+
+    def payload(i: int) -> bytes:
+        return (bmp_payload_for_id, png_payload_for_id, gif_payload_for_id)[
+            i % 3
+        ](i)
+
+    return ids.map(lambda i: payload(int(i)))
 
 
 def _decode_pixels_stdlib(data: bytes):

@@ -88,7 +88,7 @@ _VERIFY_FIRST = [
     # Entries below are round-6 REWRITES of already-green queries
     # (history can't detect those — keep until their post-rewrite
     # CORRECTNESS row lands).
-    "q94_image_features",  # r06: real-PNG payloads for odd doc_ids
+    "q94_image_features",  # r06: payloads now cycle bmp/png/gif %3
 ]
 
 
@@ -3535,28 +3535,39 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH docs AS (SELECT doc_id,
                 8 + (doc_id * 3) % 24 AS w,
                 8 + (doc_id * 5) % 24 AS h,
-                doc_id % 251 AS s
+                doc_id % 251 AS s,
+                doc_id % 3 AS m
               FROM documents),
-px AS (SELECT doc_id, w, h, s, ux.x AS x, uy.y AS y
+px AS (SELECT doc_id, m, w, h, s, ux.x AS x, uy.y AS y
        FROM docs
        CROSS JOIN LATERAL unnest(range(0, w)) ux(x)
        CROSS JOIN LATERAL unnest(range(0, h)) uy(y)),
-sums AS (SELECT doc_id, w, h,
-           sum((x * 7 + s) % 256) AS sr,
-           sum((y * 11 + s) % 256) AS sg,
-           sum(((x + y) * 13 + s) % 256) AS sb
-         FROM px GROUP BY doc_id, w, h),
-thumb AS (SELECT d.doc_id,
-            sum(  ((uj.j * d.w // 4) * 7 + d.s) % 256
-                + ((ui.i * d.h // 4) * 11 + d.s) % 256
-                + (((uj.j * d.w // 4) + (ui.i * d.h // 4)) * 13 + d.s) % 256
-            ) AS cks
-          FROM docs d
-          CROSS JOIN LATERAL unnest(range(0, 4)) ui(i)
-          CROSS JOIN LATERAL unnest(range(0, 4)) uj(j)
-          GROUP BY d.doc_id)
+ch AS (SELECT doc_id, w, h,
+         CASE WHEN m = 2 THEN (x * 7 + y * 11 + s) % 256
+              ELSE (x * 7 + s) % 256 END AS r,
+         CASE WHEN m = 2 THEN ((x * 7 + y * 11 + s) % 256) * 3 % 256
+              ELSE (y * 11 + s) % 256 END AS g,
+         CASE WHEN m = 2 THEN ((x * 7 + y * 11 + s) % 256) * 7 % 256
+              ELSE ((x + y) * 13 + s) % 256 END AS b
+       FROM px),
+sums AS (SELECT doc_id, w, h, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+         FROM ch GROUP BY doc_id, w, h),
+tpx AS (SELECT d.doc_id, d.m, d.s,
+          (uj.j * d.w // 4) AS x, (ui.i * d.h // 4) AS y
+        FROM docs d
+        CROSS JOIN LATERAL unnest(range(0, 4)) ui(i)
+        CROSS JOIN LATERAL unnest(range(0, 4)) uj(j)),
+thumb AS (SELECT doc_id,
+            sum(CASE WHEN m = 2 THEN
+                  (x * 7 + y * 11 + s) % 256
+                  + ((x * 7 + y * 11 + s) % 256) * 3 % 256
+                  + ((x * 7 + y * 11 + s) % 256) * 7 % 256
+                ELSE (x * 7 + s) % 256 + (y * 11 + s) % 256
+                  + ((x + y) * 13 + s) % 256 END) AS cks
+          FROM tpx GROUP BY doc_id)
 SELECT s.doc_id,
-  CASE WHEN s.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+  CASE s.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+    ELSE 'gif' END AS format,
   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   floor(CAST(sr AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_r,
   floor(CAST(sg AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_g,
@@ -3564,16 +3575,17 @@ SELECT s.doc_id,
   CAST(t.cks AS BIGINT) AS resize4_checksum
 FROM sums s JOIN thumb t USING (doc_id)
 """,
-    description="image CONTENT check at PIXEL level: real 24-bit BMP "
-    "(even doc_ids) and real zlib-compressed 8-bit RGB PNG (odd "
-    "doc_ids) payloads, synthesized per doc_id with ONE closed-form "
-    "pixel pattern and decoded by the hand-written stdlib codecs "
-    "inside Arrow-batched mapInPandas; per-channel means from exact "
-    "integer sums and a REAL 4×4 nearest-neighbor-resize checksum — "
-    "the oracle predicts every decoded-pixel statistic "
-    "arithmetically, so a green row proves BOTH codecs' decode "
-    "(incl. PNG inflate + Sub unfiltering), orientation, channel "
-    "order AND resize, not just headers",
+    description="image CONTENT check at PIXEL level: doc_id % 3 "
+    "cycles real 24-bit BMP, real zlib-compressed 8-bit RGB PNG and "
+    "real LZW-compressed paletted GIF payloads, each synthesized "
+    "with a closed-form pixel pattern and decoded by the "
+    "hand-written stdlib codecs inside Arrow-batched mapInPandas; "
+    "per-channel means from exact integer sums and a REAL 4×4 "
+    "nearest-neighbor-resize checksum — the oracle predicts every "
+    "decoded-pixel statistic arithmetically, so a green row proves "
+    "ALL THREE codecs' decode (BMP stride/orientation, PNG inflate "
+    "+ unfiltering, GIF LZW + palette mapping), channel order AND "
+    "resize, not just headers",
 )
 def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lynx_spark.operators.multimodal import (

@@ -1763,9 +1763,13 @@ def test_gif_pattern_decode_image_and_resize():
     assert (small == mm.resize_nearest(px, 4, 4)).all()
 
 
-def test_image_features_mixed_bmp_png(spark):
-    """The q94 payload column: BMP for even ids, PNG for odd — both
-    codecs' decoded statistics match the one closed-form pattern."""
+def test_image_features_mixed_bmp_png_gif(spark):
+    """The q94 payload column: doc_id % 3 cycles BMP/PNG/GIF — all
+    three stdlib codecs' decoded statistics match the closed-form
+    patterns."""
+    import math
+
+    import numpy as np
     from pyspark.sql import functions as F
 
     from lynx_spark.operators.multimodal import (
@@ -1773,18 +1777,29 @@ def test_image_features_mixed_bmp_png(spark):
         mixed_image_payload_udf,
     )
 
-    df = spark.range(4).select(F.col("id").cast("long").alias("doc_id"))
+    df = spark.range(6).select(F.col("id").cast("long").alias("doc_id"))
     payloads = df.withColumn("payload", mixed_image_payload_udf("doc_id"))
     rows = {r["doc_id"]: r for r in
             extract_image_features(payloads, "doc_id", "payload").collect()}
-    assert rows[0]["format"] == "bmp" and rows[1]["format"] == "png"
-    # doc 1: w = 8+3 = 11, h = 8+5 = 13, s = 1;
+    assert [rows[i]["format"] for i in range(6)] == [
+        "bmp", "png", "gif", "bmp", "png", "gif",
+    ]
+    # doc 1 (png): w = 11, h = 13, s = 1;
     # mean_r = mean((x*7+1)%256, x<11) = (11 + 7*55)/11 = 36.0
     assert rows[1]["width"] == 11 and rows[1]["height"] == 13
     assert rows[1]["mean_r"] == 36.0
-    # same doc_id, same pattern: PNG (odd) and BMP (even) agree with
-    # the arithmetic regardless of codec
     assert rows[0]["format"] == "bmp" and rows[0]["mean_r"] == 24.5
+    # doc 2 (gif): w = 14, h = 18, s = 2; index pattern channels
+    w, h, s = 14, 18, 2
+    assert rows[2]["width"] == w and rows[2]["height"] == h
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    idx = (x * 7 + y * 11 + s) % 256
+    want = math.floor(idx.mean() * 10000 + 0.5) / 10000
+    assert rows[2]["mean_r"] == want
+    assert rows[2]["mean_g"] == math.floor(
+        ((idx * 3) % 256).mean() * 10000 + 0.5
+    ) / 10000
 
 
 def test_image_features_real_decode(spark):
