@@ -22,9 +22,13 @@ non-interlaced PNG AND paletted GIF — hand-written stdlib codecs
 LZW; ``resize_nearest``) decode, resize and re-encode actual
 pixels, and ``extract_image_features`` runs them as Arrow-batched
 ``mapInPandas`` with a closed-form SQL oracle verifying the decoded
-statistics (q94 covers BMP+PNG). Only JPEG pixels still gate on PIL
-(absent here) and raise NotImplementedError — DCT entropy coding is
-the one legitimately-library integration point.
+statistics of ALL THREE codecs (q94 cycles bmp/png/gif by
+doc_id % 3). Formats outside the stdlib subset fall through to PIL
+when installed; in this container that path raises
+NotImplementedError, leaving JPEG's DCT entropy coding as the one
+legitimately-library integration point. Malformed payloads
+normalize to ValueError everywhere, so feature extractors degrade
+row-wise instead of failing jobs.
 ``fake_decode_dims`` remains as a clearly-marked DETERMINISTIC FAKE
 for plumbing tests that want dims on arbitrary (non-media) bytes.
 
@@ -166,15 +170,15 @@ def decode_image_dims(data: bytes) -> tuple[int, int] | None:
 def decode_image(data: bytes):
     """Real image decode. 24-bit BMP, 8-bit RGB/RGBA PNG and
     GCT-paletted GIF decode with the hand-written stdlib codecs
-    (decode_bmp_pixels / decode_png_pixels / decode_gif_pixels —
-    return the (h, w, c) array); only JPEG requires PIL, absent in
-    this container."""
-    if data is not None and data[:2] == b"BM":
-        return decode_bmp_pixels(data)
-    if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png_pixels(data)
-    if data is not None and data[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif_pixels(data)
+    (one dispatch table: ``_decode_pixels_stdlib`` — returns the
+    (h, w, c) array); formats OUTSIDE the stdlib subset (JPEG,
+    interlaced/paletted PNG variants, ...) fall through to PIL when
+    installed, else NotImplementedError."""
+    try:
+        return _decode_pixels_stdlib(data)
+    except ValueError:
+        if data is None:
+            raise
     try:
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
@@ -483,12 +487,10 @@ FRAME_META_SCHEMA = (
 )
 
 
-def resize_image(data: bytes, width: int, height: int) -> bytes:
-    """Real image resize. BMP, 8-bit RGB/RGBA PNG and paletted GIF
-    payloads resize for real — stdlib decode → resize_nearest →
-    stdlib re-encode in the same format (GIF resizes in the INDEX
-    domain and keeps its palette, so no re-quantization); only JPEG
-    requires PIL, absent in this container."""
+def _resize_stdlib(data: bytes, width: int, height: int) -> bytes:
+    """stdlib decode → resize_nearest → re-encode in the same format
+    (GIF resizes in the INDEX domain and keeps its palette, so no
+    re-quantization). ValueError outside the stdlib codec subset."""
     if data is not None and data[:2] == b"BM":
         return encode_bmp(resize_nearest(decode_bmp_pixels(data), width, height))
     if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
@@ -503,6 +505,19 @@ def resize_image(data: bytes, width: int, height: int) -> bytes:
                 [pal, np.zeros((256 - pal.shape[0], 3), dtype=np.uint8)]
             )
         return encode_gif(small, pal)
+    raise ValueError("no stdlib pixel codec for this payload")
+
+
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Real image resize. BMP, 8-bit RGB/RGBA PNG and paletted GIF
+    payloads resize for real via the stdlib codecs; formats outside
+    that subset (JPEG, interlaced PNG, ...) fall through to PIL when
+    installed, else NotImplementedError."""
+    try:
+        return _resize_stdlib(data, width, height)
+    except ValueError:
+        if data is None:
+            raise
     try:
         import io  # noqa: PLC0415
 
@@ -1019,7 +1034,15 @@ def decode_gif_pixels(data: bytes):
 def _decode_gif_indices(data: bytes):
     """(index array (h, w), palette (n, 3)) — the palette-domain
     decode shared by decode_gif_pixels and the exact index-domain
-    resize path."""
+    resize path. Malformed payloads (truncated blocks/headers)
+    normalize to ValueError, keeping the degrade contract."""
+    try:
+        return _decode_gif_indices_inner(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed GIF payload: {e}") from e
+
+
+def _decode_gif_indices_inner(data: bytes):
     import numpy as np  # noqa: PLC0415
 
     if data is None or data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1091,16 +1114,6 @@ def synthesize_gif(width: int, height: int, seed: int) -> bytes:
 # Up/Average/Paeth) implemented by hand. This closes the PIL gate for
 # PNG pixels — only JPEG's DCT entropy coding legitimately remains a
 # library integration point.
-
-
-def _paeth(a: int, b: int, c: int) -> int:
-    """The Paeth predictor (PNG spec §9.4): nearest of left/up/
-    up-left to the linear estimate a + b − c, ties broken a, b, c."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
 
 
 def encode_png(pixels, filter_type: int = 0) -> bytes:
@@ -1176,8 +1189,18 @@ def decode_png_pixels(data: bytes):
     subset: chunk walk → concatenated IDAT → zlib.decompress → per-row
     unfilter (all five filter types) → (h, w, 3|4) uint8 array with
     row 0 = top. Raises ValueError on anything outside that subset
-    (palette, 16-bit, interlaced, grayscale) — those payloads degrade
-    like any undecodable blob in the feature extractors."""
+    (palette, 16-bit, interlaced, grayscale) AND on any malformed
+    payload (truncated chunks, corrupt deflate) — a single exception
+    type, so the feature extractors' degrade contract holds."""
+    import zlib  # noqa: PLC0415
+
+    try:
+        return _decode_png_inner(data)
+    except (struct.error, IndexError, zlib.error) as e:
+        raise ValueError(f"malformed PNG payload: {e}") from e
+
+
+def _decode_png_inner(data: bytes):
     import zlib  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -1230,19 +1253,23 @@ def decode_png_pixels(data: bytes):
             for x in range(w):
                 a = cur[x - 1] if x else np.zeros(bpp, dtype=np.int64)
                 cur[x] = (line[x] + (a + prev[x]) // 2) % 256
-        elif ft == 4:  # Paeth — sequential in x
+        elif ft == 4:  # Paeth — sequential in x (left dependency),
+            # channels vectorized: no per-element Python in the
+            # mapInPandas hot loop
             cur = np.zeros((w, bpp), dtype=np.int64)
             zero = np.zeros(bpp, dtype=np.int64)
             for x in range(w):
                 a = cur[x - 1] if x else zero
                 c_ = prev[x - 1] if x else zero
                 b_ = prev[x]
-                pred = np.array(
-                    [
-                        _paeth(int(a[i]), int(b_[i]), int(c_[i]))
-                        for i in range(bpp)
-                    ],
-                    dtype=np.int64,
+                p = a + b_ - c_
+                pa = np.abs(p - a)
+                pb = np.abs(p - b_)
+                pc = np.abs(p - c_)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    a,
+                    np.where(pb <= pc, b_, c_),
                 )
                 cur[x] = (line[x] + pred) % 256
         else:

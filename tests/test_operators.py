@@ -225,11 +225,12 @@ def test_wav_synth_round_trip():
 
 
 def test_decode_image_stub_raises():
-    # JPEG is the remaining PIL integration point (PNG/BMP are
-    # stdlib-real now); malformed PNG fails in the stdlib codec
+    # anything the stdlib codecs don't own (JPEG; malformed PNG/GIF
+    # included — PIL might still identify them) falls through to the
+    # PIL gate, which raises NotImplementedError in this container
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0xxxx")
-    with pytest.raises(ValueError):
+    with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")
 
 
@@ -561,11 +562,12 @@ def test_video_frame_sampling_plumbing(spark):
     # deterministic: same input -> same hashes
     again = sample_video_frames(df, "doc_id", "blob", n_frames=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
-    # JPEG is the remaining PIL gate; malformed PNG fails in the
-    # stdlib codec (r06: PNG resize is library-free)
+    # outside the stdlib codec subset (JPEG; malformed payloads
+    # PIL might still identify) resize falls through to the PIL
+    # gate, NotImplementedError in this container
     with pytest.raises(NotImplementedError):
         resize_image(b"\xff\xd8\xff\xe0...", 8, 8)
-    with pytest.raises(ValueError):
+    with pytest.raises(NotImplementedError):
         resize_image(b"\x89PNG\r\n\x1a\n...", 8, 8)
 
 
@@ -1761,6 +1763,44 @@ def test_gif_pattern_decode_image_and_resize():
     assert (mm.decode_image(b) == px).all()
     small = mm.decode_gif_pixels(mm.resize_image(b, 4, 4))
     assert (small == mm.resize_nearest(px, 4, 4)).all()
+
+
+def test_malformed_media_degrades_not_fails(spark):
+    """The degrade contract: corrupt deflate, truncated chunks and
+    truncated GIF blocks raise ValueError from the decoders (never
+    zlib.error/struct.error/IndexError), and the feature extractor
+    skips those rows instead of failing the job."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from lynx_spark.operators import multimodal as mm
+
+    good_png = mm.synthesize_png(8, 8, 1)
+    corrupt_idat = good_png[:40] + b"\x00\x00\x00\x00" + good_png[44:]
+    truncated_png = good_png[:20]
+    good_gif = mm.synthesize_gif(8, 8, 1)
+    truncated_gif = good_gif[:25]
+    for bad in (corrupt_idat, truncated_png):
+        with pytest.raises(ValueError):
+            mm.decode_png_pixels(bad)
+    with pytest.raises(ValueError):
+        mm.decode_gif_pixels(truncated_gif)
+
+    payloads = {
+        0: good_png, 1: corrupt_idat, 2: truncated_png,
+        3: good_gif, 4: truncated_gif,
+    }
+
+    payload_udf = F.pandas_udf(
+        lambda ids: ids.map(lambda i: payloads[int(i)]), BinaryType()
+    )
+
+    df = spark.range(5).select(F.col("id").cast("long").alias("doc_id"))
+    out = mm.extract_image_features(
+        df.withColumn("payload", payload_udf("doc_id")), "doc_id", "payload"
+    ).collect()
+    assert {r["doc_id"] for r in out} == {0, 3}  # bad rows dropped
 
 
 def test_image_features_mixed_bmp_png_gif(spark):
