@@ -22,13 +22,17 @@ non-interlaced PNG AND paletted GIF — hand-written stdlib codecs
 LZW; ``resize_nearest``) decode, resize and re-encode actual
 pixels, and ``extract_image_features`` runs them as Arrow-batched
 ``mapInPandas`` with a closed-form SQL oracle verifying the decoded
-statistics of ALL THREE codecs (q94 cycles bmp/png/gif by
-doc_id % 3). Formats outside the stdlib subset fall through to PIL
-when installed; in this container that path raises
-NotImplementedError, leaving JPEG's DCT entropy coding as the one
-legitimately-library integration point. Malformed payloads
-normalize to ValueError everywhere, so feature extractors degrade
-row-wise instead of failing jobs.
+statistics of the exact codecs (q94 cycles bmp/png/gif by
+doc_id % 3). Baseline sequential JPEG (SOF0, 4:4:4) is ALSO
+stdlib-real — ``operators/jpegcodec.py`` implements Huffman entropy
+coding + the exact orthonormal DCT pair, validated by
+round-trip-within-tolerance tests (JPEG is lossy by design, so it
+stays out of the bit-exact q94 oracle). Formats outside the stdlib
+subsets (progressive/subsampled JPEG, interlaced PNG, ...) fall
+through to PIL when installed; in this container that path raises
+NotImplementedError. Malformed payloads normalize to ValueError
+everywhere, so feature extractors degrade row-wise instead of
+failing jobs.
 ``fake_decode_dims`` remains as a clearly-marked DETERMINISTIC FAKE
 for plumbing tests that want dims on arbitrary (non-media) bytes.
 
@@ -505,6 +509,17 @@ def _resize_stdlib(data: bytes, width: int, height: int) -> bytes:
                 [pal, np.zeros((256 - pal.shape[0], 3), dtype=np.uint8)]
             )
         return encode_gif(small, pal)
+    if data is not None and data[:3] == b"\xff\xd8\xff":
+        from lynx_spark.operators.jpegcodec import (  # noqa: PLC0415
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+
+        px = decode_jpeg_pixels(data)
+        if px.ndim == 3:
+            return encode_jpeg(resize_nearest(px, width, height), quant=1)
+        small = resize_nearest(px[:, :, None], width, height)[:, :, 0]
+        return encode_jpeg(small, quant=1)
     raise ValueError("no stdlib pixel codec for this payload")
 
 
@@ -1331,14 +1346,21 @@ def mixed_image_payload_udf(ids: pd.Series) -> pd.Series:
 
 
 def _decode_pixels_stdlib(data: bytes):
-    """Dispatch to the library-free pixel decoders (BMP, PNG, GIF);
-    ValueError for anything else — feature extractors degrade on it."""
+    """Dispatch to the library-free pixel decoders (BMP, PNG, GIF,
+    baseline JPEG); ValueError for anything else — feature extractors
+    degrade on it, decode_image/resize_image fall through to PIL."""
     if data is not None and data[:2] == b"BM":
         return decode_bmp_pixels(data)
     if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(data)
     if data is not None and data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(data)
+    if data is not None and data[:3] == b"\xff\xd8\xff":
+        from lynx_spark.operators.jpegcodec import (  # noqa: PLC0415
+            decode_jpeg_pixels,
+        )
+
+        return decode_jpeg_pixels(data)
     raise ValueError("no stdlib pixel codec for this payload")
 
 

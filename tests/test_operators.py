@@ -1765,6 +1765,60 @@ def test_gif_pattern_decode_image_and_resize():
     assert (small == mm.resize_nearest(px, 4, 4)).all()
 
 
+def test_jpeg_codec_round_trips_and_subset_gates():
+    """Baseline JPEG: encode→decode stays within the DCT/YCbCr
+    rounding bound at quant=1 (gray ±1, color ±2), compresses for
+    real at higher quant, survives 0xFF byte stuffing, and rejects
+    out-of-subset files with ValueError (the PIL fall-through)."""
+    import numpy as np
+    import pytest as pt
+
+    from lynx_spark.operators import jpegcodec as jc
+    from lynx_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    bg = jc.encode_jpeg(g, quant=1)
+    assert mm.sniff_format(bg) == "jpeg"
+    assert mm.parse_jpeg_header(bg) == (24, 16)
+    back = jc.decode_jpeg_pixels(bg)
+    assert back.shape == g.shape
+    assert int(np.abs(back.astype(int) - g.astype(int)).max()) <= 1
+
+    c = rng.randint(0, 256, size=(17, 13, 3)).astype(np.uint8)
+    back_c = jc.decode_jpeg_pixels(jc.encode_jpeg(c, quant=1))
+    assert back_c.shape == c.shape
+    assert int(np.abs(back_c.astype(int) - c.astype(int)).max()) <= 2
+
+    # all-255 blocks make large DC codes -> 0xFF bytes -> stuffing
+    flat = np.full((24, 24), 255, dtype=np.uint8)
+    assert (jc.decode_jpeg_pixels(jc.encode_jpeg(flat, quant=1)) == 255).all()
+
+    # real lossy compression at quant=16 on a smooth gradient
+    y, x = np.mgrid[0:64, 0:64]
+    smooth = ((x * 2 + y * 3) % 200 + 20).astype(np.uint8)
+    b16 = jc.encode_jpeg(smooth, quant=16)
+    assert len(b16) < smooth.size // 4  # actually compresses
+    assert int(np.abs(
+        jc.decode_jpeg_pixels(b16).astype(int) - smooth.astype(int)
+    ).max()) <= 16
+
+    # decode_image/resize_image take the stdlib JPEG path now
+    assert (mm.decode_image(bg) == back).all()
+    small = jc.decode_jpeg_pixels(mm.resize_image(bg, 8, 8))
+    assert small.shape == (8, 8)
+
+    # progressive (SOF2) and subsampled files gate with ValueError
+    prog = bg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pt.raises(ValueError):
+        jc.decode_jpeg_pixels(prog)
+    sof_at = bg.index(b"\xff\xc0")
+    sub = bytearray(bg)
+    sub[sof_at + 11] = 0x22  # claim 2x2 sampling for component 1
+    with pt.raises(ValueError):
+        jc.decode_jpeg_pixels(bytes(sub))
+
+
 def test_malformed_media_degrades_not_fails(spark):
     """The degrade contract: corrupt deflate, truncated chunks and
     truncated GIF blocks raise ValueError from the decoders (never

@@ -390,6 +390,30 @@ def test_gif_pattern_roundtrip_property(w, h, seed):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=1000),
+    color=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_error_bound_property(w, h, seed, color):
+    """Baseline JPEG at quant=1: the round-trip error is bounded by
+    the DCT float rounding (gray ±1) plus the YCbCr integer
+    transform (color ±2) for ANY dimensions (edge-replicated partial
+    blocks included) and pixel content."""
+    import numpy as np
+    from lynx_spark.operators import jpegcodec as jc
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.randint(0, 256, size=shape).astype(np.uint8)
+    back = jc.decode_jpeg_pixels(jc.encode_jpeg(px, quant=1))
+    assert back.shape == px.shape
+    bound = 2 if color else 1
+    assert int(np.abs(back.astype(int) - px.astype(int)).max()) <= bound
+
+
+@given(
     w=st.integers(min_value=1, max_value=30),
     h=st.integers(min_value=1, max_value=30),
     ow=st.integers(min_value=1, max_value=8),
