@@ -1765,6 +1765,70 @@ def test_gif_pattern_decode_image_and_resize():
     assert (small == mm.resize_nearest(px, 4, 4)).all()
 
 
+def test_gif_animation_frames_and_compositing(spark):
+    """Animated GIF: the frame walk yields one composited canvas per
+    image block (draw-over, honoring per-frame offsets and the GCE
+    extensions between frames), local color tables override the
+    global one, and the Spark-side frame-feature extractor fans one
+    blob into per-frame rows with exact channel means."""
+    import struct as st
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from lynx_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    f0 = rng.randint(0, 256, size=(10, 12)).astype(np.uint8)
+    f1 = rng.randint(0, 256, size=(4, 5)).astype(np.uint8)
+    blob = mm.encode_gif_animation([f0, f1], pal, offsets=[(0, 0), (3, 2)])
+    frames = list(mm.iter_gif_frames(blob))
+    assert len(frames) == 2 and frames[0].shape == (10, 12, 3)
+    assert (frames[0] == pal[f0]).all()
+    ref = pal[f0].copy()
+    ref[2:6, 3:8] = pal[f1]
+    assert (frames[1] == ref).all()
+    # single-frame decoders read the first image block
+    assert (mm.decode_gif_pixels(blob) == pal[f0]).all()
+
+    # LOCAL color table: hand-craft a GCT-less GIF whose one frame
+    # carries its own 256-entry table
+    pal2 = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, size=(6, 7)).astype(np.uint8)
+    lzw = mm._lzw_encode(idx.ravel(), 8)
+    lct = bytearray(b"GIF89a") + st.pack("<HHBBB", 7, 6, 0, 0, 0)
+    lct += st.pack("<BHHHHB", 0x2C, 0, 0, 7, 6, 0x87) + pal2.tobytes()
+    lct.append(8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        lct.append(len(chunk))
+        lct += chunk
+    lct += b"\x00\x3b"
+    assert (mm.decode_gif_pixels(bytes(lct)) == pal2[idx]).all()
+
+    # Spark fan-out: one blob -> per-frame rows, exact means
+    blobs = {0: blob}
+    udf = F.pandas_udf(lambda ids: ids.map(lambda i: blobs[int(i)]), BinaryType())
+    df = spark.range(1).select(F.col("id").cast("long").alias("doc_id"))
+    rows = sorted(
+        mm.extract_gif_frame_features(
+            df.withColumn("payload", udf("doc_id")), "doc_id", "payload"
+        ).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert [r["frame_no"] for r in rows] == [0, 1]
+    import math
+    want0 = math.floor(
+        pal[f0].reshape(-1, 3)[:, 0].astype(int).mean() * 10000 + 0.5
+    ) / 10000
+    assert rows[0]["mean_r"] == want0
+    want1 = math.floor(ref.reshape(-1, 3)[:, 0].astype(int).mean() * 10000 + 0.5) / 10000
+    assert rows[1]["mean_r"] == want1
+
+
 def test_jpeg_codec_round_trips_and_subset_gates():
     """Baseline JPEG: encode→decode stays within the DCT/YCbCr
     rounding bound at quant=1 (gray ±1, color ±2), compresses for
