@@ -1531,9 +1531,12 @@ def extract_image_features(
                 # degrade like extract_media_metadata: an undecodable
                 # blob yields no feature row, never a failed job
                 try:
-                    px = _decode_pixels_stdlib(bytes(data))[:, :, :3]
+                    px = _decode_pixels_stdlib(bytes(data))
                 except (TypeError, ValueError):
                     continue
+                if px.ndim == 2:  # grayscale JPEG: replicate channels
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                px = px[:, :, :3]  # RGBA PNG: drop alpha
                 h, w, _ = px.shape
                 sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n = h * w

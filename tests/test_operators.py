@@ -1921,6 +1921,30 @@ def test_malformed_media_degrades_not_fails(spark):
     assert {r["doc_id"] for r in out} == {0, 3}  # bad rows dropped
 
 
+def test_image_features_grayscale_jpeg(spark):
+    """A grayscale JPEG decodes to a 2D array — the extractor must
+    replicate channels, not fail the job on the channel slice."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from lynx_spark.operators import jpegcodec as jc
+    from lynx_spark.operators import multimodal as mm
+
+    flat = np.full((8, 8), 200, dtype=np.uint8)
+    blob = jc.encode_jpeg(flat, quant=1)
+    udf = F.pandas_udf(lambda ids: ids.map(lambda _: blob), BinaryType())
+    df = spark.range(1).select(F.col("id").cast("long").alias("doc_id"))
+    out = mm.extract_image_features(
+        df.withColumn("payload", udf("doc_id")), "doc_id", "payload"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["format"] == "jpeg" and r["width"] == 8 and r["height"] == 8
+    assert r["mean_r"] == r["mean_g"] == r["mean_b"] == 200.0
+
+
 def test_image_features_mixed_bmp_png_gif(spark):
     """The q94 payload column: doc_id % 3 cycles BMP/PNG/GIF — all
     three stdlib codecs' decoded statistics match the closed-form
