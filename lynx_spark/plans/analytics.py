@@ -81,14 +81,12 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST = [
-    # round-6: all 12 round-5 entries landed green in CORRECTNESS_r05
-    # and are pruned per this list's contract, so the whole prefix
-    # budget goes to the 37 never-driver-sampled entries that
-    # _never_driver_green() auto-promotes (q100-q109, q114-q140).
-    # Entries below are round-6 REWRITES of already-green queries
-    # (history can't detect those — keep until their post-rewrite
-    # CORRECTNESS row lands).
-    "q94_image_features",  # r06: payloads now cycle bmp/png/gif %3
+    # round-7: the two r06 red rows, rewritten to driver-
+    # canonicalizable renderings (VERDICT r06 task 1). q123 MUST be
+    # listed manually: its r06 row has rows_match=true (only the hash
+    # failed), so _never_driver_green() would treat it as green.
+    "q123_corpus_checksum",  # r07: content_sum now STRING both sides
+    "q129_pq_audit",  # r07: codes now dash-joined STRING both sides
 ]
 
 
@@ -4960,9 +4958,9 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q123_corpus_checksum",
     oracle="""
 SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+  CAST(CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
                  1, 15))::UBIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0))
-    AS content_sum
+    AS VARCHAR) AS content_sum
 FROM documents GROUP BY source
 """,
     description="order-insensitive corpus content checksum per source "
@@ -4970,12 +4968,15 @@ FROM documents GROUP BY source
     "decimal sum of per-document 60-bit content hashes over "
     "(id, text) — any add/drop/edit changes it, and the exact "
     "integer sum is partition-order-free where a double sum or a "
-    "concat-then-hash would not be; one map-side-partial aggregate",
+    "concat-then-hash would not be; one map-side-partial aggregate. "
+    "The sum is emitted as its decimal-digit STRING on both sides: "
+    "the values exceed int64 and a DECIMAL(38,0) column is a driver-"
+    "canonicalization hazard (r06 red row) even when bit-identical",
 )
 def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.corpus_checksum(
         T(spark, sf_dir, "documents"), "doc_id", "text", group_col="source"
-    )
+    ).withColumn("content_sum", F.col("content_sum").cast("string"))
 
 
 @q(
@@ -5328,7 +5329,7 @@ def _pq_oracle(dim: int = 64, m: int = 4, k: int = 8) -> str:
         "FROM embeddings),"
         + ",".join(ctes)
         + f"""
-SELECT nid AS vec_id, [{codes}] AS codes,
+SELECT nid AS vec_id, array_to_string([{codes}], '-') AS codes,
   round(({errs}) / {float(dim)}, 6) AS recon_mse
 FROM af0 a0 {joins}
 """
@@ -5343,10 +5344,16 @@ FROM af0 a0 {joins}
     "with the deterministic q25b recipe, per-vector codes and "
     "reconstruction MSE — training collects only codebook scalars, "
     "assignment is per-row literal-codebook folds, one scan; the "
-    "oracle trains the bit-identical model per subspace in SQL",
+    "oracle trains the bit-identical model per subspace in SQL. "
+    "Codes render as a dash-joined STRING on both sides: a top-level "
+    "array column breaks the driver's pandas sort_values "
+    "canonicalizer (r06 red row, `unhashable type: 'list'`)",
 )
 def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.pq_audit(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    out = sim.pq_audit(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.withColumn(
+        "codes", F.concat_ws("-", F.col("codes").cast("array<string>"))
+    )
 
 
 def _jl_oracle(max_sample_id: int = 20) -> str:

@@ -51,10 +51,40 @@ ORACLE_QUERIES = [n for n, s in REGISTRY.items() if s.oracle]
 ROWS_ONLY_QUERIES = [n for n, s in REGISTRY.items() if not s.oracle]
 
 
+def _assert_driver_canonicalizable(name, schema):
+    """Registry-wide guard for the driver's pandas canonicalizer
+    (sort_values over every column, then a value hash). Two output
+    shapes are proven hazards (CORRECTNESS_r06): top-level
+    array/map/struct columns throw `unhashable type: 'list'` before
+    any comparison happens (q129), and DECIMAL values beyond int64
+    can hash-mismatch even when both engines agree bit-for-bit
+    (q123). Binary columns are banned for the same sortability
+    reason. Offenders must render a scalar form — concat_ws ↔
+    array_to_string for arrays, a STRING cast for wide decimals —
+    identically in engine and oracle."""
+    from pyspark.sql import types as sty
+
+    for field in schema.fields:
+        dt = field.dataType
+        assert not isinstance(
+            dt, (sty.ArrayType, sty.MapType, sty.StructType, sty.BinaryType)
+        ), (
+            f"{name}.{field.name}: top-level {dt.simpleString()} column "
+            "breaks the driver canonicalizer — render it as a scalar "
+            "(e.g. concat_ws) in BOTH engine and oracle"
+        )
+        if isinstance(dt, sty.DecimalType):
+            assert dt.precision <= 18, (
+                f"{name}.{field.name}: {dt.simpleString()} can exceed "
+                "int64 — cast to STRING (or split sub-int64) both sides"
+            )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, ddb, name):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, SF_DIR)
+    _assert_driver_canonicalizable(name, sdf.schema)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
 
@@ -77,5 +107,6 @@ def test_oracle_match(spark, ddb, name):
 def test_rows_only_runs(spark, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_DIR)
+    _assert_driver_canonicalizable(name, df.schema)
     assert df.count() >= 0
     assert len(df.columns) > 0
