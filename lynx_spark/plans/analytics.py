@@ -5815,7 +5815,10 @@ r0 AS (SELECT vec_id, 1.0 / n AS r FROM nodes, nn)"""
     for t in range(1, n_iters + 1):
         sql += f""",
 c{t} AS (SELECT g.nbr AS vec_id,
-    {_sql_q12sum("p.r * g.cos_sim / o.w_out")} AS s
+    {_sql_q12sum(
+        "CASE WHEN o.w_out <> 0 THEN p.r * g.cos_sim / o.w_out "
+        "ELSE 0.0 END"
+    )} AS s
   FROM g JOIN outw o USING (src) JOIN {prev} p ON p.vec_id = g.src
   GROUP BY g.nbr),
 r{t} AS (SELECT nodes.vec_id,
@@ -5984,13 +5987,15 @@ ra{t} AS (SELECT g.nbr AS v, {ds.format(x="p.h")} AS a
 fa{t} AS (SELECT n.v, coalesce(ra{t}.a, 0.0) AS a
   FROM nodes n LEFT JOIN ra{t} ON ra{t}.v = n.v),
 na{t} AS (SELECT {ds.format(x="a")} AS t FROM fa{t}),
-a{t}h AS (SELECT v, a / t AS a FROM fa{t} CROSS JOIN na{t}),
+a{t}h AS (SELECT v, CASE WHEN t <> 0 THEN a / t ELSE 0.0 END AS a
+  FROM fa{t} CROSS JOIN na{t}),
 rh{t} AS (SELECT g.src AS v, {ds.format(x="p.a")} AS h
   FROM g JOIN a{t}h p ON p.v = g.nbr GROUP BY g.src),
 fh{t} AS (SELECT n.v, coalesce(rh{t}.h, 0.0) AS h
   FROM nodes n LEFT JOIN rh{t} ON rh{t}.v = n.v),
 nh{t} AS (SELECT {ds.format(x="h")} AS t FROM fh{t}),
-h{t} AS (SELECT v, h / t AS h FROM fh{t} CROSS JOIN nh{t})"""
+h{t} AS (SELECT v, CASE WHEN t <> 0 THEN h / t ELSE 0.0 END AS h
+  FROM fh{t} CROSS JOIN nh{t})"""
         prev_h = f"h{t}"
     return sql + f"""
 SELECT h.v AS vec_id, {_sql_round8("h.h")} AS hub,
