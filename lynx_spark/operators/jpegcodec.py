@@ -217,6 +217,13 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     compression). 4:4:4, standard Huffman tables."""
     import numpy as np  # noqa: PLC0415
 
+    # the DQT stores each step as one byte, so the value used to
+    # quantize MUST be the byte-representable one — a clamped-in-DQT/
+    # raw-in-math mismatch would make every decoder reconstruct wrong
+    # intensities (and quant=0 divides by zero)
+    quant = int(quant)
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant must be in [1, 255], got {quant}")
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -295,9 +302,7 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     out += seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
     )
-    zz_q = bytes(
-        min(255, max(1, int(quant))) for _ in range(64)
-    )
+    zz_q = bytes(quant for _ in range(64))
     out += seg(0xDB, b"\x00" + zz_q)  # DQT id 0
     if not gray:
         out += seg(0xDB, b"\x01" + zz_q)  # DQT id 1 (chroma)
@@ -347,12 +352,22 @@ def _decode_jpeg_inner(data: bytes, np):
     frame = None
     scan_comps = None
     scan_start = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # spec-legal 0xFF fill bytes may pad between segments: skip
+        # them so the marker byte is the first non-FF after the run
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are stand-alone 2-byte tokens with no length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment header")
         (length,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + length]
         pos += 2 + length

@@ -1882,6 +1882,21 @@ def test_jpeg_codec_round_trips_and_subset_gates():
     with pt.raises(ValueError):
         jc.decode_jpeg_pixels(bytes(sub))
 
+    # the quantizer used in the math MUST be the byte the DQT stores:
+    # out-of-range values raise up front instead of writing a file
+    # whose header disagrees with its coefficients
+    for bad_q in (0, -3, 256, 1000):
+        with pt.raises(ValueError):
+            jc.encode_jpeg(g, quant=bad_q)
+
+    # spec-legal inter-segment padding: 0xFF fill bytes before a
+    # marker and a stand-alone TEM (0x01) token must not bounce a
+    # baseline file out of the subset
+    padded = bg.replace(
+        b"\xff\xc0", b"\xff\xff\xff\x01\xff\xc0", 1
+    )
+    assert (jc.decode_jpeg_pixels(padded) == back).all()
+
 
 def test_malformed_media_degrades_not_fails(spark):
     """The degrade contract: corrupt deflate, truncated chunks and
