@@ -72,6 +72,17 @@ HEADLINE = [
     "q133_hll_audit",
     "q136_triangle_stats",
     "q140_hits",
+    # round 7: the store-backed twins (VERDICT r06 task 4) — same
+    # algorithms reading the PERSISTED kNN edge store / IVF-PQ index
+    # instead of rebuilding inline. The first rep builds the store
+    # (build cadence); min-of-5 is then true query-cadence latency,
+    # so BENCH reports both tiers side by side.
+    "q141_pagerank_stored",
+    "q142_hits_stored",
+    "q143_triangles_stored",
+    "q144_label_prop_stored",
+    "q145_wpagerank_stored",
+    "q146_ivfpq_stored",
 ]
 
 
@@ -99,7 +110,10 @@ def main() -> None:
                   "q77_sketch_audit", "q83_knn_graph",
                   "q110_incremental_winnow", "q03_shipping_priority",
                   "q127_pagerank", "q131_ivfpq_search", "q133_hll_audit",
-                  "q136_triangle_stats", "q140_hits"}
+                  "q136_triangle_stats", "q140_hits",
+                  "q141_pagerank_stored", "q142_hits_stored",
+                  "q143_triangles_stored", "q144_label_prop_stored",
+                  "q145_wpagerank_stored", "q146_ivfpq_stored"}
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

@@ -210,11 +210,37 @@ def _blocks(plane):
     return padded.reshape(bh // 8, 8, bw // 8, 8).swapaxes(1, 2)
 
 
-def encode_jpeg(pixels, quant: int = 1) -> bytes:
+def _mean2x2(plane):
+    """2×2 box-average chroma subsample (the 4:2:0 reduction), odd
+    edges padded by replication so every output pixel averages a full
+    quad."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+    )
+
+
+def _pad_to(plane, rows: int, cols: int):
+    """Edge-replicate a plane out to (rows, cols) — MCU-grid padding
+    (a component's block grid is mcus·sampling blocks, which can
+    exceed the ceil-to-8 cover of its own resolution)."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w = plane.shape
+    return np.pad(plane, ((0, rows - h), (0, cols - w)), mode="edge")
+
+
+def encode_jpeg(pixels, quant: int = 1, subsampling: str = "444") -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline sequential JPEG. ``quant`` is the flat quantization step
     for every coefficient (1 = near-lossless; larger = real lossy
-    compression). 4:4:4, standard Huffman tables."""
+    compression). ``subsampling``: "444" (one block per component per
+    MCU) or "420" (2×2 luma blocks + one box-averaged chroma block
+    per 16×16 MCU — the dominant real-world baseline layout).
+    Standard Huffman tables."""
     import numpy as np  # noqa: PLC0415
 
     # the DQT stores each step as one byte, so the value used to
@@ -224,6 +250,8 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     quant = int(quant)
     if not 1 <= quant <= 255:
         raise ValueError(f"quant must be in [1, 255], got {quant}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444 or 420, got {subsampling}")
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -240,6 +268,16 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+    # (plane, h_sampling, v_sampling) per component
+    if gray or subsampling == "444":
+        comps = [(p, 1, 1) for p in planes]
+    else:
+        y, cb, cr = planes
+        comps = [(y, 2, 2), (_mean2x2(cb), 1, 1), (_mean2x2(cr), 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     qtab = np.full(64, float(quant))
     d = _dct_matrix()
 
@@ -248,51 +286,58 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     dc_chr = _huff_encode_table(*STD_DC_CHR)
     ac_chr = _huff_encode_table(*STD_AC_CHR)
     writer = _BitWriter()
-    preds = [0] * len(planes)
-    nby = (h + 7) // 8
-    nbx = (w + 7) // 8
+    preds = [0] * len(comps)
     coefs = []
-    for plane in planes:
-        blocks = _blocks(plane) - 128.0
+    for plane, hs, vs, in comps:
+        nby = mcus_y * vs
+        nbx = mcus_x * hs
+        blocks = _blocks(_pad_to(plane, nby * 8, nbx * 8)) - 128.0
         f = np.einsum("ij,xyjk,lk->xyil", d, blocks, d)
         q = np.round(f.reshape(nby, nbx, 64) / qtab).astype(np.int64)
         coefs.append(q[:, :, ZIGZAG])
-    # interleaved MCUs (4:4:4: one block per component per MCU)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, zz in enumerate(coefs):
-                dct, act = (dc_lum, ac_lum) if ci == 0 else (dc_chr, ac_chr)
-                blk = zz[by, bx]
-                diff = int(blk[0]) - preds[ci]
-                preds[ci] = int(blk[0])
-                cat, extra = _magnitude(diff)
-                code, ln = dct[cat]
+
+    def emit(blk, ci: int) -> None:
+        dct, act = (dc_lum, ac_lum) if ci == 0 else (dc_chr, ac_chr)
+        diff = int(blk[0]) - preds[ci]
+        preds[ci] = int(blk[0])
+        cat, extra = _magnitude(diff)
+        code, ln = dct[cat]
+        writer.write(code, ln)
+        if cat:
+            writer.write(extra, cat)
+        run = 0
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if blk[i]:
+                last_nz = i
+                break
+        for i in range(1, last_nz + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]  # ZRL
                 writer.write(code, ln)
-                if cat:
-                    writer.write(extra, cat)
-                run = 0
-                last_nz = 0
-                for i in range(63, 0, -1):
-                    if blk[i]:
-                        last_nz = i
-                        break
-                for i in range(1, last_nz + 1):
-                    v = int(blk[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = act[0xF0]  # ZRL
-                        writer.write(code, ln)
-                        run -= 16
-                    cat, extra = _magnitude(v)
-                    code, ln = act[(run << 4) | cat]
-                    writer.write(code, ln)
-                    writer.write(extra, cat)
-                    run = 0
-                if last_nz != 63:
-                    code, ln = act[0x00]  # EOB
-                    writer.write(code, ln)
+                run -= 16
+            cat, extra = _magnitude(v)
+            code, ln = act[(run << 4) | cat]
+            writer.write(code, ln)
+            writer.write(extra, cat)
+            run = 0
+        if last_nz != 63:
+            code, ln = act[0x00]  # EOB
+            writer.write(code, ln)
+
+    # interleaved MCUs: per MCU, each component contributes its
+    # h_s×v_s block grid in raster order (4:4:4 degenerates to one
+    # block each — byte-identical to the pre-420 encoder)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_plane, hs, vs) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        emit(coefs[ci][my * vs + by, mx * hs + bx], ci)
     scan = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -309,7 +354,10 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        _p, hs, vs = comps[ci]
+        sof += struct.pack(
+            "BBB", ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1
+        )
     out += seg(0xC0, sof)  # SOF0 baseline
 
     def dht(cls: int, tid: int, table) -> bytes:
@@ -330,11 +378,13 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
 
 
 def decode_jpeg_pixels(data: bytes):
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, no chroma
-    subsampling, no restart markers) to an (h, w) grayscale or
-    (h, w, 3) RGB uint8 array. ValueError on progressive/subsampled/
-    arithmetic files and on malformed payloads — the caller's PIL
-    gate handles the rest of the format space."""
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, sampling
+    factors up to 2×2 — 4:4:4, 4:2:2, 4:4:0 and the dominant 4:2:0,
+    chroma replicate-upsampled; no restart markers) to an (h, w)
+    grayscale or (h, w, 3) RGB uint8 array. ValueError on
+    progressive/arithmetic files, >2× sampling, and malformed
+    payloads — the caller's PIL gate handles the rest of the format
+    space."""
     import numpy as np  # noqa: PLC0415
 
     try:
@@ -401,9 +451,14 @@ def _decode_jpeg_inner(data: bytes, np):
                 cid, sampling, qid = struct.unpack_from(
                     "BBB", body, 6 + 3 * ci
                 )
-                if sampling != 0x11:
-                    raise ValueError("subsampled JPEG unsupported")
-                comps.append((cid, qid))
+                hs, vs = sampling >> 4, sampling & 0x0F
+                # 1- and 2-fold factors cover 4:4:4, 4:2:2, 4:4:0 and
+                # the dominant 4:2:0; 3/4-fold layouts are exotic
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        "sampling factors beyond 2x2 unsupported"
+                    )
+                comps.append((cid, hs, vs, qid))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError("only baseline sequential (SOF0) supported")
@@ -429,46 +484,76 @@ def _decode_jpeg_inner(data: bytes, np):
                 return table[(code, length)]
         raise ValueError("invalid Huffman code in JPEG stream")
 
-    nby = (h + 7) // 8
-    nbx = (w + 7) // 8
     d = _dct_matrix()
     ncomp = len(comps)
+    # a single-component scan is non-interleaved: the MCU is ONE data
+    # unit and the declared sampling factors don't shape the layout
+    layout = (
+        [(1, 1)] if ncomp == 1 else [(hs, vs) for _c, hs, vs, _q in comps]
+    )
+    hmax = max(hs for hs, _ in layout)
+    vmax = max(vs for _, vs in layout)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in range(ncomp)
+        np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        for hs, vs in layout
     ]
     preds = [0] * ncomp
     inv_zz = np.argsort(np.array(ZIGZAG))
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(ncomp):
-                _cid, td_ta = scan_comps[ci]
-                dc_tab = htabs[(0, td_ta >> 4)]
-                ac_tab = htabs[(1, td_ta & 0x0F)]
-                _cid2, qid = comps[ci]
-                qtab = qtabs[qid]
-                zz = np.zeros(64, dtype=np.float64)
-                cat = read_symbol(dc_tab)
-                diff = _extend(reader.bits(cat), cat) if cat else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                i = 1
-                while i < 64:
-                    rs = read_symbol(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, cat = rs >> 4, rs & 0x0F
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = _extend(reader.bits(cat), cat)
-                    i += 1
-                block = (zz * qtab)[inv_zz].reshape(8, 8)
-                spatial = d.T @ block @ d + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
-    planes = [p[:h, :w] for p in planes]
+
+    def decode_block(ci: int):
+        _cid, td_ta = scan_comps[ci]
+        dc_tab = htabs[(0, td_ta >> 4)]
+        ac_tab = htabs[(1, td_ta & 0x0F)]
+        qtab = qtabs[comps[ci][3]]
+        zz = np.zeros(64, dtype=np.float64)
+        cat = read_symbol(dc_tab)
+        diff = _extend(reader.bits(cat), cat) if cat else 0
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        i = 1
+        while i < 64:
+            rs = read_symbol(ac_tab)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, cat = rs >> 4, rs & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _extend(reader.bits(cat), cat)
+            i += 1
+        block = (zz * qtab)[inv_zz].reshape(8, 8)
+        return d.T @ block @ d + 128.0
+
+    # interleaved MCU walk mirroring the encoder: each component
+    # contributes its h_s×v_s block grid per MCU in raster order
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(layout):
+                for by in range(vs):
+                    for bx in range(hs):
+                        r0 = (my * vs + by) * 8
+                        c0 = (mx * hs + bx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = decode_block(
+                            ci
+                        )
+    # crop each component to its own resolution, then replicate-
+    # upsample subsampled chroma back to full frame size
+    full = []
+    for (hs, vs), p in zip(layout, planes):
+        ch = (h * vs + vmax - 1) // vmax
+        cw = (w * hs + hmax - 1) // hmax
+        p = p[:ch, :cw]
+        if vs != vmax or hs != hmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(p[:h, :w])
+    planes = full
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

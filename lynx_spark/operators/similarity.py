@@ -1352,11 +1352,27 @@ def ivfpq_ann_topk(
     arithmetic step (8dp-rounded argmins, fixed-order subspace sums)
     is mirrored bit-for-bit by the SQL oracle, which trains both
     models in SQL."""
-    sub = dim // m
     vecs = ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    cents, books, encoded = _ivfpq_train_encode(
+        vecs, dim=dim, m=m, pq_k=pq_k
+    )
+    return _ivfpq_query(
+        vecs, cents, books, encoded,
+        max_query_id=max_query_id, k=k, nprobe=nprobe, dim=dim, m=m,
+    )
+
+
+def _ivfpq_train_encode(
+    vecs: DataFrame, dim: int, m: int, pq_k: int
+) -> tuple:
+    """Build cadence of IVF-PQ: train the coarse quantizer, product-
+    quantize residuals, and encode every database vector to (nid,
+    cid, code0..code{m-1}) — the index content FAISS would persist.
+    Returns (centroids, codebooks, encoded_df)."""
+    sub = dim // m
     cents = train_ivf_centroids(vecs)
     cl = _centroids_lit(cents)
     res = vecs.withColumn("cid", _ivf_assign(F.col("v"), cents)).withColumn(
@@ -1390,6 +1406,25 @@ def ivfpq_ann_topk(
             for j in range(m)
         ],
     )
+    return cents, books, encoded
+
+
+def _ivfpq_query(
+    vecs: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    encoded: DataFrame,
+    max_query_id: int,
+    k: int,
+    nprobe: int,
+    dim: int,
+    m: int,
+) -> DataFrame:
+    """Query cadence of IVF-PQ: probe nprobe cells per query, meet
+    encoded candidates by cell equality, fold asymmetric distances
+    against literal codebooks, take the per-query top-k."""
+    sub = dim // m
+    cl = _centroids_lit(cents)
     probes = (
         vecs.filter(F.col("nid") < max_query_id)
         .select(
@@ -1435,4 +1470,77 @@ def ivfpq_ann_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "adc_dist", "rnk")
+    )
+
+
+def save_ivfpq_index(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    dim: int = EMBED_DIM,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+) -> None:
+    """Persist a full IVF-PQ index: the coarse centroids, the m
+    per-subspace codebooks, and — the part that matters at 100 TB —
+    the ENCODED database (nid, cid, code0..m), so query batches never
+    re-train or re-touch raw vectors (the FAISS write_index analogue;
+    save_ivf_index persists only the coarse model). Training runs
+    once at build cadence; the three parquet datasets are the whole
+    serving state."""
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents, books, encoded = _ivfpq_train_encode(
+        vecs, dim=dim, m=m, pq_k=pq_k
+    )
+    save_ivf_index(spark, f"{path}/centroids", cents)
+    book_rows = [
+        (j, cid, list(map(float, c)))
+        for j, book in enumerate(books)
+        for cid, c in enumerate(book)
+    ]
+    spark.createDataFrame(
+        book_rows, "sub INT, cid INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded.write.mode("overwrite").parquet(f"{path}/encoded")
+
+
+def ivfpq_ann_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_query_id: int = 20,
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    dim: int = EMBED_DIM,
+    m: int = PQ_M,
+) -> DataFrame:
+    """Query-cadence IVF-PQ search against a persisted index: load
+    the model scalars (centroids + codebooks — model-sized collects),
+    scan the encoded parquet, probe and score. Identical results to
+    the inline ivfpq_ann_topk by construction (deterministic
+    training), without its per-call training cost."""
+    cents = load_ivf_index(spark, f"{path}/centroids")
+    brows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("sub", "cid")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in brows:
+        books[r["sub"]].append(list(r["centroid"]))
+    encoded = spark.read.parquet(f"{path}/encoded")
+    vecs = ensure_parallelism(queries).select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return _ivfpq_query(
+        vecs, cents, books, encoded,
+        max_query_id=max_query_id, k=k, nprobe=nprobe, dim=dim, m=m,
     )

@@ -6020,3 +6020,158 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "nbr"
     )
     return gr.hits_scores(edges, emb.select("vec_id"), "vec_id", n_iters=1)
+
+
+# ------------------------------------------------------------------
+# Store-backed query tier (round 7, VERDICT r06 task 4): the graph /
+# ANN heavies above rebuild their kNN edges or retrain IVF-PQ inline —
+# necessary for self-contained oracles, but it charges build-cadence
+# cost at query cadence. These twins consume the persisted stores
+# (write/read_knn_graph_store, save/load of the full IVF-PQ index)
+# that a production deployment would build once at ingest: the store
+# materializes lazily under a versioned temp path keyed by sf_dir on
+# first call, so the first bench rep pays the build and the min-of-N
+# reflects true query-cadence latency. Results are identical to the
+# inline twins by construction (deterministic builds), so each entry
+# reuses the inline oracle verbatim.
+
+#: bump when knn_graph / IVF-PQ training semantics change — stale
+#: stores under the old version path are then never read again
+_STORE_VERSION = "v1"
+
+
+def _store_path(sf_dir: str, name: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"lynx_spark_stores_{_STORE_VERSION}",
+        key,
+        name,
+    )
+
+
+def _knn_edges_stored(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """The q83 kNN edge list from the persisted store, building it on
+    first use — one banded self-join at build cadence, a parquet scan
+    of k·N rows ever after."""
+    import os
+
+    path = _store_path(sf_dir, f"knn_k{k}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = T(spark, sf_dir, "embeddings")
+        sim.write_knn_graph_store(
+            sim.knn_graph(emb, "vec_id", "embedding", k=k), path
+        )
+    return sim.read_knn_graph_store(spark, path)
+
+
+def _ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    path = _store_path(sf_dir, "ivfpq")
+    if not os.path.exists(os.path.join(path, "encoded", "_SUCCESS")):
+        sim.save_ivfpq_index(
+            spark, T(spark, sf_dir, "embeddings"), "vec_id", "embedding", path
+        )
+    return path
+
+
+@q(
+    "q141_pagerank_stored",
+    oracle=_pagerank_oracle(),
+    description="q127's PageRank at query cadence: identical power-"
+    "method recurrence, but the kNN edges come from the persisted "
+    "edge store (built once on first use) instead of an inline "
+    "banded self-join — the oracle is q127's verbatim because the "
+    "stored edges ARE the inline edges",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = _knn_edges_stored(spark, sf_dir).select("src", "nbr")
+    return gr.pagerank(
+        edges, emb.select("vec_id"), "vec_id", n_iters=3, damping=0.85
+    )
+
+
+@q(
+    "q142_hits_stored",
+    oracle=_hits_oracle(n_iters=1),
+    description="q140's HITS from the persisted kNN edge store — "
+    "query-cadence twin separating the one-time edge build from the "
+    "per-query mutual recursion",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = _knn_edges_stored(spark, sf_dir).select("src", "nbr")
+    return gr.hits_scores(edges, emb.select("vec_id"), "vec_id", n_iters=1)
+
+
+@q(
+    "q143_triangles_stored",
+    oracle=_triangle_oracle(),
+    description="q136's triangle/clustering stats from the persisted "
+    "kNN edge store — the wedge enumeration is the query-cadence "
+    "cost, the edge build is not",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges_stored(spark, sf_dir).select("src", "nbr")
+    return gr.triangle_stats(edges)
+
+
+@q(
+    "q144_label_prop_stored",
+    oracle=_label_prop_oracle(),
+    description="q138's label propagation from the persisted kNN "
+    "edge store — seeds and votes unchanged, edge build amortized",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = _knn_edges_stored(spark, sf_dir).select("src", "nbr")
+    return gr.label_propagation(
+        edges,
+        emb.select("vec_id", "label"),
+        "vec_id",
+        "label",
+        F.col("vec_id") % 10 == 0,
+        n_rounds=2,
+    )
+
+
+@q(
+    "q145_wpagerank_stored",
+    oracle=_wpagerank_oracle(),
+    description="q137's similarity-weighted PageRank from the "
+    "persisted kNN edge store (cos_sim weights ride in the store)",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = _knn_edges_stored(spark, sf_dir).select("src", "nbr", "cos_sim")
+    return gr.pagerank(
+        edges,
+        emb.select("vec_id"),
+        "vec_id",
+        n_iters=3,
+        damping=0.85,
+        weight_col="cos_sim",
+    )
+
+
+@q(
+    "q146_ivfpq_stored",
+    oracle=_ivfpq_oracle(),
+    description="q131's IVF-PQ search against the PERSISTED index "
+    "(centroids + codebooks + encoded codes, the FAISS write_index "
+    "analogue): queries load model scalars and meet the encoded "
+    "parquet by cell equality — no training, no raw database "
+    "vectors at query time; identical results to the inline twin "
+    "because training is deterministic",
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivfpq_store(spark, sf_dir)
+    return sim.ivfpq_ann_topk_stored(
+        spark, path, T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )

@@ -157,6 +157,16 @@ QUERIES = [
     "q139_bigram_backoff",
     # HITS: per half-step one edges-scores join + one aggregation
     "q140_hits",
+    # round 7 store-backed tier: first rep builds the store for the
+    # measured sf_dir, later reps read parquet — min-of-reps is the
+    # query-cadence cost, i.e. the centrality/search passes WITHOUT
+    # the kNN build / IVF-PQ training the inline twins above pay
+    "q141_pagerank_stored",
+    "q142_hits_stored",
+    "q143_triangles_stored",
+    "q144_label_prop_stored",
+    "q145_wpagerank_stored",
+    "q146_ivfpq_stored",
 ]
 
 

@@ -408,6 +408,30 @@ def test_knn_graph_store_round_trip(spark, tmp_path):
     assert stored_hits.count() == nodes.count()
 
 
+def test_ivfpq_stored_index_matches_inline(spark, tmp_path):
+    """save_ivfpq_index + ivfpq_ann_topk_stored == the inline
+    ivfpq_ann_topk on the same corpus: training is deterministic, so
+    the persisted index (centroids + codebooks + encoded codes) must
+    reproduce the exact ranked results without retraining."""
+    from lynx_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_ann_topk_stored,
+        save_ivfpq_index,
+    )
+    from lynx_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    inline = ivfpq_ann_topk(emb, "vec_id", "embedding", max_query_id=10)
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(spark, emb, "vec_id", "embedding", path)
+    stored = ivfpq_ann_topk_stored(
+        spark, path, emb, "vec_id", "embedding", max_query_id=10
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
 def test_weighted_pagerank_zero_weight_node(spark):
     """A node whose outgoing weights all sum to 0 contributes no rank
     (guarded share), and every output stays finite."""

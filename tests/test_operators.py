@@ -1872,15 +1872,17 @@ def test_jpeg_codec_round_trips_and_subset_gates():
     small = jc.decode_jpeg_pixels(mm.resize_image(bg, 8, 8))
     assert small.shape == (8, 8)
 
-    # progressive (SOF2) and subsampled files gate with ValueError
+    # progressive (SOF2) files gate with ValueError
     prog = bg.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pt.raises(ValueError):
         jc.decode_jpeg_pixels(prog)
     sof_at = bg.index(b"\xff\xc0")
     sub = bytearray(bg)
-    sub[sof_at + 11] = 0x22  # claim 2x2 sampling for component 1
-    with pt.raises(ValueError):
-        jc.decode_jpeg_pixels(bytes(sub))
+    sub[sof_at + 11] = 0x22  # declare 2x2 sampling for component 1
+    # a single-component scan is non-interleaved: sampling factors
+    # don't shape the layout, so this decodes identically (it used to
+    # bounce to the PIL gate before the r07 subsampling support)
+    assert (jc.decode_jpeg_pixels(bytes(sub)) == back).all()
 
     # the quantizer used in the math MUST be the byte the DQT stores:
     # out-of-range values raise up front instead of writing a file
@@ -1896,6 +1898,65 @@ def test_jpeg_codec_round_trips_and_subset_gates():
         b"\xff\xc0", b"\xff\xff\xff\x01\xff\xc0", 1
     )
     assert (jc.decode_jpeg_pixels(padded) == back).all()
+
+
+def test_jpeg_420_round_trip_and_decode():
+    """4:2:0 chroma subsampling (the dominant real-world baseline
+    layout, r06 VERDICT task 6): a flat color round-trips exactly;
+    an image whose color is constant per 2×2 quad loses nothing to
+    the box subsample (±2 overall bound); odd dimensions exercise
+    partial MCUs; luma stays within the DCT bound on mid-range
+    random content (chroma smear can't clip there); and the encoder
+    declares 2×2/1×1 sampling in the SOF so any decoder reads the
+    same layout."""
+    import numpy as np
+    import pytest as pt
+
+    from lynx_spark.operators import jpegcodec as jc
+
+    flat = np.zeros((16, 16, 3), dtype=np.uint8)
+    flat[:, :, 0], flat[:, :, 1], flat[:, :, 2] = 200, 90, 40
+    b = jc.encode_jpeg(flat, quant=1, subsampling="420")
+    assert (jc.decode_jpeg_pixels(b) == flat).all()
+    sof_at = b.index(b"\xff\xc0")
+    assert b[sof_at + 11] == 0x22  # luma 2x2
+    assert b[sof_at + 14] == 0x11  # chroma 1x1
+
+    rng = np.random.RandomState(0)
+    small = rng.randint(0, 256, (9, 12, 3)).astype(np.uint8)
+    quad = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    back = jc.decode_jpeg_pixels(
+        jc.encode_jpeg(quad, quant=1, subsampling="420")
+    )
+    assert back.shape == quad.shape
+    assert int(np.abs(back.astype(int) - quad.astype(int)).max()) <= 2
+
+    odd = quad[:17, :13]
+    back_odd = jc.decode_jpeg_pixels(
+        jc.encode_jpeg(odd, quant=1, subsampling="420")
+    )
+    assert back_odd.shape == odd.shape
+    assert int(np.abs(back_odd.astype(int) - odd.astype(int)).max()) <= 2
+
+    mid = rng.randint(110, 146, (24, 24, 3)).astype(np.uint8)
+    back_mid = jc.decode_jpeg_pixels(
+        jc.encode_jpeg(mid, quant=1, subsampling="420")
+    )
+    y1 = 0.299 * mid[:, :, 0] + 0.587 * mid[:, :, 1] + 0.114 * mid[:, :, 2]
+    y2 = (
+        0.299 * back_mid[:, :, 0].astype(float)
+        + 0.587 * back_mid[:, :, 1]
+        + 0.114 * back_mid[:, :, 2]
+    )
+    assert float(np.abs(y1 - y2).max()) <= 2.0  # luma is not subsampled
+
+    # >2x sampling factors still gate to the PIL fall-through
+    exotic = bytearray(jc.encode_jpeg(flat, quant=1, subsampling="420"))
+    exotic[exotic.index(b"\xff\xc0") + 11] = 0x41  # claim 4x1 luma
+    with pt.raises(ValueError):
+        jc.decode_jpeg_pixels(bytes(exotic))
+    with pt.raises(ValueError):
+        jc.encode_jpeg(flat, quant=1, subsampling="422")
 
 
 def test_malformed_media_degrades_not_fails(spark):
