@@ -756,3 +756,180 @@ def stupid_backoff_scores(
             "avg_logscore"
         ),
     )
+
+
+def _bpe_learn(
+    df: DataFrame, text_col: str, n_merges: int, track_sizes: bool
+) -> tuple:
+    """Full byte-pair-encoding merge-loop training (Sennrich et al.
+    2016, arXiv:1508.07909) — the iterated completion of the q112
+    first-merge pair statistics: N real merges learned greedily, each
+    returning (merge_rank, lhs, rhs, merged, pair_count,
+    vocab_tokens_after), where vocab_tokens_after re-tokenizes the
+    whole corpus with the merges learned so far (exact token counts,
+    the compression trajectory a tokenizer budget is planned on).
+
+    Training runs on lowercase [a-z0-9_]+ words only — the modeling
+    vocabulary — which both pins cross-engine string comparisons to
+    ASCII and frees '.' as a symbol separator.
+
+    Spark-first shape at 100 TB: the corpus is touched ONCE (the word
+    frequency aggregation); every merge iteration is VOCABULARY-
+    granular — one pair-count aggregation, a 1-row broadcast argmax
+    (no driver collect), and a per-row merge rewrite. Symbol
+    sequences use a doubled-separator string encoding ('..a..b..'):
+    merging pair (a,b) is then the plain non-overlapping left-to-
+    right replace of '.a..b.' with '.ab.', which handles adjacent
+    repeats correctly (each occurrence donates one dot to its
+    neighbor) and has IDENTICAL semantics in Spark's and DuckDB's
+    `replace` — no lookaround regex, which RE2 lacks. Per iteration
+    the three small frames checkpoint eagerly and the superseded
+    vocabulary frame is released (the graph-loop discipline), so
+    state stays bounded at any n_merges."""
+    from lynx_spark.operators.graph import _release_frame
+
+    sep = r"\.\."
+    wc = (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9_]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    vocab = wc.select(
+        "word",
+        "c",
+        F.concat(
+            F.lit(".."),
+            F.array_join(
+                F.regexp_extract_all(F.col("word"), F.lit("."), 0), ".."
+            ),
+            F.lit(".."),
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    rows = []
+    for t in range(1, n_merges + 1):
+        base = vocab.select("c", F.split("s", sep).alias("a")).filter(
+            F.size("a") >= 4  # at least two symbols -> has a pair
+        )
+        pc = (
+            base.select(
+                "c",
+                "a",
+                F.explode(
+                    F.sequence(F.lit(2), F.size("a") - 2)
+                ).alias("i"),
+            )
+            .select(
+                F.element_at("a", F.col("i")).alias("pa"),
+                F.element_at("a", F.col("i") + 1).alias("pb"),
+                "c",
+            )
+            .groupBy("pa", "pb")
+            .agg(F.sum("c").cast("long").alias("pair_count"))
+        )
+        best = (
+            pc.orderBy(F.desc("pair_count"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        new_vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "c",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit("."),
+                        F.col("pa"),
+                        F.lit(".."),
+                        F.col("pb"),
+                        F.lit("."),
+                    ),
+                    F.concat(
+                        F.lit("."), F.col("pa"), F.col("pb"), F.lit(".")
+                    ),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_frame(vocab)  # consumers (best, new_vocab) are leaves
+        vocab = new_vocab
+        if track_sizes:
+            tok = vocab.agg(
+                F.sum(F.col("c") * (F.size(F.split("s", sep)) - 2))
+                .cast("long")
+                .alias("vocab_tokens_after")
+            ).localCheckpoint(eager=True)
+            rows.append(
+                best.crossJoin(tok).select(
+                    F.lit(t).cast("long").alias("merge_rank"),
+                    F.col("pa").alias("lhs"),
+                    F.col("pb").alias("rhs"),
+                    F.concat("pa", "pb").alias("merged"),
+                    "pair_count",
+                    "vocab_tokens_after",
+                )
+            )
+    return rows, vocab
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 20
+) -> DataFrame:
+    """The learned merge table: (merge_rank, lhs, rhs, merged,
+    pair_count, vocab_tokens_after) — one row per greedy merge, with
+    the exact re-tokenized corpus size after it (the compression
+    trajectory). See _bpe_learn for the algorithm and scale shape."""
+    from lynx_spark.operators.graph import _release_frame
+
+    rows, vocab = _bpe_learn(df, text_col, n_merges, track_sizes=True)
+    _release_frame(vocab)  # per-merge token stats already materialized
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def bpe_tokenize_docs(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 20
+) -> DataFrame:
+    """Apply a freshly-trained BPE tokenizer to every document — the
+    exact token accounting a packing/budget plan runs on: per doc,
+    the word count, the EXACT BPE token count under the learned
+    merges (out-of-vocabulary words — anything outside [a-z0-9_]+ —
+    cost one whole-word token), and tokens-per-word.
+
+    Scale shape: training is vocabulary-granular (see bpe_train);
+    application is one token-count projection on the final vocabulary
+    plus ONE doc-words ⋈ vocabulary join on a unique build key (a hot
+    stopword skews probe volume only; AQE splits it), then a per-doc
+    aggregation."""
+    rows, vocab = _bpe_learn(df, text_col, n_merges, track_sizes=False)
+    sep = r"\.\."
+    wtok = vocab.select(
+        "word", (F.size(F.split("s", sep)) - 2).cast("long").alias("wt")
+    )
+    words = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_words(text_col)).alias("word"),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        words.join(wtok, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.coalesce(F.col("wt"), F.lit(1)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("n_words").cast("double"), 4
+        ).alias("tokens_per_word"),
+    )

@@ -6175,3 +6175,104 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_ann_topk_stored(
         spark, path, T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The shared q147/q148 training chain: word counts, symbol
+    encoding, and n_merges unrolled greedy-merge CTEs ending at
+    v{n_merges}. Chained CTEs are MATERIALIZED — inlined, each level
+    expands twice and the plan goes exponential."""
+    sql = _WORDS_CTE + """
+, wd AS (SELECT unnest(w) AS word FROM d),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM wd
+       WHERE regexp_matches(word, '^[a-z0-9_]+$') GROUP BY word),
+v0 AS MATERIALIZED (SELECT word, c,
+  '..' || array_to_string(regexp_extract_all(word, '.'), '..') || '..' AS s
+  FROM wc)"""
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        sql += f""",
+a{t} AS (SELECT c, string_split(s, '..') AS a FROM v{p}
+         WHERE len(string_split(s, '..')) >= 4),
+p{t} AS (SELECT a[i] AS pa, a[i + 1] AS pb,
+           CAST(sum(c) AS BIGINT) AS pair_count
+         FROM (SELECT c, a, unnest(generate_series(2, len(a) - 2)) AS i
+               FROM a{t})
+         GROUP BY 1, 2),
+b{t} AS MATERIALIZED (SELECT pa, pb, pair_count FROM p{t}
+         ORDER BY pair_count DESC, pa, pb LIMIT 1),
+v{t} AS MATERIALIZED (SELECT word, c,
+           replace(s, '.' || pa || '..' || pb || '.',
+                   '.' || pa || pb || '.') AS s
+         FROM v{p}, b{t}),
+t{t} AS (SELECT CAST(sum(c * (len(string_split(s, '..')) - 2)) AS BIGINT)
+           AS vocab_tokens_after FROM v{t}),
+r{t} AS (SELECT CAST({t} AS BIGINT) AS merge_rank, pa AS lhs, pb AS rhs,
+           pa || pb AS merged, pair_count, vocab_tokens_after
+         FROM b{t}, t{t})"""
+    return sql
+
+
+def _bpe_train_oracle(n_merges: int = 20) -> str:
+    """q147 oracle: the identical greedy merge loop unrolled — per
+    iteration a pair-count CTE, a deterministic top-1 (count DESC,
+    then lexicographic), the doubled-separator replace (plain
+    left-to-right non-overlapping in BOTH engines), and the exact
+    re-tokenized corpus size. The merge CHOSEN each round is computed
+    from the data in SQL, not hardcoded, so the oracle genuinely
+    replays the training."""
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM r{t}" for t in range(1, n_merges + 1)
+    )
+    return _bpe_chain_sql(n_merges) + "\n" + union + "\n"
+
+
+def _bpe_tokenize_oracle(n_merges: int = 20) -> str:
+    """q148 oracle: the q147 chain to the final vocabulary, then one
+    doc-words ⋈ vocab join with OOV words costing 1 token."""
+    return _bpe_chain_sql(n_merges) + f""",
+wt AS (SELECT word,
+         CAST(len(string_split(s, '..')) - 2 AS BIGINT) AS t
+       FROM v{n_merges}),
+dw AS (SELECT doc_id, unnest(w) AS word FROM d),
+dj AS (SELECT doc_id, coalesce(t, 1) AS t
+       FROM (SELECT doc_id, word FROM dw WHERE word <> '')
+       LEFT JOIN wt USING (word))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(t) AS BIGINT) AS n_tokens,
+  round(sum(t) / CAST(count(*) AS DOUBLE), 4) AS tokens_per_word
+FROM dj GROUP BY doc_id
+"""
+
+
+@q(
+    "q147_bpe_train",
+    oracle=_bpe_train_oracle(),
+    description="full BPE merge-loop training (Sennrich 2016), "
+    "completing the q97/q112/q113 tokenizer family: 20 greedy merges "
+    "over the lowercase [a-z0-9_]+ word vocabulary, each with its pre-merge pair "
+    "count and the EXACT re-tokenized corpus size after it (the "
+    "compression trajectory). Corpus touched once (word counts); "
+    "every iteration is vocabulary-granular with a 1-row broadcast "
+    "argmax — no driver collects; the oracle replays the whole loop "
+    "in SQL including the data-dependent merge choices",
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.bpe_train(T(spark, sf_dir, "documents"), "text")
+
+
+@q(
+    "q148_bpe_tokenize",
+    oracle=_bpe_tokenize_oracle(),
+    description="per-document tokenization under the freshly-trained "
+    "q147 BPE merges — the exact token accounting packing and budget "
+    "plans consume: word count, exact BPE token count (OOV words "
+    "cost one whole-word token), tokens-per-word. Training is "
+    "vocabulary-granular; application is one unique-build-key "
+    "doc-words join + a per-doc aggregate; the oracle replays the "
+    "training chain and the join",
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.bpe_tokenize_docs(
+        T(spark, sf_dir, "documents"), "doc_id", "text"
+    )

@@ -167,6 +167,11 @@ QUERIES = [
     "q144_label_prop_stored",
     "q145_wpagerank_stored",
     "q146_ivfpq_stored",
+    # BPE trainer: corpus touched once (word counts); every merge is
+    # vocabulary-granular with a 1-row broadcast argmax
+    "q147_bpe_train",
+    # BPE application: unique-build-key doc-words join + doc aggregate
+    "q148_bpe_tokenize",
 ]
 
 

@@ -3089,3 +3089,124 @@ def test_stupid_backoff_held_out_backoff_branch(spark):
     # the held-out path is strictly lower
     self_out = stupid_backoff_scores(score, "doc_id", "text").collect()
     assert out[0]["logscore"] < self_out[0]["logscore"]
+
+
+def _bpe_reference(word_counts: dict, n_merges: int):
+    """Sequential Sennrich BPE: independent truth for bpe_train (list
+    fold, no string tricks) — guards the twin-bug risk of generated
+    Spark+SQL sharing a mistake the oracle can't see."""
+    vocab = {w: tuple(w) for w in word_counts}
+    out = []
+    for t in range(1, n_merges + 1):
+        pairs: dict = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        new_vocab = {}
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[w] = tuple(merged)
+        vocab = new_vocab
+        toks = sum(word_counts[w] * len(s) for w, s in vocab.items())
+        out.append((t, a, b, a + b, n, toks))
+    return out
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """The distributed merge loop learns the exact same merges, in
+    the same order, with the same pair counts and re-tokenized corpus
+    sizes as a sequential Python BPE — including adjacent-repeat
+    merges ('aaaa' under (a,a) -> two 'aa' symbols, the case the
+    doubled-separator replace must get right) and count-tie
+    lexicographic breaks. Non-alphabetic words are excluded from
+    training; partitioning must not change anything."""
+    from lynx_spark.operators.lm import bpe_train
+
+    docs = [
+        "the the the cat cat sat sat sat on aaaa aaaa mat",
+        "the cat sat on the mat aaaa zz zz zz 123 x9y",
+        "low lower lowest low low newer new news aaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    import re
+
+    wc: dict = {}
+    for t in docs:
+        for w in t.split():
+            if re.fullmatch(r"[a-z0-9_]+", w):
+                wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, 8)
+    got = sorted(
+        map(tuple, bpe_train(df, "text", n_merges=8).collect())
+    )
+    assert got == sorted(want)
+    repart = sorted(
+        map(
+            tuple,
+            bpe_train(df.repartition(7), "text", n_merges=8).collect(),
+        )
+    )
+    assert repart == got
+
+
+def test_bpe_tokenize_docs_matches_reference(spark):
+    """Per-document token counts under the learned merges equal the
+    sequential reference tokenization; OOV (non-[a-z0-9_]) words cost
+    exactly one token; tokens_per_word is the exact quotient."""
+    import re
+
+    from lynx_spark.operators.lm import bpe_tokenize_docs
+
+    docs = [
+        "the the cat cat sat sat ON-OOV aaaa aaaa",
+        "lower lowest low new news the cat !!! aaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    wc: dict = {}
+    for t in docs:
+        for w in t.split():
+            if re.fullmatch(r"[a-z0-9_]+", w):
+                wc[w] = wc.get(w, 0) + 1
+    merges = _bpe_reference(wc, 6)
+    vocab = {w: tuple(w) for w in wc}
+    for _rank, a, b, _m, _n, _tok in merges:
+        for w, syms in list(vocab.items()):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    got = {
+        r["doc_id"]: r
+        for r in bpe_tokenize_docs(df, "doc_id", "text", n_merges=6).collect()
+    }
+    for i, t in enumerate(docs):
+        words = [w for w in t.split() if w]
+        n_tokens = sum(
+            len(vocab[w]) if w in vocab else 1 for w in words
+        )
+        assert got[i]["n_words"] == len(words)
+        assert got[i]["n_tokens"] == n_tokens
+        assert got[i]["tokens_per_word"] == round(n_tokens / len(words), 4)
