@@ -745,3 +745,95 @@ def hits_scores(
             _round8(F.col("a")).alias("authority"),
         )
     )
+
+
+def directed_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    weight_col: str = "cos_sim",
+) -> DataFrame:
+    """Per-community directed weighted modularity contributions —
+    the partition-quality audit for any community assignment over a
+    weighted graph (here: how well a label column explains the kNN
+    similarity structure). For community c with total edge weight W:
+
+        Q_c = w_cc / W  -  (w_out_c / W) * (w_in_c / W)
+
+    (Leicht & Newman 2008 directed modularity, per-community terms;
+    sum of Q_c over communities is the partition's modularity.)
+
+    Exactness: edge weights arrive 5dp-rounded (the kNN graph
+    contract), so they are quantized onto the 1e5 integer grid and
+    every aggregation sums exact BIGINTs — the Q arithmetic then
+    runs on identical doubles in both engines and is emitted through
+    the tie-safe 8dp floor rounding.
+
+    Scale shape: one broadcast of the (node -> label) map onto the
+    edge list, three label-granular aggregations (within / out /
+    in), one 1-scalar total broadcast back. Nothing is ever
+    node-quadratic; community count bounds every frame."""
+    lab = labels.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(label_col).cast("long").alias("lab"),
+    )
+    e5 = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("nbr").cast("long").alias("nbr"),
+        F.floor(F.col(weight_col) * F.lit(1e5) + F.lit(0.5))
+        .cast("long")
+        .alias("w5"),
+    )
+    tagged = (
+        e5.join(
+            F.broadcast(lab.withColumnRenamed("node", "src")).withColumnRenamed(
+                "lab", "src_lab"
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                lab.withColumnRenamed("node", "nbr")
+            ).withColumnRenamed("lab", "nbr_lab"),
+            "nbr",
+        )
+    )
+    within = (
+        tagged.filter(F.col("src_lab") == F.col("nbr_lab"))
+        .groupBy(F.col("src_lab").alias("lab"))
+        .agg(F.sum("w5").alias("w_in5"))
+    )
+    outw = tagged.groupBy(F.col("src_lab").alias("lab")).agg(
+        F.sum("w5").alias("out5")
+    )
+    inw = tagged.groupBy(F.col("nbr_lab").alias("lab")).agg(
+        F.sum("w5").alias("in5")
+    )
+    total = e5.agg(F.sum("w5").alias("tot5"))
+    all_labs = lab.select("lab").distinct()
+    j = (
+        all_labs.join(within, "lab", "left")
+        .join(outw, "lab", "left")
+        .join(inw, "lab", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lab",
+            F.coalesce("w_in5", F.lit(0)).alias("w_in5"),
+            F.coalesce("out5", F.lit(0)).alias("out5"),
+            F.coalesce("in5", F.lit(0)).alias("in5"),
+            "tot5",
+        )
+    )
+    qc = (
+        F.col("w_in5") / F.col("tot5").cast("double")
+        - (F.col("out5") / F.col("tot5").cast("double"))
+        * (F.col("in5") / F.col("tot5").cast("double"))
+    )
+    return j.select(
+        F.col("lab").alias("label"),
+        (F.col("w_in5") / F.lit(1e5)).alias("w_within"),
+        (F.col("out5") / F.lit(1e5)).alias("w_out"),
+        (F.col("in5") / F.lit(1e5)).alias("w_in"),
+        _round8(qc).alias("q_contrib"),
+    )

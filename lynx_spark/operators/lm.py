@@ -933,3 +933,75 @@ def bpe_tokenize_docs(
             F.col("n_tokens") / F.col("n_words").cast("double"), 4
         ).alias("tokens_per_word"),
     )
+
+
+def phrase_search_top_bigram(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional-index phrase retrieval: build the inverted
+    positional index (doc, position, word), find the corpus's most
+    frequent bigram (count DESC, then lexicographic — deterministic),
+    and return every document containing that exact phrase with its
+    occurrence count and first match position.
+
+    This is index-based retrieval, not a text rescan: the phrase
+    match is an equality self-join of the positional index on
+    (doc, pos+1) — co-partitioned by doc, one shuffle builds the
+    index and every downstream join reuses it. At 100 TB the index
+    is the persisted artifact; the per-phrase query touches only the
+    two posting lists (word-equality filters reach the scan).
+
+    The 1-row phrase argmax broadcasts (the BPE-trainer pattern) —
+    no driver collect."""
+    pos = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(_words(text_col)).alias("pos0", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+        # the index IS the reused artifact: it feeds the bigram
+        # count, both sides of its own self-join, and both posting-
+        # list probes — materialize once instead of re-splitting the
+        # corpus four times (the shared-subtree scale killer)
+        .localCheckpoint(eager=True)
+    )
+    # bigram statistics never need the index self-join: adjacency is
+    # array-local, so enumerate (w[i], w[i+1]) inside each row — zero
+    # shuffle until the vocabulary-granular count (same semantics as
+    # the positional join: original positions, blank tokens excluded)
+    top = (
+        df.select(_words(text_col).alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+        .select("w1", "w2")
+        .localCheckpoint(eager=True)
+    )
+    p1 = pos.alias("p1").join(
+        F.broadcast(top), F.col("p1.word") == F.col("w1")
+    )
+    p2 = pos.alias("p2")
+    matches = p1.join(
+        p2,
+        (F.col("p1.doc_id") == F.col("p2.doc_id"))
+        & (F.col("p1.pos") + 1 == F.col("p2.pos"))
+        & (F.col("p2.word") == F.col("w2")),
+    )
+    return matches.groupBy(F.col("p1.doc_id").alias("doc_id")).agg(
+        F.first(F.concat_ws(" ", "w1", "w2")).alias("phrase"),
+        F.count("*").cast("long").alias("n_matches"),
+        F.min(F.col("p1.pos")).cast("long").alias("first_pos"),
+    )

@@ -1544,3 +1544,99 @@ def ivfpq_ann_topk_stored(
         vecs, cents, books, encoded,
         max_query_id=max_query_id, k=k, nprobe=nprobe, dim=dim, m=m,
     )
+
+
+def kcenter_sample(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 6
+) -> DataFrame:
+    """Greedy farthest-point (Gonzalez k-center) diversity sampling:
+    seed with the lowest id, then repeatedly select the vector whose
+    distance to its NEAREST already-selected center is largest —
+    the classic coverage-maximizing sampler for picking maximally
+    diverse training exemplars.
+
+    Returns (sel_rank, vec_id, dist): dist is the point's min
+    cosine distance to the previously selected set at the moment it
+    was chosen (NULL for the seed) — the k-center radius trajectory.
+
+    Determinism across engines: every distance is quantized to the
+    8dp integer-safe grid (floor(x*1e8+0.5)/1e8 — distances are
+    non-negative) BEFORE the argmax, ties break on vec_id, and the
+    running min-distance state carries only quantized values, so the
+    selection sequence is bit-reproducible and the unrolled SQL
+    oracle replays it exactly.
+
+    Scale shape: the classic streaming k-center — each of the k
+    iterations is ONE broadcast of the single new center and one
+    linear scan updating the running min-distance column (no
+    pairwise blowup, no per-iteration shuffle); superseded state
+    frames are released each round (the graph-loop discipline), so
+    memory stays bounded at any k."""
+    from lynx_spark.operators.graph import _release_frame
+
+    def q8(col: Column) -> Column:
+        return F.floor(col * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+
+    v = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    seed = (
+        v.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
+    )
+    picks = [
+        seed.select(
+            F.lit(1).cast("long").alias("sel_rank"),
+            "vec_id",
+            F.lit(None).cast("double").alias("dist"),
+        )
+    ]
+    center = seed.select(F.col("e").alias("ce"))
+    state = (
+        v.crossJoin(F.broadcast(center))
+        .select(
+            "vec_id",
+            "e",
+            q8(F.lit(1.0) - cosine(F.col("e"), F.col("ce"))).alias(
+                "mind"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, k + 1):
+        nxt = (
+            state.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            nxt.select(
+                F.lit(t).cast("long").alias("sel_rank"),
+                "vec_id",
+                F.col("mind").alias("dist"),
+            )
+        )
+        if t == k:
+            break
+        new_center = nxt.select(F.col("e").alias("ce"))
+        new_state = (
+            state.crossJoin(F.broadcast(new_center))
+            .select(
+                "vec_id",
+                "e",
+                F.least(
+                    F.col("mind"),
+                    q8(
+                        F.lit(1.0) - cosine(F.col("e"), F.col("ce"))
+                    ),
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_frame(state)
+        state = new_state
+    _release_frame(state)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -44,6 +44,7 @@ from lynx_spark.functions.text import (
 from lynx_spark.operators import corpus as cp
 from lynx_spark.operators import dedup as dd
 from lynx_spark.operators import graph as gr
+from lynx_spark.operators import layout
 from lynx_spark.operators import lm
 from lynx_spark.operators import quality as ql
 from lynx_spark.operators import similarity as sim
@@ -6275,4 +6276,588 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bpe_tokenize_docs(
         T(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# =====================================================================
+# round 7: warehouse / curation additions (cohorts, SCD2, smoothing,
+# data-layout audits, skyline, linkage, phrase retrieval, graph
+# quality, diversity sampling)
+# =====================================================================
+
+
+@q(
+    "q149_cohort_retention",
+    oracle=f"""
+WITH ev AS ({_EV}),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+c AS (SELECT user_id, day,
+        min(day) OVER (PARTITION BY user_id) AS cohort
+      FROM ud),
+g AS (SELECT cohort, date_diff('day', cohort, day) AS offset_days,
+        CAST(count(*) AS BIGINT) AS n_active
+      FROM c GROUP BY 1, 2)
+SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+  CAST(offset_days AS BIGINT) AS offset_days, n_active,
+  round(n_active / CAST(first_value(n_active) OVER (
+      PARTITION BY cohort ORDER BY offset_days) AS DOUBLE), 4)
+    AS retention
+FROM g
+""",
+    description="cohort retention matrix: cohort = each user's first "
+    "active day; per (cohort, day-offset) the distinct active users "
+    "and the retention fraction vs the cohort's day-0 size "
+    "(first_value window). Scale shape: one user-keyed shuffle for "
+    "the cohort assignment, then a cohort-granular aggregate — the "
+    "matrix is days², never rows-sized",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    c = ud.withColumn(
+        "cohort", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    g = (
+        c.groupBy(
+            "cohort", F.datediff("day", "cohort").alias("offset_days")
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    day0 = Window.partitionBy("cohort").orderBy("offset_days")
+    return g.select(
+        F.col("cohort").cast("string").alias("cohort_day"),
+        F.col("offset_days").cast("long").alias("offset_days"),
+        "n_active",
+        F.round(
+            F.col("n_active")
+            / F.first("n_active").over(day0).cast("double"),
+            4,
+        ).alias("retention"),
+    )
+
+
+@q(
+    "q150_scd2_history",
+    oracle=f"""
+WITH ev AS ({_EV}),
+l AS (SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(event_type) OVER w IS NULL
+             OR lag(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+v AS (SELECT user_id, ts, event_type,
+        sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      FROM l),
+seg AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+          min(event_type) AS event_type,
+          min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        FROM v GROUP BY user_id, version)
+SELECT user_id, version, event_type,
+  CAST(valid_from AS VARCHAR) AS valid_from,
+  CAST(lead(valid_from) OVER (
+      PARTITION BY user_id ORDER BY version) AS VARCHAR) AS valid_to,
+  n_events
+FROM seg
+""",
+    description="SCD type-2 history build: collapse each user's "
+    "event_type run-lengths into versioned [valid_from, valid_to) "
+    "rows (change flag via lag, version via running sum, close via "
+    "lead — the classic warehouse dimension-history recipe). One "
+    "user-keyed shuffle; all windows run inside it",
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), 1
+    ).otherwise(0)
+    v = ev.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seg = v.groupBy(
+        "user_id", F.col("version").cast("long").alias("version")
+    ).agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    nxt = Window.partitionBy("user_id").orderBy("version")
+    return seg.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.lead("valid_from").over(nxt).cast("string").alias("valid_to"),
+        "n_events",
+    )
+
+
+@q(
+    "q151_ewma_smooth",
+    oracle=f"""
+WITH ev AS ({_EV}),
+l AS (SELECT event_id, user_id, value,
+        lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+e AS (SELECT event_id, user_id, value,
+        (value
+         + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 * l1 END
+         + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 * l2 END
+         + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 * l3 END
+         + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 * l4 END)
+        /
+        (1.0
+         + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+         + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+         + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END
+         + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END) AS ew
+      FROM l)
+SELECT event_id, user_id,
+  floor(ew * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM e
+""",
+    description="depth-5 exponentially-weighted smoothing per user "
+    "series (alpha=1/2 — power-of-two weights, so every product is "
+    "an EXACT IEEE scaling and the fixed left-to-right sum is "
+    "bit-identical cross-engine; boundary rows renormalize over the "
+    "lags that exist). Window-lag only: zero shuffles beyond the "
+    "series partition, whole-stage codegen throughout",
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", i).over(w) for i in (1, 2, 3, 4)]
+    wts = [0.5, 0.25, 0.125, 0.0625]
+    num = F.col("value")
+    den = F.lit(1.0)
+    for lag_col, wt in zip(lags, wts):
+        num = num + F.when(lag_col.isNull(), 0.0).otherwise(
+            F.lit(wt) * lag_col
+        )
+        den = den + F.when(lag_col.isNull(), 0.0).otherwise(F.lit(wt))
+    ew = num / den
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(ew * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "ewma"
+        ),
+    )
+
+
+@q(
+    "q152_zonemap_audit",
+    oracle=f"""
+WITH ev AS ({_EV}),
+zm AS (SELECT CAST(ts AS DATE) AS day, min(value) AS mn,
+         max(value) AS mx, CAST(count(*) AS BIGINT) AS n
+       FROM ev GROUP BY 1),
+th AS (SELECT unnest([50.0, 150.0, 300.0]) AS threshold),
+pruned AS (SELECT t.threshold,
+    CAST(count(*) AS BIGINT) AS n_zones,
+    CAST(sum(CASE WHEN zm.mx <= t.threshold THEN 1 ELSE 0 END)
+      AS BIGINT) AS zones_pruned,
+    CAST(sum(CASE WHEN zm.mx <= t.threshold THEN zm.n ELSE 0 END)
+      AS BIGINT) AS rows_skipped,
+    CAST(sum(CASE WHEN zm.mx <= t.threshold THEN 0 ELSE zm.n END)
+      AS BIGINT) AS rows_scanned
+  FROM th t CROSS JOIN zm GROUP BY t.threshold),
+act AS (SELECT t.threshold,
+    CAST(sum(CASE WHEN e.value > t.threshold THEN 1 ELSE 0 END)
+      AS BIGINT) AS rows_matching
+  FROM th t CROSS JOIN ev e GROUP BY t.threshold)
+SELECT p.threshold, p.n_zones, p.zones_pruned, p.rows_skipped,
+  p.rows_scanned, a.rows_matching,
+  round(p.rows_skipped / CAST(p.rows_skipped + p.rows_scanned
+    AS DOUBLE), 4) AS skip_fraction
+FROM pruned p JOIN act a ON a.threshold = p.threshold
+""",
+    description="zone-map (min/max statistics) pruning audit: build "
+    "day-granular zones over events.value, then for each `value > "
+    "t` predicate report zones/rows a statistics-aware scan skips "
+    "vs the rows actually matching — the observability query behind "
+    "file-skipping layout decisions. Zones are day-count-sized; the "
+    "only corpus-scan is the zone build itself",
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    zm = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    th = ev.sparkSession.range(1).select(
+        F.explode(
+            F.array(F.lit(50.0), F.lit(150.0), F.lit(300.0))
+        ).alias("threshold")
+    )
+    pruned = (
+        th.crossJoin(F.broadcast(zm))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_zones"),
+            F.sum(
+                F.when(F.col("mx") <= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("zones_pruned"),
+            F.sum(
+                F.when(
+                    F.col("mx") <= F.col("threshold"), F.col("n")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_skipped"),
+            F.sum(
+                F.when(
+                    F.col("mx") <= F.col("threshold"), 0
+                ).otherwise(F.col("n"))
+            )
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+    )
+    act = (
+        ev.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("value") > F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_matching")
+        )
+    )
+    return (
+        pruned.join(act, "threshold")
+        .select(
+            "threshold",
+            "n_zones",
+            "zones_pruned",
+            "rows_skipped",
+            "rows_scanned",
+            "rows_matching",
+            F.round(
+                F.col("rows_skipped")
+                / (F.col("rows_skipped") + F.col("rows_scanned")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("skip_fraction"),
+        )
+    )
+
+
+@q(
+    "q153_skyline",
+    oracle="""
+WITH best AS (SELECT p_retailprice AS price, max(p_size) AS msize
+              FROM part GROUP BY p_retailprice),
+cm AS (SELECT price, msize,
+         max(msize) OVER (ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       FROM best),
+sky AS (SELECT price, msize FROM cm
+        WHERE prev_max IS NULL OR msize > prev_max)
+SELECT p.p_partkey, p.p_name, round(p.p_retailprice, 2) AS price,
+  CAST(p.p_size AS BIGINT) AS size
+FROM part p JOIN sky s
+  ON p.p_retailprice = s.price AND p.p_size = s.msize
+""",
+    description="2-D skyline (Pareto frontier: min price, max size) "
+    "via the sort-scan recipe — per-price best, a strict running-max "
+    "window over ascending price, survivors join back for their "
+    "part rows. One global sort of the price-distinct frame (never "
+    "all-pairs dominance); at 100 TB a per-partition local skyline "
+    "pre-filter bounds the sorted frame",
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part")
+    best = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("msize")
+    )
+    wcm = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        best.withColumn("prev_max", F.max("msize").over(wcm))
+        .filter(
+            F.col("prev_max").isNull()
+            | (F.col("msize") > F.col("prev_max"))
+        )
+        .select("price", "msize")
+    )
+    return part.join(
+        F.broadcast(sky),
+        (part.p_retailprice == sky.price) & (part.p_size == sky.msize),
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+
+def _zorder_oracle() -> str:
+    file_id = layout.zorder_sql(
+        "o_custkey", "day", bits=8, file_bits=6
+    )
+    return f"""
+WITH o AS (SELECT o_custkey,
+    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      AS day
+  FROM orders),
+st AS (SELECT CAST(min(o_custkey) AS BIGINT) AS mnx,
+         CAST(max(o_custkey) AS BIGINT) AS mxx,
+         CAST(min(day) AS BIGINT) AS mny,
+         CAST(max(day) AS BIGINT) AS mxy
+       FROM o),
+keyed AS (SELECT {file_id} AS file_id, o_custkey AS x, day AS y,
+            mnx, mxx, mny, mxy
+          FROM o CROSS JOIN st)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+  floor((max(x) - min(x)) / CAST(greatest(any_value(mxx)
+    - any_value(mnx), 1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+    AS span_x,
+  floor((max(y) - min(y)) / CAST(greatest(any_value(mxy)
+    - any_value(mny), 1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+    AS span_y
+FROM keyed GROUP BY file_id
+"""
+
+
+@q(
+    "q154_zorder_layout",
+    oracle=_zorder_oracle(),
+    description="Z-order (Morton) layout audit over orders on "
+    "(custkey, order epoch-day): each dimension min/max-quantized "
+    "to 8 bits on exact integers, bit-interleaved, bucketed by the "
+    "top 6 Z-bits into the 64 files an OPTIMIZE ZORDER rewrite "
+    "would emit; per file the bounding box and the fraction of each "
+    "dimension's range it spans (the data-skipping effectiveness "
+    "a q152-style zone map gets on EITHER predicate column). One "
+    "4-scalar aggregate broadcast back, one bucket-granular agg",
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("day"),
+    )
+    return layout.zorder_audit(
+        o, "o_custkey", "day", bits=8, file_bits=6
+    )
+
+
+@q(
+    "q155_phrase_search",
+    oracle=_WORDS_CTE
+    + """
+, p0 AS (SELECT doc_id, w,
+           unnest(generate_series(1, len(w))) AS pos FROM d),
+p AS (SELECT doc_id, pos, w[pos] AS word FROM p0 WHERE w[pos] <> ''),
+bg AS (SELECT p1.word AS w1, p2.word AS w2,
+         CAST(count(*) AS BIGINT) AS c
+       FROM p p1 JOIN p p2
+         ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+       GROUP BY 1, 2),
+top AS (SELECT w1, w2 FROM bg ORDER BY c DESC, w1, w2 LIMIT 1)
+SELECT p1.doc_id, t.w1 || ' ' || t.w2 AS phrase,
+  CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(min(p1.pos) AS BIGINT) AS first_pos
+FROM p p1
+JOIN top t ON p1.word = t.w1
+JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+         AND p2.word = t.w2
+GROUP BY 1, 2
+""",
+    description="positional-index phrase retrieval: build the "
+    "(doc, pos, word) inverted index once, pick the corpus's most "
+    "frequent bigram deterministically (1-row broadcast argmax), "
+    "and match the exact phrase via an index equality self-join on "
+    "(doc, pos+1) — co-partitioned, never a text rescan; per-doc "
+    "occurrence count and first position",
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.phrase_search_top_bigram(
+        T(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@q(
+    "q156_entity_match",
+    oracle="""
+WITH nm AS (SELECT p_name AS name, split_part(p_name, ' ', 1) AS blk,
+              CAST(count(*) AS BIGINT) AS n
+            FROM part GROUP BY 1, 2)
+SELECT a.name AS a_name, b.name AS b_name,
+  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+  a.n AS n_a, b.n AS n_b, a.n * b.n AS n_record_pairs
+FROM nm a JOIN nm b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+""",
+    description="blocked fuzzy entity matching (record linkage): "
+    "distinct part names within the same first-word block compared "
+    "by exact Levenshtein edit distance (<= 4), canonical a < b "
+    "pairs, each carrying the record-pair multiplicity it links. "
+    "The match runs on the NAME vocabulary, not the record rows — "
+    "the key-collapse that keeps linkage sub-quadratic when an "
+    "entity repeats millions of times — and the blocking key bounds "
+    "candidate volume to block-local vocabulary quadratics; edit "
+    "distance is an exact integer in both engines",
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nm = (
+        T(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_name").alias("name"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a = nm.alias("a")
+    b = nm.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.name"), F.col("b.name")) <= F.lit(4)
+        )
+        .select(
+            F.col("a.name").alias("a_name"),
+            F.col("b.name").alias("b_name"),
+            F.levenshtein(F.col("a.name"), F.col("b.name"))
+            .cast("long")
+            .alias("dist"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            (F.col("a.n") * F.col("b.n")).alias("n_record_pairs"),
+        )
+    )
+
+
+def _modularity_oracle() -> str:
+    base = _knn_graph_oracle(5)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    return (
+        ctes
+        + """, g AS (SELECT src, nbr, cos_sim FROM ranked WHERE rnk <= 5),
+e5 AS (SELECT src, nbr,
+         CAST(floor(cos_sim * 100000.0 + 0.5) AS BIGINT) AS w5
+       FROM g),
+lab AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS lab
+        FROM embeddings),
+tg AS (SELECT sl.lab AS src_lab, nl.lab AS nbr_lab, e5.w5
+       FROM e5 JOIN lab sl ON sl.node = e5.src
+       JOIN lab nl ON nl.node = e5.nbr),
+wn AS (SELECT src_lab AS lab, CAST(sum(w5) AS BIGINT) AS w_in5
+       FROM tg WHERE src_lab = nbr_lab GROUP BY 1),
+ow AS (SELECT src_lab AS lab, CAST(sum(w5) AS BIGINT) AS out5
+       FROM tg GROUP BY 1),
+iw AS (SELECT nbr_lab AS lab, CAST(sum(w5) AS BIGINT) AS in5
+       FROM tg GROUP BY 1),
+tot AS (SELECT CAST(sum(w5) AS BIGINT) AS tot5 FROM e5),
+al AS (SELECT DISTINCT CAST(label AS BIGINT) AS lab FROM embeddings)
+SELECT al.lab AS label,
+  coalesce(w_in5, 0) / 100000.0 AS w_within,
+  coalesce(out5, 0) / 100000.0 AS w_out,
+  coalesce(in5, 0) / 100000.0 AS w_in,
+  floor((coalesce(w_in5, 0) / CAST(tot5 AS DOUBLE)
+    - (coalesce(out5, 0) / CAST(tot5 AS DOUBLE))
+      * (coalesce(in5, 0) / CAST(tot5 AS DOUBLE)))
+    * 100000000.0 + 0.5) / 100000000.0 AS q_contrib
+FROM al LEFT JOIN wn USING (lab) LEFT JOIN ow USING (lab)
+LEFT JOIN iw USING (lab) CROSS JOIN tot
+"""
+    )
+
+
+@q(
+    "q157_modularity",
+    oracle=_modularity_oracle(),
+    description="directed weighted modularity (Leicht-Newman) of the "
+    "given label partition over the q83 kNN similarity graph — the "
+    "partition-quality audit completing the graph family: per "
+    "community, within-weight and out/in expected-weight terms, "
+    "Q_c = w_cc/W - (out_c/W)(in_c/W). Edge weights quantized onto "
+    "the 1e5 integer grid so every sum is exact; one label-map "
+    "broadcast onto the edges, three community-granular aggregates",
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(emb, "vec_id", "embedding", k=5)
+    return gr.directed_modularity(
+        edges, emb.select("vec_id", "label"), "vec_id", "label"
+    )
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    def d8(expr: str) -> str:
+        return f"floor(({expr}) * 100000000.0 + 0.5) / 100000000.0"
+
+    cos = "sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))"
+    sql = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c1 AS MATERIALIZED (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+el1 AS (SELECT v.vec_id, unnest(v.e) AS x, unnest(c.e) AS y
+        FROM v CROSS JOIN c1 c),
+d1 AS (SELECT vec_id, {d8(f"1.0 - ({cos})")} AS dn
+       FROM el1 GROUP BY vec_id),
+m1 AS MATERIALIZED (SELECT v.vec_id, v.e, d1.dn AS mind
+      FROM v JOIN d1 USING (vec_id))"""
+    for t in range(2, k + 1):
+        p = t - 1
+        sql += f""",
+c{t} AS MATERIALIZED (SELECT vec_id, e, mind FROM m{p}
+       ORDER BY mind DESC, vec_id LIMIT 1)"""
+        if t < k:
+            sql += f""",
+el{t} AS (SELECT m.vec_id, unnest(m.e) AS x, unnest(c.e) AS y
+          FROM m{p} m CROSS JOIN c{t} c),
+d{t} AS (SELECT vec_id, {d8(f"1.0 - ({cos})")} AS dn
+         FROM el{t} GROUP BY vec_id),
+m{t} AS MATERIALIZED (SELECT m.vec_id, m.e, least(m.mind, d.dn) AS mind
+       FROM m{p} m JOIN d{t} d USING (vec_id))"""
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS sel_rank, vec_id, "
+        f"mind AS dist FROM c{t}"
+        for t in range(2, k + 1)
+    )
+    return (
+        sql
+        + "\nSELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, "
+        "CAST(NULL AS DOUBLE) AS dist FROM c1\nUNION ALL "
+        + union
+        + "\n"
+    )
+
+
+@q(
+    "q158_kcenter_sample",
+    oracle=_kcenter_oracle(6),
+    description="greedy farthest-point (Gonzalez k-center) diversity "
+    "sampling over the embedding corpus: seed = lowest id, then 5 "
+    "rounds of 'pick the point farthest from its nearest selected "
+    "center' — the coverage-maximizing exemplar sampler; per pick "
+    "its selection distance (the k-center radius trajectory). Every "
+    "distance 8dp-quantized before the argmax (vec_id tie-break) so "
+    "the unrolled SQL oracle replays the identical sequence; each "
+    "round is one 1-row center broadcast + a linear min-distance "
+    "update, never pairwise",
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.kcenter_sample(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=6
     )

@@ -172,6 +172,17 @@ QUERIES = [
     "q147_bpe_train",
     # BPE application: unique-build-key doc-words join + doc aggregate
     "q148_bpe_tokenize",
+    # round 7: warehouse/curation additions
+    "q149_cohort_retention",   # user-keyed shuffle, cohort-granular agg
+    "q150_scd2_history",       # single user partition, windows inside
+    "q151_ewma_smooth",        # lag-only, zero extra shuffles
+    "q152_zonemap_audit",      # zone build is the only corpus scan
+    "q153_skyline",            # price-distinct sort, never all-pairs
+    "q154_zorder_layout",      # 4-scalar broadcast + bucket agg
+    "q155_phrase_search",      # positional index, co-partitioned join
+    "q156_entity_match",       # block-local candidate quadratics
+    "q157_modularity",         # label broadcast, community-granular
+    "q158_kcenter_sample",     # k x (1-row broadcast + linear scan)
 ]
 
 

@@ -3210,3 +3210,310 @@ def test_bpe_tokenize_docs_matches_reference(spark):
         assert got[i]["n_words"] == len(words)
         assert got[i]["n_tokens"] == n_tokens
         assert got[i]["tokens_per_word"] == round(n_tokens / len(words), 4)
+
+
+# ---------------------------------------------------------------------
+# round 7: warehouse/curation additions (q149-q158) — independent
+# truth tests so a shared Spark+SQL mistake can't hide behind oracle
+# parity (the twin-bug guard)
+# ---------------------------------------------------------------------
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """The Morton key arithmetic equals a bit-twiddling Python
+    reference for every (x, y) pair on an 8-bit grid corner set, and
+    bucket boxes are genuinely 2-D local: with both dimensions
+    uniform, no 64-file bucket spans more than ~1/4 of either
+    dimension's range (a 1-D sort would span 100% of the second)."""
+    from lynx_spark.operators.layout import zorder_audit
+
+    def morton(bx, by, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((bx >> i) & 1) << (2 * i + 1)
+            z |= ((by >> i) & 1) << (2 * i)
+        return z
+
+    # grid data covering the full [0,255]² corners plus interior
+    pts = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 17)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = zorder_audit(df, "x", "y", bits=8, file_bits=6).collect()
+    # every row lands in the bucket the reference computes
+    for x, y in pts:
+        want = morton(x, y) >> 10
+        hit = [
+            r
+            for r in out
+            if r["file_id"] == want
+            and r["min_x"] <= x <= r["max_x"]
+            and r["min_y"] <= y <= r["max_y"]
+        ]
+        assert hit, (x, y, want)
+    assert sum(r["n_rows"] for r in out) == len(pts)
+    # 2-D locality: top-6-bit buckets are 64 cells of a z-curve over
+    # an 8x8 macro grid -> each bucket's box spans ~1/8 of each dim
+    for r in out:
+        assert r["span_x"] <= 0.26, r
+        assert r["span_y"] <= 0.26, r
+
+
+def test_kcenter_matches_sequential_greedy(spark):
+    """The distributed farthest-point sampler picks the identical
+    sequence (ids, ranks, quantized distances) as a sequential
+    greedy reference on the same vectors, and is partitioning-
+    invariant."""
+    import math
+
+    from lynx_spark.operators.similarity import kcenter_sample
+
+    vecs = [
+        (i, [math.cos(0.37 * i + d * 0.11) for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    def q8(x):
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    sel = [0]
+    mind = {i: q8(1.0 - cos(v, vecs[0][1])) for i, v in vecs}
+    want = [(1, 0, None)]
+    for rank in range(2, 7):
+        nxt = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        # tie-break: max dist, then LOWEST id
+        best = max(mind.values())
+        nxt = min(i for i, d in mind.items() if d == best)
+        want.append((rank, nxt, mind[nxt]))
+        sel.append(nxt)
+        for i, v in vecs:
+            mind[i] = min(mind[i], q8(1.0 - cos(v, vecs[nxt][1])))
+    got = sorted(
+        map(tuple, kcenter_sample(df, "vec_id", "embedding", k=6).collect())
+    )
+    assert got == sorted(want)
+    rep = sorted(
+        map(
+            tuple,
+            kcenter_sample(
+                df.repartition(7), "vec_id", "embedding", k=6
+            ).collect(),
+        )
+    )
+    assert rep == got
+
+
+def test_directed_modularity_hand_graph(spark):
+    """Two perfectly-separated communities -> each contributes
+    w_cc/W - (w_c/W)^2 with w_cc = w_c; a merged single community
+    contributes exactly 0 (w_cc = W). Hand-checked arithmetic."""
+    from lynx_spark.operators.graph import directed_modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (3, 4, 1.0), (4, 3, 1.0)],
+        ["src", "nbr", "cos_sim"],
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], ["vec_id", "label"]
+    )
+    out = {r["label"]: r for r in directed_modularity(edges, labels).collect()}
+    # per community: w_cc = 2, W = 4 -> 2/4 - (2/4)*(2/4) = 0.25
+    for lab in (10, 20):
+        assert out[lab]["w_within"] == 2.0
+        assert out[lab]["q_contrib"] == 0.25
+    one = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 5)], ["vec_id", "label"]
+    )
+    merged = directed_modularity(edges, one).collect()
+    assert len(merged) == 1 and merged[0]["q_contrib"] == 0.0
+
+
+def test_skyline_hand_case(spark):
+    """Dominance semantics: cheaper-and-bigger wins; equal-price
+    smaller loses; equal (price, size) ties BOTH stay; a point
+    dominated only jointly (worse in one dim) stays."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+
+    rows = [
+        (1, "a", 10, 100.0),  # skyline (cheapest)
+        (2, "b", 20, 200.0),  # skyline (bigger than all cheaper)
+        (3, "c", 15, 200.0),  # dominated: same price as 2, smaller
+        (4, "d", 20, 300.0),  # dominated: same size as 2, pricier
+        (5, "e", 30, 300.0),  # skyline
+        (6, "f", 30, 300.0),  # tie with 5 -> both stay
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["p_partkey", "p_name", "p_size", "p_retailprice"]
+        ).write.parquet(os.path.join(tmp, "part.parquet"))
+        out = REGISTRY["q153_skyline"].fn(spark, tmp).collect()
+    keys = sorted(r["p_partkey"] for r in out)
+    assert keys == [1, 2, 5, 6]
+
+
+def test_ewma_hand_numbers(spark):
+    """Depth-5 alpha=1/2 smoothing: exact weighted means, boundary
+    renormalization over existing lags only."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, i), 7, "view", float(v), "{}")
+        for i, v in enumerate([8.0, 4.0, 2.0, 1.0, 1.0, 1.0])
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["event_id"]: r["ewma"]
+            for r in REGISTRY["q151_ewma_smooth"].fn(spark, tmp).collect()
+        }
+    import math
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert out[0] == 8.0
+    assert out[1] == q6((4.0 + 0.5 * 8.0) / 1.5)
+    assert out[2] == q6((2.0 + 0.5 * 4.0 + 0.25 * 8.0) / 1.75)
+    # full window at event 5: (1 + .5 + .25*1 + .125*2 + .0625*4)/1.9375
+    want = (1.0 + 0.5 * 1.0 + 0.25 * 1.0 + 0.125 * 2.0 + 0.0625 * 4.0) / 1.9375
+    assert out[5] == q6(want)
+
+
+def test_scd2_versions_hand_case(spark):
+    """Run-length collapse: A A B A -> three versions with correct
+    validity windows, open final row, per-version event counts."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    t = [datetime(2024, 1, 1, 0, 0, s) for s in range(4)]
+    rows = [
+        (0, t[0], 1, "A", 1.0, "{}"),
+        (1, t[1], 1, "A", 1.0, "{}"),
+        (2, t[2], 1, "B", 1.0, "{}"),
+        (3, t[3], 1, "A", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = sorted(
+            REGISTRY["q150_scd2_history"].fn(spark, tmp).collect(),
+            key=lambda r: r["version"],
+        )
+    assert [r["event_type"] for r in out] == ["A", "B", "A"]
+    assert [r["n_events"] for r in out] == [2, 1, 1]
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["valid_to"] == out[2]["valid_from"]
+    assert out[2]["valid_to"] is None
+
+
+def test_cohort_retention_hand_case(spark):
+    """Two users joining day 1, one returning day 2 -> cohort day-1
+    retention 1.0 at offset 0 and 0.5 at offset 1."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (1, datetime(2024, 1, 1, 10), 2, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 2, 9), 1, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            (r["cohort_day"], r["offset_days"]): r
+            for r in REGISTRY["q149_cohort_retention"].fn(spark, tmp).collect()
+        }
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 0)]["retention"] == 1.0
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+
+
+def test_zonemap_audit_consistency(spark):
+    """On the real table: skipped + scanned == total rows; every
+    matching row lives in a scanned zone (pruning is SOUND: a
+    pruned zone can contain no match); higher thresholds prune
+    monotonically more rows."""
+    from lynx_spark.plans.analytics import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = sorted(
+        REGISTRY["q152_zonemap_audit"].fn(spark, sf).collect(),
+        key=lambda r: r["threshold"],
+    )
+    total = out[0]["rows_skipped"] + out[0]["rows_scanned"]
+    prev_skip = -1
+    for r in out:
+        assert r["rows_skipped"] + r["rows_scanned"] == total
+        assert r["rows_matching"] <= r["rows_scanned"]
+        assert r["rows_skipped"] >= prev_skip
+        prev_skip = r["rows_skipped"]
+
+
+def test_entity_match_exact_and_near(spark):
+    """Blocked linkage runs on the NAME vocabulary: exact duplicates
+    collapse into one entity (multiplicity carried, never paired
+    with itself), near names within the edit threshold match with
+    the record-pair multiplicity they link, blocks never cross, and
+    pairs are canonical (a_name < b_name)."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+
+    rows = [
+        (1, "blue rod", 1, 1.0),
+        (2, "blue rod", 1, 2.0),      # same entity as 1 -> collapsed
+        (3, "blue bolt", 1, 3.0),     # rod->bolt dist 3 -> kept
+        (4, "blue widgetry", 1, 4.0), # far from rod/bolt -> dropped
+        (5, "cold rod", 1, 5.0),      # other block, never paired
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["p_partkey", "p_name", "p_size", "p_retailprice"]
+        ).write.parquet(os.path.join(tmp, "part.parquet"))
+        out = REGISTRY["q156_entity_match"].fn(spark, tmp).collect()
+    pairs = {(r["a_name"], r["b_name"]): r for r in out}
+    assert set(pairs) == {("blue bolt", "blue rod")}
+    m = pairs[("blue bolt", "blue rod")]
+    assert m["dist"] == 3
+    assert m["n_a"] == 1 and m["n_b"] == 2
+    assert m["n_record_pairs"] == 2
+
+
+def test_phrase_search_hand_docs(spark):
+    """The top bigram is chosen by count with lexicographic ties;
+    occurrences count overlapping positions per doc; first_pos is
+    1-based."""
+    from lynx_spark.operators.lm import phrase_search_top_bigram
+
+    docs = [
+        (0, "big cat big cat big"),   # 'big cat' x2
+        (1, "big cat sleeps"),        # 'big cat' x1
+        (2, "small dog"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in phrase_search_top_bigram(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["phrase"] == "big cat"
+    assert out[0]["n_matches"] == 2 and out[0]["first_pos"] == 1
+    assert out[1]["n_matches"] == 1 and out[1]["first_pos"] == 1
