@@ -837,3 +837,81 @@ def directed_modularity(
         (F.col("in5") / F.lit(1e5)).alias("w_in"),
         _round8(qc).alias("q_contrib"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, n_rounds: int = 3
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list — the
+    standard graph-based corpus-pruning device (drop weakly-connected
+    boilerplate/outlier nodes, keep the densely-linked core that
+    near-dup and citation graphs concentrate on). Each round removes
+    every vertex whose degree among SURVIVING vertices is < k; the
+    fixpoint of that process is the k-core. Rounds are FIXED (like
+    ``pagerank``'s power iterations) so the unrolled SQL oracle can
+    replay the identical trajectory stage by stage.
+
+    Returns one row per round (0 = the input graph): ``round``,
+    ``survivors`` (vertices alive after that round's peel),
+    ``n_edges`` (edges with both endpoints alive).
+
+    100 TB shape: per round, one degree aggregation keyed by vertex +
+    two semi-joins restricting the edge list — all key-equality
+    shuffles, no driver round-trips, lineage bounded by the fixed
+    round count; superseded edge frames are released eagerly. The
+    reference engine has no graph surface (SURVEY §2 extension)."""
+    e = (
+        edges.select(
+            F.col(edges.columns[0]).cast("long").alias("_a"),
+            F.col(edges.columns[1]).cast("long").alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    # symmetrize once: degree = count of half-edges per endpoint
+    sym = e.select("_a", "_b").union(
+        e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    )
+    alive = sym.select(F.col("_a").alias("_v")).distinct()
+    cur = sym.persist()
+    held = [cur]
+    rows = [
+        cur.agg(
+            (F.count("*") / 2).cast("long").alias("n_edges"),
+        )
+        .crossJoin(alive.agg(F.count("*").alias("survivors")))
+        .select(F.lit(0).cast("long").alias("round"), "survivors", "n_edges")
+    ]
+    for r in range(1, n_rounds + 1):
+        deg = cur.groupBy("_a").agg(F.count("*").alias("_deg"))
+        nxt_alive = deg.filter(F.col("_deg") >= k).select(
+            F.col("_a").alias("_v")
+        )
+        nxt = (
+            cur.join(nxt_alive, cur["_a"] == nxt_alive["_v"], "semi")
+            .join(
+                nxt_alive.select(F.col("_v").alias("_v2")),
+                F.col("_b") == F.col("_v2"),
+                "semi",
+            )
+            .persist()
+        )
+        held.append(nxt)
+        rows.append(
+            nxt.agg((F.count("*") / 2).cast("long").alias("n_edges"))
+            .crossJoin(nxt_alive.agg(F.count("*").alias("survivors")))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "survivors",
+                "n_edges",
+            )
+        )
+        cur = nxt
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionByName(frame)
+    result = out.persist()
+    result.count()  # materialize before releasing the edge frames
+    for frame_df in held:
+        _release_frame(frame_df)
+    return result

@@ -6861,3 +6861,471 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kcenter_sample(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=6
     )
+
+
+# =====================================================================
+# round 7 batch 2: recursive SQL, interval analytics, robust stats,
+# time-series forecasting, graph coreness, winsorization
+# =====================================================================
+
+
+@q(
+    "q159_recursive_calendar",
+    oracle=f"""
+WITH RECURSIVE ev AS ({_EV}),
+bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+           FROM ev),
+cal AS (
+  SELECT lo AS day, hi FROM bounds
+  UNION ALL
+  SELECT day + 1, hi FROM cal WHERE day < hi
+),
+daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1)
+SELECT c.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+  CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+  CAST(sum(coalesce(d.n, 0)) OVER (ORDER BY c.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS run_events
+FROM cal c LEFT JOIN daily d ON d.day = c.day
+""",
+    description="recursive CTE (Spark 4 WITH RECURSIVE — new SQL "
+    "surface): dense day calendar generated by recursion from the "
+    "event-time bounds, left-joined to daily counts so silent gap "
+    "days surface as zero rows, plus a cumulative ingest curve. The "
+    "recursion is bounded by the date span (days, not rows), the "
+    "calendar frame is tiny, and the one unpartitioned running-sum "
+    "window runs over calendar days only — never over events",
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+  FROM events
+),
+cal AS (
+  SELECT lo AS day, hi FROM bounds
+  UNION ALL
+  SELECT date_add(day, 1), hi FROM cal WHERE day < hi
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+)
+SELECT c.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+  CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+  CAST(sum(coalesce(d.n, 0)) OVER (ORDER BY c.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS run_events
+FROM cal c LEFT JOIN daily d ON d.day = c.day
+"""
+    )
+
+
+@q(
+    "q160_peak_concurrency",
+    oracle=f"""
+WITH ev AS ({_EV}),
+iv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         min(ts) AS t0, max(ts) AS t1
+       FROM ev GROUP BY 1, 2),
+pts AS (
+  SELECT day, user_id, t0 AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT day, user_id, t1 AS t, -1 AS d FROM iv
+),
+sweep AS (
+  SELECT day, sum(d) OVER (PARTITION BY day
+    ORDER BY t, d DESC, user_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts
+)
+SELECT s.day, n.n_users, CAST(max(s.conc) AS BIGINT) AS peak_concurrent
+FROM sweep s
+JOIN (SELECT day, CAST(count(*) AS BIGINT) AS n_users
+      FROM iv GROUP BY 1) n ON n.day = s.day
+GROUP BY s.day, n.n_users
+""",
+    description="interval analytics via sweep-line: per-user daily "
+    "activity intervals [first event, last event] become +1/-1 "
+    "endpoint deltas; a day-partitioned running sum (starts ordered "
+    "before ends at equal timestamps, user_id tie-break for a total "
+    "order) traces concurrency, and its max is the day's peak "
+    "concurrent-user count. LINEAR where the naive overlapping-pairs "
+    "join is quadratic in users-per-day — the 100 TB-safe shape for "
+    "interval overlap questions; all integer arithmetic, fully "
+    "deterministic",
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    pts = iv.select(
+        "day", "user_id", F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select(
+            "day", "user_id", F.col("t1").alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("d").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = pts.select("day", F.sum("d").over(w).alias("conc"))
+    nu = iv.groupBy("day").agg(F.count("*").alias("n_users"))
+    return (
+        sweep.join(nu, "day")
+        .groupBy("day", "n_users")
+        .agg(F.max("conc").cast("long").alias("peak_concurrent"))
+    )
+
+
+@q(
+    "q161_rolling_distinct",
+    oracle=f"""
+WITH ev AS ({_EV}),
+tri AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d0, user_id
+        FROM ev),
+days AS (SELECT DISTINCT event_type, d0 AS day FROM tri)
+SELECT d.event_type, d.day,
+  CAST(count(DISTINCT t.user_id) AS BIGINT) AS users_7d
+FROM days d JOIN tri t
+  ON t.event_type = d.event_type
+ AND t.d0 BETWEEN d.day - 6 AND d.day
+GROUP BY 1, 2
+""",
+    description="7-day rolling DISTINCT users per event type — the "
+    "rolling-cardinality metric windows can't express (DISTINCT "
+    "inside a window frame is unsupported in both engines). Spark "
+    "shape: distinct (type, day, user) triples fan out to the <=7 "
+    "forward days they cover (explode of a constant 0..6 sequence), "
+    "then one equi-join back to observed days and a distinct count — "
+    "linear with a fixed x7 factor, where the oracle's BETWEEN range "
+    "join is quadratic-ish; at 100 TB the triple-dedup is the only "
+    "real shuffle and the fan-out key (type, day) is perfectly "
+    "partitionable",
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    tri = ev.select(
+        "event_type", F.to_date("ts").alias("d0"), "user_id"
+    ).distinct()
+    days = tri.select("event_type", F.col("d0").alias("day")).distinct()
+    expanded = tri.withColumn(
+        "off", F.explode(F.sequence(F.lit(0), F.lit(6)))
+    ).select(
+        "event_type",
+        F.date_add("d0", F.col("off")).alias("day"),
+        "user_id",
+    )
+    return (
+        expanded.join(days, ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+    )
+
+
+@q(
+    "q162_mad_anomaly",
+    oracle=f"""
+WITH ev AS ({_EV}),
+med AS (SELECT event_type, quantile_cont(value, 5e-1) AS med
+        FROM ev GROUP BY 1),
+dv AS (SELECT e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS dev
+       FROM ev e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(dev, 5e-1) AS mad
+        FROM dv GROUP BY 1),
+fl AS (SELECT d.event_type, d.med, m.mad,
+         CASE WHEN m.mad > 0e0 AND d.dev > 3e0 * m.mad
+              THEN 1 ELSE 0 END AS is_anom
+       FROM dv d JOIN mad m USING (event_type))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  floor(max(med) * 1e6 + 5e-1) / 1e6 AS med,
+  floor(max(mad) * 1e6 + 5e-1) / 1e6 AS mad,
+  CAST(sum(is_anom) AS BIGINT) AS n_anomalies,
+  floor((CAST(sum(is_anom) AS DOUBLE) / count(*)) * 1e6 + 5e-1) / 1e6
+    AS anomaly_rate
+FROM fl GROUP BY 1
+""",
+    description="robust anomaly detection per event type: median/MAD "
+    "(exact interpolated percentiles — identical (n-1)*q index "
+    "arithmetic in both engines) flag values beyond 3 MAD, the "
+    "outlier gate that survives the heavy tails that wreck "
+    "mean/stddev z-scores. Two aggregation passes plus a 5-row "
+    "broadcast back onto events; the exact-percentile sort is "
+    "per-group and at warehouse scale would swap to approx_percentile "
+    "with the same flagging contract",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dv = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dv.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5D)").alias("mad")
+    )
+    fl = dv.join(F.broadcast(mad), "event_type").withColumn(
+        "is_anom",
+        F.when(
+            (F.col("mad") > 0.0) & (F.col("dev") > F.lit(3.0) * F.col("mad")),
+            1,
+        ).otherwise(0),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return fl.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        r6(F.max("med")).alias("med"),
+        r6(F.max("mad")).alias("mad"),
+        F.sum("is_anom").cast("long").alias("n_anomalies"),
+        r6(F.sum("is_anom").cast("double") / F.count("*")).alias(
+            "anomaly_rate"
+        ),
+    )
+
+
+@q(
+    "q163_holt_forecast",
+    oracle=f"""
+WITH RECURSIVE ev AS ({_EV}),
+d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        CAST(sum(CAST(floor(value * 1e6 + 5e-1) AS BIGINT)) AS BIGINT)
+          AS y6
+      FROM ev GROUP BY 1, 2),
+s AS (SELECT user_id, y6,
+        row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+h AS (
+  SELECT user_id, 1 AS rn, CAST(y6 AS DOUBLE) / 1e6 AS l,
+    CAST(0 AS DOUBLE) AS b
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+    5e-1 * (CAST(s.y6 AS DOUBLE) / 1e6) + 5e-1 * (h.l + h.b),
+    5e-1 * ((5e-1 * (CAST(s.y6 AS DOUBLE) / 1e6)
+             + 5e-1 * (h.l + h.b)) - h.l) + 5e-1 * h.b
+  FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+),
+mx AS (SELECT user_id, max(rn) AS m FROM h GROUP BY 1)
+SELECT h.user_id,
+  CAST(mx.m AS BIGINT) AS n_days,
+  floor(h.l * 1e6 + 5e-1) / 1e6 AS level,
+  floor(h.b * 1e6 + 5e-1) / 1e6 AS trend,
+  floor((h.l + 3e0 * h.b) * 1e6 + 5e-1) / 1e6 AS forecast_3
+FROM h JOIN mx ON mx.user_id = h.user_id AND h.rn = mx.m
+""",
+    description="Holt double-exponential (level+trend) smoothing of "
+    "each user's daily value series, with a 3-step-ahead forecast — "
+    "per-series state folded with alpha=beta=1/2 so every smoothing "
+    "product is an EXACT IEEE scaling and the sequential fold is "
+    "bit-identical to the oracle's recursive-CTE replay. Daily "
+    "totals quantize onto the 1e-6 integer grid first (order-free "
+    "exact sums); the Spark side is one groupBy + an array_sort + "
+    "F.aggregate fold per series — series state never leaves the "
+    "executor, no iteration shuffles at all (the recurrence depth "
+    "lives inside the array fold, not the plan)",
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("y6")
+    )
+    ser = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y6"))).alias("s")
+    )
+    y0 = F.element_at("s", 1)["y6"].cast("double") / F.lit(1e6)
+    init = F.struct(y0.alias("l"), F.lit(0.0).alias("b"))
+    rest = F.slice(
+        "s", 2, F.greatest(F.size("s") - F.lit(1), F.lit(0))
+    )
+
+    def step(acc, x):
+        y = x["y6"].cast("double") / F.lit(1e6)
+        lp = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        bp = F.lit(0.5) * (lp - acc["l"]) + F.lit(0.5) * acc["b"]
+        return F.struct(lp.alias("l"), bp.alias("b"))
+
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    acc = F.aggregate(rest, init, step)
+    return ser.select(
+        "user_id",
+        F.size("s").cast("long").alias("n_days"),
+        r6(acc["l"]).alias("level"),
+        r6(acc["b"]).alias("trend"),
+        r6(acc["l"] + F.lit(3.0) * acc["b"]).alias("forecast_3"),
+    )
+
+
+def _kcore_oracle(k: int = 12, n_rounds: int = 3, cap: int = 8) -> str:
+    sql = f"""
+WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+keep AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= {cap}),
+lik AS (SELECT li.* FROM li JOIN keep USING (l_partkey)),
+e AS (SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+      FROM lik a JOIN lik b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+sym0 AS (SELECT s AS a, t AS b FROM e
+         UNION ALL SELECT t AS a, s AS b FROM e)"""
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        sql += f""",
+al{r} AS (SELECT a AS v FROM sym{p} GROUP BY 1
+          HAVING count(*) >= {k}),
+sym{r} AS (SELECT sy.a, sy.b FROM sym{p} sy
+           WHERE sy.a IN (SELECT v FROM al{r})
+             AND sy.b IN (SELECT v FROM al{r}))"""
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS round,"
+        " (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM sym0)"
+        " AS survivors,"
+        " (SELECT CAST(count(*) / 2 AS BIGINT) FROM sym0) AS n_edges"
+    ]
+    for r in range(1, n_rounds + 1):
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM al{r}) AS survivors,"
+            f" (SELECT CAST(count(*) / 2 AS BIGINT) FROM sym{r})"
+            " AS n_edges"
+        )
+    return sql + "\n" + "\nUNION ALL ".join(rows) + "\n"
+
+
+@q(
+    "q164_kcore_peel",
+    oracle=_kcore_oracle(12, 3, 8),
+    description="k-core peeling (k=12, 3 fixed rounds) of the "
+    "supplier co-purchase graph — suppliers linked when they ship "
+    "the same part, with a fan-out cap (parts carried by <= 8 "
+    "suppliers) playing the df-cap role so no hub part can go "
+    "quadratic. Per-round survivor/edge trajectory; each round is "
+    "one degree aggregation + two semi-joins, superseded edge "
+    "frames released eagerly (the HITS bookkeeping pattern) — the "
+    "graph-density pruning tier for corpus graphs at 100 TB",
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    keep = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") <= 8)
+        .select("l_partkey")
+    )
+    lik = li.join(keep, "l_partkey")
+    pairs = (
+        lik.alias("a")
+        .join(lik.alias("b"), "l_partkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return gr.kcore_peel(pairs, k=12, n_rounds=3)
+
+
+@q(
+    "q165_winsorize",
+    oracle="""
+WITH pct AS (
+  SELECT source,
+    floor(quantile_cont(n_chars, 5e-2) * 1e2 + 5e-1) / 1e2 AS p05,
+    floor(quantile_cont(n_chars, 95e-2) * 1e2 + 5e-1) / 1e2 AS p95
+  FROM documents GROUP BY 1),
+j AS (
+  SELECT d.source, d.n_chars, p.p05, p.p95,
+    CAST(floor(least(greatest(CAST(d.n_chars AS DOUBLE), p.p05), p.p95)
+      * 1e2 + 5e-1) AS BIGINT) AS w2
+  FROM documents d JOIN pct p USING (source)),
+s AS (
+  SELECT source, max(p05) AS p05, max(p95) AS p95,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(count(*) AS BIGINT) AS nn,
+    CAST(sum(n_chars) AS BIGINT) AS s1r,
+    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2r,
+    CAST(sum(w2) AS BIGINT) AS s1w,
+    CAST(sum(w2 * w2) AS BIGINT) AS s2w
+  FROM j GROUP BY source)
+SELECT source, nn AS n, p05, p95,
+  floor((CAST(s1r AS DOUBLE) / n) * 1e4 + 5e-1) / 1e4 AS raw_mean,
+  floor(sqrt(greatest(CAST(s2r AS DOUBLE) / n
+    - (CAST(s1r AS DOUBLE) / n) * (CAST(s1r AS DOUBLE) / n), 0e0))
+    * 1e4 + 5e-1) / 1e4 AS raw_std,
+  floor(((CAST(s1w AS DOUBLE) / n) / 1e2) * 1e4 + 5e-1) / 1e4
+    AS win_mean,
+  floor(sqrt(greatest((CAST(s2w AS DOUBLE) / n) / 1e4
+    - ((CAST(s1w AS DOUBLE) / n) / 1e2)
+      * ((CAST(s1w AS DOUBLE) / n) / 1e2), 0e0))
+    * 1e4 + 5e-1) / 1e4 AS win_std
+FROM s
+""",
+    description="per-source winsorization audit of document lengths: "
+    "p05/p95 exact percentiles (2dp-quantized so both engines clip "
+    "on the identical grid), then mean/std of raw vs clipped lengths "
+    "— the outlier-clipping length normalizer a curation pipeline "
+    "applies before length-balanced sampling. Clipped values live on "
+    "a 1e-2 integer grid so every moment is an exact integer sum "
+    "(order-free); variance is assembled from the same op sequence "
+    "in both engines. One percentile pass + one moment pass, "
+    "source-keyed — trivially partitionable",
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    q2 = lambda c: F.floor(c * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)
+    r4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+    pct = docs.groupBy("source").agg(
+        q2(F.expr("percentile(n_chars, 0.05D)")).alias("p05"),
+        q2(F.expr("percentile(n_chars, 0.95D)")).alias("p95"),
+    )
+    j = docs.join(F.broadcast(pct), "source").withColumn(
+        "w2",
+        F.floor(
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("p05")),
+                F.col("p95"),
+            )
+            * F.lit(1e2)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    s = j.groupBy("source").agg(
+        F.max("p05").alias("p05"),
+        F.max("p95").alias("p95"),
+        F.count("*").cast("double").alias("n"),
+        F.count("*").alias("nn"),
+        F.sum("n_chars").alias("s1r"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2r"),
+        F.sum("w2").alias("s1w"),
+        F.sum(F.col("w2") * F.col("w2")).alias("s2w"),
+    )
+    mr = F.col("s1r").cast("double") / F.col("n")
+    mw = (F.col("s1w").cast("double") / F.col("n")) / F.lit(1e2)
+    vr = F.greatest(
+        F.col("s2r").cast("double") / F.col("n") - mr * mr, F.lit(0.0)
+    )
+    vw = F.greatest(
+        (F.col("s2w").cast("double") / F.col("n")) / F.lit(1e4) - mw * mw,
+        F.lit(0.0),
+    )
+    return s.select(
+        "source",
+        F.col("nn").alias("n"),
+        "p05",
+        "p95",
+        r4(mr).alias("raw_mean"),
+        r4(F.sqrt(vr)).alias("raw_std"),
+        r4(mw).alias("win_mean"),
+        r4(F.sqrt(vw)).alias("win_std"),
+    )

@@ -183,6 +183,14 @@ QUERIES = [
     "q156_entity_match",       # block-local candidate quadratics
     "q157_modularity",         # label broadcast, community-granular
     "q158_kcenter_sample",     # k x (1-row broadcast + linear scan)
+    # round 7 batch 2: recursion, interval sweep, robust stats, folds
+    "q159_recursive_calendar",  # recursion depth = days, not rows
+    "q160_peak_concurrency",   # linear sweep-line, day-partitioned
+    "q161_rolling_distinct",   # x7 fan-out equi-join, no range join
+    "q162_mad_anomaly",        # two percentile passes + 5-row bcast
+    "q163_holt_forecast",      # per-series array fold, one shuffle
+    "q164_kcore_peel",         # degree agg + semi-joins per round
+    "q165_winsorize",          # percentile pass + integer moments
 ]
 
 

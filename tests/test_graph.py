@@ -454,3 +454,33 @@ def test_weighted_pagerank_zero_weight_node(spark):
     assert abs(out[1] - 0.15 / 3) < 1e-9
     # node 3 gets node 2's full share; node 2 only teleport mass
     assert out[3] > out[2] > 0.0
+
+
+def test_kcore_peel_pendant_dies_core_survives(spark):
+    """Triangle {1,2,3} + pendant 4-1, k=2: round 1 peels the pendant
+    (degree 1) and drops its edge; node 1's degree falls 3->2 but
+    stays >= k, so rounds 2+ are stable at the triangle."""
+    from lynx_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], ["src", "dst"]
+    )
+    rows = {
+        r["round"]: (r["survivors"], r["n_edges"])
+        for r in kcore_peel(edges, k=2, n_rounds=2).collect()
+    }
+    assert rows == {0: (4, 4), 1: (3, 3), 2: (3, 3)}
+
+
+def test_kcore_peel_chain_collapses_fully(spark):
+    """A path 1-2-3-4 has no 2-core: endpoints die round 1, the
+    middle pair dies round 2, empty thereafter — and empty rounds
+    produce 0-rows, not errors."""
+    from lynx_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    rows = {
+        r["round"]: (r["survivors"], r["n_edges"])
+        for r in kcore_peel(edges, k=2, n_rounds=3).collect()
+    }
+    assert rows == {0: (4, 3), 1: (2, 1), 2: (0, 0), 3: (0, 0)}

@@ -3517,3 +3517,185 @@ def test_phrase_search_hand_docs(spark):
     assert out[0]["phrase"] == "big cat"
     assert out[0]["n_matches"] == 2 and out[0]["first_pos"] == 1
     assert out[1]["n_matches"] == 1 and out[1]["first_pos"] == 1
+
+
+def test_recursive_calendar_gap_days(spark):
+    """WITH RECURSIVE calendar densifies the day range: missing days
+    surface as n_events=0 / is_gap=1 and the running total passes
+    through them unchanged."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1, 12), 1, "view", 1.0, "{}"),
+        (1, datetime(2024, 1, 2, 12), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 2, 13), 2, "view", 1.0, "{}"),
+        (3, datetime(2024, 1, 5, 12), 1, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            str(r["day"]): (r["n_events"], r["is_gap"], r["run_events"])
+            for r in REGISTRY["q159_recursive_calendar"]
+            .fn(spark, tmp)
+            .collect()
+        }
+    assert out == {
+        "2024-01-01": (1, 0, 1),
+        "2024-01-02": (2, 0, 3),
+        "2024-01-03": (0, 1, 3),
+        "2024-01-04": (0, 1, 3),
+        "2024-01-05": (1, 0, 4),
+    }
+
+
+def test_peak_concurrency_sweep_hand_case(spark):
+    """Sweep-line semantics: overlapping intervals stack; intervals
+    touching exactly at an endpoint count as concurrent (starts order
+    before ends at equal timestamps)."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    def ev(eid, minute, user):
+        return (eid, datetime(2024, 1, 1, 0, minute), user, "view", 1.0, "{}")
+
+    rows = [
+        ev(0, 0, 1), ev(1, 10, 1),     # user 1: [00:00, 00:10]
+        ev(2, 5, 2), ev(3, 15, 2),     # user 2: [00:05, 00:15]
+        ev(4, 15, 4), ev(5, 18, 4),    # user 4 starts AT user 2's end
+        ev(6, 20, 3), ev(7, 30, 3),    # user 3: disjoint
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = REGISTRY["q160_peak_concurrency"].fn(spark, tmp).collect()
+    assert len(out) == 1
+    assert (out[0]["n_users"], out[0]["peak_concurrent"]) == (4, 2)
+
+
+def test_rolling_distinct_window_arithmetic(spark):
+    """7-day rolling distinct: a day counts users from itself and the
+    6 preceding days only, deduplicated across days."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1), 1, "x", 1.0, "{}"),
+        (1, datetime(2024, 1, 1), 2, "x", 1.0, "{}"),
+        (2, datetime(2024, 1, 5), 1, "x", 1.0, "{}"),
+        (3, datetime(2024, 1, 9), 3, "x", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            str(r["day"]): r["users_7d"]
+            for r in REGISTRY["q161_rolling_distinct"].fn(spark, tmp).collect()
+        }
+    # Jan 1: {1,2}; Jan 5 window Dec 30..Jan 5: {1,2}; Jan 9 window
+    # Jan 3..Jan 9: {1 (Jan 5), 3}
+    assert out == {"2024-01-01": 2, "2024-01-05": 2, "2024-01-09": 2}
+
+
+def test_mad_anomaly_zero_mad_guard_and_flags(spark):
+    """MAD=0 (constant-majority series) flags nothing even with a wild
+    outlier; a spread series flags exactly the >3*MAD points."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    rows = []
+    for i, v in enumerate([1.0, 1.0, 1.0, 1.0, 100.0]):
+        rows.append((i, datetime(2024, 1, 1, 0, i), 1, "flat", v, "{}"))
+    for i, v in enumerate([0.0, 10.0, 20.0, 30.0, 1000.0]):
+        rows.append((10 + i, datetime(2024, 1, 1, 1, i), 2, "spread", v, "{}"))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["event_type"]: r
+            for r in REGISTRY["q162_mad_anomaly"].fn(spark, tmp).collect()
+        }
+    assert out["flat"]["mad"] == 0.0
+    assert out["flat"]["n_anomalies"] == 0
+    # spread: med=20, devs {20,10,0,10,980}, mad=10 -> only 980 > 30
+    assert out["spread"]["med"] == 20.0
+    assert out["spread"]["mad"] == 10.0
+    assert out["spread"]["n_anomalies"] == 1
+
+
+def test_holt_forecast_hand_recurrence(spark):
+    """alpha=beta=1/2 Holt fold on daily totals [2,4,6]:
+    l:2->3->4.75, b:0->0.5->1.125, forecast_3 = 4.75+3*1.125."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    rows = [
+        (0, datetime(2024, 1, 1), 7, "view", 2.0, "{}"),
+        (1, datetime(2024, 1, 2), 7, "view", 1.5, "{}"),
+        (2, datetime(2024, 1, 2), 7, "view", 2.5, "{}"),
+        (3, datetime(2024, 1, 3), 7, "view", 6.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = REGISTRY["q163_holt_forecast"].fn(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 3
+    assert r["level"] == 4.75
+    assert r["trend"] == 1.125
+    assert r["forecast_3"] == 4.75 + 3 * 1.125
+
+
+def test_winsorize_clips_moments_hand_case(spark):
+    """p05/p95 clipping: the outlier is pulled to the quantized p95
+    and the winsorized std collapses relative to the raw std; raw
+    integer moments match numpy exactly."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os, math
+
+    lengths = [100, 110, 120, 130, 140, 150, 160, 170, 180, 5000]
+    rows = [
+        (i, "t" * 3, "en", "web", n) for i, n in enumerate(lengths)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = REGISTRY["q165_winsorize"].fn(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def q(x, grid):
+        return math.floor(x * grid + 0.5) / grid
+
+    # interpolated percentiles over 10 points: idx 0.45 and 8.55
+    p05 = q(100 + 0.45 * 10, 1e2)
+    p95 = q(180 + 0.55 * (5000 - 180), 1e2)
+    assert (r["p05"], r["p95"]) == (p05, p95)
+    clipped = [min(max(float(n), p05), p95) for n in lengths]
+    w2 = [math.floor(c * 1e2 + 0.5) for c in clipped]
+    n = float(len(lengths))
+    mw = (sum(w2) / n) / 1e2
+    vw = (sum(x * x for x in w2) / n) / 1e4 - mw * mw
+    assert r["win_mean"] == q(mw, 1e4)
+    assert r["win_std"] == q(math.sqrt(max(vw, 0.0)), 1e4)
+    mr = sum(lengths) / n
+    assert r["raw_mean"] == q(mr, 1e4)
+    assert r["n"] == 10
