@@ -7329,3 +7329,188 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(mw).alias("win_mean"),
         r4(F.sqrt(vw)).alias("win_std"),
     )
+
+
+@q(
+    "q166_funnel_conversion",
+    oracle=f"""
+WITH ev AS ({_EV}),
+v AS (SELECT user_id, min(ts) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM ev e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM ev e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+coh AS (SELECT v.user_id, CAST(v.t1 AS DATE) AS cohort_day,
+          CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS hit2,
+          CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS hit3
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+        LEFT JOIN p ON p.user_id = v.user_id)
+SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_viewed,
+  CAST(sum(hit2) AS BIGINT) AS n_clicked,
+  CAST(sum(hit3) AS BIGINT) AS n_purchased,
+  floor((CAST(sum(hit2) AS DOUBLE) / count(*)) * 1e6 + 5e-1) / 1e6
+    AS click_rate,
+  floor((CAST(sum(hit3) AS DOUBLE) / count(*)) * 1e6 + 5e-1) / 1e6
+    AS purchase_rate
+FROM coh GROUP BY 1
+""",
+    description="ordered 3-step funnel (view -> later click -> later "
+    "purchase) with per-cohort-day conversion rates — the strictly-"
+    "ordered variant q13's unordered pair counting can't express. "
+    "Three user-keyed min-aggregations chained by strict timestamp "
+    "inequality (microsecond integers — exact comparisons), then two "
+    "left joins collapse to per-user stage flags; cohort = first-view "
+    "day. Every join is user-keyed equi; no windows over raw events",
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    coh = (
+        v.join(c.select("user_id", F.lit(1).alias("hit2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("hit3")), "user_id", "left")
+        .select(
+            F.to_date("t1").alias("cohort_day"),
+            F.coalesce("hit2", F.lit(0)).alias("hit2"),
+            F.coalesce("hit3", F.lit(0)).alias("hit3"),
+        )
+    )
+    r6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return coh.groupBy("cohort_day").agg(
+        F.count("*").alias("n_viewed"),
+        F.sum("hit2").cast("long").alias("n_clicked"),
+        F.sum("hit3").cast("long").alias("n_purchased"),
+        r6(F.sum("hit2").cast("double") / F.count("*")).alias("click_rate"),
+        r6(F.sum("hit3").cast("double") / F.count("*")).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+@q(
+    "q167_cusum_changepoint",
+    oracle=f"""
+WITH RECURSIVE ev AS ({_EV}),
+mu AS (SELECT event_type,
+         floor((CAST(sum(CAST(floor(value * 1e6 + 5e-1) AS BIGINT))
+                  AS DOUBLE) / count(*)) / 1e6 * 1e6 + 5e-1) / 1e6
+           AS mu
+       FROM ev GROUP BY 1),
+s AS (SELECT e.event_type, CAST(e.ts AS DATE) AS day, e.value, m.mu,
+        row_number() OVER (PARTITION BY e.event_type, CAST(e.ts AS DATE)
+          ORDER BY e.ts, e.event_id) AS rn
+      FROM ev e JOIN mu m USING (event_type)),
+cu AS (
+  SELECT event_type, day, 1 AS rn,
+    greatest(0e0, value - mu - 5e-1) AS cs,
+    CASE WHEN greatest(0e0, value - mu - 5e-1) > 5e0
+         THEN 1 ELSE 0 END AS alarms,
+    greatest(0e0, value - mu - 5e-1) AS mx
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.rn,
+    greatest(0e0, c.cs + (s.value - s.mu - 5e-1)),
+    c.alarms + CASE WHEN
+      greatest(0e0, c.cs + (s.value - s.mu - 5e-1)) > 5e0
+      THEN 1 ELSE 0 END,
+    greatest(c.mx, greatest(0e0, c.cs + (s.value - s.mu - 5e-1)))
+  FROM cu c JOIN s ON s.event_type = c.event_type AND s.day = c.day
+    AND s.rn = c.rn + 1
+),
+mx AS (SELECT event_type, day, max(rn) AS m
+       FROM cu GROUP BY 1, 2)
+SELECT c.event_type, c.day, CAST(mx.m AS BIGINT) AS n_events,
+  CAST(c.alarms AS BIGINT) AS n_alarms,
+  floor(c.mx * 1e6 + 5e-1) / 1e6 AS max_s
+FROM cu c JOIN mx ON mx.event_type = c.event_type
+  AND mx.day = c.day AND c.rn = mx.m
+""",
+    description="one-sided CUSUM change-point monitor per (event "
+    "type, day): s_t = max(0, s_t-1 + (x_t - mu - k)) with slack "
+    "k=1/2 and alarm threshold h=5, mean mu quantized onto the 1e-6 "
+    "grid so both engines subtract the identical constant — the "
+    "drift ALARM tier completing EWMA (q151) / Holt (q163) / MAD "
+    "(q162). The day-bounded recurrence runs inside an array_sort + "
+    "F.aggregate fold (daily reset keeps series executor-sized at "
+    "any corpus scale); the oracle replays it as a recursive CTE. "
+    "max/+/- on identical doubles are IEEE-exact, so the alarm "
+    "counts and peak statistic match bit-for-bit",
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        (
+            F.floor(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("value") * F.lit(1e6) + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.count("*")
+                )
+                / F.lit(1e6)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mu")
+    )
+    ser = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("s"),
+            F.max("mu").alias("mu"),
+        )
+    )
+    zero = F.lit(0.0)
+    init = F.struct(
+        zero.alias("cs"), F.lit(0).cast("long").alias("alarms"),
+        zero.alias("mx"),
+    )
+
+    def step(acc, x):
+        cs = F.greatest(
+            zero, acc["cs"] + (x["value"] - F.col("mu") - F.lit(0.5))
+        )
+        return F.struct(
+            cs.alias("cs"),
+            (
+                acc["alarms"]
+                + F.when(cs > F.lit(5.0), 1).otherwise(0)
+            ).alias("alarms"),
+            F.greatest(acc["mx"], cs).alias("mx"),
+        )
+
+    acc = F.aggregate("s", init, step)
+    r6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return ser.select(
+        "event_type",
+        "day",
+        F.size("s").cast("long").alias("n_events"),
+        acc["alarms"].cast("long").alias("n_alarms"),
+        r6(acc["mx"]).alias("max_s"),
+    )

@@ -191,6 +191,8 @@ QUERIES = [
     "q163_holt_forecast",      # per-series array fold, one shuffle
     "q164_kcore_peel",         # degree agg + semi-joins per round
     "q165_winsorize",          # percentile pass + integer moments
+    "q166_funnel_conversion",  # chained user-keyed min-aggregations
+    "q167_cusum_changepoint",  # day-bounded per-series array folds
 ]
 
 

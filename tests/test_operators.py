@@ -3699,3 +3699,79 @@ def test_winsorize_clips_moments_hand_case(spark):
     mr = sum(lengths) / n
     assert r["raw_mean"] == q(mr, 1e4)
     assert r["n"] == 10
+
+
+def test_funnel_conversion_strict_order(spark):
+    """Ordered funnel semantics: a click BEFORE the first view does
+    not count; a purchase before the qualifying click does not
+    count; equal timestamps do not satisfy the strict inequality."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (0, t(0), 1, "view", 1.0, "{}"),
+        (1, t(1), 1, "click", 1.0, "{}"),
+        (2, t(2), 1, "purchase", 1.0, "{}"),
+        # user 2: click precedes first view -> stage 2 not reached
+        (3, t(0), 2, "click", 1.0, "{}"),
+        (4, t(1), 2, "view", 1.0, "{}"),
+        (5, t(2), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase precedes the qualifying click
+        (6, t(0), 3, "view", 1.0, "{}"),
+        (7, t(1), 3, "purchase", 1.0, "{}"),
+        (8, t(2), 3, "click", 1.0, "{}"),
+        # user 4: click at EXACTLY the view timestamp -> excluded
+        (9, t(0), 4, "view", 1.0, "{}"),
+        (10, t(0), 4, "click", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = REGISTRY["q166_funnel_conversion"].fn(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_viewed"], r["n_clicked"], r["n_purchased"]) == (4, 2, 1)
+    assert r["click_rate"] == 0.5
+    assert r["purchase_rate"] == 0.25
+
+
+def test_cusum_hand_trajectory(spark):
+    """CUSUM with a known exact mean: below-mean days clamp s at 0;
+    a sustained +1 shift accumulates at (1 - k)=0.5 per step with the
+    daily reset isolating the two trajectories."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    # day 1: four 1.0s and four 3.0s; day 2: eight 4.0s.
+    # global mu = (4*1 + 4*3 + 8*4)/16 = 3.0 exactly.
+    vals = [1.0, 1.0, 1.0, 1.0, 3.0, 3.0, 3.0, 3.0]
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, "m", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    rows += [
+        (100 + i, datetime(2024, 1, 2, 0, i), 1, "m", 4.0, "{}")
+        for i in range(8)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            str(r["day"]): r
+            for r in REGISTRY["q167_cusum_changepoint"].fn(spark, tmp).collect()
+        }
+    # mu over all 16 points: (4*1 + 4*3 + 8*4)/16 = 3.0
+    # day 1: deltas vs 3.5: -2.5 x4, -0.5 x4 -> s stays 0
+    d1 = out["2024-01-01"]
+    assert (d1["n_events"], d1["n_alarms"], d1["max_s"]) == (8, 0, 0.0)
+    # day 2: delta +0.5/step -> s = .5,...,4.0: never > 5, max 4.0
+    d2 = out["2024-01-02"]
+    assert (d2["n_events"], d2["n_alarms"], d2["max_s"]) == (8, 0, 4.0)
