@@ -7514,3 +7514,118 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc["alarms"].cast("long").alias("n_alarms"),
         r6(acc["mx"]).alias("max_s"),
     )
+
+
+@q(
+    "q168_weighted_sample_wor",
+    oracle="""
+WITH h AS (
+  SELECT o_orderkey, o_totalprice,
+    ('0x' || substr(md5('wor-' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+      ::BIGINT AS hv
+  FROM orders WHERE o_totalprice > 0e0),
+k AS (
+  SELECT o_orderkey, o_totalprice,
+    CAST(floor((ln((CAST(hv AS DOUBLE) + 1e0) / 1152921504606846976e0)
+      / o_totalprice) * 1e8) AS BIGINT) AS key8
+  FROM h),
+r AS (
+  SELECT o_orderkey, o_totalprice, key8,
+    row_number() OVER (ORDER BY key8 DESC, o_orderkey) AS sel_rank
+  FROM k)
+SELECT CAST(sel_rank AS BIGINT) AS sel_rank, o_orderkey,
+  round(o_totalprice, 2) AS weight
+FROM r WHERE sel_rank <= 50
+""",
+    description="fixed-size weighted sampling WITHOUT replacement "
+    "(Efraimidis-Spirakis A-Res): per item an md5-derived uniform "
+    "u in (0,1], exponential key ln(u)/w, top-50 by key — the "
+    "importance sampler that complements q114's Poisson PPS (which "
+    "cannot pin the sample size). Keys quantize onto the 1e-8 "
+    "integer grid with an id tie-break so both engines replay the "
+    "identical selection (ln is the one non-exact op; the floor "
+    "device absorbs it). One scan + one top-k — TakeOrdered, no "
+    "full sort at scale",
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0.0)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wor-"), F.col("o_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976e0)
+    key8 = F.floor((F.log(u) / F.col("o_totalprice")) * F.lit(1e8)).cast(
+        "long"
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition partial top-50, driver merge of 50-row heads — never
+    # a global sort or single-partition window over the full table);
+    # the rank window then runs over 50 rows only
+    top = (
+        od.select("o_orderkey", "o_totalprice", key8.alias("key8"))
+        .orderBy(F.col("key8").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("key8").desc(), F.col("o_orderkey"))
+    return top.withColumn("sel_rank", F.row_number().over(w)).select(
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("weight"),
+    )
+
+
+@q(
+    "q169_markov_transitions",
+    oracle=f"""
+WITH ev AS ({_EV}),
+l AS (SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS prev_type
+      FROM ev),
+t AS (SELECT prev_type, event_type AS next_type,
+        CAST(count(*) AS BIGINT) AS n
+      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+        FROM t GROUP BY 1)
+SELECT t.prev_type, t.next_type, t.n,
+  floor((CAST(t.n AS DOUBLE) / tot.row_n) * 1e6 + 5e-1) / 1e6 AS p
+FROM t JOIN tot ON tot.prev_type = t.prev_type
+""",
+    description="first-order Markov transition matrix over each "
+    "user's event sequence (behavioral sequence model: which action "
+    "follows which): one lag window per user series, integer "
+    "transition counts, row-normalized probabilities. One user-keyed "
+    "exchange carries the window; the matrix is event-type-squared "
+    "sized regardless of corpus scale",
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    t = (
+        l.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return t.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.floor(
+                (F.col("n").cast("double") / F.col("row_n")) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("p"),
+    )

@@ -193,6 +193,8 @@ QUERIES = [
     "q165_winsorize",          # percentile pass + integer moments
     "q166_funnel_conversion",  # chained user-keyed min-aggregations
     "q167_cusum_changepoint",  # day-bounded per-series array folds
+    "q168_weighted_sample_wor",  # TakeOrdered partial top-k
+    "q169_markov_transitions",   # one lag window, constant matrix
 ]
 
 

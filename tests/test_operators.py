@@ -3775,3 +3775,78 @@ def test_cusum_hand_trajectory(spark):
     # day 2: delta +0.5/step -> s = .5,...,4.0: never > 5, max 4.0
     d2 = out["2024-01-02"]
     assert (d2["n_events"], d2["n_alarms"], d2["max_s"]) == (8, 0, 4.0)
+
+
+def test_weighted_sample_wor_matches_python_replay(spark):
+    """The Efraimidis-Spirakis selection is replayed exactly in
+    Python (same md5-derived uniforms, same quantized keys, same
+    tie-break), so the sampled set and its ranks are fully
+    deterministic — and weight monotonicity holds in expectation by
+    construction (bigger w -> key closer to 0)."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os, hashlib, math
+    from datetime import datetime
+
+    rows = [
+        (i, 1 + i % 7, "O", 10.0 + (i * 37 % 500), datetime(2024, 1, 1), "P")
+        for i in range(120)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            [
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority",
+            ],
+        ).write.parquet(os.path.join(tmp, "orders.parquet"))
+        out = {
+            r["sel_rank"]: r["o_orderkey"]
+            for r in REGISTRY["q168_weighted_sample_wor"]
+            .fn(spark, tmp)
+            .collect()
+        }
+
+    def key8(ok, w):
+        hv = int(hashlib.md5(f"wor-{ok}".encode()).hexdigest()[:15], 16)
+        u = (float(hv) + 1.0) / 1152921504606846976e0
+        return math.floor((math.log(u) / w) * 1e8)
+
+    ranked = sorted(
+        ((key8(ok, w), ok) for ok, _, _, w, _, _ in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    assert out == {i + 1: ok for i, (_, ok) in enumerate(ranked)}
+
+
+def test_markov_transitions_hand_sequence(spark):
+    """lag-based transitions: per-user sequences a->b->b->c give the
+    exact count matrix and row-normalized probabilities; the first
+    event of each user contributes no transition."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    seq1 = ["view", "click", "click", "purchase"]
+    seq2 = ["view", "click", "view"]
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, t, 1.0, "{}")
+        for i, t in enumerate(seq1)
+    ] + [
+        (100 + i, datetime(2024, 1, 1, 1, i), 2, t, 1.0, "{}")
+        for i, t in enumerate(seq2)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+            for r in REGISTRY["q169_markov_transitions"].fn(spark, tmp).collect()
+        }
+    assert out[("view", "click")] == (2, 1.0)
+    assert out[("click", "click")] == (1, 0.333333)
+    assert out[("click", "purchase")] == (1, 0.333333)
+    assert out[("click", "view")] == (1, 0.333333)
+    assert ("purchase", "view") not in out
+    assert len(out) == 4
