@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
 
 from lynx_spark.operators._util import banded_self_pairs, ensure_parallelism
 
@@ -300,6 +301,109 @@ def _jaccard_verify(
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select(left, right, "jaccard")
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the PPJoin family,
+    Xiao et al., WWW'08) at Jaccard >= t_num/t_den over word n-gram
+    shingle sets — the exact, NO-false-negative alternative to
+    MinHash/LSH banding (minhash_lsh_pairs can miss a qualifying
+    pair; this cannot).
+
+    The filter: order the shingle universe by ascending document
+    frequency (rarest first, shingle string as the total-order tie
+    break), and index each document's first
+    ``n_sh - ceil(t*n_sh) + 1`` shingles only. Any pair with Jaccard
+    >= t MUST share a prefix shingle (pigeonhole on the overlap lower
+    bound), so the candidate equi-join runs over globally RARE keys —
+    boilerplate/stopword shingles sit at the back of every prefix and
+    never join, which is exactly the quadratic hole a naive
+    inverted-index join has. All threshold arithmetic stays in
+    integers (ceil(t*n) as (t_num*n + t_den - 1) // t_den; the final
+    gate as t_den*inter >= t_num*union) so engines agree exactly.
+
+    Shape: one shuffle to build distinct (doc, shingle); one
+    aggregation each for per-doc sizes and shingle df; one per-doc
+    rank window (partition = doc, so no global sort); a rare-key
+    self-equi-join for candidates; verification by array_intersect on
+    the two candidates' shingle sets — candidate pairs only, never
+    all pairs. The shingle table feeds four consumers, hence the one
+    internal persist (ContextCleaner-reclaimed; a checkpoint at
+    100 TB)."""
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh.count()  # eager: four branches must read the cache
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rnk = F.row_number().over(
+        Window.partitionBy("doc").orderBy("df", "shingle")
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor(
+            (F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1))
+            / F.lit(t_den)
+        )
+        + F.lit(1)
+    )
+    pfx = (
+        sh.join(dfc, "shingle")
+        .withColumn("rnk", rnk)
+        .join(sizes, "doc")
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc", "shingle")
+    )
+    cand = (
+        pfx.alias("a")
+        .join(
+            pfx.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    docsets = sh.groupBy("doc").agg(
+        F.array_sort(F.collect_list("shingle")).alias("shset")
+    )
+    sa = docsets.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shset").alias("_sa"),
+        F.size("shset").cast("long").alias("n_a"),
+    )
+    sb = docsets.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shset").alias("_sb"),
+        F.size("shset").cast("long").alias("n_b"),
+    )
+    ni = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("long")
+    un = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", ni)
+        .filter(F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * un)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.floor(
+                    (F.col("n_inter").cast("double") / un) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("jaccard"),
+        )
     )
 
 

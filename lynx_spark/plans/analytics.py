@@ -7629,3 +7629,124 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("p"),
     )
+
+
+@q(
+    "q170_prefix_filter_join",
+    oracle=r"""
+WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+sh AS (SELECT DISTINCT doc_id AS doc,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 2)) AS i
+             FROM words WHERE len(w) >= 3)),
+sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+dfc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+        FROM sh GROUP BY 1),
+rk AS (SELECT sh.doc, sh.shingle,
+         row_number() OVER (PARTITION BY sh.doc
+           ORDER BY dfc.df, sh.shingle) AS rnk
+       FROM sh JOIN dfc USING (shingle)),
+pfx AS (SELECT rk.doc, rk.shingle
+        FROM rk JOIN sz USING (doc)
+        WHERE rk.rnk <= sz.n - ((7 * sz.n + 9) // 10) + 1),
+cand AS (SELECT DISTINCT a.doc AS da, b.doc AS db
+         FROM pfx a JOIN pfx b
+           ON a.shingle = b.shingle AND a.doc < b.doc),
+inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ni
+          FROM cand c
+          JOIN sh wa ON wa.doc = c.da
+          JOIN sh wb ON wb.doc = c.db AND wb.shingle = wa.shingle
+          GROUP BY 1, 2)
+SELECT i.da AS doc_a, i.db AS doc_b, i.ni AS n_inter,
+  sa.n AS n_a, sb.n AS n_b,
+  floor((CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni)) * 1e6 + 5e-1)
+    / 1e6 AS jaccard
+FROM inter i JOIN sz sa ON sa.doc = i.da
+JOIN sz sb ON sb.doc = i.db
+WHERE 10 * i.ni >= 7 * (sa.n + sb.n - i.ni)
+""",
+    description="exact set-similarity join via PREFIX FILTERING "
+    "(PPJoin family, Xiao et al. WWW'08) at Jaccard >= 0.7 over the "
+    "shared word-trigram shingle universe (dedup._shingle_expr / the "
+    "q22 oracle CTE) — the sort-by-rarity alternative to MinHash/LSH "
+    "banding with NO false negatives: shingles order by ascending "
+    "document frequency, each doc indexes only its first "
+    "n - ceil(0.7n) + 1 rarest shingles, and any qualifying pair "
+    "must share a prefix shingle (pigeonhole). Threshold arithmetic "
+    "stays in pure integers (ceil(7n/10) = (7n+9) div 10; the gate "
+    "as 10*inter >= 7*union) so both engines agree exactly; the one "
+    "double (the reported jaccard) goes through the tie-safe "
+    "floor(x*1e6+0.5) device. Scale shape: prefix shingles are "
+    "globally RARE by construction, so the candidate equi-join "
+    "fan-out stays bounded where a naive inverted-index join "
+    "explodes on boilerplate; verification (array_intersect on the "
+    "two shingle sets) touches candidate pairs only",
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.prefix_filter_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@q(
+    "q171_stratified_wor",
+    oracle="""
+WITH h AS (
+  SELECT source, doc_id, n_chars,
+    ('0x' || substr(md5('swor-' || CAST(doc_id AS VARCHAR)), 1, 15))
+      ::BIGINT AS hv
+  FROM documents WHERE n_chars > 0),
+k AS (
+  SELECT source, doc_id, n_chars,
+    CAST(floor((ln((CAST(hv AS DOUBLE) + 1e0) / 1152921504606846976e0)
+      / CAST(n_chars AS DOUBLE)) * 1e8) AS BIGINT) AS key8
+  FROM h),
+r AS (
+  SELECT source, doc_id, n_chars, key8,
+    row_number() OVER (PARTITION BY source
+      ORDER BY key8 DESC, doc_id) AS sel_rank
+  FROM k)
+SELECT source, CAST(sel_rank AS BIGINT) AS sel_rank, doc_id,
+  n_chars AS weight
+FROM r WHERE sel_rank <= 10
+""",
+    description="per-stratum fixed-size weighted sampling without "
+    "replacement: q168's Efraimidis-Spirakis keys (md5 uniforms, "
+    "1e-8-grid quantized, id tie-break) ranked INSIDE each source "
+    "partition — exactly 10 docs per source, length-weighted; the "
+    "per-group companion of q168's global TakeOrdered (a source-"
+    "partitioned rank window prunes to WindowGroupLimit, never a "
+    "global sort). The balanced-per-stratum sampler a mixture "
+    "pipeline uses when quotas are per-domain",
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("swor-"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976e0)
+    key8 = F.floor(
+        (F.log(u) / F.col("n_chars").cast("double")) * F.lit(1e8)
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.col("key8").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", key8.alias("key8"))
+        .withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= 10)
+        .select(
+            "source",
+            F.col("sel_rank").cast("long").alias("sel_rank"),
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+        )
+    )

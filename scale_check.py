@@ -195,6 +195,8 @@ QUERIES = [
     "q167_cusum_changepoint",  # day-bounded per-series array folds
     "q168_weighted_sample_wor",  # TakeOrdered partial top-k
     "q169_markov_transitions",   # one lag window, constant matrix
+    "q170_prefix_filter_join",  # rare-token candidate join, no all-pairs
+    "q171_stratified_wor",      # per-source rank window, WindowGroupLimit
 ]
 
 

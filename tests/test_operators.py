@@ -3850,3 +3850,97 @@ def test_markov_transitions_hand_sequence(spark):
     assert out[("click", "view")] == (1, 0.333333)
     assert ("purchase", "view") not in out
     assert len(out) == 4
+
+
+def test_prefix_filter_join_no_false_negatives(spark):
+    """q170's prefix filter must find EVERY pair with trigram-shingle
+    Jaccard >= 0.7 (that is the PPJoin guarantee), with exact
+    integer intersection/size columns — verified against a
+    brute-force all-pairs Python computation on a corpus built to
+    contain near-dups, partial overlaps, disjoint docs, and a
+    too-short (< 3 words, shingle-free) doc."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os, math
+    from itertools import combinations
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over a lazy dog",
+        3: "quick brown fox jumps over the lazy dog",  # J 6/7 vs 1
+        4: "an entirely different document about spark engines",
+        5: "an entirely different document about spark engines today",
+        6: "lorem ipsum dolor sit amet consectetur",
+        7: "the dog",                                   # < 3 words: no shingle
+        8: "spark engines are different",               # partial vs 4
+    }
+    rows = [
+        (k, v, "en", "s%d" % (k % 2), len(v)) for k, v in texts.items()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r["doc_a"], r["doc_b"]): (
+                r["n_inter"], r["n_a"], r["n_b"], r["jaccard"]
+            )
+            for r in REGISTRY["q170_prefix_filter_join"]
+            .fn(spark, tmp)
+            .collect()
+        }
+
+    def shingles(t):
+        w = t.strip().split()
+        return {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+
+    sets = {k: shingles(v) for k, v in texts.items() if shingles(v)}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        ni = len(sets[a] & sets[b])
+        nu = len(sets[a] | sets[b])
+        if 10 * ni >= 7 * nu:
+            j = math.floor((ni / nu) * 1e6 + 0.5) / 1e6
+            want[(a, b)] = (ni, len(sets[a]), len(sets[b]), j)
+    assert want, "corpus must contain at least one qualifying pair"
+    assert got == want
+
+
+def test_stratified_wor_python_replay(spark):
+    """q171 selects exactly min(10, stratum size) docs per source,
+    and the selection equals an exact Python replay of the
+    Efraimidis-Spirakis keys within each source."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os, hashlib, math
+
+    rows = [
+        (i, "t%d" % i, "en", "src%d" % (i % 3), 5 + (i * 13 % 90))
+        for i in range(80)
+    ] + [(900, "tiny", "en", "srcTiny", 42)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {}
+        for r in REGISTRY["q171_stratified_wor"].fn(spark, tmp).collect():
+            got.setdefault(r["source"], []).append(
+                (r["sel_rank"], r["doc_id"], r["weight"])
+            )
+
+    def key8(doc_id, w):
+        hv = int(hashlib.md5(f"swor-{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (float(hv) + 1.0) / 1152921504606846976e0
+        return math.floor((math.log(u) / w) * 1e8)
+
+    by_src = {}
+    for doc_id, _, _, src, n in rows:
+        by_src.setdefault(src, []).append((key8(doc_id, n), doc_id, n))
+    want = {}
+    for src, lst in by_src.items():
+        sel = sorted(lst, key=lambda t: (-t[0], t[1]))[:10]
+        want[src] = [(i + 1, d, n) for i, (_, d, n) in enumerate(sel)]
+    assert {s: sorted(v) for s, v in got.items()} == {
+        s: sorted(v) for s, v in want.items()
+    }
+    assert len(got["srcTiny"]) == 1
