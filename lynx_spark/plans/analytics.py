@@ -7750,3 +7750,258 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("weight"),
         )
     )
+
+
+@q(
+    "q172_sorted_neighborhood",
+    oracle=r"""
+WITH d AS (SELECT doc_id, text,
+    string_split_regex(trim(text), '\s+')[1] AS blk
+  FROM documents WHERE trim(text) <> ''),
+r AS (SELECT doc_id, text, blk,
+    row_number() OVER (PARTITION BY blk ORDER BY text, doc_id) AS rnk
+  FROM d),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(b.rnk - a.rnk AS BIGINT) AS gap
+  FROM r a JOIN r b
+    ON a.blk = b.blk AND b.rnk - a.rnk BETWEEN 1 AND 4),
+words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+sh AS (SELECT DISTINCT doc_id AS doc,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 2)) AS i
+             FROM words WHERE len(w) >= 3)),
+sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, c.gap, CAST(count(*) AS BIGINT) AS ni
+          FROM cand c
+          JOIN sh wa ON wa.doc = c.doc_a
+          JOIN sh wb ON wb.doc = c.doc_b AND wb.shingle = wa.shingle
+          GROUP BY 1, 2, 3)
+SELECT i.doc_a, i.doc_b, i.gap, i.ni AS n_inter,
+  sa.n AS n_a, sb.n AS n_b,
+  floor((CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni)) * 1e6 + 5e-1)
+    / 1e6 AS jaccard
+FROM inter i JOIN sz sa ON sa.doc = i.doc_a
+JOIN sz sb ON sb.doc = i.doc_b
+WHERE 10 * i.ni >= 7 * (sa.n + sb.n - i.ni)
+""",
+    description="blocked SORTED-NEIGHBORHOOD near-dup detection "
+    "(Hernandez-Stolfo merge/purge): records sort lexicographically "
+    "inside first-word blocks and only pairs within a rank window of "
+    "4 become candidates, then verify by trigram-shingle Jaccard >= "
+    "0.7 (the q170/q22 universe, same integer gate + floor-rounded "
+    "jaccard). The third candidate-generation strategy next to LSH "
+    "banding (probabilistic, q23) and prefix filtering (exact, "
+    "q170): SNM is the cheap linear pass — one partitioned sort, "
+    "zero token joins — that trades recall for never touching more "
+    "than window x corpus pairs. Blocking keeps the rank window "
+    "per-partition (no global row_number; production SNM is always "
+    "blocked), and verification joins shingle sets on candidate "
+    "pairs only",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    ranked = docs.select(
+        "doc_id",
+        "text",
+        F.split(F.trim(F.col("text")), r"\s+").getItem(0).alias("blk"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("text", "doc_id")
+        ),
+    )
+    a = ranked.select(
+        "blk",
+        F.col("doc_id").alias("doc_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, 5)])
+        ).alias("off"),
+    ).withColumn("rnk_b", F.col("rnk_a") + F.col("off"))
+    b = ranked.select(
+        "blk",
+        F.col("doc_id").alias("doc_b"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    cand = a.join(b, ["blk", "rnk_b"]).select(
+        "doc_a", "doc_b", F.col("off").cast("long").alias("gap")
+    )
+    sh = dd.shingle_table(docs, "doc_id", "text")
+    docsets = sh.groupBy("doc").agg(
+        F.array_sort(F.collect_list("shingle")).alias("shset")
+    )
+    sa = docsets.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shset").alias("_sa"),
+        F.size("shset").cast("long").alias("n_a"),
+    )
+    sb = docsets.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shset").alias("_sb"),
+        F.size("shset").cast("long").alias("n_b"),
+    )
+    ni = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast(
+        "long"
+    )
+    un = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", ni)
+        .filter(F.lit(10) * F.col("n_inter") >= F.lit(7) * un)
+        .select(
+            "doc_a",
+            "doc_b",
+            "gap",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.floor(
+                    (F.col("n_inter").cast("double") / un) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("jaccard"),
+        )
+    )
+
+
+@q(
+    "q173_fuzzy_name_match",
+    oracle="""
+WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt
+               FROM part GROUP BY 1),
+b AS (SELECT p_name, cnt, string_split(p_name, ' ')[-1] AS blk
+      FROM names)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist,
+  a.cnt AS n_a, c.cnt AS n_b
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) <= 4
+""",
+    description="fuzzy string matching by edit distance with "
+    "last-word blocking: the DISTINCT part-name vocabulary (the "
+    "linkage universe — vocabulary-sized, never row-sized) "
+    "self-joins inside last-word blocks and keeps pairs with "
+    "Levenshtein distance <= 4, carrying each name's row count. "
+    "Levenshtein is a pure-integer dynamic program both engines "
+    "implement identically (F.levenshtein <-> DuckDB levenshtein), "
+    "so no rounding device is needed anywhere. Scale shape: the "
+    "quadratic lives inside vocabulary blocks, not the data — "
+    "production record linkage always blocks first; the data-sized "
+    "work is one name-frequency aggregation",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        T(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "blk", F.element_at(F.split(F.col("p_name"), " "), -1)
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("n_a"),
+        "blk",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("n_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
+        )
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+def _gini_audit_sql(table: str, key: str) -> str:
+    """One audited key column: exact integer Gini numerator/denominator
+    over the frequency table (rank-weighted sum), divided once in
+    DOUBLE and floor-rounded — identical arithmetic to the engine."""
+    return f"""
+SELECT '{table}.{key}' AS key_col,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(sum(f) AS BIGINT) AS total,
+  CAST(max(f) AS BIGINT) AS max_f,
+  floor(CAST(max(f) AS DOUBLE) / CAST(sum(f) AS DOUBLE) * 1e6 + 5e-1)
+    / 1e6 AS top1_share,
+  floor((CAST(2 * sum(i * f) - (count(*) + 1) * sum(f) AS DOUBLE)
+         / CAST(count(*) * sum(f) AS DOUBLE)) * 1e6 + 5e-1)
+    / 1e6 AS gini
+FROM (SELECT f, row_number() OVER (ORDER BY f, k) AS i
+      FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS f
+            FROM {table} GROUP BY 1))"""
+
+
+@q(
+    "q174_key_skew_audit",
+    oracle=_gini_audit_sql("lineitem", "l_suppkey")
+    + "\nUNION ALL"
+    + _gini_audit_sql("events", "user_id"),
+    description="join/shuffle KEY-SKEW audit: per key column, the "
+    "frequency table's Gini coefficient (rank-weighted exact-integer "
+    "form G = (2*sum(i*f_i) - (n+1)*sum(f)) / (n*sum(f)), "
+    "frequencies ranked ascending with the key as tie-break), the "
+    "hottest key's share, and cardinality — the diagnostic a "
+    "100 TB pipeline runs BEFORE a join to decide salting/AQE skew "
+    "handling. All sums are exact integers (sum(i*f) fits int64 "
+    "through sf0.1 x1000; the 100 TB path widens to DECIMAL) so the "
+    "single double division agrees across engines; the rank window "
+    "runs over the key-frequency table, which is "
+    "cardinality-sized, never data-sized",
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(df: DataFrame, table: str, key: str) -> DataFrame:
+        freq = df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("long").alias("f")
+        )
+        ranked = freq.withColumn(
+            "i", F.row_number().over(Window.orderBy("f", "k")).cast("long")
+        )
+        n = F.count("*").cast("long")
+        s0 = F.sum("f").cast("long")
+        s1 = F.sum(F.col("i") * F.col("f")).cast("long")
+        mx = F.max("f").cast("long")
+        return ranked.agg(
+            F.lit(f"{table}.{key}").alias("key_col"),
+            n.alias("n_keys"),
+            s0.alias("total"),
+            mx.alias("max_f"),
+            (
+                F.floor(
+                    mx.cast("double") / s0.cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("top1_share"),
+            (
+                F.floor(
+                    (
+                        (
+                            F.lit(2) * s1 - (n + F.lit(1)) * s0
+                        ).cast("double")
+                        / (n * s0).cast("double")
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("gini"),
+        )
+
+    return audit(
+        T(spark, sf_dir, "lineitem"), "lineitem", "l_suppkey"
+    ).unionByName(audit(T(spark, sf_dir, "events"), "events", "user_id"))

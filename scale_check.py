@@ -197,6 +197,9 @@ QUERIES = [
     "q169_markov_transitions",   # one lag window, constant matrix
     "q170_prefix_filter_join",  # rare-token candidate join, no all-pairs
     "q171_stratified_wor",      # per-source rank window, WindowGroupLimit
+    "q172_sorted_neighborhood",  # blocked sort + windowed candidates
+    "q173_fuzzy_name_match",    # vocabulary-sized blocked self-join
+    "q174_key_skew_audit",      # cardinality-sized rank + one agg
 ]
 
 

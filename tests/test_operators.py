@@ -3944,3 +3944,120 @@ def test_stratified_wor_python_replay(spark):
         s: sorted(v) for s, v in want.items()
     }
     assert len(got["srcTiny"]) == 1
+
+
+def test_sorted_neighborhood_hand_corpus(spark):
+    """q172 replicates blocked SNM exactly: first-word blocks, rank
+    window 4 over (text, doc_id) order, trigram-Jaccard >= 0.7
+    verification — checked against a Python replay on a corpus where
+    near-dups are adjacent in sort order and a cross-block near-dup
+    is (by design) NOT found."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os, math
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta thetaX",  # adj to 1
+        3: "alpha zzz completely different words here now",
+        4: "omega beta gamma delta epsilon zeta eta theta",   # ~1 but other block
+        5: "omega beta gamma delta epsilon zeta eta theta!",  # adj to 4
+        6: "omega unrelated totally other content entirely",
+    }
+    rows = [(k, v, "en", "s", len(v)) for k, v in texts.items()]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["gap"], r["n_inter"], r["jaccard"])
+            for r in REGISTRY["q172_sorted_neighborhood"]
+            .fn(spark, tmp)
+            .collect()
+        }
+
+    def shingles(t):
+        w = t.strip().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    blocks = {}
+    for k, v in sorted(texts.items()):
+        blocks.setdefault(v.split()[0], []).append((v, k))
+    want = {}
+    for blk, lst in blocks.items():
+        lst.sort()
+        for i, (_, a) in enumerate(lst):
+            for j in range(i + 1, min(i + 5, len(lst))):
+                b = lst[j][1]
+                sa, sb = shingles(texts[a]), shingles(texts[b])
+                ni, nu = len(sa & sb), len(sa | sb)
+                if 10 * ni >= 7 * nu:
+                    want[(a, b)] = (
+                        j - i,
+                        ni,
+                        math.floor(ni / nu * 1e6 + 0.5) / 1e6,
+                    )
+    assert got == want
+    assert (1, 2) in got and (4, 5) in got
+    # cross-block near-dup 1<->4 is invisible to blocked SNM
+    assert (1, 4) not in got
+
+
+def test_fuzzy_name_match_hand_names(spark):
+    """q173: last-word blocking + Levenshtein <= 4 on the distinct
+    name vocabulary, with per-name row counts carried through."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+
+    names = [
+        "cold widget", "cold widget", "gold widget",   # dist 1, cnts 2/1
+        "blue rod", "blu rod",                          # dist 1
+        "red bolt", "crimson bolt",                     # dist > 4
+        "green gear",                                   # lone block
+    ]
+    rows = [(i, n, 1.0) for i, n in enumerate(names)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["p_partkey", "p_name", "p_retailprice"]
+        ).write.parquet(os.path.join(tmp, "part.parquet"))
+        got = {
+            (r["name_a"], r["name_b"]): (r["dist"], r["n_a"], r["n_b"])
+            for r in REGISTRY["q173_fuzzy_name_match"].fn(spark, tmp).collect()
+        }
+    assert got == {
+        ("cold widget", "gold widget"): (1, 2, 1),
+        ("blu rod", "blue rod"): (1, 1, 1),
+    }
+
+
+def test_key_skew_audit_hand_distribution(spark):
+    """q174's Gini on hand frequencies: key frequencies [1,1,1,1]
+    give gini 0 (uniform); [1,1,1,5] gives the exact rank-form value
+    (2*(1+2+3+20) - 5*8) / (4*8) = 12/32 = 0.375."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    li = [(k, 1.0) for k in [10, 20, 30, 40]]  # uniform suppkeys
+    ev = (
+        [(100 + i, datetime(2024, 1, 1, 0, i), 7, "view", 1.0, "{}") for i in range(5)]
+        + [
+            (200 + j, datetime(2024, 1, 1, 1, j), u, "view", 1.0, "{}")
+            for j, u in enumerate([1, 2, 3])
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(li, ["l_suppkey", "l_quantity"]).write.parquet(
+            os.path.join(tmp, "lineitem.parquet")
+        )
+        spark.createDataFrame(
+            ev, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["key_col"]: (
+                r["n_keys"], r["total"], r["max_f"],
+                r["top1_share"], r["gini"],
+            )
+            for r in REGISTRY["q174_key_skew_audit"].fn(spark, tmp).collect()
+        }
+    assert out["lineitem.l_suppkey"] == (4, 4, 1, 0.25, 0.0)
+    assert out["events.user_id"] == (4, 8, 5, 0.625, 0.375)
