@@ -90,3 +90,42 @@ def test_no_cartesian_products_in_dedup_family(spark, name):
     # candidate generation is equality-join/window shaped everywhere;
     # an accidental cross join is the classic quadratic regression
     assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+def test_q171_window_group_limit(spark):
+    # the per-stratum rank<=10 must fuse into WindowGroupLimit so map
+    # tasks ship only their per-source top rows; a plain Window here
+    # means every row crosses the exchange
+    plan = plan_of(spark, "q171_stratified_wor")
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q172_block_partitioned_rank_no_cartesian(spark):
+    # SNM's rank window must partition by the block (a global
+    # row_number would collapse the corpus to one partition), and
+    # candidate generation is (blk, rnk) equi-join shaped
+    plan = plan_of(spark, "q172_sorted_neighborhood")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q170_prefix_filter_join", "q173_fuzzy_name_match"]
+)
+def test_new_join_family_no_cartesian(spark, name):
+    # prefix-filter and blocked-Levenshtein candidates are pure
+    # equality joins; a cross join is the quadratic regression
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q174_single_partition_only_on_frequency_table(spark):
+    # the skew audit's one SinglePartition exchange sits above the
+    # key-frequency aggregate (cardinality-sized), never the scan:
+    # exactly one per audited column, plus the two 1-row final aggs
+    plan = plan_of(spark, "q174_key_skew_audit")
+    assert plan.count("Exchange SinglePartition") <= 4
+    assert "CartesianProduct" not in plan
