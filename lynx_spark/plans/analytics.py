@@ -8005,3 +8005,592 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(
         T(spark, sf_dir, "lineitem"), "lineitem", "l_suppkey"
     ).unionByName(audit(T(spark, sf_dir, "events"), "events", "user_id"))
+
+
+# =====================================================================
+# round-7 batch 5: link prediction, association rules, customer
+# analytics, time-series diagnostics, layout/quality audits
+# =====================================================================
+
+
+def _link_prediction_oracle(k: int = 5, cap: int = 16) -> str:
+    """q175 oracle: the q83 kNN-edge CTEs feeding the resource-
+    allocation index (Zhou/Lu/Zhang 2009) — per-center contributions
+    are exact integers floor(1e9/deg), so pair scores are order-free
+    BIGINT sums in both engines."""
+    base = _knn_graph_oracle(k)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    return (
+        ctes
+        + f""", g AS (SELECT src, nbr FROM ranked WHERE rnk <= {k}),
+sym AS (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, nbr AS b FROM g
+  UNION ALL SELECT nbr AS a, src AS b FROM g)),
+deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+capped AS (SELECT a, b FROM (
+  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+  FROM sym) WHERE rn <= {cap}),
+wed AS (SELECT x.a AS w, x.b AS u, y.b AS v
+  FROM capped x JOIN capped y ON x.a = y.a AND x.b < y.b),
+sc AS (SELECT wed.u, wed.v,
+    CAST(count(*) AS BIGINT) AS common_neighbors,
+    CAST(sum(CAST(floor(1000000000.0 / deg.d) AS BIGINT)) AS BIGINT)
+      AS ra_score_e9
+  FROM wed JOIN deg ON deg.v = wed.w GROUP BY 1, 2)
+SELECT sc.u, sc.v, sc.common_neighbors, sc.ra_score_e9
+FROM sc LEFT JOIN sym ON sym.a = sc.u AND sym.b = sc.v
+WHERE sym.a IS NULL
+ORDER BY sc.ra_score_e9 DESC, sc.u, sc.v
+LIMIT 100
+"""
+    )
+
+
+@q(
+    "q175_link_prediction",
+    oracle=_link_prediction_oracle(5, 16),
+    description="resource-allocation link prediction over the kNN "
+    "query graph (Zhou/Lu/Zhang 2009 — the RA index, Adamic-Adar's "
+    "better-calibrated sibling): for every NON-adjacent pair sharing "
+    "a neighbor, score = sum over common neighbors w of 1/deg(w), "
+    "emitted as exact-integer floor(1e9/deg) contributions so the "
+    "cross-row sum is an order-free BIGINT in both engines. Wedge "
+    "enumeration runs over per-center neighbor lists capped at 16 by "
+    "id (deterministic; deg(center) in the kNN graph is k + in-"
+    "degree, and the cap bounds hub fan-out the way q136's wedge "
+    "cap does), existing edges are removed with one anti-join, and "
+    "the top-100 plans as TakeOrderedAndProject — partial per-"
+    "partition top-k, no global sort",
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    e = sim.knn_graph(emb, "vec_id", "embedding", k=5).select("src", "nbr")
+    sym = e.unionByName(
+        e.select(F.col("nbr").alias("src"), F.col("src").alias("nbr"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("dv")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    capped = (
+        sym.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("src").orderBy("nbr"))
+        )
+        .filter(F.col("rn") <= 16)
+        .select("src", "nbr")
+    )
+    wed = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.src") == F.col("y.src"))
+            & (F.col("x.nbr") < F.col("y.nbr")),
+        )
+        .select(
+            F.col("x.src").alias("w"),
+            F.col("x.nbr").alias("u"),
+            F.col("y.nbr").alias("v"),
+        )
+    )
+    sc = (
+        wed.join(deg, wed["w"] == deg["dv"])
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(
+                F.floor(F.lit(1000000000.0) / F.col("d")).cast("long")
+            )
+            .cast("long")
+            .alias("ra_score_e9"),
+        )
+    )
+    nonedge = sc.join(
+        sym,
+        (sc["u"] == sym["src"]) & (sc["v"] == sym["nbr"]),
+        "left_anti",
+    )
+    return nonedge.orderBy(
+        F.desc("ra_score_e9"), "u", "v"
+    ).limit(100)
+
+
+@q(
+    "q176_basket_rules",
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+bn AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand
+       FROM b GROUP BY 1),
+pr AS (SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+        CAST(count(*) AS BIGINT) AS n_ab
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+  floor(CAST(pr.n_ab AS DOUBLE) / CAST(a.n_brand AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+  floor((CAST(pr.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        / (CAST(a.n_brand AS DOUBLE) * CAST(bb.n_brand AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM pr
+JOIN bn a ON a.p_brand = pr.brand_a
+JOIN bn bb ON bb.p_brand = pr.brand_b
+CROSS JOIN tot
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 50
+""",
+    description="market-basket association rules at brand granularity "
+    "(Agrawal/Srikant support-confidence-lift): baskets are orders, "
+    "items the distinct brands inside each (basket width is bounded "
+    "by order size, so the within-order pair self-join is corpus-"
+    "linear, never brand-quadratic across orders); supports are exact "
+    "integer counts, confidence/lift single IEEE divisions of exact "
+    "int-to-double casts quantized to the 1e-6 grid. The brand-count "
+    "side is a 25-row broadcast, the basket total a 1-row broadcast, "
+    "and the top-50 plans as TakeOrderedAndProject",
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = b.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    bn = b.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_brand")
+    )
+    pr = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.p_brand") < F.col("y.p_brand")),
+        )
+        .groupBy(
+            F.col("x.p_brand").alias("brand_a"),
+            F.col("y.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    na = bn.select(
+        F.col("p_brand").alias("ba"), F.col("n_brand").alias("n_a")
+    )
+    nb = bn.select(
+        F.col("p_brand").alias("bb"), F.col("n_brand").alias("n_b")
+    )
+    out = (
+        pr.join(F.broadcast(na), pr["brand_a"] == na["ba"])
+        .join(F.broadcast(nb), pr["brand_b"] == nb["bb"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            r6(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+            ).alias("confidence"),
+            r6(
+                (
+                    F.col("n_ab").cast("double")
+                    * F.col("n_orders").cast("double")
+                )
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "brand_a", "brand_b").limit(50)
+
+
+@q(
+    "q177_rfm_segments",
+    oracle="""
+WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+mx AS (SELECT max(d) AS mxd FROM o),
+c AS (SELECT o_custkey,
+    CAST(date_diff('day', max(d), (SELECT mxd FROM mx)) AS BIGINT)
+      AS recency,
+    CAST(count(*) AS BIGINT) AS frequency,
+    CAST(sum(cents) AS BIGINT) AS monetary
+  FROM o GROUP BY 1),
+s AS (SELECT o_custkey, monetary,
+    ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+    ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+    ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+  FROM c)
+SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+    || CAST(m_score AS VARCHAR) AS segment,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  floor(CAST(sum(monetary) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+    / 100.0 AS avg_monetary
+FROM s GROUP BY 1 ORDER BY 1
+""",
+    description="RFM customer segmentation (Hughes' recency/"
+    "frequency/monetary quintiles, the classic CRM operator): one "
+    "fact-side aggregation to customer grain (recency in whole days "
+    "against the corpus max date, frequency an exact count, monetary "
+    "an exact integer-cents sum), then three ntile(5) windows with "
+    "custkey tie-breaks — ntile's ceil/floor group split is "
+    "standard-identical across engines, and the windows run over the "
+    "CUSTOMER aggregate (dimension-cardinality, never fact-sized; "
+    "the 100 TB path replaces the global ntile sort with distributed "
+    "quantile breakpoints joined back, same segments). Output is the "
+    "125-cell segment histogram with cent-rounded average spend",
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = o.agg(F.max("d").alias("mxd"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("mxd", "last_d").cast("long").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    s = c.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency"), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        s.groupBy(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            (
+                F.floor(
+                    F.sum("monetary").cast("double")
+                    / F.count("*").cast("double")
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+@q(
+    "q178_acf",
+    oracle=f"""
+WITH ev AS ({_EV}),
+d AS (SELECT CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS y2
+  FROM ev GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y2) AS BIGINT) AS s FROM d),
+m AS (SELECT CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+        AS BIGINT) AS m2, n FROM st),
+dv AS (SELECT day, y2 - (SELECT m2 FROM m) AS dev FROM d),
+den AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dv),
+num AS (SELECT CAST(date_diff('day', b.day, a.day) AS BIGINT)
+          AS lag_days,
+        CAST(sum(a.dev * b.dev) AS BIGINT) AS num,
+        CAST(count(*) AS BIGINT) AS n_pairs
+  FROM dv a JOIN dv b
+    ON date_diff('day', b.day, a.day) BETWEEN 1 AND 7
+  GROUP BY 1)
+SELECT num.lag_days, m.n AS n_days, num.n_pairs,
+  floor(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS acf
+FROM num CROSS JOIN den CROSS JOIN m
+ORDER BY lag_days
+""",
+    description="autocorrelation function of the corpus-wide daily "
+    "event-value series at lags 1-7 (the seasonality diagnostic "
+    "that decides windowing for every downstream forecast): daily "
+    "totals quantize to integer cents (order-free exact sums, the "
+    "ONLY data-sized pass — one map-side-partial aggregation), the "
+    "mean is rounded to the cent so deviations stay exact BIGINTs "
+    "(sums fit int64 through sf0.1 x100; the 100 TB path widens to "
+    "DECIMAL like q174), and each lag's numerator is an exact "
+    "integer cross-product sum over the day-cardinality frame — the "
+    "final ratio is one IEEE division of two exact int64-to-double "
+    "casts, quantized to 1e-6",
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("y2")
+    )
+    st = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y2").cast("long").alias("s"),
+    )
+    m = st.select(
+        F.floor(
+            F.col("s").cast("double") / F.col("n").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m2"),
+        "n",
+    )
+    dv = d.crossJoin(F.broadcast(m)).select(
+        "day", (F.col("y2") - F.col("m2")).alias("dev"), "n"
+    )
+    den = dv.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den")
+    )
+    a, b = dv.alias("a"), dv.alias("b")
+    num = (
+        a.join(
+            b,
+            F.datediff(F.col("a.day"), F.col("b.day")).between(1, 7),
+        )
+        .groupBy(
+            F.datediff(F.col("a.day"), F.col("b.day"))
+            .cast("long")
+            .alias("lag_days")
+        )
+        .agg(
+            F.sum(F.col("a.dev") * F.col("b.dev"))
+            .cast("long")
+            .alias("num"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(m.select(F.col("n").alias("n_days"))))
+        .select(
+            "lag_days",
+            "n_days",
+            "n_pairs",
+            (
+                F.floor(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("acf"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+@q(
+    "q179_pareto_abc",
+    oracle="""
+WITH pr AS (SELECT l_partkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+      + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM pr),
+rk AS (SELECT l_partkey, rev,
+    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum
+  FROM pr),
+cl AS (SELECT CASE
+      WHEN cum * 100 <= (SELECT t FROM tot) * 80 THEN 'A'
+      WHEN cum * 100 <= (SELECT t FROM tot) * 95 THEN 'B'
+      ELSE 'C' END AS abc_class, rev FROM rk)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(sum(rev) AS BIGINT) AS class_rev_cents,
+  floor(CAST(sum(rev) AS DOUBLE)
+        / CAST((SELECT t FROM tot) AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS rev_share
+FROM cl GROUP BY 1 ORDER BY 1
+""",
+    description="Pareto/ABC inventory classification (the 80/95 "
+    "cumulative-revenue-share cut every warehouse runs to pick "
+    "cycle-count tiers): per-part revenue lands on the exact integer-"
+    "cent grid (per-row IEEE product then floor, q01's device) in "
+    "one fact-side aggregation; the running-total window and class "
+    "cuts run over the PART aggregate (dimension-cardinality, never "
+    "fact-sized) with partkey tie-breaks, and the threshold tests "
+    "are pure integer cross-multiplications (cum*100 <= total*80 — "
+    "no division, no float, exact through sf0.1 x1000; the 100 TB "
+    "path widens to DECIMAL)",
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev")
+    )
+    tot = pr.agg(F.sum("rev").cast("long").alias("t"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rk = pr.withColumn("cum", F.sum("rev").over(w).cast("long"))
+    cl = rk.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("cum") * F.lit(100) <= F.col("t") * F.lit(80), "A"
+        )
+        .when(F.col("cum") * F.lit(100) <= F.col("t") * F.lit(95), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "t",
+    )
+    return (
+        cl.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("class_rev_cents"),
+            (
+                F.floor(
+                    F.sum("rev").cast("double")
+                    / F.first("t").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+#: Benford expected first-digit shares, round(log10(1+1/d)*1e9) —
+#: embedded as identical integer literals in engine and oracle so no
+#: runtime log() can diverge between engines
+_BENFORD_E9 = {
+    1: 301029996,
+    2: 176091259,
+    3: 124938737,
+    4: 96910013,
+    5: 79181246,
+    6: 66946790,
+    7: 57991947,
+    8: 51152522,
+    9: 45757491,
+}
+
+
+@q(
+    "q180_benford_audit",
+    oracle=f"""
+WITH o AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+      FROM o GROUP BY 1),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM c),
+e AS (SELECT * FROM (VALUES
+  {", ".join(f"({d}, {v})" for d, v in _BENFORD_E9.items())})
+  t(digit, exp_e9)),
+sh AS (SELECT e.digit, coalesce(c.n_obs, 0) AS n_obs,
+    floor(CAST(coalesce(c.n_obs, 0) AS DOUBLE)
+          / CAST(tot.t AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      AS obs_share,
+    CAST(e.exp_e9 AS DOUBLE) / 1000000000.0 AS exp_share
+  FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN tot)
+SELECT digit, n_obs, obs_share, exp_share,
+  floor(abs(obs_share - exp_share) * 1000000.0 + 0.5) / 1000000.0
+    AS abs_dev
+FROM sh ORDER BY digit
+""",
+    description="Benford first-significant-digit audit of order "
+    "totals (Nigrini's fraud/data-quality screen): leading digit via "
+    "integer-string extraction (no log in the hot path), observed "
+    "shares quantized to 1e-6, expected shares log10(1+1/d) baked in "
+    "as identical 1e-9-grid integer literals on BOTH sides so no "
+    "runtime transcendental can diverge between engines; one zero-"
+    "shuffle-beyond-9-rows aggregation over the fact side, the "
+    "digit dimension a 9-row broadcast",
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = o.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    tot = c.agg(F.sum("n_obs").cast("long").alias("t"))
+    e = spark.createDataFrame(
+        sorted(_BENFORD_E9.items()), "digit int, exp_e9 long"
+    )
+    sh = (
+        F.broadcast(e)
+        .join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            (
+                F.floor(
+                    F.coalesce("n_obs", F.lit(0)).cast("double")
+                    / F.col("t").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("obs_share"),
+            (F.col("exp_e9").cast("double") / F.lit(1e9)).alias(
+                "exp_share"
+            ),
+        )
+    )
+    return sh.select(
+        "digit",
+        "n_obs",
+        "obs_share",
+        "exp_share",
+        (
+            F.floor(
+                F.abs(F.col("obs_share") - F.col("exp_share"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("abs_dev"),
+    ).orderBy("digit")

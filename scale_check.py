@@ -200,6 +200,13 @@ QUERIES = [
     "q172_sorted_neighborhood",  # blocked sort + windowed candidates
     "q173_fuzzy_name_match",    # vocabulary-sized blocked self-join
     "q174_key_skew_audit",      # cardinality-sized rank + one agg
+    # round-7 batch 5
+    "q175_link_prediction",     # capped wedge join over kNN edges
+    "q176_basket_rules",        # within-order pair join, 25-row dims
+    "q177_rfm_segments",        # customer-grain windows, one fact agg
+    "q178_acf",                 # one daily agg, day-cardinality joins
+    "q179_pareto_abc",          # part-grain cumsum window, one fact agg
+    "q180_benford_audit",       # zero-shuffle digit aggregation
 ]
 
 

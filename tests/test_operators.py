@@ -4061,3 +4061,220 @@ def test_key_skew_audit_hand_distribution(spark):
         }
     assert out["lineitem.l_suppkey"] == (4, 4, 1, 0.25, 0.0)
     assert out["events.user_id"] == (4, 8, 5, 0.625, 0.375)
+
+
+def test_link_prediction_hand_graph(spark):
+    """q175's scoring core on a hand graph, checked through the
+    registry entry's own building blocks: a path 1-2-3 (plus a far-off
+    pair) must predict the missing 1-3 link with RA score
+    floor(1e9/deg(2)). Rather than reverse-engineering LSH buckets,
+    drive sym/deg/wedge/anti-join directly the way q175 composes them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "nbr"]
+    )
+    sym = e.unionByName(
+        e.select(F.col("nbr").alias("src"), F.col("src").alias("nbr"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("dv")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    capped = (
+        sym.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("src").orderBy("nbr")),
+        )
+        .filter(F.col("rn") <= 16)
+        .select("src", "nbr")
+    )
+    wed = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.src") == F.col("y.src"))
+            & (F.col("x.nbr") < F.col("y.nbr")),
+        )
+        .select(
+            F.col("x.src").alias("w"),
+            F.col("x.nbr").alias("u"),
+            F.col("y.nbr").alias("v"),
+        )
+    )
+    sc = (
+        wed.join(deg, wed["w"] == deg["dv"])
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum(
+                F.floor(F.lit(1000000000.0) / F.col("d")).cast("long")
+            ).alias("ra"),
+        )
+    )
+    out = {
+        (r["u"], r["v"]): (r["cn"], r["ra"])
+        for r in sc.join(
+            sym,
+            (sc["u"] == sym["src"]) & (sc["v"] == sym["nbr"]),
+            "left_anti",
+        ).collect()
+    }
+    # node 2 has degree 2 -> the missing 1-3 link scores floor(1e9/2)
+    assert out == {(1, 3): (1, 500000000)}
+
+
+def test_basket_rules_hand_orders(spark):
+    """q176 on four hand baskets: {A,B} x3, {A,C}, {B,C} with minsup
+    dropped via enough A-B repeats; confidence and lift exact."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+
+    # 6 orders: A+B in 5 (passes minsup 5), A alone in 1
+    li, part = [], [(1, "A"), (2, "B")]
+    for ok in range(1, 6):
+        li += [(ok, 1), (ok, 2)]
+    li += [(6, 1)]
+    rows_li = [(ok, pk, 1.0) for ok, pk in li]
+    rows_pt = [(pk, br, "n", "t", 1, 1.0) for pk, br in part]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows_li, ["l_orderkey", "l_partkey", "l_quantity"]
+        ).write.parquet(os.path.join(tmp, "lineitem.parquet"))
+        spark.createDataFrame(
+            rows_pt,
+            ["p_partkey", "p_brand", "p_name", "p_type", "p_size",
+             "p_retailprice"],
+        ).write.parquet(os.path.join(tmp, "part.parquet"))
+        rows = REGISTRY["q176_basket_rules"].fn(spark, tmp).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # n_ab=5, n_A=6, n_B=5, N=6: conf=5/6, lift=5*6/(6*5)=1.0
+    assert (r["brand_a"], r["brand_b"], r["n_ab"]) == ("A", "B", 5)
+    assert r["confidence"] == 0.833333
+    assert r["lift"] == 1.0
+
+
+def test_rfm_segments_hand_customers(spark):
+    """q177 on five customers with strictly increasing recency,
+    frequency and monetary: every quintile has exactly one customer,
+    and better-on-all-axes customers land in higher segments."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    orders = []
+    ok = 0
+    # customer c (1..5): c orders, last order day = Jan c (so customer
+    # 5 is most recent), each order 100*c dollars
+    for c in range(1, 6):
+        for j in range(c):
+            ok += 1
+            orders.append(
+                (ok, c, "F", 100.0 * c, datetime(2024, 1, c), "1-URGENT")
+            )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            orders,
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        ).write.parquet(os.path.join(tmp, "orders.parquet"))
+        out = {
+            r["segment"]: (r["n_customers"], r["avg_monetary"])
+            for r in REGISTRY["q177_rfm_segments"].fn(spark, tmp).collect()
+        }
+    # customer c: recency 5-c days -> r_score c; frequency c -> f c;
+    # monetary = c orders x 100c = 100c^2 dollars -> m c => seg "ccc"
+    assert out == {
+        f"{c}{c}{c}": (1, 100.0 * c * c) for c in range(1, 6)
+    }
+
+
+def test_acf_hand_series(spark):
+    """q178 on a hand 4-day series with cent-exact values [1,3,1,3]
+    dollars: mean 2.00, devs [-100,100,-100,100] cents, den=40000,
+    lag1 num=-30000 -> acf -0.75, lag2 num=20000 -> 0.5, lag3 -0.25."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    ev = [
+        (i, datetime(2024, 1, 1 + i), 1, "view", float(v), "{}")
+        for i, v in enumerate([1, 3, 1, 3])
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            ev, ["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["lag_days"]: (r["n_days"], r["n_pairs"], r["acf"])
+            for r in REGISTRY["q178_acf"].fn(spark, tmp).collect()
+        }
+    assert out == {
+        1: (4, 3, -0.75),
+        2: (4, 2, 0.5),
+        3: (4, 1, -0.25),
+    }
+
+
+def test_pareto_abc_hand_parts(spark):
+    """q179 on four parts with revenues 70/20/6/4: cumulative shares
+    70/90/96/100 classify A (<=80), B (<=95), C, C."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+    from datetime import datetime
+
+    li = [
+        (1, pk, 1, 1, 1.0, float(rev), 0.0, 0.0, "N", "O",
+         datetime(2024, 1, 1))
+        for pk, rev in [(1, 70), (2, 20), (3, 6), (4, 4)]
+    ]
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(li, cols).write.parquet(
+            os.path.join(tmp, "lineitem.parquet")
+        )
+        out = {
+            r["abc_class"]: (r["n_parts"], r["class_rev_cents"],
+                             r["rev_share"])
+            for r in REGISTRY["q179_pareto_abc"].fn(spark, tmp).collect()
+        }
+    assert out == {
+        "A": (1, 7000, 0.7),
+        "B": (1, 2000, 0.2),
+        "C": (2, 1000, 0.1),
+    }
+
+
+def test_benford_audit_hand_digits(spark):
+    """q180 on ten hand order totals whose leading digits are
+    1x5, 2x3, 9x2: observed shares 0.5/0.3/0.2, the rest 0; expected
+    shares are the baked-in Benford literals."""
+    from lynx_spark.plans.analytics import REGISTRY, _BENFORD_E9
+    import tempfile, os
+    from datetime import datetime
+
+    prices = [100.0] * 5 + [250.5] * 3 + [999.99] * 2
+    orders = [
+        (i, 1, "F", p, datetime(2024, 1, 1), "1-URGENT")
+        for i, p in enumerate(prices)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            orders,
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        ).write.parquet(os.path.join(tmp, "orders.parquet"))
+        rows = REGISTRY["q180_benford_audit"].fn(spark, tmp).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    got = {r["digit"]: (r["n_obs"], r["obs_share"], r["exp_share"])
+           for r in rows}
+    want_n = {1: 5, 2: 3, 9: 2}
+    for d in range(1, 10):
+        n = want_n.get(d, 0)
+        assert got[d][0] == n
+        assert got[d][1] == n / 10
+        assert got[d][2] == _BENFORD_E9[d] / 1e9

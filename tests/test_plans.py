@@ -129,3 +129,42 @@ def test_q174_single_partition_only_on_frequency_table(spark):
     plan = plan_of(spark, "q174_key_skew_audit")
     assert plan.count("Exchange SinglePartition") <= 4
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q175_link_prediction", "q176_basket_rules"],
+)
+def test_topk_batch5_takeordered_no_cartesian(spark, name):
+    # link prediction and basket rules end in top-k: partial
+    # per-partition top-k (TakeOrderedAndProject), never a global
+    # sort, and every candidate join is key-equality
+    plan = plan_of(spark, name)
+    assert plan.count("TakeOrderedAndProject") == 1, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q177_single_fact_exchange(spark):
+    # RFM: exactly one data-sized exchange (the custkey aggregation);
+    # the ntile windows run over the customer aggregate only
+    plan = plan_of(spark, "q177_rfm_segments")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q179_window_over_part_grain(spark):
+    # ABC: the cumulative window sits above the part aggregate
+    # (dimension-cardinality); the fact side contributes exactly one
+    # hash exchange (partkey agg) before it
+    plan = plan_of(spark, "q179_pareto_abc")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q180_digit_dim_broadcast(spark):
+    # Benford: the 9-row digit dimension joins broadcast; the fact
+    # side is one zero-join aggregation
+    plan = plan_of(spark, "q180_benford_audit")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
