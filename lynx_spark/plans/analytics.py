@@ -8594,3 +8594,111 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("abs_dev"),
     ).orderBy("digit")
+
+
+def _decile_gains_oracle() -> str:
+    """q181 oracle: the q84 score CTEs + the q119 length label feeding
+    a cumulative gains/lift table over score deciles."""
+    base = _classifier_oracle()
+    ctes = base[: base.rindex("SELECT doc_id")]
+    return (
+        ctes
+        + """, sc AS (
+  SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS s,
+    CASE WHEN doc.n_chars >= 280 THEN 1 ELSE 0 END AS y
+  FROM z JOIN documents doc USING (doc_id)),
+dd AS (SELECT ntile(10) OVER (ORDER BY s DESC, doc_id) AS decile, y
+  FROM sc),
+per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(y) AS BIGINT) AS n_pos FROM dd GROUP BY 1),
+cum AS (SELECT decile, n_docs, n_pos,
+    CAST(sum(n_docs) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_n,
+    CAST(sum(n_pos) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_pos
+  FROM per),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+    CAST(sum(n_pos) AS BIGINT) AS tp FROM per)
+SELECT CAST(cum.decile AS BIGINT) AS decile, cum.n_docs, cum.n_pos,
+  cum.cum_pos,
+  floor(CAST(cum.cum_pos AS DOUBLE) / CAST(tot.tp AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS gain,
+  floor((CAST(cum.cum_pos AS DOUBLE) * CAST(tot.tn AS DOUBLE))
+        / (CAST(cum.cum_n AS DOUBLE) * CAST(tot.tp AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM cum CROSS JOIN tot ORDER BY decile
+"""
+    )
+
+
+@q(
+    "q181_decile_gains",
+    oracle=_decile_gains_oracle(),
+    description="cumulative gains / lift chart for the q84 quality "
+    "classifier against the q119 length label (the model-eval table "
+    "that decides how much corpus a classifier-gated curation pass "
+    "keeps): docs rank into score deciles (ntile with doc_id "
+    "tie-breaks — the window runs over the scored corpus, and the "
+    "100 TB path swaps it for distributed quantile breakpoints, "
+    "q177's note), then per-decile exact counts cumulate over the "
+    "10-row frame; gain and lift are single IEEE divisions of exact "
+    "int casts on the 1e-6 grid, identical trees in both engines",
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    scored = ql.classifier_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_prob"
+    )
+    labeled = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 280, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    dd = (
+        scored.join(labeled, "doc_id")
+        .select(
+            F.ntile(10)
+            .over(Window.orderBy(F.desc("quality_prob"), "doc_id"))
+            .alias("decile"),
+            "y",
+        )
+    )
+    per = dd.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.withColumn(
+        "cum_n", F.sum("n_docs").over(w).cast("long")
+    ).withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("tn"),
+        F.sum("n_pos").cast("long").alias("tp"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "n_pos",
+            "cum_pos",
+            r6(
+                F.col("cum_pos").cast("double") / F.col("tp").cast("double")
+            ).alias("gain"),
+            r6(
+                (
+                    F.col("cum_pos").cast("double")
+                    * F.col("tn").cast("double")
+                )
+                / (
+                    F.col("cum_n").cast("double")
+                    * F.col("tp").cast("double")
+                )
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

@@ -4278,3 +4278,26 @@ def test_benford_audit_hand_digits(spark):
         assert got[d][0] == n
         assert got[d][1] == n / 10
         assert got[d][2] == _BENFORD_E9[d] / 1e9
+
+
+def test_decile_gains_hand_corpus(spark):
+    """q181 on 20 all-positive docs: whatever the scores, decile d
+    must cumulate to gain d/10 with lift exactly 1.0; counts 2/decile."""
+    from lynx_spark.plans.analytics import REGISTRY
+    import tempfile, os
+
+    docs = [
+        (i, ("word%d " % i) * 60, "en", "web", 300 + i)
+        for i in range(20)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = REGISTRY["q181_decile_gains"].fn(spark, tmp).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert (r["n_docs"], r["n_pos"]) == (2, 2)
+        assert r["cum_pos"] == 2 * r["decile"]
+        assert r["gain"] == r["decile"] / 10
+        assert r["lift"] == 1.0

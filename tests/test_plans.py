@@ -168,3 +168,13 @@ def test_q180_digit_dim_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q181_single_fact_exchange(spark):
+    # decile gains: the classifier scores are zero-shuffle per-row
+    # expressions, so the only data-sized exchange is the doc_id
+    # score/label join; the decile and cumulative windows run over
+    # the scored corpus and the 10-row decile frame
+    plan = plan_of(spark, "q181_decile_gains")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 1
