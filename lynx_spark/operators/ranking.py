@@ -1,0 +1,223 @@
+"""Distributed EXACT global ranking — the two-phase TeraSort shape.
+
+A global ``row_number()``/``ntile()``/running-total window with no
+PARTITION BY plans as ``Exchange SinglePartition``: every row of the
+frame serializes through one task, which is the classic 100 TB
+scale-killer (VERDICT r7 flagged four queries doing exactly this over
+frames that grow linearly with the corpus).
+
+The fix is the sampling range-partitioner every external sort uses
+(TeraSort; Spark's own ``RangePartitioner`` behind
+``repartitionByRange``), done at the DataFrame level so the result is
+EXACT — bit-identical to the single-partition window — while the
+data-sized work stays parallel:
+
+1. **Breakpoints**: one scalar aggregation computes ~``n_buckets``
+   approximate quantiles of the sort value (``percentile_approx``) and
+   collects them to the driver — a model-sized collect (≤63 doubles),
+   the same move Spark's RangePartitioner makes when it freezes its
+   range bounds driver-side so a stage retry can never resample
+   different bounds mid-job. Breakpoint ACCURACY only affects bucket
+   balance, never correctness.
+2. **Bucket assignment**: each row maps to the count of breakpoints
+   strictly below its value — an order-contiguous bucket id evaluated
+   row-local against the literal breakpoint array (no shuffle, no
+   second reference to the input plan).
+3. **Local rank**: ``row_number()``/``sum()`` windows PARTITIONED BY
+   bucket — the one data-sized exchange, ``hashpartitioning(_bkt)``,
+   parallel across the cluster. Rows with equal sort values share a
+   bucket by construction, so tie-break columns resolve inside one
+   partition and the local order equals the global order restricted to
+   the bucket.
+4. **Offsets**: per-bucket counts (or sums) aggregate to a
+   ≤``n_buckets``-row frame, collected driver-side (model-sized) and
+   folded into a literal CASE lookup: ``global = offset(bucket) +
+   local`` — exact, and the returned plan contains the input subtree
+   exactly ONCE (an earlier draft kept offsets as a broadcast-join
+   DataFrame; chaining three of those multiplied the input subtree
+   ~4× per level into a 391-exchange plan).
+
+``ntile(k)`` then needs no window at all: the SQL-standard tile of a
+row is a closed-form function of its global rank and the total row
+count n (the first ``n mod k`` tiles get ``floor(n/k)+1`` rows, the
+rest ``floor(n/k)``), evaluated per-row from driver-known constants.
+
+Cost model: each call runs two extra scalar jobs over the input
+(breakpoint quantiles, bucket histogram) before the main pass — at
+100 TB, persist the input frame first when chaining several rankings
+(q177 chains three) so those passes hit cached partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _breakpoints(
+    df: DataFrame, value_col: str, n_buckets: int
+) -> list[float]:
+    """Approximate-quantile breakpoints, deduped (skewed values can
+    repeat a quantile; merging the duplicates just merges buckets —
+    order contiguity is preserved)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        F.percentile_approx(
+            F.col(value_col).cast("double"), probs, 10000
+        ).alias("_bps")
+    ).collect()[0]
+    return sorted(set(row["_bps"] or []))
+
+
+def _bucket_expr(value_col: str, bps: list[float]) -> Column:
+    """Order-contiguous bucket id: count of breakpoints strictly below
+    the value. Row-local against the literal breakpoint array."""
+    if not bps:
+        return F.lit(0)
+    v = F.col(value_col).cast("double")
+    return F.aggregate(
+        F.array(*[F.lit(float(b)) for b in bps]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(v > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def _offset_expr(offsets: dict[int, int]) -> Column:
+    """Literal bucket→offset lookup (≤n_buckets branches)."""
+    expr = F.lit(None).cast("long")
+    for bkt, off in offsets.items():
+        expr = F.when(F.col("_bkt") == bkt, F.lit(off)).otherwise(expr)
+    return expr
+
+
+def _order(
+    value_col: str, ascending: bool, tie_cols: Sequence[str]
+) -> list[Column]:
+    head = F.asc(value_col) if ascending else F.desc(value_col)
+    return [head] + [F.asc(c) for c in tie_cols]
+
+
+def _bucketed_offsets(
+    df: DataFrame,
+    value_col: str,
+    ascending: bool,
+    n_buckets: int,
+    weight_col: str | None = None,
+) -> tuple[DataFrame, dict[int, int], int]:
+    """Shared phases 1-2-4: bucketed frame, the cumulative offset of
+    each bucket in rank order, and the grand total (row count, or
+    ``weight_col`` sum when given)."""
+    bps = _breakpoints(df, value_col, n_buckets)
+    b = df.withColumn("_bkt", _bucket_expr(value_col, bps))
+    agg = (
+        F.count("*")
+        if weight_col is None
+        else F.sum(weight_col)
+    )
+    counts = {
+        r["_bkt"]: r["_c"]
+        for r in b.groupBy("_bkt").agg(agg.cast("long").alias("_c")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bkt in sorted(counts, reverse=not ascending):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+    return b, offsets, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    value_col: str,
+    *,
+    ascending: bool = True,
+    tie_cols: Sequence[str] = (),
+    n_buckets: int = 64,
+    out_col: str = "grank",
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY value [, ties])``
+    without a SinglePartition exchange over the data. ``tie_cols``
+    must make the total order unique for the result to be
+    deterministic (same contract as the window it replaces)."""
+    b, offsets, _ = _bucketed_offsets(df, value_col, ascending, n_buckets)
+    lw = Window.partitionBy("_bkt").orderBy(
+        *_order(value_col, ascending, tie_cols)
+    )
+    return (
+        b.withColumn("_lr", F.row_number().over(lw).cast("long"))
+        .withColumn(out_col, _offset_expr(offsets) + F.col("_lr"))
+        .drop("_bkt", "_lr")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    *,
+    ascending: bool = True,
+    tie_cols: Sequence[str] = (),
+    n_buckets: int = 64,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact global ``ntile(k) OVER (ORDER BY value [, ties])`` via
+    the two-phase rank: SQL-standard ntile assigns the first
+    ``n mod k`` tiles ``floor(n/k)+1`` rows and the rest
+    ``floor(n/k)``, so the tile is a closed-form expression of the
+    global rank and the driver-known total — no window over the
+    data, no SinglePartition exchange."""
+    b, offsets, n = _bucketed_offsets(df, value_col, ascending, n_buckets)
+    lw = Window.partitionBy("_bkt").orderBy(
+        *_order(value_col, ascending, tie_cols)
+    )
+    small, r = divmod(n, k)  # r big tiles of small+1 rows, then small
+    cut = r * (small + 1)  # ranks 1..cut live in the big tiles
+    gr = _offset_expr(offsets) + F.col("_lr")
+    if small == 0:  # n < k: every tile is one row, tile == rank
+        tile = gr
+    else:
+        tile = F.when(
+            gr <= cut,
+            F.floor((gr - F.lit(1)) / F.lit(small + 1)) + F.lit(1),
+        ).otherwise(
+            F.lit(r)
+            + F.floor((gr - F.lit(cut) - F.lit(1)) / F.lit(small))
+            + F.lit(1)
+        )
+    return (
+        b.withColumn("_lr", F.row_number().over(lw).cast("long"))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("_bkt", "_lr")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    sum_col: str,
+    *,
+    ascending: bool = True,
+    tie_cols: Sequence[str] = (),
+    n_buckets: int = 64,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exact global running total ``sum(sum_col) OVER (ORDER BY value
+    [, ties] ROWS UNBOUNDED PRECEDING)`` via the same two phases:
+    bucket-local running sums plus literal per-bucket sum offsets.
+    ``sum_col`` must be integral (long) so partial sums re-associate
+    exactly across the split."""
+    b, offsets, _ = _bucketed_offsets(
+        df, value_col, ascending, n_buckets, weight_col=sum_col
+    )
+    lw = (
+        Window.partitionBy("_bkt")
+        .orderBy(*_order(value_col, ascending, tie_cols))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.withColumn("_lc", F.sum(sum_col).over(lw).cast("long"))
+        .withColumn(out_col, _offset_expr(offsets) + F.col("_lc"))
+        .drop("_bkt", "_lc")
+    )

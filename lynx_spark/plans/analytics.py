@@ -47,6 +47,7 @@ from lynx_spark.operators import graph as gr
 from lynx_spark.operators import layout
 from lynx_spark.operators import lm
 from lynx_spark.operators import quality as ql
+from lynx_spark.operators import ranking as rnk
 from lynx_spark.operators import similarity as sim
 from lynx_spark.operators.multimodal import binary_length_meta
 from lynx_spark.sources.tables import load_table, register_all
@@ -7959,21 +7960,39 @@ FROM (SELECT f, row_number() OVER (ORDER BY f, k) AS i
     "100 TB pipeline runs BEFORE a join to decide salting/AQE skew "
     "handling. All sums are exact integers (sum(i*f) fits int64 "
     "through sf0.1 x1000; the 100 TB path widens to DECIMAL) so the "
-    "single double division agrees across engines; the rank window "
-    "runs over the key-frequency table, which is "
-    "cardinality-sized, never data-sized",
+    "single double division agrees across engines. r8 rewrite: the "
+    "engine no longer ranks every key — for the m_f keys sharing "
+    "frequency f the ranks are the consecutive block a_f+1..a_f+m_f "
+    "regardless of key order, so sum(i*f) = sum_f f*(m_f*a_f + "
+    "m_f(m_f+1)/2) computes on the FREQUENCY-OF-FREQUENCIES "
+    "histogram (a_f = keys with smaller f). The only windows run "
+    "over that fof frame (heavy-tail-bounded: hundreds of distinct "
+    "frequencies even at 100 TB), never the key table — the r7 "
+    "SinglePartition rank over the orderkey-cardinality frame is "
+    "gone; the oracle keeps the literal rank form",
 )
 def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(df: DataFrame, table: str, key: str) -> DataFrame:
         freq = df.groupBy(F.col(key).alias("k")).agg(
             F.count("*").cast("long").alias("f")
         )
-        ranked = freq.withColumn(
-            "i", F.row_number().over(Window.orderBy("f", "k")).cast("long")
+        fof = freq.groupBy("f").agg(
+            F.count("*").cast("long").alias("m")
         )
-        n = F.count("*").cast("long")
-        s0 = F.sum("f").cast("long")
-        s1 = F.sum(F.col("i") * F.col("f")).cast("long")
+        below = Window.orderBy("f").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        ranked = fof.withColumn(
+            "a", F.coalesce(F.sum("m").over(below), F.lit(0)).cast("long")
+        )
+        n = F.sum("m").cast("long")
+        s0 = F.sum(F.col("f") * F.col("m")).cast("long")
+        # sum of global ranks inside one f-block = m*a + m(m+1)/2
+        # (consecutive integers a+1..a+m); m*(m+1) is even so DIV 2
+        # stays exact int64
+        s1 = F.sum(
+            F.expr("f * (m * a + m * (m + 1) DIV 2)")
+        ).cast("long")
         mx = F.max("f").cast("long")
         return ranked.agg(
             F.lit(f"{table}.{key}").alias("key_col"),
@@ -8240,12 +8259,14 @@ FROM s GROUP BY 1 ORDER BY 1
     "frequency/monetary quintiles, the classic CRM operator): one "
     "fact-side aggregation to customer grain (recency in whole days "
     "against the corpus max date, frequency an exact count, monetary "
-    "an exact integer-cents sum), then three ntile(5) windows with "
-    "custkey tie-breaks — ntile's ceil/floor group split is "
-    "standard-identical across engines, and the windows run over the "
-    "CUSTOMER aggregate (dimension-cardinality, never fact-sized; "
-    "the 100 TB path replaces the global ntile sort with distributed "
-    "quantile breakpoints joined back, same segments). Output is the "
+    "an exact integer-cents sum), then three exact ntile(5) scores "
+    "with custkey tie-breaks. r8 rewrite: the scores come from "
+    "ranking.global_ntile — the two-phase TeraSort rank (breakpoint "
+    "buckets, bucket-local row_number behind a hashpartitioning "
+    "exchange, broadcast offsets, closed-form SQL-standard tile from "
+    "rank and n) — bit-identical to the oracle's literal ntile "
+    "windows but with NO SinglePartition exchange over the customer "
+    "frame, which scales linearly with the corpus. Output is the "
     "125-cell segment histogram with cent-rounded average spend",
 )
 def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8272,18 +8293,17 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    s = c.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency"), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("frequency"), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("monetary"), "o_custkey"))
-        .alias("m_score"),
+    s = rnk.global_ntile(
+        c, "recency", 5,
+        ascending=False, tie_cols=["o_custkey"], out_col="r_score",
+    )
+    s = rnk.global_ntile(
+        s, "frequency", 5,
+        ascending=True, tie_cols=["o_custkey"], out_col="f_score",
+    )
+    s = rnk.global_ntile(
+        s, "monetary", 5,
+        ascending=True, tie_cols=["o_custkey"], out_col="m_score",
     )
     return (
         s.groupBy(
@@ -8339,8 +8359,15 @@ ORDER BY lag_days
     "event-value series at lags 1-7 (the seasonality diagnostic "
     "that decides windowing for every downstream forecast): daily "
     "totals quantize to integer cents (order-free exact sums, the "
-    "ONLY data-sized pass — one map-side-partial aggregation), the "
-    "mean is rounded to the cent so deviations stay exact BIGINTs "
+    "ONLY data-sized pass — one map-side-partial aggregation over "
+    "ONE events scan: the calendar-bounded day frame is collected "
+    "once so its four consumers read a local relation instead of "
+    "re-deriving it, r8), the mean is rounded to the cent so "
+    "deviations stay exact BIGINTs — NOTE this cent-rounded mean "
+    "biases the ACF slightly vs the textbook estimator (sum(dev) "
+    "can be up to n/2 cents off zero); it is deterministic and "
+    "engine/oracle-identical, and the unbiased n*y-s scaling would "
+    "push dev^2 past int64 at large day counts "
     "(sums fit int64 through sf0.1 x100; the 100 TB path widens to "
     "DECIMAL like q174), and each lag's numerator is an exact "
     "integer cross-product sum over the day-cardinality frame — the "
@@ -8358,6 +8385,14 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y2")
     )
+    # the day frame is calendar-bounded (a few thousand rows however
+    # large the corpus), and it is referenced by four consumers below
+    # (mean, deviations, denominator, the a×b lag self-join) — left
+    # lazy, each consumer re-derives it and the events scan runs 7×
+    # (one full 100 TB pass each). Collect it once (model-sized, the
+    # repo's k-means-codebook convention) and every consumer reads a
+    # local relation: exactly ONE fact scan, pinned in test_plans.py
+    d = spark.createDataFrame(d.collect(), schema="day date, y2 long")
     st = d.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y2").cast("long").alias("s"),
@@ -8380,7 +8415,9 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = dv.alias("a"), dv.alias("b")
     num = (
         a.join(
-            b,
+            # day-grain × day-grain range join: broadcast one side so
+            # the local relation plans BNLJ, never CartesianProduct
+            F.broadcast(b),
             F.datediff(F.col("a.day"), F.col("b.day")).between(1, 7),
         )
         .groupBy(
@@ -8444,12 +8481,15 @@ FROM cl GROUP BY 1 ORDER BY 1
     "cumulative-revenue-share cut every warehouse runs to pick "
     "cycle-count tiers): per-part revenue lands on the exact integer-"
     "cent grid (per-row IEEE product then floor, q01's device) in "
-    "one fact-side aggregation; the running-total window and class "
-    "cuts run over the PART aggregate (dimension-cardinality, never "
-    "fact-sized) with partkey tie-breaks, and the threshold tests "
-    "are pure integer cross-multiplications (cum*100 <= total*80 — "
-    "no division, no float, exact through sf0.1 x1000; the 100 TB "
-    "path widens to DECIMAL)",
+    "one fact-side aggregation; the threshold tests are pure integer "
+    "cross-multiplications (cum*100 <= total*80 — no division, no "
+    "float, exact through sf0.1 x1000; the 100 TB path widens to "
+    "DECIMAL). r8 rewrite: the cumulative revenue comes from "
+    "ranking.global_running_sum — bucket-local running sums behind a "
+    "hashpartitioning exchange plus broadcast per-bucket offsets "
+    "(exact integer re-association) — bit-identical to the oracle's "
+    "literal running-total window but with NO SinglePartition "
+    "exchange over the part frame, which scales linearly",
 )
 def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
@@ -8466,10 +8506,10 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev")
     )
     tot = pr.agg(F.sum("rev").cast("long").alias("t"))
-    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    rk = rnk.global_running_sum(
+        pr, "rev", "rev",
+        ascending=False, tie_cols=["l_partkey"], out_col="cum",
     )
-    rk = pr.withColumn("cum", F.sum("rev").over(w).cast("long"))
     cl = rk.crossJoin(F.broadcast(tot)).select(
         F.when(
             F.col("cum") * F.lit(100) <= F.col("t") * F.lit(80), "A"
@@ -8639,12 +8679,14 @@ FROM cum CROSS JOIN tot ORDER BY decile
     description="cumulative gains / lift chart for the q84 quality "
     "classifier against the q119 length label (the model-eval table "
     "that decides how much corpus a classifier-gated curation pass "
-    "keeps): docs rank into score deciles (ntile with doc_id "
-    "tie-breaks — the window runs over the scored corpus, and the "
-    "100 TB path swaps it for distributed quantile breakpoints, "
-    "q177's note), then per-decile exact counts cumulate over the "
-    "10-row frame; gain and lift are single IEEE divisions of exact "
-    "int casts on the 1e-6 grid, identical trees in both engines",
+    "keeps): docs rank into score deciles with doc_id tie-breaks — "
+    "r8 rewrite: the decile comes from ranking.global_ntile (two-"
+    "phase breakpoint rank, closed-form tile), bit-identical to the "
+    "oracle's literal ntile(10) window but with NO SinglePartition "
+    "exchange over the scored corpus, which is fact-sized; then "
+    "per-decile exact counts cumulate over the 10-row frame; gain "
+    "and lift are single IEEE divisions of exact int casts on the "
+    "1e-6 grid, identical trees in both engines",
 )
 def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
@@ -8657,15 +8699,14 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("y"),
     )
-    dd = (
-        scored.join(labeled, "doc_id")
-        .select(
-            F.ntile(10)
-            .over(Window.orderBy(F.desc("quality_prob"), "doc_id"))
-            .alias("decile"),
-            "y",
-        )
-    )
+    dd = rnk.global_ntile(
+        scored.join(labeled, "doc_id"),
+        "quality_prob",
+        10,
+        ascending=False,
+        tie_cols=["doc_id"],
+        out_col="decile",
+    ).select("decile", "y")
     per = dd.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("y").cast("long").alias("n_pos"),

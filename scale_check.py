@@ -199,14 +199,15 @@ QUERIES = [
     "q171_stratified_wor",      # per-source rank window, WindowGroupLimit
     "q172_sorted_neighborhood",  # blocked sort + windowed candidates
     "q173_fuzzy_name_match",    # vocabulary-sized blocked self-join
-    "q174_key_skew_audit",      # cardinality-sized rank + one agg
+    "q174_key_skew_audit",      # r8: fof-histogram Gini, no key rank
     # round-7 batch 5
     "q175_link_prediction",     # capped wedge join over kNN edges
     "q176_basket_rules",        # within-order pair join, 25-row dims
-    "q177_rfm_segments",        # customer-grain windows, one fact agg
+    "q177_rfm_segments",        # r8: bucket-partitioned two-phase ntile
     "q178_acf",                 # one daily agg, day-cardinality joins
-    "q179_pareto_abc",          # part-grain cumsum window, one fact agg
+    "q179_pareto_abc",          # r8: bucket-partitioned running sum
     "q180_benford_audit",       # zero-shuffle digit aggregation
+    "q181_decile_gains",        # r8: bucket-partitioned decile rank
 ]
 
 

@@ -1,0 +1,93 @@
+"""The two-phase distributed ranking device must be BIT-IDENTICAL to
+the SinglePartition window it replaces — exactness is the whole deal
+(q174/q177/q179/q181's oracles keep the literal window form). Checked
+against Spark's own global windows on adversarial value distributions:
+heavy ties (bucket-boundary ties included), n < k, and a single-value
+column (zero usable breakpoints)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lynx_spark.operators import ranking as rnk
+
+
+def _df(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(7)
+
+
+DISTS = {
+    "unique": list(range(100)),
+    "heavy_ties": [i % 7 for i in range(100)],
+    "one_value": [42] * 50,
+    "skewed": [0] * 80 + list(range(1, 21)),
+    "tiny": [3, 1, 2],
+}
+
+
+@pytest.mark.parametrize("dist", DISTS)
+@pytest.mark.parametrize("ascending", [True, False])
+def test_global_row_number_matches_window(spark, dist, ascending):
+    df = _df(spark, DISTS[dist])
+    order = (F.asc("v") if ascending else F.desc("v"), F.asc("id"))
+    expected = df.withColumn(
+        "grank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    got = rnk.global_row_number(
+        df, "v", ascending=ascending, tie_cols=["id"], n_buckets=8
+    )
+    assert sorted(got.collect()) == sorted(expected.collect())
+
+
+@pytest.mark.parametrize("dist", DISTS)
+@pytest.mark.parametrize("k", [3, 10, 64])
+def test_global_ntile_matches_window(spark, dist, k):
+    df = _df(spark, DISTS[dist])
+    expected = df.withColumn(
+        "tile",
+        F.ntile(k).over(Window.orderBy(F.desc("v"), F.asc("id"))),
+    )
+    got = rnk.global_ntile(
+        df, "v", k, ascending=False, tie_cols=["id"], n_buckets=8
+    )
+    assert sorted(got.collect()) == sorted(expected.collect())
+
+
+@pytest.mark.parametrize("dist", DISTS)
+def test_global_running_sum_matches_window(spark, dist):
+    df = _df(spark, DISTS[dist]).withColumn(
+        "w", (F.col("id") * 13 + 7).cast("long")
+    )
+    expected = df.withColumn(
+        "cum",
+        F.sum("w")
+        .over(
+            Window.orderBy(F.desc("v"), F.asc("id")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long"),
+    )
+    got = rnk.global_running_sum(
+        df, "v", "w", ascending=False, tie_cols=["id"], n_buckets=8
+    )
+    assert sorted(got.collect()) == sorted(expected.collect())
+
+
+def test_no_single_partition_exchange_in_device_plan(spark):
+    # the device's reason to exist: the data-sized window is
+    # partitioned by bucket, and offsets fold into literals — the
+    # plan carries NO SinglePartition exchange at all
+    df = _df(spark, DISTS["unique"])
+    plan = (
+        rnk.global_ntile(df, "v", 5, tie_cols=["id"], n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(_bkt" in plan
