@@ -34,15 +34,33 @@ _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 # datetime's own range and raise, matching "invalid timestamp" behavior.
 
 
+#: day-number -> "%Y-%m-%d" memo. strftime was the write path's
+#: hottest single call (34% of buffer.insert in the w0 profile);
+#: ingest timestamps cluster on a handful of days, so the formatted
+#: string is computed once per distinct UTC day. Floor division
+#: matches the UTC day boundary for negative timestamps too
+#: (-1 µs // day = day -1, i.e. 1969-12-31 — same as the datetime
+#: arithmetic it replaces).
+_DAY_US = 86_400_000_000
+_DAY_KEYS: dict[int, str] = {}
+
+
 def partition_key(timestamp_us: int) -> str:
     """Microseconds since epoch -> "%Y-%m-%d" UTC day key
     (buffer.rs:8-28). Raises ValueError when out of range (the
     reference panics, buffer.rs:24-25)."""
-    try:
-        dt = _EPOCH + timedelta(microseconds=timestamp_us)
-    except OverflowError as e:
-        raise ValueError(f"invalid timestamp (out of range): {timestamp_us}") from e
-    return dt.strftime("%Y-%m-%d")
+    day = timestamp_us // _DAY_US
+    key = _DAY_KEYS.get(day)
+    if key is None:
+        try:
+            dt = _EPOCH + timedelta(days=day)
+        except OverflowError as e:
+            raise ValueError(
+                f"invalid timestamp (out of range): {timestamp_us}"
+            ) from e
+        key = dt.strftime("%Y-%m-%d")
+        _DAY_KEYS[day] = key
+    return key
 
 
 @dataclass

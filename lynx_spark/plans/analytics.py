@@ -6042,12 +6042,37 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STORE_VERSION = "v1"
 
 
+def _data_fingerprint(sf_dir: str) -> str:
+    """Content key for the lazy stores: md5 over the size and the
+    final 64 KiB of the embeddings parquet — the parquet FOOTER lives
+    there (row count, per-column min/max stats, row-group offsets),
+    so regenerating the testdata in place (new seed, new scale)
+    changes the key even when the path doesn't. Guards the r7 hazard:
+    a store keyed by path alone would silently serve stale kNN edges
+    / IVF-PQ codes against a fresh oracle. One stat + one 64 KiB read
+    per query call — no data scan."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    h = hashlib.md5(str(st.st_size).encode())
+    with open(p, "rb") as f:
+        f.seek(max(0, st.st_size - 65536))
+        h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _store_path(sf_dir: str, name: str) -> str:
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = (
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        + "_"
+        + _data_fingerprint(sf_dir)
+    )
     return os.path.join(
         tempfile.gettempdir(),
         f"lynx_spark_stores_{_STORE_VERSION}",
@@ -6064,6 +6089,12 @@ def _knn_edges_stored(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
 
     path = _store_path(sf_dir, f"knn_k{k}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # a fingerprint change lands here with the OLD file possibly
+        # still in Spark's plan cache / file index (same path ⇒ same
+        # canonical plan ⇒ CacheManager serves stale rows) — refresh
+        # before building so the store always reflects the bytes the
+        # fingerprint was computed from
+        spark.catalog.refreshByPath(f"{sf_dir}/embeddings.parquet")
         emb = T(spark, sf_dir, "embeddings")
         sim.write_knn_graph_store(
             sim.knn_graph(emb, "vec_id", "embedding", k=k), path
@@ -6076,6 +6107,7 @@ def _ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
 
     path = _store_path(sf_dir, "ivfpq")
     if not os.path.exists(os.path.join(path, "encoded", "_SUCCESS")):
+        spark.catalog.refreshByPath(f"{sf_dir}/embeddings.parquet")
         sim.save_ivfpq_index(
             spark, T(spark, sf_dir, "embeddings"), "vec_id", "embedding", path
         )

@@ -46,27 +46,30 @@ _I64 = struct.Struct(">q")
 
 
 def encode_write_request(req: WriteRequest) -> bytes:
-    """Encode one record (wal.rs:28-77)."""
-    out = io.BytesIO()
+    """Encode one record (wal.rs:28-77). Byte-identical to the r1
+    BytesIO form (golden-byte tested); built as one join because the
+    13+ BytesIO.write calls per record were ~40% of the WAL write
+    path in the w0 profile."""
+    parts = []
     for s in (req.namespace, req.measurement, req.value):
         data = s.encode("utf-8")
-        out.write(_U64.pack(len(data)))
-        out.write(data)
-    out.write(_U64.pack(len(req.metadata)))
+        parts.append(_U64.pack(len(data)))
+        parts.append(data)
+    parts.append(_U64.pack(len(req.metadata)))
     for key, value in req.metadata.items():
         is_num = isinstance(value, int) and not isinstance(value, bool)
-        out.write(b"\x01" if is_num else b"\x00")
+        parts.append(b"\x01" if is_num else b"\x00")
         key_data = key.encode("utf-8")
-        out.write(_U64.pack(len(key_data)))
-        out.write(key_data)
+        parts.append(_U64.pack(len(key_data)))
+        parts.append(key_data)
         if is_num:
-            out.write(_U64.pack(value))
+            parts.append(_U64.pack(value))
         else:
             value_data = str(value).encode("utf-8")
-            out.write(_U64.pack(len(value_data)))
-            out.write(value_data)
-    out.write(_I64.pack(req.timestamp))
-    return out.getvalue()
+            parts.append(_U64.pack(len(value_data)))
+            parts.append(value_data)
+    parts.append(_I64.pack(req.timestamp))
+    return b"".join(parts)
 
 
 def _read_exact(r: BinaryIO, n: int) -> bytes:
