@@ -205,6 +205,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # host-speed calibration constants (r8): the text family drifted
+    # +35% over r5→r8 on UNCHANGED code — bisect showed it is neither
+    # registry size (lean import == full import) nor contention (idle
+    # machine reproduces it): the host itself runs CPU-bound work
+    # slower some rounds. These absolute single-core numbers let a
+    # future round separate "the code got slower" from "the machine
+    # got slower": compare query deltas against calib deltas first.
+    import hashlib
+
+    buf = b"x" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(200):
+        h.update(buf)
+    calib_md5_mbps = round(200 / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    calib_pyloop_sec = round(time.perf_counter() - t0, 4)
+
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except (ValueError, IndexError):
@@ -223,6 +244,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "noise_band": round(sum(noise) / len(noise), 4) if noise else 0.0,
+                "calib_md5_mbps": calib_md5_mbps,
+                "calib_pyloop_sec": calib_pyloop_sec,
                 "sf": sf,
             }
         )

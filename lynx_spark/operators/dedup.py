@@ -279,6 +279,72 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """DIRECTIONAL near-duplicate pairs by n-gram containment
+    C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| — the asymmetric
+    sibling of ``jaccard_pairs`` that Jaccard structurally misses: a
+    short document quoted verbatim inside a long one has tiny Jaccard
+    (union is dominated by the long side) but containment ≈ 1 from
+    the short side. This is the quote/verbatim-inclusion detector a
+    curation pipeline runs alongside symmetric near-dup (Broder's
+    containment, the A-contains-B half of resemblance).
+
+    Same one-aggregation inverted-index candidate generation as
+    jaccard_pairs (df-capped shingle groups → i<j pair arrays →
+    count(*) = |∩|); each unordered candidate then emits BOTH
+    directions against the per-doc size table, so the extra cost over
+    Jaccard is one projection, not a second shuffle. Scale shape is
+    identical to q22's: bounded by cap²/2 pairs per shingle, never
+    all-pairs."""
+    from lynx_spark.operators._util import sorted_pairs_expr
+
+    grouped = _grouped_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    grouped.count()  # eager: branches must read the cache, not race to fill it
+    sh = _exploded_shingles(grouped)
+    pair_stream = (
+        grouped.filter(F.size("docs") >= 2)
+        .select(F.explode(sorted_pairs_expr(F.col("docs"), None)).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+    )
+    common = pair_stream.groupBy("a_id", "b_id").agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    # both directions of every unordered candidate: src's own size is
+    # the denominator, so the pair (short, long) scores high exactly
+    # when short is included in long
+    directed = common.select(
+        F.col("a_id").alias("src_id"),
+        F.col("b_id").alias("dst_id"),
+        "n_common",
+    ).unionByName(
+        common.select(
+            F.col("b_id").alias("src_id"),
+            F.col("a_id").alias("dst_id"),
+            "n_common",
+        )
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("long").alias("n_sh"))
+    ssrc = sizes.select(
+        F.col("doc").alias("src_id"), F.col("n_sh").alias("n_src")
+    )
+    return (
+        directed.join(ssrc, "src_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.col("n_src"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "n_common", "containment")
+    )
+
+
 def _jaccard_verify(
     cands: DataFrame,
     docsets: DataFrame,

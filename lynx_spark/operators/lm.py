@@ -1005,3 +1005,87 @@ def phrase_search_top_bigram(
         F.count("*").cast("long").alias("n_matches"),
         F.min(F.col("p1.pos")).cast("long").alias("first_pos"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual
+    information — the phrase-detection statistic word2vec's
+    phrase-merge pass and every collocation extractor rank by:
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with P(a,b) from adjacent
+    bigram counts and P(·) from unigram counts.
+
+    Plan shape (all exact-integer until the single ln): one bigram
+    aggregation and one unigram aggregation over the corpus (two
+    map-side-partial shuffles at vocabulary grain), two unique-build-
+    key joins of the bigram table against the unigram table, one
+    2-scalar broadcast of the grand totals, then per-row
+    closed-form PMI and a TakeOrderedAndProject top-k — no global
+    sort. The ln argument is assembled with an explicit
+    parenthesization mirrored in the DuckDB oracle so both engines
+    evaluate the identical double before the single transcendental,
+    which is then rounded to 1e-6 (the q116 PSI convention)."""
+    w = df.select(_words(text_col).alias("w")).filter(F.size("w") >= 2)
+    uni = (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    bg = (
+        w.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1), (x, i) -> "
+                    "struct(x AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("long").alias("n_uni")
+    ).crossJoin(
+        F.broadcast(
+            df.select(_words(text_col).alias("w"))
+            .filter(F.size("w") >= 2)
+            .agg(
+                F.sum(F.size("w") - F.lit(1)).cast("long").alias("n_bi")
+            )
+        )
+    )
+    ua = uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_b"))
+    # (n_ab * n_uni * n_uni) / (n_bi * n_a * n_b), parenthesized
+    # identically in the oracle — one double ratio, one ln, one round
+    ratio = (
+        F.col("n_ab").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    ) / (
+        F.col("n_bi").cast("double")
+        * F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+    )
+    return (
+        bg.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )

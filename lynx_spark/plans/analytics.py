@@ -8775,3 +8775,466 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# =====================================================================
+# round 8: exact distributed order statistics (the ranking device at
+# fact grain), collocations, asymmetric containment dedup, mixture
+# temperature weights, split-leakage audit, agreement statistics
+# =====================================================================
+
+
+@q(
+    "q182_exact_percentiles",
+    oracle="""
+WITH o AS (SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+r AS (SELECT cents,
+    row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM o),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o)
+SELECT CAST(p.pct AS BIGINT) AS pct, r.cents AS value_cents
+FROM (VALUES (50), (90), (99)) p(pct)
+JOIN n ON TRUE
+JOIN r ON r.rn = (n.c * p.pct + 99) // 100
+ORDER BY pct
+""",
+    description="EXACT p50/p90/p99 of order totals without a global "
+    "sort — percentile_disc(p) is the value at rank ceil(p*n), so "
+    "the two-phase ranking device (breakpoint buckets, bucket-local "
+    "row_number, literal offsets) turns exact order statistics into "
+    "a 3-row broadcast join against the target ranks: the 100 TB "
+    "alternative to both percentile_approx (approximate) and a "
+    "SinglePartition sort (serialized). Target ranks are pure "
+    "integer arithmetic (n*p+99) DIV 100 on both sides; values are "
+    "exact integer cents — no rounding device needed anywhere",
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    n = o.count()  # scalar job (the device collects breakpoints anyway)
+    ranked = rnk.global_row_number(
+        o, "cents", ascending=True, tie_cols=["o_orderkey"], out_col="rn"
+    )
+    targets = spark.createDataFrame(
+        [(p, (n * p + 99) // 100) for p in (50, 90, 99)],
+        "pct long, rn long",
+    )
+    return (
+        ranked.join(F.broadcast(targets), "rn")
+        .select("pct", F.col("cents").alias("value_cents"))
+        .orderBy("pct")
+    )
+
+
+@q(
+    "q183_equidepth_histogram",
+    oracle="""
+WITH li AS (SELECT l_orderkey, l_linenumber,
+    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem),
+b AS (SELECT cents,
+    ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS bin
+  FROM li)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(cents) AS BIGINT) AS min_cents,
+  CAST(max(cents) AS BIGINT) AS max_cents,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY 1 ORDER BY 1
+""",
+    description="exact equi-depth (equal-height) histogram of "
+    "lineitem price cents in 10 bins — the optimizer/zone-map "
+    "companion statistic built over the FACT table itself, which is "
+    "exactly where a global ntile would serialize 100 TB through one "
+    "task: the two-phase ranking device assigns SQL-standard tiles "
+    "from bucket-partitioned ranks (bit-identical to the oracle's "
+    "literal ntile window), then per-bin count/min/max/sum are one "
+    "10-row aggregation. All values exact integer cents",
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    binned = rnk.global_ntile(
+        li,
+        "cents",
+        10,
+        ascending=True,
+        tie_cols=["l_orderkey", "l_linenumber"],
+        out_col="bin",
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+@q(
+    "q184_pmi_collocations",
+    oracle=r"""
+WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+uni AS (SELECT word, CAST(count(*) AS BIGINT) AS n_w
+        FROM (SELECT unnest(w) AS word FROM w)
+        WHERE word <> '' GROUP BY 1),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM w WHERE len(w) >= 2))
+  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+  HAVING count(*) >= 5),
+t AS (SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n_uni,
+             (SELECT CAST(sum(len(w) - 1) AS BIGINT) FROM w
+              WHERE len(w) >= 2) AS n_bi)
+SELECT bg.w1, bg.w2, bg.n_ab,
+  round(ln((CAST(bg.n_ab AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+            * CAST(t.n_uni AS DOUBLE))
+           / (CAST(t.n_bi AS DOUBLE) * CAST(ua.n_w AS DOUBLE)
+              * CAST(ub.n_w AS DOUBLE))), 6) AS pmi
+FROM bg
+JOIN uni ua ON ua.word = bg.w1
+JOIN uni ub ON ub.word = bg.w2
+CROSS JOIN t
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+""",
+    description="top-50 adjacent-word collocations by pointwise "
+    "mutual information (word2vec's phrase-merge statistic): bigram "
+    "and unigram counts are two vocabulary-granular aggregations "
+    "with map-side partials, PMI's ln argument is assembled with "
+    "identical parenthesization in both engines before the single "
+    "transcendental (rounded 1e-6, the q116 PSI convention), and "
+    "the top-50 plans as TakeOrderedAndProject with lexicographic "
+    "tie-breaks — no global sort, no all-pairs anywhere",
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.pmi_collocations(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        min_count=5, top_k=50,
+    )
+
+
+@q(
+    "q185_ngram_containment",
+    oracle=f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS a_id, b.doc AS b_id,
+    CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2),
+directed AS (
+  SELECT a_id AS src_id, b_id AS dst_id, n_common FROM common
+  UNION ALL
+  SELECT b_id AS src_id, a_id AS dst_id, n_common FROM common)
+SELECT d.src_id, d.dst_id, d.n_common,
+  round(d.n_common / CAST(s.n_sh AS DOUBLE), 4) AS containment
+FROM directed d JOIN sizes s ON s.doc = d.src_id
+WHERE round(d.n_common / CAST(s.n_sh AS DOUBLE), 4) >= 0.8
+""",
+    description="DIRECTIONAL n-gram containment pairs |A∩B|/|A| — "
+    "the verbatim-inclusion/quote detector Jaccard structurally "
+    "misses (a short doc quoted inside a long one has tiny Jaccard "
+    "but containment ≈ 1 from the short side; Broder's containment "
+    "half of resemblance). Same one-aggregation df-capped inverted-"
+    "index candidates as q22; each unordered candidate emits both "
+    "directions against the per-doc size table — one extra "
+    "projection, no second shuffle, never all-pairs",
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.containment_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+@q(
+    "q186_temperature_mixture",
+    oracle=r"""
+WITH s AS (SELECT source,
+    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      AS n_tokens
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+p AS (SELECT source, n_tokens,
+    CAST(round(pow(CAST(n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE),
+                   0.3), 9) AS DECIMAL(28,9)) AS tw
+  FROM s CROSS JOIN t),
+z AS (SELECT CAST(sum(tw) AS DECIMAL(28,9)) AS zsum FROM p)
+SELECT p.source, p.n_tokens,
+  round(CAST(p.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+    AS nat_share,
+  round(CAST(p.tw AS DOUBLE) / CAST(z.zsum AS DOUBLE), 6)
+    AS temp_weight,
+  CAST(floor(CAST(p.tw AS DOUBLE) / CAST(z.zsum AS DOUBLE)
+             * 1000000.0 + 0.5) AS BIGINT) AS expected_tokens_1m
+FROM p CROSS JOIN z CROSS JOIN t ORDER BY source
+""",
+    description="temperature-scaled sampling weights per source "
+    "(the multilingual-LM upsampling rule p_i^alpha / sum p_j^alpha "
+    "with alpha=0.3, Conneau & Lample's low-resource boost): one "
+    "map-side-partial token-count aggregation to source grain is "
+    "the only data-sized pass; each pow term is rounded to the 1e-9 "
+    "grid and summed as DECIMAL so the normalizer is order-free "
+    "exact (the q78 device) — the final shares are single IEEE "
+    "divisions rounded 1e-6, identical trees in both engines",
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(tx._words(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    t = s.agg(F.sum("n_tokens").cast("long").alias("total"))
+    p = s.crossJoin(F.broadcast(t)).withColumn(
+        "tw",
+        F.round(
+            F.pow(
+                F.col("n_tokens").cast("double")
+                / F.col("total").cast("double"),
+                F.lit(0.3),
+            ),
+            9,
+        ).cast("decimal(28,9)"),
+    )
+    z = p.agg(F.sum("tw").cast("decimal(28,9)").alias("zsum"))
+    w = F.col("tw").cast("double") / F.col("zsum").cast("double")
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("nat_share"),
+            F.round(w, 6).alias("temp_weight"),
+            F.floor(w * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("expected_tokens_1m"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "q187_split_leakage",
+    oracle=f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2),
+pairs AS (SELECT a_id, b_id FROM common
+  JOIN sizes sa ON sa.doc = a_id JOIN sizes sb ON sb.doc = b_id
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.6),
+sp AS (SELECT doc_id,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+      THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+lab AS (SELECT CASE WHEN x.split <= y.split
+      THEN x.split || '-' || y.split
+      ELSE y.split || '-' || x.split END AS pair_type
+  FROM pairs
+  JOIN sp x ON x.doc_id = a_id
+  JOIN sp y ON y.doc_id = b_id)
+SELECT pair_type, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY 1 ORDER BY 1
+""",
+    description="train/test split-leakage audit — the eval-"
+    "contamination check every pretraining pipeline runs before "
+    "trusting held-out numbers: documents split 1/8 test by the "
+    "first hex digit of md5(doc_id) (deterministic, engine-"
+    "identical), then the q22 near-dup pairs are labeled by the "
+    "split pair they straddle; any 'test-train' row IS leakage "
+    "(a test doc with a near-duplicate in train). Candidates come "
+    "from the same df-capped inverted index as q22 — one shuffle "
+    "on the shingle; the split join keys on doc_id",
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1"
+        ),
+        F.lit("test"),
+    ).otherwise(F.lit("train"))
+    sp = docs.select(F.col("doc_id"), split.alias("split"))
+    sx = sp.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa"))
+    sy = sp.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
+    pair_type = F.when(
+        F.col("sa") <= F.col("sb"),
+        F.concat(F.col("sa"), F.lit("-"), F.col("sb")),
+    ).otherwise(F.concat(F.col("sb"), F.lit("-"), F.col("sa")))
+    return (
+        pairs.join(sx, "a_id")
+        .join(sy, "b_id")
+        .groupBy(pair_type.alias("pair_type"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("pair_type")
+    )
+
+
+def _kappa_oracle() -> str:
+    """q188 oracle: the q84 score CTEs feeding a 2×2 confusion matrix
+    and Cohen's kappa in exact-integer form — the only division is
+    the final one, floor-rounded to 1e-6 identically in the engine."""
+    base = _classifier_oracle()
+    ctes = base[: base.rindex("SELECT doc_id")]
+    e_expr = "(tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)"
+    return (
+        ctes
+        + f""", pred AS (
+  SELECT z.doc_id,
+    CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
+      THEN 1 ELSE 0 END AS yhat,
+    CASE WHEN doc.n_chars >= 280 THEN 1 ELSE 0 END AS y
+  FROM z JOIN documents doc USING (doc_id)),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN yhat = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS tp,
+    CAST(sum(CASE WHEN yhat = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS fp,
+    CAST(sum(CASE WHEN yhat = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS fn,
+    CAST(sum(CASE WHEN yhat = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS tn
+  FROM pred)
+SELECT n, tp, fp, fn, tn,
+  floor(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS po,
+  floor(CAST({e_expr} AS DOUBLE) / CAST(n * n AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS pe,
+  floor(CAST(n * (tp + tn) - ({e_expr}) AS DOUBLE)
+        / CAST(n * n - ({e_expr}) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS kappa
+FROM c
+"""
+    )
+
+
+@q(
+    "q188_cohens_kappa",
+    oracle=_kappa_oracle(),
+    description="Cohen's kappa between the q84 quality classifier "
+    "(prob >= 0.5) and the q119 length label — chance-corrected "
+    "agreement, the annotator-quality statistic a labeling pipeline "
+    "reports alongside raw accuracy: the classifier scores are "
+    "zero-shuffle per-row expressions, the 2×2 confusion matrix is "
+    "one map-side-partial aggregation to a single row, and kappa = "
+    "(n·(tp+tn) − E) / (n² − E) with E = (tp+fp)(tp+fn)+(fn+tn)"
+    "(fp+tn) is pure int64 arithmetic up to one floor-rounded "
+    "division — no rounding hazard anywhere",
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    scored = ql.classifier_scores(docs, "doc_id", "text").select(
+        "doc_id",
+        F.when(F.col("quality_prob") >= 0.5, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("yhat"),
+    )
+    labeled = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 280, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    c = scored.join(labeled, "doc_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("yhat") == 1) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("yhat") == 1) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("yhat") == 0) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(((F.col("yhat") == 0) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("tn"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    e = (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn")) + (
+        F.col("fn") + F.col("tn")
+    ) * (F.col("fp") + F.col("tn"))
+    return c.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        fl6(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("po"),
+        fl6(e.cast("double") / (F.col("n") * F.col("n")).cast("double")).alias(
+            "pe"
+        ),
+        fl6(
+            (F.col("n") * (F.col("tp") + F.col("tn")) - e).cast("double")
+            / (F.col("n") * F.col("n") - e).cast("double")
+        ).alias("kappa"),
+    )
+
+
+@q(
+    "q189_systematic_sample",
+    oracle="""
+WITH li AS (SELECT l_orderkey, l_linenumber,
+    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem),
+r AS (SELECT l_orderkey, l_linenumber, cents,
+    row_number() OVER (ORDER BY cents DESC, l_orderkey, l_linenumber)
+      AS rn
+  FROM li)
+SELECT CAST(rn AS BIGINT) AS rn, l_orderkey,
+  CAST(l_linenumber AS BIGINT) AS l_linenumber, cents
+FROM r WHERE (rn - 1) % 97 = 0 ORDER BY rn
+""",
+    description="systematic (every k-th, k=97) sample of lineitem "
+    "ordered by price — the classic equal-probability design whose "
+    "implicit stratification beats Bernoulli sampling on ordered "
+    "frames (Madow's method): the global order comes from the "
+    "two-phase ranking device, so the FACT-sized frame is sampled "
+    "with no SinglePartition exchange; the modulus filter is "
+    "per-row arithmetic on the exact rank. Exact integer cents, "
+    "bit-identical ranks to the oracle's literal window",
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = rnk.global_row_number(
+        li,
+        "cents",
+        ascending=False,
+        tie_cols=["l_orderkey", "l_linenumber"],
+        out_col="rn",
+    )
+    return (
+        ranked.filter((F.col("rn") - 1) % 97 == 0)
+        .select("rn", "l_orderkey", "l_linenumber", "cents")
+        .orderBy("rn")
+    )

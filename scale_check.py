@@ -208,6 +208,15 @@ QUERIES = [
     "q179_pareto_abc",          # r8: bucket-partitioned running sum
     "q180_benford_audit",       # zero-shuffle digit aggregation
     "q181_decile_gains",        # r8: bucket-partitioned decile rank
+    # round 8: device-backed exact order statistics + new families
+    "q182_exact_percentiles",   # bucket-rank + 3-row broadcast target join
+    "q183_equidepth_histogram",  # bucket-partitioned ntile at FACT grain
+    "q184_pmi_collocations",    # vocabulary-granular aggs + top-k
+    "q185_ngram_containment",   # q22's capped inverted index, 2 directions
+    "q186_temperature_mixture",  # one source-grain agg, decimal normalizer
+    "q187_split_leakage",       # q22 pairs + md5-split broadcast joins
+    "q188_cohens_kappa",        # zero-shuffle scoring, 1-row confusion agg
+    "q189_systematic_sample",   # bucket-rank + per-row modulus filter
 ]
 
 

@@ -229,3 +229,53 @@ def test_no_single_partition_window_over_data_frames(spark):
                     or "windowspecdefinition(f#" in line
                     or "windowspecdefinition(decile#" in line
                 ), f"{name}: unexpected window shape: {line.strip()}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q182_exact_percentiles",
+        "q183_equidepth_histogram",
+        "q189_systematic_sample",
+    ],
+)
+def test_r8_device_fact_grain_queries(spark, name):
+    # r8: exact order statistics over FACT-sized frames through the
+    # two-phase ranking device — one bucket-partitioned window, zero
+    # SinglePartition exchanges, no ntile anywhere
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange SinglePartition") == 0, name
+    assert plan.count("windowspecdefinition(_bkt") == 1, name
+    assert "ntile(" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q184_pmi_topk_no_global_sort(spark):
+    # PMI: vocabulary-granular aggs, top-50 via TakeOrderedAndProject
+    # (partial per-partition top-k); the SinglePartition exchanges are
+    # the two scalar totals only
+    plan = plan_of(spark, "q184_pmi_collocations")
+    assert plan.count("TakeOrderedAndProject") == 1
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q185_ngram_containment", "q187_split_leakage"]
+)
+def test_r8_invertedindex_family_no_cartesian(spark, name):
+    # containment / leakage ride the q22 df-capped inverted index:
+    # key-equality joins only, zero SinglePartition over the corpus
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange SinglePartition") == 0, name
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q188_zero_shuffle_scoring(spark):
+    # kappa: per-row classifier scoring + doc_id join + one 1-row
+    # confusion aggregate — no data-sized hash exchange at all
+    plan = plan_of(spark, "q188_cohens_kappa")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in plan
