@@ -1249,3 +1249,67 @@ def kmv_set_ops_audit(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def heavy_hitters_exact(
+    items: DataFrame, col: str, k: int = 100
+) -> DataFrame:
+    """EXACT frequent items (count > n/k) via the two-pass
+    Misra–Gries design — the distributed answer to "what are the
+    heavy hitters?" when a full vocabulary groupBy would shuffle
+    billions of distinct keys for a question whose answer has at
+    most k−1 rows.
+
+    Pass 1 (candidates): each partition runs the classic Misra–Gries
+    k-counter stream summary imperatively (Arrow-batched
+    ``mapInPandas``, dict state across the partition's batches, zero
+    shuffle) and emits its ≤k surviving keys. MG guarantees a
+    per-partition undercount of at most n_i/(k+1), so summed over
+    partitions any item with global count > n/(k+1) retains a
+    positive estimate in at least one summary — the union of
+    partition keys (≤ partitions·k rows, summary-sized) is a
+    DETERMINISTIC superset of every true heavy hitter (Misra–Gries
+    1982; mergeability per Agarwal et al., Mergeable Summaries,
+    PODS 2012). No probability, no tuning hazard: a miss is
+    impossible by construction.
+
+    Pass 2 (exact counts): one more corpus scan counts ONLY the
+    candidate keys — a broadcast left-semi join (the candidate frame
+    is summary-sized) followed by a ≤ partitions·k-group aggregation
+    — then the exact filter count·k > n. Output counts are exact, so
+    the result is bit-identical to the naive full groupBy, at the
+    cost of two scans and a summary-grain shuffle instead of one
+    scan and a vocabulary-grain shuffle."""
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    src = items.select(F.col(col)).filter(F.col(col).isNotNull())
+    candidates = (
+        src.mapInPandas(mg_partition, schema=src.schema)
+        .distinct()
+    )
+    n_total = src.count()
+    return (
+        src.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * F.lit(k) > F.lit(n_total))
+        .withColumn("n_total", F.lit(n_total).cast("long"))
+    )

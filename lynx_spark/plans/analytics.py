@@ -9238,3 +9238,766 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rn", "l_orderkey", "l_linenumber", "cents")
         .orderBy("rn")
     )
+
+
+# =====================================================================
+# round 8 (second batch): classifier ranking metrics (AUC), exact
+# heavy hitters via mergeable Misra-Gries, decision-stump training,
+# readability scoring, chi-square independence, marketing attribution
+# =====================================================================
+
+
+def _auc_oracle() -> str:
+    """q190 oracle: the q84 score CTEs feeding the histogram-form
+    AUC — the Mann-Whitney statistic computed at SCORE-VALUE grain
+    (quality_prob lives on a 1e-4 grid, so the frame is bounded at
+    10001 rows regardless of corpus size). Midrank tie handling:
+    each score level contributes pos_v * (neg_below + neg_v/2),
+    kept exact by working with the doubled numerator in int64."""
+    base = _classifier_oracle()
+    ctes = base[: base.rindex("SELECT doc_id")]
+    return (
+        ctes
+        + """, pred AS (
+  SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p,
+    CASE WHEN doc.n_chars >= 280 THEN 1 ELSE 0 END AS y
+  FROM z JOIN documents doc USING (doc_id)),
+g AS (SELECT p, CAST(sum(y) AS BIGINT) AS pos_v,
+    CAST(count(*) - sum(y) AS BIGINT) AS neg_v
+  FROM pred GROUP BY p),
+cu AS (SELECT p, pos_v, neg_v,
+    CAST(COALESCE(sum(neg_v) OVER (ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS neg_below
+  FROM g),
+s AS (SELECT CAST(sum(pos_v) AS BIGINT) AS n_pos,
+    CAST(sum(neg_v) AS BIGINT) AS n_neg,
+    CAST(sum(pos_v * (2 * neg_below + neg_v)) AS BIGINT) AS num2
+  FROM cu)
+SELECT CAST(n_pos + n_neg AS BIGINT) AS n, n_pos, n_neg,
+  floor(CAST(num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS auc,
+  floor((CAST(num2 AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE) - 1.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS gini_coef
+FROM s
+"""
+    )
+
+
+@q(
+    "q190_roc_auc",
+    oracle=_auc_oracle(),
+    description="exact ROC-AUC of the q84 quality classifier against "
+    "the q119/q188 length label — the Mann-Whitney rank statistic "
+    "with midrank tie handling, computed from the SCORE HISTOGRAM "
+    "rather than per-row ranks: quality_prob lives on a 1e-4 grid, "
+    "so after one fact-sized aggregation to score-value grain the "
+    "running-negatives window covers a frame bounded at 10001 rows "
+    "no matter the corpus size (the q153 bounded-domain argument; "
+    "never a rank over the corpus). The doubled numerator "
+    "sum(pos_v * (2*neg_below + neg_v)) stays exact int64 through "
+    "sf0.1 x 1000; the 100 TB path widens it to DECIMAL",
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pred = (
+        ql.classifier_scores(docs, "doc_id", "text")
+        .select("doc_id", F.col("quality_prob").alias("p"))
+        .join(
+            docs.select(
+                "doc_id",
+                F.when(F.col("n_chars") >= 280, F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("y"),
+            ),
+            "doc_id",
+        )
+    )
+    g = pred.groupBy("p").agg(
+        F.sum("y").cast("long").alias("pos_v"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg_v"),
+    )
+    w = (
+        Window.orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cu = g.withColumn(
+        "neg_below",
+        F.coalesce(F.sum("neg_v").over(w), F.lit(0)).cast("long"),
+    )
+    s = cu.agg(
+        F.sum("pos_v").cast("long").alias("n_pos"),
+        F.sum("neg_v").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_v")
+            * (F.lit(2) * F.col("neg_below") + F.col("neg_v"))
+        )
+        .cast("long")
+        .alias("num2"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    pn = (F.col("n_pos") * F.col("n_neg")).cast("double")
+    return s.select(
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
+        "n_pos",
+        "n_neg",
+        fl6(
+            F.col("num2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+        fl6(F.col("num2").cast("double") / pn - F.lit(1.0)).alias(
+            "gini_coef"
+        ),
+    )
+
+
+@q(
+    "q191_heavy_hitters",
+    oracle=r"""
+WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+f AS (SELECT word FROM w WHERE word <> ''),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM f)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+  (SELECT c FROM n) AS n_total
+FROM f GROUP BY word HAVING count(*) * 100 > (SELECT c FROM n)
+ORDER BY word
+""",
+    description="EXACT heavy hitters (words with count > n/100) via "
+    "the two-pass Misra-Gries design: pass 1 runs the classic "
+    "k-counter stream summary per partition (Arrow-batched "
+    "mapInPandas, zero shuffle) whose union of keys is a "
+    "DETERMINISTIC superset of every true heavy hitter (undercount "
+    "<= n_i/(k+1) per partition => any global count > n/(k+1) "
+    "survives somewhere; Misra-Gries 1982, mergeable per Agarwal et "
+    "al. PODS 2012) — at 100 TB this replaces a billions-of-keys "
+    "vocabulary shuffle with a summary-sized candidate frame; pass 2 "
+    "broadcast-semi-joins the <= partitions*k candidates and counts "
+    "them exactly, so the output is bit-identical to the naive "
+    "full groupBy the oracle runs",
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tx._words(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return ql.heavy_hitters_exact(words, "word", k=100).orderBy("word")
+
+
+def _stump_oracle() -> str:
+    """q192 oracle: the q84 score CTEs feeding an exact weighted-Gini
+    split search at FEATURE-VALUE grain (distinct n_chars values, a
+    bounded domain) — cumulative left-side counts via one window over
+    the value-granular frame, right side by subtraction from the
+    broadcast totals, cost in exact-int numerators over a single
+    double division per side with identical parenthesization."""
+    base = _classifier_oracle()
+    ctes = base[: base.rindex("SELECT doc_id")]
+    return (
+        ctes
+        + """, pred AS (
+  SELECT z.doc_id,
+    CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
+      THEN 1 ELSE 0 END AS keep_lbl,
+    doc.n_chars AS x
+  FROM z JOIN documents doc USING (doc_id)),
+g AS (SELECT x, CAST(count(*) AS BIGINT) AS n_v,
+    CAST(sum(keep_lbl) AS BIGINT) AS pos_v
+  FROM pred GROUP BY x),
+cu AS (SELECT x,
+    CAST(sum(n_v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS nl,
+    CAST(sum(pos_v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS lp
+  FROM g),
+t AS (SELECT CAST(sum(n_v) AS BIGINT) AS n,
+    CAST(sum(pos_v) AS BIGINT) AS p FROM g),
+c AS (SELECT cu.x, cu.nl, cu.lp,
+    t.n - cu.nl AS nr, t.p - cu.lp AS rp,
+    round(
+      CAST(cu.nl * cu.nl - cu.lp * cu.lp
+           - (cu.nl - cu.lp) * (cu.nl - cu.lp) AS DOUBLE)
+        / CAST(cu.nl AS DOUBLE)
+      + CAST((t.n - cu.nl) * (t.n - cu.nl)
+             - (t.p - cu.lp) * (t.p - cu.lp)
+             - ((t.n - cu.nl) - (t.p - cu.lp))
+               * ((t.n - cu.nl) - (t.p - cu.lp)) AS DOUBLE)
+        / CAST(t.n - cu.nl AS DOUBLE),
+      9) AS cost
+  FROM cu CROSS JOIN t WHERE cu.nl < t.n)
+SELECT x AS split_at, nl AS n_left, lp AS pos_left,
+  nr AS n_right, rp AS pos_right,
+  round(cost, 6) AS gini_cost
+FROM c ORDER BY cost, x LIMIT 1
+"""
+    )
+
+
+@q(
+    "q192_decision_stump",
+    oracle=_stump_oracle(),
+    description="train an optimal decision stump (1-level tree): the "
+    "best n_chars threshold replicating the q84 classifier's keep "
+    "decision — the distillation question 'how much of the model is "
+    "just length?'. Split search is EXACT and runs at feature-VALUE "
+    "grain: one fact-sized aggregation to distinct n_chars (bounded "
+    "domain), cumulative class counts via one window over that "
+    "bounded frame, right side by subtraction from broadcast totals; "
+    "weighted-Gini cost keeps exact int64 numerators (nl^2 - lp^2 - "
+    "ln^2) with one double division per side, identical "
+    "parenthesization both engines; argmin is a "
+    "TakeOrderedAndProject with the threshold as tie-break",
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pred = (
+        ql.classifier_scores(docs, "doc_id", "text")
+        .select("doc_id", F.col("keep").cast("int").alias("keep_lbl"))
+        .join(docs.select("doc_id", F.col("n_chars").alias("x")), "doc_id")
+    )
+    g = pred.groupBy("x").agg(
+        F.count("*").cast("long").alias("n_v"),
+        F.sum("keep_lbl").cast("long").alias("pos_v"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cu = g.select(
+        "x",
+        F.sum("n_v").over(w).cast("long").alias("nl"),
+        F.sum("pos_v").over(w).cast("long").alias("lp"),
+    )
+    t = g.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum("pos_v").cast("long").alias("p"),
+    )
+    nl, lp = F.col("nl"), F.col("lp")
+    nr, rp = F.col("n") - nl, F.col("p") - lp
+    cost = F.round(
+        (nl * nl - lp * lp - (nl - lp) * (nl - lp)).cast("double")
+        / nl.cast("double")
+        + (nr * nr - rp * rp - (nr - rp) * (nr - rp)).cast("double")
+        / nr.cast("double"),
+        9,
+    )
+    return (
+        cu.crossJoin(F.broadcast(t))
+        .filter(nl < F.col("n"))
+        .select(
+            F.col("x").alias("split_at"),
+            nl.alias("n_left"),
+            lp.alias("pos_left"),
+            nr.cast("long").alias("n_right"),
+            rp.cast("long").alias("pos_right"),
+            cost.alias("_cost"),
+        )
+        .orderBy("_cost", "split_at")
+        .limit(1)
+        .select(
+            "split_at",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            F.round(F.col("_cost"), 6).alias("gini_cost"),
+        )
+    )
+
+
+@q(
+    "q193_readability",
+    oracle=r"""
+WITH d AS (SELECT source,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      AS BIGINT) AS s,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      AS BIGINT) AS y
+  FROM documents),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(w) AS BIGINT) AS total_words,
+    CAST(sum(s) AS BIGINT) AS total_sentences,
+    CAST(sum(y) AS BIGINT) AS total_syllables
+  FROM d GROUP BY 1)
+SELECT source, n_docs, total_words, total_sentences, total_syllables,
+  round(206.835
+        - 1.015 * (CAST(total_words AS DOUBLE)
+                   / CAST(total_sentences AS DOUBLE))
+        - 84.6 * (CAST(total_syllables AS DOUBLE)
+                  / CAST(total_words AS DOUBLE)), 4) AS flesch_ease,
+  round(0.39 * (CAST(total_words AS DOUBLE)
+                / CAST(total_sentences AS DOUBLE))
+        + 11.8 * (CAST(total_syllables AS DOUBLE)
+                  / CAST(total_words AS DOUBLE))
+        - 15.59, 4) AS fk_grade
+FROM a ORDER BY source
+""",
+    description="per-source Flesch reading ease + Flesch-Kincaid "
+    "grade (the classic readability pair every text-quality stage "
+    "reports): words by whitespace split, sentences by [.!?]+ "
+    "terminator groups (min 1), syllables by the [aeiouy]+ vowel-"
+    "group heuristic — all three are per-row regexp counts summed "
+    "as exact int64 in ONE zero-join scan to source grain "
+    "(map-side partials); the two formulas are single IEEE "
+    "expressions over the summed integers, identical trees both "
+    "engines, 1e-4 grid",
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(tx._words(F.col("text"))).cast("long").alias("w"),
+        F.greatest(
+            F.regexp_count("text", F.lit("[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("s"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("y"),
+    )
+    a = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("total_words"),
+        F.sum("s").cast("long").alias("total_sentences"),
+        F.sum("y").cast("long").alias("total_syllables"),
+    )
+    wps = F.col("total_words").cast("double") / F.col(
+        "total_sentences"
+    ).cast("double")
+    spw = F.col("total_syllables").cast("double") / F.col(
+        "total_words"
+    ).cast("double")
+    return a.select(
+        "source",
+        "n_docs",
+        "total_words",
+        "total_sentences",
+        "total_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    ).orderBy("source")
+
+
+@q(
+    "q194_chi_square",
+    oracle="""
+WITH o AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT source, CAST(count(*) AS BIGINT) AS r_tot
+      FROM documents GROUP BY 1),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_tot
+      FROM documents GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT r.source, c.lang,
+  CAST(COALESCE(o.obs, 0) AS BIGINT) AS observed,
+  round(CAST(r.r_tot AS DOUBLE) * CAST(c.c_tot AS DOUBLE)
+        / CAST(n.n AS DOUBLE), 4) AS expected,
+  round((CAST(COALESCE(o.obs, 0) AS DOUBLE)
+         - CAST(r.r_tot AS DOUBLE) * CAST(c.c_tot AS DOUBLE)
+           / CAST(n.n AS DOUBLE))
+        * (CAST(COALESCE(o.obs, 0) AS DOUBLE)
+           - CAST(r.r_tot AS DOUBLE) * CAST(c.c_tot AS DOUBLE)
+             / CAST(n.n AS DOUBLE))
+        / (CAST(r.r_tot AS DOUBLE) * CAST(c.c_tot AS DOUBLE)
+           / CAST(n.n AS DOUBLE)), 6) AS chi2_contrib
+FROM r CROSS JOIN c CROSS JOIN n
+LEFT JOIN o ON o.source = r.source AND o.lang = c.lang
+ORDER BY r.source, c.lang
+""",
+    description="chi-square independence audit of source x lang — "
+    "the contingency check a corpus curator runs to catch a scraper "
+    "that silently skewed one language into one source: three "
+    "grain-reduced aggregations over ONE physical scan: the corpus "
+    "is touched exactly once (the cell-count aggregation to R x C "
+    "grain — dimension-sized), collected as a local relation (the "
+    "q178 device: lazily re-derived, the margins re-scanned the "
+    "corpus 4x — four full passes at 100 TB), margins and the "
+    "grand total derived FROM the cells, the full R x C grid "
+    "rebuilt by a broadcast cross join so zero cells still "
+    "contribute, expected counts and per-cell chi2 contributions "
+    "as single IEEE expressions with identical parenthesization "
+    "both engines (1e-4 / 1e-6 grids)",
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    o = spark.createDataFrame(
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("obs"))
+        .collect(),
+        "source string, lang string, obs long",
+    )
+    r = o.groupBy("source").agg(F.sum("obs").cast("long").alias("r_tot"))
+    c = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("c_tot"))
+    n = o.agg(F.sum("obs").cast("long").alias("n"))
+    e = (
+        F.col("r_tot").cast("double")
+        * F.col("c_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    obs = F.coalesce(F.col("obs"), F.lit(0)).cast("long")
+    d = obs.cast("double") - e
+    return (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(o), ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            obs.alias("observed"),
+            F.round(e, 4).alias("expected"),
+            F.round(d * d / e, 6).alias("chi2_contrib"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@q(
+    "q195_attribution",
+    oracle="""
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+    event_type, value FROM events),
+a AS (SELECT event_type, value,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS touch
+  FROM e),
+conv AS (SELECT COALESCE(touch, 'direct') AS channel,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM a WHERE event_type = 'purchase')
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+  CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM conv GROUP BY 1 ORDER BY 1
+""",
+    description="last-touch conversion attribution: every purchase "
+    "is credited to the user's most recent preceding non-purchase "
+    "event type (LOCF via last(..., ignorenulls) over a strictly-"
+    "preceding frame; no prior touch = 'direct') — the funnel-"
+    "credit statistic every event pipeline reports. One window "
+    "PARTITIONED BY user_id (hashpartitioning, parallel — never a "
+    "global window), deterministic (ts, event_id) order, then a "
+    "channel-grain aggregation; revenue kept as exact integer cents",
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+@q(
+    "q196_heldout_perplexity",
+    oracle=r"""
+WITH w AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      IN ('0', '1') THEN 1 ELSE 0 END AS is_test,
+    unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents),
+f AS (SELECT word, CAST(sum(1 - is_test) AS BIGINT) AS c_w,
+    CAST(sum(is_test) AS BIGINT) AS m_w
+  FROM w WHERE word <> '' GROUP BY 1),
+s AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_train,
+    CAST(count(CASE WHEN c_w > 0 THEN 1 END) AS BIGINT) AS vocab,
+    CAST(sum(m_w) AS BIGINT) AS n_test,
+    CAST(sum(CASE WHEN c_w = 0 THEN m_w ELSE 0 END) AS BIGINT)
+      AS n_oov,
+    CAST(sum(CAST(round(CAST(m_w AS DOUBLE)
+        * ln(CAST(c_w + 1 AS DOUBLE)), 9)
+      AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sum_part
+  FROM f)
+SELECT n_train AS n_train_tokens, vocab AS vocab_size,
+  n_test AS n_test_tokens, n_oov AS n_oov_tokens,
+  round((CAST(n_test AS DOUBLE)
+         * ln(CAST(n_train + vocab AS DOUBLE))
+         - CAST(sum_part AS DOUBLE)) / CAST(n_test AS DOUBLE), 6)
+    AS cross_entropy,
+  round(exp((CAST(n_test AS DOUBLE)
+             * ln(CAST(n_train + vocab AS DOUBLE))
+             - CAST(sum_part AS DOUBLE)) / CAST(n_test AS DOUBLE)), 4)
+    AS perplexity
+FROM s
+""",
+    description="held-out unigram perplexity — THE language-model "
+    "data metric: an add-1-smoothed unigram LM trained on the "
+    "deterministic 7/8 md5 train split (the q187 split) and "
+    "evaluated as cross-entropy/perplexity on the held-out 1/8. "
+    "ONE corpus scan, ONE vocabulary-granular aggregation, ONE "
+    "scalar reduction: ln(p_w) = ln(c_w+1) - ln(N+V) is split so "
+    "the per-word term m_w*ln(c_w+1) has NO scalar dependency "
+    "(a naive ln(a/b) form needs the N+V total before the per-word "
+    "pass - a second corpus scan); terms are rounded to the 1e-9 "
+    "grid and summed as DECIMAL so the vocabulary-sized float sum "
+    "is ORDER-FREE exact (the q186 normalizer device), and the "
+    "- n_test*ln(N+V) correction is a single IEEE op on scalars",
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    is_test = (
+        F.when(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 1
+            ).isin("0", "1"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_test")
+    )
+    w = docs.select(
+        is_test, F.explode(tx._words(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    f = w.groupBy("word").agg(
+        F.sum(F.lit(1) - F.col("is_test")).cast("long").alias("c_w"),
+        F.sum("is_test").cast("long").alias("m_w"),
+    )
+    # ln(p_w) = ln(c_w+1) - ln(N+V): the per-word half has no scalar
+    # dependency, so the whole statistic is ONE aggregation over f
+    term = F.round(
+        F.col("m_w").cast("double")
+        * F.log((F.col("c_w") + F.lit(1)).cast("double")),
+        9,
+    ).cast("decimal(38,9)")
+    s = f.agg(
+        F.sum("c_w").cast("long").alias("n_train"),
+        F.count(F.when(F.col("c_w") > 0, F.lit(1)))
+        .cast("long")
+        .alias("vocab"),
+        F.sum("m_w").cast("long").alias("n_test"),
+        F.sum(F.when(F.col("c_w") == 0, F.col("m_w")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(term).cast("decimal(38,9)").alias("sum_part"),
+    )
+    ce = (
+        F.col("n_test").cast("double")
+        * F.log((F.col("n_train") + F.col("vocab")).cast("double"))
+        - F.col("sum_part").cast("double")
+    ) / F.col("n_test").cast("double")
+    return s.select(
+        F.col("n_train").alias("n_train_tokens"),
+        F.col("vocab").alias("vocab_size"),
+        F.col("n_test").alias("n_test_tokens"),
+        F.col("n_oov").alias("n_oov_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 4).alias("perplexity"),
+    )
+
+
+def _funnel_oracle() -> str:
+    """q197 oracle: the q21 exact-dedup rule, the q22 near-dup pairs,
+    and the q84 classifier composed into one WITH list (CTE names
+    are disjoint by construction) — each stage's survivors feed the
+    next, and the output is the 4-row funnel of doc/token counts."""
+    base = _classifier_oracle()
+    clf_ctes = base[base.index("WITH ") + 5 : base.rindex("SELECT doc_id")]
+    return (
+        f"WITH {_shingle_cte()},\n"
+        + clf_ctes
+        + r""", d0 AS (SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      AS n_tokens, text
+  FROM documents),
+s1 AS (SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+      min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM d0) WHERE doc_id = keeper),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS a_id, b.doc AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2),
+pairs AS (SELECT a_id, b_id FROM common
+  JOIN sizes sa ON sa.doc = a_id
+  JOIN sizes sb ON sb.doc = b_id
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.6),
+drop2 AS (SELECT DISTINCT p.b_id FROM pairs p
+  JOIN s1 a ON a.doc_id = p.a_id
+  JOIN s1 b ON b.doc_id = p.b_id),
+s2 AS (SELECT doc_id, n_tokens FROM s1
+  WHERE doc_id NOT IN (SELECT b_id FROM drop2)),
+keepers AS (SELECT doc_id FROM z
+  WHERE round(1.0 / (1.0 + exp(-z)), 4) >= 0.5),
+s3 AS (SELECT doc_id, n_tokens FROM s2
+  WHERE doc_id IN (SELECT doc_id FROM keepers))
+SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d0
+UNION ALL SELECT '1_exact_dedup', CAST(count(*) AS BIGINT),
+  CAST(sum(n_tokens) AS BIGINT) FROM s1
+UNION ALL SELECT '2_near_dedup', CAST(count(*) AS BIGINT),
+  CAST(sum(n_tokens) AS BIGINT) FROM s2
+UNION ALL SELECT '3_quality', CAST(count(*) AS BIGINT),
+  CAST(sum(n_tokens) AS BIGINT) FROM s3
+ORDER BY stage
+"""
+    )
+
+
+@q(
+    "q197_curation_funnel",
+    oracle=_funnel_oracle(),
+    description="end-to-end curation funnel — the composed pipeline "
+    "run every pretraining corpus goes through, with per-stage "
+    "doc/token survivor counts: raw -> exact dedup (q21's min-id "
+    "per md5 rule, one fingerprint-partitioned window) -> near-dup "
+    "removal (q22's df-capped inverted-index pairs, both endpoints "
+    "restricted to exact-dedup survivors, drop the larger id of "
+    "each pair: deterministic pairwise-greedy) -> quality filter "
+    "(q84's zero-shuffle classifier). Each stage reuses the "
+    "operator's own plan; stage frames narrow monotonically so the "
+    "expensive shingle pass runs once over the raw corpus and "
+    "everything downstream is doc_id semi/anti joins; the output "
+    "is a 4-row funnel",
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every doc is annotated with per-stage survival FLAGS on one
+    # persisted narrow frame (doc_id, n_tokens, s1) — a lazily
+    # re-derived flag frame would re-scan the corpus and re-run the
+    # fingerprint shuffle once per stage reference (the first draft's
+    # plan held 21 parquet scans); the persist is MLlib-style,
+    # ContextCleaner-reclaimed. The funnel itself is then ONE
+    # aggregation over left-join flags, unpivoted to 4 rows by a
+    # stack over the single aggregate row (the q54 profile shape) —
+    # never one aggregation job per stage.
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    flags = (
+        docs.select(
+            "doc_id",
+            F.size(tx._words(F.col("text"))).cast("long").alias("n_tokens"),
+            "text",
+        )
+        .withColumn(
+            "s1", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        .select("doc_id", "n_tokens", "s1")
+        .persist()
+    )
+    flags.count()  # eager: three consumers must share the one scan
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    s1_ids = flags.filter("s1").select("doc_id")
+    drop2 = (
+        pairs.join(
+            s1_ids.withColumnRenamed("doc_id", "a_id"), "a_id", "left_semi"
+        )
+        .join(
+            s1_ids.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi"
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    keepers = (
+        ql.classifier_scores(docs, "doc_id", "text")
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .withColumn("kept", F.lit(True))
+    )
+    ann = flags.join(drop2, "doc_id", "left").join(keepers, "doc_id", "left")
+    s2 = F.col("s1") & F.col("dropped").isNull()
+    s3 = s2 & F.col("kept").isNotNull()
+    def cnt(flag):
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+    def tok(flag):
+        return (
+            F.sum(F.when(flag, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+        )
+    row = ann.agg(
+        F.count("*").cast("long").alias("d0"),
+        F.sum("n_tokens").cast("long").alias("t0"),
+        cnt(F.col("s1")).alias("d1"),
+        tok(F.col("s1")).alias("t1"),
+        cnt(s2).alias("d2"),
+        tok(s2).alias("t2"),
+        cnt(s3).alias("d3"),
+        tok(s3).alias("t3"),
+    )
+    return row.select(
+        F.expr(
+            "stack(4, '0_raw', d0, t0, '1_exact_dedup', d1, t1, "
+            "'2_near_dedup', d2, t2, '3_quality', d3, t3) AS "
+            "(stage, n_docs, n_tokens)"
+        )
+    ).orderBy("stage")
+
+
+@q(
+    "q198_trimmed_mean",
+    oracle="""
+WITH o AS (SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) // 100 AS BIGINT) AS k FROM o),
+r AS (SELECT cents,
+    row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM o)
+SELECT n.n AS n_total, CAST(2 * n.k AS BIGINT) AS n_dropped,
+  round(CAST(sum(cents) AS DOUBLE) / CAST(n.n AS DOUBLE), 4)
+    AS mean_cents,
+  round(CAST(sum(CASE WHEN r.rn > n.k AND r.rn <= n.n - n.k
+                 THEN cents ELSE 0 END) AS DOUBLE)
+        / CAST(n.n - 2 * n.k AS DOUBLE), 4) AS trimmed_mean_cents
+FROM r CROSS JOIN n GROUP BY n.n, n.k
+""",
+    description="1%-trimmed mean of order totals — the outlier-"
+    "robust location estimate, computed EXACTLY at fact grain via "
+    "the two-phase ranking device: global ranks come from bucket-"
+    "partitioned row_number (no SinglePartition exchange over the "
+    "fact frame), the trim bounds are driver-known integers "
+    "(k = n DIV 100), and both means are single IEEE divisions of "
+    "exact int64 cent sums from ONE aggregation over the ranked "
+    "frame",
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    n = o.count()
+    k = n // 100
+    ranked = rnk.global_row_number(
+        o, "cents", ascending=True, tie_cols=["o_orderkey"], out_col="rn"
+    )
+    mid = (F.col("rn") > F.lit(k)) & (F.col("rn") <= F.lit(n - k))
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_total"),
+        F.lit(2 * k).cast("long").alias("n_dropped"),
+        F.round(
+            F.sum("cents").cast("double") / F.lit(n).cast("double"), 4
+        ).alias("mean_cents"),
+        F.round(
+            F.sum(F.when(mid, F.col("cents")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.lit(n - 2 * k).cast("double"),
+            4,
+        ).alias("trimmed_mean_cents"),
+    ).select("n_total", "n_dropped", "mean_cents", "trimmed_mean_cents")

@@ -217,6 +217,16 @@ QUERIES = [
     "q187_split_leakage",       # q22 pairs + md5-split broadcast joins
     "q188_cohens_kappa",        # zero-shuffle scoring, 1-row confusion agg
     "q189_systematic_sample",   # bucket-rank + per-row modulus filter
+    # round 8, second batch
+    "q190_roc_auc",             # score-histogram AUC, bounded window
+    "q191_heavy_hitters",       # per-partition MG + broadcast semi-join
+    "q192_decision_stump",      # value-grain split search
+    "q193_readability",         # one zero-join scan to source grain
+    "q194_chi_square",          # margin aggs + broadcast grid rebuild
+    "q195_attribution",         # user-partitioned LOCF window
+    "q196_heldout_perplexity",  # one vocab agg, decimal log-lik sum
+    "q197_curation_funnel",     # staged semi/anti joins, shingles once
+    "q198_trimmed_mean",        # bucket-rank + one aggregation
 ]
 
 

@@ -279,3 +279,108 @@ def test_q188_zero_shuffle_scoring(spark):
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("Exchange SinglePartition") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q190_auc_histogram_form(spark):
+    # AUC (r8): the only window runs over the SCORE-VALUE grain
+    # (quality_prob on a 1e-4 grid — bounded at 10001 rows), never a
+    # rank over the corpus; the fact-sized work is one hash exchange
+    # (the score histogram) and a broadcast doc_id join
+    plan = plan_of(spark, "q190_roc_auc")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(wins) == 1 and "windowspecdefinition(p#" in wins[0]
+
+
+def test_q191_two_pass_mg_shape(spark):
+    # heavy hitters (r8): pass 1 is the per-partition Misra-Gries
+    # summary (one MapInPandas, zero shuffle before it); candidates
+    # join back broadcast LEFT-SEMI; NO SinglePartition anywhere —
+    # the vocabulary-sized groupBy the oracle runs never happens
+    plan = plan_of(spark, "q191_heavy_hitters")
+    assert plan.count("MapInPandas") == 1
+    assert "LeftSemi" in plan and plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "SortMergeJoin" not in plan
+
+
+def test_q192_value_grain_split_search(spark):
+    # stump (r8): cumulative class counts window over the FEATURE-
+    # VALUE grain (distinct n_chars — bounded domain), broadcast
+    # totals, argmin via TakeOrderedAndProject — never a global sort
+    plan = plan_of(spark, "q192_decision_stump")
+    assert plan.count("TakeOrderedAndProject") == 1
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(wins) == 1  # nl and lp share one value-grain Window op
+    assert "windowspecdefinition(x#" in wins[0]
+    assert wins[0].count("sum(") == 2
+
+
+def test_q193_zero_join_single_exchange(spark):
+    # readability: three regexp counts fold into ONE scan + one
+    # source-grain exchange; no join of any kind
+    plan = plan_of(spark, "q193_readability")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_q194_broadcast_grid_single_scan(spark):
+    # chi-square: the corpus is scanned exactly ONCE at build time
+    # (the cell aggregation, collected dimension-sized — the q178
+    # device); the returned plan reads only the local cell relation,
+    # so margins/totals can never re-scan 100 TB
+    plan = plan_of(spark, "q194_chi_square")
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q195_user_partitioned_window(spark):
+    # attribution: the LOCF window is PARTITIONED BY user_id
+    # (hashpartitioning, parallel) — never a global window; zero
+    # SinglePartition exchanges
+    plan = plan_of(spark, "q195_attribution")
+    assert plan.count("Exchange SinglePartition") == 0
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(wins) == 1 and "windowspecdefinition(user_id#" in wins[0]
+    assert "Join" not in plan
+
+
+def test_q196_single_scan_single_agg(spark):
+    # held-out perplexity: the ln(c+1)/ln(N+V) decomposition makes
+    # the whole statistic ONE corpus scan -> ONE vocabulary exchange
+    # -> ONE scalar reduction; a naive ln(a/b) form needs the totals
+    # before the per-word pass and scans the corpus twice
+    plan = plan_of(spark, "q196_heldout_perplexity")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+
+
+def test_q197_one_funnel_aggregation(spark):
+    # curation funnel: per-stage survival is FLAGS on one persisted
+    # narrow frame; the funnel is ONE aggregation unpivoted by stack
+    # — never one aggregation job per stage (the first draft's plan
+    # re-derived the flag frame per stage: 21 parquet scans)
+    plan = plan_of(spark, "q197_curation_funnel")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "InMemoryTableScan" in plan  # the shared flag frame
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q198_device_trim(spark):
+    # trimmed mean: ranks from the bucket-partitioned device, trim
+    # bounds are literals, ONE aggregation over the ranked frame
+    plan = plan_of(spark, "q198_trimmed_mean")
+    assert plan.count("windowspecdefinition(_bkt") == 1
+    assert plan.count("Exchange SinglePartition") == 1  # final 1-row agg
+    assert "ntile(" not in plan
+    assert "Join" not in plan
