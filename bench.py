@@ -98,6 +98,14 @@ HEADLINE = [
     "q177_rfm_segments",
     "q179_pareto_abc",
     "q181_decile_gains",
+    # round-8 additions: fact-grain order statistics via the ranking
+    # device, the Misra-Gries two-pass (mapInPandas cost visible),
+    # the one-scan perplexity aggregation, and the composed funnel
+    # (persist + three operator families in one query)
+    "q183_equidepth_histogram",
+    "q191_heavy_hitters",
+    "q196_heldout_perplexity",
+    "q197_curation_funnel",
 ]
 
 

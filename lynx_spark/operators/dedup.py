@@ -435,9 +435,24 @@ def prefix_filter_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+        .persist()  # two consumers (cand_ids + the verify join) —
+        # unpersisted, the rare-key self-join would compute twice
     )
-    docsets = sh.groupBy("doc").agg(
-        F.array_sort(F.collect_list("shingle")).alias("shset")
+    cand.count()
+    # materialize full shingle arrays ONLY for docs that appear in a
+    # candidate pair (prefix filtering bounds candidates, so this set
+    # is output-sized): without the semi-join the collect_list
+    # aggregation builds a sorted array for EVERY corpus document —
+    # corpus-sized array state for a candidate-sized verify (r8 fix)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    docsets = (
+        sh.join(F.broadcast(cand_ids), "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("shingle")).alias("shset"))
     )
     sa = docsets.select(
         F.col("doc").alias("doc_a"),
