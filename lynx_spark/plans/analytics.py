@@ -82,13 +82,11 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (q63), q64 (oracle guard added r04, not re-sampled since), and q31
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
-_VERIFY_FIRST = [
-    # round-7: the two r06 red rows, rewritten to driver-
-    # canonicalizable renderings (VERDICT r06 task 1). q123 MUST be
-    # listed manually: its r06 row has rows_match=true (only the hash
-    # failed), so _never_driver_green() would treat it as green.
-    "q123_corpus_checksum",  # r07: content_sum now STRING both sides
-    "q129_pq_audit",  # r07: codes now dash-joined STRING both sides
+_VERIFY_FIRST: list[str] = [
+    # (empty for round 8: the r07 rows for q123/q129 landed green, so
+    # the manual re-verify entries are dropped per this list's rule;
+    # q182-q198 auto-promote via _never_driver_green below. Re-add
+    # names here only when a query is REWRITTEN after a green row.)
 ]
 
 
