@@ -9621,12 +9621,22 @@ ORDER BY r.source, c.lang
 )
 def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    o = spark.createDataFrame(
+    cells = (
         docs.groupBy("source", "lang")
         .agg(F.count("*").cast("long").alias("obs"))
-        .collect(),
-        "source string, lang string, obs long",
+        .collect()
     )
+    # VALUES literal, not createDataFrame: the cell frame feeds four
+    # consumers (margins, total, grid) and a parallelize-backed local
+    # frame pays a python-worker round trip per evaluation (the
+    # q199/q200 lesson); single quotes in the dimension values escape
+    # by doubling
+    def _q(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+    vals = ", ".join(
+        f"({_q(r['source'])}, {_q(r['lang'])}, {r['obs']})" for r in cells
+    )
+    o = spark.sql(f"SELECT * FROM VALUES {vals} AS t(source, lang, obs)")
     r = o.groupBy("source").agg(F.sum("obs").cast("long").alias("r_tot"))
     c = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("c_tot"))
     n = o.agg(F.sum("obs").cast("long").alias("n"))
@@ -9999,3 +10009,328 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("trimmed_mean_cents"),
     ).select("n_total", "n_dropped", "mean_cents", "trimmed_mean_cents")
+
+
+# =====================================================================
+# round 8, third batch: nonparametric trend statistics (Mann-Kendall,
+# Theil-Sen) at calendar-bounded grain + binomial interval estimation
+# =====================================================================
+
+_MONTH_CTE = """
+m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+      AS BIGINT) AS mi,
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS rev
+  FROM orders GROUP BY 1)"""
+
+
+def _monthly_revenue_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q199/q200 device: ONE fact scan aggregates orders to
+    the calendar-bounded month grain (80 rows at every SF — months
+    grow with years, not data volume), collected to a local relation
+    (the q178/q194 move) so the pairwise trend statistics downstream
+    never touch the fact table again."""
+    rows = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+            )
+            .cast("long")
+            .alias("mi")
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+        .collect()
+    )
+    # JVM LocalRelation via a VALUES literal, NOT createDataFrame:
+    # a parallelize-backed local frame costs seconds PER EVALUATION
+    # (python-worker round trip on every reference; the months^2
+    # join references it twice per pass — measured 8.9s vs 0.9s for
+    # the same 80x80 pair count), while a VALUES literal is
+    # driver-embedded and free to re-evaluate. Values are integers
+    # by construction (month index, revenue cents) — no quoting.
+    vals = ", ".join(f"({r['mi']}, {r['rev']})" for r in rows)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(mi, rev)")
+
+
+@q(
+    "q199_mann_kendall",
+    oracle=f"""
+WITH {_MONTH_CTE},
+p AS (SELECT CASE WHEN b.rev > a.rev THEN 1
+      WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+  FROM m a JOIN m b ON b.mi > a.mi),
+s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+    (SELECT CAST(count(*) AS BIGINT) FROM m) AS n FROM p),
+t AS (SELECT CAST(COALESCE(sum(c * (c - 1) * (2 * c + 5)), 0)
+      AS BIGINT) AS corr
+  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM m GROUP BY rev)),
+v AS (SELECT s.n, s.s_stat,
+    CAST(s.n * (s.n - 1) * (2 * s.n + 5) - t.corr AS BIGINT) AS var18
+  FROM s CROSS JOIN t),
+z AS (SELECT n, s_stat, var18,
+    round(CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0.0
+      WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      ELSE (CAST(s_stat AS DOUBLE) + 1.0)
+        / sqrt(CAST(var18 AS DOUBLE) / 18.0) END, 6) AS z_stat
+  FROM v)
+SELECT n AS n_periods, s_stat, var18, z_stat,
+  CASE WHEN z_stat >= 1.959964 THEN 'increasing'
+       WHEN z_stat <= -1.959964 THEN 'decreasing'
+       ELSE 'no_trend' END AS trend
+FROM z
+""",
+    description="Mann-Kendall nonparametric trend test on monthly "
+    "revenue — the distribution-free is-it-really-growing audit "
+    "(no normality or linearity assumed): S = sum of pairwise "
+    "signs, tie-corrected variance kept as the exact integer "
+    "18*Var = n(n-1)(2n+5) - sum t(t-1)(2t+5), continuity-"
+    "corrected z. ONE fact scan aggregates to the calendar-bounded "
+    "month grain (80 rows at every SF) collected as a local "
+    "relation (the q178 device), so the O(months^2) pair join is "
+    "dimension^2, never data-sized",
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly_revenue_local(spark, sf_dir)
+    a = m.select(F.col("mi").alias("ai"), F.col("rev").alias("ar"))
+    b = m.select(F.col("mi").alias("bi"), F.col("rev").alias("br"))
+    sgn = (
+        F.when(F.col("br") > F.col("ar"), F.lit(1))
+        .when(F.col("br") < F.col("ar"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(b, F.col("bi") > F.col("ai"))
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    n_ = m.agg(F.count("*").cast("long").alias("n"))
+    corr = (
+        m.groupBy("rev")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c")
+                    * (F.col("c") - F.lit(1))
+                    * (F.lit(2) * F.col("c") + F.lit(5))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("corr")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(n_))
+        .crossJoin(F.broadcast(corr))
+        .select(
+            "n",
+            "s_stat",
+            (
+                F.col("n")
+                * (F.col("n") - F.lit(1))
+                * (F.lit(2) * F.col("n") + F.lit(5))
+                - F.col("corr")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = F.round(
+        F.when((F.col("var18") <= 0) | (F.col("s_stat") == 0), F.lit(0.0))
+        .when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0)) / sd,
+        )
+        .otherwise((F.col("s_stat").cast("double") + F.lit(1.0)) / sd),
+        6,
+    )
+    zf = v.withColumn("z_stat", z)
+    return zf.select(
+        F.col("n").alias("n_periods"),
+        "s_stat",
+        "var18",
+        "z_stat",
+        F.when(F.col("z_stat") >= 1.959964, F.lit("increasing"))
+        .when(F.col("z_stat") <= -1.959964, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+@q(
+    "q200_theil_sen",
+    oracle=f"""
+WITH {_MONTH_CTE},
+x AS (SELECT CAST(mi - (SELECT min(mi) FROM m) AS BIGINT) AS xi, rev
+  FROM m),
+p AS (SELECT CAST(b.rev - a.rev AS DOUBLE)
+      / CAST(b.xi - a.xi AS DOUBLE) AS slope
+  FROM x a JOIN x b ON b.xi > a.xi),
+lim AS (SELECT CAST(count(*) AS BIGINT) AS np FROM p),
+r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM p),
+sel AS (SELECT r.slope FROM r CROSS JOIN lim
+  WHERE r.rn IN ((lim.np + 1) // 2, lim.np // 2 + 1)),
+o2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(rev) AS BIGINT) AS sy,
+    CAST(sum(xi * xi) AS BIGINT) AS sxx,
+    CAST(sum(xi * rev) AS BIGINT) AS sxy FROM x)
+SELECT lim.np AS n_pairs,
+  round((SELECT (min(slope) + max(slope)) / 2.0 FROM sel), 4)
+    AS theilsen_slope,
+  round(CAST(o2.n * o2.sxy - o2.sx * o2.sy AS DOUBLE)
+        / CAST(o2.n * o2.sxx - o2.sx * o2.sx AS DOUBLE), 4)
+    AS ols_slope
+FROM lim CROSS JOIN o2
+""",
+    description="Theil-Sen robust slope of monthly revenue (median "
+    "of all pairwise slopes — up to 29% outlier breakdown vs OLS's "
+    "zero) with the OLS slope alongside for contrast: the pair "
+    "frame is months^2 over the same collected calendar-bounded "
+    "month relation as q199 (ONE fact scan), the median is exact "
+    "rank selection ((min+max)/2 over the one or two middle ranks, "
+    "so odd/even counts share one expression), and the OLS slope "
+    "is pure int64 moment sums with a single final division",
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly_revenue_local(spark, sf_dir)
+    mn = m.agg(F.min("mi").alias("m0"))
+    x = m.crossJoin(F.broadcast(mn)).select(
+        (F.col("mi") - F.col("m0")).cast("long").alias("xi"), "rev"
+    )
+    a = x.select(F.col("xi").alias("ax"), F.col("rev").alias("ar"))
+    b = x.select(F.col("xi").alias("bx"), F.col("rev").alias("br"))
+    p = a.join(b, F.col("bx") > F.col("ax")).select(
+        (
+            (F.col("br") - F.col("ar")).cast("double")
+            / (F.col("bx") - F.col("ax")).cast("double")
+        ).alias("slope")
+    )
+    lim = p.agg(F.count("*").cast("long").alias("np"))
+    r = p.withColumn(
+        "rn", F.row_number().over(Window.orderBy("slope"))
+    )
+    # integer rank targets: Spark's `/` is FLOAT division ((np+1)/2 =
+    # 1580.5 matches no rank) — DIV is the `//` the oracle uses
+    sel = r.crossJoin(F.broadcast(lim)).filter(
+        (F.col("rn") == F.expr("(np + 1) DIV 2"))
+        | (F.col("rn") == F.expr("np DIV 2 + 1"))
+    )
+    med = sel.agg(
+        ((F.min("slope") + F.max("slope")) / F.lit(2.0)).alias("ts_raw")
+    )
+    o2 = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("rev").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+        F.sum(F.col("xi") * F.col("rev")).cast("long").alias("sxy"),
+    )
+    return (
+        lim.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(o2))
+        .select(
+            F.col("np").alias("n_pairs"),
+            F.round(F.col("ts_raw"), 4).alias("theilsen_slope"),
+            F.round(
+                (
+                    F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double"),
+                4,
+            ).alias("ols_slope"),
+        )
+    )
+
+
+def _wilson_oracle() -> str:
+    """q201 oracle: the q84 classifier CTEs feeding per-source
+    binomial keep-rates with Wilson 95% intervals — the closed form
+    with z=1.96 as an exact literal, identical parenthesization."""
+    base = _classifier_oracle()
+    ctes = base[: base.rindex("SELECT doc_id")]
+    return (
+        ctes
+        + """, pred AS (
+  SELECT z.doc_id, doc.source,
+    CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
+      THEN 1 ELSE 0 END AS keep_i
+  FROM z JOIN documents doc USING (doc_id)),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(keep_i) AS BIGINT) AS n_keep
+  FROM pred GROUP BY 1)
+SELECT source, n_docs, n_keep,
+  round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+    AS keep_rate,
+  round(((CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         + 3.8416 / (2.0 * CAST(n_docs AS DOUBLE))
+         - 1.96 * sqrt((CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             * (1.0 - CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             / CAST(n_docs AS DOUBLE)
+             + 3.8416 / (4.0 * CAST(n_docs AS DOUBLE)
+                         * CAST(n_docs AS DOUBLE))))
+        / (1.0 + 3.8416 / CAST(n_docs AS DOUBLE)), 6) AS wilson_lo,
+  round(((CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         + 3.8416 / (2.0 * CAST(n_docs AS DOUBLE))
+         + 1.96 * sqrt((CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             * (1.0 - CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             / CAST(n_docs AS DOUBLE)
+             + 3.8416 / (4.0 * CAST(n_docs AS DOUBLE)
+                         * CAST(n_docs AS DOUBLE))))
+        / (1.0 + 3.8416 / CAST(n_docs AS DOUBLE)), 6) AS wilson_hi
+FROM g ORDER BY source
+"""
+    )
+
+
+@q(
+    "q201_wilson_interval",
+    oracle=_wilson_oracle(),
+    description="Wilson 95% score intervals for per-source classifier "
+    "keep-rates — the binomial uncertainty every curation dashboard "
+    "should show next to a rate (the normal approximation fails at "
+    "extreme rates and small sources; Wilson does not): one "
+    "zero-shuffle scoring pass + one source-grain aggregation, then "
+    "the closed form with z=1.96 / z^2=3.8416 as exact literals and "
+    "identical parenthesization in both engines (1e-6 grid)",
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    g = (
+        ql.classifier_scores(docs, "doc_id", "text")
+        .select("doc_id", F.col("keep").cast("int").alias("keep_i"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep_i").cast("long").alias("n_keep"),
+        )
+    )
+    nd = F.col("n_docs").cast("double")
+    ph = F.col("n_keep").cast("double") / nd
+    half = F.lit(1.96) * F.sqrt(
+        ph * (F.lit(1.0) - ph) / nd
+        + F.lit(3.8416) / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / nd
+    center = ph + F.lit(3.8416) / (F.lit(2.0) * nd)
+    return g.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.round(ph, 6).alias("keep_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("source")

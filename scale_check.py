@@ -227,6 +227,9 @@ QUERIES = [
     "q196_heldout_perplexity",  # one vocab agg, decimal log-lik sum
     "q197_curation_funnel",     # staged semi/anti joins, shingles once
     "q198_trimmed_mean",        # bucket-rank + one aggregation
+    "q199_mann_kendall",        # month-grain local relation, months^2
+    "q200_theil_sen",           # same local relation, rank-select median
+    "q201_wilson_interval",     # zero-shuffle scoring + source agg
 ]
 
 

@@ -336,7 +336,7 @@ def test_q194_broadcast_grid_single_scan(spark):
     # so margins/totals can never re-scan 100 TB
     plan = plan_of(spark, "q194_chi_square")
     assert "Scan parquet" not in plan
-    assert "Scan ExistingRDD" in plan
+    assert "LocalTableScan" in plan
     assert plan.count("Exchange SinglePartition") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
@@ -384,3 +384,30 @@ def test_q198_device_trim(spark):
     assert plan.count("Exchange SinglePartition") == 1  # final 1-row agg
     assert "ntile(" not in plan
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q199_mann_kendall", "q200_theil_sen"]
+)
+def test_trend_stats_local_relation_only(spark, name):
+    # Mann-Kendall / Theil-Sen (r8): the ONE fact scan runs at build
+    # time (month-grain collect, the q178 device); the returned plan
+    # reads only the 80-row month VALUES literal (LocalTableScan —
+    # NOT a parallelize-backed ExistingRDD, which costs a python
+    # round trip per evaluation) — its pairwise non-equi joins are
+    # months^2 by construction (calendar-bounded, grows with years,
+    # never with data volume)
+    plan = plan_of(spark, name)
+    assert "Scan parquet" not in plan, name
+    assert "LocalTableScan" in plan, name
+    assert "Scan ExistingRDD" not in plan, name
+
+
+def test_q201_wilson_shape(spark):
+    # Wilson intervals: zero-shuffle per-row scoring, one broadcast
+    # doc_id join, one source-grain exchange — no SinglePartition,
+    # no sort-merge anywhere
+    plan = plan_of(spark, "q201_wilson_interval")
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -443,3 +443,82 @@ def test_trimmed_mean_hand_case(spark):
     assert out["trimmed_mean_cents"] == round(
         sum(cents[2:-2]) / 196, 4
     )
+
+
+def _tmp_orders(spark, rows, d):
+    import os
+
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+
+
+def test_mann_kendall_strict_trend(spark):
+    # 10 strictly increasing monthly revenues: S = 45, no ties so
+    # 18*Var = 10*9*25 = 2250, z = 44/sqrt(125) — hand arithmetic
+    import datetime as dt
+    import math
+    import tempfile
+
+    from lynx_spark.plans.analytics import REGISTRY
+
+    rows = [
+        (i, 100.0 + 10.0 * i, dt.datetime(2024, 1 + i, 15))
+        for i in range(10)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _tmp_orders(spark, rows, d)
+        out = REGISTRY["q199_mann_kendall"].fn(spark, d).collect()[0]
+    assert out["n_periods"] == 10
+    assert out["s_stat"] == 45
+    assert out["var18"] == 2250
+    assert out["z_stat"] == round(44.0 / math.sqrt(2250.0 / 18.0), 6)
+    assert out["trend"] == "increasing"
+
+
+def test_theil_sen_ignores_outlier(spark):
+    # 9 months on the exact line rev = 1000*x cents (one 10*x-dollar
+    # order per month) plus one wild outlier month: the pairwise-
+    # slope median stays exactly 1000, OLS does not
+    import datetime as dt
+    import tempfile
+
+    from lynx_spark.plans.analytics import REGISTRY
+
+    rows = [
+        (i, 10.0 * i, dt.datetime(2024, 1 + i, 15)) for i in range(9)
+    ] + [(99, 99999.0, dt.datetime(2024, 10, 15))]
+    with tempfile.TemporaryDirectory() as d:
+        _tmp_orders(spark, rows, d)
+        out = REGISTRY["q200_theil_sen"].fn(spark, d).collect()[0]
+    assert out["n_pairs"] == 45
+    assert out["theilsen_slope"] == 1000.0
+    assert out["ols_slope"] != 1000.0
+
+
+def test_wilson_interval_replay(spark):
+    # replay the closed form in python from the engine's own counts;
+    # interval must bracket the point rate and sit inside [0, 1]
+    import math
+    import tempfile
+
+    from lynx_spark.plans.analytics import REGISTRY
+
+    rows = [
+        (i, " ".join(f"w{j % (i % 6 + 2)}" for j in range(3 + i % 9)),
+         "en", "s", 50)
+        for i in range(30)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _tmp_docs(spark, rows, d)
+        out = REGISTRY["q201_wilson_interval"].fn(spark, d).collect()[0]
+    n, k = out["n_docs"], out["n_keep"]
+    ph = k / n
+    z2, z = 3.8416, 1.96
+    half = z * math.sqrt(ph * (1 - ph) / n + z2 / (4 * n * n))
+    denom = 1 + z2 / n
+    center = ph + z2 / (2 * n)
+    assert out["keep_rate"] == round(ph, 6)
+    assert out["wilson_lo"] == round((center - half) / denom, 6)
+    assert out["wilson_hi"] == round((center + half) / denom, 6)
+    assert 0.0 <= out["wilson_lo"] <= ph <= out["wilson_hi"] <= 1.0
