@@ -575,3 +575,36 @@ def test_curriculum_interleave_is_a_valid_order(spark, rows):
     by_pos = sorted(out, key=lambda r: r["pos"])
     stages = [r["stage"] for r in by_pos]
     assert stages == sorted(stages)
+
+
+# ------------------------------------------- heavy-hitter invariants
+
+_stream_st = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=400
+)
+
+
+@given(stream=_stream_st, k=st.integers(min_value=2, max_value=8))
+@settings(max_examples=8, deadline=None)
+def test_heavy_hitters_exact_equals_naive(spark, stream, k):
+    """Two-pass Misra-Gries == the naive exact groupBy filter on ANY
+    stream and ANY k: the MG candidate pass may only ever produce a
+    superset (guaranteed by the n/(k+1) undercount bound), and the
+    exact second pass makes the final answer independent of both the
+    sketch and the partitioning."""
+    from collections import Counter
+
+    from lynx_spark.operators.quality import heavy_hitters_exact
+
+    n = len(stream)
+    expected = {
+        w: c for w, c in Counter(stream).items() if c * k > n
+    }
+    items = spark.createDataFrame(
+        [(w,) for w in stream], "word string"
+    ).repartition(5)
+    got = {
+        r["word"]: r["n_occurrences"]
+        for r in heavy_hitters_exact(items, "word", k=k).collect()
+    }
+    assert got == expected, (k, n)
