@@ -44,8 +44,11 @@ rest ``floor(n/k)``), evaluated per-row from driver-known constants.
 
 Cost model: each call runs two extra scalar jobs over the input
 (breakpoint quantiles, bucket histogram) before the main pass — at
-100 TB, persist the input frame first when chaining several rankings
-(q177 chains three) so those passes hit cached partitions.
+100 TB, pass ``persist_input=True`` when chaining several rankings
+(q177 chains three) or when the input embeds expensive upstream
+work (q181 joins classifier scores): the first scalar job then
+materializes the cache and every later pass reads
+``InMemoryTableScan`` instead of re-running the input lineage.
 """
 
 from __future__ import annotations
@@ -112,10 +115,25 @@ def _bucketed_offsets(
     ascending: bool,
     n_buckets: int,
     weight_col: str | None = None,
+    persist_input: bool = False,
 ) -> tuple[DataFrame, dict[int, int], int]:
     """Shared phases 1-2-4: bucketed frame, the cumulative offset of
     each bucket in rank order, and the grand total (row count, or
-    ``weight_col`` sum when given)."""
+    ``weight_col`` sum when given).
+
+    ``persist_input`` caches the input frame before the device's two
+    scalar passes (breakpoint quantiles, bucket histogram) touch it:
+    the breakpoint collect materializes the cache, the histogram and
+    the downstream window pass read ``InMemoryTableScan`` — the input
+    lineage is computed exactly ONCE per call instead of three times.
+    Chained callers (q177 chains three rankings; q181 feeds a
+    classifier-scored join) MUST set it, or each call's collects
+    re-run the whole upstream chain (the r8 hazard this knob
+    closes). The cache is left registered — Spark dedupes by
+    canonicalized plan and evicts LRU; callers that need eager
+    release can ``.unpersist()`` after materializing their result."""
+    if persist_input:
+        df = df.persist()
     bps = _breakpoints(df, value_col, n_buckets)
     b = df.withColumn("_bkt", _bucket_expr(value_col, bps))
     agg = (
@@ -143,12 +161,17 @@ def global_row_number(
     tie_cols: Sequence[str] = (),
     n_buckets: int = 64,
     out_col: str = "grank",
+    persist_input: bool = False,
 ) -> DataFrame:
     """Exact global ``row_number() OVER (ORDER BY value [, ties])``
     without a SinglePartition exchange over the data. ``tie_cols``
     must make the total order unique for the result to be
-    deterministic (same contract as the window it replaces)."""
-    b, offsets, _ = _bucketed_offsets(df, value_col, ascending, n_buckets)
+    deterministic (same contract as the window it replaces).
+    ``persist_input`` caches the input so the device's two scalar
+    collects don't re-run its lineage — required when chaining."""
+    b, offsets, _ = _bucketed_offsets(
+        df, value_col, ascending, n_buckets, persist_input=persist_input
+    )
     lw = Window.partitionBy("_bkt").orderBy(
         *_order(value_col, ascending, tie_cols)
     )
@@ -168,14 +191,20 @@ def global_ntile(
     tie_cols: Sequence[str] = (),
     n_buckets: int = 64,
     out_col: str = "tile",
+    persist_input: bool = False,
 ) -> DataFrame:
     """Exact global ``ntile(k) OVER (ORDER BY value [, ties])`` via
     the two-phase rank: SQL-standard ntile assigns the first
     ``n mod k`` tiles ``floor(n/k)+1`` rows and the rest
     ``floor(n/k)``, so the tile is a closed-form expression of the
     global rank and the driver-known total — no window over the
-    data, no SinglePartition exchange."""
-    b, offsets, n = _bucketed_offsets(df, value_col, ascending, n_buckets)
+    data, no SinglePartition exchange. ``persist_input`` caches the
+    input so the device's two scalar collects don't re-run its
+    lineage — required when chaining (q177) or when the input embeds
+    expensive upstream work (q181's classifier scoring)."""
+    b, offsets, n = _bucketed_offsets(
+        df, value_col, ascending, n_buckets, persist_input=persist_input
+    )
     lw = Window.partitionBy("_bkt").orderBy(
         *_order(value_col, ascending, tie_cols)
     )
@@ -209,14 +238,17 @@ def global_running_sum(
     tie_cols: Sequence[str] = (),
     n_buckets: int = 64,
     out_col: str = "cum",
+    persist_input: bool = False,
 ) -> DataFrame:
     """Exact global running total ``sum(sum_col) OVER (ORDER BY value
     [, ties] ROWS UNBOUNDED PRECEDING)`` via the same two phases:
     bucket-local running sums plus literal per-bucket sum offsets.
     ``sum_col`` must be integral (long) so partial sums re-associate
-    exactly across the split."""
+    exactly across the split. ``persist_input`` caches the input so
+    the device's two scalar collects don't re-run its lineage."""
     b, offsets, _ = _bucketed_offsets(
-        df, value_col, ascending, n_buckets, weight_col=sum_col
+        df, value_col, ascending, n_buckets,
+        weight_col=sum_col, persist_input=persist_input,
     )
     lw = (
         Window.partitionBy("_bkt")

@@ -8323,17 +8323,25 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    # persist_input: each ntile call runs two scalar collects before
+    # its window pass — unpersisted, call 3's collects re-ran the
+    # orders aggregation AND both prior bucket windows (the chaining
+    # hazard ranking.py documents); cached, each stage's lineage is
+    # computed exactly once and later passes read InMemoryTableScan
     s = rnk.global_ntile(
         c, "recency", 5,
         ascending=False, tie_cols=["o_custkey"], out_col="r_score",
+        persist_input=True,
     )
     s = rnk.global_ntile(
         s, "frequency", 5,
         ascending=True, tie_cols=["o_custkey"], out_col="f_score",
+        persist_input=True,
     )
     s = rnk.global_ntile(
         s, "monetary", 5,
         ascending=True, tie_cols=["o_custkey"], out_col="m_score",
+        persist_input=True,
     )
     return (
         s.groupBy(
@@ -8421,8 +8429,15 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy, each consumer re-derives it and the events scan runs 7×
     # (one full 100 TB pass each). Collect it once (model-sized, the
     # repo's k-means-codebook convention) and every consumer reads a
-    # local relation: exactly ONE fact scan, pinned in test_plans.py
-    d = spark.createDataFrame(d.collect(), schema="day date, y2 long")
+    # local relation: exactly ONE fact scan, pinned in test_plans.py.
+    # JVM LocalRelation via a VALUES literal, NOT createDataFrame: a
+    # parallelize-backed frame pays a python-worker round trip PER
+    # EVALUATION, and the lag self-join references it twice per pass
+    # (the q199/q200 lesson: 8.9s vs 0.9s for the same pair count)
+    vals = ", ".join(
+        f"(DATE '{r['day'].isoformat()}', {r['y2']})" for r in d.collect()
+    )
+    d = spark.sql(f"SELECT * FROM VALUES {vals} AS t(day, y2)")
     st = d.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y2").cast("long").alias("s"),
@@ -8736,10 +8751,30 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascending=False,
         tie_cols=["doc_id"],
         out_col="decile",
+        # the device input embeds the classifier scoring pass —
+        # unpersisted, the two scalar collects re-ran it 3x (SCALE.md
+        # 10x row 2.18); cached, scoring runs once
+        persist_input=True,
     ).select("decile", "y")
     per = dd.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("y").cast("long").alias("n_pos"),
+    )
+    # the decile frame is ≤10 rows by construction and feeds two
+    # consumers (cumulation, totals) — left lazy, the fact-sized
+    # bucket window re-ran once per consumer. Collect it to a VALUES
+    # literal (the q199/q200 local-relation device): the device
+    # window evaluates exactly once, downstream is driver-local
+    vals = ", ".join(
+        f"({r['decile']}, {r['n_docs']}, {r['n_pos']})"
+        for r in per.collect()
+    )
+    per = spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(decile, n_docs, n_pos)"
+    ).select(
+        "decile",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
     )
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     cum = per.withColumn(

@@ -27,6 +27,40 @@ def plan_of(spark, name: str) -> str:
     )
 
 
+def live_plan(plan: str) -> str:
+    """The plan restricted to what actually EXECUTES: explain renders
+    each InMemoryRelation's cached plan nested beneath it (the recipe
+    Spark would replay only on cache eviction), so node counts over
+    the raw string double-count work that the run reads from
+    InMemoryTableScan. Drop every line strictly deeper-indented than
+    an InMemoryRelation ancestor."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        # depth = leading tree-gutter width (spaces and `:` branch
+        # continuations). Do NOT strip `+-`: innerChildren (cached
+        # plans, AQE stage sections) render their text at the same
+        # first-letter column as the parent's `+- ` label, and only
+        # the gutter distinguishes them
+        depth = len(line) - len(line.lstrip(" :|"))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            # an executed cache renders `== Final Plan ==` /
+            # `== Initial Plan ==` section headers at the relation's
+            # own depth — still part of the cached rendering (the
+            # top-level plan is pre-execution, isFinalPlan=false,
+            # and never emits these)
+            if "== Final Plan ==" in line or "== Initial Plan ==" in line:
+                skip_depth = depth
+                continue
+            skip_depth = None
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+    return "\n".join(out)
+
+
 def test_q03_double_broadcast_with_pushdown(spark):
     plan = plan_of(spark, "q03_shipping_priority")
     assert plan.count("BroadcastHashJoin") == 2
@@ -147,15 +181,22 @@ def test_topk_batch5_takeordered_no_cartesian(spark, name):
 
 
 def test_q177_distributed_ntile(spark):
-    # RFM (r8): the three quintile scores come from the two-phase
-    # breakpoint rank — every row_number window is partitioned by the
-    # bucket id (hashpartitioning, parallel), no ntile survives, and
-    # the lone SinglePartition exchange is the 125-row segment agg
+    # RFM (r8; r9 persist_input): the three quintile scores come from
+    # the two-phase breakpoint rank — every row_number window is
+    # partitioned by the bucket id (hashpartitioning, parallel), no
+    # ntile survives. r9: each device call persists its input, so the
+    # LIVE plan (what executes, cached subtrees stripped) is exactly
+    # one bucket window over one InMemoryTableScan — the orders
+    # aggregation and earlier windows ran once each during the
+    # device's collects instead of once per downstream reference
     plan = plan_of(spark, "q177_rfm_segments")
     assert "ntile(" not in plan
-    assert plan.count("row_number") == 3
-    assert plan.count("windowspecdefinition(_bkt") == 3
-    assert plan.count("Exchange SinglePartition") <= 1
+    live = live_plan(plan)
+    assert live.count("row_number") == 1
+    assert live.count("windowspecdefinition(_bkt") == 1
+    assert live.count("InMemoryTableScan") == 1
+    assert live.count("Exchange SinglePartition") == 0
+    assert "Scan parquet" not in live
     assert "CartesianProduct" not in plan
 
 
@@ -179,27 +220,37 @@ def test_q180_digit_dim_broadcast(spark):
 
 
 def test_q181_distributed_decile(spark):
-    # decile gains (r8): the decile comes from the two-phase
-    # breakpoint rank — the row_number window over the scored corpus
-    # is partitioned by the bucket id; the only SinglePartition
-    # exchanges sit above the 10-row decile frame and the totals agg
+    # decile gains (r8; r9 persist_input + local relation): the
+    # decile comes from the two-phase breakpoint rank over the
+    # PERSISTED scored⋈labeled frame (classifier scoring ran 3x
+    # unpersisted — SCALE.md's 2.18 ratio), and the ≤10-row decile
+    # frame collects to a VALUES literal, so the returned plan is
+    # driver-local: no parquet scan, no parallelize-backed
+    # ExistingRDD, no fact-sized window at all — that ran exactly
+    # once at build time
     plan = plan_of(spark, "q181_decile_gains")
     assert "ntile(" not in plan
-    assert plan.count("windowspecdefinition(_bkt") >= 1
-    assert plan.count("Exchange SinglePartition") <= 2
+    assert "Scan parquet" not in plan
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("SortMergeJoin") <= 1
+    assert "SortMergeJoin" not in plan
 
 
 def test_q178_single_fact_scan_day_grain_joins(spark):
-    # ACF (r8): the calendar-bounded day frame is collected once (the
-    # single fact pass runs eagerly at build time), so the returned
-    # plan contains NO parquet scan at all — every non-equi
-    # (lag-range) join runs over the local day relation; lazily
-    # re-derived, the events scan ran 7x (one 100 TB pass each)
+    # ACF (r8, r9 retrofit): the calendar-bounded day frame is
+    # collected once (the single fact pass runs eagerly at build
+    # time), so the returned plan contains NO parquet scan at all —
+    # every non-equi (lag-range) join runs over the local day
+    # relation; lazily re-derived, the events scan ran 7x (one
+    # 100 TB pass each). r9: the local relation is a VALUES literal
+    # (LocalTableScan), NOT a parallelize-backed ExistingRDD that
+    # pays a python-worker round trip per evaluation — the lag
+    # self-join evaluates it twice per pass
     plan = plan_of(spark, "q178_acf")
     assert "Scan parquet" not in plan
-    assert "Scan ExistingRDD" in plan
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 

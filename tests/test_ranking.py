@@ -91,3 +91,39 @@ def test_no_single_partition_exchange_in_device_plan(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "windowspecdefinition(_bkt" in plan
+
+@pytest.mark.parametrize("dist", DISTS)
+def test_persist_input_bit_identical(spark, dist):
+    # the r9 knob changes caching only, never values
+    df = _df(spark, DISTS[dist])
+    base = rnk.global_ntile(
+        df, "v", 5, tie_cols=["id"], n_buckets=8
+    )
+    cached = rnk.global_ntile(
+        df, "v", 5, tie_cols=["id"], n_buckets=8, persist_input=True
+    )
+    assert sorted(cached.collect()) == sorted(base.collect())
+
+
+def test_persist_input_chained_calls_read_cache(spark):
+    # the q177 chaining hazard the knob closes: with persist_input,
+    # the LIVE plan of call N (cached subtrees stripped) is exactly
+    # one bucket window over one InMemoryTableScan — call N's scalar
+    # collects and window pass never re-run call N-1's lineage
+    from tests.test_plans import live_plan
+
+    df = _df(spark, DISTS["skewed"])
+    s = rnk.global_ntile(
+        df, "v", 5, tie_cols=["id"], out_col="t1",
+        n_buckets=8, persist_input=True,
+    )
+    s = rnk.global_ntile(
+        s, "id", 5, tie_cols=["v"], out_col="t2",
+        n_buckets=8, persist_input=True,
+    )
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    live = live_plan(plan)
+    assert live.count("InMemoryTableScan") == 1
+    assert live.count("windowspecdefinition(_bkt") == 1
+    assert live.count("row_number") == 1
+    assert "Exchange SinglePartition" not in live
