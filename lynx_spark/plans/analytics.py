@@ -10369,3 +10369,1283 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("source")
+
+
+# =====================================================================
+# round 9: classifier-eval completions (calibration / PR curve / KS),
+# exact inequality statistics via the ranking device, rank and
+# concordance correlations, cohort/seasonality OLAP, interval islands,
+# grouped exact percentiles, distribution divergences
+# =====================================================================
+
+
+def _pred_cte() -> str:
+    """Shared round-9 oracle CTE: the q84 classifier score joined to
+    the q119 length label at doc grain — the q190 `pred` shape."""
+    base = _classifier_oracle()
+    ctes = base[: base.rindex("SELECT doc_id")]
+    return (
+        ctes
+        + """, pred AS (
+  SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p,
+    CASE WHEN doc.n_chars >= 280 THEN 1 ELSE 0 END AS y
+  FROM z JOIN documents doc USING (doc_id))"""
+    )
+
+
+def _pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _pred_cte: (doc_id, p, y), one corpus scan,
+    zero-shuffle scoring (q190's construction)."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        ql.classifier_scores(docs, "doc_id", "text")
+        .select("doc_id", F.col("quality_prob").alias("p"))
+        .join(
+            docs.select(
+                "doc_id",
+                F.when(F.col("n_chars") >= 280, F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("y"),
+            ),
+            "doc_id",
+        )
+    )
+
+
+@q(
+    "q202_calibration_bins",
+    oracle=_pred_cte()
+    + """,
+b AS (SELECT least(CAST(floor(
+        CAST(floor(p * 10000.0 + 0.5) AS BIGINT) / 1000.0)
+        AS BIGINT), 9) AS bin,
+    CAST(floor(p * 10000.0 + 0.5) AS BIGINT) AS s4, y
+  FROM pred),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(y) AS BIGINT) AS n_pos,
+    CAST(sum(s4) AS BIGINT) AS sum_s4
+  FROM b GROUP BY bin)
+SELECT bin, n_docs, n_pos,
+  floor(CAST(sum_s4 AS DOUBLE) / (10000.0 * CAST(n_docs AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS avg_pred,
+  floor(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS obs_rate,
+  floor((CAST(sum_s4 AS DOUBLE) / (10000.0 * CAST(n_docs AS DOUBLE))
+         - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS gap
+FROM g ORDER BY bin
+""",
+    description="calibration reliability diagram of the q84 quality "
+    "classifier against the q119 length label — the model-eval "
+    "table that decides whether classifier-gated curation needs "
+    "Platt/isotonic recalibration: predicted probabilities bin into "
+    "10 equal-width cells ON THE 1e-4 INTEGER GRID (s4 = "
+    "floor(p*10000+0.5); bin = s4 div 1000 clamped — integer "
+    "arithmetic, so a float boundary like 0.3*10 can never split "
+    "engines), one map-side-partial aggregation to a <=10-row "
+    "frame; avg_pred stays an exact int64 sum of grid values up to "
+    "one floor-rounded division. One corpus scan, zero joins beyond "
+    "the label join",
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    s4 = F.floor(F.col("p") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    b = pred.select(
+        F.least(
+            F.floor(s4.cast("double") / F.lit(1000.0)).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        s4.alias("s4"),
+        "y",
+    )
+    g = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("s4").cast("long").alias("sum_s4"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    avg_pred = F.col("sum_s4").cast("double") / (
+        F.lit(10000.0) * F.col("n_docs").cast("double")
+    )
+    obs = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    return g.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        fl6(avg_pred).alias("avg_pred"),
+        fl6(obs).alias("obs_rate"),
+        fl6(avg_pred - obs).alias("gap"),
+    ).orderBy("bin")
+
+
+@q(
+    "q203_pr_curve",
+    oracle=_pred_cte()
+    + """,
+g AS (SELECT p, CAST(sum(y) AS BIGINT) AS pos_v,
+    CAST(count(*) - sum(y) AS BIGINT) AS neg_v
+  FROM pred GROUP BY p),
+t AS (SELECT CAST(sum(pos_v) AS BIGINT) AS n_pos FROM g),
+cu AS (SELECT p,
+    CAST(sum(pos_v) OVER (ORDER BY p DESC) AS BIGINT) AS cum_tp,
+    CAST(sum(neg_v) OVER (ORDER BY p DESC) AS BIGINT) AS cum_fp
+  FROM g)
+SELECT cu.p AS p_threshold, cu.cum_tp, cu.cum_fp,
+  floor(CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS precision_at,
+  floor(CAST(cum_tp AS DOUBLE) / CAST(t.n_pos AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS recall_at,
+  CASE WHEN cum_tp > 0 THEN
+    floor(2.0 * CAST(cum_tp AS DOUBLE)
+          / CAST(cum_tp + cum_fp + t.n_pos AS DOUBLE)
+          * 1000000.0 + 0.5) / 1000000.0
+  END AS f1_at
+FROM cu CROSS JOIN t ORDER BY p_threshold DESC
+""",
+    description="precision/recall/F1 at every classifier score "
+    "threshold (the q190 companion: ROC integrates over thresholds, "
+    "curation needs the operating POINT) — computed at SCORE-VALUE "
+    "grain like q190: one fact-sized aggregation to the 1e-4 score "
+    "grid, then descending running sums over a frame bounded at "
+    "10001 rows regardless of corpus size — never a per-row rank. "
+    "F1 = 2tp/(2tp+fp+fn) in the single-division form (identical "
+    "trees both engines); null when cum_tp = 0",
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    g = pred.groupBy("p").agg(
+        F.sum("y").cast("long").alias("pos_v"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg_v"),
+    )
+    w = Window.orderBy(F.desc("p")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cu = g.select(
+        F.col("p").alias("p_threshold"),
+        F.sum("pos_v").over(w).cast("long").alias("cum_tp"),
+        F.sum("neg_v").over(w).cast("long").alias("cum_fp"),
+    )
+    tot = g.agg(F.sum("pos_v").cast("long").alias("n_pos"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        cu.crossJoin(F.broadcast(tot))
+        .select(
+            "p_threshold",
+            "cum_tp",
+            "cum_fp",
+            fl6(
+                F.col("cum_tp").cast("double")
+                / (F.col("cum_tp") + F.col("cum_fp")).cast("double")
+            ).alias("precision_at"),
+            fl6(
+                F.col("cum_tp").cast("double")
+                / F.col("n_pos").cast("double")
+            ).alias("recall_at"),
+            F.when(
+                F.col("cum_tp") > 0,
+                fl6(
+                    F.lit(2.0)
+                    * F.col("cum_tp").cast("double")
+                    / (
+                        F.col("cum_tp")
+                        + F.col("cum_fp")
+                        + F.col("n_pos")
+                    ).cast("double")
+                ),
+            ).alias("f1_at"),
+        )
+        .orderBy(F.desc("p_threshold"))
+    )
+
+
+@q(
+    "q204_ks_statistic",
+    oracle=_pred_cte()
+    + """,
+g AS (SELECT p, CAST(sum(y) AS BIGINT) AS pos_v,
+    CAST(count(*) - sum(y) AS BIGINT) AS neg_v
+  FROM pred GROUP BY p),
+t AS (SELECT CAST(sum(pos_v) AS BIGINT) AS np,
+             CAST(sum(neg_v) AS BIGINT) AS nn FROM g),
+dn AS (SELECT p,
+    abs(CAST(sum(pos_v) OVER (ORDER BY p) AS BIGINT) * t.nn
+        - CAST(sum(neg_v) OVER (ORDER BY p) AS BIGINT) * t.np)
+      AS dnum
+  FROM g CROSS JOIN t),
+mx AS (SELECT CAST(max(dnum) AS BIGINT) AS m FROM dn)
+SELECT t.np AS n_pos, t.nn AS n_neg,
+  floor(CAST(mx.m AS DOUBLE) / CAST(t.np * t.nn AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+  (SELECT min(p) FROM dn WHERE dnum = mx.m) AS ks_at_p
+FROM t CROSS JOIN mx
+""",
+    description="two-sample Kolmogorov-Smirnov statistic between the "
+    "classifier's positive-class and negative-class score "
+    "distributions — the separability number (KS = max ECDF gap) "
+    "model-eval dashboards report next to AUC: ECDFs live on the "
+    "bounded 1e-4 score grid (the q190 argument), the gap numerator "
+    "|cum_pos*n_neg - cum_neg*n_pos| stays exact int64 (<= n^2; the "
+    "100 TB path widens to DECIMAL), and the argmax threshold "
+    "resolves ties to the smallest score via one struct-max "
+    "aggregation — a single pass over the bounded frame, no second "
+    "fact scan",
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    g = pred.groupBy("p").agg(
+        F.sum("y").cast("long").alias("pos_v"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg_v"),
+    )
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    t = g.agg(
+        F.sum("pos_v").cast("long").alias("np"),
+        F.sum("neg_v").cast("long").alias("nn"),
+    )
+    d = (
+        g.select(
+            "p",
+            F.sum("pos_v").over(w).cast("long").alias("cp"),
+            F.sum("neg_v").over(w).cast("long").alias("cn"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "p",
+            "np",
+            "nn",
+            F.abs(
+                F.col("cp") * F.col("nn") - F.col("cn") * F.col("np")
+            ).alias("dnum"),
+        )
+    )
+    best = d.agg(
+        F.first("np").alias("np"),
+        F.first("nn").alias("nn"),
+        F.max(F.struct(F.col("dnum"), (-F.col("p")).alias("negp"))).alias(
+            "b"
+        ),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return best.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        fl6(
+            F.col("b.dnum").cast("double")
+            / (F.col("np") * F.col("nn")).cast("double")
+        ).alias("ks_stat"),
+        (-F.col("b.negp")).alias("ks_at_p"),
+    )
+
+
+@q(
+    "q205_gini_concentration",
+    oracle=r"""
+WITH d AS (SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      AS n_tok
+  FROM documents),
+r AS (SELECT n_tok,
+    CAST(row_number() OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS rn
+  FROM d),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(n_tok) AS BIGINT) AS tot,
+    CAST(sum(rn * n_tok) AS BIGINT) AS srx
+  FROM r)
+SELECT n AS n_docs, tot AS total_tokens,
+  floor((2.0 * CAST(srx AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS gini
+FROM s
+""",
+    description="exact Gini coefficient of token-count concentration "
+    "across documents — the corpus-inequality number (how much of "
+    "the token budget a few long documents absorb) a mixture "
+    "designer reads before capping per-doc contribution: the "
+    "rank-sum identity G = 2*sum(r_i*x_i)/(n*sum(x)) - (n+1)/n "
+    "needs the GLOBAL ascending rank of a fact-sized frame, which "
+    "comes from the two-phase ranking device (persist_input) — "
+    "bucket-partitioned windows, zero SinglePartition over data; "
+    "sum(r*x) stays exact int64 through sf0.1 x100 (the 100 TB path "
+    "widens to DECIMAL); ties permute only equal x values between "
+    "consecutive ranks, so the sum is tie-order invariant",
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tx._words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    r = rnk.global_row_number(
+        d, "n_tok",
+        ascending=True, tie_cols=["doc_id"], out_col="rn",
+        persist_input=True,
+    )
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_tok").cast("long").alias("tot"),
+        F.sum(F.col("rn") * F.col("n_tok")).cast("long").alias("srx"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("tot").alias("total_tokens"),
+        fl6(
+            F.lit(2.0)
+            * F.col("srx").cast("double")
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+        ).alias("gini"),
+    )
+
+
+@q(
+    "q206_lorenz_deciles",
+    oracle=r"""
+WITH d AS (SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      AS n_tok
+  FROM documents),
+t AS (SELECT CAST(ntile(10) OVER (ORDER BY n_tok, doc_id) AS BIGINT)
+      AS decile, n_tok
+  FROM d),
+g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS tokens
+  FROM t GROUP BY decile),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS grand FROM g)
+SELECT decile, n_docs, tokens,
+  CAST(sum(tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+  floor(CAST(sum(tokens) OVER (ORDER BY decile) AS DOUBLE)
+        / CAST(tot.grand AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    AS cum_share
+FROM g CROSS JOIN tot ORDER BY decile
+""",
+    description="Lorenz curve of the token budget at document "
+    "deciles (q205's Gini, spatialized: 'the shortest 50% of docs "
+    "hold x% of tokens') — deciles come from the ranking device's "
+    "closed-form exact ntile over the fact-sized frame "
+    "(persist_input, bucket-partitioned window, zero "
+    "SinglePartition over data), then cumulation runs over the "
+    "10-row decile frame; exact int64 token sums up to one "
+    "floor-rounded share division",
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tx._words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    t = rnk.global_ntile(
+        d, "n_tok", 10,
+        ascending=True, tie_cols=["doc_id"], out_col="decile",
+        persist_input=True,
+    )
+    g = t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = g.agg(F.sum("tokens").cast("long").alias("grand"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        g.withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "tokens",
+            "cum_tokens",
+            fl6(
+                F.col("cum_tokens").cast("double")
+                / F.col("grand").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@q(
+    "q209_spearman_rank_corr",
+    oracle=r"""
+WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS y
+  FROM documents),
+cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x),
+rx AS (SELECT x, CAST(2 * COALESCE(sum(c) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+    AS BIGINT) AS u2
+  FROM cx),
+cy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY y),
+ry AS (SELECT y, CAST(2 * COALESCE(sum(c) OVER (ORDER BY y
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+    AS BIGINT) AS v2
+  FROM cy),
+j AS (SELECT rx.u2 AS u, ry.v2 AS v
+  FROM d JOIN rx USING (x) JOIN ry USING (y)),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+    CAST(sum(u * u) AS HUGEINT) AS suu,
+    CAST(sum(v * v) AS HUGEINT) AS svv,
+    CAST(sum(u * v) AS HUGEINT) AS suv
+  FROM j)
+SELECT n AS n_docs,
+  floor((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+         - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+FROM s
+""",
+    description="exact Spearman rank correlation (midrank/fractional "
+    "tie handling — textbook tie-corrected rho) between document "
+    "char length and token count — the metric-redundancy audit that "
+    "tells a curation pipeline whether two quality features measure "
+    "the same thing. Ranks are NOT per-row windows: midranks are a "
+    "closed form of the VALUE-grain histogram (2*rank = 2*cum_below "
+    "+ count + 1, exact integers — the doubled-midrank trick keeps "
+    "half-ranks in int64), computed on two domain-bounded frames "
+    "and broadcast back to the fact scan; Pearson-on-ranks moments "
+    "sum exactly (DECIMAL(38) / HUGEINT for the squares, which pass "
+    "2^63 at 10x sf0.1) before ONE double evaluation with identical "
+    "parenthesization in both engines",
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tx._words(F.col("text"))).cast("long").alias("y"),
+    ).persist()
+
+    def midrank_map(col: str, out: str) -> DataFrame:
+        c = d.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return c.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias(out),
+        )
+
+    j = d.join(F.broadcast(midrank_map("x", "u")), "x").join(
+        F.broadcast(midrank_map("y", "v")), "y"
+    )
+    dec = lambda c_: F.sum(c_.cast("decimal(38,0)"))
+    s = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum("v").cast("long").alias("sv"),
+        dec(F.col("u") * F.col("u")).alias("suu"),
+        dec(F.col("v") * F.col("v")).alias("svv"),
+        dec(F.col("u") * F.col("v")).alias("suv"),
+    )
+    nd = F.col("n").cast("double")
+    sud, svd = F.col("su").cast("double"), F.col("sv").cast("double")
+    num = nd * F.col("suv").cast("double") - sud * svd
+    denx = nd * F.col("suu").cast("double") - sud * sud
+    deny = nd * F.col("svv").cast("double") - svd * svd
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return s.select(
+        F.col("n").alias("n_docs"),
+        fl6(num / F.sqrt(denx * deny)).alias("spearman_rho"),
+    )
+
+
+@q(
+    "q212_zipf_slope",
+    oracle=r"""
+WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+      AS word FROM documents),
+vc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w
+  WHERE word <> '' GROUP BY word HAVING count(*) >= 5),
+r AS (SELECT cnt,
+    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+      AS rnk
+  FROM vc),
+p AS (SELECT
+    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS x6,
+    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS y6
+  FROM r),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+    CAST(sum(x6 * x6) AS HUGEINT) AS sxx,
+    CAST(sum(y6 * y6) AS HUGEINT) AS syy,
+    CAST(sum(x6 * y6) AS HUGEINT) AS sxy
+  FROM p)
+SELECT n AS n_types,
+  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+  floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS r_squared
+FROM s
+""",
+    description="Zipf's-law fit for the corpus vocabulary — OLS "
+    "slope of ln(frequency) on ln(rank) over types with count >= 5 "
+    "(a natural-language corpus fits slope ~ -1; a slope far off "
+    "flags boilerplate or synthetic text): the frequency RANK of a "
+    "vocabulary-sized frame comes from the two-phase ranking device "
+    "(persist_input — vocabulary is data-sized at 100 TB, never a "
+    "SinglePartition window); the regression moments are made "
+    "ORDER-FREE by snapping ln to the 1e-6 integer grid before "
+    "summing (floor(ln*1e6+0.5) as int64 — float partial-agg order "
+    "can never move the result), summed exactly in DECIMAL(38)/"
+    "HUGEINT, then one double evaluation with identical trees; the "
+    "1e-6 grid scale cancels in the slope",
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(tx._words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    r = rnk.global_row_number(
+        vc, "cnt",
+        ascending=False, tie_cols=["word"], out_col="rnk",
+        persist_input=True,
+    )
+    grid = lambda c_: F.floor(
+        F.log(c_.cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    p = r.select(
+        grid(F.col("rnk")).alias("x6"), grid(F.col("cnt")).alias("y6")
+    )
+    dec = lambda c_: F.sum(c_.cast("decimal(38,0)"))
+    s = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x6").cast("long").alias("sx"),
+        F.sum("y6").cast("long").alias("sy"),
+        dec(F.col("x6") * F.col("x6")).alias("sxx"),
+        dec(F.col("y6") * F.col("y6")).alias("syy"),
+        dec(F.col("x6") * F.col("y6")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return s.select(
+        F.col("n").alias("n_types"),
+        fl6(num / denx).alias("zipf_slope"),
+        fl6((num * num) / (denx * deny)).alias("r_squared"),
+    )
+
+
+@q(
+    "q207_gtest_collocations",
+    oracle=r"""
+WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+bgall AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM w WHERE len(w) >= 2))
+  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+la AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS ca FROM bgall
+       GROUP BY 1),
+rb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS cb FROM bgall
+       GROUP BY 1),
+t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS nn FROM bgall),
+sc AS (SELECT bg.w1, bg.w2, bg.n_ab, la.ca, rb.cb, t.nn
+  FROM bgall bg JOIN la USING (w1) JOIN rb USING (w2) CROSS JOIN t
+  WHERE bg.n_ab >= 5)
+SELECT w1, w2, n_ab,
+  floor(2.0 * (
+    CASE WHEN n_ab > 0 THEN CAST(n_ab AS DOUBLE)
+      * ln(CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE)
+           / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+      ELSE 0.0 END
+    + CASE WHEN ca - n_ab > 0 THEN CAST(ca - n_ab AS DOUBLE)
+      * ln(CAST(ca - n_ab AS DOUBLE) * CAST(nn AS DOUBLE)
+           / (CAST(ca AS DOUBLE) * CAST(nn - cb AS DOUBLE)))
+      ELSE 0.0 END
+    + CASE WHEN cb - n_ab > 0 THEN CAST(cb - n_ab AS DOUBLE)
+      * ln(CAST(cb - n_ab AS DOUBLE) * CAST(nn AS DOUBLE)
+           / (CAST(nn - ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+      ELSE 0.0 END
+    + CASE WHEN nn - ca - cb + n_ab > 0
+      THEN CAST(nn - ca - cb + n_ab AS DOUBLE)
+      * ln(CAST(nn - ca - cb + n_ab AS DOUBLE) * CAST(nn AS DOUBLE)
+           / (CAST(nn - ca AS DOUBLE) * CAST(nn - cb AS DOUBLE)))
+      ELSE 0.0 END
+  ) * 1000000.0 + 0.5) / 1000000.0 AS g2
+FROM sc ORDER BY g2 DESC, w1, w2 LIMIT 50
+""",
+    description="top-50 adjacent-word collocations by Dunning's "
+    "log-likelihood ratio (G-test; Dunning 1993) — the collocation "
+    "statistic that, unlike q184's PMI, does not over-rank rare "
+    "pairs: the 2x2 contingency per bigram comes from the bigram "
+    "table's own marginals (left-word, right-word, grand total — "
+    "three vocabulary-granular aggregations off ONE bigram frame), "
+    "each cell term O*ln(O*N/(row*col)) is evaluated with an "
+    "identical parenthesized tree in both engines (zero-count "
+    "cells contribute exactly 0), and the top-50 plans as "
+    "TakeOrderedAndProject with lexicographic tie-breaks",
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    w = docs.select(tx._words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bgall = (
+        w.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1), (x, i) -> "
+                    "struct(x AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        # three marginal consumers share this vocabulary-grain frame
+        .persist()
+    )
+    la = bgall.groupBy("w1").agg(F.sum("n_ab").cast("long").alias("ca"))
+    rb = bgall.groupBy("w2").agg(F.sum("n_ab").cast("long").alias("cb"))
+    t = bgall.agg(F.sum("n_ab").cast("long").alias("nn"))
+    sc = (
+        bgall.filter(F.col("n_ab") >= 5)
+        .join(la, "w1")
+        .join(rb, "w2")
+        .crossJoin(F.broadcast(t))
+    )
+    d = lambda c_: c_.cast("double")
+    nn, ca, cb, nab = (
+        F.col("nn"), F.col("ca"), F.col("cb"), F.col("n_ab"),
+    )
+
+    def term(o, r_, c_) -> "F.Column":
+        return F.when(
+            o > 0, d(o) * F.log(d(o) * d(nn) / (d(r_) * d(c_)))
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (
+        term(nab, ca, cb)
+        + term(ca - nab, ca, nn - cb)
+        + term(cb - nab, nn - ca, cb)
+        + term(nn - ca - cb + nab, nn - ca, nn - cb)
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        sc.select("w1", "w2", "n_ab", fl6(g2).alias("g2"))
+        .orderBy(F.desc("g2"), "w1", "w2")
+        .limit(50)
+    )
+
+
+_MONTH2_CTE = """
+m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+      AS BIGINT) AS mi,
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS rev,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1)"""
+
+
+@q(
+    "q208_kendall_tau",
+    oracle=f"""
+WITH {_MONTH2_CTE},
+p AS (SELECT a.rev AS ra, a.cnt AS ca, b.rev AS rb, b.cnt AS cb
+  FROM m a JOIN m b ON b.mi > a.mi),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN (rb - ra) * (cb - ca) > 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS conc,
+    CAST(sum(CASE WHEN (rb - ra) * (cb - ca) < 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS disc,
+    CAST(sum(CASE WHEN rb = ra THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+    CAST(sum(CASE WHEN cb = ca THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM p),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nm FROM m)
+SELECT n.nm AS n_months, s.conc AS concordant, s.disc AS discordant,
+  floor(CAST(s.conc - s.disc AS DOUBLE)
+        / sqrt(CAST(s.n0 - s.tx AS DOUBLE)
+               * CAST(s.n0 - s.ty AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+FROM s CROSS JOIN n
+""",
+    description="Kendall tau-b concordance between monthly revenue "
+    "and monthly order volume — the nonparametric 'do these two "
+    "KPIs move together' statistic, tie-corrected: the fact table "
+    "aggregates once to the calendar-bounded month grain (80 rows "
+    "at any corpus size) and collects to a VALUES-literal local "
+    "relation (the q199/q200 device), so the O(months^2) pair "
+    "enumeration is an 80x80 broadcast range join over a "
+    "LocalTableScan that never touches the fact table again; all "
+    "pair counts are exact int64 up to one double division",
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mi")
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .collect()
+    )
+    vals = ", ".join(
+        f"({r['mi']}, {r['rev']}, {r['cnt']})" for r in rows
+    )
+    # VALUES infers INT for small literals; the pair sign product
+    # needs long arithmetic (rev diffs are ~1e10 cents at sf0.1)
+    m = spark.sql(
+        f"SELECT CAST(mi AS BIGINT) AS mi, CAST(rev AS BIGINT) AS rev, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM VALUES {vals} AS t(mi, rev, cnt)"
+    )
+    a, b = m.alias("a"), m.alias("b")
+    sgn = (F.col("b.rev") - F.col("a.rev")) * (
+        F.col("b.cnt") - F.col("a.cnt")
+    )
+    s = (
+        a.join(F.broadcast(b), F.col("b.mi") > F.col("a.mi"))
+        .agg(
+            F.count("*").cast("long").alias("n0"),
+            F.sum(F.when(sgn > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("conc"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("disc"),
+            F.sum(
+                F.when(F.col("b.rev") == F.col("a.rev"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("tx"),
+            F.sum(
+                F.when(F.col("b.cnt") == F.col("a.cnt"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ty"),
+        )
+    )
+    n = m.agg(F.count("*").cast("long").alias("nm"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("nm").alias("n_months"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        fl6(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty")).cast("double")
+            )
+        ).alias("tau_b"),
+    )
+
+
+@q(
+    "q210_cohort_retention",
+    oracle="""
+WITH om AS (SELECT o_custkey,
+    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+  FROM orders),
+wm AS (SELECT o_custkey, mi,
+    CAST(min(mi) OVER (PARTITION BY o_custkey) AS BIGINT) AS cm
+  FROM om),
+act AS (SELECT DISTINCT cm, mi - cm AS offs, o_custkey
+  FROM wm WHERE mi - cm <= 5),
+r AS (SELECT cm, CAST(offs AS BIGINT) AS offs,
+    CAST(count(*) AS BIGINT) AS n_active
+  FROM act GROUP BY 1, 2),
+c0 AS (SELECT cm, n_active AS cohort_size FROM r WHERE offs = 0)
+SELECT r.cm AS cohort_month, r.offs AS month_offset, r.n_active,
+  c0.cohort_size,
+  floor(CAST(r.n_active AS DOUBLE) / CAST(c0.cohort_size AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS retention
+FROM r JOIN c0 USING (cm) ORDER BY cohort_month, month_offset
+""",
+    description="cohort retention matrix — customers cohorted by "
+    "first-order month, retention = share of the cohort ordering "
+    "again k months later (k <= 5), the standard growth-analytics "
+    "triangle: ONE fact scan, the first-month assignment is a "
+    "min-window PARTITIONED BY customer (hash-partitioned, "
+    "parallel), activity dedupes at (cohort, offset, customer) "
+    "grain, and cohort size is the matrix's own offset-0 column "
+    "(every customer orders in their first month by construction) "
+    "joined back broadcast — no second scan, no countDistinct "
+    "expansion",
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    om = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    )
+    wm = om.withColumn(
+        "cm", F.min("mi").over(Window.partitionBy("o_custkey")).cast("long")
+    )
+    act = (
+        wm.filter(F.col("mi") - F.col("cm") <= 5)
+        .select("cm", (F.col("mi") - F.col("cm")).alias("offs"), "o_custkey")
+        .distinct()
+    )
+    r = act.groupBy("cm", F.col("offs").cast("long").alias("offs")).agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    c0 = r.filter(F.col("offs") == 0).select(
+        "cm", F.col("n_active").alias("cohort_size")
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        r.join(F.broadcast(c0), "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.col("offs").alias("month_offset"),
+            "n_active",
+            "cohort_size",
+            fl6(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+@q(
+    "q211_dow_seasonality",
+    oracle="""
+WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+g AS (SELECT
+    CAST((datediff('day', DATE '1970-01-01', day) + 4) % 7
+      AS BIGINT) AS dow,
+    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+    CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM e GROUP BY 1),
+t AS (SELECT CAST(sum(total_cents) AS BIGINT) AS grand FROM g)
+SELECT dow, n_days, total_cents,
+  floor(CAST(total_cents AS DOUBLE) / CAST(n_days AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS avg_day_cents,
+  floor(CAST(total_cents AS DOUBLE) / CAST(t.grand AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM g CROSS JOIN t ORDER BY dow
+""",
+    description="day-of-week seasonality profile of event revenue — "
+    "the weekly-cycle decomposition a forecaster subtracts before "
+    "trend fitting: day-of-week computed portably as "
+    "(epoch_days + 4) mod 7 (0 = Sunday; no engine-specific "
+    "dayofweek convention can split the oracle), ONE fact scan "
+    "aggregates straight to the 7-row dow grain (count DISTINCT "
+    "day rides the same shuffle), which collects to a VALUES "
+    "literal so the share-of-total consumer never re-scans the "
+    "fact table",
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    g = (
+        e.groupBy(
+            (
+                (
+                    F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+                    + F.lit(4)
+                )
+                % 7
+            )
+            .cast("long")
+            .alias("dow")
+        )
+        .agg(
+            F.countDistinct("day").cast("long").alias("n_days"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .collect()
+    )
+    vals = ", ".join(
+        f"({r['dow']}, {r['n_days']}, {r['total_cents']})" for r in g
+    )
+    lo = spark.sql(
+        f"SELECT CAST(dow AS BIGINT) AS dow, "
+        f"CAST(n_days AS BIGINT) AS n_days, "
+        f"CAST(total_cents AS BIGINT) AS total_cents "
+        f"FROM VALUES {vals} AS t(dow, n_days, total_cents)"
+    )
+    t = lo.agg(F.sum("total_cents").cast("long").alias("grand"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        lo.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "n_days",
+            "total_cents",
+            fl6(
+                F.col("total_cents").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("avg_day_cents"),
+            fl6(
+                F.col("total_cents").cast("double")
+                / F.col("grand").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("dow")
+    )
+
+
+@q(
+    "q213_dup_cluster_powerlaw",
+    oracle="""
+WITH c AS (SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS s
+  FROM documents GROUP BY 1),
+d AS (SELECT s,
+    CAST(floor(ln(CAST(s AS DOUBLE) / 1.5) * 1000000.0 + 0.5)
+      AS BIGINT) AS l6
+  FROM c WHERE s >= 2),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+    CAST(sum(s) AS BIGINT) AS n_docs_in_dups,
+    CAST(max(s) AS BIGINT) AS max_size,
+    CAST(sum(l6) AS BIGINT) AS sum6
+  FROM d)
+SELECT n_clusters, n_docs_in_dups, max_size,
+  CASE WHEN sum6 > 0 THEN
+    floor((1.0 + CAST(n_clusters AS DOUBLE) * 1000000.0
+           / CAST(sum6 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+  END AS alpha_hat
+FROM a
+""",
+    description="discrete power-law exponent of the duplicate-"
+    "cluster size distribution (exact-dup clusters from the q21 md5 "
+    "rule, sizes >= 2) via the Clauset-Shalizi-Newman continuous "
+    "MLE alpha = 1 + n / sum(ln(s_i/(xmin-1/2))) — the shape "
+    "number that says whether duplication is a long tail of pairs "
+    "or a few mega-clusters (which decide dedup strategy at "
+    "100 TB): one corpus scan to fingerprint grain, the ln snapped "
+    "to the 1e-6 integer grid before summing so float partial-agg "
+    "order can never move the result, exact int64 everywhere else",
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        T(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.count("*").cast("long").alias("s"))
+        .filter(F.col("s") >= 2)
+    )
+    d = c.select(
+        "s",
+        F.floor(
+            F.log(F.col("s").cast("double") / F.lit(1.5)) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("l6"),
+    )
+    a = d.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("s").cast("long").alias("n_docs_in_dups"),
+        F.max("s").cast("long").alias("max_size"),
+        F.sum("l6").cast("long").alias("sum6"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return a.select(
+        "n_clusters",
+        "n_docs_in_dups",
+        "max_size",
+        F.when(
+            F.col("sum6") > 0,
+            fl6(
+                F.lit(1.0)
+                + F.col("n_clusters").cast("double")
+                * F.lit(1e6)
+                / F.col("sum6").cast("double")
+            ),
+        ).alias("alpha_hat"),
+    )
+
+
+@q(
+    "q214_interval_islands",
+    oracle="""
+WITH e AS (SELECT user_id, event_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+    epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS en
+  FROM events),
+f AS (SELECT user_id, st, en,
+    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM e),
+g AS (SELECT user_id, st, en,
+    CAST(sum(CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY st, en
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS island
+  FROM f),
+i AS (SELECT user_id, island,
+    CAST(count(*) AS BIGINT) AS n_ev,
+    CAST(max(en) - min(st) AS BIGINT) AS dur_us
+  FROM g GROUP BY 1, 2),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_islands,
+    CAST(sum(n_ev) AS BIGINT) AS n_events,
+    CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
+    CAST(max(dur_us) AS BIGINT) AS max_dur_us
+  FROM i)
+SELECT n_islands, n_events,
+  floor(CAST(n_events AS DOUBLE) / CAST(n_islands AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS avg_events_per_island,
+  floor(CAST(sum_dur_us AS DOUBLE) / CAST(n_islands AS DOUBLE)
+        / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+    AS avg_island_sec,
+  CAST(max_dur_us AS DOUBLE) / 1000000.0 AS max_island_sec
+FROM a
+""",
+    description="gaps-and-islands merge of overlapping activity "
+    "intervals (each event spans 30 min) per user — the interval "
+    "coalescing primitive behind session billing, uptime and "
+    "co-viewing analytics: the classic running-max island detector "
+    "(island starts where start > max of all previous ends), with "
+    "EVERY window PARTITIONED BY user (hash-partitioned, parallel; "
+    "never a global window), island grain is one aggregation, and "
+    "all time arithmetic is exact int64 microseconds until the two "
+    "final divisions",
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    # ts loads as TIMESTAMP_NTZ; the session timezone is pinned UTC
+    # (session.py), so the NTZ->LTZ cast is the identity and
+    # unix_micros matches DuckDB's epoch_us(naive-as-UTC) exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("st"),
+        (us + F.lit(1_800_000_000)).alias("en"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("st", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = e.withColumn("pm", F.max("en").over(wprev))
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("st", "en")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flag = F.when(
+        F.col("pm").isNull() | (F.col("st") > F.col("pm")), 1
+    ).otherwise(0)
+    g = f.withColumn("island", F.sum(flag).over(wcum).cast("long"))
+    i = g.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("n_ev"),
+        (F.max("en") - F.min("st")).cast("long").alias("dur_us"),
+    )
+    a = i.agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum("dur_us").cast("long").alias("sum_dur_us"),
+        F.max("dur_us").cast("long").alias("max_dur_us"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return a.select(
+        "n_islands",
+        "n_events",
+        fl6(
+            F.col("n_events").cast("double")
+            / F.col("n_islands").cast("double")
+        ).alias("avg_events_per_island"),
+        fl6(
+            F.col("sum_dur_us").cast("double")
+            / F.col("n_islands").cast("double")
+            / F.lit(1e6)
+        ).alias("avg_island_sec"),
+        (F.col("max_dur_us").cast("double") / F.lit(1e6)).alias(
+            "max_island_sec"
+        ),
+    )
+
+
+@q(
+    "q215_source_percentile_bands",
+    oracle="""
+WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+cu AS (SELECT source, v, c,
+    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+      AS cum,
+    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM v)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+  CAST(min(CASE WHEN cum * 100 >= 25 * n THEN v END) AS BIGINT)
+    AS p25,
+  CAST(min(CASE WHEN cum * 100 >= 50 * n THEN v END) AS BIGINT)
+    AS p50,
+  CAST(min(CASE WHEN cum * 100 >= 75 * n THEN v END) AS BIGINT)
+    AS p75,
+  CAST(min(CASE WHEN cum * 100 >= 90 * n THEN v END) AS BIGINT)
+    AS p90
+FROM cu GROUP BY source ORDER BY source
+""",
+    description="per-source exact nearest-rank percentile bands "
+    "(p25/p50/p75/p90 of document char length) — the per-slice "
+    "length profile a mixture designer compares across crawls: "
+    "computed at (source, value) HISTOGRAM grain (domain-bounded, "
+    "never per-row ranks), cumulated by windows PARTITIONED BY "
+    "source (hash-partitioned, parallel — grouped percentiles need "
+    "no global device), each percentile a conditional-min over the "
+    "cumulative histogram (nearest-rank definition, cum*100 >= p*n "
+    "in exact integers — no interpolation convention to split "
+    "engines)",
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    cu = v.select(
+        "source",
+        "v",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+
+    def pct(p: int, out: str):
+        return (
+            F.min(
+                F.when(
+                    F.col("cum") * F.lit(100) >= F.lit(p) * F.col("n"),
+                    F.col("v"),
+                )
+            )
+            .cast("long")
+            .alias(out)
+        )
+
+    return (
+        cu.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            pct(25, "p25"),
+            pct(50, "p50"),
+            pct(75, "p75"),
+            pct(90, "p90"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "q217_js_divergence",
+    oracle="""
+WITH sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sl GROUP BY 1),
+l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM sl GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sl),
+grid AS (SELECT s.source, s.ns, l.lang, l.nl, t.n,
+    COALESCE(sl.c, 0) AS c
+  FROM s CROSS JOIN l CROSS JOIN t
+  LEFT JOIN sl ON sl.source = s.source AND sl.lang = l.lang),
+terms AS (SELECT source, ns,
+    CASE WHEN c > 0 THEN (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+      * ln((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+           / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+               + CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+      ELSE 0.0 END AS tp,
+    (CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln((CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+           / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+               + CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+      AS tq
+  FROM grid)
+SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+  floor((0.5 * sum(tp) + 0.5 * sum(tq)) * 1000000.0 + 0.5)
+    / 1000000.0 AS jsd
+FROM terms GROUP BY source ORDER BY source
+""",
+    description="Jensen-Shannon divergence between each source's "
+    "language distribution and the corpus-wide language mix — the "
+    "symmetric, bounded drift number (0..ln2 nats) a mixture "
+    "designer watches per crawl slice: counts aggregate once to the "
+    "bounded source x lang grid (zero-filled by a dimension cross "
+    "join, so absent languages still contribute their KL(Q||M) "
+    "mass), every cell term evaluates the identical parenthesized "
+    "double tree in both engines, and the per-source sum runs over "
+    "a languages-sized frame",
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("c"))
+        # bounded grid (sources x langs), five consumers
+        .persist()
+    )
+    s = sl.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    l = sl.groupBy("lang").agg(F.sum("c").cast("long").alias("nl"))
+    t = sl.agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        s.crossJoin(F.broadcast(l))
+        .crossJoin(F.broadcast(t))
+        .join(F.broadcast(sl), ["source", "lang"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    d = lambda c_: c_.cast("double")
+    p = d(F.col("c")) / d(F.col("ns"))
+    qd = d(F.col("nl")) / d(F.col("n"))
+    m = (p + qd) / F.lit(2.0)
+    terms = grid.select(
+        "source",
+        "ns",
+        F.when(F.col("c") > 0, p * F.log(p / m))
+        .otherwise(F.lit(0.0))
+        .alias("tp"),
+        (qd * F.log(qd / m)).alias("tq"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            fl6(
+                F.lit(0.5) * F.sum("tp") + F.lit(0.5) * F.sum("tq")
+            ).alias("jsd"),
+        )
+        .orderBy("source")
+    )
