@@ -10516,7 +10516,7 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = pred.groupBy("p").agg(
         F.sum("y").cast("long").alias("pos_v"),
         (F.count("*") - F.sum("y")).cast("long").alias("neg_v"),
-    )
+    ).persist()  # bounded (<=10001 rows); two consumers (curve, totals)
     w = Window.orderBy(F.desc("p")).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -10595,7 +10595,7 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = pred.groupBy("p").agg(
         F.sum("y").cast("long").alias("pos_v"),
         (F.count("*") - F.sum("y")).cast("long").alias("neg_v"),
-    )
+    ).persist()  # bounded (<=10001 rows); two consumers (ECDFs, totals)
     w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
     t = g.agg(
         F.sum("pos_v").cast("long").alias("np"),
@@ -10737,9 +10737,21 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascending=True, tie_cols=["doc_id"], out_col="decile",
         persist_input=True,
     )
-    g = t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+    # the decile frame is <=10 rows and has two consumers (cumulation,
+    # grand total) — collect it to a VALUES literal (the q181 move) so
+    # the fact-sized device window evaluates exactly once
+    rows = t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("tokens"),
+    ).collect()
+    vals = ", ".join(
+        f"({r['decile']}, {r['n_docs']}, {r['tokens']})" for r in rows
+    )
+    g = spark.sql(
+        f"SELECT CAST(decile AS BIGINT) AS decile, "
+        f"CAST(n_docs AS BIGINT) AS n_docs, "
+        f"CAST(tokens AS BIGINT) AS tokens "
+        f"FROM VALUES {vals} AS t(decile, n_docs, tokens)"
     )
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     tot = g.agg(F.sum("tokens").cast("long").alias("grand"))
@@ -11214,8 +11226,21 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cm", (F.col("mi") - F.col("cm")).alias("offs"), "o_custkey")
         .distinct()
     )
-    r = act.groupBy("cm", F.col("offs").cast("long").alias("offs")).agg(
-        F.count("*").cast("long").alias("n_active")
+    # the retention matrix is calendar-bounded (months x 6 offsets)
+    # and has two consumers (itself and its offset-0 slice) — left
+    # lazy, the fact scan and custkey shuffle run twice. Collect to a
+    # VALUES literal (the q199/q200 device): ONE fact pass, the
+    # cohort-size self-join is local
+    rows = act.groupBy(
+        "cm", F.col("offs").cast("long").alias("offs")
+    ).agg(F.count("*").cast("long").alias("n_active")).collect()
+    vals = ", ".join(
+        f"({r['cm']}, {r['offs']}, {r['n_active']})" for r in rows
+    )
+    r = spark.sql(
+        f"SELECT CAST(cm AS BIGINT) AS cm, CAST(offs AS BIGINT) AS offs, "
+        f"CAST(n_active AS BIGINT) AS n_active "
+        f"FROM VALUES {vals} AS t(cm, offs, n_active)"
     )
     c0 = r.filter(F.col("offs") == 0).select(
         "cm", F.col("n_active").alias("cohort_size")

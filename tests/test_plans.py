@@ -462,3 +462,106 @@ def test_q201_wilson_shape(spark):
     assert plan.count("Exchange SinglePartition") == 0
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ===================== round 9 pins =====================
+
+
+def test_r9_device_inequality_queries(spark):
+    # q205/q212: Gini and Zipf rank via the two-phase device with
+    # persist_input — the LIVE plan is one bucket window over one
+    # InMemoryTableScan; the only SinglePartition is the final
+    # model-sized moment aggregation
+    for name in ("q205_gini_concentration", "q212_zipf_slope"):
+        live = live_plan(plan_of(spark, name))
+        assert live.count("windowspecdefinition(_bkt") == 1, name
+        assert live.count("InMemoryTableScan") == 1, name
+        assert live.count("Exchange SinglePartition") <= 1, name
+        assert "Scan parquet" not in live, name
+        assert "ntile(" not in live, name
+        assert "CartesianProduct" not in live, name
+
+
+def test_r9_local_relation_queries(spark):
+    # q206/q208/q210/q211: calendar- or decile-bounded frames collect
+    # to VALUES literals — the returned plan reads LocalTableScan
+    # only (never a parquet re-scan, never a parallelize-backed
+    # ExistingRDD that pays a python round trip per evaluation)
+    for name in (
+        "q206_lorenz_deciles",
+        "q208_kendall_tau",
+        "q210_cohort_retention",
+        "q211_dow_seasonality",
+    ):
+        plan = plan_of(spark, name)
+        live = live_plan(plan)
+        assert "LocalTableScan" in live, name
+        assert "Scan parquet" not in live, name
+        assert "Scan ExistingRDD" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_r9_score_grid_eval_queries(spark):
+    # q203/q204: the PR curve and KS run entirely on the PERSISTED
+    # bounded score-grid frame — the returned plan reads
+    # InMemoryTableScan (two consumers, one materialization), its
+    # SinglePartition exchanges sit only above the <=10001-row grid,
+    # and no parquet scan survives in the live plan
+    for name in ("q203_pr_curve", "q204_ks_statistic"):
+        live = live_plan(plan_of(spark, name))
+        assert live.count("InMemoryTableScan") == 2, name
+        assert "Scan parquet" not in live, name
+        assert live.count("Exchange SinglePartition") <= 2, name
+        assert "CartesianProduct" not in live, name
+
+
+def test_r9_partitioned_window_queries(spark):
+    # q214/q215: every data-sized window is PARTITIONED (user_id /
+    # source) — the gaps-and-islands detector and the grouped
+    # percentile histogram never plan a global window; the one
+    # SinglePartition allowed is q214's final single-row aggregate
+    for name, part in (
+        ("q214_interval_islands", "windowspecdefinition(user_id"),
+        ("q215_source_percentile_bands", "windowspecdefinition(source"),
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count(part) == 2, name
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert part in line, f"{name}: {line.strip()[:100]}"
+        assert plan.count("Exchange SinglePartition") <= 1, name
+        assert plan.count("Scan parquet") == 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_r9_single_scan_aggregates(spark):
+    # q202/q213: one aggregation pipeline, no windows over data;
+    # q202's only join is the broadcast label join at doc grain
+    plan = plan_of(spark, "q213_dup_cluster_powerlaw")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    plan = plan_of(spark, "q202_calibration_bins")
+    assert plan.count("Scan parquet") == 2  # scores + labels (q190 shape)
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r9_shared_frame_queries(spark):
+    # q207/q209/q217: a persisted shared frame feeds every marginal
+    # consumer (bigram table -> 3 marginals + filter; doc frame -> 2
+    # midrank maps + fact pass; source x lang grid -> margins/total/
+    # cells) — the live plan reads InMemoryTableScan, and the only
+    # parquet scans left are cache materialization, not re-derivation
+    for name, n_cache in (
+        ("q207_gtest_collocations", 4),
+        ("q209_spearman_rank_corr", 3),
+        ("q217_js_divergence", 4),
+    ):
+        live = live_plan(plan_of(spark, name))
+        assert live.count("InMemoryTableScan") == n_cache, name
+        assert "Scan parquet" not in live, name
+        assert "CartesianProduct" not in live, name
+    # q207's top-50 is a partial top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan_of(spark, "q207_gtest_collocations")
