@@ -106,6 +106,14 @@ HEADLINE = [
     "q191_heavy_hitters",
     "q196_heldout_perplexity",
     "q197_curation_funnel",
+    # round-9 representatives: device-with-persist at fact grain
+    # (Gini), the persisted-bigram marginal family (G-test), the
+    # value-grain midrank correlation, and the per-user interval
+    # merge (window family)
+    "q205_gini_concentration",
+    "q207_gtest_collocations",
+    "q209_spearman_rank_corr",
+    "q214_interval_islands",
 ]
 
 

@@ -842,3 +842,101 @@ def distinct_count_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def heavy_hitters_stream(
+    docs: DataFrame,
+    value_col: str,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    k: int = 100,
+):
+    """Streaming heavy hitters via a PERSISTED Misra–Gries summary —
+    the streaming twin of ``quality.heavy_hitters_exact``'s pass 1:
+    each micro-batch aggregates its values exactly (vocabulary grain
+    for the batch), MG-compresses to ≤k rows, merges with the
+    committed summary by count sum, and re-compresses — the PODS
+    2012 mergeable-summaries operation, so the undercount bound
+    n_total/(k+1) holds for ANY batch split and the surviving keys
+    are a DETERMINISTIC superset of every value with true count >
+    n_total/(k+1). State is ≤k rows forever.
+
+    Compression subtracts the (k+1)-th largest count from every
+    counter and drops the non-positive (at most k can exceed it) —
+    the threshold is a (k+1)-row driver collect, model-sized by
+    construction. Per batch the store gains ``summary/batch=N``
+    (value, est_count — an underestimate of the true count by at
+    most the bound) and ``totals/batch=N`` (n_total), with the
+    marker-commit exactly-once contract. Unlike the batch operator
+    there is no second exact-count pass (the stream is gone);
+    consumers filter ``est_count`` against their own support
+    threshold knowing a true heavy hitter can never be absent."""
+    root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
+
+    def _compress(counts: DataFrame) -> DataFrame:
+        top = (
+            counts.orderBy(F.desc("est_count"), F.asc("v"))
+            .limit(k + 1)
+            .collect()
+        )
+        if len(top) <= k:
+            return counts
+        m = top[-1]["est_count"]
+        return counts.filter(F.col("est_count") > m).select(
+            "v", (F.col("est_count") - F.lit(m)).alias("est_count")
+        )
+
+    def _latest(spark: SparkSession, name: str) -> DataFrame | None:
+        # summary/totals are FULL-snapshot-per-batch stores (like the
+        # cluster stream's assignments): unioning batch dirs would
+        # double-count the summed counters — read only the newest
+        # committed dir
+        for b in sorted(_committed_batches(root), reverse=True):
+            d = _batch_dir(root, name, b)
+            if d.exists():
+                return spark.read.parquet(str(d))
+        return None
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        spark = batch.sparkSession
+        vals = batch.select(
+            F.col(value_col).cast("string").alias("v")
+        ).filter(F.col("v").isNotNull())
+        bc = vals.groupBy("v").agg(
+            F.count("*").cast("long").alias("est_count")
+        )
+        n_batch = vals.count()
+        summary = _compress(bc)
+        prior = _latest(spark, "summary")
+        if prior is not None:
+            summary = _compress(
+                summary.unionByName(prior)
+                .groupBy("v")
+                .agg(F.sum("est_count").cast("long").alias("est_count"))
+            )
+        prior_tot = _latest(spark, "totals")
+        n_total = n_batch + (
+            prior_tot.collect()[0]["n_total"] if prior_tot is not None else 0
+        )
+        summary = summary.persist()
+        summary.count()  # eager: store write + commit share it
+        summary.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "summary", batch_id))
+        )
+        spark.createDataFrame(
+            [(int(n_total),)], "n_total long"
+        ).write.mode("overwrite").parquet(
+            str(_batch_dir(root, "totals", batch_id))
+        )
+        summary.unpersist()
+        _commit(root, batch_id, {"tier": "misra_gries", "k": k})
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1040,3 +1040,64 @@ def test_streaming_hll_distinct_count_merges_exactly(spark, tmp_path):
     regs = spark.read.parquet(str(store / "registers" / batches[-1]))
     assert regs.count() <= 256
     assert len(list((store / "_commits").glob("b*.json"))) == 2
+
+
+def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
+    """The persisted Misra-Gries stream: after two batches the
+    summary (<=k rows forever) contains EVERY true heavy hitter of
+    the concatenated stream, each estimate underestimates its true
+    count by at most n_total/(k+1), replay is exactly-once."""
+    import json as _json
+
+    from lynx_spark.streaming.incremental import heavy_hitters_stream
+
+    k = 10
+    # batch 1: 'hot' x 120, tail t0..t59 x1; batch 2: 'hot' x 30,
+    # 'warm' x 80, tail u0..u49 x1
+    b1 = ["hot"] * 120 + [f"t{i}" for i in range(60)]
+    b2 = ["hot"] * 30 + ["warm"] * 80 + [f"u{i}" for i in range(50)]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(_json.dumps({"w": w}) for w in b1)
+    )
+    (d / "b2.json").write_text(
+        "\n".join(_json.dumps({"w": w}) for w in b2)
+    )
+    docs = (
+        spark.readStream.schema("w string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = heavy_hitters_stream(docs, "w", store, tmp_path / "ck", k=k)
+    q.awaitTermination(120)
+
+    batches = sorted(p.name for p in (store / "summary").glob("batch=*"))
+    assert len(batches) == 2
+    summ = {
+        r["v"]: r["est_count"]
+        for r in spark.read.parquet(
+            str(store / "summary" / batches[-1])
+        ).collect()
+    }
+    tot = spark.read.parquet(
+        str(store / "totals" / batches[-1])
+    ).collect()[0]["n_total"]
+    all_words = b1 + b2
+    assert tot == len(all_words)
+    assert len(summ) <= k  # bounded state
+
+    import collections
+
+    true = collections.Counter(all_words)
+    bound = tot / (k + 1)
+    # superset guarantee: every value with count > n/(k+1) survives
+    for w, c in true.items():
+        if c > bound:
+            assert w in summ, (w, c, bound)
+    # estimates never exceed the truth and undercount by <= bound
+    for w, est in summ.items():
+        assert est <= true[w]
+        assert true[w] - est <= bound
+    assert len(list((store / "_commits").glob("b*.json"))) == 2
