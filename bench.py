@@ -117,6 +117,20 @@ HEADLINE = [
 ]
 
 
+def _md5_worker(n_mb: int) -> float:
+    """Hash n_mb MB of zeros; runs in a pool worker for the
+    multi-core calibration (must be module-level for pickling)."""
+    import hashlib
+    import time as _t
+
+    buf = b"x" * (1 << 20)
+    t0 = _t.perf_counter()
+    h = hashlib.md5()
+    for _ in range(n_mb):
+        h.update(buf)
+    return _t.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from lynx_spark.session import get_spark
@@ -242,6 +256,25 @@ def main() -> None:
         acc += i * i
     calib_pyloop_sec = round(time.perf_counter() - t0, 4)
 
+    # r9: MULTI-core calibration. The single-core constants above
+    # cannot see a concurrent process eating a few of the 32 cores —
+    # exactly the contention that slows 32-way Spark stages in a
+    # driver session while leaving calib_md5_mbps untouched (r9
+    # measured: equal single-core calib between the r8 driver run and
+    # a clean r9 run, yet q83/q131 ran 16-21% faster clean). This
+    # runs the same md5 loop on ALL cores at once via a process pool;
+    # aggregate MB/s well below cores*single-core means the machine
+    # was multi-core contended during the bench.
+    import multiprocessing as mp
+
+    ncpu = mp.cpu_count()
+    with mp.Pool(ncpu) as pool:
+        t0 = time.perf_counter()
+        pool.map(_md5_worker, [50] * ncpu)
+        calib_md5_par_mbps = round(
+            ncpu * 50 / (time.perf_counter() - t0), 1
+        )
+
     # r9 guard (VERDICT r8 task 6): the clean-subprocess w0 floor is
     # on record — 0.098s/20k writes (205k writes/s) at
     # calib_pyloop_sec 0.0964 (r8). If this run's w0 exceeds 2x that
@@ -284,6 +317,7 @@ def main() -> None:
                 "queries_median": medians,
                 "noise_band": round(sum(noise) / len(noise), 4) if noise else 0.0,
                 "calib_md5_mbps": calib_md5_mbps,
+                "calib_md5_par_mbps": calib_md5_par_mbps,
                 "calib_pyloop_sec": calib_pyloop_sec,
                 "w0_contended": w0_contended,
                 "sf": sf,

@@ -11674,3 +11674,621 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q218_kaplan_meier",
+    oracle="""
+WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders),
+r AS (SELECT o_custkey, d, row_number() OVER (PARTITION BY o_custkey
+      ORDER BY d, o_orderkey) AS rn FROM o),
+per AS (SELECT o_custkey,
+    min(CASE WHEN rn = 1 THEN d END) AS d1,
+    min(CASE WHEN rn = 2 THEN d END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY 1),
+mx AS (SELECT max(d) AS maxd FROM o),
+dur AS (SELECT CAST(CASE WHEN d2 IS NOT NULL
+      THEN date_diff('day', d1, d2)
+      ELSE date_diff('day', d1, maxd) END AS BIGINT) AS t,
+    CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS evt
+  FROM per CROSS JOIN mx),
+g AS (SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+    CAST(sum(evt) AS BIGINT) AS d_i FROM dur GROUP BY 1),
+k AS (SELECT t, d_i,
+    CAST(sum(c_all) OVER ()
+      - COALESCE(sum(c_all) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM g),
+k2 AS (SELECT t, n_risk, d_i,
+    sum(CASE WHEN d_i > 0 AND d_i < n_risk
+        THEN CAST(floor(ln(CAST(n_risk - d_i AS DOUBLE)
+            / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        ELSE 0 END) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcum,
+    sum(CASE WHEN d_i > 0 AND d_i = n_risk THEN 1 ELSE 0 END)
+      OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zcum
+  FROM k)
+SELECT t AS t_days, n_risk AS n_at_risk, d_i AS n_events,
+  CASE WHEN zcum > 0 THEN 0.0
+    ELSE floor(exp(CAST(lcum AS DOUBLE) / 1000000.0) * 1000000.0
+         + 0.5) / 1000000.0 END AS survival
+FROM k2 WHERE d_i > 0 ORDER BY t_days
+""",
+    description="Kaplan-Meier survival curve of customer repeat "
+    "purchase — time-to-second-order in days, right-censored at the "
+    "corpus horizon for one-order customers (the retention curve an "
+    "experimenter reads before powering a churn test): per-customer "
+    "first/second order dates come from ONE custkey-partitioned "
+    "window over the fact scan (hashpartitioned, never global), the "
+    "curve itself lives at the calendar-bounded distinct-duration "
+    "grain (<= span-in-days rows at every SF), at-risk counts are "
+    "exact integers from a prefix-sum complement, and the product "
+    "S(t) = prod(1 - d_i/n_i) is evaluated order-free as exp of a "
+    "cumulative sum of 1e-6-grid-snapped ln terms (the q212 "
+    "convention) with an exact-zero flag once any factor hits 0",
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    per = (
+        o.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    mx = o.agg(F.max("d").alias("maxd"))
+    dur = per.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff("maxd", "d1"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("evt"),
+    )
+    # ONE aggregation to the duration grain; every window below runs
+    # on this calendar-bounded frame (<= span-in-days rows), so the
+    # fact scan happens exactly once
+    g = dur.groupBy("t").agg(
+        F.count("*").cast("long").alias("c_all"),
+        F.sum("evt").cast("long").alias("d_i"),
+    )
+    wt = Window.orderBy("t")
+    whole = Window.partitionBy()
+    prev = F.coalesce(
+        F.sum("c_all").over(
+            wt.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    k = g.select(
+        "t",
+        "d_i",
+        (F.sum("c_all").over(whole) - prev).cast("long").alias("n_risk"),
+    )
+    lterm = F.when(
+        (F.col("d_i") > 0) & (F.col("d_i") < F.col("n_risk")),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d_i")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    zterm = F.when(
+        (F.col("d_i") > 0) & (F.col("d_i") == F.col("n_risk")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cum = wt.rowsBetween(Window.unboundedPreceding, 0)
+    k2 = k.select(
+        "t",
+        "n_risk",
+        "d_i",
+        F.sum(lterm).over(cum).alias("lcum"),
+        F.sum(zterm).over(cum).alias("zcum"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        k2.filter(F.col("d_i") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d_i").alias("n_events"),
+            F.when(F.col("zcum") > 0, F.lit(0.0))
+            .otherwise(
+                fl6(F.exp(F.col("lcum").cast("double") / F.lit(1e6)))
+            )
+            .alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+@q(
+    "q219_changepoint",
+    oracle=f"""
+WITH {_MONTH_CTE},
+c AS (SELECT mi, rev,
+    CAST(row_number() OVER (ORDER BY mi) AS BIGINT) AS k,
+    CAST(sum(rev) OVER (ORDER BY mi
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS sl,
+    CAST(count(*) OVER () AS BIGINT) AS n,
+    CAST(sum(rev) OVER () AS BIGINT) AS stot,
+    sum(CAST(rev AS HUGEINT) * rev) OVER () AS s2tot
+  FROM m),
+d AS (SELECT mi, k, n, sl, stot, s2tot,
+    ((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / CAST(k AS DOUBLE)
+     + (CAST(stot - sl AS DOUBLE) * CAST(stot - sl AS DOUBLE))
+       / CAST(n - k AS DOUBLE))
+    - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
+      / CAST(n AS DOUBLE) AS gain,
+    CAST(s2tot AS DOUBLE)
+    - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
+      / CAST(n AS DOUBLE) AS sst
+  FROM c WHERE k < n),
+best AS (SELECT * FROM d ORDER BY gain DESC, mi LIMIT 1)
+SELECT n AS n_months, mi AS split_mi, k AS left_months,
+  floor(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS left_mean_cents,
+  floor(CAST(stot - sl AS DOUBLE) / CAST(n - k AS DOUBLE)
+    * 1000000.0 + 0.5) / 1000000.0 AS right_mean_cents,
+  CASE WHEN sst <= 0.0 THEN 0.0
+    ELSE floor(gain / sst * 1000000.0 + 0.5) / 1000000.0 END
+    AS var_explained
+FROM best
+""",
+    description="single change-point detection on monthly revenue "
+    "(binary segmentation step 1, Scott-Knott/CUSUM family): the "
+    "split k minimizing total within-segment SSE, found in closed "
+    "form via gain(k) = S_l^2/k + S_r^2/(n-k) - S^2/n over prefix "
+    "sums — ONE fact scan aggregates to the calendar-bounded month "
+    "grain (the q199/q200 local relation), every candidate split is "
+    "a row of a months-sized window frame, and all doubles derive "
+    "from exact int64 cent sums through IEEE +,*,/ (deterministic "
+    "across engines — no transcendentals), with sum(rev^2) carried "
+    "as DECIMAL(38)/HUGEINT since cents-squared passes 2^63 at 10x; "
+    "reported var_explained = gain/SST is the scale-free fraction "
+    "of variance the split removes",
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly_revenue_local(spark, sf_dir)
+    wm = Window.orderBy("mi")
+    whole = Window.partitionBy()
+    cum = wm.rowsBetween(Window.unboundedPreceding, 0)
+    dbl = lambda c_: c_.cast("double")
+    c = m.select(
+        "mi",
+        "rev",
+        F.row_number().over(wm).cast("long").alias("k"),
+        F.sum("rev").over(cum).cast("long").alias("sl"),
+        F.count("*").over(whole).cast("long").alias("n"),
+        F.sum("rev").over(whole).cast("long").alias("stot"),
+        F.sum(
+            F.col("rev").cast("decimal(19,0)")
+            * F.col("rev").cast("decimal(19,0)")
+        )
+        .over(whole)
+        .alias("s2tot"),
+    )
+    sl, k, n, stot = F.col("sl"), F.col("k"), F.col("n"), F.col("stot")
+    gain = (
+        (dbl(sl) * dbl(sl)) / dbl(k)
+        + (dbl(stot - sl) * dbl(stot - sl)) / dbl(n - k)
+    ) - (dbl(stot) * dbl(stot)) / dbl(n)
+    sst = F.col("s2tot").cast("double") - (dbl(stot) * dbl(stot)) / dbl(n)
+    d = c.filter(k < n).select(
+        "mi", "k", "n", "sl", "stot",
+        gain.alias("gain"), sst.alias("sst"),
+    )
+    # argmax over the months-sized candidate frame: lexicographic
+    # struct max on (gain, -mi) — mi is unique, so the winner is
+    # total-ordered; every double here is bit-identical across
+    # engines (exact-int inputs through IEEE ops only)
+    best = d.agg(
+        F.max(
+            F.struct(
+                F.col("gain").alias("g"),
+                (-F.col("mi")).alias("negmi"),
+                F.col("n").alias("n"),
+                F.col("k").alias("k"),
+                F.col("sl").alias("sl"),
+                F.col("stot").alias("stot"),
+                F.col("sst").alias("sst"),
+            )
+        ).alias("b")
+    ).select("b.*")
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return best.select(
+        F.col("n").alias("n_months"),
+        (-F.col("negmi")).alias("split_mi"),
+        F.col("k").alias("left_months"),
+        fl6(dbl(F.col("sl")) / dbl(F.col("k"))).alias("left_mean_cents"),
+        fl6(
+            dbl(F.col("stot") - F.col("sl"))
+            / dbl(F.col("n") - F.col("k"))
+        ).alias("right_mean_cents"),
+        F.when(F.col("sst") <= 0.0, F.lit(0.0))
+        .otherwise(fl6(F.col("g") / F.col("sst")))
+        .alias("var_explained"),
+    )
+
+
+@q(
+    "q220_lexical_diversity",
+    oracle=r"""
+WITH wx AS (SELECT source,
+    unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents),
+wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM wx WHERE w <> '' GROUP BY 1, 2),
+per AS (SELECT source,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS vocab,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM wc GROUP BY 1)
+SELECT source, n_tokens, vocab, hapax,
+  floor(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+    * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+  floor(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+    * 1000000.0 + 0.5) / 1000000.0 AS hapax_share,
+  CASE WHEN n_tokens <= 1 THEN 0.0
+    ELSE floor(ln(CAST(vocab AS DOUBLE))
+      / ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+      / 1000000.0 END AS herdan_c
+FROM per ORDER BY source
+""",
+    description="lexical-diversity profile per source — type-token "
+    "ratio, hapax-legomenon share, and Herdan's C (ln V / ln N, the "
+    "size-robust diversity exponent) — the quick template-vs-"
+    "natural-text discriminator a curation pipeline reads per crawl "
+    "slice (boilerplate farms show low TTR and hapax share at high "
+    "volume): ONE pass explodes words to the (source, word) "
+    "vocabulary grain, a single conditional aggregation derives all "
+    "three counts, and the ratios snap to the 1e-6 grid",
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        T(spark, sf_dir, "documents")
+        .select("source", F.explode(tx._words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("hapax"),
+    )
+    dbl = lambda c_: c_.cast("double")
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        fl6(dbl(F.col("vocab")) / dbl(F.col("n_tokens"))).alias("ttr"),
+        fl6(dbl(F.col("hapax")) / dbl(F.col("vocab"))).alias(
+            "hapax_share"
+        ),
+        F.when(F.col("n_tokens") <= 1, F.lit(0.0))
+        .otherwise(
+            fl6(
+                F.log(dbl(F.col("vocab")))
+                / F.log(dbl(F.col("n_tokens")))
+            )
+        )
+        .alias("herdan_c"),
+    ).orderBy("source")
+
+
+@q(
+    "q221_cramers_v",
+    oracle="""
+WITH cell AS (SELECT c_mktsegment AS seg,
+    CAST(c_nationkey AS BIGINT) AS nk,
+    CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2),
+rowm AS (SELECT seg, CAST(sum(c) AS BIGINT) AS rc FROM cell
+  GROUP BY 1),
+colm AS (SELECT nk, CAST(sum(c) AS BIGINT) AS cc FROM cell
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+grid AS (SELECT rowm.seg, rowm.rc, colm.nk, colm.cc, tot.n,
+    COALESCE(cell.c, 0) AS o
+  FROM rowm CROSS JOIN colm CROSS JOIN tot
+  LEFT JOIN cell ON cell.seg = rowm.seg AND cell.nk = colm.nk),
+terms AS (SELECT n,
+    CAST(floor((CAST(o AS DOUBLE)
+        - (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE))
+          / CAST(n AS DOUBLE))
+      * (CAST(o AS DOUBLE)
+        - (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE))
+          / CAST(n AS DOUBLE))
+      / ((CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE))
+         / CAST(n AS DOUBLE))
+      * 1000000.0 + 0.5) AS BIGINT) AS tmic
+  FROM grid),
+s AS (SELECT CAST(max(n) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS cells,
+    (SELECT CAST(count(*) AS BIGINT) FROM rowm) AS r,
+    (SELECT CAST(count(*) AS BIGINT) FROM colm) AS c,
+    CAST(sum(tmic) AS BIGINT) AS chimic
+  FROM terms)
+SELECT n AS n_customers, r AS r_levels, c AS c_levels,
+  CAST(chimic AS DOUBLE) / 1000000.0 AS chi2,
+  floor(sqrt((CAST(chimic AS DOUBLE) / 1000000.0)
+      / CAST(n AS DOUBLE)
+      / CAST(CASE WHEN r - 1 < c - 1 THEN r - 1 ELSE c - 1 END
+             AS DOUBLE))
+    * 1000000.0 + 0.5) / 1000000.0 AS cramers_v,
+  floor(sqrt(
+      (CASE WHEN (CAST(chimic AS DOUBLE) / 1000000.0)
+          / CAST(n AS DOUBLE)
+          - (CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE) > 0.0
+        THEN (CAST(chimic AS DOUBLE) / 1000000.0)
+          / CAST(n AS DOUBLE)
+          - (CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE))
+            / CAST(n - 1 AS DOUBLE)
+        ELSE 0.0 END)
+      / (CASE WHEN
+          CAST(r AS DOUBLE) - (CAST(r - 1 AS DOUBLE)
+            * CAST(r - 1 AS DOUBLE)) / CAST(n - 1 AS DOUBLE) - 1.0
+          < CAST(c AS DOUBLE) - (CAST(c - 1 AS DOUBLE)
+            * CAST(c - 1 AS DOUBLE)) / CAST(n - 1 AS DOUBLE) - 1.0
+        THEN CAST(r AS DOUBLE) - (CAST(r - 1 AS DOUBLE)
+            * CAST(r - 1 AS DOUBLE)) / CAST(n - 1 AS DOUBLE) - 1.0
+        ELSE CAST(c AS DOUBLE) - (CAST(c - 1 AS DOUBLE)
+            * CAST(c - 1 AS DOUBLE)) / CAST(n - 1 AS DOUBLE) - 1.0
+        END))
+    * 1000000.0 + 0.5) / 1000000.0 AS cramers_v_corrected
+FROM s
+""",
+    description="Cramer's V association between market segment and "
+    "nation (plain and Bergsma 2013 bias-corrected) — the effect-"
+    "size companion to q194's chi-square (is the association LARGE, "
+    "not just significant — bias correction matters exactly when a "
+    "pipeline compares tables of different dimensions): counts "
+    "aggregate once to the bounded segment x nation grid, absent "
+    "cells are zero-filled via a marginal cross join (they still "
+    "contribute their expected mass), each cell's (O-E)^2/E snaps "
+    "to the 1e-6 grid BEFORE the grid-sized sum (order-free integer "
+    "micro-units), and the closing sqrt is a correctly-rounded IEEE "
+    "op on identical doubles",
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        T(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").cast("long").alias("nk"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        # bounded grid (segments x nations), four consumers
+        .persist()
+    )
+    rowm = cell.groupBy("seg").agg(F.sum("c").cast("long").alias("rc"))
+    colm = cell.groupBy("nk").agg(F.sum("c").cast("long").alias("cc"))
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        rowm.crossJoin(F.broadcast(colm))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cell), ["seg", "nk"], "left")
+        .withColumn("o", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    dbl = lambda c_: c_.cast("double")
+    e = (dbl(F.col("rc")) * dbl(F.col("cc"))) / dbl(F.col("n"))
+    tmic = F.floor(
+        (dbl(F.col("o")) - e) * (dbl(F.col("o")) - e) / e
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    s = grid.select("n", tmic.alias("tmic"), "seg", "nk").agg(
+        F.max("n").cast("long").alias("n"),
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("nk").cast("long").alias("c"),
+        F.sum("tmic").cast("long").alias("chimic"),
+    )
+    chi2 = F.col("chimic").cast("double") / F.lit(1e6)
+    n, r, c = F.col("n"), F.col("r"), F.col("c")
+    phi2 = chi2 / dbl(n)
+    phi2c = F.when(
+        phi2 - (dbl(r - 1) * dbl(c - 1)) / dbl(n - 1) > 0.0,
+        phi2 - (dbl(r - 1) * dbl(c - 1)) / dbl(n - 1),
+    ).otherwise(F.lit(0.0))
+    rcorr = dbl(r) - (dbl(r - 1) * dbl(r - 1)) / dbl(n - 1) - F.lit(1.0)
+    ccorr = dbl(c) - (dbl(c - 1) * dbl(c - 1)) / dbl(n - 1) - F.lit(1.0)
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("r").alias("r_levels"),
+        F.col("c").alias("c_levels"),
+        chi2.alias("chi2"),
+        fl6(
+            F.sqrt(
+                phi2
+                / dbl(
+                    F.when(r - 1 < c - 1, r - 1).otherwise(c - 1)
+                )
+            )
+        ).alias("cramers_v"),
+        fl6(
+            F.sqrt(
+                phi2c
+                / F.when(rcorr < ccorr, rcorr).otherwise(ccorr)
+            )
+        ).alias("cramers_v_corrected"),
+    )
+
+
+@q(
+    "q222_neyman_allocation",
+    oracle="""
+WITH o AS (SELECT o_custkey,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+st AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+    CAST(count(*) AS BIGINT) AS nh,
+    CAST(sum(cents) AS BIGINT) AS s1,
+    sum(CAST(cents AS HUGEINT) * cents) AS s2
+  FROM o JOIN customer ON o.o_custkey = customer.c_custkey
+  GROUP BY 1),
+sd AS (SELECT nk, nh,
+    CAST(floor(sqrt(
+        CASE WHEN nh > 1 AND
+          (CAST(s2 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / CAST(nh AS DOUBLE)) / CAST(nh - 1 AS DOUBLE) > 0.0
+        THEN (CAST(s2 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / CAST(nh AS DOUBLE)) / CAST(nh - 1 AS DOUBLE)
+        ELSE 0.0 END) * 100.0 + 0.5) AS BIGINT) AS sdc
+  FROM st),
+w AS (SELECT nk, nh, sdc, nh * sdc AS wh,
+    CAST(sum(nh * sdc) OVER () AS BIGINT) AS tot
+  FROM sd),
+a AS (SELECT nk, nh, sdc, wh, tot,
+    CASE WHEN tot = 0 THEN 0
+      ELSE (1000 * wh) // tot END AS af,
+    CASE WHEN tot = 0 THEN 0
+      ELSE 1000 * wh - ((1000 * wh) // tot) * tot END AS rem
+  FROM w),
+rk AS (SELECT nk, nh, sdc, af, rem,
+    CAST(row_number() OVER (ORDER BY rem DESC, nk) AS BIGINT) AS rnk,
+    CAST(1000 - sum(af) OVER () AS BIGINT) AS deficit
+  FROM a)
+SELECT n_name, nh AS n_orders,
+  CAST(sdc AS DOUBLE) / 100.0 AS sd_cents,
+  CAST(af + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END
+    AS BIGINT) AS alloc
+FROM rk JOIN nation ON nation.n_nationkey = rk.nk
+ORDER BY n_name
+""",
+    description="Neyman-optimal stratified-sample allocation of a "
+    "1000-order audit budget across nation strata (n_h proportional "
+    "to N_h * S_h — the variance-minimizing design a data-quality "
+    "team uses to size per-slice review quotas): ONE fact scan "
+    "aggregates order totals to the nation grain with exact int64 "
+    "cent sums and DECIMAL(38)/HUGEINT sums of squares (cents^2 "
+    "passes 2^63 at 10x), the per-stratum stddev snaps to the 0.01-"
+    "cent grid so every downstream weight is an exact integer, and "
+    "the largest-remainder apportionment (floor quotas + top-"
+    "remainder top-up, exact integer remainders, nationkey tie-"
+    "break) runs as windows over the nations-sized frame and sums "
+    "to the budget EXACTLY; the 100 TB path widens weights to "
+    "DECIMAL",
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nk")
+    )
+    st = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
+        .groupBy("nk")
+        .agg(
+            F.count("*").cast("long").alias("nh"),
+            F.sum("cents").cast("long").alias("s1"),
+            F.sum(
+                F.col("cents").cast("decimal(19,0)")
+                * F.col("cents").cast("decimal(19,0)")
+            ).alias("s2"),
+        )
+    )
+    dbl = lambda c_: c_.cast("double")
+    var = (
+        dbl(F.col("s2"))
+        - (dbl(F.col("s1")) * dbl(F.col("s1"))) / dbl(F.col("nh"))
+    ) / dbl(F.col("nh") - 1)
+    sd = st.select(
+        "nk",
+        "nh",
+        F.floor(
+            F.sqrt(
+                F.when((F.col("nh") > 1) & (var > 0.0), var).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sdc"),
+    )
+    whole = Window.partitionBy()
+    w = sd.select(
+        "nk",
+        "nh",
+        "sdc",
+        (F.col("nh") * F.col("sdc")).alias("wh"),
+        F.sum(F.col("nh") * F.col("sdc"))
+        .over(whole)
+        .cast("long")
+        .alias("tot"),
+    )
+    af = F.when(F.col("tot") == 0, F.lit(0)).otherwise(
+        F.expr("(1000 * wh) DIV tot")
+    )
+    rem = F.when(F.col("tot") == 0, F.lit(0)).otherwise(
+        F.lit(1000) * F.col("wh")
+        - F.expr("(1000 * wh) DIV tot") * F.col("tot")
+    )
+    a = w.select(
+        "nk", "nh", "sdc", af.alias("af"), rem.alias("rem")
+    )
+    rk = a.select(
+        "nk",
+        "nh",
+        "sdc",
+        "af",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("nk")))
+        .cast("long")
+        .alias("rnk"),
+        (F.lit(1000) - F.sum("af").over(whole))
+        .cast("long")
+        .alias("deficit"),
+    )
+    nat = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    return (
+        rk.join(F.broadcast(nat), "nk")
+        .select(
+            "n_name",
+            F.col("nh").alias("n_orders"),
+            (F.col("sdc").cast("double") / F.lit(100.0)).alias(
+                "sd_cents"
+            ),
+            (
+                F.col("af")
+                + F.when(F.col("rnk") <= F.col("deficit"), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("n_name")
+    )
