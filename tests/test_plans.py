@@ -565,3 +565,69 @@ def test_r9_shared_frame_queries(spark):
         assert "CartesianProduct" not in live, name
     # q207's top-50 is a partial top-k, never a global sort
     assert "TakeOrderedAndProject" in plan_of(spark, "q207_gtest_collocations")
+
+
+# ===================== round 9, second batch =====================
+
+
+def test_q218_km_partitioned_fact_window(spark):
+    # the only data-sized window is custkey-PARTITIONED; the global
+    # max date is a second column-pruned scan (map-side agg), never a
+    # whole-frame window over fact grain; every SinglePartition sits
+    # above the calendar-bounded duration grain (<= span-in-days rows)
+    plan = plan_of(spark, "q218_kaplan_meier")
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("windowspecdefinition(o_custkey") >= 1
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q219_changepoint_local_relation_only(spark):
+    # the month frame embeds as a VALUES literal: the returned plan
+    # is windows over a LocalTableScan — zero parquet, zero
+    # python-backed ExistingRDD
+    plan = plan_of(spark, "q219_changepoint")
+    live = live_plan(plan)
+    assert "LocalTableScan" in live
+    assert "Scan parquet" not in live
+    assert "Scan ExistingRDD" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q220_lexical_diversity_one_scan_no_singlepartition(spark):
+    # two stacked vocabulary-grain aggregations off ONE corpus scan;
+    # fully parallel — no window, no join, no SinglePartition anywhere
+    plan = plan_of(spark, "q220_lexical_diversity")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
+
+
+def test_q221_cramers_v_shared_grid(spark):
+    # the bounded segment x nation grid persists once and feeds all
+    # four consumers (row marginals, col marginals, total, cells) —
+    # live plan reads InMemoryTableScan x4, no parquet re-scan; the
+    # two SinglePartition exchanges sit above grid-sized frames
+    live = live_plan(plan_of(spark, "q221_cramers_v"))
+    assert live.count("InMemoryTableScan") == 4
+    assert "Scan parquet" not in live
+    assert live.count("Exchange SinglePartition") <= 2
+    assert "SortMergeJoin" not in live
+    assert "CartesianProduct" not in live
+
+
+def test_q222_neyman_broadcast_strata(spark):
+    # orders joins customer and nation by BROADCAST (dimension
+    # sides), strata aggregate behind one hashpartitioning, and the
+    # apportionment windows run over the nations-sized frame behind
+    # at most one SinglePartition
+    plan = plan_of(spark, "q222_neyman_allocation")
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert plan.count("windowspecdefinition(rem") >= 1
