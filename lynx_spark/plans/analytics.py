@@ -10093,7 +10093,13 @@ def _monthly_revenue_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-embedded and free to re-evaluate. Values are integers
     # by construction (month index, revenue cents) — no quoting.
     vals = ", ".join(f"({r['mi']}, {r['rev']})" for r in rows)
-    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(mi, rev)")
+    # BIGINT casts: VALUES infers INT for small literals, and
+    # downstream row products (q226's mi*rev) overflow 32 bits under
+    # ANSI even when each factor fits
+    return spark.sql(
+        f"SELECT CAST(mi AS BIGINT) AS mi, CAST(rev AS BIGINT) AS rev "
+        f"FROM VALUES {vals} AS t(mi, rev)"
+    )
 
 
 @q(
@@ -12291,4 +12297,521 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc"),
         )
         .orderBy("n_name")
+    )
+
+
+@q(
+    "q223_welch_ttest",
+    oracle="""
+WITH g AS (SELECT o_orderpriority AS grp,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS BIGINT) AS s1,
+    sum(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        AS HUGEINT)
+      * CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS s2
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1),
+m AS (SELECT grp, n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    (CAST(s2 AS DOUBLE)
+     - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))
+    / CAST(n - 1 AS DOUBLE) AS var
+  FROM g),
+w AS (SELECT
+    a.n AS n1, b.n AS n2, a.mean AS m1, b.mean AS m2,
+    a.var / CAST(a.n AS DOUBLE) AS se1,
+    b.var / CAST(b.n AS DOUBLE) AS se2
+  FROM m a CROSS JOIN m b
+  WHERE a.grp = '1-URGENT' AND b.grp = '5-LOW')
+SELECT n1, n2,
+  floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean1_cents,
+  floor(m2 * 1000000.0 + 0.5) / 1000000.0 AS mean2_cents,
+  floor((m1 - m2) / sqrt(se1 + se2) * 1000000.0 + 0.5)
+    / 1000000.0 AS t_stat,
+  floor(((se1 + se2) * (se1 + se2))
+    / ((se1 * se1) / CAST(n1 - 1 AS DOUBLE)
+       + (se2 * se2) / CAST(n2 - 1 AS DOUBLE))
+    * 1000000.0 + 0.5) / 1000000.0 AS welch_df
+FROM w
+""",
+    description="Welch's unequal-variance t-test comparing mean "
+    "order value between URGENT and LOW priority orders — the "
+    "default two-sample test an experimenter runs on skewed spend "
+    "metrics (Welch 1947; no equal-variance assumption), with the "
+    "Welch-Satterthwaite effective degrees of freedom: ONE filtered "
+    "fact scan aggregates both groups' exact moments (int64 cent "
+    "sums, DECIMAL(38)/HUGEINT sums of squares that pass 2^63 at "
+    "10x), and every downstream double derives from those exact "
+    "integers through IEEE +,*,/,sqrt only — deterministic across "
+    "engines before the 1e-6 snap",
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    low = F.col("o_orderpriority") == "5-LOW"
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0).cast("decimal(19,0)")
+    csq = cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")
+    # ONE filtered fact scan, ONE conditional aggregation for both
+    # groups' exact moments (the q190 two-scan shape collapsed)
+    g = (
+        T(spark, sf_dir, "orders")
+        .filter(urgent | low)
+        .agg(
+            F.sum(F.when(urgent, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(low, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n2"),
+            F.sum(F.when(urgent, cents).otherwise(zl))
+            .cast("long")
+            .alias("s1a"),
+            F.sum(F.when(low, cents).otherwise(zl))
+            .cast("long")
+            .alias("s1b"),
+            F.sum(F.when(urgent, csq).otherwise(zd)).alias("s2a"),
+            F.sum(F.when(low, csq).otherwise(zd)).alias("s2b"),
+        )
+    )
+    dbl = lambda c_: c_.cast("double")
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = dbl(F.col("s1a")) / dbl(n1)
+    m2 = dbl(F.col("s1b")) / dbl(n2)
+    v1 = (
+        dbl(F.col("s2a")) - (dbl(F.col("s1a")) * dbl(F.col("s1a"))) / dbl(n1)
+    ) / dbl(n1 - 1)
+    v2 = (
+        dbl(F.col("s2b")) - (dbl(F.col("s1b")) * dbl(F.col("s1b"))) / dbl(n2)
+    ) / dbl(n2 - 1)
+    w = g.select(
+        "n1",
+        "n2",
+        m1.alias("m1"),
+        m2.alias("m2"),
+        (v1 / dbl(n1)).alias("se1"),
+        (v2 / dbl(n2)).alias("se2"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    se1, se2 = F.col("se1"), F.col("se2")
+    return w.select(
+        "n1",
+        "n2",
+        fl6(F.col("m1")).alias("mean1_cents"),
+        fl6(F.col("m2")).alias("mean2_cents"),
+        fl6(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+        ).alias("t_stat"),
+        fl6(
+            ((se1 + se2) * (se1 + se2))
+            / (
+                (se1 * se1) / dbl(F.col("n1") - 1)
+                + (se2 * se2) / dbl(F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
+    )
+
+
+@q(
+    "q224_runs_test",
+    oracle=f"""
+WITH {_MONTH_CTE},
+o AS (SELECT mi, rev,
+    CAST(row_number() OVER (ORDER BY rev, mi) AS BIGINT) AS rr,
+    CAST(count(*) OVER () AS BIGINT) AS n FROM m),
+med AS (SELECT rev AS medv FROM o
+  WHERE rr = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)),
+s AS (SELECT mi, CASE WHEN rev > medv THEN 1 ELSE -1 END AS sgn
+  FROM m CROSS JOIN med WHERE rev <> medv),
+r AS (SELECT sgn,
+    CASE WHEN lag(sgn) OVER (ORDER BY mi) IS NULL
+      OR lag(sgn) OVER (ORDER BY mi) <> sgn THEN 1 ELSE 0 END
+      AS newrun
+  FROM s),
+c AS (SELECT
+    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(newrun) AS BIGINT) AS runs
+  FROM r)
+SELECT n1, n2, runs,
+  floor((CAST(runs AS DOUBLE)
+    - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       / CAST(n1 + n2 AS DOUBLE) + 1.0))
+    / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+      / ((CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+         * CAST(n1 + n2 - 1 AS DOUBLE)))
+    * 1000000.0 + 0.5) / 1000000.0 AS z_stat
+FROM c
+""",
+    description="Wald-Wolfowitz runs test for randomness of monthly "
+    "revenue around its median — the is-this-series-random check "
+    "that catches both trend AND oscillation (too few runs = "
+    "momentum, too many = mean reversion; complements q199's "
+    "monotone-trend-only Mann-Kendall): the nearest-rank median, "
+    "the above/below signs (ties dropped, the classic convention), "
+    "the lag-based run counter, and the normal approximation all "
+    "run on the calendar-bounded month literal — ONE fact scan, "
+    "exact integer run counts, IEEE-only doubles",
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly_revenue_local(spark, sf_dir)
+    wr = Window.orderBy("rev", "mi")
+    whole = Window.partitionBy()
+    o = m.select(
+        "mi",
+        "rev",
+        F.row_number().over(wr).cast("long").alias("rr"),
+        F.count("*").over(whole).cast("long").alias("n"),
+    )
+    med = o.filter(
+        F.col("rr")
+        == F.ceil(F.col("n").cast("double") / F.lit(2.0)).cast("long")
+    ).select(F.col("rev").alias("medv"))
+    s = (
+        m.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("medv"))
+        .select(
+            "mi",
+            F.when(F.col("rev") > F.col("medv"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    lg = F.lag("sgn").over(Window.orderBy("mi"))
+    r = s.select(
+        "sgn",
+        F.when(lg.isNull() | (lg != F.col("sgn")), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("newrun"),
+    )
+    c = r.agg(
+        F.sum(F.when(F.col("sgn") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n2"),
+        F.sum("newrun").cast("long").alias("runs"),
+    )
+    dbl = lambda c_: c_.cast("double")
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = (
+        F.lit(2.0) * dbl(n1) * dbl(n2) / dbl(n1 + n2) + F.lit(1.0)
+    )
+    var = (
+        F.lit(2.0)
+        * dbl(n1)
+        * dbl(n2)
+        * (F.lit(2.0) * dbl(n1) * dbl(n2) - dbl(n1) - dbl(n2))
+    ) / ((dbl(n1 + n2) * dbl(n1 + n2)) * dbl(n1 + n2 - 1))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return c.select(
+        "n1",
+        "n2",
+        "runs",
+        fl6((dbl(F.col("runs")) - mu) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+@q(
+    "q225_hhi_concentration",
+    oracle="""
+WITH li AS (SELECT l_suppkey,
+    CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5)
+      AS BIGINT) AS cents
+  FROM lineitem),
+sup AS (SELECT l.l_suppkey,
+    CAST(s.s_nationkey AS BIGINT) AS nk,
+    CAST(sum(l.cents) AS BIGINT) AS srev
+  FROM li l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2),
+agg AS (SELECT nk,
+    CAST(count(*) AS BIGINT) AS n_suppliers,
+    CAST(sum(srev) AS BIGINT) AS tot,
+    sum(CAST(srev AS HUGEINT) * srev) AS sumsq
+  FROM sup GROUP BY 1)
+SELECT n.n_name, a.n_suppliers,
+  a.tot AS revenue_cents,
+  floor(CAST(a.sumsq AS DOUBLE)
+    / (CAST(a.tot AS DOUBLE) * CAST(a.tot AS DOUBLE))
+    * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+  floor((CAST(a.tot AS DOUBLE) * CAST(a.tot AS DOUBLE))
+    / CAST(a.sumsq AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    AS effective_suppliers
+FROM agg a JOIN nation n ON n.n_nationkey = a.nk
+ORDER BY n.n_name
+""",
+    description="Herfindahl-Hirschman supply concentration per "
+    "nation — sum of squared revenue shares across each nation's "
+    "suppliers, plus the inverse-Simpson 'effective supplier count' "
+    "(the antitrust/market-structure number; for a data pipeline, "
+    "the how-concentrated-is-this-slice-on-few-providers audit): "
+    "per-line revenue snaps to exact cents at the scan, aggregates "
+    "to supplier grain then nation grain, and HHI evaluates as ONE "
+    "division of exact integer moments — sum(s_i^2)/S^2 with "
+    "DECIMAL(38)/HUGEINT squares — so no per-share double ever "
+    "enters a data-sized sum; supplier dim joins broadcast",
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey", cents.alias("cents")
+    )
+    sup = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("nk")
+    )
+    srev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("l_suppkey", "nk")
+        .agg(F.sum("cents").cast("long").alias("srev"))
+    )
+    agg = srev.groupBy("nk").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("srev").cast("long").alias("tot"),
+        F.sum(
+            F.col("srev").cast("decimal(19,0)")
+            * F.col("srev").cast("decimal(19,0)")
+        ).alias("sumsq"),
+    )
+    nat = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    dbl = lambda c_: c_.cast("double")
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        agg.join(F.broadcast(nat), "nk")
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.col("tot").alias("revenue_cents"),
+            fl6(
+                dbl(F.col("sumsq"))
+                / (dbl(F.col("tot")) * dbl(F.col("tot")))
+            ).alias("hhi"),
+            fl6(
+                (dbl(F.col("tot")) * dbl(F.col("tot")))
+                / dbl(F.col("sumsq"))
+            ).alias("effective_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "q226_durbin_watson",
+    oracle=f"""
+WITH {_MONTH_CTE},
+s AS (SELECT
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(mi) AS BIGINT) AS sx,
+    CAST(sum(rev) AS BIGINT) AS sy,
+    CAST(sum(mi * mi) AS BIGINT) AS sxx,
+    CAST(sum(mi * rev) AS BIGINT) AS sxy
+  FROM m),
+fit AS (SELECT n,
+    CAST(CAST(n AS HUGEINT) * sxy
+         - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+    / CAST(CAST(n AS HUGEINT) * sxx
+           - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope,
+    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM s),
+e AS (SELECT mi,
+    CAST(floor((CAST(rev AS DOUBLE)
+      - (ybar + slope * (CAST(mi AS DOUBLE) - xbar))) + 0.5)
+      AS BIGINT) AS eic
+  FROM m CROSS JOIN fit),
+t AS (SELECT
+    CAST(eic AS HUGEINT) * eic AS den_i,
+    CASE WHEN lag(eic) OVER (ORDER BY mi) IS NULL
+      THEN CAST(0 AS HUGEINT)
+      ELSE CAST(eic - lag(eic) OVER (ORDER BY mi) AS HUGEINT)
+        * (eic - lag(eic) OVER (ORDER BY mi))
+      END AS num_i
+  FROM e),
+c AS (SELECT sum(num_i) AS num, sum(den_i) AS den FROM t)
+SELECT (SELECT n FROM fit) AS n_months,
+  floor((SELECT slope FROM fit) * 1000000.0 + 0.5) / 1000000.0
+    AS ols_slope,
+  CASE WHEN CAST(den AS DOUBLE) <= 0.0 THEN 0.0
+    ELSE floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+      * 1000000.0 + 0.5) / 1000000.0 END AS dw_stat
+FROM c
+""",
+    description="Durbin-Watson serial-correlation statistic of the "
+    "residuals around the OLS monthly-revenue trend — the "
+    "regression diagnostic that says whether a fitted growth line "
+    "can be trusted (DW near 2 = independent residuals, near 0 = "
+    "momentum the line missed, near 4 = oscillation): the OLS fit "
+    "is closed-form with its numerator and denominator held as "
+    "EXACT integers (the double-chain form diverges between engines "
+    "at the 11th digit once n*sxy passes 2^53 — measured), "
+    "residuals snap to the integer cent grid on the month literal, "
+    "and the quadratic forms are exact integer squares in "
+    "DECIMAL(38)/HUGEINT (ei^2 passes 2^63 at sf0.01 already, where "
+    "Spark's floor(double) silently SATURATES at long max) — the "
+    "80-row sums are order-free by construction",
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly_revenue_local(spark, sf_dir)
+    s = m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mi").cast("long").alias("sx"),
+        F.sum("rev").cast("long").alias("sy"),
+        F.sum(F.col("mi") * F.col("mi")).cast("long").alias("sxx"),
+        F.sum(F.col("mi") * F.col("rev")).cast("long").alias("sxy"),
+    )
+    dbl = lambda c_: c_.cast("double")
+    dec = lambda c_: c_.cast("decimal(19,0)")
+    # slope numerator/denominator stay EXACT integers (n*sxy passes
+    # 2^53, where the double-chain forms diverge between engines at
+    # the 11th digit — measured); one division of exact ints is the
+    # only rounding
+    fit = s.select(
+        "n",
+        (
+            (dec(F.col("n")) * dec(F.col("sxy"))
+             - dec(F.col("sx")) * dec(F.col("sy"))).cast("double")
+            / (dec(F.col("n")) * dec(F.col("sxx"))
+               - dec(F.col("sx")) * dec(F.col("sx"))).cast("double")
+        ).alias("slope"),
+        (dbl(F.col("sy")) / dbl(F.col("n"))).alias("ybar"),
+        (dbl(F.col("sx")) / dbl(F.col("n"))).alias("xbar"),
+    )
+    # residuals snap to the integer cent grid BEFORE the quadratic
+    # forms: ei^2 passes 2^63 at sf0.01 already, and Spark's
+    # floor(double) SATURATES at long max rather than erroring —
+    # exact integer squares in DECIMAL/HUGEINT sidestep both that
+    # and any big-double floor disagreement
+    eic = F.floor(
+        dbl(F.col("rev"))
+        - (
+            F.col("ybar")
+            + F.col("slope") * (dbl(F.col("mi")) - F.col("xbar"))
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    e = m.crossJoin(F.broadcast(fit)).select(
+        "mi", "n", "slope", eic.alias("eic")
+    )
+    lg = F.lag("eic").over(Window.orderBy("mi"))
+    dec38 = lambda c_: c_.cast("decimal(19,0)")
+    t = e.select(
+        "n",
+        "slope",
+        (dec38(F.col("eic")) * dec38(F.col("eic"))).alias("den_i"),
+        F.when(lg.isNull(), F.lit(0).cast("decimal(38,0)"))
+        .otherwise(
+            dec38(F.col("eic") - lg) * dec38(F.col("eic") - lg)
+        )
+        .alias("num_i"),
+    )
+    c = t.agg(
+        F.max("n").alias("n"),
+        F.max("slope").alias("slope"),
+        F.sum("num_i").alias("num"),
+        F.sum("den_i").alias("den"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return c.select(
+        F.col("n").alias("n_months"),
+        fl6(F.col("slope")).alias("ols_slope"),
+        F.when(dbl(F.col("den")) <= 0.0, F.lit(0.0))
+        .otherwise(fl6(dbl(F.col("num")) / dbl(F.col("den"))))
+        .alias("dw_stat"),
+    )
+
+
+@q(
+    "q227_source_profile_cosine",
+    oracle=r"""
+WITH wx AS (SELECT source,
+    unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents),
+wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM wx WHERE w <> '' GROUP BY 1, 2),
+nrm AS (SELECT source, sum(CAST(c AS HUGEINT) * c) AS n2
+  FROM wc GROUP BY 1),
+dots AS (SELECT a.source AS s1, b.source AS s2,
+    sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+  FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT d.s1, d.s2,
+  floor(CAST(d.dot AS DOUBLE)
+    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+    * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM dots d
+JOIN nrm x ON x.source = d.s1
+JOIN nrm y ON y.source = d.s2
+ORDER BY d.s1, d.s2
+""",
+    description="pairwise cosine similarity between source unigram "
+    "profiles — which crawl slices speak the same language, the "
+    "mixture-design complement to q217's source-vs-corpus "
+    "divergence (pairwise structure finds CLUSTERS of redundant "
+    "sources, not just outliers): word counts aggregate once to the "
+    "(source, word) vocabulary grain and PERSIST for both consumers "
+    "(norms, dot products); dot products come from a vocabulary-"
+    "grain self-join on the word key (each word fans out to at most "
+    "sources-choose-2 pairs, never doc-sized), with exact integer "
+    "count products in DECIMAL(38)/HUGEINT; output is the bounded "
+    "sources^2 triangle",
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        T(spark, sf_dir, "documents")
+        .select("source", F.explode(tx._words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        # vocabulary-grain frame, two consumers (norms, self-join)
+        .persist()
+    )
+    nrm = wc.groupBy("source").agg(
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+        ).alias("n2")
+    )
+    a = wc.select(
+        F.col("source").alias("s1"), "w", F.col("c").alias("ca")
+    )
+    b = wc.select(
+        F.col("source").alias("s2"), "w", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, ["w"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(19,0)")
+                * F.col("cb").cast("decimal(19,0)")
+            ).alias("dot")
+        )
+    )
+    dbl = lambda c_: c_.cast("double")
+    x = nrm.select(F.col("source").alias("s1"), F.col("n2").alias("n2a"))
+    y = nrm.select(F.col("source").alias("s2"), F.col("n2").alias("n2b"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        dots.join(F.broadcast(x), "s1")
+        .join(F.broadcast(y), "s2")
+        .select(
+            "s1",
+            "s2",
+            fl6(
+                dbl(F.col("dot"))
+                / (F.sqrt(dbl(F.col("n2a"))) * F.sqrt(dbl(F.col("n2b"))))
+            ).alias("cosine"),
+        )
+        .orderBy("s1", "s2")
     )

@@ -631,3 +631,57 @@ def test_q222_neyman_broadcast_strata(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange SinglePartition") <= 1
     assert plan.count("windowspecdefinition(rem") >= 1
+
+
+def test_q223_single_scan_pushed_filter(spark):
+    # one column-pruned scan with the priority disjunction PUSHED to
+    # parquet; both groups' moments come from ONE conditional
+    # aggregation (no join, no second scan); the only SinglePartition
+    # is the final single-row reduce
+    plan = plan_of(spark, "q223_welch_ttest")
+    assert plan.count("Scan parquet") == 1
+    assert (
+        "PushedFilters: [Or(EqualTo(o_orderpriority,1-URGENT),"
+        "EqualTo(o_orderpriority,5-LOW))]" in plan
+    )
+    assert "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_q224_q226_month_literal_only(spark):
+    # runs test and Durbin-Watson run entirely on the month VALUES
+    # literal (two free re-evaluations); every window/aggregate is
+    # months-sized — no parquet, no python-backed ExistingRDD
+    for name in ("q224_runs_test", "q226_durbin_watson"):
+        plan = plan_of(spark, name)
+        live = live_plan(plan)
+        assert "LocalTableScan" in live, name
+        assert "Scan parquet" not in live, name
+        assert "Scan ExistingRDD" not in plan, name
+        assert plan.count("Exchange SinglePartition") <= 2, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q225_hhi_broadcast_no_singlepartition(spark):
+    # supplier and nation dims broadcast; revenue aggregates
+    # supplier-grain then nation-grain behind two hashpartitionings;
+    # NO SinglePartition anywhere (per-nation output stays grouped)
+    plan = plan_of(spark, "q225_hhi_concentration")
+    assert plan.count("Scan parquet") == 3
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q227_source_cosine_shared_vocab_frame(spark):
+    # the (source, word) frame persists once and feeds all four cache
+    # reads (norms twice via x/y, both self-join sides); live plan
+    # reads InMemoryTableScan only — the corpus is scanned exactly
+    # once, at cache materialization
+    live = live_plan(plan_of(spark, "q227_source_profile_cosine"))
+    assert live.count("InMemoryTableScan") == 4
+    assert "Scan parquet" not in live
+    assert "CartesianProduct" not in live
+    assert "Exchange SinglePartition" not in live

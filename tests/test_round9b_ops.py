@@ -224,3 +224,126 @@ def test_q222_neyman_allocation_sums_to_budget_at_sf(spark):
     out = REGISTRY["q222_neyman_allocation"].fn(spark, SF_DIR).collect()
     assert sum(r["alloc"] for r in out) == 1000
     assert all(r["alloc"] >= 0 for r in out)
+
+
+LI_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+SUPP_COLS = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+
+
+def test_q223_welch_hand(spark):
+    # URGENT cents [100, 300]: m1=200 se1=10000; LOW [200, 200, 800]:
+    # m2=400 se2=40000 -> t = -200/sqrt(50000) = -0.894427,
+    # df = 50000^2 / (1e8/1 + 1.6e9/2) = 2.777778
+    rows = [
+        (1, 1, "O", 1.0, datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 3.0, datetime(2024, 1, 2), "1-URGENT"),
+        (3, 1, "O", 2.0, datetime(2024, 1, 3), "5-LOW"),
+        (4, 1, "O", 2.0, datetime(2024, 1, 4), "5-LOW"),
+        (5, 1, "O", 8.0, datetime(2024, 1, 5), "5-LOW"),
+        (6, 1, "O", 99.0, datetime(2024, 1, 6), "3-MEDIUM"),  # ignored
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark, tmp, "orders", rows, ORD_COLS)
+        row = REGISTRY["q223_welch_ttest"].fn(spark, tmp).collect()[0]
+    assert row["n1"] == 2 and row["n2"] == 3
+    assert row["mean1_cents"] == pytest.approx(200.0, abs=1e-6)
+    assert row["mean2_cents"] == pytest.approx(400.0, abs=1e-6)
+    assert row["t_stat"] == pytest.approx(-0.894427, abs=1e-6)
+    assert row["welch_df"] == pytest.approx(2.777778, abs=1e-6)
+
+
+def test_q224_runs_test_hand(spark):
+    # strictly increasing months [100..500]: median=300 dropped,
+    # signs [-1,-1,+1,+1] -> runs=2, n1=n2=2,
+    # mu=3, var=2/3, z = -1/sqrt(2/3) = -1.224745
+    rows = [
+        (i, 1, "O", float(i), datetime(2024, i, 5), "P")
+        for i in range(1, 6)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark, tmp, "orders", rows, ORD_COLS)
+        row = REGISTRY["q224_runs_test"].fn(spark, tmp).collect()[0]
+    assert row["n1"] == 2 and row["n2"] == 2
+    assert row["runs"] == 2
+    assert row["z_stat"] == pytest.approx(-1.224745, abs=1e-6)
+
+
+def test_q225_hhi_hand(spark):
+    # nation 0, two suppliers with revenue cents 100 / 300:
+    # HHI = (100^2 + 300^2)/400^2 = 0.625, effective = 1.6
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (2, 1, 2, 1, 1.0, 3.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+    ]
+    supp = [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0)]
+    nation = [(0, "ALGERIA", 0)]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark, tmp, "lineitem", li, LI_COLS)
+        _write(spark, tmp, "supplier", supp, SUPP_COLS)
+        _write(spark, tmp, "nation", nation, NAT_COLS)
+        row = REGISTRY["q225_hhi_concentration"].fn(spark, tmp).collect()[0]
+    assert row["n_name"] == "ALGERIA"
+    assert row["n_suppliers"] == 2
+    assert row["revenue_cents"] == 400
+    assert row["hhi"] == pytest.approx(0.625, abs=1e-6)
+    assert row["effective_suppliers"] == pytest.approx(1.6, abs=1e-6)
+
+
+def test_q226_durbin_watson_hand(spark):
+    # monthly cents [100, 200, 100, 200]: OLS slope 20, residuals
+    # [-20, 60, -60, 20] -> num = 80^2+120^2+80^2 = 27200,
+    # den = 8000 -> DW = 3.4 (oscillation, as expected)
+    rows = [
+        (1, 1, "O", 1.0, datetime(2024, 1, 5), "P"),
+        (2, 1, "O", 2.0, datetime(2024, 2, 5), "P"),
+        (3, 1, "O", 1.0, datetime(2024, 3, 5), "P"),
+        (4, 1, "O", 2.0, datetime(2024, 4, 5), "P"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark, tmp, "orders", rows, ORD_COLS)
+        row = REGISTRY["q226_durbin_watson"].fn(spark, tmp).collect()[0]
+    assert row["n_months"] == 4
+    assert row["ols_slope"] == pytest.approx(20.0, abs=1e-6)
+    assert row["dw_stat"] == pytest.approx(3.4, abs=1e-6)
+
+
+def test_q226_durbin_watson_perfect_fit(spark):
+    # perfectly linear revenue -> all residuals snap to 0 -> den = 0
+    # -> the guard reports 0.0 instead of dividing by zero
+    rows = [
+        (i, 1, "O", float(i), datetime(2024, i, 5), "P")
+        for i in range(1, 5)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark, tmp, "orders", rows, ORD_COLS)
+        row = REGISTRY["q226_durbin_watson"].fn(spark, tmp).collect()[0]
+    assert row["dw_stat"] == 0.0
+
+
+def test_q227_source_cosine_hand(spark):
+    # A: {a:2, b:1}, B: {a:1, b:2} -> dot 4, norms sqrt(5) each ->
+    # cosine 0.8; C shares no word -> the (A,C)/(B,C) pairs are
+    # absent by inner-join construction
+    docs = [
+        (1, "a a b", "en", "A", 5),
+        (2, "a b b", "en", "B", 5),
+        (3, "c", "en", "C", 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark, tmp, "documents", docs, DOC_SCHEMA)
+        out = REGISTRY["q227_source_profile_cosine"].fn(spark, tmp).collect()
+    assert len(out) == 1
+    assert (out[0]["s1"], out[0]["s2"]) == ("A", "B")
+    assert out[0]["cosine"] == pytest.approx(0.8, abs=1e-6)
