@@ -114,6 +114,11 @@ HEADLINE = [
     "q207_gtest_collocations",
     "q209_spearman_rank_corr",
     "q214_interval_islands",
+    # round-9 second/third batch representatives: the custkey-window
+    # survival curve (fact-window family) and the vocabulary-grain
+    # self-join (the heaviest new shape)
+    "q218_kaplan_meier",
+    "q227_source_profile_cosine",
 ]
 
 
