@@ -940,3 +940,125 @@ def heavy_hitters_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def percentile_stream(
+    events: DataFrame,
+    value_col: str,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+    grid: float = 0.01,
+    percentiles: tuple[int, ...] = (25, 50, 75, 90, 99),
+):
+    """Streaming EXACT nearest-rank percentiles via a persisted
+    grid-value histogram — the streaming twin of the q215/q182 order
+    statistics: values snap to a fixed grid (default 0.01 — cents)
+    at ingest, each micro-batch aggregates its grid-value counts
+    exactly, and the committed histogram merges by count sum — a
+    trivially mergeable summary, so the reported percentiles equal a
+    batch nearest-rank computation over the full concatenated stream
+    (to grid precision) for ANY batch split. State is the distinct
+    grid values seen (value-range/grid rows — bounded by the value
+    DOMAIN, not the stream length; the `grid` knob coarsens it for
+    wide domains, exactly like q190's 1e-4 score grid).
+
+    Per batch the store gains ``hist/batch=N`` (gv, cnt — the merged
+    full histogram, value-grain) and ``pct/batch=N`` (pct, value,
+    n_total — nearest-rank: smallest grid value whose cumulative
+    count reaches ceil(p/100 * n)), with the marker-commit
+    exactly-once contract shared by every store in this module."""
+    root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
+
+    def _latest_hist(spark: SparkSession) -> DataFrame | None:
+        for b in sorted(_committed_batches(root), reverse=True):
+            d = _batch_dir(root, "hist", b)
+            if d.exists():
+                return spark.read.parquet(str(d))
+        return None
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        spark = batch.sparkSession
+        bh = (
+            batch.select(
+                F.floor(
+                    F.col(value_col).cast("double") / F.lit(grid)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("gv")
+            )
+            .filter(F.col("gv").isNotNull())
+            .groupBy("gv")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        prior = _latest_hist(spark)
+        if prior is not None:
+            bh = (
+                bh.unionByName(prior)
+                .groupBy("gv")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        bh = bh.persist()
+        bh.count()  # eager: hist write + percentile pass share it
+        bh.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "hist", batch_id))
+        )
+        # nearest-rank percentiles over the value-grain histogram:
+        # cumulative counts behind one ordered window (model-sized —
+        # the histogram is domain-bounded), every requested p joined
+        # against the first row reaching its rank
+        from pyspark.sql.window import Window
+
+        wv = Window.orderBy("gv").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = bh.select(
+            "gv",
+            F.sum("cnt").over(wv).cast("long").alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+        )
+        pcts = spark.createDataFrame(
+            [(int(p),) for p in percentiles], "pct long"
+        )
+        out = (
+            cum.crossJoin(F.broadcast(pcts))
+            .filter(
+                F.col("cum")
+                >= F.ceil(
+                    F.col("pct").cast("double")
+                    / F.lit(100.0)
+                    * F.col("n").cast("double")
+                ).cast("long")
+            )
+            .groupBy("pct")
+            .agg(
+                F.min("gv").alias("min_gv"),
+                F.max("n").cast("long").alias("n_total"),
+            )
+            .select(
+                "pct",
+                (F.col("min_gv").cast("double") * F.lit(grid)).alias(
+                    "value"
+                ),
+                "n_total",
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "pct", batch_id))
+        )
+        bh.unpersist()
+        _commit(
+            root,
+            batch_id,
+            {"tier": "grid_histogram", "grid": grid},
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -347,3 +347,113 @@ def test_q227_source_cosine_hand(spark):
     assert len(out) == 1
     assert (out[0]["s1"], out[0]["s2"]) == ("A", "B")
     assert out[0]["cosine"] == pytest.approx(0.8, abs=1e-6)
+
+
+def _naive_km(durs):
+    """Reference Kaplan-Meier on (t, event) pairs: product over event
+    times <= t of (1 - d_i/n_i), at-risk = count(T >= t_i)."""
+    times = sorted({t for t, e in durs if e})
+    out = {}
+    s = 1.0
+    for t in times:
+        n_risk = sum(1 for u, _ in durs if u >= t)
+        d = sum(1 for u, e in durs if u == t and e)
+        s *= (n_risk - d) / n_risk
+        out[t] = (n_risk, d, s)
+    return out
+
+
+def test_q218_kaplan_meier_vs_naive_random(spark):
+    # three seeded random order histories against the naive python
+    # estimator — survival within the snapped-ln tolerance everywhere
+    import random
+
+    for seed in (7, 19, 42):
+        rng = random.Random(seed)
+        rows = []
+        ok = 1
+        for cust in range(1, 41):
+            n_orders = rng.choice([1, 1, 2, 2, 2, 3])
+            days = sorted(rng.sample(range(1, 200), n_orders))
+            for d in days:
+                rows.append(
+                    (
+                        ok,
+                        cust,
+                        "O",
+                        1.0,
+                        datetime(2024, 1, 1)
+                        + __import__("datetime").timedelta(days=d - 1),
+                        "P",
+                    )
+                )
+                ok += 1
+        maxd = max(r[4] for r in rows)
+        per = {}
+        for r in rows:
+            per.setdefault(r[1], []).append(r[4])
+        durs = []
+        for c, ds in per.items():
+            ds = sorted(ds)
+            if len(ds) >= 2:
+                durs.append(((ds[1] - ds[0]).days, True))
+            else:
+                durs.append(((maxd - ds[0]).days, False))
+        expect = _naive_km(durs)
+        with tempfile.TemporaryDirectory() as tmp:
+            _write(spark, tmp, "orders", rows, ORD_COLS)
+            got = {
+                r["t_days"]: r
+                for r in REGISTRY["q218_kaplan_meier"].fn(spark, tmp).collect()
+            }
+        assert set(got) == set(expect), seed
+        for t, (n_risk, d, s) in expect.items():
+            assert got[t]["n_at_risk"] == n_risk, (seed, t)
+            assert got[t]["n_events"] == d, (seed, t)
+            # each ln term is snapped to 1e-6 before the cumulative
+            # sum; error grows at most linearly in #event times
+            assert got[t]["survival"] == pytest.approx(
+                s, abs=5e-5
+            ), (seed, t)
+
+
+def test_q222_neyman_invariants_random(spark):
+    # apportionment invariants on seeded random strata: allocation
+    # sums to the budget EXACTLY, every alloc >= its floor quota - 0,
+    # and zero-variance strata get zero
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        cust = []
+        orders = []
+        nation = []
+        ok = 1
+        n_nations = rng.randint(3, 6)
+        for nk in range(n_nations):
+            nation.append((nk, f"NATION{nk}", 0))
+            cust.append((nk + 1, f"c{nk}", nk, 0.0, "S"))
+            n_ord = rng.randint(1, 8)
+            const = rng.random() < 0.3
+            base = rng.uniform(1, 50)
+            for _ in range(n_ord):
+                price = base if const or n_ord == 1 else rng.uniform(1, 50)
+                orders.append(
+                    (ok, nk + 1, "O", round(price, 2),
+                     datetime(2024, 1, 1 + ok % 27), "P")
+                )
+                ok += 1
+        with tempfile.TemporaryDirectory() as tmp:
+            _write(spark, tmp, "customer", cust, CUST_COLS)
+            _write(spark, tmp, "orders", orders, ORD_COLS)
+            _write(spark, tmp, "nation", nation, NAT_COLS)
+            out = (
+                REGISTRY["q222_neyman_allocation"].fn(spark, tmp).collect()
+            )
+        total = sum(r["alloc"] for r in out)
+        any_var = any(r["sd_cents"] > 0 for r in out)
+        assert total == (1000 if any_var else 0), seed
+        for r in out:
+            assert r["alloc"] >= 0, seed
+            if r["sd_cents"] == 0.0:
+                assert r["alloc"] <= 1, (seed, "zero-sd stratum got >1")

@@ -1101,3 +1101,54 @@ def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
         assert est <= true[w]
         assert true[w] - est <= bound
     assert len(list((store / "_commits").glob("b*.json"))) == 2
+
+
+def test_streaming_percentiles_equal_batch_nearest_rank(spark, tmp_path):
+    """The merged grid histogram yields EXACTLY the batch
+    nearest-rank percentiles of the concatenated stream, for an
+    adversarial two-batch split; histogram state is value-grain."""
+    import json as _json
+    import math
+
+    from lynx_spark.streaming.incremental import percentile_stream
+
+    b1 = [1.00, 2.00, 2.00, 3.00, 100.00]
+    b2 = [0.50, 2.00, 4.00, 4.00, 5.00, 5.00, 6.00]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(_json.dumps({"value": v}) for v in b1)
+    )
+    (d / "b2.json").write_text(
+        "\n".join(_json.dumps({"value": v}) for v in b2)
+    )
+    ev = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = percentile_stream(
+        ev, "value", store, tmp_path / "ck",
+        grid=0.01, percentiles=(25, 50, 75, 90),
+    )
+    q.awaitTermination(120)
+
+    batches = sorted(p.name for p in (store / "pct").glob("batch=*"))
+    assert len(batches) == 2
+    got = {
+        r["pct"]: r
+        for r in spark.read.parquet(str(store / "pct" / batches[-1])).collect()
+    }
+    allv = sorted(b1 + b2)
+    n = len(allv)
+    for p in (25, 50, 75, 90):
+        rank = math.ceil(p / 100.0 * n)
+        expect = allv[rank - 1]
+        assert got[p]["n_total"] == n
+        assert got[p]["value"] == pytest.approx(expect, abs=1e-9), p
+    # histogram state = distinct grid values, not stream length
+    hist = spark.read.parquet(str(store / "hist" / batches[-1]))
+    assert hist.count() == len(set(allv))
+    # replay: re-running against the same checkpoint adds nothing
+    assert len(list((store / "_commits").glob("b*.json"))) == 2
