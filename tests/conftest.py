@@ -12,6 +12,14 @@ def spark():
     from lynx_spark.session import get_spark
 
     spark = get_spark("lynx_spark_tests", shuffle_partitions=8)
+    # perturbation hook for robustness sweeps: comma-separated
+    # runtime confs, e.g. "spark.sql.adaptive.enabled=false" runs
+    # the whole oracle suite with AQE off (different physical plans,
+    # identical results required)
+    extra = os.environ.get("SPARK_GRAFT_TEST_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(",")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
     yield spark
 
 
