@@ -117,6 +117,36 @@ def sorted_pairs_expr(ids: Column, max_size: int | None) -> Column:
     return F.when(F.size(ids) <= max_size, allpairs).otherwise(star)
 
 
+# Row-count ceiling under which a KNOWN-small frame may carry an
+# explicit broadcast hint.  2M two-column long rows is ~32 MB on the
+# driver — comfortably inside a default 1g driver heap, an order of
+# magnitude above the sf0.1 frames that want the hint, and far below
+# anything corpus-shaped.  Module-level (read at call time, not bound
+# as a default arg) so tests can force the shuffle regime.
+_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def broadcast_if_counted(
+    df: DataFrame, known_rows: int | None, max_rows: int | None = None
+) -> DataFrame:
+    """Broadcast hint gated on a row count the caller ALREADY knows.
+
+    A forced ``F.broadcast()`` bypasses Spark's size check, so a hint
+    on a data-dependent frame (candidate-id sets, node->label maps) is
+    a driver-OOM at 100 TB even though it is the right plan at every
+    test SF.  The contract here: hint ONLY when the caller has a real
+    count (or a proven upper bound) from work it already did, and that
+    count is under the ceiling; otherwise return the frame un-hinted
+    and let AQE convert the shuffle join to broadcast from runtime
+    stats when it genuinely fits.  Never count a frame just to call
+    this — an un-hinted join costs at most one avoidable shuffle,
+    which AQE usually removes anyway."""
+    limit = _BROADCAST_MAX_ROWS if max_rows is None else max_rows
+    if known_rows is not None and known_rows <= limit:
+        return F.broadcast(df)
+    return df
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     input arrives under-partitioned (e.g. one small parquet file).

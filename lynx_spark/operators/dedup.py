@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
-from lynx_spark.operators._util import banded_self_pairs, ensure_parallelism
+from lynx_spark.operators._util import (
+    banded_self_pairs,
+    broadcast_if_counted,
+    ensure_parallelism,
+)
 
 SHINGLE_N = 3  # word n-gram size
 MINHASH_NUM = 12  # number of minhash functions
@@ -438,7 +442,7 @@ def prefix_filter_pairs(
         .persist()  # two consumers (cand_ids + the verify join) —
         # unpersisted, the rare-key self-join would compute twice
     )
-    cand.count()
+    n_cand = cand.count()
     # materialize full shingle arrays ONLY for docs that appear in a
     # candidate pair (prefix filtering bounds candidates, so this set
     # is output-sized): without the semi-join the collect_list
@@ -449,8 +453,13 @@ def prefix_filter_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
+    # candidate count is data-dependent (a high-duplication corpus can
+    # make it arbitrarily large), so the broadcast hint for the semi-
+    # join is gated on the count the persist already paid for: 2*pairs
+    # bounds the distinct-id set; past the ceiling the hint is dropped
+    # and AQE picks the join strategy from real sizes (r10 guard)
     docsets = (
-        sh.join(F.broadcast(cand_ids), "doc", "left_semi")
+        sh.join(broadcast_if_counted(cand_ids, 2 * n_cand), "doc", "left_semi")
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list("shingle")).alias("shset"))
     )

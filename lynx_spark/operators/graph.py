@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lynx_spark.operators._util import broadcast_if_counted
+
 #: propagation-round guard; diameter of dedup pair graphs is tiny, so
 #: hitting this indicates a pathological chain — the loop then hands
 #: off to the O(log n) large-star/small-star variant instead of
@@ -770,14 +772,18 @@ def directed_modularity(
     runs on identical doubles in both engines and is emitted through
     the tie-safe 8dp floor rounding.
 
-    Scale shape: one broadcast of the (node -> label) map onto the
-    edge list, three label-granular aggregations (within / out /
-    in), one 1-scalar total broadcast back. Nothing is ever
-    node-quadratic; community count bounds every frame."""
+    Scale shape: the (node -> label) map joins onto the edge list
+    twice — broadcast when the counted node total is under the guard
+    ceiling, key-equality shuffle (linear) otherwise — then three
+    label-granular aggregations (within / out / in) and one 1-scalar
+    total broadcast back. Nothing is ever node-quadratic; community
+    count bounds every frame."""
     lab = labels.select(
         F.col(id_col).cast("long").alias("node"),
         F.col(label_col).cast("long").alias("lab"),
-    )
+    ).persist()  # three consumers (two edge joins + the label roster);
+    # the count below pays for the cache AND gates the broadcast hints
+    n_nodes = lab.count()
     e5 = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("nbr").cast("long").alias("nbr"),
@@ -785,16 +791,22 @@ def directed_modularity(
         .cast("long")
         .alias("w5"),
     )
+    # the node->label map is CORPUS-sized for a kNN graph, so the
+    # broadcast hint is gated on the counted node total (r10 guard):
+    # under the ceiling both label joins broadcast the cached map;
+    # past it the hints are dropped and the joins run as key-equality
+    # shuffles (linear — edges are already keyed by src/nbr), with
+    # AQE free to re-promote to broadcast from runtime stats
     tagged = (
         e5.join(
-            F.broadcast(lab.withColumnRenamed("node", "src")).withColumnRenamed(
-                "lab", "src_lab"
-            ),
+            broadcast_if_counted(
+                lab.withColumnRenamed("node", "src"), n_nodes
+            ).withColumnRenamed("lab", "src_lab"),
             "src",
         )
         .join(
-            F.broadcast(
-                lab.withColumnRenamed("node", "nbr")
+            broadcast_if_counted(
+                lab.withColumnRenamed("node", "nbr"), n_nodes
             ).withColumnRenamed("lab", "nbr_lab"),
             "nbr",
         )

@@ -156,6 +156,18 @@ def test_new_join_family_no_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+@pytest.mark.parametrize(
+    "name", ["q170_prefix_filter_join", "q157_modularity"]
+)
+def test_guarded_broadcast_still_hints_when_small(spark, name):
+    # r10: the two formerly-forced broadcast hints are now gated on a
+    # counted row total (broadcast_if_counted). At test SF the counts
+    # are tiny, so the hint MUST still be applied — losing it here
+    # means the guard broke the fast path, not just the safety
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, name
+
+
 def test_q174_fof_grain_no_key_rank(spark):
     # r8: the Gini numerator computes on the frequency-of-frequencies
     # histogram — no rank window over the key table at all. The two
