@@ -6989,28 +6989,39 @@ GROUP BY s.day, n.n_users
     "deterministic",
 )
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 reshape: endpoints come from ONE pass over the per-user
+    # intervals (explode, not a self-union that reads iv twice), and
+    # n_users is recovered inside the post-sweep aggregation as the
+    # count of +1 endpoints — so the nu join (and iv's second
+    # derivation, which re-ran the events scan + groupBy) is gone.
+    # Two shuffles total: the interval groupBy and the day exchange
+    # for the sweep window; the final day aggregation reuses the
+    # window's partitioning.
     ev = T(spark, sf_dir, "events")
     iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min("ts").alias("t0"), F.max("ts").alias("t1")
     )
     pts = iv.select(
-        "day", "user_id", F.col("t0").alias("t"), F.lit(1).alias("d")
-    ).unionByName(
-        iv.select(
-            "day", "user_id", F.col("t1").alias("t"), F.lit(-1).alias("d")
-        )
-    )
+        "day",
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("t0").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("t1").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("p"),
+    ).select("day", "user_id", F.col("p.t").alias("t"), F.col("p.d").alias("d"))
     w = (
         Window.partitionBy("day")
         .orderBy(F.col("t"), F.col("d").desc(), F.col("user_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    sweep = pts.select("day", F.sum("d").over(w).alias("conc"))
-    nu = iv.groupBy("day").agg(F.count("*").alias("n_users"))
-    return (
-        sweep.join(nu, "day")
-        .groupBy("day", "n_users")
-        .agg(F.max("conc").cast("long").alias("peak_concurrent"))
+    sweep = pts.select("day", "d", F.sum("d").over(w).alias("conc"))
+    return sweep.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users"),
+        F.max("conc").cast("long").alias("peak_concurrent"),
     )
 
 

@@ -168,6 +168,18 @@ def test_guarded_broadcast_still_hints_when_small(spark, name):
     assert "BroadcastHashJoin" in plan, name
 
 
+def test_q160_single_scan_no_join(spark):
+    # r10 reshape: endpoints by explode (not a union that derives iv
+    # twice) and n_users folded into the post-sweep day aggregation —
+    # one events scan, two exchanges (interval groupBy + day window),
+    # zero joins. A third exchange or a reappearing join means the
+    # old double-derivation came back
+    plan = plan_of(spark, "q160_peak_concurrency")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
 def test_q174_fof_grain_no_key_rank(spark):
     # r8: the Gini numerator computes on the frequency-of-frequencies
     # histogram — no rank window over the key table at all. The two
