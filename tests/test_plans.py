@@ -205,19 +205,17 @@ def test_topk_batch5_takeordered_no_cartesian(spark, name):
 
 
 def test_q177_distributed_ntile(spark):
-    # RFM (r8; r9 persist_input): the three quintile scores come from
-    # the two-phase breakpoint rank — every row_number window is
-    # partitioned by the bucket id (hashpartitioning, parallel), no
-    # ntile survives. r9: each device call persists its input, so the
-    # LIVE plan (what executes, cached subtrees stripped) is exactly
-    # one bucket window over one InMemoryTableScan — the orders
-    # aggregation and earlier windows ran once each during the
-    # device's collects instead of once per downstream reference
+    # RFM (r8; r9 persist_input; r10 multi-spec device): all three
+    # quintile scores come from ONE global_ntile_multi call — the
+    # LIVE plan (cached subtrees stripped) is exactly three pipelined
+    # bucket windows over ONE InMemoryTableScan of the bucketed
+    # customer frame; no ntile, no SinglePartition, no parquet re-scan
     plan = plan_of(spark, "q177_rfm_segments")
     assert "ntile(" not in plan
     live = live_plan(plan)
-    assert live.count("row_number") == 1
-    assert live.count("windowspecdefinition(_bkt") == 1
+    assert live.count("row_number") == 3
+    for i in range(3):
+        assert live.count(f"windowspecdefinition(_bkt{i}") == 1
     assert live.count("InMemoryTableScan") == 1
     assert live.count("Exchange SinglePartition") == 0
     assert "Scan parquet" not in live

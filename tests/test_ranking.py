@@ -127,3 +127,52 @@ def test_persist_input_chained_calls_read_cache(spark):
     assert live.count("windowspecdefinition(_bkt") == 1
     assert live.count("row_number") == 1
     assert "Exchange SinglePartition" not in live
+
+@pytest.mark.parametrize("dist", DISTS)
+def test_global_ntile_multi_matches_windows(spark, dist):
+    # the r10 multi-spec device must be bit-identical to applying the
+    # literal global ntile windows per spec — including under heavy
+    # ties, n < k, and a single-value column
+    df = _df(spark, DISTS[dist]).withColumn(
+        "w", (F.col("id") * 13 + 7) % 11
+    )
+    expected = df.withColumn(
+        "t1", F.ntile(5).over(Window.orderBy(F.desc("v"), F.asc("id")))
+    ).withColumn(
+        "t2", F.ntile(3).over(Window.orderBy(F.asc("w"), F.asc("id")))
+    )
+    got = rnk.global_ntile_multi(
+        df,
+        [
+            dict(value_col="v", k=5, ascending=False,
+                 tie_cols=["id"], out_col="t1"),
+            dict(value_col="w", k=3, tie_cols=["id"], out_col="t2"),
+        ],
+        n_buckets=8,
+    )
+    assert sorted(got.collect()) == sorted(expected.collect())
+
+
+def test_global_ntile_multi_persist_single_cache(spark):
+    # one device call = one live cache read feeding every window; the
+    # input's own lineage never re-runs after the two scalar jobs
+    from tests.test_plans import live_plan
+
+    df = _df(spark, DISTS["skewed"])
+    s = rnk.global_ntile_multi(
+        df,
+        [
+            dict(value_col="v", k=5, tie_cols=["id"], out_col="t1"),
+            dict(value_col="id", k=4, tie_cols=["v"], out_col="t2"),
+            dict(value_col="v", k=3, ascending=False,
+                 tie_cols=["id"], out_col="t3"),
+        ],
+        n_buckets=8,
+        persist_input=True,
+    )
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    live = live_plan(plan)
+    assert live.count("InMemoryTableScan") == 1
+    assert live.count("row_number") == 3  # three pipelined windows
+    assert "Exchange SinglePartition" not in live
+    assert "Scan ExistingRDD" not in live
