@@ -240,6 +240,49 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # streaming grid-percentile tier (r10): the events value column
+    # split into four files and drained through percentile_stream's
+    # availableNow path with maxFilesPerTrigger=1 — four micro-batches,
+    # each paying the full incremental contract (histogram merge with
+    # the prior state, nearest-rank pass, store write, marker commit).
+    # The input split is untimed setup; the timed span is stream start
+    # to drain.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from lynx_spark.streaming.incremental import percentile_stream
+
+    sdir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select(F.col("value").cast("double").alias("value"))
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(f"{sdir}/in")
+        )
+        ev = (
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{sdir}/in")
+        )
+        t0 = time.perf_counter()
+        q = percentile_stream(ev, "value", f"{sdir}/store", f"{sdir}/ck")
+        q.awaitTermination()
+        timings["s1_percentile_stream_4b"] = round(
+            time.perf_counter() - t0, 4
+        )
+        print(
+            f"# s1_percentile_stream_4b: "
+            f"{timings['s1_percentile_stream_4b']:.3f}s "
+            f"(4 micro-batches, availableNow)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+
     # host-speed calibration constants (r8): the text family drifted
     # +35% over r5→r8 on UNCHANGED code — bisect showed it is neither
     # registry size (lean import == full import) nor contention (idle
