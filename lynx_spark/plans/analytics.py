@@ -11614,6 +11614,145 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q216_quantile_sketch_audit",
+    oracle=f"""
+WITH ev AS ({_EV}),
+g AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS gv
+      FROM ev WHERE value IS NOT NULL),
+gh AS (SELECT gv, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gv),
+st AS (SELECT CAST(min(gv) AS BIGINT) AS mn,
+              CAST(max(gv) AS BIGINT) AS mx,
+              CAST(sum(cnt) AS BIGINT) AS n FROM gh),
+cumv AS (SELECT gv,
+    CAST(sum(cnt) OVER (ORDER BY gv) AS BIGINT) AS cum FROM gh),
+p AS (SELECT CAST(pct AS BIGINT) AS pct
+      FROM (VALUES (25),(50),(75),(90),(99)) t(pct)),
+ex AS (SELECT pct, CAST(min(gv) AS BIGINT) AS exact_gv
+       FROM p CROSS JOIN st CROSS JOIN cumv
+       WHERE cum * 100 >= pct * n GROUP BY pct),
+bk AS (SELECT ((gv - mn) * 64) // (mx - mn + 1) AS b,
+              CAST(sum(cnt) AS BIGINT) AS bc
+       FROM gh CROSS JOIN st GROUP BY 1),
+be AS (SELECT b, bc,
+         CAST(sum(bc) OVER (ORDER BY b) AS BIGINT) AS cum,
+         (b * (mx - mn + 1) + 63) // 64 AS lo_off,
+         ((b + 1) * (mx - mn + 1) + 63) // 64 - 1 AS hi_off,
+         mn, n
+       FROM bk CROSS JOIN st),
+sk AS (SELECT pct,
+         CAST(min_by(mn + lo_off
+           + ((((pct * n + 99) // 100) - (cum - bc) - 1)
+              * (hi_off - lo_off + 1)) // bc, b) AS BIGINT) AS sketch_gv,
+         CAST(min_by(hi_off - lo_off + 1, b) AS BIGINT)
+           AS bucket_width_cents,
+         CAST(max(n) AS BIGINT) AS n_total
+       FROM p CROSS JOIN be
+       WHERE cum * 100 >= pct * n GROUP BY pct)
+SELECT pct, n_total,
+  CAST(exact_gv AS DOUBLE) / 100.0 AS exact_value,
+  CAST(sketch_gv AS DOUBLE) / 100.0 AS sketch_value,
+  CAST(sketch_gv - exact_gv AS BIGINT) AS err_cents,
+  bucket_width_cents
+FROM sk JOIN ex USING (pct)
+ORDER BY pct
+""",
+    description="quantile-sketch accuracy audit — the order-statistics "
+    "sibling of q132 (count-min) and q133 (HLL), and the batch twin "
+    "of percentile_stream: a 64-bucket equi-width histogram sketch "
+    "(the bounded MERGEABLE summary an engine keeps when value-grain "
+    "state is too wide) estimates p25..p99 of the events value by "
+    "within-bucket uniform interpolation, audited against the exact "
+    "grid nearest-rank percentiles. Every step is integer arithmetic "
+    "on the 1e-2 value grid (bucket ids, ceil-offsets and the "
+    "interpolation all via integer DIV, never a float chain — exact "
+    "in both engines at any n); the sketch's error is reported in "
+    "cents next to its structural bound, the bucket width. State: "
+    "grid-histogram grain for the exact side (domain-bounded), 64 "
+    "rows for the sketch",
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = 64
+    ev = T(spark, sf_dir, "events")
+    gh = (
+        ev.select(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("gv")
+        )
+        .filter(F.col("gv").isNotNull())
+        .groupBy("gv")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()  # three consumers: stats collect, exact cum, sketch
+    )
+    st = gh.agg(
+        F.min("gv").alias("mn"), F.max("gv").alias("mx"), F.sum("cnt").alias("n")
+    ).collect()[0]
+    mn, mx, n = int(st["mn"]), int(st["mx"]), int(st["n"])
+    span = mx - mn + 1
+    p = spark.sql(
+        "SELECT CAST(pct AS BIGINT) AS pct "
+        "FROM (VALUES (25),(50),(75),(90),(99)) AS t(pct)"
+    )
+    wg = Window.orderBy("gv").rowsBetween(Window.unboundedPreceding, 0)
+    cumv = gh.select(
+        "gv", F.sum("cnt").over(wg).cast("long").alias("cum")
+    )
+    ex = (
+        cumv.crossJoin(F.broadcast(p))
+        .filter(F.col("cum") * F.lit(100) >= F.col("pct") * F.lit(n))
+        .groupBy("pct")
+        .agg(F.min("gv").cast("long").alias("exact_gv"))
+    )
+    bk = gh.groupBy(
+        F.expr(f"((gv - {mn}) * {B}) div {span}").alias("b")
+    ).agg(F.sum("cnt").cast("long").alias("bc"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    be = bk.select(
+        "b",
+        "bc",
+        F.sum("bc").over(wb).cast("long").alias("cum"),
+        F.expr(f"(b * {span} + {B - 1}) div {B}").alias("lo_off"),
+        F.expr(f"((b + 1) * {span} + {B - 1}) div {B} - 1").alias(
+            "hi_off"
+        ),
+    )
+    sk = (
+        be.crossJoin(F.broadcast(p))
+        .filter(F.col("cum") * F.lit(100) >= F.col("pct") * F.lit(n))
+        .withColumn("r", F.expr(f"(pct * {n} + 99) div 100"))
+        .withColumn("pos", F.col("r") - (F.col("cum") - F.col("bc")) - 1)
+        .withColumn("width", F.col("hi_off") - F.col("lo_off") + 1)
+        .withColumn(
+            "est_gv",
+            F.lit(mn) + F.col("lo_off") + F.expr("(pos * width) div bc"),
+        )
+        .groupBy("pct")
+        .agg(
+            F.min_by("est_gv", "b").cast("long").alias("sketch_gv"),
+            F.min_by("width", "b").cast("long").alias("bucket_width_cents"),
+        )
+    )
+    return (
+        sk.join(ex, "pct")
+        .select(
+            "pct",
+            F.lit(n).cast("long").alias("n_total"),
+            (F.col("exact_gv").cast("double") / F.lit(100.0)).alias(
+                "exact_value"
+            ),
+            (F.col("sketch_gv").cast("double") / F.lit(100.0)).alias(
+                "sketch_value"
+            ),
+            (F.col("sketch_gv") - F.col("exact_gv"))
+            .cast("long")
+            .alias("err_cents"),
+            "bucket_width_cents",
+        )
+        .orderBy("pct")
+    )
+
+
+@q(
     "q217_js_divergence",
     oracle="""
 WITH sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c

@@ -180,6 +180,22 @@ def test_q160_single_scan_no_join(spark):
     assert "Join" not in plan
 
 
+def test_q216_domain_bounded_windows(spark):
+    # the sketch audit's two global cum windows run at grid-histogram
+    # grain (domain-bounded) and 64-bucket grain — never fact grain:
+    # exactly one parquet scan feeds the persisted histogram, the two
+    # SinglePartition exchanges sit ABOVE the gv aggregation, and the
+    # 5-row pct frame joins as broadcast (BNLJ on the range filter)
+    plan = plan_of(spark, "q216_quantile_sketch_audit")
+    live = live_plan(plan)
+    # the raw plan re-renders the cached histogram recipe (and its
+    # parquet scan) under every InMemoryRelation reference; what
+    # EXECUTES reads the cache
+    assert "Scan parquet" not in live
+    assert live.count("Exchange SinglePartition") <= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_q174_fof_grain_no_key_rank(spark):
     # r8: the Gini numerator computes on the frequency-of-frequencies
     # histogram — no rank window over the key table at all. The two

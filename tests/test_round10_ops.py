@@ -124,3 +124,59 @@ def test_modularity_guard_both_regimes(no_auto_broadcast, monkeypatch):
     plan = _plan(unhinted)
     assert "BroadcastHashJoin" not in plan
     assert sorted(map(tuple, unhinted.collect())) == rows_hinted
+
+
+def test_q216_sketch_audit_matches_python_replay(spark, tmp_path):
+    """q216 (the r9 numbering gap, filled r10): 64-bucket equi-width
+    histogram-sketch percentile estimates and exact grid nearest-rank
+    percentiles both verified against a from-scratch python replay on
+    a skewed value set."""
+    import math
+
+    from lynx_spark.plans.analytics import REGISTRY
+
+    vals = (
+        [0.50] * 3 + [1.25] * 10 + [2.00] * 5 + [7.77] * 2
+        + [150.00] * 4 + [560.21]
+    )
+    rows = [
+        (i, "2024-01-0%d 00:00:00" % (i % 9 + 1), i % 5, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["pct"]: r
+        for r in REGISTRY["q216_quantile_sketch_audit"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    B = 64
+    gvs = sorted(int(math.floor(v * 100.0 + 0.5)) for v in vals)
+    n = len(gvs)
+    mn, mx = gvs[0], gvs[-1]
+    span = mx - mn + 1
+    from collections import Counter
+
+    bc = Counter(((gv - mn) * B) // span for gv in gvs)
+    for p in (25, 50, 75, 90, 99):
+        r = (p * n + 99) // 100
+        exact_gv = gvs[r - 1]
+        cum = 0
+        for b in sorted(bc):
+            if cum + bc[b] >= r:
+                lo = (b * span + B - 1) // B
+                hi = ((b + 1) * span + B - 1) // B - 1
+                width = hi - lo + 1
+                est = mn + lo + ((r - cum - 1) * width) // bc[b]
+                break
+            cum += bc[b]
+        assert got[p]["n_total"] == n, p
+        assert got[p]["exact_value"] == exact_gv / 100.0, p
+        assert got[p]["sketch_value"] == est / 100.0, p
+        assert got[p]["err_cents"] == est - exact_gv, p
+        assert got[p]["bucket_width_cents"] == width, p
