@@ -100,6 +100,31 @@ def _release_frame(df: DataFrame) -> None:
         pass
 
 
+# Iterative operators truncate lineage every N rounds (r10): a plan
+# that only GROWS linearly per round still re-analyzes its whole
+# history each iteration and overflows Catalyst's recursion at high
+# round counts — at 100 TB a 20+-round run is a stack hazard, not a
+# style issue. 5 keeps the default 2-3-round calls checkpoint-free
+# (zero extra jobs) while bounding any run's live lineage to <5
+# rounds. Module-level so tests can force either regime.
+_TRUNCATE_EVERY = 5
+
+
+def _truncate_round(
+    df: DataFrame, round_no: int, prev_ckpt: DataFrame | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Every ``_TRUNCATE_EVERY``-th round: eagerly checkpoint the
+    round frame (materialize + cut lineage to a leaf) and release the
+    previous checkpoint, whose consumers just materialized into the
+    new one. Other rounds pass through untouched."""
+    if round_no % _TRUNCATE_EVERY != 0:
+        return df, prev_ckpt
+    ckpt = df.localCheckpoint(eager=True)
+    if prev_ckpt is not None:
+        _release_frame(prev_ckpt)
+    return ckpt, ckpt
+
+
 def _canonical_edges(e: DataFrame) -> DataFrame:
     """Undirected edge set in canonical (min, max) orientation, self
     loops dropped, deduplicated — the representation both star
@@ -454,7 +479,8 @@ def pagerank(
     ranks = base.crossJoin(F.broadcast(n_df)).select(
         "_v", (F.lit(1.0) / F.col("_n")).alias("_r")
     )
-    for _ in range(n_iters):
+    _ckpt: DataFrame | None = None
+    for _it in range(n_iters):
         # _outw can sum to 0 if every edge weight from a node is 0 —
         # those edges carry no rank (share 0) instead of NaN/ANSI-
         # throwing; _outdeg >= 1 by construction and needs no guard
@@ -483,6 +509,7 @@ def pagerank(
                 ).alias("_r"),
             )
         )
+        ranks, _ckpt = _truncate_round(ranks, _it + 1, _ckpt)
     return ranks.select(
         F.col("_v").alias(node_col), _round8(F.col("_r")).alias("pagerank")
     )
@@ -609,7 +636,8 @@ def label_propagation(
     w = Window.partitionBy("u").orderBy(
         F.desc("votes"), F.asc("label")
     )
-    for _ in range(n_rounds):
+    _ckpt: DataFrame | None = None
+    for _rd in range(n_rounds):
         votes = (
             sym.join(
                 current.select(
@@ -634,6 +662,7 @@ def label_propagation(
                 .alias("label"),
             )
         )
+        current, _ckpt = _truncate_round(current, _rd + 1, _ckpt)
     return (
         base.join(current, "node")
         .select(
@@ -896,18 +925,32 @@ def kcore_peel(
     ]
     for r in range(1, n_rounds + 1):
         deg = cur.groupBy("_a").agg(F.count("*").alias("_deg"))
-        nxt_alive = deg.filter(F.col("_deg") >= k).select(
-            F.col("_a").alias("_v")
+        # the survivor set is referenced twice below AND derives from
+        # cur — left lazy, each round's plan embeds cur THREE times
+        # (3^rounds subtree copies: a 7-round peel on a 12-row toy
+        # spent >9 min in Catalyst analysis). The eager checkpoint is
+        # one vertex-sized job per round and makes plan growth linear
+        nxt_alive = (
+            deg.filter(F.col("_deg") >= k)
+            .select(F.col("_a").alias("_v"))
+            .localCheckpoint(eager=True)
         )
-        nxt = (
-            cur.join(nxt_alive, cur["_a"] == nxt_alive["_v"], "semi")
-            .join(
-                nxt_alive.select(F.col("_v").alias("_v2")),
-                F.col("_b") == F.col("_v2"),
-                "semi",
-            )
-            .persist()
+        held.append(nxt_alive)
+        nxt = cur.join(
+            nxt_alive, cur["_a"] == nxt_alive["_v"], "semi"
+        ).join(
+            nxt_alive.select(F.col("_v").alias("_v2")),
+            F.col("_b") == F.col("_v2"),
+            "semi",
         )
+        # every _TRUNCATE_EVERY-th round the surviving edge frame is
+        # checkpointed instead of plain-persisted, cutting the
+        # round-over-round lineage chain (all held frames, either
+        # tier, are released together after the result materializes)
+        if r % _TRUNCATE_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
         held.append(nxt)
         rows.append(
             nxt.agg((F.count("*") / 2).cast("long").alias("n_edges"))

@@ -180,3 +180,120 @@ def test_q216_sketch_audit_matches_python_replay(spark, tmp_path):
         assert got[p]["sketch_value"] == est / 100.0, p
         assert got[p]["err_cents"] == est - exact_gv, p
         assert got[p]["bucket_width_cents"] == width, p
+
+
+def _toy_graph(spark):
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a in range(12) for b in range(12)
+         if a != b and (a + b) % 3 == 0],
+        ["src", "nbr", "cos_sim"],
+    )
+    nodes = spark.createDataFrame(
+        [(i, i % 4) for i in range(12)], ["vec_id", "label"]
+    )
+    return edges, nodes
+
+
+def test_iterative_truncation_bit_identical(spark, monkeypatch):
+    """r10 lineage guard: checkpointing every 5th round is a plan
+    transformation only — pagerank / label propagation / k-core rows
+    are identical with truncation active (7 rounds crosses the
+    5-round boundary) and disabled."""
+    import lynx_spark.operators.graph as gr
+
+    edges, nodes = _toy_graph(spark)
+    with_tr = {
+        "pr": sorted(map(tuple, gr.pagerank(edges, nodes, n_iters=7).collect())),
+        "lp": sorted(map(tuple, gr.label_propagation(
+            edges, nodes, "vec_id", "label",
+            F.col("vec_id") < 3, n_rounds=7).collect())),
+        "kc": sorted(map(tuple, gr.kcore_peel(
+            edges.select("src", "nbr"), k=3, n_rounds=7).collect())),
+    }
+    monkeypatch.setattr(gr, "_TRUNCATE_EVERY", 10_000)
+    without = {
+        "pr": sorted(map(tuple, gr.pagerank(edges, nodes, n_iters=7).collect())),
+        "lp": sorted(map(tuple, gr.label_propagation(
+            edges, nodes, "vec_id", "label",
+            F.col("vec_id") < 3, n_rounds=7).collect())),
+        "kc": sorted(map(tuple, gr.kcore_peel(
+            edges.select("src", "nbr"), k=3, n_rounds=7).collect())),
+    }
+    assert with_tr == without
+
+
+def test_iterative_lineage_bounded_after_25_rounds(spark):
+    """The VERDICT r9 ask: after 25+ rounds the live plan must stay
+    bounded. With truncation every 5 rounds, a 26-iteration run's
+    analyzed-plan text is no longer than ~a 6-iteration run's (both
+    carry exactly one post-checkpoint round of lineage); unbounded
+    growth would make the 26-round plan ~5x larger."""
+    import lynx_spark.operators.graph as gr
+
+    edges, nodes = _toy_graph(spark)
+
+    def plan_len(df):
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    pr6 = plan_len(gr.pagerank(edges, nodes, n_iters=6))
+    pr26 = plan_len(gr.pagerank(edges, nodes, n_iters=26))
+    assert pr26 <= pr6 * 1.5, (pr6, pr26)
+
+    # 16 rounds (three checkpoints) already distinguishes bounded
+    # from linear growth; 26 would pay ~10 more checkpoint jobs of
+    # suite time for no extra signal
+    lp6 = plan_len(gr.label_propagation(
+        edges, nodes, "vec_id", "label", F.col("vec_id") < 3, n_rounds=6))
+    lp16 = plan_len(gr.label_propagation(
+        edges, nodes, "vec_id", "label", F.col("vec_id") < 3, n_rounds=16))
+    assert lp16 <= lp6 * 1.5, (lp6, lp16)
+
+    # hits already checkpoints every half-step (its plan depth is
+    # iteration-free by construction); pin with a short span so a
+    # refactor can't silently drop the guard
+    h3 = plan_len(gr.hits_scores(edges, nodes, n_iters=3))
+    h8 = plan_len(gr.hits_scores(edges, nodes, n_iters=8))
+    assert h8 <= h3 * 1.5, (h3, h8)
+
+    # kcore: the survivor-set checkpoint kills the 3x-per-round plan
+    # TRIPLING (a lazy alive set embeds cur three times per round —
+    # 3^n subtree copies; 7 un-truncated rounds spent >9 min in
+    # Catalyst analysis on a 12-row toy), the every-5 edge checkpoint
+    # bounds the remaining linear growth
+    def kc_len(n):
+        return plan_len(gr.kcore_peel(edges.select("src", "nbr"),
+                                      k=3, n_rounds=n))
+
+    # kcore RETURNS one union branch per round (a per-round summary
+    # row), so its output plan is linear in rounds by design — the
+    # guard's claim is that the PER-ROUND plan size stays bounded
+    # (3^n tripling would blow this up immediately)
+    kc6, kc16 = kc_len(6), kc_len(16)
+    assert kc16 / 16 <= (kc6 / 6) * 1.5, (kc6, kc16)
+
+
+def test_q09b_hll_error_within_documented_bound(spark):
+    """q09b is rows-only in the driver (an HLL sketch has no
+    hash-comparable oracle); this closes the hole with the bound the
+    sketch documents: approx_count_distinct's default rsd is 0.05, so
+    per event_type |approx - exact| / exact must stay within 3*rsd at
+    sf0.01 (deterministic: Spark's HLL++ hashes are fixed, the
+    'randomness' is frozen per value set)."""
+    from lynx_spark.plans.analytics import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["q09b_approx_distinct"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, n in exact.items():
+        rel = abs(approx[et] - n) / n
+        assert rel <= 0.15, (et, approx[et], n, rel)
