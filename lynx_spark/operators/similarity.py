@@ -224,21 +224,24 @@ def lsh_ann_topk(
     vec_col: str,
     max_query_id: int,
     k: int = 3,
-    multiprobe: bool = False,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing the query's LSH
     bucket in at least one hash table; exact cosine re-ranks the
     candidate union.
 
-    ``multiprobe=True`` additionally probes every bucket at Hamming
-    distance 1 from the query's (flip each sign bit once) — the
-    standard recall lever WITHOUT growing the index (Lv et al., VLDB
-    2007): a near neighbor that disagrees on exactly one hyperplane
-    still meets the query. Query-side only: the corpus layout, the
-    index and the per-table bucket ids are unchanged; candidate
-    volume grows ≤ (1 + PLANES_PER_TABLE)× on the probe side, and
-    only for the (small) query set. Measured by the q105/q106 recall
-    audits: 0.67 → 0.95 mean recall@3 at sf0.1."""
+    ``multiprobe`` (the DEFAULT since r10) additionally probes every
+    bucket at Hamming distance 1 from the query's (flip each sign bit
+    once) — the standard recall lever WITHOUT growing the index (Lv
+    et al., VLDB 2007): a near neighbor that disagrees on exactly one
+    hyperplane still meets the query. Query-side only: the corpus
+    layout, the index and the per-table bucket ids are unchanged;
+    candidate volume grows ≤ (1 + PLANES_PER_TABLE)× on the probe
+    side, and only for the (small) query set. Measured by the
+    q105/q106 recall audits: 0.47-0.67 single-probe → 0.95 mean
+    recall@3 — too large a quality gap for single-probe to be the
+    default; pass ``multiprobe=False`` for the cheapest probe when
+    recall is secondary."""
     from pyspark.sql.window import Window
 
     vecs = with_buckets(
@@ -963,7 +966,7 @@ def ann_recall_audit(
     vec_col: str,
     max_query_id: int = 20,
     k: int = 3,
-    multiprobe: bool = False,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """ANN recall@k audit: for each query, how many of the EXACT top-k
     cosine neighbors the LSH index actually returned — the

@@ -2006,9 +2006,19 @@ def _ann_oracle() -> str:
         )
         bucket_cols.append(f"CAST({bucket} AS BIGINT) AS bucket{t}")
     buckets_sql = ",\n    ".join(bucket_cols)
+    # r10: lsh_ann_topk defaults to Hamming-1 multiprobe, so the
+    # oracle's candidate join probes the query bucket AND every
+    # single-bit flip of it per table (mirrors the q106 oracle)
+    def probes(t: int) -> str:
+        flips = ", ".join(
+            f"xor(q.bucket{t}, {1 << i})"
+            for i in range(sim.PLANES_PER_TABLE)
+        )
+        return f"(q.bucket{t}, {flips})"
+
     cand_union = "\n  UNION\n".join(
         f"  SELECT q.vec_id AS qid, n.vec_id AS nid FROM v q "
-        f"JOIN v n ON q.bucket{t} = n.bucket{t} AND n.vec_id <> q.vec_id "
+        f"JOIN v n ON n.bucket{t} IN {probes(t)} AND n.vec_id <> q.vec_id "
         f"WHERE q.vec_id < 50"
         for t in range(sim.NUM_TABLES)
     )
@@ -2040,7 +2050,10 @@ SELECT qid, nid, cos_sim, rnk FROM ranked WHERE rnk <= 3
     "q25_ann_lsh",
     oracle=_ann_oracle(),
     description="approximate NN via multi-table random-hyperplane LSH "
-    "(the 100 TB scale path: bucket-equality joins, no cross join)",
+    "(the 100 TB scale path: bucket-equality joins, no cross join); "
+    "Hamming-1 multiprobe is the default since r10 — recall@3 0.47 "
+    "single-probe vs 0.95 multiprobe (q105/q106) at unchanged index "
+    "layout and <=5x probe rows for the small query set",
 )
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(
@@ -4142,16 +4155,17 @@ FROM per_q
 @q(
     "q105_ann_recall",
     oracle=_ann_recall_oracle(),
-    description="ANN recall@3 audit: the LSH index (q25) scored "
-    "against brute-force truth (q24) over a 20-query sample — the "
-    "retrieval twin of q81's dedup-recall audit, the number that "
-    "tunes NUM_TABLES/PLANES_PER_TABLE; exact integer hit counts, "
-    "one row out",
+    description="ANN recall@3 audit of the SINGLE-PROBE baseline "
+    "(explicit multiprobe=False — since r10 the default index path "
+    "is Hamming-1 multiprobe, audited by q106; keeping both rows "
+    "quantifies the recall-vs-cost lever) scored against brute-force "
+    "truth (q24) over a 20-query sample — the retrieval twin of "
+    "q81's dedup-recall audit; exact integer hit counts, one row out",
 )
 def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_recall_audit(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        max_query_id=20, k=3,
+        max_query_id=20, k=3, multiprobe=False,
     )
 
 
