@@ -12980,3 +12980,401 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+# =====================================================================
+# round-10 cohort: forensic / drift / time-series / profiling
+# operators (q228+) — the audit layer a training-data pipeline runs
+# over its fact and document tables. Exactness follows the house
+# conventions: integer grids before any data-sized sum, literal
+# constants embedded from ONE python computation into both engines,
+# one double expression tree at the end, 1e-6 floor-rounded outputs.
+# =====================================================================
+
+_BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@q(
+    "q228_benford_audit",
+    oracle=f"""
+WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             AS cents FROM orders
+           WHERE o_totalprice > 0),
+dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dg)
+SELECT digit, cnt,
+  floor(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS obs_freq,
+  floor(CASE digit {" ".join(f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10))}
+    END * 1000000.0 + 0.5) / 1000000.0 AS benford_freq,
+  floor((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+         - CASE digit {" ".join(f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10))} END)
+        * 1000000.0 + 0.5) / 1000000.0 AS deviation
+FROM dg CROSS JOIN tot ORDER BY digit
+""",
+    description="Benford's-law first-digit audit of order amounts — "
+    "the classic forensic screen for fabricated or synthetic numeric "
+    "columns (natural multiplicative data follows "
+    "P(d)=log10(1+1/d); a flat or spiked profile flags generated "
+    "values). One aggregation to 9 digit rows; the first digit is "
+    "string-extracted from the exact integer cents (no float log in "
+    "the bucketing), the Benford expectations are ONE python "
+    "computation embedded as literals in BOTH engines, deviations "
+    "1e-6 floor-rounded",
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    dg = (
+        o.select(
+            F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = dg.agg(F.sum("cnt").cast("long").alias("n"))
+    exp = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        exp = F.when(F.col("digit") == d, F.lit(_BENFORD[d])).otherwise(exp)
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    obs = F.col("cnt").cast("double") / F.col("n").cast("double")
+    return (
+        dg.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "cnt",
+            fl6(obs).alias("obs_freq"),
+            fl6(exp).alias("benford_freq"),
+            fl6(obs - exp).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+@q(
+    "q229_psi_drift",
+    oracle=f"""
+WITH ev AS ({_EV}),
+v AS (SELECT CAST(least(floor(value / 60.0), 9) AS BIGINT) AS bin,
+             CAST(ts AS DATE) <= DATE '2024-01-15' AS first_half
+      FROM ev WHERE value IS NOT NULL),
+ca AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_a FROM v
+       WHERE first_half GROUP BY 1),
+cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b FROM v
+       WHERE NOT first_half GROUP BY 1),
+bins AS (SELECT CAST(b AS BIGINT) AS bin
+         FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) t(b)),
+j AS (SELECT bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM bins LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+SELECT bin, n_a, n_b,
+  floor(((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+         - (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+        * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+             / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS psi_contrib
+FROM j CROSS JOIN t ORDER BY bin
+""",
+    description="population stability index (PSI) drift audit — the "
+    "standard production monitor for feature/score drift between a "
+    "reference and a current window (PSI > 0.2 is the conventional "
+    "retrain trigger): events split at a fixed mid-month cut, values "
+    "binned on a FIXED literal grid (width-60 over [0,600], so bins "
+    "are data-independent and mergeable across runs), add-1 smoothed "
+    "so empty cells stay finite, one (p-q)ln(p/q) term per bin from "
+    "exact integer counts in one double tree. Zero-count bins are "
+    "rebuilt from a 10-row literal roster (the q194 zero-cell "
+    "discipline); per-bin rows out, total PSI = their sum",
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.least(F.floor(F.col("value") / F.lit(60.0)), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        (F.to_date("ts") <= F.lit("2024-01-15")).alias("first_half"),
+    )
+    ca = (
+        v.filter("first_half")
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_a"))
+    )
+    cb = (
+        v.filter(~F.col("first_half"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_b"))
+    )
+    bins = spark.sql(
+        "SELECT CAST(b AS BIGINT) AS bin FROM (VALUES "
+        + ",".join(f"({i})" for i in range(10))
+        + ") t(b)"
+    )
+    j = (
+        bins.join(ca, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    t = j.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    pa = (F.col("n_a") + F.lit(1)).cast("double") / (
+        F.col("ta") + F.lit(10)
+    ).cast("double")
+    pb = (F.col("n_b") + F.lit(1)).cast("double") / (
+        F.col("tb") + F.lit(10)
+    ).cast("double")
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        j.crossJoin(F.broadcast(t))
+        .select(
+            "bin", "n_a", "n_b",
+            fl6((pa - pb) * F.log(pa / pb)).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+@q(
+    "q230_ohlc_bars",
+    oracle=f"""
+WITH ev AS ({_EV}),
+g AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS gv,
+        ts, event_id
+      FROM ev WHERE value IS NOT NULL),
+r AS (SELECT day, event_type, gv,
+        row_number() OVER (PARTITION BY day, event_type
+                           ORDER BY ts, event_id) AS ra,
+        row_number() OVER (PARTITION BY day, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rd
+      FROM g)
+SELECT day, event_type,
+  CAST(max(CASE WHEN ra = 1 THEN gv END) AS DOUBLE) / 100.0 AS open,
+  CAST(max(gv) AS DOUBLE) / 100.0 AS high,
+  CAST(min(gv) AS DOUBLE) / 100.0 AS low,
+  CAST(max(CASE WHEN rd = 1 THEN gv END) AS DOUBLE) / 100.0 AS close,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    description="OHLC bars (open/high/low/close + volume) per "
+    "(day, event_type) — the standard downsampling shape for any "
+    "metric stream (the reference's TSDB role aggregated to bar "
+    "granularity): open/close via (ts, event_id)-ordered "
+    "row_number windows PARTITIONED by the bar key "
+    "(hash-partitioned, parallel — never a global sort), values on "
+    "the exact cent grid, the total (ts, event_id) order making "
+    "equal-timestamp bars deterministic cross-engine",
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("gv"),
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("day", "event_type").orderBy("ts", "event_id")
+    wd = Window.partitionBy("day", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = g.select(
+        "day", "event_type", "gv",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    dbl = lambda c_: c_.cast("double") / F.lit(100.0)
+    return (
+        r.groupBy("day", "event_type")
+        .agg(
+            dbl(F.max(F.when(F.col("ra") == 1, F.col("gv")))).alias("open"),
+            dbl(F.max("gv")).alias("high"),
+            dbl(F.min("gv")).alias("low"),
+            dbl(F.max(F.when(F.col("rd") == 1, F.col("gv")))).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@q(
+    "q231_retention_cohorts",
+    oracle=f"""
+WITH ev AS ({_EV}),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev
+      WHERE user_id IS NOT NULL),
+fu AS (SELECT user_id, min(day) AS f FROM a GROUP BY 1)
+SELECT CAST(date_diff('day', DATE '2024-01-01', f) // 7 AS BIGINT)
+         AS cohort_week,
+       CAST(date_diff('day', f, day) // 7 AS BIGINT) AS offset_week,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM a JOIN fu USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    description="retention cohort matrix — the canonical product/"
+    "engagement audit: users grouped by first-activity week, counted "
+    "per week-offset of later activity. One distinct (user, day) "
+    "aggregation, one per-user min, a user-keyed join back, then a "
+    "cohort-grain count — every shuffle keyed by user or the "
+    "(cohort, offset) output grain; integer week arithmetic from a "
+    "fixed literal epoch so both engines bucket identically",
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    a = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    fu = a.groupBy("user_id").agg(F.min("day").alias("f"))
+    return (
+        a.join(fu, "user_id")
+        .select(
+            F.floor(
+                F.datediff(F.col("f"), F.lit("2024-01-01")) / F.lit(7)
+            )
+            .cast("long")
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("f")) / F.lit(7))
+            .cast("long")
+            .alias("offset_week"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "offset_week")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "offset_week")
+    )
+
+
+@q(
+    "q232_anova_f",
+    oracle="""
+WITH g AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+pg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(x) AS BIGINT) AS s_g
+       FROM g GROUP BY 1),
+tg AS (SELECT source, n_g, s_g,
+         CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) + 0.5) AS BIGINT) AS t_g
+       FROM pg),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(n_g) AS BIGINT) AS n,
+          CAST(sum(s_g) AS BIGINT) AS s,
+          CAST(sum(t_g) AS BIGINT) AS st FROM tg),
+ss AS (SELECT CAST(sum(x * x) AS HUGEINT) AS ssq FROM g)
+SELECT k AS k_groups, n AS n_docs,
+  floor(((CAST(st AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / CAST(k - 1 AS DOUBLE))
+        / ((CAST(ssq AS DOUBLE) - CAST(st AS DOUBLE))
+           / CAST(n - k AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+FROM tot CROSS JOIN ss
+""",
+    description="one-way ANOVA F-statistic of document length across "
+    "sources — does source explain length variance? (the quick "
+    "homogeneity screen before mixing corpora). Sufficient-statistic "
+    "shape: one aggregation to (source) grain for counts and exact "
+    "integer sums, per-group s_g^2/n_g terms floor-snapped to "
+    "integers (group-count-bounded, so the between-group sum is "
+    "order-free), the global sum of squares kept in DECIMAL/HUGEINT, "
+    "one double F evaluation at the end — never a second data pass",
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = T(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    pg = g.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+    )
+    tg = pg.select(
+        "n_g",
+        "s_g",
+        F.floor(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t_g"),
+    )
+    tot = tg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("t_g").cast("long").alias("st"),
+    )
+    ss = g.agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("ssq")
+    )
+    d = lambda c_: F.col(c_).cast("double")
+    ssb = d("st") - d("s") * d("s") / d("n")
+    ssw = F.col("ssq").cast("double") - d("st")
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return tot.crossJoin(F.broadcast(ss)).select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_docs"),
+        fl6(
+            (ssb / (F.col("k") - F.lit(1)).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+@q(
+    "q237_weekday_pivot",
+    oracle=f"""
+WITH ev AS ({_EV}),
+d AS (SELECT isodow(CAST(ts AS DATE)) AS weekday, event_type FROM ev)
+SELECT CAST(weekday AS BIGINT) AS weekday,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS view,
+  CAST(count(*) AS BIGINT) AS total
+FROM d GROUP BY 1 ORDER BY 1
+""",
+    description="weekday x event-type PIVOT matrix (the relational "
+    "crosstab surface): Spark-side a groupBy().pivot() with EXPLICIT "
+    "pivot values (no discovery pass, deterministic column order), "
+    "ISO weekday (Mon=1) computed identically in both engines; one "
+    "aggregation, 7 rows out with a per-row total audit column",
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    d = ev.select(
+        (F.weekday(F.to_date("ts")) + F.lit(1))
+        .cast("long")
+        .alias("weekday"),
+        "event_type",
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        d.groupBy("weekday")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    out = p.select(
+        "weekday",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+    total = None
+    for t in types:
+        total = F.col(t) if total is None else total + F.col(t)
+    return out.withColumn("total", total.cast("long")).orderBy("weekday")
