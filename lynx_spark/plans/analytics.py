@@ -13378,3 +13378,649 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in types:
         total = F.col(t) if total is None else total + F.col(t)
     return out.withColumn("total", total.cast("long")).orderBy("weekday")
+
+
+@q(
+    "q233_mann_kendall",
+    oracle=f"""
+WITH ev AS ({_EV}),
+dly AS (SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+       FROM ev WHERE value IS NOT NULL GROUP BY 1),
+pr AS (SELECT a.day AS da, b.day AS db,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+           AS sgn,
+         CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1000000.0
+                    / CAST(date_diff('day', a.day, b.day) AS DOUBLE))
+              AS BIGINT) AS slope6
+       FROM dly a JOIN dly b ON a.day < b.day),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(sgn) AS BIGINT) AS s_stat FROM pr),
+rk AS (SELECT slope6,
+         row_number() OVER (ORDER BY slope6, da, db) AS rn
+       FROM pr),
+med AS (SELECT slope6 AS m6 FROM rk CROSS JOIN st
+        WHERE rn = (n_pairs + 1) // 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dly) AS n_days,
+  n_pairs, s_stat,
+  CAST(m6 AS DOUBLE) / 1000000.0 AS theil_sen_slope
+FROM st CROSS JOIN med
+""",
+    description="Mann-Kendall trend test + Theil-Sen slope over daily "
+    "revenue — the standard non-parametric monotone-trend monitor "
+    "(robust to outliers where OLS is not): S = sum of pairwise "
+    "signs, slope = lower-median of pairwise slopes. Pairwise stages "
+    "run at DAY grain (days^2 pairs — calendar-bounded like q208, "
+    "data-size-free), slopes floor-snapped to the 1e-6 grid in the "
+    "IDENTICAL double tree in both engines (integer DIV would "
+    "diverge on negative diffs: Spark truncates, DuckDB floors), "
+    "the median by explicit nearest-rank over the tie-broken "
+    "(slope, pair) order",
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dly = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .persist()  # three consumers: pairs (twice) + the day count
+    )
+    a = dly.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = dly.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    pr = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+            F.floor(
+                (F.col("yb") - F.col("ya")).cast("double")
+                * F.lit(1e6)
+                / F.datediff("db", "da").cast("double")
+            )
+            .cast("long")
+            .alias("slope6"),
+        )
+        .persist()  # two consumers: the sign/count aggregate + the rank
+    )
+    st = pr.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("s_stat"),
+    )
+    w = Window.orderBy("slope6", "da", "db")
+    med = (
+        pr.select("slope6", F.row_number().over(w).alias("rn"))
+        .crossJoin(F.broadcast(st))
+        .filter(
+            F.col("rn") == F.floor((F.col("n_pairs") + 1) / F.lit(2))
+        )
+        .select((F.col("slope6").cast("double") / F.lit(1e6)).alias("m"))
+    )
+    nd = dly.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        st.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(nd))
+        .select("n_days", "n_pairs", "s_stat", F.col("m").alias("theil_sen_slope"))
+    )
+
+
+@q(
+    "q234_ccf_lagged",
+    oracle=f"""
+WITH ev AS ({_EV}),
+dx AS (SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+       FROM ev WHERE event_type = 'click' AND value IS NOT NULL
+       GROUP BY 1),
+dy AS (SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+       FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+       GROUP BY 1),
+lg AS (SELECT CAST(l AS BIGINT) AS lag
+       FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(l)),
+p AS (SELECT lag, dx.x, dy.y
+      FROM lg CROSS JOIN dx JOIN dy ON dy.day = dx.day + CAST(lag AS INT)),
+m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS HUGEINT) AS sxy,
+        CAST(sum(x * x) AS HUGEINT) AS sxx,
+        CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM p GROUP BY 1)
+SELECT lag, n AS n_pairs,
+  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS ccf
+FROM m ORDER BY lag
+""",
+    description="lagged cross-correlation (CCF) between the click and "
+    "purchase daily revenue series at lags 0..7 — does click volume "
+    "LEAD purchases? (q178's autocorrelation shape crossed between "
+    "two series). Day-grain alignment via a literal lag roster and a "
+    "date-shift equi-join (calendar-bounded pairs), Pearson moments "
+    "as exact integer/HUGEINT sums, one double correlation tree per "
+    "lag, 1e-6 floor-rounded",
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def daily(et: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("value") * F.lit(100.0) + F.lit(0.5)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    dx = daily("click", "x")
+    dy = daily("purchase", "y")
+    lg = spark.sql(
+        "SELECT CAST(l AS BIGINT) AS lag FROM (VALUES "
+        + ",".join(f"({i})" for i in range(8))
+        + ") t(l)"
+    )
+    p = (
+        dx.crossJoin(F.broadcast(lg))
+        .join(
+            dy.withColumnRenamed("day", "dy_day"),
+            F.col("dy_day")
+            == F.date_add(F.col("day"), F.col("lag").cast("int")),
+        )
+        .select("lag", "x", "y")
+    )
+    dec = lambda c_: F.sum(c_.cast("decimal(38,0)"))
+    m = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c_: F.col(c_).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return m.select(
+        "lag", F.col("n").alias("n_pairs"), fl6(num / den).alias("ccf")
+    ).orderBy("lag")
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_DAYS = 30
+_EWMA_W = {
+    j: (
+        _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j
+        if j < _EWMA_DAYS - 1
+        else (1.0 - _EWMA_ALPHA) ** j
+    )
+    for j in range(_EWMA_DAYS)
+}
+
+
+@q(
+    "q235_ewma_daily",
+    oracle=f"""
+WITH ev AS ({_EV}),
+dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+       FROM ev GROUP BY 1, 2),
+wt AS (SELECT event_type, day, c,
+         CAST(date_diff('day', day, DATE '2024-01-30') AS BIGINT) AS j
+       FROM dc),
+tm AS (SELECT event_type,
+         CAST(floor(CAST(c AS DOUBLE)
+           * (CASE j {" ".join(f"WHEN {j} THEN {_EWMA_W[j]!r}" for j in range(_EWMA_DAYS))} ELSE 0.0 END)
+           * 1000000.0 + 0.5) AS BIGINT) AS t6,
+         CASE WHEN j BETWEEN 0 AND {_EWMA_DAYS - 1} THEN 1 ELSE 0 END
+           AS in_win
+       FROM wt)
+SELECT event_type,
+  CAST(sum(in_win) AS BIGINT) AS n_days,
+  CAST(sum(t6) AS DOUBLE) / 1000000.0 AS ewma
+FROM tm GROUP BY 1 ORDER BY 1
+""",
+    description="exponentially-weighted moving average of daily event "
+    "counts per type over the fixed 30-day window ending 2024-01-30 "
+    "(alpha=0.3, oldest day carries the (1-a)^29 tail weight — the "
+    "exact recursive-EWMA closed form): the smoothing weights are "
+    "ONE python computation embedded as literals in BOTH engines "
+    "(cross-engine pow() is not bit-pinned), per-day terms snapped "
+    "to 1e-6 integers so the per-type sums are order-free; one "
+    "day-grain aggregation, type-grain output",
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    dc = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    j = F.datediff(F.lit("2024-01-30"), F.col("day")).cast("long")
+    wexpr = F.lit(0.0)
+    for jj in range(_EWMA_DAYS - 1, -1, -1):
+        wexpr = F.when(j == jj, F.lit(_EWMA_W[jj])).otherwise(wexpr)
+    t6 = F.floor(
+        F.col("c").cast("double") * wexpr * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    in_win = F.when(
+        (j >= 0) & (j <= _EWMA_DAYS - 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        dc.select("event_type", t6.alias("t6"), in_win.alias("in_win"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("in_win").cast("long").alias("n_days"),
+            (F.sum("t6").cast("double") / F.lit(1e6)).alias("ewma"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q236_info_gain",
+    oracle="""
+WITH d AS (SELECT source, CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS y
+           FROM documents),
+pg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(y) AS BIGINT) AS p_s
+       FROM d GROUP BY 1),
+hg AS (SELECT source, n_s, p_s,
+         CAST(floor((CASE WHEN p_s = 0 OR p_s = n_s THEN 0.0
+           ELSE -(CAST(p_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+                  * ln(CAST(p_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+                - (CAST(n_s - p_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+                  * ln(CAST(n_s - p_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+           END) * 1000000.0 + 0.5) AS BIGINT) AS h6
+       FROM pg),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(n_s) AS BIGINT) AS n,
+          CAST(sum(p_s) AS BIGINT) AS p,
+          CAST(sum(n_s * h6) AS HUGEINT) AS wh6 FROM hg)
+SELECT n AS n_docs, k AS n_sources,
+  floor((CASE WHEN p = 0 OR p = n THEN 0.0
+    ELSE -(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+         - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)) END)
+    * 1000000.0 + 0.5) / 1000000.0 AS h_parent,
+  floor(CAST(wh6 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) / 1000000.0
+    AS h_conditional,
+  floor((CASE WHEN p = 0 OR p = n THEN 0.0
+    ELSE -(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+         - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)) END)
+    * 1000000.0 + 0.5) / 1000000.0
+  - floor(CAST(wh6 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) / 1000000.0
+    AS info_gain
+FROM tot
+""",
+    description="information gain of the source split on a length "
+    "label (n_chars > 500) — the decision-tree split-quality audit a "
+    "feature pipeline runs to rank metadata columns: parent binary "
+    "entropy minus source-conditional entropy. Per-source entropies "
+    "computed from exact counts and floor-snapped to 1e-6 integers "
+    "(source-count-bounded, so the n_s-weighted sum is an exact "
+    "HUGEINT/DECIMAL fold — order-free); 0ln0 guarded to 0 in both "
+    "engines; both output terms on the same snapped grid so the "
+    "difference is exactly reproducible",
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("n_chars") > 500, 1).otherwise(0).alias("y"),
+    )
+    pg = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.sum("y").cast("long").alias("p_s"),
+    )
+
+    def hbin(p: F.Column, n: F.Column) -> F.Column:
+        pd_ = p.cast("double") / n.cast("double")
+        qd_ = (n - p).cast("double") / n.cast("double")
+        return F.when(
+            (p == 0) | (p == n), F.lit(0.0)
+        ).otherwise(-pd_ * F.log(pd_) - qd_ * F.log(qd_))
+
+    hg = pg.select(
+        "n_s",
+        "p_s",
+        F.floor(hbin(F.col("p_s"), F.col("n_s")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("h6"),
+    )
+    tot = hg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("p_s").cast("long").alias("p"),
+        F.sum((F.col("n_s") * F.col("h6")).cast("decimal(38,0)")).alias(
+            "wh6"
+        ),
+    )
+    hp6 = F.floor(
+        hbin(F.col("p"), F.col("n")) * F.lit(1e6) + F.lit(0.5)
+    )
+    hc6 = F.floor(
+        F.col("wh6").cast("double") / F.col("n").cast("double") + F.lit(0.5)
+    )
+    return tot.select(
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_sources"),
+        (hp6 / F.lit(1e6)).alias("h_parent"),
+        (hc6 / F.lit(1e6)).alias("h_conditional"),
+        ((hp6 / F.lit(1e6)) - (hc6 / F.lit(1e6))).alias("info_gain"),
+    )
+
+
+@q(
+    "q238_null_profile",
+    oracle="""
+SELECT 'doc_id' AS column_name,
+  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null,
+  CAST(0 AS BIGINT) AS n_empty,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+FROM documents
+UNION ALL
+SELECT 'text',
+  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT text) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang',
+  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(sum(CASE WHEN trim(lang) = '' THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT lang) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source',
+  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(sum(CASE WHEN trim(source) = '' THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(DISTINCT source) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars',
+  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(0 AS BIGINT),
+  CAST(count(DISTINCT n_chars) AS BIGINT)
+FROM documents
+ORDER BY column_name
+""",
+    description="column completeness/cardinality profile of the "
+    "documents table (null count, blank-string count, exact distinct "
+    "count per column) — the schema-health audit every ingestion "
+    "pipeline runs before training on a new crawl. ONE aggregation "
+    "computes all fifteen metrics (null/empty as count-ifs, "
+    "distincts via Spark's multi-distinct expansion), then the "
+    "single row unpivots to column-grain rows via explode over a "
+    "struct literal — one scan, no per-column passes",
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    cols = [
+        ("doc_id", False),
+        ("text", True),
+        ("lang", True),
+        ("source", True),
+        ("n_chars", False),
+    ]
+    aggs = []
+    for c, is_str in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_n_{c}")
+        )
+        aggs.append(
+            (
+                F.sum(F.when(F.trim(F.col(c)) == "", 1).otherwise(0))
+                if is_str
+                else F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_e_{c}")
+        )
+        aggs.append(
+            F.count_distinct(F.col(c)).cast("long").alias(f"_d_{c}")
+        )
+    one = docs.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"_n_{c}").alias("n_null"),
+                    F.col(f"_e_{c}").alias("n_empty"),
+                    F.col(f"_d_{c}").alias("n_distinct"),
+                )
+                for c, _ in cols
+            ]
+        )
+    ).alias("r")
+    return (
+        one.select(rows)
+        .select("r.column_name", "r.n_null", "r.n_empty", "r.n_distinct")
+        .orderBy("column_name")
+    )
+
+
+@q(
+    "q239_bootstrap_ci",
+    oracle=f"""
+WITH ev AS ({_EV}),
+dly AS (SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+       FROM ev WHERE value IS NOT NULL GROUP BY 1),
+ix AS (SELECT y, row_number() OVER (ORDER BY day) AS idx FROM dly),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dly),
+grid AS (SELECT b, i FROM generate_series(1, 200) g1(b)
+         CROSS JOIN generate_series(1, 30) g2(i)
+         CROSS JOIN nd WHERE i <= n),
+pick AS (SELECT b,
+    (('0x' || substr(md5('bs-' || b || '-' || i), 1, 15))::BIGINT % n)
+      + 1 AS idx
+  FROM grid CROSS JOIN nd),
+bm AS (SELECT b,
+    CAST(floor(CAST(sum(y) AS DOUBLE)
+      / (CAST(count(*) AS DOUBLE) * 100.0) * 1000000.0 + 0.5)
+      AS BIGINT) AS m6
+  FROM pick JOIN ix USING (idx) GROUP BY b),
+rk AS (SELECT m6, row_number() OVER (ORDER BY m6, b) AS rn FROM bm),
+pt AS (SELECT CAST(floor(CAST(sum(y) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 100.0) * 1000000.0 + 0.5)
+         AS BIGINT) AS p6 FROM dly)
+SELECT CAST(200 AS BIGINT) AS b_resamples,
+  (SELECT n FROM nd) AS n_days,
+  (SELECT CAST(m6 AS DOUBLE) / 1000000.0 FROM rk WHERE rn = 5)
+    AS mean_lo,
+  (SELECT CAST(m6 AS DOUBLE) / 1000000.0 FROM rk WHERE rn = 195)
+    AS mean_hi,
+  CAST(p6 AS DOUBLE) / 1000000.0 AS point_mean
+FROM pt
+""",
+    description="percentile-bootstrap 95% CI of the mean daily "
+    "revenue — the uncertainty band a metrics pipeline attaches to "
+    "small-sample aggregates: 200 resamples of the day-grain series "
+    "with REPLACEMENT, the resample index drawn from the shared "
+    "md5-uniform device (deterministic in both engines — the "
+    "'randomness' is a pure function of (resample, position)), CI = "
+    "nearest-rank 2.5/97.5 percentiles of the 200 resample means. "
+    "Every stage is day- or B-grain (calendar-bounded, data-size-"
+    "free after the one daily aggregation); means snapped to the "
+    "1e-6 dollar grid",
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dly = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .persist()  # consumers: index frame, day count, point mean
+    )
+    wix = Window.orderBy("day")
+    ix = dly.select("y", F.row_number().over(wix).cast("long").alias("idx"))
+    nd = dly.agg(F.count("*").cast("long").alias("n"))
+    grid = (
+        spark.sql(
+            "SELECT explode(sequence(1, 200)) AS b"
+        )
+        .crossJoin(spark.sql("SELECT explode(sequence(1, 30)) AS i"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("i") <= F.col("n"))
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bs-"),
+                    F.col("b").cast("string"),
+                    F.lit("-"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pick = grid.select("b", (hv % F.col("n") + F.lit(1)).alias("idx"))
+    m6 = F.floor(
+        F.sum("y").cast("double")
+        / (F.count("*").cast("double") * F.lit(100.0))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    bm = pick.join(F.broadcast(ix), "idx").groupBy("b").agg(m6.alias("m6"))
+    wr = Window.orderBy("m6", "b")
+    rk = bm.select("m6", F.row_number().over(wr).alias("rn"))
+    lo = rk.filter(F.col("rn") == 5).select(
+        (F.col("m6").cast("double") / F.lit(1e6)).alias("mean_lo")
+    )
+    hi = rk.filter(F.col("rn") == 195).select(
+        (F.col("m6").cast("double") / F.lit(1e6)).alias("mean_hi")
+    )
+    pt = dly.agg(
+        (m6.cast("double") / F.lit(1e6)).alias("point_mean")
+    )
+    return (
+        nd.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(pt))
+        .select(
+            F.lit(200).cast("long").alias("b_resamples"),
+            F.col("n").alias("n_days"),
+            "mean_lo",
+            "mean_hi",
+            "point_mean",
+        )
+    )
+
+
+@q(
+    "q240_vocab_coverage",
+    oracle=r"""
+WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w
+       WHERE word <> '' GROUP BY 1),
+rk AS (SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, word) AS rnk FROM wc),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size FROM wc),
+ks AS (SELECT CAST(k AS BIGINT) AS k
+       FROM (VALUES (10),(100),(1000)) t(k))
+SELECT k,
+  CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT)
+    AS covered_tokens,
+  total_tokens, vocab_size,
+  floor(CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS DOUBLE)
+        / CAST(total_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    AS coverage
+FROM ks CROSS JOIN rk CROSS JOIN tot
+GROUP BY k, total_tokens, vocab_size ORDER BY k
+""",
+    description="vocabulary coverage curve — the fraction of all "
+    "corpus tokens covered by the top-k most frequent types at "
+    "k=10/100/1000 (the number that sizes a vocabulary or estimates "
+    "UNK rates before tokenizer training): frequency ranks of the "
+    "vocabulary-sized count frame come from the two-phase ranking "
+    "device (persist_input, no SinglePartition window over the "
+    "vocabulary); only rank<=1000 survivors join the 3-row k roster, "
+    "so the k-conditional sums run on a bounded frame",
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tx._words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    r = rnk.global_row_number(
+        wc, "cnt",
+        ascending=False, tie_cols=["word"], out_col="rnk",
+        persist_input=True,
+    )
+    tot = wc.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    ks = spark.sql(
+        "SELECT CAST(k AS BIGINT) AS k "
+        "FROM (VALUES (10),(100),(1000)) t(k)"
+    )
+    top = r.filter(F.col("rnk") <= 1000).select("rnk", "cnt")
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        top.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            fl6(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
