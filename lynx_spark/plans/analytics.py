@@ -13502,10 +13502,10 @@ m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
 SELECT lag, n AS n_pairs,
   floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)
         * 1000000.0 + 0.5) / 1000000.0 AS ccf
 FROM m ORDER BY lag
 """,
@@ -13567,8 +13567,12 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (d("n") * d("syy") - d("sy") * d("sy"))
     )
     fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # a degenerate lag (single pair / zero variance) yields NULL, not
+    # an ANSI divide-by-zero — nullif in both engines
     return m.select(
-        "lag", F.col("n").alias("n_pairs"), fl6(num / den).alias("ccf")
+        "lag",
+        F.col("n").alias("n_pairs"),
+        fl6(num / F.nullif(den, F.lit(0.0))).alias("ccf"),
     ).orderBy("lag")
 
 

@@ -723,3 +723,59 @@ def test_q227_source_cosine_shared_vocab_frame(spark):
     assert "Scan parquet" not in live
     assert "CartesianProduct" not in live
     assert "Exchange SinglePartition" not in live
+
+
+R10_COHORT = [
+    "q228_benford_audit",
+    "q229_psi_drift",
+    "q230_ohlc_bars",
+    "q231_retention_cohorts",
+    "q232_anova_f",
+    "q233_mann_kendall",
+    "q234_ccf_lagged",
+    "q235_ewma_daily",
+    "q236_info_gain",
+    "q237_weekday_pivot",
+    "q238_null_profile",
+    "q239_bootstrap_ci",
+    "q240_vocab_coverage",
+]
+
+
+@pytest.mark.parametrize("name", R10_COHORT)
+def test_r10_cohort_no_cartesian(spark, name):
+    # every round-10 join is either key-equality or a broadcast of a
+    # calendar/grain-bounded frame (lag roster, bin roster, scalar
+    # totals, day-grain pair generation) — an unbroadcast cartesian
+    # is always a regression
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q230_bar_key_partitioned_windows(spark):
+    # OHLC open/close windows partition by the bar key — a global
+    # window here would serialize the fact table
+    plan = plan_of(spark, "q230_ohlc_bars")
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "windowspecdefinition(day" in plan
+
+
+def test_q233_pairs_at_day_grain(spark):
+    # the pairwise stage must consume the AGGREGATED day frame (from
+    # cache), never raw facts: the live plan reads the persisted
+    # daily aggregate, and the only windows order the bounded pair
+    # and day frames
+    plan = plan_of(spark, "q233_mann_kendall")
+    live = live_plan(plan)
+    assert "Scan parquet" not in live
+    assert live.count("InMemoryTableScan") >= 2
+
+
+def test_q240_vocab_rank_distributed(spark):
+    # coverage ranks come from the two-phase device: bucket-
+    # partitioned row_number, no ntile, no SinglePartition window
+    # over the vocabulary (the scalar total aggregate is the only
+    # single-partition exchange)
+    plan = plan_of(spark, "q240_vocab_coverage")
+    assert "windowspecdefinition(_bkt" in plan
+    assert "ntile(" not in plan
