@@ -13081,7 +13081,8 @@ SELECT bin, n_a, n_b,
 FROM j CROSS JOIN t ORDER BY bin
 """,
     description="population stability index (PSI) drift audit — the "
-    "standard production monitor for feature/score drift between a "
+    "standard production monitor for NUMERIC feature/score drift (the "
+    "value-binned form; q116 is the categorical-mix PSI) between a "
     "reference and a current window (PSI > 0.2 is the conventional "
     "retrain trigger): events split at a fixed mid-month cut, values "
     "binned on a FIXED literal grid (width-60 over [0,600], so bins "
@@ -13210,51 +13211,6 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "q231_retention_cohorts",
-    oracle=f"""
-WITH ev AS ({_EV}),
-a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev
-      WHERE user_id IS NOT NULL),
-fu AS (SELECT user_id, min(day) AS f FROM a GROUP BY 1)
-SELECT CAST(date_diff('day', DATE '2024-01-01', f) // 7 AS BIGINT)
-         AS cohort_week,
-       CAST(date_diff('day', f, day) // 7 AS BIGINT) AS offset_week,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM a JOIN fu USING (user_id)
-GROUP BY 1, 2 ORDER BY 1, 2
-""",
-    description="retention cohort matrix — the canonical product/"
-    "engagement audit: users grouped by first-activity week, counted "
-    "per week-offset of later activity. One distinct (user, day) "
-    "aggregation, one per-user min, a user-keyed join back, then a "
-    "cohort-grain count — every shuffle keyed by user or the "
-    "(cohort, offset) output grain; integer week arithmetic from a "
-    "fixed literal epoch so both engines bucket identically",
-)
-def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    a = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    fu = a.groupBy("user_id").agg(F.min("day").alias("f"))
-    return (
-        a.join(fu, "user_id")
-        .select(
-            F.floor(
-                F.datediff(F.col("f"), F.lit("2024-01-01")) / F.lit(7)
-            )
-            .cast("long")
-            .alias("cohort_week"),
-            F.floor(F.datediff(F.col("day"), F.col("f")) / F.lit(7))
-            .cast("long")
-            .alias("offset_week"),
-            "user_id",
-        )
-        .groupBy("cohort_week", "offset_week")
-        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
-        .orderBy("cohort_week", "offset_week")
-    )
-
-
-@q(
     "q232_anova_f",
     oracle="""
 WITH g AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
@@ -13329,55 +13285,6 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (ssw / (F.col("n") - F.col("k")).cast("double"))
         ).alias("f_stat"),
     )
-
-
-@q(
-    "q237_weekday_pivot",
-    oracle=f"""
-WITH ev AS ({_EV}),
-d AS (SELECT isodow(CAST(ts AS DATE)) AS weekday, event_type FROM ev)
-SELECT CAST(weekday AS BIGINT) AS weekday,
-  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
-    AS click,
-  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-    AS error,
-  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-    AS purchase,
-  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
-    AS signup,
-  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
-    AS view,
-  CAST(count(*) AS BIGINT) AS total
-FROM d GROUP BY 1 ORDER BY 1
-""",
-    description="weekday x event-type PIVOT matrix (the relational "
-    "crosstab surface): Spark-side a groupBy().pivot() with EXPLICIT "
-    "pivot values (no discovery pass, deterministic column order), "
-    "ISO weekday (Mon=1) computed identically in both engines; one "
-    "aggregation, 7 rows out with a per-row total audit column",
-)
-def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events")
-    d = ev.select(
-        (F.weekday(F.to_date("ts")) + F.lit(1))
-        .cast("long")
-        .alias("weekday"),
-        "event_type",
-    )
-    types = ["click", "error", "purchase", "signup", "view"]
-    p = (
-        d.groupBy("weekday")
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)).cast("long"))
-    )
-    out = p.select(
-        "weekday",
-        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
-    )
-    total = None
-    for t in types:
-        total = F.col(t) if total is None else total + F.col(t)
-    return out.withColumn("total", total.cast("long")).orderBy("weekday")
 
 
 @q(
@@ -13574,75 +13481,6 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         fl6(num / F.nullif(den, F.lit(0.0))).alias("ccf"),
     ).orderBy("lag")
-
-
-_EWMA_ALPHA = 0.3
-_EWMA_DAYS = 30
-_EWMA_W = {
-    j: (
-        _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j
-        if j < _EWMA_DAYS - 1
-        else (1.0 - _EWMA_ALPHA) ** j
-    )
-    for j in range(_EWMA_DAYS)
-}
-
-
-@q(
-    "q235_ewma_daily",
-    oracle=f"""
-WITH ev AS ({_EV}),
-dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(count(*) AS BIGINT) AS c
-       FROM ev GROUP BY 1, 2),
-wt AS (SELECT event_type, day, c,
-         CAST(date_diff('day', day, DATE '2024-01-30') AS BIGINT) AS j
-       FROM dc),
-tm AS (SELECT event_type,
-         CAST(floor(CAST(c AS DOUBLE)
-           * (CASE j {" ".join(f"WHEN {j} THEN {_EWMA_W[j]!r}" for j in range(_EWMA_DAYS))} ELSE 0.0 END)
-           * 1000000.0 + 0.5) AS BIGINT) AS t6,
-         CASE WHEN j BETWEEN 0 AND {_EWMA_DAYS - 1} THEN 1 ELSE 0 END
-           AS in_win
-       FROM wt)
-SELECT event_type,
-  CAST(sum(in_win) AS BIGINT) AS n_days,
-  CAST(sum(t6) AS DOUBLE) / 1000000.0 AS ewma
-FROM tm GROUP BY 1 ORDER BY 1
-""",
-    description="exponentially-weighted moving average of daily event "
-    "counts per type over the fixed 30-day window ending 2024-01-30 "
-    "(alpha=0.3, oldest day carries the (1-a)^29 tail weight — the "
-    "exact recursive-EWMA closed form): the smoothing weights are "
-    "ONE python computation embedded as literals in BOTH engines "
-    "(cross-engine pow() is not bit-pinned), per-day terms snapped "
-    "to 1e-6 integers so the per-type sums are order-free; one "
-    "day-grain aggregation, type-grain output",
-)
-def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events")
-    dc = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count("*").cast("long").alias("c"))
-    j = F.datediff(F.lit("2024-01-30"), F.col("day")).cast("long")
-    wexpr = F.lit(0.0)
-    for jj in range(_EWMA_DAYS - 1, -1, -1):
-        wexpr = F.when(j == jj, F.lit(_EWMA_W[jj])).otherwise(wexpr)
-    t6 = F.floor(
-        F.col("c").cast("double") * wexpr * F.lit(1e6) + F.lit(0.5)
-    ).cast("long")
-    in_win = F.when(
-        (j >= 0) & (j <= _EWMA_DAYS - 1), F.lit(1)
-    ).otherwise(F.lit(0))
-    return (
-        dc.select("event_type", t6.alias("t6"), in_win.alias("in_win"))
-        .groupBy("event_type")
-        .agg(
-            F.sum("in_win").cast("long").alias("n_days"),
-            (F.sum("t6").cast("double") / F.lit(1e6)).alias("ewma"),
-        )
-        .orderBy("event_type")
-    )
 
 
 @q(
@@ -14027,4 +13865,250 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
         .orderBy("k")
+    )
+
+
+@q(
+    "q242_source_vocab_jaccard",
+    oracle=r"""
+WITH sw AS (SELECT DISTINCT source,
+              unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents),
+swf AS (SELECT source, word FROM sw WHERE word <> ''),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM swf GROUP BY 1),
+pr AS (SELECT a.source AS s1, b.source AS s2,
+         CAST(count(*) AS BIGINT) AS n_inter
+       FROM swf a JOIN swf b
+         ON a.word = b.word AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT s1, s2, n_inter,
+  za.n AS n_vocab_1, zb.n AS n_vocab_2,
+  floor(CAST(n_inter AS DOUBLE)
+        / CAST(za.n + zb.n - n_inter AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS jaccard
+FROM pr JOIN sz za ON za.source = pr.s1
+        JOIN sz zb ON zb.source = pr.s2
+ORDER BY s1, s2
+""",
+    description="pairwise vocabulary Jaccard between sources — the "
+    "set-overlap counterpart of q227's tf-profile cosine (cosine "
+    "sees frequency shape, Jaccard sees lexicon sharing; both feed "
+    "mixture design). Distinct (source, word) grain first, then a "
+    "word-keyed equi-join for intersections — per-word fan-out is "
+    "bounded by sources^2 (a constant), never corpus-quadratic; "
+    "sizes join back source-grain; exact integer set algebra, "
+    "ratios 1e-6 floor-rounded",
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    swf = (
+        docs.select(
+            "source", F.explode(tx._words(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .persist()  # three consumers: sizes + both sides of the pair join
+    )
+    sz = swf.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = swf.select(F.col("source").alias("s1"), "word")
+    b = swf.select(F.col("source").alias("s2"), "word")
+    pr = (
+        a.join(b, "word")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    za = sz.select(F.col("source").alias("s1"), F.col("n").alias("n_vocab_1"))
+    zb = sz.select(F.col("source").alias("s2"), F.col("n").alias("n_vocab_2"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        pr.join(F.broadcast(za), "s1")
+        .join(F.broadcast(zb), "s2")
+        .select(
+            "s1", "s2", "n_inter", "n_vocab_1", "n_vocab_2",
+            fl6(
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("n_vocab_1") + F.col("n_vocab_2") - F.col("n_inter")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+@q(
+    "q243_heaps_law",
+    oracle=r"""
+WITH w AS (SELECT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents),
+wf AS (SELECT source, word FROM w WHERE word <> ''),
+pg AS (SELECT source, CAST(count(*) AS BIGINT) AS toks,
+         CAST(count(DISTINCT word) AS BIGINT) AS vocab
+       FROM wf GROUP BY 1),
+pt AS (SELECT CAST(floor(ln(CAST(toks AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS x6,
+              CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS y6
+       FROM pg),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+    CAST(sum(x6 * x6) AS HUGEINT) AS sxx,
+    CAST(sum(x6 * y6) AS HUGEINT) AS sxy
+  FROM pt)
+SELECT n AS n_sources,
+  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS heaps_beta,
+  floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        + 0.5) / 1000000.0 AS heaps_ln_k
+FROM s
+""",
+    description="Heaps'-law fit — vocabulary growth V = K*n^beta "
+    "across sources (natural text sits near beta ~ 0.5; beta near 1 "
+    "flags id-like/synthetic tokens, near 0 flags template text): "
+    "one (source) aggregation for exact token and distinct-type "
+    "counts, OLS of ln(vocab) on ln(tokens) over the source-count-"
+    "bounded points with the q212 snapped-ln discipline (1e-6 "
+    "integer grid before the sums, one double tree after; the "
+    "intercept de-scales by 1e6 inside the same tree). Companion of "
+    "the Zipf fit (q212) — together the two standard lexical "
+    "power-law diagnostics",
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    wf = docs.select(
+        "source", F.explode(tx._words(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    pg = wf.groupBy("source").agg(
+        F.count("*").cast("long").alias("toks"),
+        F.count_distinct("word").cast("long").alias("vocab"),
+    )
+    grid = lambda c_: F.floor(
+        F.log(c_.cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    pt = pg.select(
+        grid(F.col("toks")).alias("x6"), grid(F.col("vocab")).alias("y6")
+    )
+    dec = lambda c_: F.sum(c_.cast("decimal(38,0)"))
+    s = pt.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x6").cast("long").alias("sx"),
+        F.sum("y6").cast("long").alias("sy"),
+        dec(F.col("x6") * F.col("x6")).alias("sxx"),
+        dec(F.col("x6") * F.col("y6")).alias("sxy"),
+    )
+    d = lambda c_: F.col(c_).cast("double")
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    # x6/y6 are ln*1e6, slope is dimensionless, so the raw intercept
+    # is 1e6*ln(K): snap it as an integer and de-scale once
+    intercept = d("sy") / d("n") - slope * (d("sx") / d("n"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return s.select(
+        F.col("n").alias("n_sources"),
+        fl6(slope).alias("heaps_beta"),
+        (F.floor(intercept + F.lit(0.5)) / F.lit(1e6)).alias("heaps_ln_k"),
+    )
+
+
+@q(
+    "q244_seasonal_decompose",
+    oracle=f"""
+WITH ev AS ({_EV}),
+dly AS (SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+       FROM ev WHERE value IS NOT NULL GROUP BY 1),
+tr AS (SELECT day, y,
+         CASE WHEN count(*) OVER w = 7 THEN
+           floor(CAST(sum(y) OVER w AS DOUBLE) / 7.0 * 10000.0 + 0.5)
+         END AS t4
+       FROM dly
+       WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                    AND 3 FOLLOWING)),
+dt AS (SELECT day, y, t4,
+         CAST(y AS BIGINT) * 10000 - CAST(t4 AS BIGINT) AS d4,
+         isodow(day) AS wd
+       FROM tr WHERE t4 IS NOT NULL),
+sn AS (SELECT wd,
+         floor(CAST(sum(d4) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+           AS s4
+       FROM dt GROUP BY 1)
+SELECT day,
+  CAST(y AS DOUBLE) / 100.0 AS revenue,
+  CAST(t4 AS DOUBLE) / 1000000.0 AS trend,
+  CAST(s4 AS DOUBLE) / 1000000.0 AS seasonal,
+  CAST(d4 - s4 AS DOUBLE) / 1000000.0 AS residual
+FROM dt JOIN sn USING (wd)
+ORDER BY day
+""",
+    description="additive seasonal decomposition of daily revenue — "
+    "trend = centered 7-day moving average (full-window days only), "
+    "seasonal = mean detrended value per ISO weekday, residual = "
+    "the rest (the classic decompose() shape a metrics pipeline "
+    "runs before anomaly thresholds). Everything lives at DAY grain "
+    "after one fact aggregation; the trend is an exact integer sum "
+    "/7 snapped to a 1e-4 cent grid, detrended values stay on that "
+    "integer grid so the per-weekday means and residuals are "
+    "order-free; the full-window gate makes edge handling explicit "
+    "rather than engine-default",
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dly = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = dly.select(
+        "day",
+        "y",
+        F.when(
+            F.count("*").over(w) == 7,
+            F.floor(
+                F.sum("y").over(w).cast("double") / F.lit(7.0) * F.lit(1e4)
+                + F.lit(0.5)
+            ),
+        ).alias("t4"),
+    )
+    dt = tr.filter(F.col("t4").isNotNull()).select(
+        "day",
+        "y",
+        "t4",
+        (F.col("y").cast("long") * F.lit(10000) - F.col("t4").cast("long")).alias(
+            "d4"
+        ),
+        (F.weekday(F.col("day")) + F.lit(1)).alias("wd"),
+    )
+    sn = dt.groupBy("wd").agg(
+        F.floor(
+            F.sum("d4").cast("double") / F.count("*").cast("double")
+            + F.lit(0.5)
+        ).alias("s4")
+    )
+    return (
+        dt.join(F.broadcast(sn), "wd")
+        .select(
+            "day",
+            (F.col("y").cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.col("t4").cast("double") / F.lit(1e6)).alias("trend"),
+            (F.col("s4").cast("double") / F.lit(1e6)).alias("seasonal"),
+            ((F.col("d4") - F.col("s4")).cast("double") / F.lit(1e6)).alias(
+                "residual"
+            ),
+        )
+        .orderBy("day")
     )

@@ -1062,3 +1062,113 @@ def percentile_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    store_dir: str | Path,
+    checkpoint_dir: str | Path,
+):
+    """Streaming OHLC bars per (day, event_type) — the incremental
+    twin of q244's batch shape's sibling q230: OHLC state is a
+    MERGEABLE summary as long as the open/close carry their ordering
+    keys (first/last are NOT mergeable bare — merging two batches'
+    "first values" needs to know WHICH is earlier, so the state keeps
+    the (ts, event_id) witness next to each endpoint value and the
+    merge re-minimizes over the witnesses). Values on the exact cent
+    grid; the total (ts, event_id) order makes equal-timestamp
+    endpoints deterministic, exactly like the batch operator.
+
+    Per batch the store gains ``bars/batch=N`` — the full merged bar
+    table (day, event_type, open, high, low, close, n_events, plus
+    the endpoint witnesses) — under the marker-commit exactly-once
+    contract shared by every store in this module. The reported bars
+    equal the batch q230 computation over the concatenated stream
+    for ANY batch split (tested)."""
+    root = Path(store_dir)
+    _bind_lineage(root, checkpoint_dir)
+
+    ENDPOINT = [
+        "o_ts", "o_eid", "o_gv", "c_ts", "c_eid", "c_gv",
+        "hi", "lo", "cnt",
+    ]
+
+    def _latest_bars(spark: SparkSession) -> DataFrame | None:
+        for b in sorted(_committed_batches(root), reverse=True):
+            d = _batch_dir(root, "state", b)
+            if d.exists():
+                return spark.read.parquet(str(d))
+        return None
+
+    def _summarize(df: DataFrame) -> DataFrame:
+        # min_by/max_by on the (ts, event_id) witness struct: one
+        # aggregation, JVM-side, no window — works identically for a
+        # raw micro-batch and for the union with prior state because
+        # the state rows carry their witnesses
+        key = F.struct(F.col("o_ts").alias("ts"), F.col("o_eid").alias("eid"))
+        ckey = F.struct(F.col("c_ts").alias("ts"), F.col("c_eid").alias("eid"))
+        return df.groupBy("day", "event_type").agg(
+            F.min_by("o_ts", key).alias("o_ts"),
+            F.min_by("o_eid", key).alias("o_eid"),
+            F.min_by("o_gv", key).alias("o_gv"),
+            F.max_by("c_ts", ckey).alias("c_ts"),
+            F.max_by("c_eid", ckey).alias("c_eid"),
+            F.max_by("c_gv", ckey).alias("c_gv"),
+            F.max("hi").alias("hi"),
+            F.min("lo").alias("lo"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in set(_committed_batches(root)):
+            return
+        spark = batch.sparkSession
+        gv = F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
+            "long"
+        )
+        rows = batch.filter(F.col("value").isNotNull()).select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("ts").alias("o_ts"),
+            F.col("event_id").cast("long").alias("o_eid"),
+            gv.alias("o_gv"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").cast("long").alias("c_eid"),
+            gv.alias("c_gv"),
+            gv.alias("hi"),
+            gv.alias("lo"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+        state = _summarize(rows)
+        prior = _latest_bars(spark)
+        if prior is not None:
+            state = _summarize(
+                state.unionByName(prior.select("day", "event_type", *ENDPOINT))
+            )
+        state = state.persist()
+        state.count()  # eager: state write + bar projection share it
+        state.write.mode("overwrite").parquet(
+            str(_batch_dir(root, "state", batch_id))
+        )
+        (
+            state.select(
+                "day",
+                "event_type",
+                (F.col("o_gv").cast("double") / F.lit(100.0)).alias("open"),
+                (F.col("hi").cast("double") / F.lit(100.0)).alias("high"),
+                (F.col("lo").cast("double") / F.lit(100.0)).alias("low"),
+                (F.col("c_gv").cast("double") / F.lit(100.0)).alias("close"),
+                F.col("cnt").alias("n_events"),
+            ).write.mode("overwrite").parquet(
+                str(_batch_dir(root, "bars", batch_id))
+            )
+        )
+        state.unpersist()
+        _commit(root, batch_id, {"tier": "ohlc_bars"})
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -729,16 +729,16 @@ R10_COHORT = [
     "q228_benford_audit",
     "q229_psi_drift",
     "q230_ohlc_bars",
-    "q231_retention_cohorts",
     "q232_anova_f",
     "q233_mann_kendall",
     "q234_ccf_lagged",
-    "q235_ewma_daily",
     "q236_info_gain",
-    "q237_weekday_pivot",
     "q238_null_profile",
     "q239_bootstrap_ci",
     "q240_vocab_coverage",
+    "q242_source_vocab_jaccard",
+    "q243_heaps_law",
+    "q244_seasonal_decompose",
 ]
 
 

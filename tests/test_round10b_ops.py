@@ -107,25 +107,6 @@ def test_q230_ohlc_tie_break(spark, tmp_path):
     assert (v["open"], v["close"], v["n_events"]) == (9.0, 9.0, 1)
 
 
-def test_q231_retention_hand(spark, tmp_path):
-    rows = [
-        # user 1: first day Jan 2 (cohort week 0), active Jan 2 + Jan 10
-        (1, "2024-01-02 01:00:00", 1, "click", 1.0),
-        (2, "2024-01-10 01:00:00", 1, "click", 1.0),
-        # user 2: first day Jan 9 (cohort week 1), active Jan 9 only
-        (3, "2024-01-09 01:00:00", 2, "click", 1.0),
-        # user 3: first Jan 2, also active Jan 2 (same-day dup row)
-        (4, "2024-01-02 02:00:00", 3, "click", 1.0),
-        (5, "2024-01-02 03:00:00", 3, "click", 1.0),
-    ]
-    _write_events(spark, tmp_path, rows)
-    got = {
-        (r["cohort_week"], r["offset_week"]): r["n_users"]
-        for r in _run(spark, "q231_retention_cohorts", tmp_path)
-    }
-    assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
-
-
 def test_q232_anova_hand(spark, tmp_path):
     xs = {"a": [100, 200, 300], "b": [400, 500, 600, 700]}
     rows = []
@@ -179,27 +160,6 @@ def test_q234_ccf_lag_identity(spark, tmp_path):
     assert got[1]["ccf"] == 1.0
     assert got[1]["n_pairs"] == 6
     assert got[0]["ccf"] < 1.0
-
-
-def test_q235_ewma_hand(spark, tmp_path):
-    from lynx_spark.plans.analytics import _EWMA_W
-
-    counts = {28: 2, 29: 3, 30: 5}  # days of January, lags 2/1/0
-    rows = []
-    eid = 0
-    for d, c in counts.items():
-        for _ in range(c):
-            rows.append((eid, f"2024-01-{d} 01:00:00", 1, "click", 1.0))
-            eid += 1
-    _write_events(spark, tmp_path, rows)
-    [r] = _run(spark, "q235_ewma_daily", tmp_path)
-    want = sum(
-        math.floor(c * _EWMA_W[30 - d] * 1e6 + 0.5)
-        for d, c in counts.items()
-    ) / 1e6
-    assert r["event_type"] == "click"
-    assert r["n_days"] == 3
-    assert r["ewma"] == want
 
 
 def test_q236_info_gain_hand(spark, tmp_path):
@@ -295,16 +255,73 @@ def test_q240_vocab_coverage_hand(spark, tmp_path):
         assert got[k]["coverage"] == 1.0
 
 
-def test_q237_pivot_hand(spark, tmp_path):
+def test_q242_vocab_jaccard_hand(spark, tmp_path):
     rows = [
-        # 2024-01-01 is a Monday (isodow 1)
-        (1, "2024-01-01 01:00:00", 1, "click", 1.0),
-        (2, "2024-01-01 02:00:00", 1, "click", 1.0),
-        (3, "2024-01-01 03:00:00", 1, "view", 1.0),
-        (4, "2024-01-07 01:00:00", 1, "error", 1.0),  # Sunday, isodow 7
+        (1, "a b c", "en", "s1", 5),
+        (2, "b c d", "en", "s2", 5),
+        (3, "x y", "en", "s3", 3),
+        (4, "c d", "en", "s2", 3),  # dup words within source collapse
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["s1"], r["s2"]): r
+        for r in _run(spark, "q242_source_vocab_jaccard", tmp_path)
+    }
+    # vocab: s1={a,b,c} s2={b,c,d} s3={x,y}
+    r12 = got[("s1", "s2")]
+    assert r12["n_inter"] == 2
+    assert (r12["n_vocab_1"], r12["n_vocab_2"]) == (3, 3)
+    assert r12["jaccard"] == 0.5
+    assert ("s1", "s3") not in got  # disjoint pairs emit nothing
+    assert ("s2", "s3") not in got
+
+
+def test_q243_heaps_hand(spark, tmp_path):
+    corpora = {"s1": "a b a b", "s2": "a b c d e f", "s3": "a a a"}
+    rows = [
+        (i, t, "en", s, len(t)) for i, (s, t) in enumerate(corpora.items())
+    ]
+    _write_docs(spark, tmp_path, rows)
+    [r] = _run(spark, "q243_heaps_law", tmp_path)
+    pts = []
+    for t in corpora.values():
+        w = t.split()
+        pts.append(
+            (
+                math.floor(math.log(len(w)) * 1e6 + 0.5),
+                math.floor(math.log(len(set(w))) * 1e6 + 0.5),
+            )
+        )
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk6 = math.floor((sy / n - beta * (sx / n)) + 0.5)
+    assert r["n_sources"] == 3
+    assert r["heaps_beta"] == math.floor(beta * 1e6 + 0.5) / 1e6
+    assert r["heaps_ln_k"] == lnk6 / 1e6
+
+
+def test_q244_seasonal_decompose_hand(spark, tmp_path):
+    # 14 consecutive days, value = 100*d dollars: linear trend, so
+    # trend(MA7) == y on interior days and every residual+seasonal
+    # pair reconstructs the detrended zero
+    rows = [
+        (d, f"2024-01-{d:02d} 01:00:00", 1, "click", float(d))
+        for d in range(1, 15)
     ]
     _write_events(spark, tmp_path, rows)
-    got = {r["weekday"]: r for r in _run(spark, "q237_weekday_pivot", tmp_path)}
-    assert got[1]["click"] == 2 and got[1]["view"] == 1
-    assert got[1]["purchase"] == 0 and got[1]["total"] == 3
-    assert got[7]["error"] == 1 and got[7]["total"] == 1
+    out = _run(spark, "q244_seasonal_decompose", tmp_path)
+    days = {str(r["day"]): r for r in out}
+    # only full-window days survive: 4..11
+    assert sorted(days) == [f"2024-01-{d:02d}" for d in range(4, 12)]
+    for d in range(4, 12):
+        r = days[f"2024-01-{d:02d}"]
+        assert r["revenue"] == float(d)
+        assert r["trend"] == float(d)  # centered MA of a line
+        # additive identity on the snapped grids
+        assert r["revenue"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["residual"], abs=1e-9
+        )

@@ -1152,3 +1152,84 @@ def test_streaming_percentiles_equal_batch_nearest_rank(spark, tmp_path):
     assert hist.count() == len(set(allv))
     # replay: re-running against the same checkpoint adds nothing
     assert len(list((store / "_commits").glob("b*.json"))) == 2
+
+
+def test_streaming_ohlc_equals_batch_bars(spark, tmp_path):
+    """ohlc_stream's merged state must equal the batch q230 bars on
+    the concatenated stream for an adversarial split: the two events
+    tied on the opening timestamp land in DIFFERENT micro-batches,
+    so the merge must re-minimize on the (ts, event_id) witness, not
+    trust either batch's local 'first'."""
+    import json as _json
+
+    from lynx_spark.plans.analytics import REGISTRY
+    from lynx_spark.streaming.incremental import ohlc_stream
+
+    b1 = [
+        (2, "2024-01-05 09:00:00", "click", 7.00),  # ties b2's eid=1
+        (3, "2024-01-05 12:00:00", "click", 1.00),
+    ]
+    b2 = [
+        (1, "2024-01-05 09:00:00", "click", 5.00),  # true open (eid 1)
+        (4, "2024-01-05 23:00:00", "click", 3.00),  # true close
+        (5, "2024-01-06 01:00:00", "view", 9.00),
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    for name, rows in (("b1.json", b1), ("b2.json", b2)):
+        (d / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": e, "ts": ts, "event_type": t, "value": v}
+                )
+                for e, ts, t, v in rows
+            )
+        )
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    store = tmp_path / "store"
+    q = ohlc_stream(ev, store, tmp_path / "ck")
+    q.awaitTermination(120)
+
+    batches = sorted(p.name for p in (store / "bars").glob("batch=*"))
+    assert len(batches) == 2
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(store / "bars" / batches[-1]))
+            .select("day", "event_type", "open", "high", "low",
+                    "close", "n_events")
+            .collect(),
+        )
+    )
+    # batch twin over the concatenated data
+    allrows = [
+        (e, ts, 1, t, v)
+        for (e, ts, t, v) in b1 + b2
+    ]
+    bdir = tmp_path / "batch"
+    bdir.mkdir()
+    import pyspark.sql.functions as FF
+
+    spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in allrows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", FF.col("ts").cast("timestamp")).write.parquet(
+        str(bdir / "events.parquet")
+    )
+    want = sorted(
+        map(tuple, REGISTRY["q230_ohlc_bars"].fn(spark, str(bdir)).collect())
+    )
+    assert got == want
+    # the tie resolved to event_id 1's value even though eid 2 came
+    # in the earlier batch
+    click = [r for r in got if r[1] == "click"][0]
+    assert click[2] == 5.00 and click[5] == 3.00
+    # replay adds nothing
+    assert len(list((store / "_commits").glob("b*.json"))) == 2
