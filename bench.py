@@ -119,14 +119,13 @@ HEADLINE = [
     # self-join (the heaviest new shape)
     "q218_kaplan_meier",
     "q227_source_profile_cosine",
-    # round-10 representatives: the new quantile-sketch audit, the
-    # reshaped RFM device (its 3.96->2.25s win must stay visible),
+    # round-10 representatives: the new quantile-sketch audit and
     # the two heaviest cohort entries (bootstrap resampling grid,
-    # vocabulary-coverage ranking), and the day-pair trend test
+    # source-vocabulary Jaccard join); the reshaped q177/q160 stay
+    # tracked through their existing rows
     "q216_quantile_sketch_audit",
-    "q233_mann_kendall",
     "q239_bootstrap_ci",
-    "q240_vocab_coverage",
+    "q242_source_vocab_jaccard",
 ]
 
 

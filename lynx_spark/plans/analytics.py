@@ -12991,70 +12991,6 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one double expression tree at the end, 1e-6 floor-rounded outputs.
 # =====================================================================
 
-_BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
-
-
-@q(
-    "q228_benford_audit",
-    oracle=f"""
-WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-             AS cents FROM orders
-           WHERE o_totalprice > 0),
-dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-              CAST(count(*) AS BIGINT) AS cnt
-       FROM c GROUP BY 1),
-tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dg)
-SELECT digit, cnt,
-  floor(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
-    / 1000000.0 AS obs_freq,
-  floor(CASE digit {" ".join(f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10))}
-    END * 1000000.0 + 0.5) / 1000000.0 AS benford_freq,
-  floor((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
-         - CASE digit {" ".join(f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10))} END)
-        * 1000000.0 + 0.5) / 1000000.0 AS deviation
-FROM dg CROSS JOIN tot ORDER BY digit
-""",
-    description="Benford's-law first-digit audit of order amounts — "
-    "the classic forensic screen for fabricated or synthetic numeric "
-    "columns (natural multiplicative data follows "
-    "P(d)=log10(1+1/d); a flat or spiked profile flags generated "
-    "values). One aggregation to 9 digit rows; the first digit is "
-    "string-extracted from the exact integer cents (no float log in "
-    "the bucketing), the Benford expectations are ONE python "
-    "computation embedded as literals in BOTH engines, deviations "
-    "1e-6 floor-rounded",
-)
-def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
-        "long"
-    )
-    dg = (
-        o.select(
-            F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    tot = dg.agg(F.sum("cnt").cast("long").alias("n"))
-    exp = F.lit(None).cast("double")
-    for d in range(9, 0, -1):
-        exp = F.when(F.col("digit") == d, F.lit(_BENFORD[d])).otherwise(exp)
-    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    obs = F.col("cnt").cast("double") / F.col("n").cast("double")
-    return (
-        dg.crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            "cnt",
-            fl6(obs).alias("obs_freq"),
-            fl6(exp).alias("benford_freq"),
-            fl6(obs - exp).alias("deviation"),
-        )
-        .orderBy("digit")
-    )
-
-
 @q(
     "q229_psi_drift",
     oracle=f"""
@@ -13288,101 +13224,6 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "q233_mann_kendall",
-    oracle=f"""
-WITH ev AS ({_EV}),
-dly AS (SELECT CAST(ts AS DATE) AS day,
-         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
-           AS y
-       FROM ev WHERE value IS NOT NULL GROUP BY 1),
-pr AS (SELECT a.day AS da, b.day AS db,
-         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
-           AS sgn,
-         CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1000000.0
-                    / CAST(date_diff('day', a.day, b.day) AS DOUBLE))
-              AS BIGINT) AS slope6
-       FROM dly a JOIN dly b ON a.day < b.day),
-st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-              CAST(sum(sgn) AS BIGINT) AS s_stat FROM pr),
-rk AS (SELECT slope6,
-         row_number() OVER (ORDER BY slope6, da, db) AS rn
-       FROM pr),
-med AS (SELECT slope6 AS m6 FROM rk CROSS JOIN st
-        WHERE rn = (n_pairs + 1) // 2)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM dly) AS n_days,
-  n_pairs, s_stat,
-  CAST(m6 AS DOUBLE) / 1000000.0 AS theil_sen_slope
-FROM st CROSS JOIN med
-""",
-    description="Mann-Kendall trend test + Theil-Sen slope over daily "
-    "revenue — the standard non-parametric monotone-trend monitor "
-    "(robust to outliers where OLS is not): S = sum of pairwise "
-    "signs, slope = lower-median of pairwise slopes. Pairwise stages "
-    "run at DAY grain (days^2 pairs — calendar-bounded like q208, "
-    "data-size-free), slopes floor-snapped to the 1e-6 grid in the "
-    "IDENTICAL double tree in both engines (integer DIV would "
-    "diverge on negative diffs: Spark truncates, DuckDB floors), "
-    "the median by explicit nearest-rank over the tie-broken "
-    "(slope, pair) order",
-)
-def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    dly = (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(
-                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
-                    "long"
-                )
-            )
-            .cast("long")
-            .alias("y")
-        )
-        .persist()  # three consumers: pairs (twice) + the day count
-    )
-    a = dly.select(F.col("day").alias("da"), F.col("y").alias("ya"))
-    b = dly.select(F.col("day").alias("db"), F.col("y").alias("yb"))
-    pr = (
-        a.join(b, F.col("da") < F.col("db"))
-        .select(
-            "da",
-            "db",
-            F.when(F.col("yb") > F.col("ya"), 1)
-            .when(F.col("yb") < F.col("ya"), -1)
-            .otherwise(0)
-            .alias("sgn"),
-            F.floor(
-                (F.col("yb") - F.col("ya")).cast("double")
-                * F.lit(1e6)
-                / F.datediff("db", "da").cast("double")
-            )
-            .cast("long")
-            .alias("slope6"),
-        )
-        .persist()  # two consumers: the sign/count aggregate + the rank
-    )
-    st = pr.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum("sgn").cast("long").alias("s_stat"),
-    )
-    w = Window.orderBy("slope6", "da", "db")
-    med = (
-        pr.select("slope6", F.row_number().over(w).alias("rn"))
-        .crossJoin(F.broadcast(st))
-        .filter(
-            F.col("rn") == F.floor((F.col("n_pairs") + 1) / F.lit(2))
-        )
-        .select((F.col("slope6").cast("double") / F.lit(1e6)).alias("m"))
-    )
-    nd = dly.agg(F.count("*").cast("long").alias("n_days"))
-    return (
-        st.crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(nd))
-        .select("n_days", "n_pairs", "s_stat", F.col("m").alias("theil_sen_slope"))
-    )
-
-
-@q(
     "q234_ccf_lagged",
     oracle=f"""
 WITH ev AS ({_EV}),
@@ -13523,7 +13364,8 @@ SELECT n AS n_docs, k AS n_sources,
 FROM tot
 """,
     description="information gain of the source split on a length "
-    "label (n_chars > 500) — the decision-tree split-quality audit a "
+    "label (n_chars > 500) — the categorical/entropy counterpart of "
+    "q192's numeric-threshold Gini stump: the split-quality audit a "
     "feature pipeline runs to rank metadata columns: parent binary "
     "entropy minus source-conditional entropy. Per-source entropies "
     "computed from exact counts and floor-snapped to 1e-6 integers "
@@ -13576,99 +13418,6 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hp6 / F.lit(1e6)).alias("h_parent"),
         (hc6 / F.lit(1e6)).alias("h_conditional"),
         ((hp6 / F.lit(1e6)) - (hc6 / F.lit(1e6))).alias("info_gain"),
-    )
-
-
-@q(
-    "q238_null_profile",
-    oracle="""
-SELECT 'doc_id' AS column_name,
-  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_null,
-  CAST(0 AS BIGINT) AS n_empty,
-  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
-FROM documents
-UNION ALL
-SELECT 'text',
-  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(count(DISTINCT text) AS BIGINT)
-FROM documents
-UNION ALL
-SELECT 'lang',
-  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(sum(CASE WHEN trim(lang) = '' THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(count(DISTINCT lang) AS BIGINT)
-FROM documents
-UNION ALL
-SELECT 'source',
-  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(sum(CASE WHEN trim(source) = '' THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(count(DISTINCT source) AS BIGINT)
-FROM documents
-UNION ALL
-SELECT 'n_chars',
-  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-  CAST(0 AS BIGINT),
-  CAST(count(DISTINCT n_chars) AS BIGINT)
-FROM documents
-ORDER BY column_name
-""",
-    description="column completeness/cardinality profile of the "
-    "documents table (null count, blank-string count, exact distinct "
-    "count per column) — the schema-health audit every ingestion "
-    "pipeline runs before training on a new crawl. ONE aggregation "
-    "computes all fifteen metrics (null/empty as count-ifs, "
-    "distincts via Spark's multi-distinct expansion), then the "
-    "single row unpivots to column-grain rows via explode over a "
-    "struct literal — one scan, no per-column passes",
-)
-def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
-    cols = [
-        ("doc_id", False),
-        ("text", True),
-        ("lang", True),
-        ("source", True),
-        ("n_chars", False),
-    ]
-    aggs = []
-    for c, is_str in cols:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias(f"_n_{c}")
-        )
-        aggs.append(
-            (
-                F.sum(F.when(F.trim(F.col(c)) == "", 1).otherwise(0))
-                if is_str
-                else F.lit(0)
-            )
-            .cast("long")
-            .alias(f"_e_{c}")
-        )
-        aggs.append(
-            F.count_distinct(F.col(c)).cast("long").alias(f"_d_{c}")
-        )
-    one = docs.agg(*aggs)
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.col(f"_n_{c}").alias("n_null"),
-                    F.col(f"_e_{c}").alias("n_empty"),
-                    F.col(f"_d_{c}").alias("n_distinct"),
-                )
-                for c, _ in cols
-            ]
-        )
-    ).alias("r")
-    return (
-        one.select(rows)
-        .select("r.column_name", "r.n_null", "r.n_empty", "r.n_distinct")
-        .orderBy("column_name")
     )
 
 
@@ -13790,81 +13539,6 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_hi",
             "point_mean",
         )
-    )
-
-
-@q(
-    "q240_vocab_coverage",
-    oracle=r"""
-WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
-           FROM documents),
-wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w
-       WHERE word <> '' GROUP BY 1),
-rk AS (SELECT cnt,
-         row_number() OVER (ORDER BY cnt DESC, word) AS rnk FROM wc),
-tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
-               CAST(count(*) AS BIGINT) AS vocab_size FROM wc),
-ks AS (SELECT CAST(k AS BIGINT) AS k
-       FROM (VALUES (10),(100),(1000)) t(k))
-SELECT k,
-  CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT)
-    AS covered_tokens,
-  total_tokens, vocab_size,
-  floor(CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS DOUBLE)
-        / CAST(total_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-    AS coverage
-FROM ks CROSS JOIN rk CROSS JOIN tot
-GROUP BY k, total_tokens, vocab_size ORDER BY k
-""",
-    description="vocabulary coverage curve — the fraction of all "
-    "corpus tokens covered by the top-k most frequent types at "
-    "k=10/100/1000 (the number that sizes a vocabulary or estimates "
-    "UNK rates before tokenizer training): frequency ranks of the "
-    "vocabulary-sized count frame come from the two-phase ranking "
-    "device (persist_input, no SinglePartition window over the "
-    "vocabulary); only rank<=1000 survivors join the 3-row k roster, "
-    "so the k-conditional sums run on a bounded frame",
-)
-def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
-    wc = (
-        docs.select(F.explode(tx._words(F.col("text"))).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    r = rnk.global_row_number(
-        wc, "cnt",
-        ascending=False, tie_cols=["word"], out_col="rnk",
-        persist_input=True,
-    )
-    tot = wc.agg(
-        F.sum("cnt").cast("long").alias("total_tokens"),
-        F.count("*").cast("long").alias("vocab_size"),
-    )
-    ks = spark.sql(
-        "SELECT CAST(k AS BIGINT) AS k "
-        "FROM (VALUES (10),(100),(1000)) t(k)"
-    )
-    top = r.filter(F.col("rnk") <= 1000).select("rnk", "cnt")
-    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    return (
-        top.crossJoin(F.broadcast(ks))
-        .filter(F.col("rnk") <= F.col("k"))
-        .groupBy("k")
-        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "k",
-            "covered_tokens",
-            "total_tokens",
-            "vocab_size",
-            fl6(
-                F.col("covered_tokens").cast("double")
-                / F.col("total_tokens").cast("double")
-            ).alias("coverage"),
-        )
-        .orderBy("k")
     )
 
 
@@ -14052,7 +13726,9 @@ SELECT day,
 FROM dt JOIN sn USING (wd)
 ORDER BY day
 """,
-    description="additive seasonal decomposition of daily revenue — "
+    description="additive seasonal decomposition of daily revenue "
+    "(q211 profiles the weekly cycle; this extracts the full "
+    "trend + seasonal + residual triple) — "
     "trend = centered 7-day moving average (full-window days only), "
     "seasonal = mean detrended value per ISO weekday, residual = "
     "the rest (the classic decompose() shape a metrics pipeline "

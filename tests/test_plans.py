@@ -726,16 +726,12 @@ def test_q227_source_cosine_shared_vocab_frame(spark):
 
 
 R10_COHORT = [
-    "q228_benford_audit",
     "q229_psi_drift",
     "q230_ohlc_bars",
     "q232_anova_f",
-    "q233_mann_kendall",
     "q234_ccf_lagged",
     "q236_info_gain",
-    "q238_null_profile",
     "q239_bootstrap_ci",
-    "q240_vocab_coverage",
     "q242_source_vocab_jaccard",
     "q243_heaps_law",
     "q244_seasonal_decompose",
@@ -758,24 +754,3 @@ def test_q230_bar_key_partitioned_windows(spark):
     plan = plan_of(spark, "q230_ohlc_bars")
     assert plan.count("Exchange SinglePartition") == 0
     assert "windowspecdefinition(day" in plan
-
-
-def test_q233_pairs_at_day_grain(spark):
-    # the pairwise stage must consume the AGGREGATED day frame (from
-    # cache), never raw facts: the live plan reads the persisted
-    # daily aggregate, and the only windows order the bounded pair
-    # and day frames
-    plan = plan_of(spark, "q233_mann_kendall")
-    live = live_plan(plan)
-    assert "Scan parquet" not in live
-    assert live.count("InMemoryTableScan") >= 2
-
-
-def test_q240_vocab_rank_distributed(spark):
-    # coverage ranks come from the two-phase device: bucket-
-    # partitioned row_number, no ntile, no SinglePartition window
-    # over the vocabulary (the scalar total aggregate is the only
-    # single-partition exchange)
-    plan = plan_of(spark, "q240_vocab_coverage")
-    assert "windowspecdefinition(_bkt" in plan
-    assert "ntile(" not in plan

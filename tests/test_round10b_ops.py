@@ -38,27 +38,6 @@ def _run(spark, name, tmp_path):
     return REGISTRY[name].fn(spark, str(tmp_path)).collect()
 
 
-def test_q228_benford_hand(spark, tmp_path):
-    prices = [1.23, 19.50, 2.00, 25.00, 150.10, 9.99, 1.01, 0.0, -5.0]
-    spark.createDataFrame(
-        [(i, p) for i, p in enumerate(prices)],
-        "o_orderkey long, o_totalprice double",
-    ).write.parquet(str(tmp_path / "orders.parquet"))
-    got = {r["digit"]: r for r in _run(spark, "q228_benford_audit", tmp_path)}
-    digits = Counter(
-        int(str(int(math.floor(p * 100 + 0.5)))[0])
-        for p in prices
-        if p > 0
-    )
-    n = sum(digits.values())
-    assert set(got) == set(digits)
-    for d, c in digits.items():
-        assert got[d]["cnt"] == c
-        exp6 = math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5) / 1e6
-        assert got[d]["benford_freq"] == exp6
-        assert got[d]["obs_freq"] == math.floor(c / n * 1e6 + 0.5) / 1e6
-
-
 def test_q229_psi_hand(spark, tmp_path):
     # first half: values in bins 0 and 1; second half: bins 1 and 9
     rows = [
@@ -129,21 +108,6 @@ def test_q232_anova_hand(spark, tmp_path):
     assert r["f_stat"] == math.floor(f * 1e6 + 0.5) / 1e6
 
 
-def test_q233_mann_kendall_hand(spark, tmp_path):
-    # strictly increasing daily revenue -> S = C(n,2), slope exact
-    days = [(f"2024-01-0{d}", d * 100.0) for d in range(1, 6)]
-    rows = [
-        (i, f"{day} 01:00:00", 1, "click", v)
-        for i, (day, v) in enumerate(days)
-    ]
-    _write_events(spark, tmp_path, rows)
-    [r] = _run(spark, "q233_mann_kendall", tmp_path)
-    assert r["n_days"] == 5 and r["n_pairs"] == 10
-    assert r["s_stat"] == 10  # all pairs increasing
-    # every pairwise slope = 10000 cents/day exactly
-    assert r["theil_sen_slope"] == 10000.0
-
-
 def test_q234_ccf_lag_identity(spark, tmp_path):
     # purchase revenue = click revenue shifted one day -> ccf(1) = 1
     rows = []
@@ -190,27 +154,6 @@ def test_q236_info_gain_hand(spark, tmp_path):
     assert r["info_gain"] > 0
 
 
-def test_q238_null_profile_hand(spark, tmp_path):
-    rows = [
-        (1, "hello", "en", "s1", 5),
-        (2, None, "en", "s1", None),
-        (3, "  ", None, "s2", 2),
-        (4, "hello", "en", "s1", 5),
-    ]
-    _write_docs(spark, tmp_path, rows)
-    got = {
-        r["column_name"]: r
-        for r in _run(spark, "q238_null_profile", tmp_path)
-    }
-    assert got["text"]["n_null"] == 1
-    assert got["text"]["n_empty"] == 1  # the blank-after-trim row
-    assert got["text"]["n_distinct"] == 2  # 'hello', '  '
-    assert got["lang"]["n_null"] == 1
-    assert got["n_chars"]["n_null"] == 1
-    assert got["n_chars"]["n_distinct"] == 2
-    assert got["doc_id"]["n_distinct"] == 4
-
-
 def test_q239_bootstrap_matches_python_replay(spark, tmp_path):
     days = [(f"2024-01-{d:02d}", v) for d, v in
             [(1, 10.0), (2, 40.0), (3, 20.0), (4, 80.0)]]
@@ -238,21 +181,6 @@ def test_q239_bootstrap_matches_python_replay(spark, tmp_path):
     assert r["point_mean"] == math.floor(
         sum(ys) / (n * 100.0) * 1e6 + 0.5
     ) / 1e6
-
-
-def test_q240_vocab_coverage_hand(spark, tmp_path):
-    rows = [
-        (1, "a a a b b c", "en", "s", 11),
-        (2, "a b d", "en", "s", 5),
-    ]
-    _write_docs(spark, tmp_path, rows)
-    got = {r["k"]: r for r in _run(spark, "q240_vocab_coverage", tmp_path)}
-    # counts: a=4 b=3 c=1 d=1; total 9, vocab 4
-    for k in (10, 100, 1000):
-        assert got[k]["covered_tokens"] == 9
-        assert got[k]["total_tokens"] == 9
-        assert got[k]["vocab_size"] == 4
-        assert got[k]["coverage"] == 1.0
 
 
 def test_q242_vocab_jaccard_hand(spark, tmp_path):
