@@ -297,3 +297,48 @@ def test_q09b_hll_error_within_documented_bound(spark):
     for et, n in exact.items():
         rel = abs(approx[et] - n) / n
         assert rel <= 0.15, (et, approx[et], n, rel)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+    ),
+    k1=st.integers(min_value=2, max_value=9),
+    k2=st.integers(min_value=2, max_value=9),
+    asc=st.booleans(),
+)
+@settings(max_examples=6, deadline=None)
+def test_global_ntile_multi_property(spark, vals, k1, k2, asc):
+    """Random multisets (heavy ties by construction), random tile
+    counts and direction: the multi-spec device must equal Spark's
+    own global ntile windows exactly — the randomized extension of
+    test_ranking's fixed adversarial distributions."""
+    from pyspark.sql import Window
+
+    import lynx_spark.operators.ranking as rnk
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(5)
+    expected = df.withColumn(
+        "t1",
+        F.ntile(k1).over(
+            Window.orderBy(F.asc("v") if asc else F.desc("v"), F.asc("id"))
+        ),
+    ).withColumn(
+        "t2", F.ntile(k2).over(Window.orderBy(F.desc("id")))
+    )
+    got = rnk.global_ntile_multi(
+        df,
+        [
+            dict(value_col="v", k=k1, ascending=asc,
+                 tie_cols=["id"], out_col="t1"),
+            dict(value_col="id", k=k2, ascending=False, out_col="t2"),
+        ],
+        n_buckets=7,
+    )
+    assert sorted(got.collect()) == sorted(expected.collect())
