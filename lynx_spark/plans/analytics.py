@@ -5080,8 +5080,11 @@ GROUP BY threshold, n_total
     description="dedup-threshold sweep (the curation knob curve): for "
     "Jaccard thresholds 0.3-0.9, how many near-dup pairs survive and "
     "what corpus fraction keep-smallest dedup would remove — pairs "
-    "are generated ONCE at the loosest threshold, every tighter "
-    "threshold evaluates on that model-sized pair frame",
+    "are generated ONCE at the loosest threshold; the 7-row threshold "
+    "roster broadcasts against the pair stream (never the reverse: "
+    "the pair frame is data-dependent, C(k,2) per k-copy duplicate "
+    "cluster), and empty thresholds are restored by a roster "
+    "left-join on the 7-row aggregate",
 )
 def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
@@ -5089,22 +5092,31 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     ths = [round(0.3 + 0.1 * i, 1) for i in range(7)]
     tf = spark.createDataFrame([(t,) for t in ths], "threshold double")
     total = docs.agg(F.count("*").cast("long").alias("n_total"))
-    return (
-        # the LEFT side of a left-outer BNLJ cannot broadcast; hint the
-        # pair frame (model-sized) so the intended plan is explicit
-        tf.join(F.broadcast(pairs), pairs["jaccard"] >= tf["threshold"], "left")
-        .crossJoin(F.broadcast(total))
-        .groupBy("threshold", "n_total")
+    # broadcast the LITERAL roster (7 rows) against the pair stream —
+    # a high-duplication corpus makes `pairs` quadratic in cluster
+    # size, so hinting it (as this query did through r10) is the
+    # driver-OOM hazard class broadcast_if_counted exists to prevent
+    per_th = (
+        pairs.join(
+            F.broadcast(tf), pairs["jaccard"] >= tf["threshold"], "inner"
+        )
+        .groupBy("threshold")
         .agg(
             F.count("b_id").cast("long").alias("n_pairs"),
             F.countDistinct("b_id").cast("long").alias("n_docs_removed"),
         )
+    )
+    return (
+        tf.join(F.broadcast(per_th), "threshold", "left")
+        .crossJoin(F.broadcast(total))
         .select(
             "threshold",
-            "n_pairs",
-            "n_docs_removed",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs_removed", F.lit(0).cast("long")).alias(
+                "n_docs_removed"
+            ),
             F.round(
-                F.col("n_docs_removed").cast("double")
+                F.coalesce("n_docs_removed", F.lit(0)).cast("double")
                 / F.col("n_total").cast("double"),
                 6,
             ).alias("removed_frac"),
@@ -6638,8 +6650,14 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("price", "msize")
     )
+    # the frontier is usually tiny but worst-case (monotone price vs
+    # size) distinct-price-sized, and no count is already paid here —
+    # leave it un-hinted (equi-join: clean shuffle-hash fallback; AQE
+    # converts to broadcast from runtime stats when it actually fits)
+    from lynx_spark.operators._util import broadcast_if_counted
+
     return part.join(
-        F.broadcast(sky),
+        broadcast_if_counted(sky, None),
         (part.p_retailprice == sky.price) & (part.p_size == sky.msize),
     ).select(
         "p_partkey",
