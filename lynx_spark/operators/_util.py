@@ -147,6 +147,24 @@ def broadcast_if_counted(
     return df
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string ('134217728b', '128m', '1g', plain
+    int) -> bytes."""
+    v = v.strip().lower()
+    units = {
+        "k": 1 << 10,
+        "m": 1 << 20,
+        "g": 1 << 30,
+        "t": 1 << 40,
+        "p": 1 << 50,
+    }
+    if v.endswith("b"):
+        v = v[:-1]
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     input arrives under-partitioned (e.g. one small parquet file).
@@ -154,11 +172,33 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     Operators that EXPAND data per row (shingle explode, hyperplane
     folds, signature hashing) do their heavy work in the stage that
     reads the input; if that stage has one partition the whole cluster
-    waits on one core. Repartitioning the small pre-expansion input is
-    cheap; at 100 TB inputs arrive well-partitioned and this is a
-    no-op."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    waits on one core.
+
+    The under-partitioned check is SIZE-based, from the optimizer's
+    logical statistics (for file scans: the files' byte total, already
+    known from listing — no job, no physical planning). The previous
+    ``df.rdd.getNumPartitions()`` probe forced physical planning plus
+    an RDD DAG build on the driver per call — cheap at sf0.1,
+    measurable at 100 TB plan sizes. A frame whose estimated size is
+    at least defaultParallelism * maxPartitionBytes already splits
+    into >= defaultParallelism scan partitions, so the repartition
+    would be a no-op there and is skipped without any probe job;
+    anything smaller repartitions, a shuffle bounded by that same
+    product (a few GB) — trivial next to the expansion work it
+    parallelizes."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        max_pb = _parse_bytes(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+        )
+    except ValueError:
+        max_pb = 128 * (1 << 20)
+    size = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if size < target * max_pb:
         return df.repartition(target)
     return df

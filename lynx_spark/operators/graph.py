@@ -125,6 +125,32 @@ def _truncate_round(
     return ckpt, ckpt
 
 
+def _finalize_iterative(
+    result: DataFrame, ckpt: DataFrame | None, *held: DataFrame
+) -> DataFrame:
+    """Close out a truncated iterative run without leaking the round
+    checkpoint: when the loop ended on/after a truncation, the lazy
+    result still reads the final checkpoint's blocks, which are never
+    reclaimed automatically — and releasing them early would leave
+    the result recomputing through freed blocks (the eviction failure
+    mode: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). So the RESULT itself is
+    eagerly checkpointed — materialized into its own leaf blocks,
+    lineage cut, MEMORY_AND_DISK so eviction spills instead of
+    failing — then the superseded round checkpoint (plus any
+    operator-held caches in ``held``) is released. The caller can
+    free the returned frame with ``_release_frame`` when done — the
+    hook the un-finalized form lacked. Runs shorter than
+    ``_TRUNCATE_EVERY`` rounds never checkpoint and pass through
+    lazily: zero extra jobs on the default paths."""
+    if ckpt is None:
+        return result
+    final = result.localCheckpoint(eager=True)
+    _release_frame(ckpt)
+    for f in held:
+        _release_frame(f)
+    return final
+
+
 def _canonical_edges(e: DataFrame) -> DataFrame:
     """Undirected edge set in canonical (min, max) orientation, self
     loops dropped, deduplicated — the representation both star
@@ -510,8 +536,12 @@ def pagerank(
             )
         )
         ranks, _ckpt = _truncate_round(ranks, _it + 1, _ckpt)
-    return ranks.select(
-        F.col("_v").alias(node_col), _round8(F.col("_r")).alias("pagerank")
+    return _finalize_iterative(
+        ranks.select(
+            F.col("_v").alias(node_col),
+            _round8(F.col("_r")).alias("pagerank"),
+        ),
+        _ckpt,
     )
 
 
@@ -663,14 +693,16 @@ def label_propagation(
             )
         )
         current, _ckpt = _truncate_round(current, _rd + 1, _ckpt)
-    return (
-        base.join(current, "node")
-        .select(
+    return _finalize_iterative(
+        base.join(current, "node").select(
             "node",
             "is_seed",
             "true_label",
             F.col("label").alias("propagated_label"),
-        )
+        ),
+        _ckpt,
+        sym,
+        base,
     )
 
 
@@ -807,11 +839,19 @@ def directed_modularity(
     label-granular aggregations (within / out / in) and one 1-scalar
     total broadcast back. Nothing is ever node-quadratic; community
     count bounds every frame."""
+    # NOT persisted despite four consumers (count, two edge joins,
+    # the label roster): the map is a trivial column-pruned projection
+    # of the caller's labels frame, so re-deriving it per consumer
+    # costs three cheap scans — while a persist here has no release
+    # hook (the result is lazy; the caller materializes later) and
+    # leaks one CacheManager entry per call for the session. Callers
+    # holding an EXPENSIVE labels frame should persist that frame
+    # themselves, where its lifetime is theirs to manage.
     lab = labels.select(
         F.col(id_col).cast("long").alias("node"),
         F.col(label_col).cast("long").alias("lab"),
-    ).persist()  # three consumers (two edge joins + the label roster);
-    # the count below pays for the cache AND gates the broadcast hints
+    )
+    # the count gates the broadcast hints (r10 guard)
     n_nodes = lab.count()
     e5 = edges.select(
         F.col("src").cast("long").alias("src"),
@@ -965,8 +1005,15 @@ def kcore_peel(
     out = rows[0]
     for frame in rows[1:]:
         out = out.unionByName(frame)
-    result = out.persist()
-    result.count()  # materialize before releasing the edge frames
+    # the result is n_rounds+1 rows: pin it as a driver-local literal
+    # BEFORE releasing the held frames — a plain persist() would keep
+    # a recompute path through the freed checkpoint blocks (LRU
+    # eviction then fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    # instead of recomputing), while a collected literal has no
+    # lineage at all
+    result = edges.sparkSession.createDataFrame(
+        out.collect(), schema=out.schema
+    )
     for frame_df in held:
         _release_frame(frame_df)
     return result

@@ -13449,9 +13449,8 @@ dly AS (SELECT CAST(ts AS DATE) AS day,
        FROM ev WHERE value IS NOT NULL GROUP BY 1),
 ix AS (SELECT y, row_number() OVER (ORDER BY day) AS idx FROM dly),
 nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dly),
-grid AS (SELECT b, i FROM generate_series(1, 200) g1(b)
-         CROSS JOIN generate_series(1, 30) g2(i)
-         CROSS JOIN nd WHERE i <= n),
+grid AS (SELECT b, unnest(range(1, n + 1)) AS i
+         FROM generate_series(1, 200) g1(b) CROSS JOIN nd),
 pick AS (SELECT b,
     (('0x' || substr(md5('bs-' || b || '-' || i), 1, 15))::BIGINT % n)
       + 1 AS idx
@@ -13503,13 +13502,19 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
     wix = Window.orderBy("day")
     ix = dly.select("y", F.row_number().over(wix).cast("long").alias("idx"))
     nd = dly.agg(F.count("*").cast("long").alias("n"))
+    # draw count derives from the day count (a true n-out-of-n
+    # bootstrap at ANY span — a literal cap would silently under-draw
+    # on longer series while both engines kept agreeing)
     grid = (
-        spark.sql(
-            "SELECT explode(sequence(1, 200)) AS b"
-        )
-        .crossJoin(spark.sql("SELECT explode(sequence(1, 30)) AS i"))
+        spark.sql("SELECT explode(sequence(1, 200)) AS b")
         .crossJoin(F.broadcast(nd))
-        .filter(F.col("i") <= F.col("n"))
+        .select(
+            "b",
+            "n",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n"))).alias(
+                "i"
+            ),
+        )
     )
     hv = F.conv(
         F.substring(
