@@ -13002,7 +13002,7 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =====================================================================
 # round-10 cohort: forensic / drift / time-series / profiling
-# operators (q228+) — the audit layer a training-data pipeline runs
+# operators (q216, q229+) — the audit layer a training-data pipeline runs
 # over its fact and document tables. Exactness follows the house
 # conventions: integer grids before any data-sized sum, literal
 # constants embedded from ONE python computation into both engines,

@@ -1,4 +1,5 @@
-"""Hand-case tests for the round-10 registry cohort (q228-q240):
+"""Hand-case tests for the round-10 registry cohort (q216, q229,
+q230, q232, q234, q236, q239, q242, q243, q244):
 each query runs on a tiny purpose-built parquet fixture and is
 checked against an independent python replay of the same math —
 the mini-fixture discipline of test_round8/9_ops, so the DuckDB
