@@ -252,43 +252,63 @@ def main() -> None:
     # availableNow path with maxFilesPerTrigger=1 — four micro-batches,
     # each paying the full incremental contract (histogram merge with
     # the prior state, nearest-rank pass, store write, marker commit).
-    # The input split is untimed setup; the timed span is stream start
-    # to drain.
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F  # noqa: N812
-
-    from lynx_spark.streaming.incremental import percentile_stream
-
-    sdir = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .select(F.col("value").cast("double").alias("value"))
-            .repartition(4)
-            .write.mode("overwrite")
-            .parquet(f"{sdir}/in")
-        )
-        ev = (
-            spark.readStream.schema("value double")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{sdir}/in")
-        )
-        t0 = time.perf_counter()
-        q = percentile_stream(ev, "value", f"{sdir}/store", f"{sdir}/ck")
-        q.awaitTermination()
-        timings["s1_percentile_stream_4b"] = round(
-            time.perf_counter() - t0, 4
-        )
-        print(
-            f"# s1_percentile_stream_4b: "
-            f"{timings['s1_percentile_stream_4b']:.3f}s "
-            f"(4 micro-batches, availableNow)",
-            file=sys.stderr,
-        )
-    finally:
-        shutil.rmtree(sdir, ignore_errors=True)
+    # The input split and session startup are untimed setup; the timed
+    # span is stream start to drain.
+    #
+    # r11: measured in a CLEAN SUBPROCESS like w0 — in-bench the row
+    # inherited the session's JVM/heap/state-store pressure from the
+    # 58 queries before it (7.1-7.7s in-bench vs ~4.9s fresh, r10
+    # verdict task 7), so rounds compared session contamination, not
+    # the streaming path. Two reps against fresh store/checkpoint
+    # dirs; the first warms the streaming engine (~10s of cold JIT
+    # that the r10 manual probes also excluded — the decline curve is
+    # 13.1 -> 7.1 -> 6.4 -> 6.0 -> 6.1 at the r11 head) and the
+    # MINIMUM OF THE REMAINING THREE is reported — the steady-state
+    # drain, same convention as the query tier's post-warmup minimum.
+    s1_src = (
+        "import sys, time, tempfile, shutil\n"
+        f"sys.path.insert(0, {str(Path(__file__).resolve().parent)!r})\n"
+        "from lynx_spark.session import get_spark\n"
+        "from pyspark.sql import functions as F\n"
+        "from lynx_spark.streaming.incremental import percentile_stream\n"
+        "spark = get_spark('bench_s1')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"sf_dir = {sf_dir!r}\n"
+        "sdir = tempfile.mkdtemp(prefix='bench_stream_')\n"
+        "try:\n"
+        "    (spark.read.parquet(f'{sf_dir}/events.parquet')\n"
+        "     .select(F.col('value').cast('double').alias('value'))\n"
+        "     .repartition(4).write.mode('overwrite')\n"
+        "     .parquet(f'{sdir}/in'))\n"
+        "    reps = []\n"
+        "    for rep in range(4):\n"
+        "        ev = (spark.readStream.schema('value double')\n"
+        "              .option('maxFilesPerTrigger', 1)\n"
+        "              .parquet(f'{sdir}/in'))\n"
+        "        t0 = time.perf_counter()\n"
+        "        q = percentile_stream(ev, 'value',\n"
+        "                              f'{sdir}/store{rep}',\n"
+        "                              f'{sdir}/ck{rep}')\n"
+        "        q.awaitTermination()\n"
+        "        reps.append(time.perf_counter() - t0)\n"
+        "    print(min(reps[1:]))\n"
+        "finally:\n"
+        "    shutil.rmtree(sdir, ignore_errors=True)\n"
+    )
+    s1 = float(
+        subprocess.run(
+            [sys.executable, "-c", s1_src],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip().splitlines()[-1]
+    )
+    timings["s1_percentile_stream_4b"] = round(s1, 4)
+    print(
+        f"# s1_percentile_stream_4b: {s1:.3f}s "
+        f"(4 micro-batches, availableNow, clean subprocess)",
+        file=sys.stderr,
+    )
 
     # host-speed calibration constants (r8): the text family drifted
     # +35% over r5→r8 on UNCHANGED code — bisect showed it is neither
