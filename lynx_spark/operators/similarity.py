@@ -1643,3 +1643,202 @@ def kcenter_sample(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def embedding_split_leakage(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    test_mod: int = 5,
+    n_probes: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Train/test split-leakage audit in EMBEDDING space: split the
+    corpus deterministically by the md5-uniform device (~1/test_mod
+    held out), then for a fixed md5-ordered sample of ``n_probes``
+    test vectors find each probe's max cosine against the ENTIRE
+    train split — a probe whose nearest train vector clears
+    ``threshold`` is semantic leakage that n-gram decontamination
+    (q67/q187's surface) cannot see, the embedding counterpart of
+    split-leakage checks on text.
+
+    Scale shape: the probe set is capped at ``n_probes`` (a literal),
+    so the scored frame is n_probes x train — LINEAR in the corpus,
+    never test x train quadratic; probes broadcast, the per-probe
+    argmax is a map-side-combinable max(struct) aggregation (no
+    window over the scored stream). Determinism: cosine rounds to
+    5dp (the q24 convention), ties break to the smallest train id
+    via max(struct(cos, -nid)).
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    vecs = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).cast("long").alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn(
+            "h",
+            F.md5(F.concat(F.lit("leak-"), F.col("nid").cast("string"))),
+        )
+        .withColumn(
+            "is_test",
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+            % F.lit(test_mod)
+            == 0,
+        )
+    )
+    probes = (
+        vecs.filter(F.col("is_test"))
+        .orderBy("h", "nid")
+        .limit(n_probes)
+        .select(F.col("nid").alias("qid"), F.col("v").alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    train = vecs.filter(~F.col("is_test")).select("nid", "v").withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    scored = train.crossJoin(F.broadcast(probes)).select(
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 5
+        ).alias("cos_sim"),
+    )
+    best = scored.groupBy("qid").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("nid")).alias("negid"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "qid",
+        (-F.col("b.negid")).cast("long").alias("train_nid"),
+        F.col("b.cos_sim").alias("max_cos"),
+        F.when(F.col("b.cos_sim") >= F.lit(threshold), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_leak"),
+    )
+
+
+def power_iteration_pca(
+    df: DataFrame, id_col: str, vec_col: str, n_iters: int = 3
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second-
+    moment matrix by DISTRIBUTED power iteration — the anisotropy
+    audit (Ethayarajh 2019: contextual embeddings concentrate in a
+    narrow cone; a dominant component soaking up most of the energy
+    degrades cosine contrast) and the from-scratch counterpart of the
+    q88/q129 quantization audits.
+
+    Never materializes the d x d Gram matrix: each iteration computes
+    v <- X^T (X v) as two fused passes over ONE persisted corpus scan
+    — a per-row dot fold (d = <x, v>, array expressions) and a
+    posexplode aggregation to the d-row weighted sum (map-side
+    combinable, d keys). At 100 TB that is O(n*d) work per iteration
+    with a d-row shuffle, vs the O(n*d^2) explode a covariance
+    materialization costs.
+
+    Exact cross-engine arithmetic: embeddings quantize once onto the
+    1e-6 integer grid; per-doc dots are then exact int64 and the
+    d-row accumulations exact DECIMAL(38) — so the data-sized sums
+    are order-free. The iterate renormalizes driver-side on the
+    d-row collect (the bounded-aggregate device): w/max|w| and
+    u*1e6/sqrt(sum u^2) with explicit float() casts mirroring the
+    oracle's CAST(.. AS DOUBLE) operand-by-operand, then re-snaps to
+    the 1e-6 grid so the next iteration is integer-exact again.
+    Output: one row per dimension (1-based) with the unit loading,
+    plus the explained-energy ratio v^T X^T X v / sum ||x||^2 (both
+    exact integer aggregates). Sign follows the all-positive start
+    vector; degenerate all-zero inputs are the caller's problem."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    x6df = (
+        ensure_parallelism(df)
+        .select(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("x6")
+        )
+        .persist()  # n_iters + 1 aggregation passes read it
+    )
+    spark = df.sparkSession
+    dim = len(df.select(F.col(vec_col)).first()[0])
+    v6 = [int(math.floor(1e6 / math.sqrt(float(dim)) + 0.5))] * dim
+    dec = "decimal(38,0)"
+    for _ in range(n_iters):
+        varr = F.array(*[F.lit(c).cast("long") for c in v6])
+        dcol = F.aggregate(
+            F.zip_with(F.col("x6"), varr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = (
+            x6df.select(
+                dcol.alias("d"), F.posexplode("x6").alias("i", "xi")
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("xi").cast(dec) * F.col("d")).alias("w"))
+            .collect()
+        )
+        wv = {int(r["i"]): int(r["w"]) for r in w}
+        wmax = max(abs(x) for x in wv.values()) or 1
+        u6 = {
+            i: int(
+                math.floor(float(wv[i]) / float(wmax) * 1e6 + 0.5)
+            )
+            for i in wv
+        }
+        n2 = sum(u * u for u in u6.values()) or 1
+        v6 = [
+            int(
+                math.floor(
+                    float(u6[i]) * 1e6 / math.sqrt(float(n2)) + 0.5
+                )
+            )
+            for i in range(dim)
+        ]
+    varr = F.array(*[F.lit(c).cast("long") for c in v6])
+    dcol = F.aggregate(
+        F.zip_with(F.col("x6"), varr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    en = x6df.select(
+        dcol.alias("d"),
+        F.aggregate(
+            F.transform(F.col("x6"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("xx"),
+    ).agg(
+        F.sum(F.col("d").cast(dec) * F.col("d")).alias("num"),
+        F.sum(F.col("xx").cast(dec)).alias("den"),
+    )
+    vals = ", ".join(f"({i + 1}, {v6[i]})" for i in range(dim))
+    loadings = spark.sql(f"SELECT * FROM VALUES {vals} AS t(dim, v6)")
+    return (
+        loadings.crossJoin(F.broadcast(en))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            (F.col("v6").cast("double") / F.lit(1e6)).alias("loading"),
+            # d carries the 1e6 grids of BOTH operands (x6 and v6), so
+            # num/den is 1e12x the physical energy ratio — rescale
+            (
+                F.floor(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double")
+                    / F.lit(1e12)
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("explained_ratio"),
+        )
+    )

@@ -13811,3 +13811,1111 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# =====================================================================
+# round-11 cohort: nonparametric / distributional test batteries, the
+# A/B experimentation readout, graph-topology audits, decorrelated
+# TPC-H-Q21-style blame analysis, interval-overlap joins, a leakage
+# audit, and a distributed power-iteration PCA — each an operator
+# family the registry did not have (checked against the README
+# registry section and a keyword grep of REGISTRY descriptions, the
+# r10 dedup-before-landing lesson)
+# =====================================================================
+
+
+@q(
+    "q245_mann_whitney_u",
+    oracle="""
+WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+  FROM documents),
+h AS (SELECT x, CAST(count(*) AS BIGINT) AS c,
+    CAST(sum(g) AS BIGINT) AS c1
+  FROM d GROUP BY x),
+mr AS (SELECT x, c, c1,
+    CAST(2 * COALESCE(sum(c) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+    AS BIGINT) AS u2
+  FROM h),
+s AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+    CAST(sum(c) AS BIGINT) AS n,
+    CAST(sum(c1 * u2) AS HUGEINT) AS r1_2,
+    CAST(sum(c * c * c - c) AS HUGEINT) AS ties
+  FROM mr)
+SELECT n1 AS n_en, n - n1 AS n_other,
+  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_statistic,
+  floor((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+         - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+        * (CAST(n + 1 AS DOUBLE) * CAST(n AS DOUBLE)
+             * CAST(n - 1 AS DOUBLE)
+           - CAST(ties AS DOUBLE))
+        / (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+    * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM s
+""",
+    description="Mann-Whitney U rank-sum test: do English documents "
+    "have a different length distribution than the rest of the "
+    "corpus? The nonparametric two-sample location test the battery "
+    "lacked (q204/q117 are KS, q223 is Welch on means). Ranks are "
+    "never per-row: the doubled-midrank closed form runs on the "
+    "VALUE-grain length histogram (q209's device), so the only "
+    "data-sized pass is one aggregation to the bounded n_chars "
+    "domain; U, the tie term sum(c^3-c) and the variance are exact "
+    "integers (DECIMAL(38)/HUGEINT past 2^63 at corpus scale) "
+    "feeding ONE identically-parenthesized double z evaluation; "
+    "normal approximation without continuity correction",
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("g"),
+    )
+    h = d.groupBy("x").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("g").cast("long").alias("c1"),
+    )
+    # domain-bounded window (n_chars value grain), the q209 midrank
+    # convention — never a per-row rank
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    mr = h.select(
+        "c",
+        "c1",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    s = mr.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum((F.col("c1") * F.col("u2")).cast("decimal(38,0)")).alias(
+            "r1_2"
+        ),
+        F.sum(
+            (
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            ).cast("decimal(38,0)")
+        ).alias("ties"),
+    )
+    n1, n = F.col("n1"), F.col("n")
+    two_u1 = (F.col("r1_2") - n1 * (n1 + F.lit(1))).cast("double")
+    n1d = n1.cast("double")
+    n2d = (n - n1).cast("double")
+    var_core = (
+        (n + F.lit(1)).cast("double")
+        * n.cast("double")
+        * (n - F.lit(1)).cast("double")
+        - F.col("ties").cast("double")
+    )
+    z = F.floor(
+        (two_u1 - n1d * n2d)
+        / (
+            F.lit(2.0)
+            * F.sqrt(
+                n1d
+                * n2d
+                * var_core
+                / (
+                    F.lit(12.0)
+                    * n.cast("double")
+                    * (n - F.lit(1)).cast("double")
+                )
+            )
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return s.select(
+        n1.alias("n_en"),
+        (n - n1).alias("n_other"),
+        (two_u1 / F.lit(2.0)).alias("u_statistic"),
+        z.alias("z"),
+    )
+
+
+@q(
+    "q246_jarque_bera",
+    oracle=f"""
+WITH ev AS ({_EV}),
+d AS (SELECT event_type,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+  FROM ev WHERE value IS NOT NULL),
+d2 AS (SELECT event_type, v, v * v AS v2 FROM d),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(v) AS HUGEINT) AS s1,
+    CAST(sum(CAST(v2 AS HUGEINT)) AS HUGEINT) AS s2,
+    CAST(sum(CAST(v2 AS HUGEINT) * v) AS HUGEINT) AS s3,
+    CAST(sum(CAST(v2 AS HUGEINT) * v2) AS HUGEINT) AS s4
+  FROM d2 GROUP BY event_type),
+m AS (SELECT event_type, n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM s),
+c AS (SELECT event_type, n,
+    r2 - mu * mu AS m2,
+    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+      AS m4
+  FROM m),
+k AS (SELECT event_type, n,
+    m3 / (m2 * sqrt(m2)) AS skew,
+    m4 / (m2 * m2) - 3.0 AS exkurt
+  FROM c)
+SELECT event_type, n AS n_events,
+  floor(skew * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+  floor(exkurt * 1000000.0 + 0.5) / 1000000.0 AS ex_kurtosis,
+  floor(CAST(n AS DOUBLE) / 6.0
+        * (skew * skew + exkurt * exkurt / 4.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS jb_stat
+FROM k
+""",
+    description="Jarque-Bera normality audit of the event-value "
+    "distribution per event type: skewness, excess kurtosis and the "
+    "JB statistic n/6*(S^2 + K^2/4) — the moments-only normality "
+    "test (one aggregation, no order statistics, unlike the "
+    "rank/ECDF battery q204/q117/q224). Values quantize to integer "
+    "cents; the four raw power sums are exact "
+    "DECIMAL(38)/HUGEINT integers (v^4 alone is ~6e18 per row), so "
+    "both engines derive the central moments from identical exact "
+    "integers through identically-parenthesized double arithmetic",
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = ev.select("event_type", v.alias("v")).withColumn(
+        "v2", F.col("v") * F.col("v")
+    )
+    dec = "decimal(38,0)"
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s1"),
+        F.sum(F.col("v2").cast(dec)).alias("s2"),
+        F.sum((F.col("v2").cast(dec) * F.col("v"))).alias("s3"),
+        F.sum((F.col("v2").cast(dec) * F.col("v2"))).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / nd).alias("mu"),
+        (F.col("s2").cast("double") / nd).alias("r2"),
+        (F.col("s3").cast("double") / nd).alias("r3"),
+        (F.col("s4").cast("double") / nd).alias("r4"),
+    )
+    mu, r2, r3, r4 = (F.col(c) for c in ("mu", "r2", "r3", "r4"))
+    c = m.select(
+        "event_type",
+        "n",
+        (r2 - mu * mu).alias("m2"),
+        (r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu).alias(
+            "m3"
+        ),
+        (
+            r4
+            - F.lit(4.0) * mu * r3
+            + F.lit(6.0) * mu * mu * r2
+            - F.lit(3.0) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    k = c.select(
+        "event_type",
+        "n",
+        (m3 / (m2 * F.sqrt(m2))).alias("skew"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("exkurt"),
+    )
+    sk, ek = F.col("skew"), F.col("exkurt")
+
+    def snap6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return k.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        snap6(sk).alias("skewness"),
+        snap6(ek).alias("ex_kurtosis"),
+        snap6(
+            F.col("n").cast("double")
+            / F.lit(6.0)
+            * (sk * sk + ek * ek / F.lit(4.0))
+        ).alias("jb_stat"),
+    )
+
+
+@q(
+    "q249_ab_test_lift",
+    oracle=f"""
+WITH ev AS ({_EV}),
+u AS (SELECT user_id,
+    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) >= 14
+         THEN 1 ELSE 0 END AS BIGINT) AS conv
+  FROM ev GROUP BY user_id),
+uv AS (SELECT
+    ('0x' || substr(md5('ab-' || user_id), 1, 15))::BIGINT % 2
+      AS variant,
+    conv
+  FROM u),
+g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM uv GROUP BY variant),
+w AS (SELECT
+    max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+    max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+    max(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+    max(CASE WHEN variant = 1 THEN n_conv END) AS c1
+  FROM g),
+p AS (SELECT n0, n1, c0, c1,
+    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+    CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+  FROM w)
+SELECT n0 AS n_control, n1 AS n_treatment,
+  c0 AS conv_control, c1 AS conv_treatment,
+  floor(p0 * 1000000.0 + 0.5) / 1000000.0 AS p_control,
+  floor(p1 * 1000000.0 + 0.5) / 1000000.0 AS p_treatment,
+  floor((p1 - p0)
+    / nullif(sqrt(pp * (1.0 - pp)
+           * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))), 0.0)
+    * 1000000.0 + 0.5) / 1000000.0 AS z,
+  floor((p1 / nullif(p0, 0.0) - 1.0) * 1000000.0 + 0.5) / 1000000.0
+    AS lift,
+  floor(((p1 - p0) - 1.96
+      * sqrt(p1 * (1.0 - p1) / CAST(n1 AS DOUBLE)
+             + p0 * (1.0 - p0) / CAST(n0 AS DOUBLE)))
+    * 1000000.0 + 0.5) / 1000000.0 AS diff_ci_lo,
+  floor(((p1 - p0) + 1.96
+      * sqrt(p1 * (1.0 - p1) / CAST(n1 AS DOUBLE)
+             + p0 * (1.0 - p0) / CAST(n0 AS DOUBLE)))
+    * 1000000.0 + 0.5) / 1000000.0 AS diff_ci_hi
+FROM p
+""",
+    description="two-proportion A/B test readout: users "
+    "deterministically split 50/50 by the shared md5-uniform device "
+    "(variant is a pure function of user_id — byte-identical in both "
+    "engines), conversion = at least 14 'purchase' events (the per-user event volume is SF-invariant in this dataset, so the split is informative at every SF); zero-variance and zero-baseline guarded by NULLIF on both sides; pooled z statistic "
+    "for the conversion-rate difference, relative lift, and the Wald "
+    "95% CI on the difference. Completes the experimentation corner "
+    "of the test battery (q201 Wilson is a one-sample interval; "
+    "q223 Welch tests means, not proportions). One user-grain "
+    "aggregation is the only data-sized pass; everything above the "
+    "2-row variant frame is scalar",
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            >= 14,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("conv")
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab-"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    g = u.select(variant.alias("variant"), "conv").groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    p = w.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        (F.col("c0").cast("double") / n0d).alias("p0"),
+        (F.col("c1").cast("double") / n1d).alias("p1"),
+        (
+            (F.col("c0") + F.col("c1")).cast("double")
+            / (F.col("n0") + F.col("n1")).cast("double")
+        ).alias("pp"),
+    )
+    p0, p1, pp = F.col("p0"), F.col("p1"), F.col("pp")
+
+    def snap6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    se_diff = F.sqrt(
+        p1 * (F.lit(1.0) - p1) / F.col("n1").cast("double")
+        + p0 * (F.lit(1.0) - p0) / F.col("n0").cast("double")
+    )
+    return p.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.col("c0").alias("conv_control"),
+        F.col("c1").alias("conv_treatment"),
+        snap6(p0).alias("p_control"),
+        snap6(p1).alias("p_treatment"),
+        snap6(
+            (p1 - p0)
+            / F.nullif(
+                F.sqrt(
+                    pp
+                    * (F.lit(1.0) - pp)
+                    * (
+                        F.lit(1.0) / F.col("n1").cast("double")
+                        + F.lit(1.0) / F.col("n0").cast("double")
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("z"),
+        snap6(p1 / F.nullif(p0, F.lit(0.0)) - F.lit(1.0)).alias("lift"),
+        snap6((p1 - p0) - F.lit(1.96) * se_diff).alias("diff_ci_lo"),
+        snap6((p1 - p0) + F.lit(1.96) * se_diff).alias("diff_ci_hi"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    """q252 oracle: the q83 kNN-graph CTEs feeding reciprocity (a
+    directed-edge self-join) and in-degree assortativity (Pearson r
+    over edges of endpoint in-degrees, exact integer moments)."""
+    base = _knn_graph_oracle(5)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    return (
+        ctes
+        + """, g AS (SELECT src, nbr FROM ranked WHERE rnk <= 5),
+ind AS (SELECT nbr AS node, CAST(count(*) AS BIGINT) AS indeg
+        FROM g GROUP BY nbr),
+rec AS (SELECT CAST(count(*) AS BIGINT) AS n_rec
+        FROM g a JOIN g b ON a.src = b.nbr AND a.nbr = b.src),
+tg AS (SELECT COALESCE(sa.indeg, 0) AS x, COALESCE(sb.indeg, 0) AS y
+       FROM g LEFT JOIN ind sa ON sa.node = g.src
+              LEFT JOIN ind sb ON sb.node = g.nbr),
+mo AS (SELECT CAST(count(*) AS BIGINT) AS ne,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS HUGEINT) AS sxx,
+    CAST(sum(y * y) AS HUGEINT) AS syy,
+    CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM tg)
+SELECT ne AS n_edges, n_rec AS n_reciprocal,
+  floor(CAST(n_rec AS DOUBLE) / CAST(ne AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS reciprocity,
+  floor((CAST(ne AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(ne AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(ne AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+FROM mo CROSS JOIN rec
+"""
+    )
+
+
+@q(
+    "q252_knn_assortativity",
+    oracle=_assortativity_oracle(),
+    description="kNN-graph topology audit: edge reciprocity (the "
+    "fraction of directed kNN edges whose reverse edge also exists — "
+    "the symmetry rate that predicts ANN recall quality and "
+    "hubness) and in-degree assortativity (Pearson correlation of "
+    "endpoint in-degrees over directed edges, Newman 2002) — "
+    "negative assortativity + low reciprocity flags hub-dominated "
+    "embedding spaces where a few prototype vectors absorb "
+    "everyone's neighbor lists. Out-degree is constant k by "
+    "construction, so in-degree carries all the signal. The edge "
+    "frame (built once by the q83 machinery, persisted for its "
+    "three consumers) is the only corpus-sized frame; moments are "
+    "exact BIGINT/HUGEINT sums, Pearson is one identically-"
+    "parenthesized double evaluation (the q209 convention)",
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = (
+        sim.knn_graph(emb, "vec_id", "embedding", k=5)
+        .select("src", "nbr")
+        .persist()  # three consumers: in-degree, reciprocity, moments
+    )
+    ind = edges.groupBy(F.col("nbr").alias("node")).agg(
+        F.count("*").cast("long").alias("indeg")
+    )
+    rev = edges.select(
+        F.col("nbr").alias("src"), F.col("src").alias("nbr")
+    )
+    n_rec = (
+        edges.join(rev, ["src", "nbr"], "semi")
+        .agg(F.count("*").cast("long").alias("n_rec"))
+    )
+    sa = ind.withColumnRenamed("node", "src").withColumnRenamed(
+        "indeg", "x"
+    )
+    sb = ind.withColumnRenamed("node", "nbr").withColumnRenamed(
+        "indeg", "y"
+    )
+    tg = (
+        edges.join(sa, "src", "left")
+        .join(sb, "nbr", "left")
+        .select(
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    mo = tg.agg(
+        F.count("*").cast("long").alias("ne"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    ned = F.col("ne").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = (ned * F.col("sxy").cast("double") - sxd * syd) / F.sqrt(
+        (ned * F.col("sxx").cast("double") - sxd * sxd)
+        * (ned * F.col("syy").cast("double") - syd * syd)
+    )
+    return (
+        mo.crossJoin(F.broadcast(n_rec))
+        .select(
+            F.col("ne").alias("n_edges"),
+            F.col("n_rec").alias("n_reciprocal"),
+            (
+                F.floor(
+                    F.col("n_rec").cast("double") / ned * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("reciprocity"),
+            (F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "assortativity"
+            ),
+        )
+    )
+
+
+@q(
+    "q254_waiting_orders",
+    oracle="""
+WITH oa AS (
+  SELECT l.l_orderkey,
+    CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_supp,
+    CAST(count(DISTINCT CASE
+      WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) > 90
+      THEN l.l_suppkey END) AS BIGINT) AS n_late,
+    CAST(max(CASE
+      WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) > 90
+      THEN l.l_suppkey END) AS BIGINT) AS blame
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey),
+b AS (SELECT blame AS suppkey, CAST(count(*) AS BIGINT) AS n_blamed
+      FROM oa WHERE n_supp >= 2 AND n_late = 1 GROUP BY blame)
+SELECT s.s_name, b.n_blamed
+FROM b JOIN supplier s ON s.s_suppkey = b.suppkey
+ORDER BY n_blamed DESC, s_name
+LIMIT 10
+""",
+    description="suppliers who kept multi-supplier orders waiting "
+    "(the TPC-H Q21 shape: reference delegates it to DataFusion; "
+    "/root/reference/src/lynx.rs:141): orders with >= 2 distinct "
+    "suppliers where EXACTLY ONE supplier shipped > 90 days after "
+    "the order date — that supplier takes the blame; top-10 by blame "
+    "count. Q21's textbook EXISTS / NOT-EXISTS pair decorrelates "
+    "into ONE order-grain aggregation (distinct-supplier and "
+    "distinct-late-supplier counts plus a MAX over the late "
+    "suppkeys, which IS the blamed supplier when the late count is "
+    "1) — one fact-fact equi-join shuffle instead of three "
+    "correlated lineitem self-probes; the supplier dim broadcasts "
+    "and the top-10 is TakeOrderedAndProject, never a global sort",
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("odate")
+    )
+    late = F.datediff(F.col("ship"), F.col("odate")) > 90
+    oa = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey")))
+            .cast("long")
+            .alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey")))
+            .cast("long")
+            .alias("blame"),
+        )
+    )
+    b = (
+        oa.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("blame").alias("suppkey"))
+        .agg(F.count("*").cast("long").alias("n_blamed"))
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        b.join(F.broadcast(s), b["suppkey"] == s["s_suppkey"])
+        .select("s_name", "n_blamed")
+        .orderBy(F.desc("n_blamed"), "s_name")
+        .limit(10)
+    )
+
+
+@q(
+    "q247_brown_forsythe",
+    oracle=f"""
+WITH ev AS ({_EV}),
+d AS (SELECT event_type,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+  FROM ev WHERE value IS NOT NULL),
+hist AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY 1, 2),
+cum AS (SELECT event_type, v, c,
+    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT)
+      AS cm,
+    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS ng
+  FROM hist),
+med AS (SELECT event_type, CAST(min(v) AS BIGINT) AS med
+  FROM cum WHERE cm >= (ng + 1) // 2 GROUP BY event_type),
+zm AS (SELECT h.event_type, abs(h.v - m.med) AS z, h.c
+  FROM hist h JOIN med m USING (event_type)),
+pg AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+    CAST(sum(z * c) AS BIGINT) AS s_g,
+    CAST(sum(CAST(z * z AS HUGEINT) * c) AS HUGEINT) AS ss_g
+  FROM zm GROUP BY event_type),
+tg AS (SELECT n_g, s_g, ss_g,
+    CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+               / CAST(n_g AS DOUBLE) + 0.5) AS BIGINT) AS t_g
+  FROM pg),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+    CAST(sum(n_g) AS BIGINT) AS n,
+    CAST(sum(s_g) AS BIGINT) AS s,
+    CAST(sum(t_g) AS BIGINT) AS st,
+    CAST(sum(ss_g) AS HUGEINT) AS ssq
+  FROM tg)
+SELECT k AS k_groups, n AS n_events,
+  floor(((CAST(st AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / CAST(k - 1 AS DOUBLE))
+        / ((CAST(ssq AS DOUBLE) - CAST(st AS DOUBLE))
+           / CAST(n - k AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS bf_stat
+FROM tot
+""",
+    description="Brown-Forsythe variance-homogeneity test of event "
+    "values across event types (the robust Levene variant: a one-way "
+    "F on absolute deviations from the GROUP MEDIAN) — the "
+    "equal-variance gate q232's ANOVA formally assumes and the "
+    "battery lacked. Medians are nearest-rank (lower median, rank "
+    "(n+1) div 2) read off the VALUE-grain histogram's per-group "
+    "cumulative counts — the one data-sized pass is the histogram "
+    "aggregation; |v - med| moments run on the histogram (value "
+    "grain, weighted by c), per-group s_g^2/n_g terms floor-snap to "
+    "integers (q232's order-free device) and the F evaluates once "
+    "in identically-parenthesized doubles",
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    hist = (
+        ev.select("event_type", v.alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()  # two consumers: the median path and the moments
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wcum).cast("long").alias("cm"),
+        F.sum("c").over(wall).cast("long").alias("ng"),
+    )
+    med = (
+        cum.filter(
+            F.col("cm")
+            >= F.floor((F.col("ng") + F.lit(1)) / F.lit(2)).cast("long")
+        )
+        .groupBy("event_type")
+        .agg(F.min("v").cast("long").alias("med"))
+    )
+    zm = hist.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("v") - F.col("med")).alias("z"),
+        "c",
+    )
+    pg = zm.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.col("z") * F.col("c")).cast("long").alias("s_g"),
+        F.sum(
+            (F.col("z") * F.col("z")).cast("decimal(38,0)") * F.col("c")
+        ).alias("ss_g"),
+    )
+    tg = pg.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.floor(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t_g"),
+    )
+    tot = tg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("t_g").cast("long").alias("st"),
+        F.sum("ss_g").alias("ssq"),
+    )
+    std, sd, nd = (
+        F.col("st").cast("double"),
+        F.col("s").cast("double"),
+        F.col("n").cast("double"),
+    )
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_events"),
+        (
+            F.floor(
+                (
+                    (std - sd * sd / nd)
+                    / (F.col("k") - F.lit(1)).cast("double")
+                )
+                / (
+                    (F.col("ssq").cast("double") - std)
+                    / (F.col("n") - F.col("k")).cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("bf_stat"),
+    )
+
+
+@q(
+    "q248_pacf",
+    oracle=f"""
+WITH ev AS ({_EV}),
+d AS (SELECT CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS y2
+  FROM ev GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y2) AS BIGINT) AS s FROM d),
+m AS (SELECT CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+        AS BIGINT) AS m2 FROM st),
+dv AS (SELECT day, y2 - (SELECT m2 FROM m) AS dev FROM d),
+den AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dv),
+num AS (SELECT CAST(date_diff('day', b.day, a.day) AS BIGINT)
+          AS lag_days,
+        CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+  FROM dv a JOIN dv b
+    ON date_diff('day', b.day, a.day) BETWEEN 1 AND 3
+  GROUP BY 1),
+acf AS (SELECT lag_days,
+    floor(CAST(num AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE)
+          * 1000000.0 + 0.5) / 1000000.0 AS r
+  FROM num),
+rr AS (SELECT
+    max(CASE WHEN lag_days = 1 THEN r END) AS r1,
+    max(CASE WHEN lag_days = 2 THEN r END) AS r2,
+    max(CASE WHEN lag_days = 3 THEN r END) AS r3
+  FROM acf),
+ph AS (SELECT r1, r2, r3,
+    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+  FROM rr),
+ph2 AS (SELECT r1, r2, r3, p22,
+    r1 - p22 * r1 AS p21
+  FROM ph),
+out AS (
+  SELECT CAST(1 AS BIGINT) AS lag_days, r1 AS acf,
+    floor(r1 * 1000000.0 + 0.5) / 1000000.0 AS pacf FROM ph2
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), r2,
+    floor(p22 * 1000000.0 + 0.5) / 1000000.0 FROM ph2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), r3,
+    floor((r3 - p21 * r2 - p22 * r1)
+          / (1.0 - p21 * r1 - p22 * r2)
+          * 1000000.0 + 0.5) / 1000000.0 FROM ph2)
+SELECT lag_days, acf, pacf FROM out
+""",
+    description="partial autocorrelation of the daily event-value "
+    "series at lags 1-3 via the Durbin-Levinson closed forms "
+    "(phi11 = r1; phi22 = (r2-r1^2)/(1-r1^2); phi33 from the "
+    "level-2 coefficients) — the AR-order diagnostic that q178's "
+    "raw ACF cannot give (ACF tails off under AR(1); PACF cuts "
+    "off). ACF values are computed exactly as q178 does (one "
+    "events scan to the calendar-bounded day frame, collected once "
+    "as a VALUES literal; cent-rounded mean, exact integer "
+    "deviation products) and SNAPPED to the 1e-6 grid BEFORE the "
+    "recursion, so both engines run the identical double "
+    "arithmetic on identical snapped inputs",
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("y2")
+    )
+    # calendar-bounded day frame, 4 consumers -> VALUES literal (the
+    # q178 convention: one fact scan, LocalTableScan thereafter)
+    vals = ", ".join(
+        f"(DATE '{r['day'].isoformat()}', {r['y2']})" for r in d.collect()
+    )
+    d = spark.sql(f"SELECT * FROM VALUES {vals} AS t(day, y2)")
+    st = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y2").cast("long").alias("s"),
+    )
+    m = st.select(
+        F.floor(
+            F.col("s").cast("double") / F.col("n").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    dv = d.crossJoin(F.broadcast(m)).select(
+        "day", (F.col("y2") - F.col("m2")).alias("dev")
+    )
+    den = dv.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den")
+    )
+    a, b = dv.alias("a"), dv.alias("b")
+    num = (
+        a.join(
+            F.broadcast(b),
+            F.datediff(F.col("a.day"), F.col("b.day")).between(1, 3),
+        )
+        .groupBy(
+            F.datediff(F.col("a.day"), F.col("b.day"))
+            .cast("long")
+            .alias("lag_days")
+        )
+        .agg(
+            F.sum(F.col("a.dev") * F.col("b.dev"))
+            .cast("long")
+            .alias("num")
+        )
+    )
+    acf = num.crossJoin(F.broadcast(den)).select(
+        "lag_days",
+        (
+            F.floor(
+                F.col("num").cast("double") / F.col("den").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("r"),
+    )
+    rr = acf.agg(
+        F.max(F.when(F.col("lag_days") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag_days") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag_days") == 3, F.col("r"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    ph = rr.select(
+        "r1",
+        "r2",
+        "r3",
+        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("p22"),
+    )
+    p22 = F.col("p22")
+    ph2 = ph.select("r1", "r2", "r3", "p22", (r1 - p22 * r1).alias("p21"))
+    p21 = F.col("p21")
+
+    def snap6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    out = ph2.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("lag_days"),
+                    r1.alias("acf"),
+                    snap6(r1).alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("lag_days"),
+                    r2.alias("acf"),
+                    snap6(p22).alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("lag_days"),
+                    r3.alias("acf"),
+                    snap6(
+                        (r3 - p21 * r2 - p22 * r1)
+                        / (F.lit(1.0) - p21 * r1 - p22 * r2)
+                    ).alias("pacf"),
+                ),
+            )
+        ).alias("o")
+    )
+    return out.select("o.lag_days", "o.acf", "o.pacf")
+
+
+@q(
+    "q253_interval_overlap_join",
+    oracle=f"""
+WITH ev AS ({_EV}),
+e AS (SELECT user_id, event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+  FROM ev WHERE event_type IN ('purchase', 'error')),
+lg AS (SELECT user_id, event_type, t,
+    lag(t) OVER (PARTITION BY user_id, event_type ORDER BY t) AS pt
+  FROM e),
+br AS (SELECT user_id, event_type, t,
+    CASE WHEN pt IS NULL OR t - pt > 172800000000 THEN 1 ELSE 0 END
+      AS brk
+  FROM lg),
+isl AS (SELECT user_id, event_type, t,
+    CAST(sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS island
+  FROM br),
+iv AS (SELECT user_id, event_type, island,
+    CAST(min(t) AS BIGINT) AS s, CAST(max(t) AS BIGINT) AS e
+  FROM isl GROUP BY 1, 2, 3),
+p AS (SELECT user_id, s, e FROM iv WHERE event_type = 'purchase'),
+r AS (SELECT user_id, s, e FROM iv WHERE event_type = 'error')
+SELECT p.user_id,
+  CAST(count(*) AS BIGINT) AS n_overlaps,
+  CAST(sum(least(p.e, r.e) - greatest(p.s, r.s)) AS BIGINT)
+    AS overlap_us
+FROM p JOIN r ON p.user_id = r.user_id
+  AND p.s <= r.e AND r.s <= p.e
+GROUP BY p.user_id
+""",
+    description="interval-overlap JOIN between two per-user island "
+    "sets: purchase activity bursts vs error bursts (bursts = "
+    "gap-based islands, gap > 48 h splits; q214 merges ONE interval "
+    "set — this is the two-set overlap join a sessionized incident "
+    "analysis needs). Per user: how many (purchase-burst, "
+    "error-burst) pairs overlap and for how many microseconds "
+    "(closed intervals, exact int64 time arithmetic throughout). "
+    "Islands come from user+type-partitioned lag/cumsum windows "
+    "(hash-partitioned, never global); the overlap join is "
+    "EQUI-keyed on user_id with the range conditions as residual "
+    "filters — co-partitioned and linear, never a cross join; both "
+    "island sets derive from ONE persisted island frame",
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    wlag = Window.partitionBy("user_id", "event_type").orderBy("t")
+    br = e.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.when(
+            F.lag("t").over(wlag).isNull()
+            | (F.col("t") - F.lag("t").over(wlag) > F.lit(172800000000)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    wcum = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = br.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.sum("brk").over(wcum).cast("long").alias("island"),
+    )
+    iv = (
+        isl.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("t").cast("long").alias("s"),
+            F.max("t").cast("long").alias("e"),
+        )
+        .persist()  # two consumers: the purchase and error sides
+    )
+    p = iv.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("s").alias("ps"), F.col("e").alias("pe")
+    )
+    r = iv.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("s").alias("rs"), F.col("e").alias("re")
+    )
+    return (
+        p.join(
+            r,
+            (p["user_id"] == r["user_id"])
+            & (F.col("ps") <= F.col("re"))
+            & (F.col("rs") <= F.col("pe")),
+        )
+        .groupBy(p["user_id"].alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_overlaps"),
+            F.sum(
+                F.least("pe", "re") - F.greatest("ps", "rs")
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+    )
+
+
+@q(
+    "q250_embedding_leakage",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+    md5('leak-' || vec_id) AS h
+  FROM embeddings),
+sp AS (SELECT vec_id, e, h,
+    (('0x' || substr(h, 1, 15))::BIGINT % 5 = 0) AS is_test
+  FROM v),
+probes AS (SELECT vec_id AS qid, e AS qe FROM sp WHERE is_test
+           ORDER BY h, vec_id LIMIT 64),
+train AS (SELECT vec_id AS nid, e AS ne FROM sp WHERE NOT is_test),
+elems AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y
+          FROM probes CROSS JOIN train),
+sums AS (SELECT qid, nid,
+    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 5)
+      AS cos_sim
+  FROM elems GROUP BY qid, nid),
+best AS (SELECT qid, nid, cos_sim,
+    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
+      AS rn
+  FROM sums)
+SELECT qid, CAST(nid AS BIGINT) AS train_nid, cos_sim AS max_cos,
+  CAST(CASE WHEN cos_sim >= 0.95 THEN 1 ELSE 0 END AS BIGINT)
+    AS is_leak
+FROM best WHERE rn = 1
+""",
+    description="embedding-space split-leakage audit: a deterministic "
+    "md5 split holds out ~20% of vectors as 'test'; a fixed "
+    "md5-ordered 64-probe sample of the test split is scored for "
+    "max cosine against the WHOLE train split — semantic near-dups "
+    "across the split that n-gram decontamination (q67/q91/q187) "
+    "cannot see. Probe cap keeps the scored frame linear in the "
+    "corpus (never test x train quadratic); probes broadcast, the "
+    "per-probe argmax is a map-side max(struct) aggregation, ties "
+    "break to the smallest train id; cosine rounds to 5dp (q24's "
+    "convention)",
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_split_leakage(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+def _pca_oracle(n_iters: int = 3) -> str:
+    """q251 oracle: the identical integer-grid power iteration,
+    unrolled — per iteration one doc-grain dot aggregate, one
+    dim-grain weighted sum, then the same two-step driver
+    renormalization written as scalar CTEs (CAST(.. AS DOUBLE)
+    operand-for-operand where the operator calls float())."""
+    sql = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+x6 AS (SELECT vec_id, unnest(range(1, len(e) + 1)) AS i,
+    CAST(floor(unnest(e) * 1000000.0 + 0.5) AS BIGINT) AS x6
+  FROM v),
+dm AS (SELECT CAST(max(len(e)) AS BIGINT) AS d FROM v),
+v0 AS (SELECT unnest(range(1, d + 1)) AS i,
+    CAST(floor(1000000.0 / sqrt(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)
+      AS v6
+  FROM dm)"""
+    prev = "v0"
+    for t in range(1, n_iters + 1):
+        sql += f""",
+d{t} AS (SELECT vec_id, CAST(sum(x6 * v6) AS BIGINT) AS d
+  FROM x6 JOIN {prev} USING (i) GROUP BY vec_id),
+w{t} AS (SELECT i, CAST(sum(CAST(x6 AS HUGEINT) * d) AS HUGEINT) AS w
+  FROM x6 JOIN d{t} USING (vec_id) GROUP BY i),
+wm{t} AS (SELECT max(abs(w)) AS wmax FROM w{t}),
+u{t} AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(wmax AS DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT) AS u6
+  FROM w{t} CROSS JOIN wm{t}),
+n{t} AS (SELECT CAST(sum(u6 * u6) AS BIGINT) AS n2 FROM u{t}),
+v{t} AS (SELECT i, CAST(floor(CAST(u6 AS DOUBLE) * 1000000.0
+           / sqrt(CAST(n2 AS DOUBLE)) + 0.5) AS BIGINT) AS v6
+  FROM u{t} CROSS JOIN n{t})"""
+        prev = f"v{t}"
+    return sql + f""",
+df AS (SELECT vec_id, CAST(sum(x6 * v6) AS BIGINT) AS d
+  FROM x6 JOIN {prev} USING (i) GROUP BY vec_id),
+en AS (SELECT
+    (SELECT CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) FROM df)
+      AS num,
+    (SELECT CAST(sum(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) FROM x6)
+      AS den)
+SELECT CAST(i AS BIGINT) AS dim,
+  CAST(v6 AS DOUBLE) / 1000000.0 AS loading,
+  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000000000.0
+        * 1000000.0 + 0.5)
+    / 1000000.0 AS explained_ratio
+FROM {prev} CROSS JOIN en
+"""
+
+
+@q(
+    "q251_pca_power_iteration",
+    oracle=_pca_oracle(3),
+    description="top principal direction of the embedding second-"
+    "moment matrix by distributed power iteration (3 iterations, "
+    "v <- X^T(X v)) plus the explained-energy ratio — the anisotropy "
+    "audit for embedding quality. Never materializes the d x d Gram "
+    "matrix: per iteration ONE pass over the persisted 1e-6-grid "
+    "integer embeddings (per-doc dot fold + posexplode aggregation "
+    "to d rows, map-side combinable), O(n*d) work and a d-row "
+    "shuffle; the d-row renormalization is the bounded-aggregate "
+    "collect device with float() casts mirroring the oracle's "
+    "CAST AS DOUBLE operand by operand, re-snapped to the integer "
+    "grid so every data-sized sum stays exact and order-free",
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.power_iteration_pca(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_iters=3
+    )

@@ -88,6 +88,9 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/similarity.py", "hard_negatives"): (1, "ROSTER"),
     ("operators/similarity.py", "jl_distortion_audit"): (1, "SCALAR"),
     ("operators/similarity.py", "kcenter_sample"): (2, "ROSTER"),
+    # r11: the 64-probe literal sample; the d-row energy scalar
+    ("operators/similarity.py", "embedding_split_leakage"): (1, "ROSTER"),
+    ("operators/similarity.py", "power_iteration_pca"): (1, "SCALAR"),
     # the operator's contract: caller asserts the right side is
     # dimension-sized (it exists to salt a skewed dim join)
     ("operators/skew.py", "salted_broadcast_join"): (1, "DIM"),
@@ -140,6 +143,13 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     # per-source vocabulary z-sets: source-roster grain
     ("plans/analytics.py", "q242"): (2, "DOMAIN"),
     ("plans/analytics.py", "q244"): (1, "ROSTER"),
+    # r11 cohort: q247 broadcasts the group-grain median frame;
+    # q248 the q178-style calendar scalars/day frame; q252 the 1-row
+    # reciprocity count; q254 the supplier dimension
+    ("plans/analytics.py", "q247"): (1, "DOMAIN"),
+    ("plans/analytics.py", "q248"): (3, "CALENDAR"),
+    ("plans/analytics.py", "q252"): (1, "SCALAR"),
+    ("plans/analytics.py", "q254"): (1, "DIM"),
 }
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}
