@@ -754,3 +754,92 @@ def test_q230_bar_key_partitioned_windows(spark):
     plan = plan_of(spark, "q230_ohlc_bars")
     assert plan.count("Exchange SinglePartition") == 0
     assert "windowspecdefinition(day" in plan
+
+
+R11_COHORT = [
+    "q245_mann_whitney_u",
+    "q246_jarque_bera",
+    "q247_brown_forsythe",
+    "q248_pacf",
+    "q249_ab_test_lift",
+    "q250_embedding_leakage",
+    "q251_pca_power_iteration",
+    "q252_knn_assortativity",
+    "q253_interval_overlap_join",
+    "q254_waiting_orders",
+]
+
+
+@pytest.mark.parametrize("name", R11_COHORT)
+def test_r11_cohort_no_cartesian(spark, name):
+    # every round-11 join is key-equality, a broadcast of a bounded
+    # frame (probe roster, group medians, day scalars, supplier dim),
+    # or an equi-keyed range join — an unbroadcast cartesian is
+    # always a regression
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q245_single_scan_no_join(spark):
+    # histogram -> domain window -> one scalar aggregate: the only
+    # data-sized pass is the value-grain aggregation; no joins at all
+    plan = live_plan(plan_of(spark, "q245_mann_whitney_u"))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q246_q249_zero_join_single_scan(spark):
+    for name in ("q246_jarque_bera", "q249_ab_test_lift"):
+        plan = live_plan(plan_of(spark, name))
+        assert "Join" not in plan, name
+        assert plan.count("Scan parquet") == 1, name
+
+
+def test_q248_reads_only_the_day_literal(spark):
+    # the day frame is collected once (the q178 convention): the
+    # returned plan computes from the VALUES literal only — no
+    # parquet scan survives into the live plan, and the local
+    # relation is a LocalTableScan, never a python-backed RDD
+    plan = live_plan(plan_of(spark, "q248_pacf"))
+    assert "LocalTableScan" in plan
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q250_probe_broadcast_shape(spark):
+    # probes are a 64-row literal-capped roster: exactly one BNLJ
+    # (the probe cross join) builds on the broadcast side, the
+    # argmax is an aggregation — no window over the scored stream
+    plan = live_plan(plan_of(spark, "q250_embedding_leakage"))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q251_local_loadings_no_corpus_rescan(spark):
+    # the returned frame joins the VALUES loading literal with the
+    # 1-row energy scalar; the corpus is read through the persisted
+    # integer-grid cache, never re-scanned from parquet
+    plan = live_plan(plan_of(spark, "q251_pca_power_iteration"))
+    assert "LocalTableScan" in plan
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q253_equi_keyed_range_join(spark):
+    # the overlap join must be KEYED on user_id (hash join — at test
+    # SF the island side auto-broadcasts, at scale it degrades to a
+    # co-partitioned shuffle join; both keep the range conditions as
+    # residual filters), never a nested-loop over the interval sets
+    plan = plan_of(spark, "q253_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join [user_id" in plan
+
+
+def test_q254_takeordered_with_dim_broadcast(spark):
+    plan = plan_of(spark, "q254_waiting_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # the supplier dim
+    assert "CartesianProduct" not in plan
