@@ -6079,6 +6079,15 @@ def _data_fingerprint(sf_dir: str) -> str:
     import os
 
     p = os.path.join(sf_dir, "embeddings.parquet")
+    # Spark-written tables are DIRECTORIES of part files (the sf1
+    # synthetic tier); driver testdata is a single file. Fingerprint
+    # the lexicographically-last part file either way — its footer
+    # still moves whenever the data is regenerated.
+    if os.path.isdir(p):
+        parts = sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        p = os.path.join(p, parts[-1])
     st = os.stat(p)
     h = hashlib.md5(str(st.st_size).encode())
     with open(p, "rb") as f:
