@@ -14928,3 +14928,436 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.power_iteration_pca(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_iters=3
     )
+
+
+# =====================================================================
+# round-11 second batch: isotonic recalibration (the PAV fit q202's
+# description promises but nothing computed), WOE/IV feature
+# screening, split-conformal prediction-interval calibration, and —
+# in batch B/C — two-NN intrinsic dimension, DFT periodogram
+# seasonality, BFS reachability, TextRank keywords, and group-aware
+# k-fold assignment. Checked against the registry list + a keyword
+# grep before landing (the r10 dedup-before-landing lesson).
+# =====================================================================
+
+
+@q(
+    "q256_isotonic_calibration",
+    oracle=_pred_cte()
+    + """,
+b AS (SELECT least(CAST(floor(p * 100.0 + 0.5) AS BIGINT), 100) AS s, y
+  FROM pred),
+g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS pos
+  FROM b GROUP BY s),
+cu AS (SELECT s, n, pos,
+    CAST(sum(n) OVER (ORDER BY s) AS BIGINT) AS cn,
+    CAST(sum(pos) OVER (ORDER BY s) AS BIGINT) AS cp
+  FROM g),
+pr AS (SELECT a.s AS j, b.s AS k,
+    CAST(b.cp - a.cp + a.pos AS DOUBLE)
+      / CAST(b.cn - a.cn + a.n AS DOUBLE) AS avg_jk
+  FROM cu a JOIN cu b ON a.s <= b.s),
+sm AS (SELECT j, k,
+    min(avg_jk) OVER (PARTITION BY j ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ji
+  FROM pr),
+fit AS (SELECT k AS s, max(b_ji) AS fitted FROM sm GROUP BY k)
+SELECT g.s AS score_bin, g.n AS n_docs, g.pos AS n_pos,
+  floor(CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS raw_rate,
+  floor(fit.fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted_rate
+FROM g JOIN fit ON fit.s = g.s ORDER BY score_bin
+""",
+    description="isotonic (PAV) recalibration of the q84 quality "
+    "classifier against the q119 length label — the monotone fit "
+    "q202's reliability diagram motivates but never computes: "
+    "exact pool-adjacent-violators via the minimax identity "
+    "fitted(i) = max_{j<=i} min_{k>=i} mean(y_j..y_k), evaluated "
+    "entirely on the <=101-row 1e-2 SCORE-GRAIN frame (one corpus "
+    "aggregation, then a bounded self-join of ~5k (j,k) pairs, one "
+    "suffix-min window per start, one max per level — never a "
+    "per-row pass); interval means are single divisions of exact "
+    "int64 cumulative counts so min/max selection is bit-stable, "
+    "output snapped to 1e-6 on both engines",
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _pred_frame(spark, sf_dir)
+    b = pred.select(
+        F.least(
+            F.floor(F.col("p") * F.lit(100.0) + F.lit(0.5)).cast("long"),
+            F.lit(100).cast("long"),
+        ).alias("s"),
+        "y",
+    )
+    g = b.groupBy("s").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    # score grain <= 101 rows from here on: the single-partition
+    # windows and the (j,k) self-join are all model-sized
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cu = g.select(
+        "s",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).cast("long").alias("cn"),
+        F.sum("pos").over(wcum).cast("long").alias("cp"),
+    )
+    a = cu.select(
+        F.col("s").alias("j"),
+        F.col("n").alias("an"),
+        F.col("pos").alias("apos"),
+        F.col("cn").alias("acn"),
+        F.col("cp").alias("acp"),
+    )
+    bb = cu.select(
+        F.col("s").alias("k"),
+        F.col("cn").alias("bcn"),
+        F.col("cp").alias("bcp"),
+    )
+    pr = a.join(bb, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("bcp") - F.col("acp") + F.col("apos")).cast("double")
+            / (F.col("bcn") - F.col("acn") + F.col("an")).cast("double")
+        ).alias("avg_jk"),
+    )
+    wsuf = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sm = pr.select(
+        "k", F.min("avg_jk").over(wsuf).alias("b_ji")
+    )
+    fit = sm.groupBy("k").agg(F.max("b_ji").alias("fitted"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        g.join(fit, g["s"] == fit["k"])
+        .select(
+            F.col("s").alias("score_bin"),
+            F.col("n").alias("n_docs"),
+            F.col("pos").alias("n_pos"),
+            fl6(F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            fl6(F.col("fitted")).alias("fitted_rate"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+def _woe_feature_sql(feat_name: str, bucket_expr: str) -> str:
+    """One WOE/IV feature block: bucket counts -> smoothed WOE on the
+    1e-6 integer grid -> the exact-integer IV fold
+    (p_b*Q - q_b*P) * w6 summed as HUGEINT, divided once."""
+    return f"""(
+WITH d AS (SELECT {bucket_expr} AS bucket,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+    CAST(sum(y) AS BIGINT) AS p_b
+  FROM d GROUP BY bucket),
+t AS (SELECT CAST(sum(p_b) AS BIGINT) AS pt,
+    CAST(sum(n_b - p_b) AS BIGINT) AS qt
+  FROM g),
+w AS (SELECT bucket, n_b, p_b, pt, qt,
+    CAST(floor((ln((CAST(p_b AS DOUBLE) + 0.5) / CAST(pt AS DOUBLE))
+      - ln((CAST(n_b - p_b AS DOUBLE) + 0.5) / CAST(qt AS DOUBLE)))
+      * 1000000.0 + 0.5) AS BIGINT) AS w6
+  FROM g CROSS JOIN t),
+iv AS (SELECT CAST(sum(CAST(p_b * qt - (n_b - p_b) * pt AS HUGEINT)
+      * w6) AS HUGEINT) AS t6,
+    CAST(min(pt) AS BIGINT) AS pt, CAST(min(qt) AS BIGINT) AS qt
+  FROM w)
+SELECT '{feat_name}' AS feature, w.bucket, w.n_b AS n_docs,
+  w.p_b AS n_pos,
+  CAST(w.w6 AS DOUBLE) / 1000000.0 AS woe,
+  floor(CAST(iv.t6 AS DOUBLE)
+        / (CAST(iv.pt AS DOUBLE) * CAST(iv.qt AS DOUBLE) * 1000000.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS iv
+FROM w CROSS JOIN iv)"""
+
+
+@q(
+    "q257_woe_iv",
+    oracle=_woe_feature_sql("source", "source")
+    + "\nUNION ALL\n"
+    + _woe_feature_sql(
+        "len_bucket",
+        "CAST(least(CAST(floor(n_chars / 100.0) AS BIGINT), 9) "
+        "AS VARCHAR)",
+    ),
+    description="weight-of-evidence / information-value feature "
+    "screening: which metadata column separates English from "
+    "non-English documents — the credit-scoring-style ranking a "
+    "feature pipeline runs before training a gate classifier "
+    "(q236's info gain is the entropy cousin; WOE/IV is the "
+    "industry readout with per-bucket direction). Two features "
+    "(source, 100-char length bucket), each ONE aggregation to a "
+    "<=20-row bucket frame; WOE = ln((p_b+.5)/P) - ln((q_b+.5)/Q) "
+    "(0.5-smoothed so empty cells stay finite) snapped to the 1e-6 "
+    "integer grid, and IV folds exactly: sum((p_b*Q - q_b*P)*w6) "
+    "as a HUGEINT/DECIMAL(38) — order-free — with ONE final "
+    "division by P*Q*1e6",
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+
+    def one(feat_name: str, bucket: F.Column) -> DataFrame:
+        d = docs.select(
+            bucket.alias("bucket"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        g = d.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("n_b"),
+            F.sum("y").cast("long").alias("p_b"),
+        )
+        t = g.agg(
+            F.sum("p_b").cast("long").alias("pt"),
+            F.sum(F.col("n_b") - F.col("p_b")).cast("long").alias("qt"),
+        )
+        w = g.crossJoin(F.broadcast(t)).select(
+            "bucket",
+            "n_b",
+            "p_b",
+            "pt",
+            "qt",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("p_b").cast("double") + F.lit(0.5))
+                        / F.col("pt").cast("double")
+                    )
+                    - F.log(
+                        (
+                            (F.col("n_b") - F.col("p_b")).cast("double")
+                            + F.lit(0.5)
+                        )
+                        / F.col("qt").cast("double")
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w6"),
+        )
+        iv = w.agg(
+            F.sum(
+                (
+                    F.col("p_b") * F.col("qt")
+                    - (F.col("n_b") - F.col("p_b")) * F.col("pt")
+                ).cast("decimal(38,0)")
+                * F.col("w6")
+            ).alias("t6"),
+            F.min("pt").alias("pt2"),
+            F.min("qt").alias("qt2"),
+        )
+        return w.crossJoin(F.broadcast(iv)).select(
+            F.lit(feat_name).alias("feature"),
+            "bucket",
+            F.col("n_b").alias("n_docs"),
+            F.col("p_b").alias("n_pos"),
+            (F.col("w6").cast("double") / F.lit(1e6)).alias("woe"),
+            (
+                F.floor(
+                    F.col("t6").cast("double")
+                    / (
+                        F.col("pt2").cast("double")
+                        * F.col("qt2").cast("double")
+                        * F.lit(1e6)
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("iv"),
+        )
+
+    return one("source", F.col("source")).unionByName(
+        one(
+            "len_bucket",
+            F.least(
+                F.floor(F.col("n_chars") / F.lit(100.0)).cast("long"),
+                F.lit(9).cast("long"),
+            ).cast("string"),
+        )
+    )
+
+
+@q(
+    "q259_conformal_coverage",
+    oracle=f"""
+WITH ev AS ({_EV}),
+e2 AS (SELECT event_type,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v2,
+    ('0x' || substr(md5('conf-' || event_id), 1, 15))::BIGINT % 5
+      AS bucket
+  FROM ev WHERE value IS NOT NULL),
+tr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+    CAST(sum(v2) AS HUGEINT) AS s
+  FROM e2 WHERE bucket <= 2 GROUP BY event_type),
+md AS (SELECT event_type, n_train,
+    CAST(s AS DOUBLE) / CAST(n_train AS DOUBLE) AS pred
+  FROM tr),
+cal AS (SELECT e2.event_type, abs(CAST(v2 AS DOUBLE) - md.pred) AS r
+  FROM e2 JOIN md USING (event_type) WHERE bucket = 3),
+cg AS (SELECT event_type, r, CAST(count(*) AS BIGINT) AS c
+  FROM cal GROUP BY event_type, r),
+cn AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_cal
+  FROM cg GROUP BY event_type),
+ck AS (SELECT event_type, n_cal,
+    least(CAST(ceil(0.9 * CAST(n_cal + 1 AS DOUBLE)) AS BIGINT), n_cal)
+      AS k
+  FROM cn),
+cc AS (SELECT cg.event_type, cg.r,
+    CAST(sum(c) OVER (PARTITION BY cg.event_type ORDER BY cg.r)
+      AS BIGINT) AS cum
+  FROM cg),
+qh AS (SELECT cc.event_type, min(cc.r) AS q_hat
+  FROM cc JOIN ck USING (event_type) WHERE cc.cum >= ck.k
+  GROUP BY cc.event_type),
+te AS (SELECT e2.event_type,
+    CAST(count(*) AS BIGINT) AS n_test,
+    CAST(sum(CASE WHEN abs(CAST(v2 AS DOUBLE) - md.pred) <= qh.q_hat
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+  FROM e2 JOIN md USING (event_type) JOIN qh USING (event_type)
+  WHERE bucket = 4 GROUP BY e2.event_type)
+SELECT md.event_type, md.n_train, ck.n_cal, te.n_test,
+  floor(md.pred * 1000000.0 + 0.5) / 1000000.0 AS pred_mean,
+  floor(qh.q_hat * 1000000.0 + 0.5) / 1000000.0 AS q_hat,
+  floor(CAST(te.n_cov AS DOUBLE) / CAST(te.n_test AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS coverage
+FROM md JOIN ck USING (event_type) JOIN qh USING (event_type)
+JOIN te USING (event_type)
+""",
+    description="split-conformal prediction-interval calibration per "
+    "event type: deterministic md5 60/20/20 train/calibration/test "
+    "split, a per-type mean model on train, the nearest-rank "
+    "ceil(0.9*(n+1)) conformal quantile of absolute calibration "
+    "residuals, and the empirical holdout coverage (should "
+    "concentrate near 0.9 — the distribution-free guarantee). "
+    "Values quantize to the 1e-2 integer grid (q246's device) so "
+    "the train mean is an exact HUGEINT/DECIMAL ratio and every "
+    "residual is the same IEEE double on both engines; the "
+    "quantile is a selection (cumulative counts over the bounded "
+    "residual-VALUE grain, q182's nearest-rank device), never a "
+    "data-sized sort; coverage is one comparison-aggregate over "
+    "the test split",
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    e2 = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v2"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("conf-"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(5)
+        ).alias("bucket"),
+    )
+    tr = (
+        e2.filter(F.col("bucket") <= 2)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum(F.col("v2").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    md = tr.select(
+        "event_type",
+        "n_train",
+        (F.col("s").cast("double") / F.col("n_train").cast("double")).alias(
+            "pred"
+        ),
+    )
+    # md is event-type-grain (bounded): broadcast through every join
+    cal = (
+        e2.filter(F.col("bucket") == 3)
+        .join(F.broadcast(md), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("v2").cast("double") - F.col("pred")).alias("r"),
+        )
+    )
+    cg = cal.groupBy("event_type", "r").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cn = cg.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_cal")
+    )
+    ck = cn.select(
+        "event_type",
+        "n_cal",
+        F.least(
+            F.ceil(F.lit(0.9) * (F.col("n_cal") + 1).cast("double")).cast(
+                "long"
+            ),
+            F.col("n_cal"),
+        ).alias("k"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("r")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cc = cg.select(
+        "event_type", "r", F.sum("c").over(wcum).cast("long").alias("cum")
+    )
+    qh = (
+        cc.join(F.broadcast(ck), "event_type")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type")
+        .agg(F.min("r").alias("q_hat"))
+    )
+    te = (
+        e2.filter(F.col("bucket") == 4)
+        .join(F.broadcast(md.select("event_type", "pred")), "event_type")
+        .join(F.broadcast(qh), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v2").cast("double") - F.col("pred"))
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cov"),
+        )
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        md.join(F.broadcast(ck.select("event_type", "n_cal")), "event_type")
+        .join(F.broadcast(qh), "event_type")
+        .join(F.broadcast(te), "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "n_test",
+            fl6(F.col("pred")).alias("pred_mean"),
+            fl6(F.col("q_hat")).alias("q_hat"),
+            fl6(
+                F.col("n_cov").cast("double") / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -150,6 +150,12 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/analytics.py", "q248"): (3, "CALENDAR"),
     ("plans/analytics.py", "q252"): (1, "SCALAR"),
     ("plans/analytics.py", "q254"): (1, "DIM"),
+    # r11 second batch: q257's per-feature helper broadcasts the
+    # 1-row (P,Q) totals and the 1-row IV fold; q259 broadcasts the
+    # event-type-grain model/quantile/count frames (label roster,
+    # <=5 rows) through every join
+    ("plans/analytics.py", "one"): (2, "SCALAR"),
+    ("plans/analytics.py", "q259"): (7, "DOMAIN"),
 }
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}

@@ -1,0 +1,143 @@
+"""Round-11 second-batch operator tests: independent hand replays for
+the new entries, against reference implementations that share NO code
+(and no formulation) with either the Spark operators or the DuckDB
+oracles — the r10/r11 convention that caught the q251 shared-grid bug
+oracle agreement alone could not see.
+
+q256 isotonic: the engine computes PAV through the minimax identity
+fitted(i) = max_{j<=i} min_{k>=i} mean(j..k); the replay runs the
+classic stack-based pool-adjacent-violators algorithm on the SAME
+per-bin (n, pos) counts the query emits, so any error in the
+minimax device (off-by-one in the cumulative window, wrong join
+inequality) shows up as a pool mismatch.
+
+q257 WOE/IV: replayed in plain Python floats from the raw parquet.
+
+q259 conformal: replayed with hashlib-md5 splits + numpy from the raw
+parquet, including the nearest-rank quantile index arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+from lynx_spark.plans.analytics import REGISTRY
+
+
+def _pav_stack(levels):
+    """Classic PAV: pool adjacent violators with weighted means.
+    levels = list of (n, pos) ordered by score; returns fitted rate
+    per input level."""
+    # each block: [sum_pos, sum_n, span]
+    blocks: list[list[float]] = []
+    for n, pos in levels:
+        blocks.append([pos, n, 1])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1]
+            >= blocks[-1][0] * blocks[-2][1]  # prev mean >= cur mean
+        ):
+            p2, n2, s2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+            blocks[-1][2] += s2
+    out: list[float] = []
+    for pos, n, span in blocks:
+        out.extend([pos / n] * span)
+    return out
+
+
+def test_q256_isotonic_matches_stack_pav(spark):
+    rows = (
+        REGISTRY["q256_isotonic_calibration"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r["score_bin"])
+    fitted = _pav_stack([(r["n_docs"], r["n_pos"]) for r in rows])
+    for r, f in zip(rows, fitted):
+        assert r["fitted_rate"] == pytest.approx(f, abs=1.1e-6), (
+            r["score_bin"],
+            f,
+        )
+    # monotone non-decreasing — the whole point of the fit
+    fr = [r["fitted_rate"] for r in rows]
+    assert all(a <= b for a, b in zip(fr, fr[1:]))
+    # calibration is mass-preserving: sum n*fitted == sum pos
+    tot_fit = sum(r["n_docs"] * r["fitted_rate"] for r in rows)
+    tot_pos = sum(r["n_pos"] for r in rows)
+    assert tot_fit == pytest.approx(tot_pos, rel=1e-4)
+
+
+def test_q257_woe_iv_python_replay(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    out = {
+        (r["feature"], r["bucket"]): r
+        for r in REGISTRY["q257_woe_iv"].fn(spark, SF_DIR).collect()
+    }
+    y = (docs["lang"] == "en").astype(int)
+    feats = {
+        "source": docs["source"],
+        "len_bucket": docs["n_chars"]
+        .floordiv(100)
+        .clip(upper=9)
+        .astype(int)
+        .astype(str),
+    }
+    for fname, col in feats.items():
+        g = pd.DataFrame({"b": col, "y": y}).groupby("b")["y"]
+        P = int(y.sum())
+        Q = int(len(y) - P)
+        iv = 0.0
+        woes = {}
+        for b, grp in g:
+            p_b, n_b = int(grp.sum()), int(grp.count())
+            q_b = n_b - p_b
+            woe = math.log((p_b + 0.5) / P) - math.log((q_b + 0.5) / Q)
+            woes[b] = woe
+            iv += (p_b / P - q_b / Q) * woe
+        for b, woe in woes.items():
+            r = out[(fname, b)]
+            assert r["woe"] == pytest.approx(woe, abs=1.1e-6)
+            assert r["iv"] == pytest.approx(iv, abs=2e-6)
+
+
+def test_q259_conformal_python_replay(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["q259_conformal_coverage"].fn(spark, SF_DIR).collect()
+    }
+    ev = ev[ev["value"].notna()].copy()
+    ev["v2"] = (ev["value"] * 100.0 + 0.5).apply(math.floor)
+    ev["bucket"] = ev["event_id"].apply(
+        lambda i: int(
+            hashlib.md5(f"conf-{i}".encode()).hexdigest()[:15], 16
+        )
+        % 5
+    )
+    for et, grp in ev.groupby("event_type"):
+        tr = grp[grp["bucket"] <= 2]
+        cal = grp[grp["bucket"] == 3]
+        te = grp[grp["bucket"] == 4]
+        pred = tr["v2"].sum() / len(tr)
+        res = sorted((cal["v2"] - pred).abs())
+        k = min(math.ceil(0.9 * (len(res) + 1)), len(res))
+        q_hat = res[k - 1]
+        cov = float(((te["v2"] - pred).abs() <= q_hat).mean())
+        r = out[et]
+        assert r["n_train"] == len(tr)
+        assert r["n_cal"] == len(cal)
+        assert r["n_test"] == len(te)
+        assert r["pred_mean"] == pytest.approx(pred, abs=1.1e-6)
+        assert r["q_hat"] == pytest.approx(q_hat, abs=1.1e-6)
+        assert r["coverage"] == pytest.approx(cov, abs=1.1e-6)
+        # the distribution-free guarantee, loosely: coverage in a
+        # generous band around the 0.9 nominal at test-SF sizes
+        assert 0.75 <= r["coverage"] <= 1.0
