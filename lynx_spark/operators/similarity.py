@@ -1842,3 +1842,107 @@ def power_iteration_pca(
             ).alias("explained_ratio"),
         )
     )
+
+
+def two_nn_intrinsic_dim(
+    df: DataFrame, id_col: str, vec_col: str, n_probes: int = 64
+) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017,
+    "Estimating the intrinsic dimension of datasets by a minimal
+    neighborhood information"): for a probe point, the ratio
+    mu = d2/d1 of its second- to first-nearest-neighbor distance
+    follows a Pareto(1/id) law, giving the MLE
+    id_hat = n / sum(ln mu). A high intrinsic dimension warns that
+    distance-based curation (SemDeDup q70, kNN selection q83/q127)
+    is operating in a regime where neighbors are barely closer than
+    strangers; a low one justifies it.
+
+    Scale shape (the q250 recipe): probes are a fixed md5-ordered
+    ``n_probes`` literal sample, so the scored frame is probes x
+    corpus — LINEAR, never all-pairs; the probe side broadcasts and
+    the two nearest neighbors come from two map-side-combinable
+    min(struct) aggregations (never a window over the scored
+    stream — the second pass re-aggregates with the argmin excluded
+    via the broadcast 64-row first-pass result).
+
+    Exactness: embeddings quantize to the 1e-6 integer grid (the
+    q251 device), so squared distances are exact int64 (diff <=
+    2e6, squared 4e12, x dim — fits comfortably) and the min/ratio
+    selections are bit-stable; zero distances (self + exact
+    duplicates) are excluded on both engines. Per-probe ln(mu)
+    terms snap to 1e-9 and sum as DECIMAL(38,9) (the q128 device,
+    order-free); outputs snap to 1e-6."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("x6"),
+    )
+    probes = (
+        vecs.withColumn(
+            "h",
+            F.md5(F.concat(F.lit("id-"), F.col("nid").cast("string"))),
+        )
+        .orderBy("h", "nid")
+        .limit(n_probes)
+        .select(F.col("nid").alias("qid"), F.col("x6").alias("q6"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q6"), F.col("x6"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(probes))
+        .select("qid", "nid", d2.alias("d2"))
+        .filter(F.col("d2") > 0)
+        .persist()  # two nearest-neighbor passes read it
+    )
+    f1 = scored.groupBy("qid").agg(
+        F.min(F.struct("d2", "nid")).alias("m1")
+    )
+    f2 = (
+        scored.join(F.broadcast(f1), "qid")
+        .filter(
+            (F.col("d2") > F.col("m1.d2"))
+            | (
+                (F.col("d2") == F.col("m1.d2"))
+                & (F.col("nid") > F.col("m1.nid"))
+            )
+        )
+        .groupBy("qid")
+        .agg(
+            F.min("m1.d2").alias("d1"),
+            F.min(F.struct("d2", "nid")).alias("m2"),
+        )
+    )
+    terms = f2.select(
+        (
+            F.round(
+                F.lit(0.5)
+                * F.log(
+                    F.col("m2.d2").cast("double")
+                    / F.col("d1").cast("double")
+                ),
+                9,
+            )
+        )
+        .cast("decimal(38,9)")
+        .alias("t9")
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return terms.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("t9").cast("double").alias("_s"),
+    ).select(
+        "n_probes",
+        fl6(F.col("_s")).alias("sum_ln_mu"),
+        fl6(F.col("n_probes").cast("double") / F.col("_s")).alias(
+            "id_hat"
+        ),
+    )

@@ -15361,3 +15361,176 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@q(
+    "q260_intrinsic_dimension",
+    oracle="""
+WITH v AS (SELECT vec_id AS nid,
+    list_transform(embedding::DOUBLE[],
+      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS x6
+  FROM embeddings),
+pr AS (SELECT nid AS qid, x6 AS q6 FROM v
+  ORDER BY md5('id-' || nid), nid LIMIT 64),
+el AS (SELECT qid, nid, unnest(q6) AS a, unnest(x6) AS b
+  FROM pr CROSS JOIN v),
+sc AS (SELECT qid, nid, CAST(sum((a - b) * (a - b)) AS BIGINT) AS d2
+  FROM el GROUP BY qid, nid HAVING sum((a - b) * (a - b)) > 0),
+rk AS (SELECT qid, d2,
+    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+  FROM sc),
+tw AS (SELECT qid,
+    min(CASE WHEN rn = 1 THEN d2 END) AS d1,
+    min(CASE WHEN rn = 2 THEN d2 END) AS d2b
+  FROM rk WHERE rn <= 2 GROUP BY qid),
+t AS (SELECT CAST(round(0.5 * ln(CAST(d2b AS DOUBLE)
+      / CAST(d1 AS DOUBLE)), 9) AS DECIMAL(38,9)) AS t9
+  FROM tw)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+  floor(CAST(sum(t9) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    AS sum_ln_mu,
+  floor(CAST(count(*) AS DOUBLE) / CAST(sum(t9) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS id_hat
+FROM t
+""",
+    description="two-NN intrinsic-dimension estimate of the embedding "
+    "manifold (Facco et al. 2017): the MLE id_hat = n / sum(ln d2/d1) "
+    "over a fixed md5-ordered 64-probe sample — the diagnostic that "
+    "says whether distance-based curation (SemDeDup q70, kNN "
+    "selection q83/q127) still has contrast or is operating in a "
+    "concentration-of-measure regime. Probe cap keeps the scored "
+    "frame LINEAR in the corpus (q250's recipe, never all-pairs); "
+    "the two nearest neighbors come from two map-side min(struct) "
+    "aggregations, not a window over the scored stream; squared "
+    "distances are exact int64 on the 1e-6 embedding grid (q251's "
+    "device) so every selection is bit-stable, ln(mu) terms snap to "
+    "1e-9 and sum as DECIMAL(38,9) (q128's order-free fold)",
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.two_nn_intrinsic_dim(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+@q(
+    "q261_periodogram",
+    oracle=f"""
+WITH ev AS ({_EV}),
+dly AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    CAST(count(*) AS BIGINT) AS x
+  FROM ev GROUP BY 1),
+idx AS (SELECT x,
+    CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+  FROM dly),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS s
+  FROM dly),
+kf AS (SELECT CAST(k AS BIGINT) AS k
+  FROM (SELECT unnest(range(1, 11)) AS k) CROSS JOIN nn
+  WHERE 2 * k <= n - 1),
+tr AS (SELECT kf.k, idx.t,
+    CAST(floor(cos(2.0 * pi() * CAST(kf.k * idx.t AS DOUBLE)
+        / CAST(nn.n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS c9,
+    CAST(floor(sin(2.0 * pi() * CAST(kf.k * idx.t AS DOUBLE)
+        / CAST(nn.n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS s9,
+    CAST(nn.n * idx.x - nn.s AS BIGINT) AS y
+  FROM kf CROSS JOIN idx CROSS JOIN nn),
+ag AS (SELECT k,
+    CAST(sum(CAST(c9 AS HUGEINT) * y) AS HUGEINT) AS ak,
+    CAST(sum(CAST(s9 AS HUGEINT) * y) AS HUGEINT) AS bk
+  FROM tr GROUP BY k),
+pw AS (SELECT k,
+    (CAST(ak AS DOUBLE) / (1000000000.0 * CAST(nn.n AS DOUBLE)))
+      * (CAST(ak AS DOUBLE) / (1000000000.0 * CAST(nn.n AS DOUBLE)))
+    + (CAST(bk AS DOUBLE) / (1000000000.0 * CAST(nn.n AS DOUBLE)))
+      * (CAST(bk AS DOUBLE) / (1000000000.0 * CAST(nn.n AS DOUBLE)))
+      AS power, nn.n
+  FROM ag CROSS JOIN nn)
+SELECT k, n AS n_days,
+  floor(CAST(n AS DOUBLE) / CAST(k AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS period_days,
+  floor(power * 1000000.0 + 0.5) / 1000000.0 AS power,
+  power = max(power) OVER () AS is_peak
+FROM pw ORDER BY k
+""",
+    description="exact DFT periodogram of the daily event-count "
+    "series at integer frequencies k=1..10 (k <= (n-1)/2): spectral "
+    "power |sum (x_t - mean) e^(-2 pi i k t / n)|^2 per candidate "
+    "period, peak flagged — the seasonality DETECTOR upstream of "
+    "q244's fixed weekly decomposition and q211's day-of-week "
+    "profile (those assume period 7; this finds it). Centering "
+    "folds into integers: y_t = n*x_t - S is exact, cos/sin "
+    "coefficients snap once to the 1e-9 integer grid, so every "
+    "data-sized sum is an exact HUGEINT/DECIMAL(38) fold "
+    "(order-free) and the only doubles are the final identically-"
+    "parenthesized power expression; day-grain frame is calendar-"
+    "bounded, the k roster is a 10-row literal",
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    dly = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    # calendar-bounded frame: the single-partition window and the
+    # k-roster cross joins below all run on <= a few thousand rows
+    idx = dly.select(
+        "x",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("long")
+        .alias("t"),
+    )
+    nn = dly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    kf = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("long").alias("k"))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.lit(2) * F.col("k") <= F.col("n") - 1)
+        .select("k")
+    )
+    ang = (
+        F.lit(2.0 * __import__("math").pi)
+        * (F.col("k") * F.col("t")).cast("double")
+        / F.col("n").cast("double")
+    )
+    fl9 = lambda c_: F.floor(c_ * F.lit(1e9) + F.lit(0.5)).cast("long")
+    tr = (
+        F.broadcast(kf)
+        .crossJoin(idx)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "k",
+            fl9(F.cos(ang)).alias("c9"),
+            fl9(F.sin(ang)).alias("s9"),
+            (F.col("n") * F.col("x") - F.col("s"))
+            .cast("long")
+            .alias("y"),
+            "n",
+        )
+    )
+    ag = tr.groupBy("k", "n").agg(
+        F.sum(F.col("c9").cast("decimal(38,0)") * F.col("y")).alias("ak"),
+        F.sum(F.col("s9").cast("decimal(38,0)") * F.col("y")).alias("bk"),
+    )
+    pa = F.col("ak").cast("double") / (
+        F.lit(1e9) * F.col("n").cast("double")
+    )
+    pb = F.col("bk").cast("double") / (
+        F.lit(1e9) * F.col("n").cast("double")
+    )
+    pw = ag.select("k", "n", (pa * pa + pb * pb).alias("power"))
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return pw.select(
+        "k",
+        F.col("n").alias("n_days"),
+        fl6(F.col("n").cast("double") / F.col("k").cast("double")).alias(
+            "period_days"
+        ),
+        fl6(F.col("power")).alias("power"),
+        (F.col("power") == F.max("power").over(wall)).alias("is_peak"),
+    ).orderBy("k")

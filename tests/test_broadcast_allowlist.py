@@ -156,6 +156,10 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     # <=5 rows) through every join
     ("plans/analytics.py", "one"): (2, "SCALAR"),
     ("plans/analytics.py", "q259"): (7, "DOMAIN"),
+    # q261: the 1-row (n, S) scalar twice + the <=10-row k roster
+    ("plans/analytics.py", "q261"): (3, "SCALAR"),
+    # two-NN: the 64-probe literal sample + its 64-row argmin frame
+    ("operators/similarity.py", "two_nn_intrinsic_dim"): (2, "ROSTER"),
 }
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}

@@ -141,3 +141,73 @@ def test_q259_conformal_python_replay(spark):
         # the distribution-free guarantee, loosely: coverage in a
         # generous band around the 0.9 nominal at test-SF sizes
         assert 0.75 <= r["coverage"] <= 1.0
+
+
+def test_q260_two_nn_numpy_replay(spark):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    x6 = np.array(
+        [
+            [math.floor(v * 1e6 + 0.5) for v in e]
+            for e in emb["embedding"]
+        ],
+        dtype=np.int64,
+    )
+    ids = emb["vec_id"].to_numpy()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(f"id-{ids[i]}".encode()).hexdigest(),
+            ids[i],
+        ),
+    )[:64]
+    s = 0.0
+    used = 0
+    for i in order:
+        d2 = ((x6 - x6[i]) ** 2).sum(axis=1)
+        cand = sorted(
+            (int(d), int(n)) for d, n in zip(d2, ids) if d > 0
+        )
+        d1, d2b = cand[0][0], cand[1][0]
+        s += round(0.5 * math.log(d2b / d1), 9)
+        used += 1
+    row = (
+        REGISTRY["q260_intrinsic_dimension"].fn(spark, SF_DIR).collect()[0]
+    )
+    assert row["n_probes"] == used
+    assert row["sum_ln_mu"] == pytest.approx(s, abs=1.1e-6)
+    assert row["id_hat"] == pytest.approx(used / s, abs=1.1e-6)
+    # embeddings are synthetic ~64-dim noise + cluster structure:
+    # the estimate must be positive and far below the ambient dim
+    assert 0 < row["id_hat"] < 64
+
+
+def test_q261_periodogram_matches_numpy_fft(spark):
+    import numpy as np
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    x = (
+        ev.groupby(ev["ts"].dt.date)
+        .size()
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    n = len(x)
+    spec = np.fft.rfft(x - x.mean())
+    rows = {
+        r["k"]: r
+        for r in REGISTRY["q261_periodogram"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(range(1, min(10, (n - 1) // 2) + 1))
+    for k, r in rows.items():
+        assert r["n_days"] == n
+        assert r["period_days"] == pytest.approx(n / k, abs=1.1e-6)
+        # snapped-cos grid vs true FFT: relative agreement
+        assert r["power"] == pytest.approx(
+            abs(spec[k]) ** 2, rel=1e-4, abs=1e-3
+        )
+    peaks = [k for k, r in rows.items() if r["is_peak"]]
+    true_peak = max(rows, key=lambda k: abs(spec[k]) ** 2)
+    assert peaks == [true_peak]
