@@ -1017,3 +1017,78 @@ def kcore_peel(
     for frame_df in held:
         _release_frame(frame_df)
     return result
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "vec_id",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: the exact hop distance (shortest unweighted
+    path, capped at ``max_hops``) from each seed to every node it can
+    reach, summarized as a per-(seed, hop) frontier-size histogram —
+    the reachability / expansion profile of the graph around chosen
+    anchors (on a kNN embedding graph: how fast a neighborhood grows
+    is a local-density signal, and hop-bounded reach IS the candidate
+    pool of graph-walk selection methods).
+
+    The textbook distributed BFS dataflow: per hop, ONE
+    frontier⋈edges shuffle join keyed by the source node + a
+    DISTINCT, then an anti-join against the visited set so each node
+    keeps its FIRST (minimum) hop. The frontier never re-expands
+    visited nodes, so total work is O(edges reached) per seed
+    regardless of ``max_hops``; every round's new-nodes frame is
+    persisted and superseded rounds are eagerly released
+    (graph.py's lifecycle discipline). Seeds are caller-bounded
+    (a literal anchor set), so the seed tag rides the frontier as a
+    plain column — one BFS pass covers all seeds at once.
+
+    Output: (seed_id, hop, n_nodes) with hop 0 = the seed itself.
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("_s"),
+        F.col(edges.columns[1]).cast("long").alias("_d"),
+    )
+    visited = (
+        seeds.select(
+            F.col(node_col).cast("long").alias("_seed"),
+            F.col(node_col).cast("long").alias("_node"),
+            F.lit(0).cast("long").alias("_hop"),
+        )
+        .persist()
+    )
+    held: list[DataFrame] = [visited]
+    frontier = visited.select("_seed", "_node")
+    for t in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["_node"] == e["_s"])
+            .select("_seed", F.col("_d").alias("_node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(visited, ["_seed", "_node"], "left_anti")
+            .withColumn("_hop", F.lit(t).cast("long"))
+            .persist()
+        )
+        # materialize before the next round reads it twice (as the
+        # frontier AND inside the growing visited union); isEmpty is
+        # a limit(1) probe, not an RDD conversion
+        if new.isEmpty():
+            _release_frame(new)
+            break
+        held.append(new)
+        visited = visited.unionByName(new)
+        frontier = new.select("_seed", "_node")
+    out = visited.groupBy(
+        F.col("_seed").alias("seed_id"), F.col("_hop").alias("hop")
+    ).agg(F.count("*").cast("long").alias("n_nodes"))
+    # the histogram is seeds x hops — collect it into a literal frame
+    # so the per-round caches can be released immediately (the
+    # kcore_peel pattern: no consumer left on the iterative lineage)
+    result = edges.sparkSession.createDataFrame(
+        out.orderBy("seed_id", "hop").collect(), schema=out.schema
+    )
+    for frame_df in held:
+        _release_frame(frame_df)
+    return result

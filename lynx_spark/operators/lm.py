@@ -1089,3 +1089,92 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+    min_len: int = 4,
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — nodes are content words
+    (length >= ``min_len``, which already excludes every STOPWORDS
+    entry), edges connect ADJACENT content words with weight =
+    corpus-wide co-occurrence count, undirected. The graph-centrality
+    alternative to q76's TF-IDF term ranking: TextRank rewards words
+    that glue many contexts together, not just frequent-here ones.
+
+    Scale shape: tokenize + bigram explode is one corpus scan; the
+    edge aggregation collapses to VOCABULARY^2-bounded (in practice
+    co-occurrence-sparse) keys with map-side combine; everything
+    after runs at vocab grain. Word ids come from one vocab-grain
+    row_number window (single partition over the bounded vocabulary
+    — never the corpus), then the exact q127/q137 weighted-PageRank
+    recurrence (decimal-summed contributions, bit-stable across
+    partitionings). Top-k ties break on the 8dp-snapped score, then
+    the word."""
+    from lynx_spark.operators import graph as _gr
+
+    fw = F.filter(
+        _words(text_col), lambda w: F.length(w) >= min_len
+    )
+    d = docs.select(fw.alias("fw")).filter(F.size("fw") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(fw) - 1), "
+                "i -> struct(least(fw[i-1], fw[i]) AS u, "
+                "greatest(fw[i-1], fw[i]) AS v))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    ew = (
+        pairs.filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    vocab = (
+        docs.select(F.explode(fw).alias("word")).distinct()
+    )
+    # vocab-grain id map: bounded by the vocabulary, not the corpus
+    ids = vocab.select(
+        "word",
+        F.row_number().over(Window.orderBy("word")).cast("long").alias("wid"),
+    )
+    a = ids.select(F.col("word").alias("u"), F.col("wid").alias("src"))
+    b = ids.select(F.col("word").alias("v"), F.col("wid").alias("nbr"))
+    half = ew.join(a, "u").join(b, "v").select(
+        "src", "nbr", F.col("w").cast("double").alias("w")
+    )
+    edges = half.unionByName(
+        half.select(
+            F.col("nbr").alias("src"),
+            F.col("src").alias("nbr"),
+            "w",
+        )
+    )
+    ranks = _gr.pagerank(
+        edges.select("src", "nbr", "w"),
+        ids.select("wid"),
+        "wid",
+        n_iters=n_iters,
+        damping=damping,
+        weight_col="w",
+    )
+    scored = ranks.join(ids, ranks["wid"] == ids["wid"]).select(
+        "word", F.col("pagerank").alias("score")
+    )
+    wtop = Window.orderBy(F.desc("score"), "word")
+    return (
+        scored.select(
+            "word",
+            "score",
+            F.row_number().over(wtop).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= top_k)
+        .orderBy("rank")
+    )

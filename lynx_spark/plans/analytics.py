@@ -15534,3 +15534,241 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
         fl6(F.col("power")).alias("power"),
         (F.col("power") == F.max("power").over(wall)).alias("is_peak"),
     ).orderBy("k")
+
+
+def _bfs_oracle(n_seeds: int = 4, max_hops: int = 4) -> str:
+    """q255 oracle: the q83 kNN-graph CTEs + unrolled cumulative
+    reach sets r_t = r_{t-1} UNION N(r_{t-1}); the BFS hop is the
+    first round a (seed, node) pair appears (min over the tagged
+    union) — set semantics, so no floating point anywhere."""
+    base = _knn_graph_oracle(5)
+    ctes = base[: base.rindex("SELECT src, nbr")]
+    sql = (
+        ctes
+        + f""", g AS (SELECT src, nbr FROM ranked WHERE rnk <= 5),
+seeds AS (SELECT vec_id AS seed FROM embeddings
+          ORDER BY vec_id LIMIT {n_seeds}),
+r0 AS (SELECT seed, seed AS node FROM seeds)"""
+    )
+    prev = "r0"
+    for t in range(1, max_hops + 1):
+        sql += f""",
+r{t} AS (SELECT seed, node FROM {prev}
+  UNION
+  SELECT p.seed, g.nbr AS node FROM {prev} p JOIN g ON g.src = p.node)"""
+        prev = f"r{t}"
+    tags = "\n  UNION ALL ".join(
+        f"SELECT seed, node, {t} AS hop FROM r{t}"
+        for t in range(0, max_hops + 1)
+    )
+    return (
+        sql
+        + f""",
+tag AS ({tags}),
+mh AS (SELECT seed, node, CAST(min(hop) AS BIGINT) AS hop
+  FROM tag GROUP BY seed, node)
+SELECT seed AS seed_id, hop, CAST(count(*) AS BIGINT) AS n_nodes
+FROM mh GROUP BY seed, hop ORDER BY seed_id, hop
+"""
+    )
+
+
+@q(
+    "q255_bfs_reachability",
+    oracle=_bfs_oracle(4, 4),
+    description="multi-source BFS over the q83 kNN embedding graph: "
+    "exact hop distance (<=4) from each of 4 anchor vectors to "
+    "everything reachable, summarized as the per-(seed, hop) "
+    "frontier-size histogram — the neighborhood-expansion profile "
+    "graph-walk selection runs on, and the registry's first "
+    "TRAVERSAL operator (q127/q138/q164 iterate on values; this "
+    "iterates on the frontier SET). Per hop ONE frontier-keyed "
+    "shuffle join + DISTINCT + an anti-join against the visited set "
+    "(first-visit = min hop, so set semantics replace all "
+    "arithmetic); one pass covers all seeds; per-round frames "
+    "persist-and-release eagerly (graph.py lifecycle), and the "
+    "seeds x hops histogram collapses to a literal frame so no "
+    "consumer rides the iterative lineage",
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(emb, "vec_id", "embedding", k=5).select(
+        "src", "nbr"
+    )
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(4)
+    return gr.bfs_hops(edges, seeds, "vec_id", max_hops=4)
+
+
+def _textrank_oracle(
+    n_iters: int = 3, damping: float = 0.85, top_k: int = 20
+) -> str:
+    """q258 oracle: tokenize -> adjacent content-word bigrams ->
+    symmetric weighted edge list -> the exact q137 weighted-PageRank
+    recurrence on vocab-grain integer ids, unrolled."""
+    sql = r"""
+WITH d AS (SELECT
+    list_filter(string_split_regex(trim(text), '\s+'),
+                x -> len(x) >= 4) AS fw
+  FROM documents),
+bg AS (SELECT unnest(list_transform(generate_series(1, len(fw) - 1),
+    i -> {'u': least(fw[i], fw[i+1]),
+          'v': greatest(fw[i], fw[i+1])})) AS p
+  FROM d WHERE len(fw) >= 2),
+ew AS (SELECT p.u AS u, p.v AS v, CAST(count(*) AS BIGINT) AS w
+  FROM bg WHERE p.u <> p.v GROUP BY p.u, p.v),
+vocab AS (SELECT DISTINCT word FROM
+    (SELECT unnest(fw) AS word FROM d)),
+ids AS (SELECT word,
+    CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+  FROM vocab),
+ge AS (SELECT a.wid AS src, b.wid AS nbr, CAST(ew.w AS DOUBLE) AS w
+  FROM ew JOIN ids a ON a.word = ew.u JOIN ids b ON b.word = ew.v
+  UNION ALL
+  SELECT b.wid, a.wid, CAST(ew.w AS DOUBLE)
+  FROM ew JOIN ids a ON a.word = ew.u JOIN ids b ON b.word = ew.v),
+nodes AS (SELECT wid FROM ids),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src,
+    CAST(sum(CAST(w AS DECIMAL(18,5))) AS DOUBLE) AS w_out
+  FROM ge GROUP BY src),
+r0 AS (SELECT wid, 1.0 / n AS r FROM nodes, nn)"""
+    prev = "r0"
+    for t in range(1, n_iters + 1):
+        sql += f""",
+c{t} AS (SELECT ge.nbr AS wid,
+    {_sql_q12sum(
+        "CASE WHEN o.w_out <> 0 THEN p.r * ge.w / o.w_out "
+        "ELSE 0.0 END"
+    )} AS s
+  FROM ge JOIN outw o USING (src) JOIN {prev} p ON p.wid = ge.src
+  GROUP BY ge.nbr),
+r{t} AS (SELECT nodes.wid,
+    (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / n
+      + CAST({damping} AS DOUBLE) * coalesce(c{t}.s, 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN c{t} ON c{t}.wid = nodes.wid)"""
+        prev = f"r{t}"
+    return (
+        sql
+        + f""",
+sc AS (SELECT ids.word, {_sql_round8("r")} AS score
+  FROM {prev} JOIN ids USING (wid)),
+rk AS (SELECT word, score,
+    CAST(row_number() OVER (ORDER BY score DESC, word) AS BIGINT)
+      AS rank
+  FROM sc)
+SELECT word, score, rank FROM rk WHERE rank <= {top_k} ORDER BY rank
+"""
+    )
+
+
+@q(
+    "q258_textrank_keywords",
+    oracle=_textrank_oracle(),
+    description="TextRank keyword extraction (Mihalcea & Tarau 2004): "
+    "weighted PageRank over the corpus word co-occurrence graph — "
+    "nodes are content words (len >= 4, which excludes every "
+    "STOPWORDS entry), edges connect ADJACENT content words with "
+    "co-occurrence-count weight, undirected; 3 exact q137-recurrence "
+    "iterations, top-20 by 8dp-snapped score. The graph-centrality "
+    "counterpart of q76's TF-IDF ranking. One corpus tokenize + "
+    "bigram explode, then everything runs at VOCABULARY grain "
+    "(vocab-bounded id window, vocab-keyed joins, decimal-summed "
+    "contributions bit-stable across partitionings)",
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.textrank_keywords(
+        T(spark, sf_dir, "documents"), "doc_id", "text", top_k=20
+    )
+
+
+@q(
+    "q262_group_kfold",
+    oracle=f"""
+WITH RECURSIVE {_dedup_cluster_ctes()},
+cf AS (SELECT c.doc_id, c.cluster_id,
+    ('0x' || substr(md5('fold-' || c.cluster_id), 1, 15))::BIGINT % 5
+      AS fold
+  FROM clusters c),
+pf AS (SELECT
+    CAST(sum(CASE WHEN
+      ('0x' || substr(md5('fold-' || p.a_id), 1, 15))::BIGINT % 5
+      <> ('0x' || substr(md5('fold-' || p.b_id), 1, 15))::BIGINT % 5
+      THEN 1 ELSE 0 END) AS BIGINT) AS naive_split_pairs,
+    CAST(sum(CASE WHEN ca.fold <> cb.fold THEN 1 ELSE 0 END)
+      AS BIGINT) AS group_split_pairs
+  FROM pairs p
+  JOIN cf ca ON ca.doc_id = p.a_id
+  JOIN cf cb ON cb.doc_id = p.b_id),
+agg AS (SELECT cf.fold,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT cf.cluster_id) AS BIGINT) AS n_clusters,
+    CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+  FROM cf JOIN documents d ON d.doc_id = cf.doc_id
+  GROUP BY cf.fold)
+SELECT agg.fold, agg.n_docs, agg.n_clusters, agg.sum_chars,
+  pf.naive_split_pairs, pf.group_split_pairs
+FROM agg CROSS JOIN pf ORDER BY agg.fold
+""",
+    description="leakage-safe GROUP k-fold assignment: folds are "
+    "hashed from the q58 near-dup CLUSTER id (md5-uniform, k=5), so "
+    "every near-duplicate lands in the same fold and cross-fold "
+    "contamination from the duplicate graph is 0 BY CONSTRUCTION — "
+    "vs the naive per-doc hash split, whose split-pair count is "
+    "reported alongside as the leakage the group split prevents "
+    "(the q187/q250 audits DETECT leakage; this op PREVENTS it, the "
+    "GroupKFold discipline of training-data splits). One near-dup "
+    "pair pass (q23's banded LSH machinery), min-label components "
+    "(q58), then fold stats at fold grain; the two split-pair "
+    "counters are one aggregation over the pair stream joined to "
+    "the cluster map",
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    prs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = gr.dedup_clusters(docs, prs, "doc_id")
+
+    def fold_of(c: F.Column) -> F.Column:
+        return (
+            dd.base_hash_expr(
+                F.concat(F.lit("fold-"), c.cast("string"))
+            )
+            % F.lit(5)
+        ).cast("long")
+
+    cf = clusters.select(
+        "doc_id", "cluster_id", fold_of(F.col("cluster_id")).alias("fold")
+    ).persist()  # read by the fold aggregate and both pair joins
+    pf = (
+        prs.select("a_id", "b_id")
+        .join(
+            cf.select(F.col("doc_id").alias("a_id"), F.col("fold").alias("fa")),
+            "a_id",
+        )
+        .join(
+            cf.select(F.col("doc_id").alias("b_id"), F.col("fold").alias("fb")),
+            "b_id",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    fold_of(F.col("a_id")) != fold_of(F.col("b_id")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("naive_split_pairs"),
+            F.sum(F.when(F.col("fa") != F.col("fb"), 1).otherwise(0))
+            .cast("long")
+            .alias("group_split_pairs"),
+        )
+    )
+    agg = (
+        cf.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(pf)).orderBy("fold")

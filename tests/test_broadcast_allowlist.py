@@ -160,6 +160,8 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/analytics.py", "q261"): (3, "SCALAR"),
     # two-NN: the 64-probe literal sample + its 64-row argmin frame
     ("operators/similarity.py", "two_nn_intrinsic_dim"): (2, "ROSTER"),
+    # q262: the 1-row split-pair counter frame
+    ("plans/analytics.py", "q262"): (1, "SCALAR"),
 }
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}

@@ -211,3 +211,111 @@ def test_q261_periodogram_matches_numpy_fft(spark):
     peaks = [k for k, r in rows.items() if r["is_peak"]]
     true_peak = max(rows, key=lambda k: abs(spec[k]) ** 2)
     assert peaks == [true_peak]
+
+
+def test_q255_bfs_hand_graph(spark):
+    """bfs_hops semantics on a planted directed graph (the kNN build
+    feeding q255 is already oracled via q83): a 2-chain, a branch, a
+    cycle back to the seed, and an unreachable island."""
+    from lynx_spark.operators.graph import bfs_hops
+
+    #  1 -> 2 -> 3 -> 1 (cycle), 2 -> 4, 4 -> 5, 6 -> 7 (island)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5), (6, 7)],
+        ["src", "nbr"],
+    )
+    seeds = spark.createDataFrame([(1,), (6,)], ["vec_id"])
+    rows = {
+        (r["seed_id"], r["hop"]): r["n_nodes"]
+        for r in bfs_hops(edges, seeds, "vec_id", max_hops=4).collect()
+    }
+    # seed 1: hop0={1} hop1={2} hop2={3,4} hop3={5} (1 revisited,
+    # kept at hop 0 — min-hop semantics)
+    assert rows[(1, 0)] == 1
+    assert rows[(1, 1)] == 1
+    assert rows[(1, 2)] == 2
+    assert rows[(1, 3)] == 1
+    assert (1, 4) not in rows
+    # seed 6: hop0={6} hop1={7}, frontier then empties (early stop)
+    assert rows[(6, 0)] == 1
+    assert rows[(6, 1)] == 1
+    assert (6, 2) not in rows
+
+
+def test_q258_textrank_python_replay(spark, tmp_path):
+    """TextRank on a planted corpus vs an independent dict-based
+    power iteration (no shared ids, no shared recurrence code)."""
+    import os
+
+    texts = [
+        "alpha bravo charlie alpha bravo",
+        "bravo charlie delta echo",
+        "echo alpha charlie bravo alpha",
+        "zz yy",  # short words drop out entirely
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {
+        r["word"]: (r["score"], r["rank"])
+        for r in REGISTRY["q258_textrank_keywords"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    # independent replay
+    from collections import Counter, defaultdict
+
+    w_edges = Counter()
+    vocab = set()
+    for t in texts:
+        fw = [w for w in t.split() if len(w) >= 4]
+        vocab.update(fw)
+        for x, y_ in zip(fw, fw[1:]):
+            if x != y_:
+                w_edges[(min(x, y_), max(x, y_))] += 1
+    adj = defaultdict(dict)
+    for (u, v), w in w_edges.items():
+        adj[u][v] = adj[u].get(v, 0) + w
+        adj[v][u] = adj[v].get(u, 0) + w
+    n = len(vocab)
+    r = {w: 1.0 / n for w in vocab}
+    for _ in range(3):
+        contrib = defaultdict(float)
+        for u, nbrs in adj.items():
+            wout = sum(nbrs.values())
+            for v, w in nbrs.items():
+                # mirror the engine's 1e-12 contribution snap
+                contrib[v] += math.floor(
+                    (r[u] * w / wout) * 1e12 + 0.5
+                ) / 1e12
+        r = {
+            w: 0.15 / n + 0.85 * contrib.get(w, 0.0) for w in vocab
+        }
+    expect = sorted(
+        ((math.floor(s * 1e8 + 0.5) / 1e8, w) for w, s in r.items()),
+        key=lambda t_: (-t_[0], t_[1]),
+    )
+    assert len(out) == min(20, n)
+    for rank, (score, word) in enumerate(expect[:20], start=1):
+        assert out[word][1] == rank, (word, out[word], rank)
+        assert out[word][0] == pytest.approx(score, abs=2e-8)
+
+
+def test_q262_group_kfold_invariants(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    rows = REGISTRY["q262_group_kfold"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    assert sum(r["sum_chars"] for r in rows) == int(docs["n_chars"].sum())
+    assert all(0 <= r["fold"] <= 4 for r in rows)
+    # the whole point: a group split never separates a near-dup pair
+    assert all(r["group_split_pairs"] == 0 for r in rows)
+    # and the naive per-doc split does (planted dup clusters exist
+    # at every test SF), which is the leakage this op prevents
+    assert rows[0]["naive_split_pairs"] > 0
+    # fold sizes roughly balanced (md5-uniform over clusters)
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) < 2.5 * max(1, min(sizes))
