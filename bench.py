@@ -133,6 +133,15 @@ HEADLINE = [
     "q250_embedding_leakage",
     "q251_pca_power_iteration",
     "q254_waiting_orders",
+    # round-11 second batch representatives: BFS traversal (frontier
+    # joins on the kNN graph — the newest iterative shape), TextRank
+    # (tokenize+bigram scan feeding vocab-grain PageRank), conformal
+    # coverage (three md5-split passes over the event fact), two-NN
+    # intrinsic dimension (the 64-probe linear scan + min-structs)
+    "q255_bfs_reachability",
+    "q258_textrank_keywords",
+    "q259_conformal_coverage",
+    "q260_intrinsic_dimension",
 ]
 
 

@@ -1038,27 +1038,35 @@ def bfs_hops(
     DISTINCT, then an anti-join against the visited set so each node
     keeps its FIRST (minimum) hop. The frontier never re-expands
     visited nodes, so total work is O(edges reached) per seed
-    regardless of ``max_hops``; every round's new-nodes frame is
-    persisted and superseded rounds are eagerly released
-    (graph.py's lifecycle discipline). Seeds are caller-bounded
-    (a literal anchor set), so the seed tag rides the frontier as a
-    plain column — one BFS pass covers all seeds at once.
+    regardless of ``max_hops``. Seeds are caller-bounded (a literal
+    anchor set), so the seed tag rides the frontier as a plain
+    column — one BFS pass covers all seeds at once.
+
+    Lifecycle: every round's new-nodes frame is eagerly
+    localCheckpoint-ed, NOT persisted — measured at sf0.1, the
+    persist variant grew each round's plan through the accumulated
+    union/anti-join history (rounds 0.8→3.9s, final aggregate 16s
+    from cache-lookup misses on the deepening plans) while the
+    checkpoint variant holds every round at ~0.4s with a 0.2s
+    aggregate. The edge frame checkpoints too: an expensive upstream
+    (a kNN-graph build) would otherwise re-run per round — invisible
+    to live-plan audits because the result is collected (caught by
+    the q255 10x scale probe). All checkpoint blocks are released
+    before returning (the result is a collected literal, so nothing
+    rides the truncated lineage).
 
     Output: (seed_id, hop, n_nodes) with hop 0 = the seed itself.
     """
     e = edges.select(
         F.col(edges.columns[0]).cast("long").alias("_s"),
         F.col(edges.columns[1]).cast("long").alias("_d"),
-    )
-    visited = (
-        seeds.select(
-            F.col(node_col).cast("long").alias("_seed"),
-            F.col(node_col).cast("long").alias("_node"),
-            F.lit(0).cast("long").alias("_hop"),
-        )
-        .persist()
-    )
-    held: list[DataFrame] = [visited]
+    ).localCheckpoint()
+    visited = seeds.select(
+        F.col(node_col).cast("long").alias("_seed"),
+        F.col(node_col).cast("long").alias("_node"),
+        F.lit(0).cast("long").alias("_hop"),
+    ).localCheckpoint()
+    held: list[DataFrame] = [visited, e]
     frontier = visited.select("_seed", "_node")
     for t in range(1, max_hops + 1):
         nxt = (
@@ -1066,14 +1074,13 @@ def bfs_hops(
             .select("_seed", F.col("_d").alias("_node"))
             .distinct()
         )
+        # eager checkpoint: materialized here, so the visited union
+        # below is a flat union of LogicalRDDs (depth-1 plans)
         new = (
             nxt.join(visited, ["_seed", "_node"], "left_anti")
             .withColumn("_hop", F.lit(t).cast("long"))
-            .persist()
+            .localCheckpoint()
         )
-        # materialize before the next round reads it twice (as the
-        # frontier AND inside the growing visited union); isEmpty is
-        # a limit(1) probe, not an RDD conversion
         if new.isEmpty():
             _release_frame(new)
             break

@@ -1140,11 +1140,14 @@ def textrank_keywords(
     vocab = (
         docs.select(F.explode(fw).alias("word")).distinct()
     )
-    # vocab-grain id map: bounded by the vocabulary, not the corpus
+    # vocab-grain id map: bounded by the vocabulary, not the corpus.
+    # persisted — PageRank's per-iteration contribution join re-plans
+    # its edge input every round, and without the cache each round
+    # (plus the final word join) would re-run the corpus tokenize
     ids = vocab.select(
         "word",
         F.row_number().over(Window.orderBy("word")).cast("long").alias("wid"),
-    )
+    ).persist()
     a = ids.select(F.col("word").alias("u"), F.col("wid").alias("src"))
     b = ids.select(F.col("word").alias("v"), F.col("wid").alias("nbr"))
     half = ew.join(a, "u").join(b, "v").select(
@@ -1156,7 +1159,7 @@ def textrank_keywords(
             F.col("src").alias("nbr"),
             "w",
         )
-    )
+    ).persist()  # co-occurrence grain; read once per PR iteration
     ranks = _gr.pagerank(
         edges.select("src", "nbr", "w"),
         ids.select("wid"),

@@ -14993,7 +14993,7 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = b.groupBy("s").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
-    )
+    ).persist()  # one corpus scan: cu/a/bb/fit all read this
     # score grain <= 101 rows from here on: the single-partition
     # windows and the (j,k) self-join are all model-sized
     wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
@@ -15016,7 +15016,10 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cn").alias("bcn"),
         F.col("cp").alias("bcp"),
     )
-    pr = a.join(bb, F.col("j") <= F.col("k")).select(
+    # both sides are the <=101-row score grain: hint the inequality
+    # join to BNLJ (unhinted it plans a CartesianProduct when
+    # size-based broadcast is off)
+    pr = a.join(F.broadcast(bb), F.col("j") <= F.col("k")).select(
         "j",
         "k",
         (
@@ -15114,7 +15117,7 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = d.groupBy("bucket").agg(
             F.count("*").cast("long").alias("n_b"),
             F.sum("y").cast("long").alias("p_b"),
-        )
+        ).persist()  # one corpus scan per feature: t/w/iv read this
         t = g.agg(
             F.sum("p_b").cast("long").alias("pt"),
             F.sum(F.col("n_b") - F.col("p_b")).cast("long").alias("qt"),
@@ -15271,7 +15274,7 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             % F.lit(5)
         ).alias("bucket"),
-    )
+    ).persist()  # three split passes (train/cal/test) read this
     tr = (
         e2.filter(F.col("bucket") <= 2)
         .groupBy("event_type")
@@ -15471,6 +15474,7 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     dly = ev.groupBy(
         F.col("ts").cast("date").cast("string").alias("day")
     ).agg(F.count("*").cast("long").alias("x"))
+    dly = dly.persist()  # one corpus scan: idx, nn and kf read this
     # calendar-bounded frame: the single-partition window and the
     # k-roster cross joins below all run on <= a few thousand rows
     idx = dly.select(

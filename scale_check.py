@@ -230,6 +230,15 @@ QUERIES = [
     "q199_mann_kendall",        # month-grain local relation, months^2
     "q200_theil_sen",           # same local relation, rank-select median
     "q201_wilson_interval",     # zero-shuffle scoring + source agg
+    # round-11 second batch
+    "q255_bfs_reachability",    # per-hop frontier join, visited anti-join
+    "q256_isotonic_calibration",  # one corpus agg, then 101-row PAV
+    "q257_woe_iv",              # two bucket aggs, exact IV fold
+    "q258_textrank_keywords",   # tokenize+bigram scan, vocab-grain PR
+    "q259_conformal_coverage",  # persisted split passes, value-grain rank
+    "q260_intrinsic_dimension",  # 64-probe linear scan, two min-structs
+    "q261_periodogram",         # one daily agg, calendar x 10 freqs
+    "q262_group_kfold",         # q23 pairs + components + fold aggs
 ]
 
 

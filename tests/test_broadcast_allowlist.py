@@ -162,6 +162,9 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/similarity.py", "two_nn_intrinsic_dim"): (2, "ROSTER"),
     # q262: the 1-row split-pair counter frame
     ("plans/analytics.py", "q262"): (1, "SCALAR"),
+    # q256: the <=101-row score-grain side of the PAV (j,k)
+    # inequality self-join
+    ("plans/analytics.py", "q256"): (1, "DOMAIN"),
 }
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}

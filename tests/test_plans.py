@@ -843,3 +843,90 @@ def test_q254_takeordered_with_dim_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan  # the supplier dim
     assert "CartesianProduct" not in plan
+
+
+R11B_COHORT = [
+    "q255_bfs_reachability",
+    "q256_isotonic_calibration",
+    "q257_woe_iv",
+    "q258_textrank_keywords",
+    "q259_conformal_coverage",
+    "q260_intrinsic_dimension",
+    "q261_periodogram",
+    "q262_group_kfold",
+]
+
+
+@pytest.mark.parametrize("name", R11B_COHORT)
+def test_r11b_cohort_no_cartesian(spark, name):
+    # every round-11b join is key-equality, a hinted broadcast of a
+    # bounded frame (score grain, k roster, 1-row scalars, probe
+    # sample), or set-semantics BFS machinery — an unbroadcast
+    # cartesian is always a regression
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q256_isotonic_calibration",
+        "q257_woe_iv",
+        "q258_textrank_keywords",
+        "q259_conformal_coverage",
+        "q261_periodogram",
+    ],
+)
+def test_r11b_no_corpus_rescan(spark, name):
+    # the r11b regression this cohort's plan audit caught: uncached
+    # reuse of a corpus-derived frame re-ran the tokenize/scan per
+    # consumer (q258 planned 45 parquet scans). With the grain frames
+    # persisted, the LIVE plan reads only InMemoryTableScan — zero
+    # parquet scans survive outside the cache-population pass
+    plan = live_plan(plan_of(spark, name))
+    assert plan.count("Scan parquet") == 0, name
+
+
+def test_q256_pav_join_is_bnlj_on_score_grain(spark):
+    # the (j <= k) inequality self-join runs on the <=101-row score
+    # grain with the right side hinted: exactly one BNLJ, never a
+    # CartesianProduct (which is what an unhinted non-equi inner
+    # join degrades to with size-based broadcast off)
+    plan = live_plan(plan_of(spark, "q256_isotonic_calibration"))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_q259_windows_partition_by_event_type(spark):
+    # the residual-quantile cumulative window is keyed by event_type
+    # — a global (unpartitioned) window here would serialize the
+    # residual grain through one task
+    plan = plan_of(spark, "q259_conformal_coverage")
+    assert "Exchange SinglePartition" not in live_plan(plan)
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_q260_no_window_over_scored_stream(spark):
+    # the two-NN selection is two map-side min(struct) aggregations;
+    # a Window over the 64 x corpus scored frame would be the slow
+    # shape the operator exists to avoid
+    plan = live_plan(plan_of(spark, "q260_intrinsic_dimension"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q255_result_is_literal_frame(spark):
+    # BFS collapses its seeds x hops histogram into a collected local
+    # frame (the kcore_peel device): no join, no parquet scan, no
+    # iterative lineage survives into the returned plan
+    plan = plan_of(spark, "q255_bfs_reachability")
+    assert "Join" not in plan
+    assert "Scan parquet" not in plan
+
+
+def test_q262_scan_prunes_to_id_and_length(spark):
+    # the only parquet scan in the live plan is the fold-stats join:
+    # doc_id + n_chars only (text is read inside the persisted
+    # cluster machinery, not re-scanned here)
+    plan = live_plan(plan_of(spark, "q262_group_kfold"))
+    assert plan.count("Scan parquet") == 1
+    assert "struct<doc_id:bigint,n_chars:bigint>" in plan
