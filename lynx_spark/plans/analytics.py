@@ -15776,3 +15776,598 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.crossJoin(F.broadcast(pf)).orderBy("fold")
+
+
+def _bucket0_sql(vec_expr: str = "embedding::DOUBLE[]") -> str:
+    """The table-0 LSH bucket id as a SQL expression (the
+    _knn_graph_oracle bit device, one table only)."""
+    plane_dots = [
+        f"list_dot_product({vec_expr}, [{', '.join(repr(v) for v in p)}])"
+        for p in sim.HYPERPLANES[0]
+    ]
+    bits = " + ".join(
+        f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(plane_dots)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+@q(
+    "q263_clustering_agreement",
+    oracle=f"""
+WITH cells AS (SELECT {_bucket0_sql()} AS cl,
+    CAST(label AS BIGINT) AS lb, CAST(count(*) AS BIGINT) AS nij
+  FROM embeddings GROUP BY 1, 2),
+a AS (SELECT cl, CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY cl),
+b AS (SELECT lb, CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY lb),
+nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells),
+s AS (SELECT
+    (SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1) / 2) AS HUGEINT)
+     FROM cells) AS s_ij,
+    (SELECT CAST(sum(CAST(ai AS HUGEINT) * (ai - 1) / 2) AS HUGEINT)
+     FROM a) AS s_a,
+    (SELECT CAST(sum(CAST(bj AS HUGEINT) * (bj - 1) / 2) AS HUGEINT)
+     FROM b) AS s_b,
+    (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_cl,
+    (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_lb,
+    (SELECT CAST(sum(mx) AS BIGINT) FROM
+       (SELECT max(nij) AS mx FROM cells GROUP BY cl)) AS pur_num,
+    (SELECT n FROM nn) AS n),
+mi AS (SELECT CAST(sum(CAST(round(
+      (CAST(nij AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      * ln(CAST(CAST(nn.n AS HUGEINT) * nij AS DOUBLE)
+           / CAST(CAST(ai AS HUGEINT) * bj AS DOUBLE)), 9)
+    AS DECIMAL(38,9))) AS DOUBLE) AS i_uv
+  FROM cells JOIN a USING (cl) JOIN b USING (lb) CROSS JOIN nn),
+hu AS (SELECT CAST(sum(CAST(round(
+      -(CAST(ai AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      * ln(CAST(ai AS DOUBLE) / CAST(nn.n AS DOUBLE)), 9)
+    AS DECIMAL(38,9))) AS DOUBLE) AS h_u
+  FROM a CROSS JOIN nn),
+hv AS (SELECT CAST(sum(CAST(round(
+      -(CAST(bj AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      * ln(CAST(bj AS DOUBLE) / CAST(nn.n AS DOUBLE)), 9)
+    AS DECIMAL(38,9))) AS DOUBLE) AS h_v
+  FROM b CROSS JOIN nn)
+SELECT s.n AS n_vectors, s.n_cl AS n_clusters, s.n_lb AS n_labels,
+  floor(CAST(s.pur_num AS DOUBLE) / CAST(s.n AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS purity,
+  floor((CAST(s.s_ij AS DOUBLE)
+         - CAST(s.s_a AS DOUBLE) * CAST(s.s_b AS DOUBLE)
+           / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE) / 2.0))
+        / ((CAST(s.s_a AS DOUBLE) + CAST(s.s_b AS DOUBLE)) / 2.0
+           - CAST(s.s_a AS DOUBLE) * CAST(s.s_b AS DOUBLE)
+             / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE) / 2.0))
+        * 1000000.0 + 0.5) / 1000000.0 AS ari,
+  floor(mi.i_uv / sqrt(hu.h_u * hv.h_v) * 1000000.0 + 0.5)
+    / 1000000.0 AS nmi
+FROM s CROSS JOIN mi CROSS JOIN hu CROSS JOIN hv
+""",
+    description="external clustering-agreement metrics of the LSH "
+    "table-0 bucket clustering against the embedding labels: purity, "
+    "Adjusted Rand Index, and NMI in one pass — the evaluation an "
+    "embedding pipeline runs to decide whether unsupervised buckets "
+    "(SemDeDup cells q70, IVF cells q25b) track semantic classes. "
+    "ONE corpus aggregation to the <=16x10 contingency grain; ARI is "
+    "pure integer combinatorics (C(n,2) sums as HUGEINT/DECIMAL(38), "
+    "exact and order-free) with one identically-parenthesized double "
+    "expression; the MI/entropy terms follow q236's snap-to-1e-9 "
+    "decimal-fold; purity is an exact max-per-cluster sum",
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            sim.bucket_expr(
+                F.col("embedding").cast("array<double>"), 0
+            ).alias("cl"),
+            F.col("label").cast("long").alias("lb"),
+        )
+        .groupBy("cl", "lb")
+        .agg(F.count("*").cast("long").alias("nij"))
+        .persist()  # one corpus scan; a/b/s/mi all read this
+    )
+    a = cells.groupBy("cl").agg(F.sum("nij").cast("long").alias("ai"))
+    b = cells.groupBy("lb").agg(F.sum("nij").cast("long").alias("bj"))
+    dec = "decimal(38,0)"
+
+    def comb2(c_: F.Column) -> F.Column:
+        return (c_.cast(dec) * (c_ - 1) / 2).cast(dec)
+
+    s_ij = cells.agg(
+        F.sum(comb2(F.col("nij"))).alias("s_ij"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    s_a = a.agg(
+        F.sum(comb2(F.col("ai"))).alias("s_a"),
+        F.count("*").cast("long").alias("n_cl"),
+    )
+    s_b = b.agg(
+        F.sum(comb2(F.col("bj"))).alias("s_b"),
+        F.count("*").cast("long").alias("n_lb"),
+    )
+    pur = (
+        cells.groupBy("cl")
+        .agg(F.max("nij").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("pur_num"))
+    )
+    nn = s_ij.select("n")
+    mi = (
+        cells.join(F.broadcast(a), "cl")
+        .join(F.broadcast(b), "lb")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                (F.col("nij").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("n").cast(dec) * F.col("nij")).cast("double")
+                    / (F.col("ai").cast(dec) * F.col("bj")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("t9")
+        )
+        .agg(F.sum("t9").cast("double").alias("i_uv"))
+    )
+
+    def ent(df: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(nn))
+            .select(
+                F.round(
+                    -(F.col(col).cast("double") / F.col("n").cast("double"))
+                    * F.log(
+                        F.col(col).cast("double") / F.col("n").cast("double")
+                    ),
+                    9,
+                )
+                .cast("decimal(38,9)")
+                .alias("t9")
+            )
+            .agg(F.sum("t9").cast("double").alias(out))
+        )
+
+    hu = ent(a, "ai", "h_u")
+    hv = ent(b, "bj", "h_v")
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    sd = lambda c_: F.col(c_).cast("double")
+    nc2 = sd("n") * (F.col("n") - 1).cast("double") / F.lit(2.0)
+    exp_idx = sd("s_a") * sd("s_b") / nc2
+    return (
+        s_ij.crossJoin(F.broadcast(s_a))
+        .crossJoin(F.broadcast(s_b))
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hu))
+        .crossJoin(F.broadcast(hv))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("n_cl").alias("n_clusters"),
+            F.col("n_lb").alias("n_labels"),
+            fl6(sd("pur_num") / sd("n")).alias("purity"),
+            fl6(
+                (sd("s_ij") - exp_idx)
+                / ((sd("s_a") + sd("s_b")) / F.lit(2.0) - exp_idx)
+            ).alias("ari"),
+            fl6(
+                F.col("i_uv") / F.sqrt(F.col("h_u") * F.col("h_v"))
+            ).alias("nmi"),
+        )
+    )
+
+
+@q(
+    "q264_hodges_lehmann",
+    oracle=f"""
+WITH ev AS ({_EV}),
+d AS (SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS v
+  FROM ev WHERE value IS NOT NULL),
+h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY 1, 2),
+pr AS (SELECT a.event_type, a.v + b.v AS s,
+    CAST(CASE WHEN a.v = b.v THEN a.c * (a.c + 1) / 2
+         ELSE a.c * b.c END AS HUGEINT) AS w
+  FROM h a JOIN h b ON a.event_type = b.event_type AND a.v <= b.v),
+wt AS (SELECT event_type, CAST(sum(w) AS HUGEINT) AS tot
+  FROM pr GROUP BY event_type),
+cu AS (SELECT pr.event_type, pr.s,
+    CAST(sum(pr.w) OVER (PARTITION BY pr.event_type ORDER BY pr.s)
+      AS HUGEINT) AS cum
+  FROM pr),
+hl AS (SELECT cu.event_type, min(cu.s) AS s2
+  FROM cu JOIN wt USING (event_type)
+  WHERE CAST(cu.cum AS HUGEINT) * 2 >= wt.tot + (wt.tot % 2)
+  GROUP BY cu.event_type),
+st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(v) AS HUGEINT) AS sv
+  FROM d GROUP BY event_type)
+SELECT st.event_type, st.n AS n_events,
+  CAST(hl.s2 AS DOUBLE) / 2.0 AS hl_estimate,
+  floor(CAST(st.sv AS DOUBLE) / CAST(st.n AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+FROM st JOIN hl USING (event_type)
+""",
+    description="Hodges-Lehmann robust location estimate per event "
+    "type: the median of all Walsh averages (x_i+x_j)/2 over i<=j — "
+    "the rank-based location estimator paired with q245's "
+    "Mann-Whitney (it inverts the same statistic), reported beside "
+    "the plain mean so the gap reads as skew/outlier influence. "
+    "Never touches the O(n^2) pair space at row grain: values "
+    "quantize to the integer grid, so Walsh pairs live on the "
+    "bounded VALUE-DOMAIN^2 grain with exact multiplicity weights "
+    "(c_i*c_j off-diagonal, c(c+1)/2 on it, HUGEINT/DECIMAL sums); "
+    "the weighted median is a cumulative-count selection per type "
+    "(lower nearest-rank via 2*cum >= W+(W%2), all-integer "
+    "comparisons)",
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    d = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("v"),
+    )
+    h = d.groupBy("event_type", "v").agg(
+        F.count("*").cast("long").alias("c")
+    ).persist()  # value-domain grain: pair join reads it twice
+    dec = "decimal(38,0)"
+    a = h.select(
+        "event_type",
+        F.col("v").alias("av"),
+        F.col("c").alias("ac"),
+    )
+    b = h.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("v").alias("bv"),
+        F.col("c").alias("bc"),
+    )
+    pr = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b"))
+        & (F.col("av") <= F.col("bv")),
+    ).select(
+        "event_type",
+        (F.col("av") + F.col("bv")).alias("s"),
+        F.when(
+            F.col("av") == F.col("bv"),
+            (F.col("ac").cast(dec) * (F.col("ac") + 1) / 2).cast(dec),
+        )
+        .otherwise((F.col("ac").cast(dec) * F.col("bc")).cast(dec))
+        .alias("w"),
+    )
+    wt = pr.groupBy("event_type").agg(F.sum("w").alias("tot"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cu = pr.select(
+        "event_type", "s", F.sum("w").over(wc).alias("cum")
+    )
+    hl = (
+        cu.join(F.broadcast(wt), "event_type")
+        .filter(
+            F.col("cum") * 2
+            >= F.col("tot") + (F.col("tot") % 2)
+        )
+        .groupBy("event_type")
+        .agg(F.min("s").alias("s2"))
+    )
+    st = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("sv"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return st.join(F.broadcast(hl), "event_type").select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (F.col("s2").cast("double") / F.lit(2.0)).alias("hl_estimate"),
+        fl6(F.col("sv").cast("double") / F.col("n").cast("double")).alias(
+            "mean_value"
+        ),
+    )
+
+
+@q(
+    "q266_nelson_aalen",
+    oracle=f"""
+WITH ev AS ({_EV}),
+su AS (SELECT user_id, min(ts) AS t0 FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (SELECT e.user_id, min(e.ts) AS t1
+  FROM ev e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+  GROUP BY e.user_id),
+mx AS (SELECT max(ts) AS maxt FROM ev),
+dur AS (SELECT CAST(CASE WHEN pu.t1 IS NOT NULL
+      THEN date_diff('day', CAST(su.t0 AS DATE), CAST(pu.t1 AS DATE))
+      ELSE date_diff('day', CAST(su.t0 AS DATE), CAST(mx.maxt AS DATE))
+      END AS BIGINT) AS t,
+    CASE WHEN pu.t1 IS NOT NULL THEN 1 ELSE 0 END AS evt
+  FROM su LEFT JOIN pu ON pu.user_id = su.user_id CROSS JOIN mx),
+g AS (SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+    CAST(sum(evt) AS BIGINT) AS d_i FROM dur GROUP BY t),
+k AS (SELECT t, d_i,
+    CAST(sum(c_all) OVER ()
+      - COALESCE(sum(c_all) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM g),
+k2 AS (SELECT t, n_risk, d_i,
+    CAST(sum(CASE WHEN d_i > 0
+        THEN CAST(floor(CAST(d_i AS DOUBLE) / CAST(n_risk AS DOUBLE)
+            * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+      OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS hcum
+  FROM k)
+SELECT t AS t_days, n_risk AS n_at_risk, d_i AS n_events,
+  floor(CAST(hcum AS DOUBLE) / 1000.0 + 0.5) / 1000000.0
+    AS cum_hazard,
+  floor(exp(-(CAST(hcum AS DOUBLE) / 1000000000.0)) * 1000000.0
+        + 0.5) / 1000000.0 AS na_survival
+FROM k2 WHERE d_i > 0 ORDER BY t_days
+""",
+    description="Nelson-Aalen cumulative-hazard estimator of "
+    "signup-to-first-purchase time, right-censored at the corpus "
+    "horizon for users who never convert — the hazard-scale "
+    "companion of q218's Kaplan-Meier (KM multiplies survival "
+    "factors; NA SUMS hazard increments d_i/n_i, the quantity "
+    "additive models and hazard-ratio eyeballing want), on a "
+    "DIFFERENT time-to-event path (events signup->purchase, not "
+    "order repeats). Same 100 TB shape as q218: user-keyed "
+    "min-aggregations, ONE aggregation to the calendar-bounded "
+    "duration grain, at-risk counts from a prefix-sum complement; "
+    "each hazard increment is an exact rational snapped to the 1e-9 "
+    "integer grid, so the cumulative sum is exact int64 arithmetic "
+    "and exp(-H) is one identical double at the end",
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .persist()  # user grain; read by the purchase join AND dur
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    mx = ev.agg(F.max("ts").alias("maxt"))
+    dur = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(
+                    F.col("maxt").cast("date"), F.col("t0").cast("date")
+                )
+            )
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("t1").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("evt"),
+        )
+    )
+    g = dur.groupBy("t").agg(
+        F.count("*").cast("long").alias("c_all"),
+        F.sum("evt").cast("long").alias("d_i"),
+    )
+    wt = Window.orderBy("t")
+    whole = Window.partitionBy()
+    prev = F.coalesce(
+        F.sum("c_all").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    k = g.select(
+        "t",
+        "d_i",
+        (F.sum("c_all").over(whole) - prev).cast("long").alias("n_risk"),
+    )
+    hterm = F.when(
+        F.col("d_i") > 0,
+        F.floor(
+            F.col("d_i").cast("double")
+            / F.col("n_risk").cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    k2 = k.select(
+        "t",
+        "n_risk",
+        "d_i",
+        F.sum(hterm)
+        .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("hcum"),
+    )
+    return (
+        k2.filter(F.col("d_i") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d_i").alias("n_events"),
+            (
+                F.floor(F.col("hcum").cast("double") / F.lit(1e3) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("cum_hazard"),
+            (
+                F.floor(
+                    F.exp(-(F.col("hcum").cast("double") / F.lit(1e9)))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("na_survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+@q(
+    "q265_bh_fdr",
+    oracle="""
+WITH d AS (SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+    CAST(sum(y) AS BIGINT) AS p_s
+  FROM d GROUP BY source),
+t AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn,
+    CAST(sum(p_s) AS BIGINT) AS pp,
+    CAST(count(*) AS BIGINT) AS m
+  FROM g),
+zz AS (SELECT source, n_s, p_s, m,
+    (CAST(p_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+     - CAST(pp - p_s AS DOUBLE) / CAST(nn - n_s AS DOUBLE))
+    / sqrt((CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+           * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+           * (1.0 / CAST(n_s AS DOUBLE)
+              + 1.0 / CAST(nn - n_s AS DOUBLE))) AS z
+  FROM g CROSS JOIN t),
+pv AS (SELECT source, n_s, p_s, m, z,
+    CAST(floor(2.0 * (exp(-(abs(z) * abs(z)) / 2.0)
+        / sqrt(2.0 * pi())
+        * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+           * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+             * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+               * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                 * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                   * 1.330274429))))))
+      * 1000000000.0 + 0.5) AS BIGINT) AS p9
+  FROM zz),
+rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p9, source)
+    AS BIGINT) AS bh_rank FROM pv),
+ks AS (SELECT CAST(max(CASE WHEN p9 * m * 10 <= bh_rank * 1000000000
+    THEN bh_rank ELSE 0 END) AS BIGINT) AS kstar FROM rk)
+SELECT rk.source, rk.n_s AS n_docs,
+  floor(CAST(rk.p_s AS DOUBLE) / CAST(rk.n_s AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS en_share,
+  floor(rk.z * 1000000.0 + 0.5) / 1000000.0 AS z,
+  CAST(rk.p9 AS DOUBLE) / 1000000000.0 AS p_value,
+  rk.bh_rank, rk.bh_rank <= ks.kstar AS rejected
+FROM rk CROSS JOIN ks ORDER BY rk.bh_rank
+""",
+    description="Benjamini-Hochberg FDR control over the per-source "
+    "'is this source's English share different from the rest of the "
+    "corpus' two-proportion z tests — the multiple-testing step "
+    "q249's single A/B readout skips, and exactly what a curation "
+    "pipeline needs when it screens 20+ sources at once (per-test "
+    "alpha would flag noise). z from exact integer counts; the "
+    "normal tail probability is the Abramowitz-Stegun 7.1.26 "
+    "polynomial written operand-for-operand identically on both "
+    "engines and snapped to a 1e-9 integer grid; the BH step-up "
+    "p_(k) <= k/m * 0.10 is then the EXACT integer comparison "
+    "p9*10m <= k*1e9 (alpha folded into integers, no float "
+    "threshold can split engines); one source-grain aggregation, "
+    "windows on the <=#sources-row frame",
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.sum("y").cast("long").alias("p_s"),
+    ).persist()  # one corpus scan: totals and the z frame read this
+    t = g.agg(
+        F.sum("n_s").cast("long").alias("nn"),
+        F.sum("p_s").cast("long").alias("pp"),
+        F.count("*").cast("long").alias("m"),
+    )
+    sd = lambda c_: c_.cast("double")
+    zz = g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_s",
+        "p_s",
+        "m",
+        (
+            (
+                sd(F.col("p_s")) / sd(F.col("n_s"))
+                - sd(F.col("pp") - F.col("p_s"))
+                / sd(F.col("nn") - F.col("n_s"))
+            )
+            / F.sqrt(
+                (sd(F.col("pp")) / sd(F.col("nn")))
+                * (F.lit(1.0) - sd(F.col("pp")) / sd(F.col("nn")))
+                * (
+                    F.lit(1.0) / sd(F.col("n_s"))
+                    + F.lit(1.0) / sd(F.col("nn") - F.col("n_s"))
+                )
+            )
+        ).alias("z"),
+    )
+    az = F.abs(F.col("z"))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = tt * (
+        F.lit(0.319381530)
+        + tt
+        * (
+            F.lit(-0.356563782)
+            + tt
+            * (
+                F.lit(1.781477937)
+                + tt * (F.lit(-1.821255978) + tt * F.lit(1.330274429))
+            )
+        )
+    )
+    p = (
+        F.lit(2.0)
+        * (
+            F.exp(-(az * az) / F.lit(2.0))
+            / F.sqrt(F.lit(2.0) * F.lit(_math.pi))
+            * poly
+        )
+    )
+    pv = zz.select(
+        "source",
+        "n_s",
+        "p_s",
+        "m",
+        "z",
+        F.floor(p * F.lit(1e9) + F.lit(0.5)).cast("long").alias("p9"),
+    )
+    rk = pv.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("p9", "source"))
+        .cast("long")
+        .alias("bh_rank"),
+    )
+    ks = rk.agg(
+        F.max(
+            F.when(
+                F.col("p9") * F.col("m") * 10
+                <= F.col("bh_rank") * F.lit(1000000000),
+                F.col("bh_rank"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("kstar")
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        rk.crossJoin(F.broadcast(ks))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            fl6(sd(F.col("p_s")) / sd(F.col("n_s"))).alias("en_share"),
+            fl6(F.col("z")).alias("z"),
+            (F.col("p9").cast("double") / F.lit(1e9)).alias("p_value"),
+            "bh_rank",
+            (F.col("bh_rank") <= F.col("kstar")).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )

@@ -239,6 +239,11 @@ QUERIES = [
     "q260_intrinsic_dimension",  # 64-probe linear scan, two min-structs
     "q261_periodogram",         # one daily agg, calendar x 10 freqs
     "q262_group_kfold",         # q23 pairs + components + fold aggs
+    # round-11 third batch
+    "q263_clustering_agreement",  # one agg to contingency grain
+    "q264_hodges_lehmann",      # value-domain^2 Walsh pairs
+    "q265_bh_fdr",              # one source agg, 20-row windows
+    "q266_nelson_aalen",        # user-keyed mins, duration grain
 ]
 
 

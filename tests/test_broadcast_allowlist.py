@@ -165,6 +165,17 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     # q256: the <=101-row score-grain side of the PAV (j,k)
     # inequality self-join
     ("plans/analytics.py", "q256"): (1, "DOMAIN"),
+    # q263: contingency-grain marginals (cluster/label rosters) and
+    # the 1-row metric aggregates; `ent` is its nested entropy helper
+    # (1-row corpus-size scalar)
+    ("plans/analytics.py", "q263"): (9, "DOMAIN"),
+    ("plans/analytics.py", "ent"): (1, "SCALAR"),
+    # q264: per-type Walsh-weight totals + the <=5-row HL medians
+    ("plans/analytics.py", "q264"): (2, "DOMAIN"),
+    # q265: the 1-row (N,P,m) totals + the 1-row BH kstar
+    ("plans/analytics.py", "q265"): (2, "SCALAR"),
+    # q266: the 1-row censor-horizon scalar
+    ("plans/analytics.py", "q266"): (1, "SCALAR"),
 }
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}

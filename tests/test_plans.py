@@ -930,3 +930,49 @@ def test_q262_scan_prunes_to_id_and_length(spark):
     plan = live_plan(plan_of(spark, "q262_group_kfold"))
     assert plan.count("Scan parquet") == 1
     assert "struct<doc_id:bigint,n_chars:bigint>" in plan
+
+
+R11C_COHORT = [
+    "q263_clustering_agreement",
+    "q264_hodges_lehmann",
+    "q265_bh_fdr",
+    "q266_nelson_aalen",
+]
+
+
+@pytest.mark.parametrize("name", R11C_COHORT)
+def test_r11c_cohort_no_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q263_single_scan_to_contingency_grain(spark):
+    # one corpus aggregation to the <=16x10 contingency frame; every
+    # downstream marginal/metric reads the cache
+    plan = live_plan(plan_of(spark, "q263_clustering_agreement"))
+    assert plan.count("Scan parquet") == 0
+
+
+def test_q264_walsh_pairs_on_value_grain(spark):
+    # the Walsh-pair join runs on the persisted value-domain
+    # histogram (never row grain): exactly one fact scan (the
+    # mean/count aggregate), no single-partition exchange — the
+    # median window partitions by event_type
+    plan = live_plan(plan_of(spark, "q264_hodges_lehmann"))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange SinglePartition" not in plan
+    full = plan_of(spark, "q264_hodges_lehmann")
+    assert "windowspecdefinition(event_type" in full
+
+
+def test_q265_single_scan_source_grain(spark):
+    plan = live_plan(plan_of(spark, "q265_bh_fdr"))
+    assert plan.count("Scan parquet") == 0
+
+
+def test_q266_signup_frame_cached(spark):
+    # su (user-grain signup minima) is persisted: the purchase join
+    # and the duration frame must not re-run its fact scan — the live
+    # plan keeps only the purchase-filter scan and the horizon scan
+    plan = live_plan(plan_of(spark, "q266_nelson_aalen"))
+    assert plan.count("Scan parquet") == 2

@@ -319,3 +319,170 @@ def test_q262_group_kfold_invariants(spark):
     # fold sizes roughly balanced (md5-uniform over clusters)
     sizes = [r["n_docs"] for r in rows]
     assert max(sizes) < 2.5 * max(1, min(sizes))
+
+
+def test_q263_clustering_agreement_sklearn_free_replay(spark):
+    import numpy as np
+
+    from lynx_spark.operators.similarity import HYPERPLANES
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.array([list(e) for e in emb["embedding"]], dtype=np.float64)
+    planes = np.array(HYPERPLANES[0], dtype=np.float64)
+    bits = (X @ planes.T) > 0
+    cl = (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1)
+    lb = emb["label"].to_numpy()
+    # independent contingency-based metrics
+    from collections import Counter
+
+    nij = Counter(zip(cl, lb))
+    ai = Counter(cl)
+    bj = Counter(lb)
+    n = len(lb)
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    s_ij = sum(c2(v) for v in nij.values())
+    s_a = sum(c2(v) for v in ai.values())
+    s_b = sum(c2(v) for v in bj.values())
+    exp_idx = s_a * s_b / c2(n)
+    ari = (s_ij - exp_idx) / ((s_a + s_b) / 2 - exp_idx)
+    purity = sum(
+        max(v for (c, L), v in nij.items() if c == cu) for cu in ai
+    ) / n
+    i_uv = sum(
+        round((v / n) * math.log(n * v / (ai[c] * bj[L])), 9)
+        for (c, L), v in nij.items()
+    )
+    h_u = sum(round(-(v / n) * math.log(v / n), 9) for v in ai.values())
+    h_v = sum(round(-(v / n) * math.log(v / n), 9) for v in bj.values())
+    nmi = i_uv / math.sqrt(h_u * h_v)
+    row = (
+        REGISTRY["q263_clustering_agreement"].fn(spark, SF_DIR).collect()[0]
+    )
+    assert row["n_vectors"] == n
+    assert row["n_clusters"] == len(ai)
+    assert row["n_labels"] == len(bj)
+    assert row["purity"] == pytest.approx(purity, abs=1.1e-6)
+    assert row["ari"] == pytest.approx(ari, abs=1.1e-6)
+    assert row["nmi"] == pytest.approx(nmi, abs=1.1e-6)
+    # agreement metrics live in sane ranges
+    assert -1.0 <= row["ari"] <= 1.0 and 0.0 <= row["nmi"] <= 1.0
+
+
+def test_q264_hodges_lehmann_brute_force_replay(spark):
+    import numpy as np
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["q264_hodges_lehmann"].fn(spark, SF_DIR).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        v = np.array(
+            [math.floor(x + 0.5) for x in grp["value"]], dtype=np.int64
+        )
+        # brute-force Walsh sums over i <= j on the raw rows
+        s = (v[:, None] + v[None, :])[
+            np.triu_indices(len(v), k=0)
+        ]
+        s.sort()
+        W = len(s)
+        k = math.ceil(W / 2)
+        hl = s[k - 1] / 2.0
+        r = out[et]
+        assert r["n_events"] == len(v)
+        assert r["hl_estimate"] == hl
+        assert r["mean_value"] == pytest.approx(v.mean(), abs=1.1e-6)
+
+
+def test_q265_bh_fdr_reference_replay(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    rows = REGISTRY["q265_bh_fdr"].fn(spark, SF_DIR).collect()
+    g = docs.groupby("source").agg(
+        n_s=("lang", "size"), p_s=("lang", lambda s: int((s == "en").sum()))
+    )
+    nn, pp, m = int(g["n_s"].sum()), int(g["p_s"].sum()), len(g)
+
+    def anderson_p(z):
+        az = abs(z)
+        t = 1.0 / (1.0 + 0.2316419 * az)
+        poly = t * (
+            0.319381530
+            + t
+            * (
+                -0.356563782
+                + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+            )
+        )
+        return 2.0 * (math.exp(-(az * az) / 2.0) / math.sqrt(2 * math.pi) * poly)
+
+    ps = {}
+    for src, r in g.iterrows():
+        n_s, p_s = int(r["n_s"]), int(r["p_s"])
+        ph = pp / nn
+        z = (p_s / n_s - (pp - p_s) / (nn - n_s)) / math.sqrt(
+            ph * (1 - ph) * (1 / n_s + 1 / (nn - n_s))
+        )
+        ps[src] = (z, math.floor(anderson_p(z) * 1e9 + 0.5) / 1e9)
+    # the A&S polynomial itself tracks the true normal tail to ~1e-7
+    for z, p in ps.values():
+        true_p = math.erfc(abs(z) / math.sqrt(2))
+        assert p == pytest.approx(true_p, abs=2e-7)
+    # independent BH step-up
+    order = sorted(ps, key=lambda s: (ps[s][1], s))
+    kstar = 0
+    for i, src in enumerate(order, start=1):
+        if ps[src][1] <= i / m * 0.10:
+            kstar = i
+    byrank = {r["bh_rank"]: r for r in rows}
+    assert len(byrank) == m
+    for i, src in enumerate(order, start=1):
+        r = byrank[i]
+        assert r["source"] == src
+        assert r["z"] == pytest.approx(ps[src][0], abs=1.1e-6)
+        assert r["p_value"] == pytest.approx(ps[src][1], abs=1.1e-9)
+        assert r["rejected"] == (i <= kstar)
+
+
+def test_q266_nelson_aalen_python_replay(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    rows = {
+        r["t_days"]: r
+        for r in REGISTRY["q266_nelson_aalen"].fn(spark, SF_DIR).collect()
+    }
+    maxd = ev["ts"].max().date()
+    durs = []
+    for uid, grp in ev.groupby("user_id"):
+        sg = grp[grp["event_type"] == "signup"]
+        if sg.empty:
+            continue
+        t0 = sg["ts"].min()
+        pu = grp[(grp["event_type"] == "purchase") & (grp["ts"] >= t0)]
+        if pu.empty:
+            durs.append(((maxd - t0.date()).days, 0))
+        else:
+            durs.append(((pu["ts"].min().date() - t0.date()).days, 1))
+    from collections import Counter
+
+    c_all = Counter(t for t, _ in durs)
+    d_i = Counter(t for t, e in durs if e)
+    total = len(durs)
+    h9 = 0
+    seen = 0
+    for t in sorted(c_all):
+        n_risk = total - seen
+        seen += c_all[t]
+        if d_i.get(t, 0) == 0:
+            continue
+        h9 += math.floor(d_i[t] / n_risk * 1e9 + 0.5)
+        r = rows[t]
+        assert r["n_at_risk"] == n_risk
+        assert r["n_events"] == d_i[t]
+        assert r["cum_hazard"] == pytest.approx(h9 / 1e9, abs=1.1e-6)
+        assert r["na_survival"] == pytest.approx(
+            math.exp(-h9 / 1e9), abs=1.1e-6
+        )
+    assert set(rows) == {t for t in d_i}
