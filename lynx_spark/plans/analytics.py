@@ -16371,3 +16371,528 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bh_rank")
     )
+
+
+@q(
+    "q267_idle_balance_blame",
+    oracle="""
+WITH sel AS (SELECT c_custkey, c_mktsegment,
+    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal2
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+cutoff AS (SELECT CAST(sum(bal2) AS HUGEINT) AS s,
+    CAST(count(*) AS BIGINT) AS c
+  FROM sel WHERE bal2 > 0),
+idle AS (SELECT sel.c_custkey, sel.c_mktsegment, sel.bal2
+  FROM sel CROSS JOIN cutoff
+  WHERE CAST(sel.bal2 AS DOUBLE)
+        > CAST(cutoff.s AS DOUBLE) / CAST(cutoff.c AS DOUBLE)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = sel.c_custkey))
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+  floor(CAST(CAST(sum(bal2) AS HUGEINT) AS DOUBLE) / 100.0
+        * 100.0 + 0.5) / 100.0 AS total_acctbal
+FROM idle GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    description="TPC-H Q22 shape on the available schema: "
+    "above-average-balance customers in a 3-segment roster who have "
+    "NEVER ordered — the 'idle capital' blame query (global scalar "
+    "cutoff subquery + NOT EXISTS anti-join + group), completing the "
+    "correlated-shape battery next to Q21's q254 (EXISTS pair) and "
+    "Q4's q04. Balances quantize to exact cents so the positive-"
+    "balance average is a HUGEINT/DECIMAL ratio and the cutoff "
+    "comparison is the identical double on both engines; the anti "
+    "join is key-equality on custkey (shuffle-safe at scale), the "
+    "1-row cutoff broadcasts",
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    sel = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("bal2"),
+    ).persist()  # read by the cutoff aggregate and the blame join
+    cutoff = sel.filter(F.col("bal2") > 0).agg(
+        F.sum(F.col("bal2").cast("decimal(38,0)")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    idle = (
+        sel.crossJoin(F.broadcast(cutoff))
+        .filter(
+            F.col("bal2").cast("double")
+            > F.col("s").cast("double") / F.col("c").cast("double")
+        )
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            (
+                F.floor(
+                    F.sum(F.col("bal2").cast("decimal(38,0)"))
+                    .cast("double")
+                    / F.lit(100.0)
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "q268_mase_backtest",
+    oracle=f"""
+WITH ev AS ({_EV}),
+dly AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    CAST(count(*) AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2),
+lag7 AS (SELECT event_type, day, y,
+    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7,
+    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1
+  FROM dly),
+er AS (SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_eval,
+    CAST(sum(abs(y - y7)) AS BIGINT) AS ae_model,
+    CAST(sum(abs(y - y1)) AS BIGINT) AS ae_naive,
+    CAST(sum(CAST(round(2.0 * CAST(abs(y - y7) AS DOUBLE)
+        / CAST(y + y7 AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
+      AS smape_sum
+  FROM lag7 WHERE y7 IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_eval,
+  floor(CAST(ae_model AS DOUBLE) / CAST(n_eval AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS mae_model,
+  floor(CAST(ae_naive AS DOUBLE) / CAST(n_eval AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS mae_naive,
+  floor(CAST(ae_model AS DOUBLE) / CAST(ae_naive AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS mase,
+  floor(smape_sum / CAST(n_eval AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS smape
+FROM er ORDER BY event_type
+""",
+    description="rolling-origin backtest of the seasonal-naive "
+    "forecaster (y_hat_t = y_{t-7}) on the per-type daily series: "
+    "MASE (seasonal-naive MAE over one-step-naive MAE — the "
+    "scale-free forecast metric, <1 beats drift) and sMAPE — the "
+    "evaluation harness q163's Holt and q244's decomposition lack "
+    "(they fit; nothing scored them). Absolute errors are exact "
+    "integers at the day grain (calendar-bounded, one corpus "
+    "aggregation), so MASE is one exact-int ratio; sMAPE terms snap "
+    "to 1e-9 and decimal-fold (q128's device); lags are event_type-"
+    "partitioned windows — never a global sort",
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    dly = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag7 = dly.select(
+        "event_type",
+        "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    ).filter(F.col("y7").isNotNull())
+    er = lag7.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("y") - F.col("y7"))).cast("long").alias("ae_model"),
+        F.sum(F.abs(F.col("y") - F.col("y1"))).cast("long").alias("ae_naive"),
+        F.sum(
+            F.round(
+                F.lit(2.0)
+                * F.abs(F.col("y") - F.col("y7")).cast("double")
+                / (F.col("y") + F.col("y7")).cast("double"),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("smape_sum"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    sd = lambda c_: F.col(c_).cast("double")
+    return er.select(
+        "event_type",
+        "n_eval",
+        fl6(sd("ae_model") / sd("n_eval")).alias("mae_model"),
+        fl6(sd("ae_naive") / sd("n_eval")).alias("mae_naive"),
+        fl6(sd("ae_model") / sd("ae_naive")).alias("mase"),
+        fl6(F.col("smape_sum") / sd("n_eval")).alias("smape"),
+    ).orderBy("event_type")
+
+
+def _platt_oracle(n_iters: int = 3) -> str:
+    """q269 oracle: the identical Newton trajectory, unrolled. Params
+    live on a 1e-9 integer grid between iterations; per-grain
+    probabilities snap to the same grid, so every data-sized sum is
+    an exact HUGEINT fold and the only doubles are the 2x2 solve
+    written operand-for-operand as the operator's float() math."""
+    sql = (
+        _pred_cte()
+        + """,
+b0 AS (SELECT least(CAST(floor(p * 100.0 + 0.5) AS BIGINT), 100) AS s,
+    y FROM pred),
+g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS pos
+  FROM b0 GROUP BY s),
+par0 AS (SELECT CAST(0 AS BIGINT) AS a9, CAST(0 AS BIGINT) AS b9)"""
+    )
+    prev = "par0"
+    for t in range(1, n_iters + 1):
+        sql += f""",
+p{t} AS (SELECT s, n, pos,
+    CAST(floor(1.0 / (1.0 + exp(-((CAST(a9 AS DOUBLE) / 1000000000.0)
+        * CAST(s AS DOUBLE) + CAST(b9 AS DOUBLE) / 1000000000.0)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS p9
+  FROM g CROSS JOIN {prev}),
+s{t} AS (SELECT
+    CAST(sum(CAST(s AS HUGEINT) * (CAST(pos AS HUGEINT) * 1000000000
+      - CAST(n AS HUGEINT) * p9)) AS HUGEINT) AS g1,
+    CAST(sum(CAST(pos AS HUGEINT) * 1000000000
+      - CAST(n AS HUGEINT) * p9) AS HUGEINT) AS g0,
+    CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9) * s * s)
+      AS HUGEINT) AS h11,
+    CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9) * s)
+      AS HUGEINT) AS h10,
+    CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9))
+      AS HUGEINT) AS h00
+  FROM p{t}),
+par{t} AS (SELECT
+    CAST(floor((CAST(a9 AS DOUBLE) / 1000000000.0
+      + ((CAST(h00 AS DOUBLE) / 1000000000000000000.0)
+           * (CAST(g1 AS DOUBLE) / 1000000000.0)
+         - (CAST(h10 AS DOUBLE) / 1000000000000000000.0)
+           * (CAST(g0 AS DOUBLE) / 1000000000.0))
+        / ((CAST(h11 AS DOUBLE) / 1000000000000000000.0)
+             * (CAST(h00 AS DOUBLE) / 1000000000000000000.0)
+           - (CAST(h10 AS DOUBLE) / 1000000000000000000.0)
+             * (CAST(h10 AS DOUBLE) / 1000000000000000000.0)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS a9,
+    CAST(floor((CAST(b9 AS DOUBLE) / 1000000000.0
+      + ((CAST(h11 AS DOUBLE) / 1000000000000000000.0)
+           * (CAST(g0 AS DOUBLE) / 1000000000.0)
+         - (CAST(h10 AS DOUBLE) / 1000000000000000000.0)
+           * (CAST(g1 AS DOUBLE) / 1000000000.0))
+        / ((CAST(h11 AS DOUBLE) / 1000000000000000000.0)
+             * (CAST(h00 AS DOUBLE) / 1000000000000000000.0)
+           - (CAST(h10 AS DOUBLE) / 1000000000000000000.0)
+             * (CAST(h10 AS DOUBLE) / 1000000000000000000.0)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS b9
+  FROM s{t} CROSS JOIN {prev})"""
+        prev = f"par{t}"
+    return (
+        sql
+        + f""",
+pf AS (SELECT s, n, pos,
+    CAST(floor(1.0 / (1.0 + exp(-((CAST(a9 AS DOUBLE) / 1000000000.0)
+        * CAST(s AS DOUBLE) + CAST(b9 AS DOUBLE) / 1000000000.0)))
+      * 1000000000.0 + 0.5) AS BIGINT) AS p9
+  FROM g CROSS JOIN {prev}),
+fin AS (SELECT
+    CAST(sum(n) AS BIGINT) AS nd,
+    CAST(sum(CAST(abs(s * n - 100 * pos) AS HUGEINT)) AS HUGEINT)
+      AS eb_num,
+    CAST(sum(abs(CAST(n AS HUGEINT) * p9
+      - CAST(pos AS HUGEINT) * 1000000000)) AS HUGEINT) AS ea_num
+  FROM pf)
+SELECT CAST(a9 AS DOUBLE) / 1000000000.0 AS platt_a,
+  CAST(b9 AS DOUBLE) / 1000000000.0 AS platt_b,
+  fin.nd AS n_docs,
+  floor(CAST(eb_num AS DOUBLE) / (100.0 * CAST(nd AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS ece_before,
+  floor(CAST(ea_num AS DOUBLE)
+        / (1000000000.0 * CAST(nd AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS ece_after
+FROM {prev} CROSS JOIN fin
+"""
+    )
+
+
+@q(
+    "q269_platt_scaling",
+    oracle=_platt_oracle(3),
+    description="Platt scaling: fit sigma(a*s + b) to the q84 "
+    "classifier score against the q119 label by 3 Newton-Raphson "
+    "steps on the <=101-row 1e-2 SCORE-GRAIN histogram — the "
+    "parametric member of the calibration triad (diagnosis q202, "
+    "nonparametric fit q256, parametric fit here), with the "
+    "weighted mean-absolute calibration error before vs after as "
+    "the payoff readout. The whole fit is the bounded-aggregate "
+    "device: per iteration ONE aggregation over the cached grain "
+    "produces five exact HUGEINT/DECIMAL gradient-and-Hessian sums "
+    "(probabilities and params snapped to the 1e-9 integer grid, so "
+    "data-sized arithmetic is exact and order-free), and the 2x2 "
+    "Newton solve is a handful of identically-parenthesized doubles "
+    "(driver floats in the engine, scalar CTEs in the oracle); both "
+    "ECE numerators are exact integers",
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    pred = _pred_frame(spark, sf_dir)
+    g = (
+        pred.select(
+            F.least(
+                F.floor(F.col("p") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+                F.lit(100).cast("long"),
+            ).alias("s"),
+            "y",
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .persist()  # one corpus scan; every Newton pass reads this
+    )
+    dec = "decimal(38,0)"
+
+    def p9_col(a9: int, b9: int) -> F.Column:
+        a = float(a9) / 1e9
+        b = float(b9) / 1e9
+        return F.floor(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(a) * F.col("s").cast("double")
+                        + F.lit(b)
+                    )
+                )
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+
+    a9, b9 = 0, 0
+    for _t in range(3):
+        p9 = p9_col(a9, b9)
+        w = (F.col("n").cast(dec) * p9 * (F.lit(1000000000) - p9)).cast(
+            dec
+        )
+        resid = (
+            F.col("pos").cast(dec) * F.lit(1000000000)
+            - F.col("n").cast(dec) * p9
+        ).cast(dec)
+        row = g.agg(
+            F.sum((F.col("s").cast(dec) * resid).cast(dec)).alias("g1"),
+            F.sum(resid).alias("g0"),
+            F.sum((w * F.col("s") * F.col("s")).cast(dec)).alias("h11"),
+            F.sum((w * F.col("s")).cast(dec)).alias("h10"),
+            F.sum(w).alias("h00"),
+        ).collect()[0]
+        # the bounded-aggregate device: 5 scalars, float() casts
+        # mirroring the oracle's CAST(.. AS DOUBLE) operand by
+        # operand (q251's convention)
+        g1d = float(row["g1"]) / 1e9
+        g0d = float(row["g0"]) / 1e9
+        h11d = float(row["h11"]) / 1e18
+        h10d = float(row["h10"]) / 1e18
+        h00d = float(row["h00"]) / 1e18
+        det = h11d * h00d - h10d * h10d
+        da = (h00d * g1d - h10d * g0d) / det
+        db = (h11d * g0d - h10d * g1d) / det
+        a9 = int(_math.floor((float(a9) / 1e9 + da) * 1e9 + 0.5))
+        b9 = int(_math.floor((float(b9) / 1e9 + db) * 1e9 + 0.5))
+    p9f = p9_col(a9, b9)
+    fin = g.agg(
+        F.sum("n").cast("long").alias("nd"),
+        F.sum(
+            F.abs(
+                F.col("s").cast(dec) * F.col("n")
+                - F.lit(100) * F.col("pos")
+            ).cast(dec)
+        ).alias("eb_num"),
+        F.sum(
+            F.abs(
+                F.col("n").cast(dec) * p9f
+                - F.col("pos").cast(dec) * F.lit(1000000000)
+            ).cast(dec)
+        ).alias("ea_num"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return fin.select(
+        F.lit(float(a9) / 1e9).alias("platt_a"),
+        F.lit(float(b9) / 1e9).alias("platt_b"),
+        F.col("nd").alias("n_docs"),
+        fl6(
+            F.col("eb_num").cast("double")
+            / (F.lit(100.0) * F.col("nd").cast("double"))
+        ).alias("ece_before"),
+        fl6(
+            F.col("ea_num").cast("double")
+            / (F.lit(1e9) * F.col("nd").cast("double"))
+        ).alias("ece_after"),
+    )
+
+
+@q(
+    "q270_matching_att",
+    oracle="""
+WITH sp AS (SELECT o_custkey,
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      AS HUGEINT) AS spend,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1),
+cu AS (SELECT c.c_custkey,
+    c.c_mktsegment = 'BUILDING' AS treated,
+    COALESCE(sp.cnt, 0) AS cnt,
+    CAST(COALESCE(sp.spend, 0) AS HUGEINT) AS spend
+  FROM customer c LEFT JOIN sp ON sp.o_custkey = c.c_custkey),
+tg AS (SELECT cnt, CAST(count(*) AS BIGINT) AS t_n,
+    CAST(sum(spend) AS HUGEINT) AS t_sp
+  FROM cu WHERE treated GROUP BY cnt),
+cg AS (SELECT cnt, CAST(count(*) AS BIGINT) AS c_n,
+    CAST(sum(spend) AS HUGEINT) AS c_sp
+  FROM cu WHERE NOT treated GROUP BY cnt),
+mt AS (SELECT tg.cnt, tg.t_n, tg.t_sp, cg.c_n, cg.c_sp,
+    row_number() OVER (PARTITION BY tg.cnt
+      ORDER BY abs(tg.cnt - cg.cnt), cg.cnt) AS rn
+  FROM tg CROSS JOIN cg),
+m1 AS (SELECT cnt, t_n, t_sp,
+    CAST(floor(CAST(t_n AS DOUBLE)
+      * (CAST(c_sp AS DOUBLE) / CAST(c_n AS DOUBLE))
+      * 1000000.0 + 0.5) AS HUGEINT) AS ctl6
+  FROM mt WHERE rn = 1),
+tt AS (SELECT CAST(sum(t_n) AS BIGINT) AS nt,
+    CAST(sum(t_sp) AS HUGEINT) AS tsp,
+    CAST(sum(ctl6) AS HUGEINT) AS c6
+  FROM m1),
+cc AS (SELECT CAST(sum(c_n) AS BIGINT) AS nc,
+    CAST(sum(c_sp) AS HUGEINT) AS csp
+  FROM cg)
+SELECT tt.nt AS n_treated, cc.nc AS n_controls,
+  floor((CAST(tt.tsp AS DOUBLE) / CAST(tt.nt AS DOUBLE)
+         - (CAST(tt.c6 AS DOUBLE) / 1000000.0)
+           / CAST(tt.nt AS DOUBLE)) / 100.0
+        * 1000000.0 + 0.5) / 1000000.0 AS att_dollars,
+  floor((CAST(tt.tsp AS DOUBLE) / CAST(tt.nt AS DOUBLE)
+         - CAST(cc.csp AS DOUBLE) / CAST(cc.nc AS DOUBLE)) / 100.0
+        * 1000000.0 + 0.5) / 1000000.0 AS naive_diff_dollars
+FROM tt CROSS JOIN cc
+""",
+    description="covariate-matching treatment-effect estimate "
+    "(1-NN-on-covariate ATT): does the BUILDING segment spend more "
+    "than comparable customers? Each treated customer matches the "
+    "control group at the NEAREST order count (the confounder: "
+    "heavier orderers spend more regardless of segment), and the "
+    "matched control mean replaces the raw control mean — reported "
+    "beside the naive difference so the gap reads as selection "
+    "bias removed. The causal-inference shape q249's randomized A/B "
+    "doesn't need but every OBSERVATIONAL comparison does. Matching "
+    "runs entirely on the bounded order-count GRAIN (two "
+    "aggregations to count grain, one grain^2 nearest-neighbor rank "
+    "— never customer-pair space); spend quantizes to exact cents, "
+    "matched-control terms snap to 1e-6 integers and fold exactly",
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    sp = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .cast(dec)
+        ).alias("spend"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    cu = cust.join(
+        sp, cust["c_custkey"] == sp["o_custkey"], "left"
+    ).select(
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        F.coalesce(F.col("spend"), F.lit(0).cast(dec)).alias("spend"),
+    ).persist()  # read by the treated and control grain aggregates
+    tg = (
+        cu.filter(F.col("treated"))
+        .groupBy("cnt")
+        .agg(
+            F.count("*").cast("long").alias("t_n"),
+            F.sum("spend").alias("t_sp"),
+        )
+    )
+    cg = (
+        cu.filter(~F.col("treated"))
+        .groupBy("cnt")
+        .agg(
+            F.count("*").cast("long").alias("c_n"),
+            F.sum("spend").alias("c_sp"),
+        )
+    )
+    mt = tg.crossJoin(
+        F.broadcast(
+            cg.select(
+                F.col("cnt").alias("ccnt"), "c_n", "c_sp"
+            )
+        )
+    ).select(
+        "cnt",
+        "t_n",
+        "t_sp",
+        "c_n",
+        "c_sp",
+        F.row_number()
+        .over(
+            Window.partitionBy("cnt").orderBy(
+                F.abs(F.col("cnt") - F.col("ccnt")), F.col("ccnt")
+            )
+        )
+        .alias("rn"),
+    )
+    m1 = mt.filter(F.col("rn") == 1).select(
+        "t_n",
+        "t_sp",
+        F.floor(
+            F.col("t_n").cast("double")
+            * (F.col("c_sp").cast("double") / F.col("c_n").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast(dec)
+        .alias("ctl6"),
+    )
+    tt = m1.agg(
+        F.sum("t_n").cast("long").alias("nt"),
+        F.sum("t_sp").alias("tsp"),
+        F.sum("ctl6").alias("c6"),
+    )
+    cc = cg.agg(
+        F.sum("c_n").cast("long").alias("nc"),
+        F.sum("c_sp").alias("csp"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return tt.crossJoin(F.broadcast(cc)).select(
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_controls"),
+        fl6(
+            (
+                F.col("tsp").cast("double") / F.col("nt").cast("double")
+                - (F.col("c6").cast("double") / F.lit(1e6))
+                / F.col("nt").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("att_dollars"),
+        fl6(
+            (
+                F.col("tsp").cast("double") / F.col("nt").cast("double")
+                - F.col("csp").cast("double") / F.col("nc").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("naive_diff_dollars"),
+    )

@@ -244,6 +244,11 @@ QUERIES = [
     "q264_hodges_lehmann",      # value-domain^2 Walsh pairs
     "q265_bh_fdr",              # one source agg, 20-row windows
     "q266_nelson_aalen",        # user-keyed mins, duration grain
+    # round-11 fourth batch
+    "q267_idle_balance_blame",  # scalar cutoff + custkey anti join
+    "q268_mase_backtest",       # day-grain lags per event type
+    "q269_platt_scaling",       # 3 Newton passes over cached grain
+    "q270_matching_att",        # count-grain nearest match
 ]
 
 

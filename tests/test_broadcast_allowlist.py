@@ -176,6 +176,11 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/analytics.py", "q265"): (2, "SCALAR"),
     # q266: the 1-row censor-horizon scalar
     ("plans/analytics.py", "q266"): (1, "SCALAR"),
+    # q267: the 1-row balance-cutoff scalar
+    ("plans/analytics.py", "q267"): (1, "SCALAR"),
+    # q270: the order-count-grain control frame + the 1-row control
+    # totals
+    ("plans/analytics.py", "q270"): (2, "DOMAIN"),
 }
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}

@@ -976,3 +976,48 @@ def test_q266_signup_frame_cached(spark):
     # plan keeps only the purchase-filter scan and the horizon scan
     plan = live_plan(plan_of(spark, "q266_nelson_aalen"))
     assert plan.count("Scan parquet") == 2
+
+
+R11D_COHORT = [
+    "q267_idle_balance_blame",
+    "q268_mase_backtest",
+    "q269_platt_scaling",
+    "q270_matching_att",
+]
+
+
+@pytest.mark.parametrize("name", R11D_COHORT)
+def test_r11d_cohort_no_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q267_antijoin_is_key_equality(spark):
+    # the never-ordered check must be a custkey-keyed anti join
+    # (shuffle-safe at scale), never a nested loop over customers
+    plan = plan_of(spark, "q267_idle_balance_blame")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" not in plan
+
+
+def test_q268_lags_partition_by_event_type(spark):
+    plan = plan_of(spark, "q268_mase_backtest")
+    assert "windowspecdefinition(event_type" in plan
+    assert "Exchange SinglePartition" not in live_plan(plan)
+
+
+def test_q269_newton_reads_cached_grain_only(spark):
+    # all three Newton passes + the final ECE aggregate read the
+    # persisted 101-row score histogram: zero parquet scans live
+    plan = live_plan(plan_of(spark, "q269_platt_scaling"))
+    assert plan.count("Scan parquet") == 0
+
+
+def test_q270_matching_on_count_grain(spark):
+    # the nearest-count match is a grain^2 rank over the broadcast
+    # control histogram; the live plan reads the persisted customer
+    # frame, never re-scanning the facts
+    plan = live_plan(plan_of(spark, "q270_matching_att"))
+    assert plan.count("Scan parquet") == 0
+    full = plan_of(spark, "q270_matching_att")
+    assert "windowspecdefinition(cnt" in full

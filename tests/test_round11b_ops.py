@@ -486,3 +486,174 @@ def test_q266_nelson_aalen_python_replay(spark):
             math.exp(-h9 / 1e9), abs=1.1e-6
         )
     assert set(rows) == {t for t in d_i}
+
+
+def test_q267_q22_shape_pandas_replay(spark):
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    sel = cust[
+        cust["c_mktsegment"].isin(["BUILDING", "MACHINERY", "AUTOMOBILE"])
+    ].copy()
+    sel["bal2"] = (sel["c_acctbal"] * 100.0 + 0.5).apply(math.floor)
+    pos = sel[sel["bal2"] > 0]
+    cutoff = pos["bal2"].sum() / len(pos)
+    have = set(orders["o_custkey"])
+    idle = sel[(sel["bal2"] > cutoff) & (~sel["c_custkey"].isin(have))]
+    rows = {
+        r["c_mktsegment"]: r
+        for r in REGISTRY["q267_idle_balance_blame"].fn(spark, SF_DIR).collect()
+    }
+    g = idle.groupby("c_mktsegment")["bal2"]
+    assert set(rows) == set(g.groups)
+    for seg, grp in g:
+        assert rows[seg]["n_customers"] == len(grp)
+        assert rows[seg]["total_acctbal"] == pytest.approx(
+            grp.sum() / 100.0, abs=0.011
+        )
+
+
+def test_q268_mase_pandas_replay(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["q268_mase_backtest"].fn(spark, SF_DIR).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        y = grp.groupby(grp["ts"].dt.date).size().sort_index().to_list()
+        ae_m = [abs(y[t] - y[t - 7]) for t in range(7, len(y))]
+        ae_n = [abs(y[t] - y[t - 1]) for t in range(7, len(y))]
+        smape = [
+            round(2.0 * abs(y[t] - y[t - 7]) / (y[t] + y[t - 7]), 9)
+            for t in range(7, len(y))
+        ]
+        r = rows[et]
+        assert r["n_eval"] == len(ae_m)
+        assert r["mae_model"] == pytest.approx(
+            sum(ae_m) / len(ae_m), abs=1.1e-6
+        )
+        assert r["mase"] == pytest.approx(
+            sum(ae_m) / sum(ae_n), abs=1.1e-6
+        )
+        assert r["smape"] == pytest.approx(
+            sum(smape) / len(smape), abs=1.1e-6
+        )
+
+
+def test_q269_platt_newton_trajectory_replay(spark):
+    # rebuild the score-grain histogram from the oracled q84 scores
+    # + the q119 label, replay the snapped Newton trajectory in pure
+    # python, and require the identical (a, b) and ECEs
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    scores = {
+        r["doc_id"]: r["quality_prob"]
+        for r in REGISTRY["q84_quality_classifier"].fn(spark, SF_DIR).collect()
+    }
+    from collections import Counter
+
+    n_c, pos_c = Counter(), Counter()
+    for _, row in docs.iterrows():
+        s = min(math.floor(scores[row["doc_id"]] * 100.0 + 0.5), 100)
+        n_c[s] += 1
+        pos_c[s] += 1 if row["n_chars"] >= 280 else 0
+    a9 = b9 = 0
+    for _ in range(3):
+        a, b = a9 / 1e9, b9 / 1e9
+        g1 = g0 = h11 = h10 = h00 = 0
+        for s in n_c:
+            p9 = math.floor(
+                1.0 / (1.0 + math.exp(-(a * s + b))) * 1e9 + 0.5
+            )
+            resid = pos_c[s] * 10**9 - n_c[s] * p9
+            w = n_c[s] * p9 * (10**9 - p9)
+            g1 += s * resid
+            g0 += resid
+            h11 += w * s * s
+            h10 += w * s
+            h00 += w
+        g1d, g0d = float(g1) / 1e9, float(g0) / 1e9
+        h11d, h10d, h00d = (
+            float(h11) / 1e18,
+            float(h10) / 1e18,
+            float(h00) / 1e18,
+        )
+        det = h11d * h00d - h10d * h10d
+        da = (h00d * g1d - h10d * g0d) / det
+        db = (h11d * g0d - h10d * g1d) / det
+        a9 = math.floor((a9 / 1e9 + da) * 1e9 + 0.5)
+        b9 = math.floor((b9 / 1e9 + db) * 1e9 + 0.5)
+    a, b = a9 / 1e9, b9 / 1e9
+    nd = sum(n_c.values())
+    eb = sum(abs(s * n_c[s] - 100 * pos_c[s]) for s in n_c) / (100 * nd)
+    ea = sum(
+        abs(
+            n_c[s]
+            * math.floor(1.0 / (1.0 + math.exp(-(a * s + b))) * 1e9 + 0.5)
+            - pos_c[s] * 10**9
+        )
+        for s in n_c
+    ) / (1e9 * nd)
+    row = REGISTRY["q269_platt_scaling"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_docs"] == nd
+    assert row["platt_a"] == pytest.approx(a, abs=1e-9)
+    assert row["platt_b"] == pytest.approx(b, abs=1e-9)
+    assert row["ece_before"] == pytest.approx(eb, abs=1.1e-6)
+    assert row["ece_after"] == pytest.approx(ea, abs=1.1e-6)
+    # the fit must actually calibrate: the 3-step trajectory lands
+    # near the converged MLE (50 unsnapped Newton steps) and the
+    # weighted calibration error shrinks. NOTE the converged slope is
+    # NEGATIVE on this corpus — the q84 quality score anti-correlates
+    # with the n_chars>=280 label (q202's gap column shows the same
+    # miscalibration); a sign assumption here would be a data
+    # assumption, not a correctness property.
+    ac, bc = 0.0, 0.0
+    for _ in range(50):
+        g1 = g0 = h11 = h10 = h00 = 0.0
+        for s in n_c:
+            p = 1.0 / (1.0 + math.exp(-(ac * s + bc)))
+            g1 += s * (pos_c[s] - n_c[s] * p)
+            g0 += pos_c[s] - n_c[s] * p
+            w = n_c[s] * p * (1 - p)
+            h11 += w * s * s
+            h10 += w * s
+            h00 += w
+        det = h11 * h00 - h10 * h10
+        ac += (h00 * g1 - h10 * g0) / det
+        bc += (h11 * g0 - h10 * g1) / det
+    assert abs(row["platt_a"] - ac) < 0.25 * abs(ac)
+    assert row["ece_after"] <= row["ece_before"]
+
+
+def test_q270_matching_att_pandas_replay(spark):
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    orders["cents"] = (orders["o_totalprice"] * 100.0 + 0.5).apply(
+        math.floor
+    )
+    sp = orders.groupby("o_custkey").agg(
+        spend=("cents", "sum"), cnt=("cents", "size")
+    )
+    cu = cust.set_index("c_custkey").join(sp, how="left")
+    cu["cnt"] = cu["cnt"].fillna(0).astype(int)
+    cu["spend"] = cu["spend"].fillna(0).astype(int)
+    cu["treated"] = cu["c_mktsegment"] == "BUILDING"
+    tg = cu[cu["treated"]].groupby("cnt").agg(
+        t_n=("spend", "size"), t_sp=("spend", "sum")
+    )
+    cg = cu[~cu["treated"]].groupby("cnt").agg(
+        c_n=("spend", "size"), c_sp=("spend", "sum")
+    )
+    c6 = 0
+    for cnt, r in tg.iterrows():
+        best = min(cg.index, key=lambda c: (abs(cnt - c), c))
+        c6 += math.floor(
+            r["t_n"] * (cg.loc[best, "c_sp"] / cg.loc[best, "c_n"]) * 1e6
+            + 0.5
+        )
+    nt, tsp = int(tg["t_n"].sum()), int(tg["t_sp"].sum())
+    nc, csp = int(cg["c_n"].sum()), int(cg["c_sp"].sum())
+    att = (tsp / nt - (c6 / 1e6) / nt) / 100.0
+    naive = (tsp / nt - csp / nc) / 100.0
+    row = REGISTRY["q270_matching_att"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_treated"] == nt and row["n_controls"] == nc
+    assert row["att_dollars"] == pytest.approx(att, abs=1.1e-6)
+    assert row["naive_diff_dollars"] == pytest.approx(naive, abs=1.1e-6)
