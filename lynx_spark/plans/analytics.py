@@ -16388,16 +16388,20 @@ idle AS (SELECT sel.c_custkey, sel.c_mktsegment, sel.bal2
   WHERE CAST(sel.bal2 AS DOUBLE)
         > CAST(cutoff.s AS DOUBLE) / CAST(cutoff.c AS DOUBLE)
     AND NOT EXISTS (SELECT 1 FROM orders o
-                    WHERE o.o_custkey = sel.c_custkey))
+                    WHERE o.o_custkey = sel.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
   floor(CAST(CAST(sum(bal2) AS HUGEINT) AS DOUBLE) / 100.0
         * 100.0 + 0.5) / 100.0 AS total_acctbal
 FROM idle GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
     description="TPC-H Q22 shape on the available schema: "
-    "above-average-balance customers in a 3-segment roster who have "
-    "NEVER ordered — the 'idle capital' blame query (global scalar "
-    "cutoff subquery + NOT EXISTS anti-join + group), completing the "
+    "above-average-balance customers in a 3-segment roster with no "
+    "ORDER SINCE 2000-01-01 (this corpus has near-zero never-ordered "
+    "customers, so the dormancy cutoff keeps the blame set "
+    "non-trivial at every SF) — the 'idle capital' query (global "
+    "scalar cutoff subquery + NOT EXISTS anti-join + group), "
+    "completing the "
     "correlated-shape battery next to Q21's q254 (EXISTS pair) and "
     "Q4's q04. Balances quantize to exact cents so the positive-"
     "balance average is a HUGEINT/DECIMAL ratio and the cutoff "
@@ -16428,7 +16432,10 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("s").cast("double") / F.col("c").cast("double")
         )
         .join(
-            orders.select(F.col("o_custkey").alias("c_custkey")),
+            orders.filter(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01").cast("timestamp")
+            ).select(F.col("o_custkey").alias("c_custkey")),
             "c_custkey",
             "left_anti",
         )
