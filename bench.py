@@ -142,6 +142,11 @@ HEADLINE = [
     "q258_textrank_keywords",
     "q259_conformal_coverage",
     "q260_intrinsic_dimension",
+    # round-11 batches 3-4 representatives: value-domain^2 Walsh
+    # pairs (the heaviest new device) and the Newton-on-cached-grain
+    # calibration fit (3 driver-folded passes)
+    "q264_hodges_lehmann",
+    "q269_platt_scaling",
 ]
 
 
