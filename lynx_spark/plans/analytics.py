@@ -16903,3 +16903,273 @@ def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("naive_diff_dollars"),
     )
+
+
+@q(
+    "q271_kruskal_wallis",
+    oracle=f"""
+WITH ev AS ({_EV}),
+d AS (SELECT event_type AS g,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  FROM ev WHERE value IS NOT NULL),
+h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x),
+mr AS (SELECT x, c,
+    CAST(2 * COALESCE(sum(c) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+    AS BIGINT) AS u2
+  FROM h),
+hg AS (SELECT g, x, CAST(count(*) AS BIGINT) AS cg
+  FROM d GROUP BY g, x),
+rg AS (SELECT hg.g, CAST(sum(hg.cg) AS BIGINT) AS n_g,
+    CAST(sum(CAST(hg.cg AS HUGEINT) * mr.u2) AS HUGEINT) AS r2
+  FROM hg JOIN mr ON mr.x = hg.x GROUP BY hg.g),
+tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+    CAST((SELECT sum(CAST(c AS HUGEINT) * c * c - c) FROM h)
+      AS HUGEINT) AS ties
+  FROM rg),
+hstat AS (SELECT
+    12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+    * (SELECT CAST(sum(CAST(round((CAST(r2 AS DOUBLE) / 2.0)
+         * (CAST(r2 AS DOUBLE) / 2.0) / CAST(n_g AS DOUBLE), 6)
+         AS DECIMAL(38,6))) AS DOUBLE) FROM rg)
+    - 3.0 * CAST(n + 1 AS DOUBLE) AS h_raw,
+    1.0 - CAST(ties AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         - CAST(n AS DOUBLE)) AS tie_corr
+  FROM tot)
+SELECT rg.g AS event_type, rg.n_g AS n_events,
+  floor(CAST(rg.r2 AS DOUBLE) / 2.0 / CAST(rg.n_g AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_rank,
+  floor(hstat.h_raw * 1000000.0 + 0.5) / 1000000.0 AS h_statistic,
+  floor(hstat.h_raw / hstat.tie_corr * 1000000.0 + 0.5) / 1000000.0
+    AS h_tie_corrected
+FROM rg CROSS JOIN hstat ORDER BY event_type
+""",
+    description="Kruskal-Wallis rank test: do the k event types draw "
+    "their values from the same distribution? — the k-group "
+    "completion of the nonparametric battery (q245 Mann-Whitney is "
+    "its 2-group special case; q232's ANOVA F is the parametric "
+    "twin; q247 tests variances). Ranks never materialize per row: "
+    "the doubled-midrank device (q245/q209) runs on the pooled "
+    "VALUE-grain histogram, per-group rank sums are exact "
+    "HUGEINT/DECIMAL folds of (group, value)-grain counts times the "
+    "doubled midrank, and the tie term sum(c^3-c) is exact — H and "
+    "its tie correction are a handful of identically-parenthesized "
+    "doubles; per-group mean ranks reported alongside (the "
+    "direction readout the scalar H lacks)",
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    d = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    ).persist()  # two grain aggregations read this
+    dec = "decimal(38,0)"
+    h = d.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    wr = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    mr = h.select(
+        "x",
+        "c",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(wr), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    hg = d.groupBy("g", "x").agg(F.count("*").cast("long").alias("cg"))
+    rg = (
+        hg.join(mr.select("x", "u2"), "x")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum((F.col("cg").cast(dec) * F.col("u2")).cast(dec)).alias(
+                "r2"
+            ),
+        )
+    )
+    ties = h.agg(
+        F.sum(
+            (
+                F.col("c").cast(dec) * F.col("c") * F.col("c")
+                - F.col("c")
+            ).cast(dec)
+        ).alias("ties")
+    )
+    sd = lambda c_: F.col(c_).cast("double")
+    # per-group rank-sum terms snap to 1e-6 and fold as DECIMAL (the
+    # q86/q128 order-free trick) — a plain double sum over the group
+    # roster could flip a ULP between partition orders / engines
+    rsum = rg.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(
+            F.round(
+                (F.col("r2").cast("double") / F.lit(2.0))
+                * (F.col("r2").cast("double") / F.lit(2.0))
+                / F.col("n_g").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("rss"),
+    )
+    hstat = rsum.crossJoin(F.broadcast(ties)).select(
+        (
+            F.lit(12.0)
+            / (sd("n") * (F.col("n") + 1).cast("double"))
+            * F.col("rss")
+            - F.lit(3.0) * (F.col("n") + 1).cast("double")
+        ).alias("h_raw"),
+        (
+            F.lit(1.0)
+            - F.col("ties").cast("double")
+            / (sd("n") * sd("n") * sd("n") - sd("n"))
+        ).alias("tie_corr"),
+    )
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        rg.crossJoin(F.broadcast(hstat))
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n_g").alias("n_events"),
+            fl6(
+                F.col("r2").cast("double")
+                / F.lit(2.0)
+                / F.col("n_g").cast("double")
+            ).alias("mean_rank"),
+            fl6(F.col("h_raw")).alias("h_statistic"),
+            fl6(F.col("h_raw") / F.col("tie_corr")).alias(
+                "h_tie_corrected"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "q272_cuped_adjustment",
+    oracle=f"""
+WITH ev AS ({_EV}),
+pop AS (SELECT DISTINCT user_id FROM ev
+  WHERE ts < TIMESTAMP '2024-01-16'),
+px AS (SELECT user_id,
+    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS x
+  FROM ev WHERE ts < TIMESTAMP '2024-01-16'
+    AND event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id),
+py AS (SELECT user_id,
+    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS y
+  FROM ev WHERE ts >= TIMESTAMP '2024-01-16'
+    AND event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id),
+u AS (SELECT pop.user_id, COALESCE(px.x, 0) AS x,
+    COALESCE(py.y, 0) AS y
+  FROM pop LEFT JOIN px USING (user_id)
+  LEFT JOIN py USING (user_id)),
+mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM u),
+st AS (SELECT n,
+    CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS varx,
+    CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vary,
+    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+  FROM mo)
+SELECT n AS n_users,
+  floor(my / 100.0 * 1000000.0 + 0.5) / 1000000.0
+    AS mean_post_dollars,
+  floor(cov / varx * 1000000.0 + 0.5) / 1000000.0 AS theta,
+  floor(vary * 1000000.0 + 0.5) / 1000000.0 AS var_post,
+  floor((vary - cov * cov / varx) * 1000000.0 + 0.5) / 1000000.0
+    AS var_cuped,
+  floor(100.0 * (cov * cov) / (varx * vary) * 1000000.0 + 0.5)
+    / 1000000.0 AS var_reduction_pct
+FROM st
+""",
+    description="CUPED covariate adjustment (Deng et al. 2013, the "
+    "industry-standard experimentation variance-reduction device): "
+    "per-user PRE-period purchase value as the control covariate for "
+    "the POST-period metric, theta = cov(X,Y)/var(X), and the "
+    "adjusted metric variance var(Y) - cov^2/var(X) in closed form — "
+    "the sensitivity multiplier every A/B platform applies before "
+    "tests like q249. Population = users active in the pre period "
+    "(md5-free, calendar split shared with q229); values quantize "
+    "to exact cents so all five moment sums are exact "
+    "HUGEINT/DECIMAL folds (order-free) and every output is a "
+    "handful of identically-parenthesized doubles; ONE user-grain "
+    "pass + one moment aggregation, no second corpus scan for the "
+    "adjusted variance",
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    split = F.lit("2024-01-16").cast("timestamp")
+    v2 = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    pop = (
+        ev.filter(F.col("ts") < split).select("user_id").distinct()
+    )
+    px = (
+        ev.filter(
+            (F.col("ts") < split)
+            & (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(v2).cast("long").alias("x"))
+    )
+    py = (
+        ev.filter(
+            (F.col("ts") >= split)
+            & (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(v2).cast("long").alias("y"))
+    )
+    u = (
+        pop.join(px, "user_id", "left")
+        .join(py, "user_id", "left")
+        .select(
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    mo = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y")).cast(dec)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    varx = F.col("sxx").cast("double") / nd - mx * mx
+    vary = F.col("syy").cast("double") / nd - my * my
+    fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return mo.select(
+        F.col("n").alias("n_users"),
+        fl6(my / F.lit(100.0)).alias("mean_post_dollars"),
+        fl6(cov / varx).alias("theta"),
+        fl6(vary).alias("var_post"),
+        fl6(vary - cov * cov / varx).alias("var_cuped"),
+        fl6(F.lit(100.0) * (cov * cov) / (varx * vary)).alias(
+            "var_reduction_pct"
+        ),
+    )

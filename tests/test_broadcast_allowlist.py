@@ -181,6 +181,8 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     # q270: the order-count-grain control frame + the 1-row control
     # totals
     ("plans/analytics.py", "q270"): (2, "DOMAIN"),
+    # q271: the 1-row tie term + the 1-row (H, tie_corr) scalars
+    ("plans/analytics.py", "q271"): (2, "SCALAR"),
 }
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}

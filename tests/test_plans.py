@@ -1021,3 +1021,15 @@ def test_q270_matching_on_count_grain(spark):
     assert plan.count("Scan parquet") == 0
     full = plan_of(spark, "q270_matching_att")
     assert "windowspecdefinition(cnt" in full
+
+
+def test_q271_q272_no_cartesian_and_shapes(spark):
+    p271 = plan_of(spark, "q271_kruskal_wallis")
+    assert "CartesianProduct" not in p271
+    # both grain aggregations read the persisted (g, x) projection
+    assert live_plan(p271).count("Scan parquet") == 0
+    p272 = plan_of(spark, "q272_cuped_adjustment")
+    assert "CartesianProduct" not in p272
+    # three pruned fact passes (population, pre, post) — no window,
+    # no sort, one moment aggregate
+    assert "Window" not in live_plan(p272)

@@ -662,3 +662,79 @@ def test_q270_matching_att_pandas_replay(spark):
     assert row["n_treated"] == nt and row["n_controls"] == nc
     assert row["att_dollars"] == pytest.approx(att, abs=1.1e-6)
     assert row["naive_diff_dollars"] == pytest.approx(naive, abs=1.1e-6)
+
+
+def test_q271_kruskal_wallis_rankdata_replay(spark):
+    import numpy as np
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["x"] = (ev["value"] * 100.0 + 0.5).apply(math.floor)
+    # per-row average ranks via argsort (no value-grain device)
+    x = ev["x"].to_numpy()
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=float)
+    i = 0
+    while i < len(x):
+        j = i
+        while j + 1 < len(x) and x[order[j + 1]] == x[order[i]]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    ev["rank"] = ranks
+    n = len(ev)
+    rss = sum(
+        round(grp["rank"].sum() ** 2 / len(grp), 6)
+        for _, grp in ev.groupby("event_type")
+    )
+    h_raw = 12.0 / (n * (n + 1)) * rss - 3.0 * (n + 1)
+    _, t_counts = np.unique(x, return_counts=True)
+    tie = 1.0 - sum(int(t) ** 3 - int(t) for t in t_counts) / (
+        n**3 - n
+    )
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["q271_kruskal_wallis"].fn(spark, SF_DIR).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        r = rows[et]
+        assert r["n_events"] == len(grp)
+        assert r["mean_rank"] == pytest.approx(
+            grp["rank"].mean(), abs=1.1e-6
+        )
+        assert r["h_statistic"] == pytest.approx(h_raw, abs=2e-6)
+        assert r["h_tie_corrected"] == pytest.approx(
+            h_raw / tie, abs=2e-6
+        )
+
+
+def test_q272_cuped_pandas_replay(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["v2"] = (ev["value"] * 100.0 + 0.5).apply(math.floor)
+    split = pd.Timestamp("2024-01-16")
+    pop = set(ev[ev["ts"] < split]["user_id"])
+    pur = ev[ev["event_type"] == "purchase"]
+    px = pur[pur["ts"] < split].groupby("user_id")["v2"].sum()
+    py = pur[pur["ts"] >= split].groupby("user_id")["v2"].sum()
+    xs = [float(px.get(u, 0)) for u in pop]
+    ys = [float(py.get(u, 0)) for u in pop]
+    n = len(pop)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum(a * b for a, b in zip(xs, ys)) / n - mx * my
+    varx = sum(a * a for a in xs) / n - mx * mx
+    vary = sum(b * b for b in ys) / n - my * my
+    row = REGISTRY["q272_cuped_adjustment"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == n
+    assert row["mean_post_dollars"] == pytest.approx(my / 100, abs=1.1e-6)
+    assert row["theta"] == pytest.approx(cov / varx, abs=1.1e-6)
+    assert row["var_post"] == pytest.approx(vary, rel=1e-9, abs=1.1e-6)
+    assert row["var_cuped"] == pytest.approx(
+        vary - cov * cov / varx, rel=1e-9, abs=1.1e-6
+    )
+    assert row["var_reduction_pct"] == pytest.approx(
+        100 * cov * cov / (varx * vary), abs=1.1e-6
+    )
+    # CUPED never increases variance, and the reduction equals rho^2
+    assert 0 <= row["var_cuped"] <= row["var_post"]
+    assert 0 <= row["var_reduction_pct"] <= 100
