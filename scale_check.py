@@ -249,6 +249,9 @@ QUERIES = [
     "q268_mase_backtest",       # day-grain lags per event type
     "q269_platt_scaling",       # 3 Newton passes over cached grain
     "q270_matching_att",        # count-grain nearest match
+    # round-11 fifth batch
+    "q271_kruskal_wallis",      # two grain aggs, midrank device
+    "q272_cuped_adjustment",    # pruned fact passes, one moment agg
 ]
 
 
