@@ -83,10 +83,18 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST: list[str] = [
-    # (empty for round 8: the r07 rows for q123/q129 landed green, so
-    # the manual re-verify entries are dropped per this list's rule;
-    # q182-q198 auto-promote via _never_driver_green below. Re-add
-    # names here only when a query is REWRITTEN after a green row.)
+    # Round 12: q09b REWRITTEN from rows-only sketch output to the
+    # hash-matchable (n_exact, within_bound) shape with a real DuckDB
+    # oracle — its historical rows are all `no_oracle`, so it must be
+    # re-sampled to land its first green. Drop once the row lands.
+    "q09b_approx_distinct",
+    # Round 12: q261/q263/q268/q272 got ADVICE-driven semantic edits
+    # (driver-side trig table, NULLIF degenerate-denominator guards,
+    # densified day grain) after their r11 green rows.
+    "q261_periodogram",
+    "q263_clustering_agreement",
+    "q268_mase_backtest",
+    "q272_cuped_adjustment",
 ]
 
 
@@ -446,14 +454,42 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q09b_approx_distinct",
-    oracle=None,  # HLL sketches are implementation-specific; rows-only check
-    description="approx_count_distinct (HyperLogLog++) per event_type",
+    # The HLL sketch estimate itself is implementation-specific, so the
+    # hash-comparable output is (exact, bound-flag): the Spark side
+    # computes BOTH the exact distinct and the HLL++ estimate and folds
+    # the documented 3*rsd accuracy bound (rsd=0.05 default -> 0.15)
+    # into a boolean; DuckDB emits the same exact count with a literal
+    # TRUE. A sketch drifting outside the bound flips the flag and the
+    # driver hash-mismatches — the bound IS the correctness claim.
+    oracle=f"""
+WITH ev AS ({_EV})
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+  TRUE AS within_bound
+FROM ev GROUP BY event_type
+""",
+    description=(
+        "approx_count_distinct (HyperLogLog++) per event_type, emitted "
+        "as (exact, within-3*rsd flag) so the sketch is hash-checkable"
+    ),
 )
 def q09b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         T(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("approx_users") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= F.lit(0.15)
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -15433,20 +15469,20 @@ kf AS (SELECT CAST(k AS BIGINT) AS k
   WHERE 2 * k <= n - 1),
 tr AS (SELECT kf.k, idx.t,
     CAST(floor(cos(2.0 * pi() * CAST(kf.k * idx.t AS DOUBLE)
-        / CAST(nn.n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS c9,
+        / CAST(nn.n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS c6,
     CAST(floor(sin(2.0 * pi() * CAST(kf.k * idx.t AS DOUBLE)
-        / CAST(nn.n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS s9,
+        / CAST(nn.n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s6,
     CAST(nn.n * idx.x - nn.s AS BIGINT) AS y
   FROM kf CROSS JOIN idx CROSS JOIN nn),
 ag AS (SELECT k,
-    CAST(sum(CAST(c9 AS HUGEINT) * y) AS HUGEINT) AS ak,
-    CAST(sum(CAST(s9 AS HUGEINT) * y) AS HUGEINT) AS bk
+    CAST(sum(CAST(c6 AS HUGEINT) * y) AS HUGEINT) AS ak,
+    CAST(sum(CAST(s6 AS HUGEINT) * y) AS HUGEINT) AS bk
   FROM tr GROUP BY k),
 pw AS (SELECT k,
-    (CAST(ak AS DOUBLE) / (1000000000.0 * CAST(nn.n AS DOUBLE)))
-      * (CAST(ak AS DOUBLE) / (1000000000.0 * CAST(nn.n AS DOUBLE)))
-    + (CAST(bk AS DOUBLE) / (1000000000.0 * CAST(nn.n AS DOUBLE)))
-      * (CAST(bk AS DOUBLE) / (1000000000.0 * CAST(nn.n AS DOUBLE)))
+    (CAST(ak AS DOUBLE) / (1000000.0 * CAST(nn.n AS DOUBLE)))
+      * (CAST(ak AS DOUBLE) / (1000000.0 * CAST(nn.n AS DOUBLE)))
+    + (CAST(bk AS DOUBLE) / (1000000.0 * CAST(nn.n AS DOUBLE)))
+      * (CAST(bk AS DOUBLE) / (1000000.0 * CAST(nn.n AS DOUBLE)))
       AS power, nn.n
   FROM ag CROSS JOIN nn)
 SELECT k, n AS n_days,
@@ -15463,11 +15499,17 @@ FROM pw ORDER BY k
     "q244's fixed weekly decomposition and q211's day-of-week "
     "profile (those assume period 7; this finds it). Centering "
     "folds into integers: y_t = n*x_t - S is exact, cos/sin "
-    "coefficients snap once to the 1e-9 integer grid, so every "
+    "coefficients snap once to the 1e-6 integer grid, so every "
     "data-sized sum is an exact HUGEINT/DECIMAL(38) fold "
     "(order-free) and the only doubles are the final identically-"
     "parenthesized power expression; day-grain frame is calendar-"
-    "bounded, the k roster is a 10-row literal",
+    "bounded, the k roster is a 10-row literal. The snap is the "
+    "ONE cross-libm point (JVM vs DuckDB cos/sin can differ ~1 "
+    "ULP); a driver-side literal table can't replace it because "
+    "the angles depend on data-sized n while the oracle SQL is "
+    "static, so the grid is 1e-6 (not 1e-9): the arg error a ULP "
+    "induces is ~1e-10 of a grid cell, making a boundary flip "
+    "~1000x less likely than the former 1e-9 grid",
 )
 def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
@@ -15499,15 +15541,15 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("k") * F.col("t")).cast("double")
         / F.col("n").cast("double")
     )
-    fl9 = lambda c_: F.floor(c_ * F.lit(1e9) + F.lit(0.5)).cast("long")
+    fl6i = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)).cast("long")
     tr = (
         F.broadcast(kf)
         .crossJoin(idx)
         .crossJoin(F.broadcast(nn))
         .select(
             "k",
-            fl9(F.cos(ang)).alias("c9"),
-            fl9(F.sin(ang)).alias("s9"),
+            fl6i(F.cos(ang)).alias("c6"),
+            fl6i(F.sin(ang)).alias("s6"),
             (F.col("n") * F.col("x") - F.col("s"))
             .cast("long")
             .alias("y"),
@@ -15515,14 +15557,14 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ag = tr.groupBy("k", "n").agg(
-        F.sum(F.col("c9").cast("decimal(38,0)") * F.col("y")).alias("ak"),
-        F.sum(F.col("s9").cast("decimal(38,0)") * F.col("y")).alias("bk"),
+        F.sum(F.col("c6").cast("decimal(38,0)") * F.col("y")).alias("ak"),
+        F.sum(F.col("s6").cast("decimal(38,0)") * F.col("y")).alias("bk"),
     )
     pa = F.col("ak").cast("double") / (
-        F.lit(1e9) * F.col("n").cast("double")
+        F.lit(1e6) * F.col("n").cast("double")
     )
     pb = F.col("bk").cast("double") / (
-        F.lit(1e9) * F.col("n").cast("double")
+        F.lit(1e6) * F.col("n").cast("double")
     )
     pw = ag.select("k", "n", (pa * pa + pb * pb).alias("power"))
     fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
@@ -15835,12 +15877,13 @@ SELECT s.n AS n_vectors, s.n_cl AS n_clusters, s.n_lb AS n_labels,
   floor((CAST(s.s_ij AS DOUBLE)
          - CAST(s.s_a AS DOUBLE) * CAST(s.s_b AS DOUBLE)
            / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE) / 2.0))
-        / ((CAST(s.s_a AS DOUBLE) + CAST(s.s_b AS DOUBLE)) / 2.0
+        / nullif((CAST(s.s_a AS DOUBLE) + CAST(s.s_b AS DOUBLE)) / 2.0
            - CAST(s.s_a AS DOUBLE) * CAST(s.s_b AS DOUBLE)
-             / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE) / 2.0))
+             / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE) / 2.0),
+           0.0)
         * 1000000.0 + 0.5) / 1000000.0 AS ari,
-  floor(mi.i_uv / sqrt(hu.h_u * hv.h_v) * 1000000.0 + 0.5)
-    / 1000000.0 AS nmi
+  floor(mi.i_uv / nullif(sqrt(hu.h_u * hv.h_v), 0.0)
+    * 1000000.0 + 0.5) / 1000000.0 AS nmi
 FROM s CROSS JOIN mi CROSS JOIN hu CROSS JOIN hv
 """,
     description="external clustering-agreement metrics of the LSH "
@@ -15946,12 +15989,21 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cl").alias("n_clusters"),
             F.col("n_lb").alias("n_labels"),
             fl6(sd("pur_num") / sd("n")).alias("purity"),
+            # degenerate guards (r12 ADVICE): a single cluster or a
+            # single label zeroes an entropy / the ARI denominator;
+            # NULLIF on both engines so neither emits inf/NaN
             fl6(
                 (sd("s_ij") - exp_idx)
-                / ((sd("s_a") + sd("s_b")) / F.lit(2.0) - exp_idx)
+                / F.nullif(
+                    (sd("s_a") + sd("s_b")) / F.lit(2.0) - exp_idx,
+                    F.lit(0.0),
+                )
             ).alias("ari"),
             fl6(
-                F.col("i_uv") / F.sqrt(F.col("h_u") * F.col("h_v"))
+                F.col("i_uv")
+                / F.nullif(
+                    F.sqrt(F.col("h_u") * F.col("h_v")), F.lit(0.0)
+                )
             ).alias("nmi"),
         )
     )
@@ -16463,19 +16515,30 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q268_mase_backtest",
     oracle=f"""
 WITH ev AS ({_EV}),
-dly AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+dly AS (SELECT event_type, CAST(ts AS DATE) AS d,
     CAST(count(*) AS BIGINT) AS y
   FROM ev GROUP BY 1, 2),
+bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM dly),
+cal AS (SELECT CAST(unnest(generate_series(d0, d1,
+    INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
+grid AS (SELECT et.event_type, cal.d
+  FROM (SELECT DISTINCT event_type FROM dly) et CROSS JOIN cal),
+dense AS (SELECT grid.event_type,
+    CAST(grid.d AS VARCHAR) AS day,
+    CAST(coalesce(dly.y, 0) AS BIGINT) AS y
+  FROM grid LEFT JOIN dly
+    ON dly.event_type = grid.event_type AND dly.d = grid.d),
 lag7 AS (SELECT event_type, day, y,
     lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7,
     lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1
-  FROM dly),
+  FROM dense),
 er AS (SELECT event_type,
     CAST(count(*) AS BIGINT) AS n_eval,
     CAST(sum(abs(y - y7)) AS BIGINT) AS ae_model,
     CAST(sum(abs(y - y1)) AS BIGINT) AS ae_naive,
-    CAST(sum(CAST(round(2.0 * CAST(abs(y - y7) AS DOUBLE)
-        / CAST(y + y7 AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
+    CAST(sum(CASE WHEN y + y7 = 0 THEN CAST(0 AS DECIMAL(38,9))
+      ELSE CAST(round(2.0 * CAST(abs(y - y7) AS DOUBLE)
+        / CAST(y + y7 AS DOUBLE), 9) AS DECIMAL(38,9)) END) AS DOUBLE)
       AS smape_sum
   FROM lag7 WHERE y7 IS NOT NULL GROUP BY event_type)
 SELECT event_type, n_eval,
@@ -16483,7 +16546,8 @@ SELECT event_type, n_eval,
         * 1000000.0 + 0.5) / 1000000.0 AS mae_model,
   floor(CAST(ae_naive AS DOUBLE) / CAST(n_eval AS DOUBLE)
         * 1000000.0 + 0.5) / 1000000.0 AS mae_naive,
-  floor(CAST(ae_model AS DOUBLE) / CAST(ae_naive AS DOUBLE)
+  floor(CAST(ae_model AS DOUBLE)
+        / CAST(nullif(ae_naive, 0) AS DOUBLE)
         * 1000000.0 + 0.5) / 1000000.0 AS mase,
   floor(smape_sum / CAST(n_eval AS DOUBLE) * 1000000.0 + 0.5)
     / 1000000.0 AS smape
@@ -16494,8 +16558,13 @@ FROM er ORDER BY event_type
     "MASE (seasonal-naive MAE over one-step-naive MAE — the "
     "scale-free forecast metric, <1 beats drift) and sMAPE — the "
     "evaluation harness q163's Holt and q244's decomposition lack "
-    "(they fit; nothing scored them). Absolute errors are exact "
-    "integers at the day grain (calendar-bounded, one corpus "
+    "(they fit; nothing scored them). The per-type series is "
+    "DENSIFIED first (min..max calendar grid, zero-filled) so "
+    "lag(7) is calendar t-7 even with missing days (r12 ADVICE "
+    "fix); sMAPE terms with y + y7 = 0 are defined 0 and the MASE "
+    "denominator is NULLIF-guarded (constant series -> NULL on "
+    "both engines, not a NULL-vs-inf split). Absolute errors are "
+    "exact integers at the day grain (calendar-bounded, one corpus "
     "aggregation), so MASE is one exact-int ratio; sMAPE terms snap "
     "to 1e-9 and decimal-fold (q128's device); lags are event_type-"
     "partitioned windows — never a global sort",
@@ -16503,11 +16572,29 @@ FROM er ORDER BY event_type
 def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     dly = ev.groupBy(
-        "event_type",
-        F.col("ts").cast("date").cast("string").alias("day"),
+        "event_type", F.col("ts").cast("date").alias("d")
     ).agg(F.count("*").cast("long").alias("y"))
+    dly = dly.persist()  # one corpus scan: bounds, types, grid read it
+    # calendar densification: the grid is (distinct types) x (calendar
+    # days) — both calendar-bounded, so the cross join and the left
+    # join back to the day counts are broadcast-sized
+    bounds = dly.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    grid = dly.select("event_type").distinct().crossJoin(F.broadcast(cal))
+    dense = (
+        grid.join(dly, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
     w = Window.partitionBy("event_type").orderBy("day")
-    lag7 = dly.select(
+    lag7 = dense.select(
         "event_type",
         "y",
         F.lag("y", 7).over(w).alias("y7"),
@@ -16518,12 +16605,17 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("y") - F.col("y7"))).cast("long").alias("ae_model"),
         F.sum(F.abs(F.col("y") - F.col("y1"))).cast("long").alias("ae_naive"),
         F.sum(
-            F.round(
-                F.lit(2.0)
-                * F.abs(F.col("y") - F.col("y7")).cast("double")
-                / (F.col("y") + F.col("y7")).cast("double"),
-                9,
-            ).cast("decimal(38,9)")
+            F.when(
+                F.col("y") + F.col("y7") == 0,
+                F.lit(0).cast("decimal(38,9)"),
+            ).otherwise(
+                F.round(
+                    F.lit(2.0)
+                    * F.abs(F.col("y") - F.col("y7")).cast("double")
+                    / (F.col("y") + F.col("y7")).cast("double"),
+                    9,
+                ).cast("decimal(38,9)")
+            )
         )
         .cast("double")
         .alias("smape_sum"),
@@ -16535,7 +16627,10 @@ def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eval",
         fl6(sd("ae_model") / sd("n_eval")).alias("mae_model"),
         fl6(sd("ae_naive") / sd("n_eval")).alias("mae_naive"),
-        fl6(sd("ae_model") / sd("ae_naive")).alias("mase"),
+        fl6(
+            sd("ae_model")
+            / F.nullif(F.col("ae_naive"), F.lit(0)).cast("double")
+        ).alias("mase"),
         fl6(F.col("smape_sum") / sd("n_eval")).alias("smape"),
     ).orderBy("event_type")
 
@@ -17092,12 +17187,13 @@ st AS (SELECT n,
 SELECT n AS n_users,
   floor(my / 100.0 * 1000000.0 + 0.5) / 1000000.0
     AS mean_post_dollars,
-  floor(cov / varx * 1000000.0 + 0.5) / 1000000.0 AS theta,
+  floor(cov / nullif(varx, 0.0) * 1000000.0 + 0.5) / 1000000.0
+    AS theta,
   floor(vary * 1000000.0 + 0.5) / 1000000.0 AS var_post,
-  floor((vary - cov * cov / varx) * 1000000.0 + 0.5) / 1000000.0
-    AS var_cuped,
-  floor(100.0 * (cov * cov) / (varx * vary) * 1000000.0 + 0.5)
-    / 1000000.0 AS var_reduction_pct
+  floor((vary - cov * cov / nullif(varx, 0.0)) * 1000000.0 + 0.5)
+    / 1000000.0 AS var_cuped,
+  floor(100.0 * (cov * cov) / nullif(varx * vary, 0.0)
+    * 1000000.0 + 0.5) / 1000000.0 AS var_reduction_pct
 FROM st
 """,
     description="CUPED covariate adjustment (Deng et al. 2013, the "
@@ -17162,14 +17258,21 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("sxy").cast("double") / nd - mx * my
     varx = F.col("sxx").cast("double") / nd - mx * mx
     vary = F.col("syy").cast("double") / nd - my * my
+    # degenerate-denominator guard (r12 ADVICE): a constant pre- or
+    # post-period metric (varx/vary = 0) must yield NULL on BOTH
+    # engines — unguarded, Spark non-ANSI /0 is NULL but DuckDB is
+    # inf/NaN, splitting the engines instead of failing cleanly
+    varx_nz = F.nullif(varx, F.lit(0.0))
     fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return mo.select(
         F.col("n").alias("n_users"),
         fl6(my / F.lit(100.0)).alias("mean_post_dollars"),
-        fl6(cov / varx).alias("theta"),
+        fl6(cov / varx_nz).alias("theta"),
         fl6(vary).alias("var_post"),
-        fl6(vary - cov * cov / varx).alias("var_cuped"),
-        fl6(F.lit(100.0) * (cov * cov) / (varx * vary)).alias(
-            "var_reduction_pct"
-        ),
+        fl6(vary - cov * cov / varx_nz).alias("var_cuped"),
+        fl6(
+            F.lit(100.0)
+            * (cov * cov)
+            / F.nullif(varx * vary, F.lit(0.0))
+        ).alias("var_reduction_pct"),
     )

