@@ -176,6 +176,8 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/analytics.py", "q265"): (2, "SCALAR"),
     # q266: the 1-row censor-horizon scalar
     ("plans/analytics.py", "q266"): (1, "SCALAR"),
+    # q268 (r12 densify): the min..max day calendar frame
+    ("plans/analytics.py", "q268"): (1, "CALENDAR"),
     # q267: the 1-row balance-cutoff scalar
     ("plans/analytics.py", "q267"): (1, "SCALAR"),
     # q270: the order-count-grain control frame + the 1-row control
@@ -187,8 +189,33 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
 
 VALID_CLASSES = {"DIM", "SCALAR", "ROSTER", "CALENDAR", "DOMAIN", "GATED"}
 
+# The same hazard class has a second spelling (VERDICT r11): a plain
+# ``a.crossJoin(b)`` with a data-dependent operand is a cartesian
+# blowup at 100 TB even though no broadcast hint appears anywhere.
+# Sites whose ARGUMENT is directly ``F.broadcast(...)`` are already
+# certified by the F.broadcast allowlist above (the hinted frame's
+# bound class covers the cartesian: |out| = |left| * |hinted|); every
+# OTHER crossJoin site must be classified here, keyed like the
+# broadcast list, with the bound class of its unhinted operand.
+CROSSJOIN_ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
+    # q261: broadcast(kf <= 10 rows).crossJoin(idx) — idx is the
+    # day-indexed series, calendar-bounded; the cartesian is
+    # 10 x n_days
+    ("plans/analytics.py", "q261"): (1, "CALENDAR"),
+    # kcore peel rounds: the per-round 1-row survivor-count aggregate
+    # stapled onto the summary row
+    ("operators/graph.py", "kcore_peel"): (2, "SCALAR"),
+    # BPE merge loop: best (1-row argmax pair) x tok (1-row
+    # checkpointed token total)
+    ("operators/lm.py", "_bpe_learn"): (1, "SCALAR"),
+    # eval curve: broadcast(threshold roster <= ~9 rows) x buckets
+    # (score-value grain — bounded by the score domain, not the
+    # corpus)
+    ("operators/quality.py", "classifier_eval_curve"): (1, "DOMAIN"),
+}
 
-def _broadcast_sites() -> dict[tuple[str, str], int]:
+
+def _walk_sites(match_call) -> dict[tuple[str, str], int]:
     found: dict[tuple[str, str], int] = {}
     for mod in sorted(PKG.rglob("*.py")):
         rel = mod.relative_to(PKG).as_posix()
@@ -205,19 +232,41 @@ def _broadcast_sites() -> dict[tuple[str, str], int]:
             visit_AsyncFunctionDef = _fn
 
             def visit_Call(self, node):
-                f = node.func
-                if (
-                    isinstance(f, ast.Attribute)
-                    and f.attr == "broadcast"
-                    and isinstance(f.value, ast.Name)
-                    and f.value.id == "F"
-                ):
+                if match_call(node):
                     key = (rel, stack[-1] if stack else "<module>")
                     found[key] = found.get(key, 0) + 1
                 self.generic_visit(node)
 
         V().visit(tree)
     return found
+
+
+def _is_f_broadcast(node: ast.expr) -> bool:
+    return (
+        isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr == "broadcast"
+        and isinstance(node.func.value, ast.Name)
+        and node.func.value.id == "F"
+    )
+
+
+def _broadcast_sites() -> dict[tuple[str, str], int]:
+    return _walk_sites(lambda node: _is_f_broadcast(node))
+
+
+def _unhinted_crossjoin_sites() -> dict[tuple[str, str], int]:
+    """crossJoin call sites whose argument is NOT directly an
+    F.broadcast(...) call (those are certified by the broadcast
+    allowlist)."""
+
+    def match(node: ast.Call) -> bool:
+        f = node.func
+        if not (isinstance(f, ast.Attribute) and f.attr == "crossJoin"):
+            return False
+        return not (len(node.args) == 1 and _is_f_broadcast(node.args[0]))
+
+    return _walk_sites(match)
 
 
 def test_every_broadcast_site_is_allowlisted():
@@ -244,4 +293,29 @@ def test_allowlist_counts_exact():
 
 def test_allowlist_classes_valid():
     bad = {k: c for k, (_, c) in ALLOWLIST.items() if c not in VALID_CLASSES}
+    bad |= {
+        k: c
+        for k, (_, c) in CROSSJOIN_ALLOWLIST.items()
+        if c not in VALID_CLASSES
+    }
     assert not bad, f"unknown bound classes: {bad}"
+
+
+def test_every_unhinted_crossjoin_site_is_allowlisted():
+    found = _unhinted_crossjoin_sites()
+    new = {k: v for k, v in found.items() if k not in CROSSJOIN_ALLOWLIST}
+    assert not new, (
+        "Unaudited plain .crossJoin() sites (classify in "
+        "CROSSJOIN_ALLOWLIST with the unhinted operand's bound class, "
+        f"or hint a provably bounded operand): {new}"
+    )
+
+
+def test_crossjoin_allowlist_counts_exact():
+    found = _unhinted_crossjoin_sites()
+    drift = {
+        k: (found.get(k, 0), exp)
+        for k, (exp, _) in CROSSJOIN_ALLOWLIST.items()
+        if found.get(k, 0) != exp
+    }
+    assert not drift, f"(found, expected) crossJoin count drift: {drift}"
