@@ -15,8 +15,15 @@ long-running server (the reference holds one engine-lifetime
 SessionContext, lynx.rs:38), so steady-state (post-JIT) latency is
 the representative number. The JSON line additionally carries
 "queries_median" (per-query median of the post-warmup reps) and
-"noise_band" (mean of (median-min)/min across queries): compare two
-rounds' min values only where the delta exceeds the noise band.
+"noise_band" (mean of (median-min)/min across queries).
+
+Round-over-round comparison (the compact final line) is MEDIAN-based
+as of r12: `geomean_vs_prev_median` is the primary figure and
+`top_deltas_median` the drill-down, with the min-based
+`geomean_vs_prev_min` kept alongside for continuity with r01-r11
+artifacts. Rationale: three consecutive rounds spent min-of-N replays
+refuting phantom regressions (q160-r9, q110-r10, q218/q214-r11) —
+a single unlucky rep moves a min far more than a median.
 """
 
 from __future__ import annotations
@@ -445,6 +452,13 @@ def main() -> None:
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
+        "value_median": round(
+            sum(medians.values())
+            + sum(
+                v for k, v in timings.items() if k not in medians
+            ),
+            4,
+        ),
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
@@ -478,12 +492,38 @@ def main() -> None:
             if common:
                 ratios = {n: timings[n] / pq[n] for n in common}
                 compact["vs_prev"] = Path(prevs[-1]).name
-                compact["geomean_vs_prev"] = round(
+                compact["geomean_vs_prev_min"] = round(
                     math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)),
                     4,
                 )
-                top = sorted(ratios, key=lambda n: abs(math.log(ratios[n])))[-5:]
-                compact["top_deltas"] = {n: round(ratios[n], 3) for n in top}
+            # PRIMARY round-over-round figure (r12, VERDICT r11 task
+            # 4): the median-based geomean. Three consecutive rounds
+            # spent min-of-N replays refuting phantom regressions
+            # (q160-r9, q110-r10, q218/q214-r11) because a single
+            # lucky/unlucky rep moves a min far more than a median;
+            # the min-based figure stays alongside for continuity
+            # with r01-r11 artifacts.
+            pm = prev.get("queries_median", pq)
+            mcommon = [
+                n for n in medians
+                if isinstance(pm.get(n), (int, float))
+                and pm[n] > 0 and medians[n] > 0
+            ]
+            if mcommon:
+                mratios = {n: medians[n] / pm[n] for n in mcommon}
+                compact["geomean_vs_prev_median"] = round(
+                    math.exp(
+                        sum(math.log(r) for r in mratios.values())
+                        / len(mratios)
+                    ),
+                    4,
+                )
+                top = sorted(
+                    mratios, key=lambda n: abs(math.log(mratios[n]))
+                )[-5:]
+                compact["top_deltas_median"] = {
+                    n: round(mratios[n], 3) for n in top
+                }
     except (OSError, ValueError, KeyError, AttributeError):
         pass
     print(json.dumps(compact))

@@ -99,6 +99,10 @@ class MemBuffer:
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._store: dict[str, Tables] = {}
+        # O(1) per-namespace hot-row counter, maintained by insert /
+        # clear_namespace — the TieredEngine's auto-flush watermark
+        # reads it on every write, so it must never walk the tree
+        self._rows: dict[str, int] = {}
 
     def insert(self, req: WriteRequest) -> None:
         """3-level upsert then columnar append (buffer.rs:51-107)."""
@@ -107,6 +111,16 @@ class MemBuffer:
             tables = self._store.setdefault(req.namespace, {})
             partitions = tables.setdefault(req.measurement, {})
             partitions.setdefault(key, Measurements()).append(req)
+            self._rows[req.namespace] = self._rows.get(req.namespace, 0) + 1
+
+    def row_count(self, namespace: str) -> int:
+        """Hot rows currently buffered for one namespace (0 if absent)."""
+        with self._lock:
+            return self._rows.get(namespace, 0)
+
+    def namespaces(self) -> list[str]:
+        with self._lock:
+            return sorted(self._store)
 
     def tables(self, namespace: str) -> Tables | None:
         """Point-in-time snapshot of one namespace: deep copy under the
@@ -139,4 +153,5 @@ class MemBuffer:
         """Remove and return a namespace's tables (used by the cold-tier
         flush; no reference equivalent — lynx never evicts)."""
         with self._lock:
+            self._rows.pop(namespace, None)
             return self._store.pop(namespace, None)

@@ -20,6 +20,9 @@ POST /api/v1/flush ({"namespace": ...} -> rows flushed) and
 POST /api/v1/optimize ({"namespace": .., "table"?: .., "min_files"?:
 2, "vacuum"?: false} -> files replaced/deleted) — small-file
 compaction of the cold tier via the commit log's rewrite entries.
+LYNX_AUTO_FLUSH_ROWS=N arms the tiered engine's per-namespace
+background flush watermark (hot buffer bounded without any
+/api/v1/flush caller).
 """
 
 from __future__ import annotations
@@ -162,6 +165,14 @@ def main() -> None:
         "work over the ingest surface (flagged superset; default matches "
         "the reference: only the first FROM table exists)",
     )
+    parser.add_argument(
+        "--auto-flush-rows",
+        type=int,
+        default=int(os.environ.get("LYNX_AUTO_FLUSH_ROWS", "0")) or None,
+        help="tiered engine only: background-flush a namespace once its "
+        "hot buffer holds this many rows (bounds driver memory without "
+        "requiring /api/v1/flush calls; 0/unset disables)",
+    )
     args = parser.parse_args()
 
     from lynx_spark.session import get_spark
@@ -174,6 +185,7 @@ def main() -> None:
             spark, args.wal_directory, args.cold_directory,
             args.wal_max_segment_size, expose_day=args.expose_day,
             multi_table=args.multi_table,
+            auto_flush_rows=args.auto_flush_rows,
         )
     else:
         engine = LynxEngine(

@@ -9,6 +9,12 @@ deliberate 100 TB superset (SURVEY §7 step 6):
   out as ``<cold>/<namespace>/<table>/day=YYYY-MM-DD/``, so lynx's
   partition key becomes a REAL partition column Catalyst prunes
   (PartitionFilters) — what the reference's partitions never did;
+- ``auto_flush_rows=N`` arms a per-namespace watermark: when a
+  namespace's hot-row count crosses N, a background thread runs the
+  same ``flush()`` (same commit log, same WAL truncation, same
+  exactly-once guarantees — flush serializes on the write lock), so
+  driver memory stays bounded under sustained ingest with no
+  /api/v1/flush caller;
 - after a flush the WAL is compacted: the flushed namespace's records
   are dropped segment-by-segment (each rewrite is an atomic rename),
   so replay after restart only restores unflushed rows;
@@ -310,7 +316,10 @@ class TieredEngine(LynxEngine):
         max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
         expose_day: bool = False,
         multi_table: bool = False,
+        auto_flush_rows: int | None = None,
     ) -> None:
+        import threading
+
         # set before super().__init__: replay consults the commit log
         self.cold_dir = Path(cold_dir)
         self.cold_dir.mkdir(parents=True, exist_ok=True)
@@ -322,7 +331,68 @@ class TieredEngine(LynxEngine):
         # leaves the marker, and its orphan files are never mistaken
         # for adoptable legacy data on restart
         (self.cold_dir / COMMITS_DIR).mkdir(exist_ok=True)
+        # auto-flush watermark (VERDICT r11 task 5): without it the
+        # hot buffer grows unboundedly in driver memory until an
+        # operator calls /api/v1/flush — the last driver-side
+        # bottleneck in the 100 TB ingest posture. When a namespace's
+        # hot-row count crosses the watermark, a background flush
+        # fires through the SAME flush()/commit/WAL-truncation path
+        # the HTTP route uses (exactly-once guarantees unchanged —
+        # flush serializes against writes and queries on _wal_lock).
+        self.auto_flush_rows = auto_flush_rows
+        self._autoflush_lock = threading.Lock()
+        self._autoflush_pending: set[str] = set()
         super().__init__(spark, wal_dir, max_segment_size, multi_table)
+        if auto_flush_rows is not None:
+            # WAL replay may have restored an over-watermark backlog
+            for ns in self.buffer.namespaces():
+                if self.buffer.row_count(ns) >= auto_flush_rows:
+                    self._schedule_autoflush(ns)
+
+    # -------------------------------------------------------- auto-flush
+
+    def write(self, req) -> None:
+        super().write(req)
+        n = self.auto_flush_rows
+        if n is not None and self.buffer.row_count(req.namespace) >= n:
+            self._schedule_autoflush(req.namespace)
+
+    def _schedule_autoflush(self, namespace: str) -> None:
+        """At most one in-flight background flush per namespace: the
+        pending marker is set before the thread starts and cleared
+        after flush() returns, and every write that still (or again)
+        sees an over-watermark count re-arms it — a crossing can never
+        strand rows, because writes are excluded for the whole flush
+        (flush holds _wal_lock), so the counter is exactly 0 when the
+        marker clears."""
+        import threading
+
+        with self._autoflush_lock:
+            if namespace in self._autoflush_pending:
+                return
+            self._autoflush_pending.add(namespace)
+        threading.Thread(
+            target=self._autoflush_run,
+            args=(namespace,),
+            name=f"lynx-autoflush-{namespace}",
+            daemon=True,
+        ).start()
+
+    def _autoflush_run(self, namespace: str) -> None:
+        import sys
+
+        try:
+            self.flush(namespace)
+        except Exception as e:  # noqa: BLE001 — must clear the marker
+            print(f"auto-flush({namespace}) failed: {e!r}", file=sys.stderr)
+        finally:
+            with self._autoflush_lock:
+                self._autoflush_pending.discard(namespace)
+
+    def autoflush_idle(self) -> bool:
+        """True when no background flush is in flight (test/ops hook)."""
+        with self._autoflush_lock:
+            return not self._autoflush_pending
 
     # ------------------------------------------------------- commit log
 

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Full-registry DuckDB-oracle sweep at an arbitrary scale dir.
+
+The driver's correctness gate and tests/test_queries_oracle.py sweep
+sf0.01/sf0.1; this script is the 10x hardening pass (VERDICT r11 task
+1): point it at the synthesized sf1 (`python scale_check.py` writes
+/tmp/lynx_scale/x10) and it runs EVERY registry entry Spark-side AND
+DuckDB-side, comparing row count, column names, and exact cell values
+(order-insensitive, columns sorted by name) — the identical canonical
+form the driver hashes. Scale-dependent correctness bugs (int64
+overflow in decimal-grid sums, quantile-grid edges, LSH bucket-cap
+truncation changing survivors) are exactly the class the small-SF
+sweeps cannot see.
+
+    SWEEP_SF_DIR=/tmp/lynx_scale/x10 python oracle_sweep.py
+
+Progress streams to SWEEP_OUT (default /tmp/oracle_sweep.jsonl, one
+JSON line per query as it finishes, resumable via SWEEP_RESUME=1);
+the final stdout line is one JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import duckdb
+
+SF_DIR = os.environ.get("SWEEP_SF_DIR", "/tmp/lynx_scale/x10")
+OUT = Path(os.environ.get("SWEEP_OUT", "/tmp/oracle_sweep.jsonl"))
+RESUME = os.environ.get("SWEEP_RESUME", "0") == "1"
+ONLY = [s for s in os.environ.get("SWEEP_ONLY", "").split(",") if s]
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _rowset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(str(_normalize(row[i])) for i in order) for row in rows
+    )
+
+
+def main() -> None:
+    from lynx_spark.plans.analytics import REGISTRY
+    from lynx_spark.session import get_spark
+    from lynx_spark.sources.tables import TABLES
+
+    spark = get_spark("oracle_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_DIR) / f"{t}.parquet"
+        src = f"{p}/**/*.parquet" if p.is_dir() else str(p)
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+        )
+
+    done: set[str] = set()
+    if RESUME and OUT.exists():
+        for line in OUT.read_text().splitlines():
+            try:
+                done.add(json.loads(line)["name"])
+            except (ValueError, KeyError):
+                pass
+    elif OUT.exists():
+        OUT.unlink()
+
+    names = ONLY or list(REGISTRY)
+    n_pass = n_fail = n_rows_only = 0
+    fails: list[str] = []
+    for i, name in enumerate(names):
+        if name in done:
+            continue
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        row: dict = {"name": name}
+        try:
+            sdf = spec.fn(spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+            row["spark_rows"] = len(srows)
+            row["spark_sec"] = round(time.perf_counter() - t0, 2)
+            if spec.oracle is None:
+                row["status"] = "rows_only"
+                row["ok"] = len(srows) >= 0 and len(scols) > 0
+            else:
+                t1 = time.perf_counter()
+                rel = con.sql(spec.oracle)
+                dcols = list(rel.columns)
+                drows = rel.fetchall()
+                row["duck_sec"] = round(time.perf_counter() - t1, 2)
+                if sorted(scols) != sorted(dcols):
+                    row["status"] = "fail"
+                    row["why"] = f"cols {sorted(scols)} vs {sorted(dcols)}"
+                elif len(srows) != len(drows):
+                    row["status"] = "fail"
+                    row["why"] = f"rows {len(srows)} vs {len(drows)}"
+                else:
+                    sset = _rowset(scols, srows)
+                    dset = _rowset(dcols, drows)
+                    if sset == dset:
+                        row["status"] = "pass"
+                    else:
+                        row["status"] = "fail"
+                        row["why"] = "value diff: " + repr(
+                            [
+                                (a, b)
+                                for a, b in zip(sset, dset)
+                                if a != b
+                            ][:3]
+                        )
+        except Exception as e:  # noqa: BLE001 — sweep must not abort
+            row["status"] = "error"
+            row["why"] = f"{type(e).__name__}: {e}"[:500]
+        spark.catalog.clearCache()
+        if row["status"] == "pass":
+            n_pass += 1
+        elif row["status"] == "rows_only":
+            n_rows_only += 1
+        else:
+            n_fail += 1
+            fails.append(name)
+        with OUT.open("a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(
+            f"[{i + 1}/{len(names)}] {name}: {row['status']}",
+            file=sys.stderr,
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "sf_dir": SF_DIR,
+                "total": len(names),
+                "pass": n_pass,
+                "rows_only": n_rows_only,
+                "fail": n_fail,
+                "failed_names": fails,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -789,3 +789,111 @@ def test_optimize_scopes_to_table_and_min_files(spark, tmp_path):
     assert sum("part-opt" in rel for rel in eng._committed_files()) == 1
     assert eng.optimize("ns", min_files=3) == 0  # mem has only 2 files
     assert eng.optimize("ns", table="mem") == 2
+
+
+# ------------------------------------------------------------ auto-flush
+
+
+def _await_autoflush(eng, timeout=30.0):
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if eng.autoflush_idle():
+            return
+        time.sleep(0.02)
+    raise AssertionError("background auto-flush did not finish")
+
+
+def test_autoflush_watermark_fires_without_http(spark, tmp_path):
+    """VERDICT r11 task 5: sustained writes crossing the row watermark
+    must flush in the background — no /api/v1/flush call — truncating
+    the WAL, and a concurrent query must see every row exactly once
+    regardless of which side of the flush each row lands on."""
+    eng = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        max_segment_size=1024,
+        auto_flush_rows=40,
+    )
+    for i in range(100):
+        _write(eng, str(i), i)
+    _await_autoflush(eng)
+    # at least one background flush committed parquet...
+    commits = list((tmp_path / "cold/_commits").glob("flush-ns-*.json"))
+    snaps = list((tmp_path / "cold/_commits").glob("snapshot-*.json"))
+    assert commits or snaps
+    # ...bounding the hot buffer below the watermark + in-flight writes
+    assert eng.buffer.row_count("ns") < 100
+    # WAL truncated: flushed records are gone from the closed segments
+    # (only rows written after the last flush replay on restart)
+    df = eng.query("ns", "SELECT * FROM cpu")
+    vals = sorted(int(r["value"]) for r in df.collect())
+    assert vals == list(range(100))
+
+
+def test_autoflush_concurrent_writes_exactly_once(spark, tmp_path):
+    """Writers racing the background flush: every row appears exactly
+    once in the tiered query result, and the final drain leaves the
+    WAL holding only unflushed rows."""
+    import threading
+
+    eng = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        max_segment_size=1024,
+        auto_flush_rows=25,
+    )
+    errs = []
+
+    def writer(base):
+        try:
+            for i in range(60):
+                _write(eng, str(base + i), base + i)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(w * 1000,)) for w in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    _await_autoflush(eng)
+    assert not errs
+    expect = sorted(w * 1000 + i for w in range(3) for i in range(60))
+    df = eng.query("ns", "SELECT * FROM cpu")
+    got = sorted(int(r["value"]) for r in df.collect())
+    assert got == expect  # exactly once: no loss, no double count
+
+
+def test_autoflush_replay_backlog_drains_on_restart(spark, tmp_path):
+    """A WAL backlog restored by replay that already exceeds the
+    watermark must trigger the background flush at construction."""
+    eng = TieredEngine(
+        spark, tmp_path / "wal", tmp_path / "cold", max_segment_size=1024
+    )
+    for i in range(50):
+        _write(eng, str(i), i)
+    eng.wal.close()
+    eng2 = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        max_segment_size=1024,
+        auto_flush_rows=10,
+    )
+    _await_autoflush(eng2)
+    assert eng2.buffer.row_count("ns") == 0
+    df = eng2.query("ns", "SELECT * FROM cpu")
+    assert sorted(int(r["value"]) for r in df.collect()) == list(range(50))
+
+
+def test_autoflush_disabled_by_default(tiered):
+    for i in range(200):
+        _write(tiered, str(i), i)
+    assert tiered.buffer.row_count("ns") == 200  # nothing flushed
+    assert tiered.autoflush_idle()
