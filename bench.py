@@ -344,6 +344,80 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # multi-table HTTP surface (r12, VERDICT r11 task 6): a real JOIN
+    # over ingested measurements through the /api/v1/query route under
+    # multi_table=True — the flagged superset the engine tests cover
+    # but no driver-visible artifact exercised. 1000 rows per
+    # measurement through the write route (WAL + buffer), then the
+    # hot-tier join via the full WSGI path; the 404 probes assert the
+    # reference's unknown-namespace/table semantics survive the flag.
+    # Timed span: min-of-3 of the JOIN query round trip.
+    import tempfile as _tf
+
+    from lynx_spark.server import create_app as _mk_app
+    from lynx_spark.sources.coldtier import TieredEngine as _TE
+
+    with _tf.TemporaryDirectory() as _mt_dir:
+        _eng = _TE(
+            spark,
+            Path(_mt_dir) / "wal",
+            Path(_mt_dir) / "cold",
+            multi_table=True,
+        )
+        _c = _mk_app(_eng).test_client()
+        for i in range(1000):
+            for meas, val in (("cpu", str(i)), ("mem", str(i * 2))):
+                assert (
+                    _c.post(
+                        "/api/v1/write",
+                        json={
+                            "namespace": "bench",
+                            "measurement": meas,
+                            "value": val,
+                            "metadata": {"host": f"h{i % 50}"},
+                            "timestamp": i,
+                        },
+                    ).status_code
+                    == 200
+                )
+        _join = (
+            '{"namespace": "bench", "format": "Json", "query": '
+            '"SELECT c.host AS host, count(*) AS n FROM cpu c '
+            "JOIN mem m ON c.timestamp = m.timestamp "
+            'GROUP BY c.host ORDER BY host"}'
+        )
+        m0_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = _c.post(
+                "/api/v1/query",
+                data=_join,
+                content_type="application/json",
+            )
+            m0_runs.append(time.perf_counter() - t0)
+            assert r.status_code == 200 and len(json.loads(r.get_data())) == 50
+        assert (
+            _c.post(
+                "/api/v1/query",
+                json={"namespace": "nope", "query": "SELECT * FROM cpu"},
+            ).status_code
+            == 404
+        )
+        assert (
+            _c.post(
+                "/api/v1/query",
+                json={"namespace": "bench", "query": "SELECT * FROM gpu"},
+            ).status_code
+            == 404
+        )
+        _eng.wal.close()
+    timings["m0_multi_table_http_join"] = round(min(m0_runs), 4)
+    print(
+        f"# m0_multi_table_http_join: {min(m0_runs):.3f}s "
+        f"(2k-row ingest, hot-tier JOIN via /api/v1/query, 404s hold)",
+        file=sys.stderr,
+    )
+
     # host-speed calibration constants (r8): the text family drifted
     # +35% over r5→r8 on UNCHANGED code — bisect showed it is neither
     # registry size (lean import == full import) nor contention (idle

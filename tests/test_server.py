@@ -376,3 +376,39 @@ def test_multi_table_mixed_case_table_names(multi_client):
     )
     assert r.status_code == 200
     assert json.loads(r.get_data()) == [{"a": "1", "b": "2"}]
+
+
+def test_multi_table_404_vs_500_matrix(spark, tmp_path):
+    """VERDICT r11 task 6: the full status matrix under multi-table
+    mode, pinned over the TIERED engine (hot + cold both populated) so
+    the flag's semantics can't drift from the reference's single-table
+    contract (main.rs:83: unknown namespace/first-table -> 404; any
+    analysis/exec error, including an unknown JOINED table -> 500)."""
+    eng = TieredEngine(
+        spark, tmp_path / "wal", tmp_path / "cold", multi_table=True
+    )
+    c = create_app(eng).test_client()
+    _w(c, "ns", "cpu", "90", 1, {"host": "a"})
+    assert c.post("/api/v1/flush", json={"namespace": "ns"}).status_code == 200
+    _w(c, "ns", "mem", "512", 1, {"host": "a"})
+
+    def q(ns, sql):
+        return c.post(
+            "/api/v1/query", json={"namespace": ns, "query": sql}
+        ).status_code
+
+    join = "SELECT c.value FROM cpu c JOIN mem m ON c.host = m.host"
+    # both tables known (one cold, one hot) -> 200
+    assert q("ns", join) == 200
+    # unknown namespace -> 404 (not empty, not 500)
+    assert q("nope", join) == 404
+    # unknown FIRST table -> 404 (the reference's addressed table)
+    assert q("ns", "SELECT * FROM gpu") == 404
+    assert q("ns", "SELECT g.value FROM gpu g JOIN mem m ON g.host = m.host") == 404
+    # known first table, unknown JOINED table -> 500 (analysis error,
+    # exactly what the reference returns when DataFusion can't resolve)
+    assert q("ns", "SELECT c.value FROM cpu c JOIN gpu g ON c.host = g.host") == 500
+    # non-SELECT still rejected -> 500
+    assert q("ns", "INSERT INTO cpu VALUES (1)") == 500
+    # and the same sweep finds nothing stale: a second good join -> 200
+    assert q("ns", join) == 200
