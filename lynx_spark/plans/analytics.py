@@ -15030,6 +15030,16 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
     ).persist()  # one corpus scan: cu/a/bb/fit all read this
+    return _isotonic_fit_rates(g)
+
+
+def _isotonic_fit_rates(g: DataFrame) -> DataFrame:
+    """Isotonic (PAV) fit over a binned score grain ``(s, n, pos)``
+    via the max-min closed form fitted(k) = max_{j<=k} min_{l>=j}
+    avg(rates over [j,l]) — factored out of q256 so the randomized
+    property suite can drive it with synthetic histograms (VERDICT
+    r11 task 7). Caller persists g; everything below is score-grain
+    (<= ~101 rows) work."""
     # score grain <= 101 rows from here on: the single-partition
     # windows and the (j,k) self-join are all model-sized
     wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
@@ -16741,8 +16751,6 @@ FROM {prev} CROSS JOIN fin
     "ECE numerators are exact integers",
 )
 def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _math
-
     pred = _pred_frame(spark, sf_dir)
     g = (
         pred.select(
@@ -16761,6 +16769,17 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # one corpus scan; every Newton pass reads this
     )
+    return _platt_fit(g)
+
+
+def _platt_fit(g: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Platt scaling over a binned score grain ``(s, n, pos)``:
+    n_iters Newton-Raphson steps with 1e-9-grid parameter snapping
+    between iterations — factored out of q269 so the randomized
+    property suite can drive it with synthetic histograms (VERDICT
+    r11 task 7). Caller persists g."""
+    import math as _math
+
     dec = "decimal(38,0)"
 
     def p9_col(a9: int, b9: int) -> F.Column:
@@ -16782,7 +16801,7 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
 
     a9, b9 = 0, 0
-    for _t in range(3):
+    for _t in range(n_iters):
         p9 = p9_col(a9, b9)
         w = (F.col("n").cast(dec) * p9 * (F.lit(1000000000) - p9)).cast(
             dec
