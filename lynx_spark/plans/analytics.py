@@ -2200,7 +2200,15 @@ def q25b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embed_dedup_oracle(threshold: float = 0.8) -> str:
+def _embed_dedup_oracle(threshold: float = 0.8, max_bucket: int = 200) -> str:
+    """Oracle twin of cosine_dedup_pairs INCLUDING the bucket cap:
+    buckets within ``max_bucket`` emit all i<j pairs; oversized
+    buckets emit the star pattern (min id x every other member) —
+    the r12 sf1 sweep caught the uncapped oracle diverging the
+    moment replicated identical vectors pushed buckets past the cap
+    (the operator stayed linear by design; the oracle exploded
+    quadratically). Below the cap the branches agree, so the small-SF
+    rows are unchanged."""
     bucket_cols = []
     for t in range(sim.NUM_TABLES):
         plane_dots = [
@@ -2213,9 +2221,21 @@ def _embed_dedup_oracle(threshold: float = 0.8) -> str:
         )
         bucket_cols.append(f"CAST({bucket} AS BIGINT) AS bucket{t}")
     buckets_sql = ",\n    ".join(bucket_cols)
+    ct_ctes = ",\n".join(
+        f"ct{t} AS (SELECT bucket{t} AS bh, count(*) AS k, "
+        f"min(vec_id) AS rep FROM v GROUP BY 1)"
+        for t in range(sim.NUM_TABLES)
+    )
     cand_union = "\n  UNION\n".join(
-        f"  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM v a "
-        f"JOIN v b ON a.bucket{t} = b.bucket{t} AND a.vec_id < b.vec_id"
+        f"""  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM v a JOIN v b ON a.bucket{t} = b.bucket{t}
+    AND a.vec_id < b.vec_id
+  JOIN ct{t} ON ct{t}.bh = a.bucket{t}
+  WHERE ct{t}.k <= {max_bucket}
+  UNION
+  SELECT ct{t}.rep AS a_id, m.vec_id AS b_id
+  FROM v m JOIN ct{t} ON ct{t}.bh = m.bucket{t}
+  WHERE ct{t}.k > {max_bucket} AND m.vec_id > ct{t}.rep"""
         for t in range(sim.NUM_TABLES)
     )
     return f"""
@@ -2223,6 +2243,7 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
     {buckets_sql}
   FROM embeddings),
+{ct_ctes},
 cand AS (
 {cand_union}),
 pairs AS (
