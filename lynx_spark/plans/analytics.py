@@ -3138,7 +3138,15 @@ def q31d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- round-5 extensions
 
 
-def _knn_graph_oracle(k: int = 5) -> str:
+def _knn_graph_oracle(k: int = 5, max_bucket: int = 200) -> str:
+    """Oracle twin of knn_graph INCLUDING banded_self_pairs' bucket
+    cap (r12, the q37 lesson applied to the whole kNN-oracle family):
+    buckets within ``max_bucket`` emit all i<j pairs, oversized
+    buckets the min-id star — without the cap the r12 sf1 sweep's
+    DuckDB side went quadratic on replicated identical vectors (q175's
+    oracle spilled ~70 GB of temp before erroring) and would diverge
+    from the operator's capped candidates anyway. Below the cap the
+    branches agree, so every small-SF row is unchanged."""
     bucket_cols = []
     for t in range(sim.NUM_TABLES):
         plane_dots = [
@@ -3151,9 +3159,21 @@ def _knn_graph_oracle(k: int = 5) -> str:
         )
         bucket_cols.append(f"CAST({bucket} AS BIGINT) AS bucket{t}")
     buckets_sql = ",\n    ".join(bucket_cols)
+    ct_ctes = ",\n".join(
+        f"kct{t} AS (SELECT bucket{t} AS bh, count(*) AS kk, "
+        f"min(vec_id) AS rep FROM v GROUP BY 1)"
+        for t in range(sim.NUM_TABLES)
+    )
     cand_union = "\n  UNION\n".join(
-        f"  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM v a "
-        f"JOIN v b ON a.bucket{t} = b.bucket{t} AND a.vec_id < b.vec_id"
+        f"""  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM v a JOIN v b ON a.bucket{t} = b.bucket{t}
+    AND a.vec_id < b.vec_id
+  JOIN kct{t} ON kct{t}.bh = a.bucket{t}
+  WHERE kct{t}.kk <= {max_bucket}
+  UNION
+  SELECT kct{t}.rep AS a_id, m.vec_id AS b_id
+  FROM v m JOIN kct{t} ON kct{t}.bh = m.bucket{t}
+  WHERE kct{t}.kk > {max_bucket} AND m.vec_id > kct{t}.rep"""
         for t in range(sim.NUM_TABLES)
     )
     return f"""
@@ -3161,6 +3181,7 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
     {buckets_sql}
   FROM embeddings),
+{ct_ctes},
 cand AS (
 {cand_union}),
 pairs AS (

@@ -20,13 +20,11 @@ END-TO-END against synthetic events parquet, so the whole query path
 from __future__ import annotations
 
 import math
-from datetime import datetime, timezone
+from datetime import datetime
 
 import pytest
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
-
-from pyspark.sql import functions as F
 
 EV_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
