@@ -7571,40 +7571,35 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q167_cusum_changepoint",
     oracle=f"""
-WITH RECURSIVE ev AS ({_EV}),
+WITH ev AS ({_EV}),
 mu AS (SELECT event_type,
          floor((CAST(sum(CAST(floor(value * 1e6 + 5e-1) AS BIGINT))
                   AS DOUBLE) / count(*)) / 1e6 * 1e6 + 5e-1) / 1e6
            AS mu
        FROM ev GROUP BY 1),
-s AS (SELECT e.event_type, CAST(e.ts AS DATE) AS day, e.value, m.mu,
-        row_number() OVER (PARTITION BY e.event_type, CAST(e.ts AS DATE)
-          ORDER BY e.ts, e.event_id) AS rn
-      FROM ev e JOIN mu m USING (event_type)),
-cu AS (
-  SELECT event_type, day, 1 AS rn,
-    greatest(0e0, value - mu - 5e-1) AS cs,
-    CASE WHEN greatest(0e0, value - mu - 5e-1) > 5e0
-         THEN 1 ELSE 0 END AS alarms,
-    greatest(0e0, value - mu - 5e-1) AS mx
-  FROM s WHERE rn = 1
-  UNION ALL
-  SELECT s.event_type, s.day, s.rn,
-    greatest(0e0, c.cs + (s.value - s.mu - 5e-1)),
-    c.alarms + CASE WHEN
-      greatest(0e0, c.cs + (s.value - s.mu - 5e-1)) > 5e0
-      THEN 1 ELSE 0 END,
-    greatest(c.mx, greatest(0e0, c.cs + (s.value - s.mu - 5e-1)))
-  FROM cu c JOIN s ON s.event_type = c.event_type AND s.day = c.day
-    AND s.rn = c.rn + 1
-),
-mx AS (SELECT event_type, day, max(rn) AS m
-       FROM cu GROUP BY 1, 2)
-SELECT c.event_type, c.day, CAST(mx.m AS BIGINT) AS n_events,
-  CAST(c.alarms AS BIGINT) AS n_alarms,
-  floor(c.mx * 1e6 + 5e-1) / 1e6 AS max_s
-FROM cu c JOIN mx ON mx.event_type = c.event_type
-  AND mx.day = c.day AND c.rn = mx.m
+g AS (SELECT e.event_type, CAST(e.ts AS DATE) AS day,
+        list(CAST(e.value AS DOUBLE) - m.mu - 5e-1
+             ORDER BY e.ts, e.event_id) AS xs
+      FROM ev e JOIN mu m USING (event_type)
+      GROUP BY 1, 2),
+f AS (SELECT event_type, day, len(xs) AS n_events,
+        list_reduce(
+          list_prepend(
+            struct_pack(mx := 0e0, alarms := 0, cs := 0e0, x := 0e0),
+            list_transform(xs, v -> struct_pack(
+              mx := 0e0, alarms := 0, cs := 0e0, x := v))),
+          (acc, e) -> struct_pack(
+            mx := greatest(acc.mx, greatest(0e0, acc.cs + e.x)),
+            alarms := acc.alarms + CASE
+              WHEN greatest(0e0, acc.cs + e.x) > 5e0 THEN 1 ELSE 0 END,
+            cs := greatest(0e0, acc.cs + e.x),
+            x := e.x)
+        ) AS st
+      FROM g)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+  CAST(st.alarms AS BIGINT) AS n_alarms,
+  floor(st.mx * 1e6 + 5e-1) / 1e6 AS max_s
+FROM f
 """,
     description="one-sided CUSUM change-point monitor per (event "
     "type, day): s_t = max(0, s_t-1 + (x_t - mu - k)) with slack "
@@ -7613,7 +7608,17 @@ FROM cu c JOIN mx ON mx.event_type = c.event_type
     "drift ALARM tier completing EWMA (q151) / Holt (q163) / MAD "
     "(q162). The day-bounded recurrence runs inside an array_sort + "
     "F.aggregate fold (daily reset keeps series executor-sized at "
-    "any corpus scale); the oracle replays it as a recursive CTE. "
+    "any corpus scale); the oracle replays the SAME sequential fold "
+    "with list_reduce over the identically-ordered day list (r12: "
+    "the former recursive-CTE replay re-joined the full event frame "
+    "once per recursion depth — O(depth x n), a ~44 GB DuckDB spill "
+    "at the synthesized sf1 — while the fold is one linear pass; op "
+    "order is unchanged, so values still match bit-for-bit). The "
+    "fold's struct fields are ordered (mx, alarms, cs, x) and every "
+    "field recomputes from the OLD acc.cs explicitly — DuckDB 1.0's "
+    "list_reduce rebinds acc.<field> to already-computed output "
+    "fields in declaration order, and this ordering is correct "
+    "under both that behavior and proper closure scoping. "
     "max/+/- on identical doubles are IEEE-exact, so the alarm "
     "counts and peak statistic match bit-for-bit",
 )

@@ -62,6 +62,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # a pathological (quadratic-at-scale) oracle must ERROR cleanly,
+    # not eat the disk until the Spark side's shuffle writes start
+    # failing too (r12: the uncapped kNN oracle and q167's recursive
+    # replay each spilled 40-70 GB of temp before this guard existed)
+    for pragma in (
+        "SET temp_directory='/tmp/duckdb_sweep_spill'",
+        "SET max_temp_directory_size='24GiB'",
+        "SET memory_limit='24GiB'",
+    ):
+        try:
+            con.sql(pragma)
+        except duckdb.Error:
+            pass  # older DuckDB without the setting
     for t in TABLES:
         p = Path(SF_DIR) / f"{t}.parquet"
         src = f"{p}/**/*.parquet" if p.is_dir() else str(p)
