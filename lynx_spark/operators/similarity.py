@@ -1936,13 +1936,20 @@ def two_nn_intrinsic_dim(
         .alias("t9")
     )
     fl6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # degenerate guard (r12): a corpus of exact-duplicate clusters
+    # makes every probe's d1 == d2 (the nearest DISTINCT vector
+    # appears at both ranks), so sum ln(mu) = 0 — the estimator's
+    # "neighbors are equidistant, id -> infinity" regime. NULLIF on
+    # both engines: id_hat NULL instead of an ANSI divide error
+    # (found by the r12 sf1 sweep on replicated identical vectors).
     return terms.agg(
         F.count("*").cast("long").alias("n_probes"),
         F.sum("t9").cast("double").alias("_s"),
     ).select(
         "n_probes",
         fl6(F.col("_s")).alias("sum_ln_mu"),
-        fl6(F.col("n_probes").cast("double") / F.col("_s")).alias(
-            "id_hat"
-        ),
+        fl6(
+            F.col("n_probes").cast("double")
+            / F.nullif(F.col("_s"), F.lit(0.0))
+        ).alias("id_hat"),
     )

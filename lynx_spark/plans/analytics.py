@@ -15485,7 +15485,8 @@ t AS (SELECT CAST(round(0.5 * ln(CAST(d2b AS DOUBLE)
 SELECT CAST(count(*) AS BIGINT) AS n_probes,
   floor(CAST(sum(t9) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
     AS sum_ln_mu,
-  floor(CAST(count(*) AS DOUBLE) / CAST(sum(t9) AS DOUBLE)
+  floor(CAST(count(*) AS DOUBLE)
+        / nullif(CAST(sum(t9) AS DOUBLE), 0.0)
         * 1000000.0 + 0.5) / 1000000.0 AS id_hat
 FROM t
 """,

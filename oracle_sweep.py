@@ -66,10 +66,11 @@ def main() -> None:
     # not eat the disk until the Spark side's shuffle writes start
     # failing too (r12: the uncapped kNN oracle and q167's recursive
     # replay each spilled 40-70 GB of temp before this guard existed)
+    budget = os.environ.get("SWEEP_DUCK_BUDGET", "24GiB")
     for pragma in (
         "SET temp_directory='/tmp/duckdb_sweep_spill'",
-        "SET max_temp_directory_size='24GiB'",
-        "SET memory_limit='24GiB'",
+        f"SET max_temp_directory_size='{budget}'",
+        f"SET memory_limit='{budget}'",
     ):
         try:
             con.sql(pragma)
