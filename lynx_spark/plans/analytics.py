@@ -1740,13 +1740,13 @@ def _shingle_cte(
     gram = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
     return f"""
 words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-sh_raw AS (
+sh_raw AS MATERIALIZED (
   SELECT DISTINCT doc_id AS doc, {gram} AS shingle
   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
         FROM words WHERE len(w) >= {n})),
 hot AS (SELECT shingle FROM sh_raw GROUP BY shingle
         HAVING count(*) > {max_doc_freq}),
-sh AS (SELECT doc, shingle,
+sh AS MATERIALIZED (SELECT doc, shingle,
               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS base
        FROM sh_raw
        WHERE shingle NOT IN (SELECT shingle FROM hot))
@@ -1899,13 +1899,13 @@ def _minhash_cand_ctes() -> str:
         for b in range(dd.MINHASH_BANDS)
     )
     return f"""{_shingle_cte()},
-sig AS (SELECT doc,
+sig AS MATERIALIZED (SELECT doc,
     {mh_exprs}
   FROM sh GROUP BY doc),
-bands AS (SELECT doc,
+bands AS MATERIALIZED (SELECT doc,
     {band_exprs}
   FROM sig),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a_id, b_id FROM (
 {cand_union}))"""
 
@@ -1916,14 +1916,15 @@ def _minhash_pair_ctes() -> str:
     cluster-resolution oracles (q58/q59) that consume the pairs as a
     graph edge list."""
     return f"""{_minhash_cand_ctes()},
-sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
-common AS (
+sizes AS MATERIALIZED (
+  SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS MATERIALIZED (
   SELECT c.a_id, c.b_id, count(*) AS n_common
   FROM cand c
   JOIN sh a ON a.doc = c.a_id
   JOIN sh b ON b.doc = c.b_id AND b.shingle = a.shingle
   GROUP BY 1, 2),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a_id, b_id,
     round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
   FROM common
@@ -1957,14 +1958,14 @@ def _dedup_cluster_ctes() -> str:
     The UNION (not UNION ALL) dedups rows, so the recursion terminates
     at the transitive closure."""
     return f"""{_minhash_pair_ctes()},
-edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+edges AS MATERIALIZED (SELECT a_id AS s, b_id AS d FROM pairs
           UNION ALL SELECT b_id, a_id FROM pairs),
 reach AS (
   SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id AS BIGINT) AS r
   FROM documents
   UNION
   SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
-clusters AS (
+clusters AS MATERIALIZED (
   SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)"""
 
 
@@ -7326,21 +7327,30 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle(k: int = 12, n_rounds: int = 3, cap: int = 8) -> str:
+    # every CTE is AS MATERIALIZED (r12): each symN is referenced
+    # three times by symN+1 (FROM + two IN-subqueries) and the final
+    # SELECT adds 2 scalar subqueries per round, so DuckDB's default
+    # CTE INLINING re-expanded the whole chain multiplicatively —
+    # dozens of re-evaluations of the 6M-row DISTINCT at the
+    # synthesized sf1 (a 48 GiB temp spill for a graph that is in
+    # fact EMPTY there). Materialization pins one evaluation each.
     sql = f"""
-WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-keep AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= {cap}),
-lik AS (SELECT li.* FROM li JOIN keep USING (l_partkey)),
-e AS (SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+keep AS MATERIALIZED (
+  SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= {cap}),
+lik AS MATERIALIZED (SELECT li.* FROM li JOIN keep USING (l_partkey)),
+e AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS t
       FROM lik a JOIN lik b
         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
-sym0 AS (SELECT s AS a, t AS b FROM e
+sym0 AS MATERIALIZED (SELECT s AS a, t AS b FROM e
          UNION ALL SELECT t AS a, s AS b FROM e)"""
     for r in range(1, n_rounds + 1):
         p = r - 1
         sql += f""",
-al{r} AS (SELECT a AS v FROM sym{p} GROUP BY 1
+al{r} AS MATERIALIZED (SELECT a AS v FROM sym{p} GROUP BY 1
           HAVING count(*) >= {k}),
-sym{r} AS (SELECT sy.a, sy.b FROM sym{p} sy
+sym{r} AS MATERIALIZED (SELECT sy.a, sy.b FROM sym{p} sy
            WHERE sy.a IN (SELECT v FROM al{r})
              AND sy.b IN (SELECT v FROM al{r}))"""
     rows = [

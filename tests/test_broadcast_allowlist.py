@@ -162,9 +162,9 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/similarity.py", "two_nn_intrinsic_dim"): (2, "ROSTER"),
     # q262: the 1-row split-pair counter frame
     ("plans/analytics.py", "q262"): (1, "SCALAR"),
-    # q256: the <=101-row score-grain side of the PAV (j,k)
-    # inequality self-join
-    ("plans/analytics.py", "q256"): (1, "DOMAIN"),
+    # q256's PAV core (factored to _isotonic_fit_rates in r12): the
+    # <=101-row score-grain side of the (j,k) inequality self-join
+    ("plans/analytics.py", "_isotonic_fit_rates"): (1, "DOMAIN"),
     # q263: contingency-grain marginals (cluster/label rosters) and
     # the 1-row metric aggregates; `ent` is its nested entropy helper
     # (1-row corpus-size scalar)
