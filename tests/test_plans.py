@@ -1003,7 +1003,12 @@ def test_q267_antijoin_is_key_equality(spark):
 def test_q268_lags_partition_by_event_type(spark):
     plan = plan_of(spark, "q268_mase_backtest")
     assert "windowspecdefinition(event_type" in plan
-    assert "Exchange SinglePartition" not in live_plan(plan)
+    # r12 densify: exactly ONE SinglePartition exchange is allowed —
+    # the 1-row min/max calendar-bounds reduction (partial-aggregate
+    # rows = partition count, a scalar fold at any scale). The lag
+    # windows themselves must stay event_type-keyed, never global.
+    assert live_plan(plan).count("Exchange SinglePartition") <= 1
+    assert "partial_min" in plan and "partial_max" in plan
 
 
 def test_q269_newton_reads_cached_grain_only(spark):
