@@ -22,6 +22,7 @@ parquet where Catalyst prunes it.
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 
@@ -103,6 +104,8 @@ class MemBuffer:
         # clear_namespace — the TieredEngine's auto-flush watermark
         # reads it on every write, so it must never walk the tree
         self._rows: dict[str, int] = {}
+        # namespace -> monotonic time of its oldest unflushed insert
+        self._first_insert: dict[str, float] = {}
 
     def insert(self, req: WriteRequest) -> None:
         """3-level upsert then columnar append (buffer.rs:51-107)."""
@@ -112,6 +115,10 @@ class MemBuffer:
             partitions = tables.setdefault(req.measurement, {})
             partitions.setdefault(key, Measurements()).append(req)
             self._rows[req.namespace] = self._rows.get(req.namespace, 0) + 1
+            # wall-clock of the namespace's OLDEST unflushed row —
+            # the age-watermark trigger reads it; reset by
+            # clear_namespace so each flush epoch starts fresh
+            self._first_insert.setdefault(req.namespace, time.monotonic())
 
     def row_count(self, namespace: str) -> int:
         """Hot rows currently buffered for one namespace (0 if absent)."""
@@ -121,6 +128,13 @@ class MemBuffer:
     def namespaces(self) -> list[str]:
         with self._lock:
             return sorted(self._store)
+
+    def oldest_insert_age(self, namespace: str) -> float | None:
+        """Seconds since the namespace's oldest unflushed insert
+        (None if nothing buffered)."""
+        with self._lock:
+            t0 = self._first_insert.get(namespace)
+            return None if t0 is None else time.monotonic() - t0
 
     def tables(self, namespace: str) -> Tables | None:
         """Point-in-time snapshot of one namespace: deep copy under the
@@ -154,4 +168,5 @@ class MemBuffer:
         flush; no reference equivalent — lynx never evicts)."""
         with self._lock:
             self._rows.pop(namespace, None)
+            self._first_insert.pop(namespace, None)
             return self._store.pop(namespace, None)

@@ -173,6 +173,14 @@ def main() -> None:
         "hot buffer holds this many rows (bounds driver memory without "
         "requiring /api/v1/flush calls; 0/unset disables)",
     )
+    parser.add_argument(
+        "--auto-flush-age-s",
+        type=float,
+        default=float(os.environ.get("LYNX_AUTO_FLUSH_AGE_S", "0")) or None,
+        help="tiered engine only: background-flush a namespace once its "
+        "oldest unflushed row is this many seconds old — a trickle-rate "
+        "namespace must not pin WAL segments forever (0/unset disables)",
+    )
     args = parser.parse_args()
 
     from lynx_spark.session import get_spark
@@ -186,6 +194,7 @@ def main() -> None:
             args.wal_max_segment_size, expose_day=args.expose_day,
             multi_table=args.multi_table,
             auto_flush_rows=args.auto_flush_rows,
+            auto_flush_age_s=args.auto_flush_age_s,
         )
     else:
         engine = LynxEngine(

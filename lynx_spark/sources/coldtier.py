@@ -9,11 +9,14 @@ deliberate 100 TB superset (SURVEY §7 step 6):
   out as ``<cold>/<namespace>/<table>/day=YYYY-MM-DD/``, so lynx's
   partition key becomes a REAL partition column Catalyst prunes
   (PartitionFilters) — what the reference's partitions never did;
-- ``auto_flush_rows=N`` arms a per-namespace watermark: when a
-  namespace's hot-row count crosses N, a background thread runs the
-  same ``flush()`` (same commit log, same WAL truncation, same
-  exactly-once guarantees — flush serializes on the write lock), so
-  driver memory stays bounded under sustained ingest with no
+- ``auto_flush_rows=N`` / ``auto_flush_age_s=T`` arm per-namespace
+  watermarks: when a namespace's hot-row count crosses N, or its
+  oldest unflushed row has waited T seconds (the trickle-rate case —
+  a slow namespace must not pin WAL segments against compaction
+  forever), a background thread runs the same ``flush()`` (same
+  commit log, same WAL truncation, same exactly-once guarantees —
+  flush serializes on the write lock), so driver memory and WAL
+  retention stay bounded under any ingest shape with no
   /api/v1/flush caller;
 - after a flush the WAL is compacted: the flushed namespace's records
   are dropped segment-by-segment (each rewrite is an atomic rename),
@@ -317,6 +320,7 @@ class TieredEngine(LynxEngine):
         expose_day: bool = False,
         multi_table: bool = False,
         auto_flush_rows: int | None = None,
+        auto_flush_age_s: float | None = None,
     ) -> None:
         import threading
 
@@ -340,14 +344,32 @@ class TieredEngine(LynxEngine):
         # the HTTP route uses (exactly-once guarantees unchanged —
         # flush serializes against writes and queries on _wal_lock).
         self.auto_flush_rows = auto_flush_rows
+        # AGE watermark: a namespace whose oldest unflushed row has
+        # been sitting longer than this many seconds flushes even if
+        # it never reaches the row watermark — a trickle-rate
+        # namespace must not hold the WAL hostage (its records pin
+        # every segment they touch against compaction) nor sit
+        # non-durable-in-parquet forever. Checked by a daemon ticker
+        # (period = age/4, floor 0.5 s) through the same
+        # _schedule_autoflush path, so the one-in-flight-per-
+        # namespace marker and the exactly-once flush contract are
+        # shared with the row trigger.
+        self.auto_flush_age_s = auto_flush_age_s
         self._autoflush_lock = threading.Lock()
         self._autoflush_pending: set[str] = set()
+        self._autoflush_stop = threading.Event()
         super().__init__(spark, wal_dir, max_segment_size, multi_table)
         if auto_flush_rows is not None:
             # WAL replay may have restored an over-watermark backlog
             for ns in self.buffer.namespaces():
                 if self.buffer.row_count(ns) >= auto_flush_rows:
                     self._schedule_autoflush(ns)
+        if auto_flush_age_s is not None:
+            threading.Thread(
+                target=self._age_ticker,
+                name="lynx-autoflush-age",
+                daemon=True,
+            ).start()
 
     # -------------------------------------------------------- auto-flush
 
@@ -393,6 +415,22 @@ class TieredEngine(LynxEngine):
         """True when no background flush is in flight (test/ops hook)."""
         with self._autoflush_lock:
             return not self._autoflush_pending
+
+    def _age_ticker(self) -> None:
+        import time
+
+        age = float(self.auto_flush_age_s)
+        period = max(0.5, age / 4.0)
+        while not self._autoflush_stop.wait(period):
+            for ns in self.buffer.namespaces():
+                a = self.buffer.oldest_insert_age(ns)
+                if a is not None and a >= age:
+                    self._schedule_autoflush(ns)
+
+    def close_autoflush(self) -> None:
+        """Stop the age ticker (tests; daemon threads die with the
+        process anyway)."""
+        self._autoflush_stop.set()
 
     # ------------------------------------------------------- commit log
 

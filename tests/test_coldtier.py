@@ -897,3 +897,42 @@ def test_autoflush_disabled_by_default(tiered):
         _write(tiered, str(i), i)
     assert tiered.buffer.row_count("ns") == 200  # nothing flushed
     assert tiered.autoflush_idle()
+
+
+def test_autoflush_age_watermark_flushes_trickle(spark, tmp_path):
+    """A trickle-rate namespace far below the row watermark must still
+    flush once its oldest row exceeds the age watermark — otherwise
+    its records pin WAL segments against compaction forever."""
+    import time
+
+    eng = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        max_segment_size=1024,
+        auto_flush_rows=10_000,  # never reached
+        auto_flush_age_s=1.0,
+    )
+    try:
+        for i in range(5):
+            _write(eng, str(i), i)
+        deadline = time.monotonic() + 30.0
+        while time.monotonic() < deadline:
+            if (
+                eng.buffer.row_count("ns") == 0
+                and eng.autoflush_idle()
+            ):
+                break
+            time.sleep(0.1)
+        assert eng.buffer.row_count("ns") == 0  # age trigger flushed
+        commits = list(
+            (tmp_path / "cold/_commits").glob("flush-ns-*.json")
+        ) + list((tmp_path / "cold/_commits").glob("snapshot-*.json"))
+        assert commits
+        df = eng.query("ns", "SELECT * FROM cpu")
+        assert sorted(int(r["value"]) for r in df.collect()) == list(range(5))
+        # quiet namespace: the ticker must not spin up useless flushes
+        # (first-insert marker cleared with the epoch)
+        assert eng.buffer.oldest_insert_age("ns") is None
+    finally:
+        eng.close_autoflush()
