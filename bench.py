@@ -248,11 +248,11 @@ def main() -> None:
     import subprocess
 
     w0_src = (
-        "import sys, time, tempfile\n"
+        "import json, sys, time, tempfile\n"
         f"sys.path.insert(0, {str(Path(__file__).resolve().parent)!r})\n"
         "from lynx_spark.engine import LynxEngine\n"
         "from lynx_spark.model import WriteRequest\n"
-        "best = None\n"
+        "reps = []\n"
         "for _ in range(3):\n"
         "    with tempfile.TemporaryDirectory() as wal_dir:\n"
         "        engine = LynxEngine(None, wal_dir)\n"
@@ -260,13 +260,15 @@ def main() -> None:
         "        for i in range(20000):\n"
         "            engine.write(WriteRequest(\n"
         "                'bench', 'cpu', str(i), {'host': f'h{i % 50}'}, i))\n"
-        "        elapsed = time.perf_counter() - start\n"
+        "        reps.append(time.perf_counter() - start)\n"
         "        engine.wal.close()\n"
-        "    best = elapsed if best is None else min(best, elapsed)\n"
-        "print(best)\n"
+        "print(json.dumps(reps))\n"
     )
     n_writes = 20_000
-    elapsed = float(
+    # subprocess emits ALL reps (ADVICE r12: value_median must be
+    # purely median-based, so every timings entry needs a real median
+    # beside its min — same rep-1-excluded convention as the queries)
+    w0_runs = json.loads(
         subprocess.run(
             [sys.executable, "-c", w0_src],
             capture_output=True,
@@ -274,7 +276,11 @@ def main() -> None:
             check=True,
         ).stdout.strip()
     )
+    elapsed = min(w0_runs)
     timings["w0_ingest_20k_writes"] = round(elapsed, 4)
+    medians["w0_ingest_20k_writes"] = round(
+        statistics.median(w0_runs[1:] or w0_runs), 4
+    )
     print(
         f"# w0_ingest_20k_writes: {elapsed:.3f}s "
         f"({n_writes / elapsed:,.0f} rows/s, clean subprocess, min of 3)",
@@ -325,11 +331,12 @@ def main() -> None:
         "                              f'{sdir}/ck{rep}')\n"
         "        q.awaitTermination()\n"
         "        reps.append(time.perf_counter() - t0)\n"
-        "    print(min(reps[1:]))\n"
+        "    import json as _j\n"
+        "    print(_j.dumps(reps))\n"
         "finally:\n"
         "    shutil.rmtree(sdir, ignore_errors=True)\n"
     )
-    s1 = float(
+    s1_runs = json.loads(
         subprocess.run(
             [sys.executable, "-c", s1_src],
             capture_output=True,
@@ -337,7 +344,13 @@ def main() -> None:
             check=True,
         ).stdout.strip().splitlines()[-1]
     )
+    # rep 1 warms the streaming engine (~10s cold JIT) and is excluded
+    # from BOTH figures, same as before the all-reps change
+    s1 = min(s1_runs[1:])
     timings["s1_percentile_stream_4b"] = round(s1, 4)
+    medians["s1_percentile_stream_4b"] = round(
+        statistics.median(s1_runs[1:]), 4
+    )
     print(
         f"# s1_percentile_stream_4b: {s1:.3f}s "
         f"(4 micro-batches, availableNow, clean subprocess)",
@@ -412,6 +425,9 @@ def main() -> None:
         )
         _eng.wal.close()
     timings["m0_multi_table_http_join"] = round(min(m0_runs), 4)
+    medians["m0_multi_table_http_join"] = round(
+        statistics.median(m0_runs[1:] or m0_runs), 4
+    )
     print(
         f"# m0_multi_table_http_join: {min(m0_runs):.3f}s "
         f"(2k-row ingest, hot-tier JOIN via /api/v1/query, 404s hold)",
@@ -526,12 +542,12 @@ def main() -> None:
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
+        # purely median-based since r13 (ADVICE r12): w0/s1/m0 now
+        # report real medians, so every timings entry has one (the
+        # .get fallback keeps the field well-defined if a future row
+        # forgets — then it degrades per-key, never silently drops)
         "value_median": round(
-            sum(medians.values())
-            + sum(
-                v for k, v in timings.items() if k not in medians
-            ),
-            4,
+            sum(medians.get(k, v) for k, v in timings.items()), 4
         ),
         "unit": "sec",
         "sf": sf,
@@ -598,6 +614,25 @@ def main() -> None:
                 compact["top_deltas_median"] = {
                     n: round(mratios[n], 3) for n in top
                 }
+                # r13 (VERDICT r12 task 5): host-speed-normalized
+                # geomean. A driver box calibrating 33% slower made
+                # r12's untouched code read as a 1.19x "regression";
+                # time scales inversely with throughput, so the
+                # environment-only expectation for the raw geomean is
+                # calib_prev/calib_cur — divide it out. Raw stays
+                # beside it; the multi-core md5 figure is the scaler
+                # because it tracks what slows 32-way Spark stages.
+                prev_calib = prev.get("calib_md5_par_mbps")
+                if prev_calib and calib_md5_par_mbps:
+                    compact["calib_ratio_vs_prev"] = round(
+                        prev_calib / calib_md5_par_mbps, 4
+                    )
+                    compact["geomean_vs_prev_median_calib"] = round(
+                        compact["geomean_vs_prev_median"]
+                        * calib_md5_par_mbps
+                        / prev_calib,
+                        4,
+                    )
     except (OSError, ValueError, KeyError, AttributeError):
         pass
     print(json.dumps(compact))

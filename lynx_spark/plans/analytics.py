@@ -67,6 +67,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def q(name: str, oracle: str | None = None, description: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
+        # Registry invariant (r13, VERDICT r12 task 7): every entry
+        # ships with a DuckDB oracle — the rows-only escape hatch is
+        # retired (q09b, its last user, was reshaped to a
+        # hash-checkable form in r12). Enforced at import so a future
+        # oracle-less registration fails the whole suite, not just a
+        # skipped parametrize.
+        if oracle is None:
+            raise ValueError(
+                f"{name}: registry entries must carry an ANSI-SQL "
+                "oracle (270/270-oracled invariant; reshape the output "
+                "to a hash-checkable form instead of omitting it)"
+            )
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
         return fn
 
@@ -83,18 +95,11 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST: list[str] = [
-    # Round 12: q09b REWRITTEN from rows-only sketch output to the
-    # hash-matchable (n_exact, within_bound) shape with a real DuckDB
-    # oracle — its historical rows are all `no_oracle`, so it must be
-    # re-sampled to land its first green. Drop once the row lands.
+    # Round 13: q09b got an ADVICE-driven edit after its r12 green row
+    # (within_bound guarded TRUE when n_exact = 0, matching the
+    # oracle's literal instead of emitting NULL from 0/0). Drop once
+    # the re-sampled row lands.
     "q09b_approx_distinct",
-    # Round 12: q261/q263/q268/q272 got ADVICE-driven semantic edits
-    # (driver-side trig table, NULLIF degenerate-denominator guards,
-    # densified day grain) after their r11 green rows.
-    "q261_periodogram",
-    "q263_clustering_agreement",
-    "q268_mase_backtest",
-    "q272_cuped_adjustment",
 ]
 
 
@@ -484,11 +489,17 @@ def q09b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_exact",
-            (
+            # ADVICE r12: an all-NULL-user_id group has n_exact = 0 and
+            # 0/0 would emit NULL against the oracle's literal TRUE —
+            # both engines agree trivially when the exact count is 0,
+            # so the flag is TRUE by definition there.
+            F.when(F.col("n_exact") == 0, F.lit(True))
+            .otherwise(
                 F.abs(F.col("approx_users") - F.col("n_exact"))
                 / F.col("n_exact")
                 <= F.lit(0.15)
-            ).alias("within_bound"),
+            )
+            .alias("within_bound"),
         )
     )
 

@@ -343,6 +343,16 @@ class TieredEngine(LynxEngine):
         # fires through the SAME flush()/commit/WAL-truncation path
         # the HTTP route uses (exactly-once guarantees unchanged —
         # flush serializes against writes and queries on _wal_lock).
+        # ADVICE r12: normalize falsy/non-positive watermarks to None
+        # here rather than in every caller — an explicit
+        # ``--auto-flush-rows 0`` used to pass 0 through, making
+        # ``row_count >= 0`` always true (a flush thread per write);
+        # an explicit ``--auto-flush-age-s 0`` armed a 0.5 s ticker.
+        # "0/unset disables" now holds on every construction path.
+        if auto_flush_rows is not None and auto_flush_rows <= 0:
+            auto_flush_rows = None
+        if auto_flush_age_s is not None and auto_flush_age_s <= 0:
+            auto_flush_age_s = None
         self.auto_flush_rows = auto_flush_rows
         # AGE watermark: a namespace whose oldest unflushed row has
         # been sitting longer than this many seconds flushes even if
@@ -383,10 +393,13 @@ class TieredEngine(LynxEngine):
         """At most one in-flight background flush per namespace: the
         pending marker is set before the thread starts and cleared
         after flush() returns, and every write that still (or again)
-        sees an over-watermark count re-arms it — a crossing can never
-        strand rows, because writes are excluded for the whole flush
-        (flush holds _wal_lock), so the counter is exactly 0 when the
-        marker clears."""
+        sees an over-watermark count re-arms it. ADVICE r12: flush()
+        releases _wal_lock before the runner's ``finally`` clears the
+        marker, so a write landing in that window sees the marker set
+        and skips re-arming — the runner therefore re-checks the row
+        watermark AFTER clearing the marker and reschedules itself if
+        the namespace is (still or again) over, closing the
+        strand-without-a-flush window even when no age ticker runs."""
         import threading
 
         with self._autoflush_lock:
@@ -403,13 +416,25 @@ class TieredEngine(LynxEngine):
     def _autoflush_run(self, namespace: str) -> None:
         import sys
 
+        flushed = False
         try:
             self.flush(namespace)
+            flushed = True
         except Exception as e:  # noqa: BLE001 — must clear the marker
             print(f"auto-flush({namespace}) failed: {e!r}", file=sys.stderr)
         finally:
             with self._autoflush_lock:
                 self._autoflush_pending.discard(namespace)
+        # close the marker-clear race (see _schedule_autoflush): writes
+        # between flush() returning and the discard above saw the
+        # marker and skipped re-arming. Only on the success path — a
+        # FAILED flush leaves rows over the watermark by definition,
+        # and rescheduling then would spin a hot retry loop; failures
+        # keep the old contract (the next write or age tick re-arms).
+        if flushed:
+            n = self.auto_flush_rows
+            if n is not None and self.buffer.row_count(namespace) >= n:
+                self._schedule_autoflush(namespace)
 
     def autoflush_idle(self) -> bool:
         """True when no background flush is in flight (test/ops hook)."""

@@ -60,6 +60,13 @@ def main() -> None:
 
     spark = get_spark("oracle_sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    # SWEEP_ANSI=1 (r13, VERDICT r12 task 4): run the whole registry
+    # under spark.sql.ansi.enabled=true, where every divide-by-zero /
+    # overflow / invalid-cast that non-ANSI mode folds to NULL becomes
+    # a hard error. The q260/q272 NULLIF class was found ad hoc; this
+    # sweep finds every remaining unguarded site mechanically.
+    if os.environ.get("SWEEP_ANSI", "0") == "1":
+        spark.conf.set("spark.sql.ansi.enabled", "true")
 
     con = duckdb.connect()
     # a pathological (quadratic-at-scale) oracle must ERROR cleanly,
@@ -93,6 +100,12 @@ def main() -> None:
     elif OUT.exists():
         OUT.unlink()
 
+    # ADVICE r12: validate SWEEP_ONLY up front — an unknown name used
+    # to raise KeyError at REGISTRY[name] outside the per-query try,
+    # aborting the sweep this script promises never aborts
+    unknown = [n for n in ONLY if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"SWEEP_ONLY names not in REGISTRY: {unknown}")
     names = ONLY or list(REGISTRY)
     n_pass = n_fail = n_rows_only = 0
     fails: list[str] = []
@@ -109,8 +122,11 @@ def main() -> None:
             row["spark_rows"] = len(srows)
             row["spark_sec"] = round(time.perf_counter() - t0, 2)
             if spec.oracle is None:
-                row["status"] = "rows_only"
-                row["ok"] = len(srows) >= 0 and len(scols) > 0
+                # unreachable since r13 (the q() decorator rejects
+                # oracle-less registrations); kept as a loud failure
+                # rather than the old half-tautological "ok" check
+                row["status"] = "fail"
+                row["why"] = "registry entry without an oracle"
             else:
                 t1 = time.perf_counter()
                 rel = con.sql(spec.oracle)
