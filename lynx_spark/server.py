@@ -181,6 +181,16 @@ def main() -> None:
         "oldest unflushed row is this many seconds old — a trickle-rate "
         "namespace must not pin WAL segments forever (0/unset disables)",
     )
+    parser.add_argument(
+        "--auto-optimize-files",
+        type=int,
+        default=int(os.environ.get("LYNX_AUTO_OPTIMIZE_FILES", "0")) or None,
+        help="tiered engine only: background bin-pack a (table, day) "
+        "partition once it holds this many visible files — bounds the "
+        "small-file accumulation trickle auto-flushes create without "
+        "requiring /api/v1/optimize calls (0/unset disables; minimum "
+        "meaningful value is 2)",
+    )
     args = parser.parse_args()
 
     from lynx_spark.session import get_spark
@@ -195,6 +205,7 @@ def main() -> None:
             multi_table=args.multi_table,
             auto_flush_rows=args.auto_flush_rows,
             auto_flush_age_s=args.auto_flush_age_s,
+            auto_optimize_files=args.auto_optimize_files,
         )
     else:
         engine = LynxEngine(

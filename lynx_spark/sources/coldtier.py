@@ -18,6 +18,17 @@ deliberate 100 TB superset (SURVEY §7 step 6):
   flush serializes on the write lock), so driver memory and WAL
   retention stay bounded under any ingest shape with no
   /api/v1/flush caller;
+- ``auto_optimize_files=K`` (r13, VERDICT r12 task 2) is the
+  symmetric DATA-file watermark: every flush checks whether any
+  (table, day) partition of the namespace now holds ≥ K visible
+  files, and if so schedules a background ``optimize()`` through the
+  same one-in-flight-per-namespace scheduler — without it the age
+  watermark's trickle flushes accumulate unbounded small parquet
+  files between manual /api/v1/optimize calls, degrading every
+  cold-tier scan (the commit LOG already self-compacts; this bounds
+  the data files the same way). Tombstone deletion stays manual
+  (``vacuum`` is a retention decision — an in-flight query may still
+  hold replaced files);
 - after a flush the WAL is compacted: the flushed namespace's records
   are dropped segment-by-segment (each rewrite is an atomic rename),
   so replay after restart only restores unflushed rows;
@@ -321,6 +332,7 @@ class TieredEngine(LynxEngine):
         multi_table: bool = False,
         auto_flush_rows: int | None = None,
         auto_flush_age_s: float | None = None,
+        auto_optimize_files: int | None = None,
     ) -> None:
         import threading
 
@@ -365,8 +377,18 @@ class TieredEngine(LynxEngine):
         # namespace marker and the exactly-once flush contract are
         # shared with the row trigger.
         self.auto_flush_age_s = auto_flush_age_s
+        # auto-OPTIMIZE watermark (r13, VERDICT r12 task 2): once any
+        # (table, day) partition of a namespace holds this many
+        # VISIBLE files, a background optimize() bin-packs it. < 2 is
+        # normalized to None: optimize(min_files=1) would rewrite a
+        # single-file day into a new single file on every pass —
+        # infinite churn with no benefit.
+        if auto_optimize_files is not None and auto_optimize_files < 2:
+            auto_optimize_files = None
+        self.auto_optimize_files = auto_optimize_files
         self._autoflush_lock = threading.Lock()
         self._autoflush_pending: set[str] = set()
+        self._autooptimize_pending: set[str] = set()
         self._autoflush_stop = threading.Event()
         super().__init__(spark, wal_dir, max_segment_size, multi_table)
         if auto_flush_rows is not None:
@@ -374,6 +396,14 @@ class TieredEngine(LynxEngine):
             for ns in self.buffer.namespaces():
                 if self.buffer.row_count(ns) >= auto_flush_rows:
                     self._schedule_autoflush(ns)
+        if auto_optimize_files is not None:
+            # a restart may land on a cold tier already over the file
+            # watermark (e.g. the process died between flush and pack)
+            with self._wal_lock:
+                committed = self._committed_files()
+            for ns in {rel.split("/", 1)[0] for rel in committed}:
+                if self._over_optimize_watermark(ns, committed):
+                    self._schedule_autooptimize(ns)
         if auto_flush_age_s is not None:
             threading.Thread(
                 target=self._age_ticker,
@@ -440,6 +470,91 @@ class TieredEngine(LynxEngine):
         """True when no background flush is in flight (test/ops hook)."""
         with self._autoflush_lock:
             return not self._autoflush_pending
+
+    # ----------------------------------------------------- auto-optimize
+
+    def _over_optimize_watermark(
+        self, namespace: str, committed: set[str] | None = None
+    ) -> bool:
+        """Does any (table, day) partition of the namespace hold ≥
+        auto_optimize_files visible files? O(#committed files) over the
+        cached commit log — no filesystem walk."""
+        k = self.auto_optimize_files
+        if k is None:
+            return False
+        if committed is None:
+            committed = self._committed_files()
+        counts: dict[str, int] = {}
+        for rel in committed:
+            parts = rel.split("/")
+            if len(parts) == 4 and parts[0] == namespace:
+                day_dir = "/".join(parts[:3])
+                counts[day_dir] = counts.get(day_dir, 0) + 1
+                if counts[day_dir] >= k:
+                    return True
+        return False
+
+    def _maybe_autooptimize(self, namespace: str) -> None:
+        """Called at the end of flush() (under _wal_lock, commit cache
+        warm): schedule a background pack if the flush pushed any day
+        partition over the file watermark."""
+        if self.auto_optimize_files is not None and (
+            self._over_optimize_watermark(namespace)
+        ):
+            self._schedule_autooptimize(namespace)
+
+    def _schedule_autooptimize(self, namespace: str) -> None:
+        """Same one-in-flight-per-namespace contract as
+        _schedule_autoflush, with its own pending set (a flush and a
+        pack of the same namespace may overlap in wall time — they
+        serialize on _wal_lock, not on the markers)."""
+        import threading
+
+        with self._autoflush_lock:
+            if namespace in self._autooptimize_pending:
+                return
+            self._autooptimize_pending.add(namespace)
+        threading.Thread(
+            target=self._autooptimize_run,
+            args=(namespace,),
+            name=f"lynx-autooptimize-{namespace}",
+            daemon=True,
+        ).start()
+
+    def _autooptimize_run(self, namespace: str) -> None:
+        import sys
+
+        packed = False
+        try:
+            # min_files = the watermark itself: only over-watermark
+            # day partitions are rewritten, so a day that just crossed
+            # is packed to 1 file and then left alone until it crosses
+            # again — no churn on small days
+            self.optimize(namespace, min_files=self.auto_optimize_files)
+            packed = True
+        except Exception as e:  # noqa: BLE001 — must clear the marker
+            print(
+                f"auto-optimize({namespace}) failed: {e!r}", file=sys.stderr
+            )
+        finally:
+            with self._autoflush_lock:
+                self._autooptimize_pending.discard(namespace)
+        # marker-clear race, same shape as _autoflush_run: flushes
+        # landing between optimize() returning and the discard above
+        # saw the marker and skipped re-arming (success path only —
+        # a persistent failure must not spin a hot retry loop). The
+        # commit-log read takes _wal_lock: the cache is only mutated
+        # under it everywhere else.
+        if packed:
+            with self._wal_lock:
+                over = self._over_optimize_watermark(namespace)
+            if over:
+                self._schedule_autooptimize(namespace)
+
+    def autooptimize_idle(self) -> bool:
+        """True when no background pack is in flight (test/ops hook)."""
+        with self._autoflush_lock:
+            return not self._autooptimize_pending
 
     def _age_ticker(self) -> None:
         import time
@@ -621,6 +736,7 @@ class TieredEngine(LynxEngine):
             self.buffer.clear_namespace(namespace)
             self._compact_wal(drop_namespace=namespace)
             self._maybe_compact_commits()
+            self._maybe_autooptimize(namespace)
             return rows
 
     def _write_partition(

@@ -936,3 +936,162 @@ def test_autoflush_age_watermark_flushes_trickle(spark, tmp_path):
         assert eng.buffer.oldest_insert_age("ns") is None
     finally:
         eng.close_autoflush()
+
+
+def _await_autooptimize(eng, timeout=30.0):
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if eng.autooptimize_idle() and eng.autoflush_idle():
+            return
+        time.sleep(0.02)
+    raise AssertionError("background auto-optimize did not finish")
+
+
+def _visible_files(eng, prefix):
+    with eng._wal_lock:
+        return sorted(
+            rel for rel in eng._committed_files() if rel.startswith(prefix)
+        )
+
+
+def test_autooptimize_packs_after_row_watermark_flushes(spark, tmp_path):
+    """VERDICT r12 task 2: repeated auto-flushes pushing one day
+    partition over the file watermark must trigger a background pack
+    through the commit-log rewrite — no /api/v1/optimize call — and
+    the result set must be identical before/after."""
+    eng = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        max_segment_size=1024,
+        auto_flush_rows=10,
+        auto_optimize_files=3,
+    )
+    for i in range(30):  # 3 watermark crossings, all day 1970-01-01
+        _write(eng, str(i), i)
+    _await_autoflush(eng)
+    _await_autooptimize(eng)
+    files = _visible_files(eng, "ns/cpu/")
+    # packed: the over-watermark day collapsed to one part-opt file
+    assert any("part-opt" in f for f in files)
+    assert len(files) < 3  # bounded below the watermark again
+    opt_commits = list(
+        (tmp_path / "cold/_commits").glob("optimize-ns-*.json")
+    ) + [
+        p
+        for p in (tmp_path / "cold/_commits").glob("snapshot-*.json")
+    ]
+    assert opt_commits
+    df = eng.query("ns", "SELECT * FROM cpu")
+    assert sorted(int(r["value"]) for r in df.collect()) == list(range(30))
+
+
+def test_autooptimize_bounds_files_under_sustained_trickle(spark, tmp_path):
+    """The age-watermark trickle case the watermark exists for: a slow
+    namespace whose timer flushes accumulate small files must stay
+    bounded by background packing, while concurrent queries see every
+    row exactly once through flushes AND rewrite commits."""
+    import time
+
+    eng = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        max_segment_size=1024,
+        auto_flush_rows=10_000,  # never reached: age is the trigger
+        auto_flush_age_s=0.5,
+        auto_optimize_files=4,
+    )
+    try:
+        written = 0
+        for burst in range(8):
+            for _ in range(3):
+                _write(eng, str(written), written)
+                written += 1
+            # every row visible exactly once at any moment: writes are
+            # synchronous, flush/pack visibility flips are atomic
+            df = eng.query("ns", "SELECT * FROM cpu")
+            vals = sorted(int(r["value"]) for r in df.collect())
+            assert vals == list(range(written))
+            time.sleep(0.65)  # let the age ticker flush this burst
+        deadline = time.monotonic() + 30.0
+        while time.monotonic() < deadline:
+            if (
+                eng.buffer.row_count("ns") == 0
+                and eng.autoflush_idle()
+                and eng.autooptimize_idle()
+            ):
+                break
+            time.sleep(0.1)
+        files = _visible_files(eng, "ns/cpu/")
+        # ≥5 trickle flushes landed in one day; without the watermark
+        # this would be one file per flush — packing bounds it
+        assert any("part-opt" in f for f in files)
+        assert len(files) < 4  # below the watermark after settle
+        df = eng.query("ns", "SELECT * FROM cpu")
+        vals = sorted(int(r["value"]) for r in df.collect())
+        assert vals == list(range(written))  # exactly once, end state
+    finally:
+        eng.close_autoflush()
+
+
+def test_autooptimize_disabled_by_default(tiered, tmp_path):
+    for i in range(5):
+        _write(tiered, str(i), i)
+        tiered.flush("ns")
+    files = _visible_files(tiered, "ns/cpu/")
+    assert len(files) == 5  # five flushes, five files, nothing packed
+    assert not any("part-opt" in f for f in files)
+    assert tiered.autooptimize_idle()
+
+
+def test_autooptimize_watermark_below_two_disables(spark, tmp_path):
+    """min_files=1 would rewrite a single-file day into a new single
+    file forever — values < 2 must normalize to disabled."""
+    eng = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        auto_optimize_files=1,
+    )
+    assert eng.auto_optimize_files is None
+    eng0 = TieredEngine(
+        spark,
+        tmp_path / "wal0",
+        tmp_path / "cold0",
+        auto_flush_rows=0,
+        auto_flush_age_s=0.0,
+        auto_optimize_files=0,
+    )
+    # ADVICE r12: explicit zeros disable instead of arming per-write
+    # flush threads / a 0.5 s ticker
+    assert eng0.auto_flush_rows is None
+    assert eng0.auto_flush_age_s is None
+    assert eng0.auto_optimize_files is None
+
+
+def test_autooptimize_startup_backlog(spark, tmp_path):
+    """A restart onto a cold tier already over the file watermark
+    (process died between flush and pack) must schedule the pack at
+    construction."""
+    eng = TieredEngine(
+        spark, tmp_path / "wal", tmp_path / "cold", max_segment_size=1024
+    )
+    for i in range(4):
+        _write(eng, str(i), i)
+        eng.flush("ns")  # four single-row files, same day
+    eng.wal.close()
+    eng2 = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        max_segment_size=1024,
+        auto_optimize_files=3,
+    )
+    _await_autooptimize(eng2)
+    files = _visible_files(eng2, "ns/cpu/")
+    assert len(files) == 1 and "part-opt" in files[0]
+    df = eng2.query("ns", "SELECT * FROM cpu")
+    assert sorted(int(r["value"]) for r in df.collect()) == list(range(4))
