@@ -434,6 +434,94 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # multi-table at volume (r13, VERDICT r12 task 6): m0 joins 3 rows
+    # per host — this row proves the path beyond a toy. 100k rows
+    # across two measurements through the real /api/v1/write route
+    # (untimed setup, ~30s of WSGI dispatch), then a grouped JOIN via
+    # /api/v1/query whose result is asserted against the closed-form
+    # expectation the deterministic ingest implies (the oracle): mem
+    # timestamps are the even numbers, so the join keeps even cpu
+    # rows only — 50 even-host groups of 500. A trivial count(*)
+    # probe is timed beside it: per-query re-registration
+    # (measurements_to_arrow + createDataFrame of each 50k-row hot
+    # table) must stay sub-dominant to the join itself.
+    with _tf.TemporaryDirectory() as _mt_dir:
+        _eng = _TE(
+            spark,
+            Path(_mt_dir) / "wal",
+            Path(_mt_dir) / "cold",
+            multi_table=True,
+        )
+        _c = _mk_app(_eng).test_client()
+        t0 = time.perf_counter()
+        for i in range(50_000):
+            _c.post(
+                "/api/v1/write",
+                json={
+                    "namespace": "bench",
+                    "measurement": "cpu",
+                    "value": str(i),
+                    "metadata": {"host": f"h{i % 100}"},
+                    "timestamp": i,
+                },
+            )
+            _c.post(
+                "/api/v1/write",
+                json={
+                    "namespace": "bench",
+                    "measurement": "mem",
+                    "value": str(2 * i),
+                    "metadata": {},
+                    "timestamp": 2 * i,
+                },
+            )
+        m1_ingest = time.perf_counter() - t0
+        _join = (
+            '{"namespace": "bench", "format": "Json", "query": '
+            '"SELECT c.host AS host, count(*) AS n FROM cpu c '
+            "JOIN mem m ON c.timestamp = m.timestamp "
+            'GROUP BY c.host ORDER BY host"}'
+        )
+        expected = {f"h{h}": 500 for h in range(0, 100, 2)}
+        m1_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = _c.post(
+                "/api/v1/query",
+                data=_join,
+                content_type="application/json",
+            )
+            m1_runs.append(time.perf_counter() - t0)
+            assert r.status_code == 200
+            got = {
+                row["host"]: row["n"] for row in json.loads(r.get_data())
+            }
+            assert got == expected, "m1 oracle mismatch"
+        probe_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = _c.post(
+                "/api/v1/query",
+                json={
+                    "namespace": "bench",
+                    "format": "Json",
+                    "query": "SELECT count(*) AS n FROM cpu",
+                },
+            )
+            probe_runs.append(time.perf_counter() - t0)
+            assert json.loads(r.get_data()) == [{"n": 50_000}]
+        _eng.wal.close()
+    timings["m1_multi_table_http_join_100k"] = round(min(m1_runs), 4)
+    medians["m1_multi_table_http_join_100k"] = round(
+        statistics.median(m1_runs[1:] or m1_runs), 4
+    )
+    print(
+        f"# m1_multi_table_http_join_100k: {min(m1_runs):.3f}s "
+        f"(100k-row ingest in {m1_ingest:.1f}s untimed, oracle holds; "
+        f"single-table re-registration probe {min(probe_runs):.3f}s)",
+        file=sys.stderr,
+    )
+
     # host-speed calibration constants (r8): the text family drifted
     # +35% over r5→r8 on UNCHANGED code — bisect showed it is neither
     # registry size (lean import == full import) nor contention (idle
