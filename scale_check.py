@@ -11,6 +11,7 @@ broadcast joins must stay broadcast while only fact-side shuffles grow.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -316,15 +317,57 @@ def synthesize(spark) -> None:
         str(OUT / "documents.parquet")
     )
 
-    # embeddings: shifted ids, identical vectors (bucket sizes grow
-    # FACTOR-fold — exactly the load ANN candidate generation must
-    # absorb linearly)
+    # embeddings: shifted ids. Default: identical vectors (bucket
+    # sizes grow FACTOR-fold — exactly the load ANN candidate
+    # generation must absorb linearly, and mostly through the CAPPED
+    # star path). SCALE_JITTER=1 (r13, VERDICT r12 task 1) instead
+    # perturbs every copy i>0 with deterministic content-hash
+    # Gaussian noise (Box-Muller over two xxhash64 uniforms keyed by
+    # (vec_id, dim, copy) — reproducible with no RNG state) at two
+    # amplitudes: sigma=0.01 for copies 1..FACTOR/2-1 keeps them
+    # near-duplicates of the originals (near-ties in neighbor
+    # ranking, tight realistic buckets), sigma=0.05 for the rest
+    # spreads genuinely novel geometry (vectors are unit-norm, 64-d:
+    # expected noise norm = 8*sigma = 0.08 / 0.4). This exercises the
+    # UNCAPPED path — realistic bucket distributions, recall under
+    # novel geometry — that identical replicas never reach.
+    jitter = os.environ.get("SCALE_JITTER", "0") == "1"
+
+    def _gauss(tag: str, amp: float):
+        def g(x, i):
+            u1 = (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), i, F.lit(tag), F.lit("u1")),
+                    F.lit(1_000_000),
+                )
+                + F.lit(0.5)
+            ) / F.lit(1_000_000.0)
+            u2 = (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), i, F.lit(tag), F.lit("u2")),
+                    F.lit(1_000_000),
+                )
+                + F.lit(0.5)
+            ) / F.lit(1_000_000.0)
+            z = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(
+                F.lit(2.0 * math.pi) * u2
+            )
+            return (x + F.lit(amp) * z).cast("float")
+
+        return g
+
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    e_copies = [
-        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vec))
-        for i in range(FACTOR)
-    ]
+    e_copies = []
+    for i in range(FACTOR):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vec))
+        if jitter and i > 0:
+            amp = 0.01 if i < FACTOR / 2 else 0.05
+            c = c.withColumn(
+                "embedding",
+                F.transform("embedding", _gauss(f"c{i}", amp)),
+            )
+        e_copies.append(c)
     e_all = e_copies[0]
     for c in e_copies[1:]:
         e_all = e_all.unionByName(c)
