@@ -42,6 +42,12 @@ def _normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # IEEE -0.0 == 0.0 numerically; the string
+            # forms differ ('-0.0' vs '0.0') and the jittered-x10
+            # sweep showed round() can land on opposite zero signs
+            # across engines for values that are bit-equal inputs —
+            # a harness artifact, not an engine disagreement
         return v
     return v
 

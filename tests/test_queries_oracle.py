@@ -36,6 +36,9 @@ def _normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # canonicalize IEEE -0.0: numerically equal,
+            # string-unequal (see oracle_sweep._normalize)
         return v
     return v
 
