@@ -189,7 +189,9 @@ def main() -> None:
         "partition once it holds this many visible files — bounds the "
         "small-file accumulation trickle auto-flushes create without "
         "requiring /api/v1/optimize calls (0/unset disables; minimum "
-        "meaningful value is 2)",
+        "meaningful value is 2). Checked at each flush, so a purely "
+        "streaming-ingested namespace (zero flushes) still needs "
+        "/api/v1/optimize",
     )
     args = parser.parse_args()
 

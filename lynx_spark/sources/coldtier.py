@@ -26,7 +26,14 @@ deliberate 100 TB superset (SURVEY §7 step 6):
   watermark's trickle flushes accumulate unbounded small parquet
   files between manual /api/v1/optimize calls, degrading every
   cold-tier scan (the commit LOG already self-compacts; this bounds
-  the data files the same way). Tombstone deletion stays manual
+  the data files the same way). The pack groups by day partition
+  regardless of writer, so a namespace receiving BOTH flushes and
+  stream batches has its streaming files bounded too; a PURELY
+  streaming namespace (zero flushes) has no trigger — rewrites need
+  single-writer exclusion (two concurrent packs replacing the same
+  files would double data), which only the engine's write lock
+  provides, so such namespaces pack via /api/v1/optimize on the
+  engine that owns the directory. Tombstone deletion stays manual
   (``vacuum`` is a retention decision — an in-flight query may still
   hold replaced files);
 - after a flush the WAL is compacted: the flushed namespace's records

@@ -156,6 +156,14 @@ def main() -> None:
                         total += row["n"]
                         distinct += row["d"]
                     after = counts[ns]
+                    if total > after:
+                        # counters increment AFTER eng.write returns,
+                        # so a row visible in the snapshot can be
+                        # momentarily uncounted if the writer was
+                        # descheduled between the two; give the
+                        # increment one reschedule before judging
+                        time.sleep(0.05)
+                        after = counts[ns]
                     sampled["n"] += 1
                     # exactness: no duplication (distinct == total) and
                     # the count inside the concurrent-write window
@@ -280,11 +288,20 @@ def main() -> None:
         "commit_files_left": len(list(cdir.glob("*.json"))),
         "folded_flush_watermark": folded_flush,
         "errors": errors[:20],
+        # ok covers EVERY documented invariant (r13 review finding:
+        # the bound flags were computed but excluded, so a run whose
+        # background flushes/packs all silently failed — they print
+        # to stderr, not to `errors` — could still read ok:true; the
+        # bounds are exactly what such a failure violates). n_flushes
+        # > 0 additionally proves the background path actually ran.
         "ok": (
             not errors
             and all(v["exact"] for v in final.values())
             and sampled["exact"] == sampled["n"]
             and sampled["n"] > 0
+            and peak_hot["burst"] <= 2 * AUTO_FLUSH_ROWS
+            and max_files_per_day["n"] <= 2 * AUTO_OPTIMIZE_FILES
+            and n_flushes > 0
         ),
     }
     OUT.write_text(json.dumps(result, indent=1))

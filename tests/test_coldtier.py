@@ -969,9 +969,15 @@ def test_autooptimize_packs_after_row_watermark_flushes(spark, tmp_path):
         auto_flush_rows=10,
         auto_optimize_files=3,
     )
-    for i in range(30):  # 3 watermark crossings, all day 1970-01-01
-        _write(eng, str(i), i)
-    _await_autoflush(eng)
+    # 3 watermark crossings, all day 1970-01-01 — awaiting the flush
+    # between batches FORCES three separate flush files (r13 review:
+    # an uninterrupted 30-write loop can outrun the flush thread on a
+    # loaded box, landing everything in ONE file and never crossing
+    # the file watermark this test asserts on)
+    for batch in range(3):
+        for i in range(batch * 10, batch * 10 + 10):
+            _write(eng, str(i), i)
+        _await_autoflush(eng)
     _await_autooptimize(eng)
     files = _visible_files(eng, "ns/cpu/")
     # packed: the over-watermark day collapsed to one part-opt file
