@@ -73,6 +73,14 @@ def main() -> None:
     # sweep finds every remaining unguarded site mechanically.
     if os.environ.get("SWEEP_ANSI", "0") == "1":
         spark.conf.set("spark.sql.ansi.enabled", "true")
+    # SWEEP_EXTRA_CONF="k=v,k=v" (r13): arbitrary runtime-conf
+    # perturbations — the full-registry generalization of the
+    # conftest hook (tests/conftest.py) used for AQE-off /
+    # codegen-off robustness sweeps: different physical plans,
+    # identical results required.
+    for kv in filter(None, os.environ.get("SWEEP_EXTRA_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
 
     con = duckdb.connect()
     # a pathological (quadratic-at-scale) oracle must ERROR cleanly,
