@@ -87,7 +87,22 @@ def main() -> None:
     # not eat the disk until the Spark side's shuffle writes start
     # failing too (r12: the uncapped kNN oracle and q167's recursive
     # replay each spilled 40-70 GB of temp before this guard existed)
-    budget = os.environ.get("SWEEP_DUCK_BUDGET", "24GiB")
+    budget = os.environ.get("SWEEP_DUCK_BUDGET")
+    if not budget:
+        # default scales with the host: the floor (24GiB) is plenty at
+        # any tested SF with replica/real data, but the IVF-PQ oracles
+        # need ~60GiB when every embedding vector is distinct
+        # (SWEEP_jitter_r13.json) — on a big box, don't make the
+        # operator rediscover that; on a small box, keep the guard
+        try:
+            avail_kb = next(
+                int(line.split()[1])
+                for line in open("/proc/meminfo")
+                if line.startswith("MemAvailable")
+            )
+            budget = f"{max(24, min(64, int(avail_kb / 2097152)))}GiB"
+        except (OSError, StopIteration, ValueError):
+            budget = "24GiB"
     for pragma in (
         "SET temp_directory='/tmp/duckdb_sweep_spill'",
         f"SET max_temp_directory_size='{budget}'",
