@@ -370,6 +370,13 @@ def main() -> None:
     from lynx_spark.server import create_app as _mk_app
     from lynx_spark.sources.coldtier import TieredEngine as _TE
 
+    def _check(cond: bool, msg: str) -> None:
+        # explicit raise, not `assert`: these oracle checks are what
+        # makes the bench rows self-verifying, and a bare assert is
+        # silently stripped under `python -O` (r13 ADVICE item).
+        if not cond:
+            raise AssertionError(msg)
+
     with _tf.TemporaryDirectory() as _mt_dir:
         _eng = _TE(
             spark,
@@ -380,7 +387,7 @@ def main() -> None:
         _c = _mk_app(_eng).test_client()
         for i in range(1000):
             for meas, val in (("cpu", str(i)), ("mem", str(i * 2))):
-                assert (
+                _check(
                     _c.post(
                         "/api/v1/write",
                         json={
@@ -391,7 +398,8 @@ def main() -> None:
                             "timestamp": i,
                         },
                     ).status_code
-                    == 200
+                    == 200,
+                    "m0 write did not return 200",
                 )
         _join = (
             '{"namespace": "bench", "format": "Json", "query": '
@@ -408,20 +416,26 @@ def main() -> None:
                 content_type="application/json",
             )
             m0_runs.append(time.perf_counter() - t0)
-            assert r.status_code == 200 and len(json.loads(r.get_data())) == 50
-        assert (
+            _check(
+                r.status_code == 200
+                and len(json.loads(r.get_data())) == 50,
+                "m0 join oracle mismatch",
+            )
+        _check(
             _c.post(
                 "/api/v1/query",
                 json={"namespace": "nope", "query": "SELECT * FROM cpu"},
             ).status_code
-            == 404
+            == 404,
+            "m0 unknown-namespace probe did not 404",
         )
-        assert (
+        _check(
             _c.post(
                 "/api/v1/query",
                 json={"namespace": "bench", "query": "SELECT * FROM gpu"},
             ).status_code
-            == 404
+            == 404,
+            "m0 unknown-table probe did not 404",
         )
         _eng.wal.close()
     timings["m0_multi_table_http_join"] = round(min(m0_runs), 4)
@@ -492,11 +506,11 @@ def main() -> None:
                 content_type="application/json",
             )
             m1_runs.append(time.perf_counter() - t0)
-            assert r.status_code == 200
+            _check(r.status_code == 200, "m1 join query did not 200")
             got = {
                 row["host"]: row["n"] for row in json.loads(r.get_data())
             }
-            assert got == expected, "m1 oracle mismatch"
+            _check(got == expected, "m1 oracle mismatch")
         probe_runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -509,7 +523,10 @@ def main() -> None:
                 },
             )
             probe_runs.append(time.perf_counter() - t0)
-            assert json.loads(r.get_data()) == [{"n": 50_000}]
+            _check(
+                json.loads(r.get_data()) == [{"n": 50_000}],
+                "m1 count probe mismatch",
+            )
         _eng.wal.close()
     timings["m1_multi_table_http_join_100k"] = round(min(m1_runs), 4)
     medians["m1_multi_table_http_join_100k"] = round(

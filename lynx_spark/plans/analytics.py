@@ -95,11 +95,8 @@ def q(name: str, oracle: str | None = None, description: str = ""):
 # (dims path rewritten). Short-lived by design — drop entries once
 # their CORRECTNESS row lands.
 _VERIFY_FIRST: list[str] = [
-    # Round 13: q09b got an ADVICE-driven edit after its r12 green row
-    # (within_bound guarded TRUE when n_exact = 0, matching the
-    # oracle's literal instead of emitting NULL from 0/0). Drop once
-    # the re-sampled row lands.
-    "q09b_approx_distinct",
+    # Round 14: empty — q09b's re-sampled row landed green in
+    # CORRECTNESS_r13.json, so it was dropped per the list's contract.
 ]
 
 

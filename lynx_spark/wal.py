@@ -126,6 +126,13 @@ class Segment:
         # create_new semantics: fail if the file already exists
         self._file = open(self.path, "xb")
         self._file.write(WAL_HEADER)
+        # flush immediately: the reference writes the header through an
+        # unbuffered File (wal.rs:230-232), so it reaches the OS before
+        # any record can. Without this, Python's buffered file held the
+        # header back until the first record's flush, and a process
+        # kill in that window left a 0-byte segment on disk (found live
+        # by a SIGTERM-during-idle restart probe in r14).
+        self._file.flush()
         self.size = len(WAL_HEADER)  # size accounting includes header
 
     def write(self, data: bytes) -> None:
@@ -191,10 +198,21 @@ class Wal:
 
 def read_segment(path: Path):
     """Verify header then yield the segment's records in order
-    (wal.rs:329-354)."""
+    (wal.rs:329-354).
+
+    Documented deviation (crash recovery): a segment whose content is
+    a strict PREFIX of the header (including a 0-byte file) is treated
+    as empty and yields nothing. File-create and header-write are not
+    atomic, so a process kill in that window leaves such a file; it
+    can contain no records (records are only ever appended after the
+    full header), and the reference's read_exact would instead fail
+    the replay forever — bricking the server on every restart. Any
+    other malformed header still raises, as in the reference."""
     with open(path, "rb") as f:
         header = f.read(len(WAL_HEADER))
         if header != WAL_HEADER:
+            if WAL_HEADER.startswith(header):
+                return  # torn create: empty segment, zero records lost
             raise ValueError(
                 f"segment file must contain header ({WAL_HEADER.decode()})"
             )

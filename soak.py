@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Mixed-workload ingest soak (r13, VERDICT r12 task 3).
+"""Mixed-workload ingest soak (r13, VERDICT r12 task 3; probe + counting
+hardening r14, VERDICT r13 task 7 + ADVICE items 1-2).
 
 The auto-flush / auto-optimize machinery is unit-tested in crash
 windows; this script is the sustained-load artifact: minutes of
@@ -16,6 +17,15 @@ Invariants checked continuously and at drain:
   must return a count inside the [before, after] window read around
   it, with count(DISTINCT value) == count(*) (no row ever doubled by
   a flush/pack race, none lost);
+- a NON-TRIVIAL probe (window + join + anti-join over the racing
+  hot ∪ cold union, r13 verdict task 7) holds at every snapshot:
+  burst writers emit value "w{wid}-{i}" with even i to cpu and odd i
+  to mem, and writes are per-thread sequential, so any snapshot sees
+  a per-writer PREFIX of the sequence — therefore (a) LAG over cpu
+  ordered by i within each wid steps by exactly 2 from 0 (a gap ⇒
+  lost row, a 0-step ⇒ duplicated row), (b) every mem row i has its
+  cpu predecessor i-1 (anti-join empty), and (c) cpu rows without a
+  mem successor number at most one per writer (the in-flight tail);
 - final drain: rows out == rows in, value sets equal, per namespace;
 - peak hot-row count stays bounded by the row watermark + the
   scheduling margin (driver memory bound under burst);
@@ -42,7 +52,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SOAK_SECONDS = float(os.environ.get("SOAK_SECONDS", "120"))
 OUT = Path(__file__).resolve().parent / os.environ.get(
-    "SOAK_OUT", "SOAK_r13.json"
+    "SOAK_OUT", "SOAK_r14.json"
 )
 AUTO_FLUSH_ROWS = 5_000
 AUTO_FLUSH_AGE_S = 2.0
@@ -67,6 +77,10 @@ def main() -> None:
         auto_flush_rows=AUTO_FLUSH_ROWS,
         auto_flush_age_s=AUTO_FLUSH_AGE_S,
         auto_optimize_files=AUTO_OPTIMIZE_FILES,
+        # multi_table lets the non-trivial probe JOIN cpu with mem in
+        # one snapshot (same flag the m1 bench row soaks); the write
+        # path is identical either way.
+        multi_table=True,
     )
 
     stop = threading.Event()
@@ -120,8 +134,70 @@ def main() -> None:
             errors.append(f"trickle_writer: {e!r}")
 
     sampled = {"n": 0, "exact": 0}
+    probed = {"n": 0, "exact": 0}
     peak_hot = {"burst": 0, "trickle": 0}
     max_files_per_day = {"n": 0}
+
+    # Non-trivial probe (r13 verdict task 7): a multi-stage plan —
+    # window (LAG), inner join, and anti-join — over the racing
+    # hot ∪ cold union of BOTH burst tables, in ONE snapshot (the
+    # engine registers every referenced table under the same
+    # _wal_lock hold, so pc and pm are mutually consistent). The
+    # closed-form oracle needs no timing window: per-writer prefix
+    # visibility makes gaps == 0, unmatched_mem == 0, and
+    # 0 <= n_cpu - n_join <= n_writers true at EVERY snapshot.
+    PROBE_SQL = """
+        WITH pc AS (
+            SELECT CAST(substring(value, 2, instr(value, '-') - 2) AS BIGINT) AS wid,
+                   CAST(substring(value, instr(value, '-') + 1) AS BIGINT) AS i
+            FROM cpu
+        ), pm AS (
+            SELECT CAST(substring(value, 2, instr(value, '-') - 2) AS BIGINT) AS wid,
+                   CAST(substring(value, instr(value, '-') + 1) AS BIGINT) AS i
+            FROM mem
+        ), lagged AS (
+            SELECT wid, i,
+                   lag(i) OVER (PARTITION BY wid ORDER BY i) AS prev
+            FROM pc
+        ), win AS (
+            SELECT count(*) AS n_cpu,
+                   sum(CASE WHEN prev IS NULL
+                            THEN CASE WHEN i = 0 THEN 0 ELSE 1 END
+                            WHEN i - prev = 2 THEN 0 ELSE 1 END) AS gaps
+            FROM lagged
+        ), j AS (
+            SELECT count(*) AS n_join
+            FROM pc JOIN pm ON pc.wid = pm.wid AND pm.i = pc.i + 1
+        ), um AS (
+            SELECT count(*) AS n_unmatched_mem
+            FROM pm LEFT ANTI JOIN pc
+              ON pc.wid = pm.wid AND pc.i = pm.i - 1
+        )
+        SELECT win.n_cpu, win.gaps, j.n_join, um.n_unmatched_mem
+        FROM win, j, um
+    """
+    N_BURST_WRITERS = 2
+
+    def run_probe() -> None:
+        df = eng.query("burst", PROBE_SQL)
+        if df is None:
+            return
+        row = df.collect()[0]
+        probed["n"] += 1
+        ok = (
+            row["gaps"] == 0
+            and row["n_unmatched_mem"] == 0
+            and row["n_cpu"] >= 1
+            and 0 <= row["n_cpu"] - row["n_join"] <= N_BURST_WRITERS
+        )
+        if ok:
+            probed["exact"] += 1
+        else:
+            errors.append(
+                f"probe: n_cpu={row['n_cpu']} gaps={row['gaps']} "
+                f"n_join={row['n_join']} "
+                f"unmatched_mem={row['n_unmatched_mem']}"
+            )
 
     def visible_day_counts() -> dict[str, int]:
         with eng._wal_lock:
@@ -156,12 +232,14 @@ def main() -> None:
                         total += row["n"]
                         distinct += row["d"]
                     after = counts[ns]
-                    if total > after:
-                        # counters increment AFTER eng.write returns,
-                        # so a row visible in the snapshot can be
-                        # momentarily uncounted if the writer was
-                        # descheduled between the two; give the
-                        # increment one reschedule before judging
+                    # counters increment AFTER eng.write returns, so a
+                    # row visible in the snapshot can be momentarily
+                    # uncounted if the writer was descheduled between
+                    # the two; retry the re-read for up to ~1s (r13
+                    # ADVICE: a single 50ms grace could flip ok:false
+                    # spuriously on a loaded box) before judging
+                    retry_deadline = time.monotonic() + 1.0
+                    while total > after and time.monotonic() < retry_deadline:
                         time.sleep(0.05)
                         after = counts[ns]
                     sampled["n"] += 1
@@ -174,6 +252,10 @@ def main() -> None:
                             f"sampler {ns}: total={total} "
                             f"distinct={distinct} window=[{before},{after}]"
                         )
+                # the non-trivial probe joins the two racing tables;
+                # wait for both to exist (>= 1 row each per writer)
+                if counts["burst"] >= 2 * N_BURST_WRITERS:
+                    run_probe()
                 for ns in peak_hot:
                     peak_hot[ns] = max(
                         peak_hot[ns], eng.buffer.row_count(ns)
@@ -243,9 +325,26 @@ def main() -> None:
         for k in commit_kinds:
             if p.name.startswith(k):
                 commit_kinds[k] += 1
-    # snapshots fold commits away; recover totals from the fold
+    # snapshots fold commits away; recover totals from the fold.
+    # Per-namespace counting (r13 ADVICE: a global flush-*.json count
+    # let trickle flushes satisfy the burst-labeled metric): a
+    # namespace's flush count is max(files named flush-{ns}-*, the
+    # folded flush_ids[ns] watermark).
     with eng._wal_lock:
         commits = eng._load_commits()
+    flushes_per_ns = {}
+    for ns in ("burst", "trickle"):
+        n_files = sum(
+            1 for p in cdir.glob(f"flush-{ns}-*.json")
+        )
+        folded = max(
+            (
+                c.get("flush_ids", {}).get(ns, 0)
+                for c in commits.values()
+            ),
+            default=0,
+        )
+        flushes_per_ns[ns] = max(n_files, folded)
     folded_flush = max(
         (
             c.get("flush_ids", {}).get(ns, 0)
@@ -254,16 +353,7 @@ def main() -> None:
         ),
         default=0,
     )
-    n_flushes = max(
-        commit_kinds["flush"],
-        max(
-            (
-                c.get("flush_ids", {}).get("burst", 0)
-                for c in commits.values()
-            ),
-            default=0,
-        ),
-    )
+    n_flushes = flushes_per_ns["burst"]
 
     result = {
         "soak_seconds": round(wall, 1),
@@ -276,9 +366,12 @@ def main() -> None:
         "all_exact": all(v["exact"] for v in final.values()),
         "queries_sampled": sampled["n"],
         "queries_exact": sampled["exact"],
+        "probes_sampled": probed["n"],
+        "probes_exact": probed["exact"],
         "peak_hot_rows": peak_hot,
         "hot_bound_held": peak_hot["burst"] <= 2 * AUTO_FLUSH_ROWS,
         "burst_flushes": n_flushes,
+        "flushes_per_namespace": flushes_per_ns,
         "max_visible_files_per_day_seen": max_files_per_day["n"],
         "final_visible_files_per_day": day_counts,
         "final_max_files_per_day": max(day_counts.values(), default=0),
@@ -299,6 +392,8 @@ def main() -> None:
             and all(v["exact"] for v in final.values())
             and sampled["exact"] == sampled["n"]
             and sampled["n"] > 0
+            and probed["exact"] == probed["n"]
+            and probed["n"] > 0
             and peak_hot["burst"] <= 2 * AUTO_FLUSH_ROWS
             and max_files_per_day["n"] <= 2 * AUTO_OPTIMIZE_FILES
             and n_flushes > 0

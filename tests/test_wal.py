@@ -131,6 +131,48 @@ def test_replay_skips_subdirs(tmp_path):
     assert (highest, observed) == (0, [0])
 
 
+def test_segment_header_flushed_at_create(tmp_path):
+    # wal.rs:230-232 writes the header through an unbuffered File, so
+    # it reaches the OS before any record; the Python port must flush
+    # explicitly or a kill before the first record leaves a 0-byte
+    # segment (observed live in r14). Read the file THROUGH A SECOND
+    # HANDLE while the segment is still open: the bytes must already
+    # be visible.
+    wal = Wal(tmp_path, segment_id=5, max_segment_size=1024)
+    assert (tmp_path / "5.wal").read_bytes() == WAL_HEADER
+    wal.close()
+
+
+def test_replay_tolerates_torn_create(tmp_path):
+    # crash window: file created, header not yet (fully) on disk —
+    # possible only with zero records, so replay treats a strict
+    # header PREFIX (incl. empty) as an empty segment instead of
+    # failing every restart forever (documented deviation from the
+    # reference's read_exact error).
+    wal = Wal(tmp_path, segment_id=0, max_segment_size=1024)
+    wal.write(req(value="kept", ts=3))
+    wal.close()
+    (tmp_path / "1.wal").write_bytes(b"")  # killed before header flush
+    (tmp_path / "2.wal").write_bytes(WAL_HEADER[:3])  # torn header write
+    buf = MemBuffer()
+    highest, observed = Wal.replay(tmp_path, buf)
+    # torn segments still count as observed ids: the next engine must
+    # start ABOVE them or Segment's create_new would collide
+    assert (highest, sorted(observed)) == (2, [0, 1, 2])
+    m = buf.tables("ns")["cpu"]["1970-01-01"]
+    assert m.values == ["kept"]
+
+
+def test_replay_still_rejects_garbage_header(tmp_path):
+    # anything that is NOT a header prefix stays an error (wal.rs:345)
+    wal = Wal(tmp_path, segment_id=0, max_segment_size=1024)
+    wal.write(req())
+    wal.close()
+    (tmp_path / "1.wal").write_bytes(b"GARBAGE")
+    with pytest.raises(ValueError, match="must contain header"):
+        Wal.replay(tmp_path, MemBuffer())
+
+
 def test_new_engine_segment_is_highest_plus_one(tmp_path, spark):
     # lynx.rs:48-53
     from lynx_spark.engine import LynxEngine
