@@ -189,9 +189,9 @@ def main() -> None:
         "partition once it holds this many visible files — bounds the "
         "small-file accumulation trickle auto-flushes create without "
         "requiring /api/v1/optimize calls (0/unset disables; minimum "
-        "meaningful value is 2). Checked at each flush, so a purely "
-        "streaming-ingested namespace (zero flushes) still needs "
-        "/api/v1/optimize",
+        "meaningful value is 2). Checked at each flush AND at each "
+        "streaming-sink commit (pass the engine to stream_to_cold_tier), "
+        "so purely streaming-ingested namespaces are covered too",
     )
     args = parser.parse_args()
 

@@ -510,6 +510,23 @@ class TieredEngine(LynxEngine):
         ):
             self._schedule_autooptimize(namespace)
 
+    def notify_external_commit(self, namespace: str) -> None:
+        """File-count watermark check for commits this engine did NOT
+        write — the streaming sink commits into the same cold dir from
+        its own micro-batch thread, so a namespace fed exclusively by
+        a sink never passes through flush() and (before r14) escaped
+        the auto-optimize watermark until a manual /api/v1/optimize.
+        The sink calls this after each commit (streaming/ingest.py);
+        takes _wal_lock because the commit-cache refresh mutates
+        shared state, unlike the flush-path caller which already
+        holds it."""
+        if self.auto_optimize_files is None:
+            return
+        with self._wal_lock:
+            over = self._over_optimize_watermark(namespace)
+        if over:
+            self._schedule_autooptimize(namespace)
+
     def _schedule_autooptimize(self, namespace: str) -> None:
         """Same one-in-flight-per-namespace contract as
         _schedule_autoflush, with its own pending set (a flush and a

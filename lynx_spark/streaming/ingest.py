@@ -205,6 +205,7 @@ def stream_to_cold_tier(
     cold_dir: str | Path,
     checkpoint_dir: str | Path,
     sink_id: str = "stream",
+    engine=None,
 ):
     """Continuously append the stream into the cold tier's hive layout
     (<cold>/<namespace>/<table>/day=YYYY-MM-DD); one stream fans out
@@ -220,6 +221,13 @@ def stream_to_cold_tier(
     same deterministic names before committing, so no duplicate can
     become visible. ``sink_id`` must be unique per concurrent stream
     into the same cold dir (it namespaces batch ids and file names).
+
+    ``engine``: optional TieredEngine sharing this cold dir. When set,
+    each committed batch calls ``engine.notify_external_commit(ns)``
+    so the auto-optimize file-count watermark covers namespaces fed
+    ONLY by this sink (zero engine flushes) — the r13-documented blind
+    spot where a long-lived trickle stream accumulated files
+    unboundedly until a manual /api/v1/optimize.
 
     Returns the StreamingQuery (caller controls trigger/termination)."""
     import os
@@ -329,6 +337,14 @@ def stream_to_cold_tier(
             # the commit log unboundedly either (concurrent-fold safe:
             # writer-unique snapshot names, see compact_commits)
             compact_commits(cold_dir, threshold=64)
+            if engine is not None:
+                # file-count watermark for flush-less namespaces: the
+                # engine never sees this commit through flush(), so
+                # tell it directly (exactly-once is unaffected — the
+                # pack is the same commit-log rewrite a manual
+                # optimize does)
+                for ns in {p[0] for p in pairs}:
+                    engine.notify_external_commit(ns)
         finally:
             rows.unpersist()
 

@@ -1101,3 +1101,71 @@ def test_autooptimize_startup_backlog(spark, tmp_path):
     assert len(files) == 1 and "part-opt" in files[0]
     df = eng2.query("ns", "SELECT * FROM cpu")
     assert sorted(int(r["value"]) for r in df.collect()) == list(range(4))
+
+
+def test_autooptimize_fires_from_streaming_sink_commits(spark, tmp_path):
+    """VERDICT r13 task 3: a namespace fed ONLY by the streaming sink
+    (zero engine flushes) must still trip the file-count watermark.
+    Before r14 the check lived only in flush(), so a pure-streaming
+    namespace accumulated one file per micro-batch forever unless a
+    manual /api/v1/optimize ran; the sink now calls
+    engine.notify_external_commit after each commit. Queries run
+    between commits must see every row exactly once throughout
+    accumulation AND after the background pack."""
+    import json as _json
+
+    from lynx_spark.streaming import parse_write_stream, stream_to_cold_tier
+    from lynx_spark.streaming.ingest import WRITE_SCHEMA
+
+    eng = TieredEngine(
+        spark,
+        tmp_path / "wal",
+        tmp_path / "cold",
+        max_segment_size=1024,
+        auto_optimize_files=3,
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    written = 0
+    for run in range(4):
+        # one new input file per availableNow run over the same
+        # checkpoint = one micro-batch = one sink commit = one new
+        # visible file in day=1970-01-01
+        (d / f"b{run}.json").write_text(
+            _json.dumps(
+                {
+                    "namespace": "ns",
+                    "measurement": "cpu",
+                    "value": str(run),
+                    "metadata": {},
+                    "timestamp": run + 1,
+                }
+            )
+        )
+        raw = spark.readStream.schema(WRITE_SCHEMA).json(str(d))
+        q = stream_to_cold_tier(
+            parse_write_stream(raw),
+            tmp_path / "cold",
+            tmp_path / "ck",
+            "metrics",
+            engine=eng,
+        )
+        q.awaitTermination(120)
+        written += 1
+        vals = sorted(
+            int(r["value"])
+            for r in eng.query("ns", "SELECT * FROM cpu").collect()
+        )
+        assert vals == list(range(written))  # exactly once mid-stream
+    _await_autooptimize(eng)
+    files = _visible_files(eng, "ns/cpu/")
+    # the pack fired with ZERO flush() calls: sink commits crossed the
+    # watermark and the day collapsed below it
+    assert any("part-opt" in f for f in files)
+    assert len(files) < 3
+    vals = sorted(
+        int(r["value"])
+        for r in eng.query("ns", "SELECT * FROM cpu").collect()
+    )
+    assert vals == list(range(4))  # exactly once post-pack
+    eng.wal.close()
