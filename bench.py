@@ -287,6 +287,58 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # w1 (r14, VERDICT r13 task 4): the HTTP-path twin of w0 — the
+    # same 20k writes through the full /api/v1/write dispatch (WSGI
+    # request -> JSON parse -> WriteRequest -> WAL append + flush).
+    # m1 exposed this as the system's visible ingest ceiling (~3.3k
+    # writes/s, all dispatch); the write fast lane (server.py) now
+    # handles the hot route at the WSGI layer with identical
+    # parse/validate/500 semantics. Clean subprocess like w0. Every
+    # response is status-checked: a 500 must fail the row, not time it.
+    w1_src = (
+        "import json, sys, time, tempfile\n"
+        f"sys.path.insert(0, {str(Path(__file__).resolve().parent)!r})\n"
+        "from lynx_spark.engine import LynxEngine\n"
+        "from lynx_spark.server import create_app\n"
+        "reps = []\n"
+        "for _ in range(3):\n"
+        "    with tempfile.TemporaryDirectory() as wal_dir:\n"
+        "        engine = LynxEngine(None, wal_dir)\n"
+        "        client = create_app(engine).test_client()\n"
+        "        bodies = [json.dumps({\n"
+        "            'namespace': 'bench', 'measurement': 'cpu',\n"
+        "            'value': str(i), 'metadata': {'host': f'h{i % 50}'},\n"
+        "            'timestamp': i}) for i in range(20000)]\n"
+        "        start = time.perf_counter()\n"
+        "        for body in bodies:\n"
+        "            r = client.post('/api/v1/write', data=body,\n"
+        "                            content_type='application/json')\n"
+        "            if r.status_code != 200:\n"
+        "                raise AssertionError(f'w1 write {r.status_code}')\n"
+        "        reps.append(time.perf_counter() - start)\n"
+        "        engine.wal.close()\n"
+        "print(json.dumps(reps))\n"
+    )
+    w1_runs = json.loads(
+        subprocess.run(
+            [sys.executable, "-c", w1_src],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+    )
+    w1 = min(w1_runs)
+    timings["w1_http_ingest_20k_writes"] = round(w1, 4)
+    medians["w1_http_ingest_20k_writes"] = round(
+        statistics.median(w1_runs[1:] or w1_runs), 4
+    )
+    print(
+        f"# w1_http_ingest_20k_writes: {w1:.3f}s "
+        f"({n_writes / w1:,.0f} writes/s through /api/v1/write, "
+        f"clean subprocess, min of 3)",
+        file=sys.stderr,
+    )
+
     # streaming grid-percentile tier (r10): the events value column
     # split into four files and drained through percentile_stream's
     # availableNow path with maxFilesPerTrigger=1 — four micro-batches,

@@ -412,3 +412,45 @@ def test_multi_table_404_vs_500_matrix(spark, tmp_path):
     assert q("ns", "INSERT INTO cpu VALUES (1)") == 500
     # and the same sweep finds nothing stale: a second good join -> 200
     assert q("ns", join) == 200
+
+
+def test_write_fastpath_semantics_match_flask_route(client):
+    """r14 (VERDICT r13 task 4): the write route is handled by a WSGI
+    fast lane; its parse/validate/error semantics must be identical to
+    the Flask route it bypasses, and anything unusual must fall
+    through to Flask unchanged."""
+    # happy path through the fast lane (Content-Length + JSON type)
+    r = client.post(
+        "/api/v1/write",
+        data=json.dumps(WRITE),
+        content_type="application/json",
+    )
+    assert r.status_code == 200
+    # malformed JSON body -> 500 (fast lane's own catch)
+    r = client.post(
+        "/api/v1/write", data="{nope", content_type="application/json"
+    )
+    assert r.status_code == 500
+    # missing field -> 500 (same from_json_dict validation)
+    bad = dict(WRITE)
+    del bad["timestamp"]
+    r = client.post(
+        "/api/v1/write", data=json.dumps(bad),
+        content_type="application/json",
+    )
+    assert r.status_code == 500
+    # non-JSON content type falls through to Flask -> 500 (get_json
+    # raises UnsupportedMediaType inside the route's catch-all)
+    r = client.post(
+        "/api/v1/write", data=json.dumps(WRITE), content_type="text/plain"
+    )
+    assert r.status_code == 500
+    # the fast lane never swallows other routes
+    assert client.get("/health").status_code == 200
+    r = client.post(
+        "/api/v1/query",
+        json={"namespace": "events", "query": "SELECT * FROM clicks",
+              "format": "Json"},
+    )
+    assert r.status_code == 200
+    assert json.loads(r.get_data())[0]["value"] == "search_button"
