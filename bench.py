@@ -591,6 +591,146 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # cold tier at volume (r14, VERDICT r13 task 1): every prior
+    # volume artifact exercised the hot buffer (m1) or raw parquet
+    # (registry) — this row queries the layer the 100 TB posture
+    # actually lives on. 1M rows spanning 34 days ingested through
+    # the engine write path (WAL + buffer, untimed setup), flushed to
+    # date-partitioned parquet, then through the real /api/v1/query
+    # route: (a) a day-bounded aggregate that must prune to ~1/34 of
+    # the files and (b) an unbounded DISTINCT aggregate over all 1M
+    # rows. Oracles are closed-form from the deterministic ingest;
+    # the pruning pin asserts files-read << files-total via the
+    # executed scan's numFiles metric (inputFiles() lists the
+    # relation's full fileset PRE-pruning, so it cannot witness
+    # pruning) plus the PartitionFilters marker in the plan. The pin
+    # runs with AQE off because materialized query stages hide the
+    # scan's metrics from collectLeaves; partition pruning itself is
+    # static planning, identical either way.
+    C1_N = 1_000_000
+    C1_SPACING_US = 2_900_000  # ~33.6 days for 1M rows
+    C1_DAY_US = 86_400_000_000
+    c1_day = 15  # 1970-01-16
+    c1_lo_i = -((-c1_day * C1_DAY_US) // C1_SPACING_US)  # ceil div
+    c1_hi_i = -((-(c1_day + 1) * C1_DAY_US) // C1_SPACING_US)
+    c1_expected_day_n = max(0, min(c1_hi_i, C1_N) - min(c1_lo_i, C1_N))
+    with _tf.TemporaryDirectory() as _c1_dir:
+        _eng = _TE(spark, Path(_c1_dir) / "wal", Path(_c1_dir) / "cold")
+        from lynx_spark.model import WriteRequest as _WR
+
+        t0 = time.perf_counter()
+        for i in range(C1_N):
+            _eng.write(
+                _WR(
+                    "bench",
+                    "cpu",
+                    str(i),
+                    {"host": f"h{i % 50}"},
+                    i * C1_SPACING_US,
+                )
+            )
+        c1_ingest = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        flushed = _eng.flush("bench")
+        c1_flush = time.perf_counter() - t0
+        _check(flushed == C1_N, f"c1 flush lost rows: {flushed}")
+        # pruning pin on the engine-level twin of the timed HTTP query
+        _day_sql = (
+            "SELECT count(*) AS n, count(DISTINCT host) AS hosts "
+            "FROM cpu WHERE timestamp >= '1970-01-16' "
+            "AND timestamp < '1970-01-17'"
+        )
+
+        def _scan_num_files(df) -> int:
+            df.collect()
+            ep = df._jdf.queryExecution().executedPlan()
+            total = 0
+            s = ep.collectLeaves()
+            for k in range(s.length()):
+                m = s.apply(k).metrics()
+                if m.contains("numFiles"):
+                    total += m.apply("numFiles").value()
+            return total
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            _pin_df = _eng.query("bench", _day_sql)
+            files_read = _scan_num_files(_pin_df)
+            files_total = _scan_num_files(
+                _eng.query("bench", "SELECT count(*) AS n FROM cpu")
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        import contextlib as _ctl
+        import io as _io
+
+        _buf = _io.StringIO()
+        with _ctl.redirect_stdout(_buf):
+            _pin_df.explain(True)
+        _check(
+            "PartitionFilters" in _buf.getvalue(),
+            "c1: day bounds did not reach the scan as PartitionFilters",
+        )
+        _check(
+            files_read <= 2 and files_total >= 30,
+            f"c1: pruning failed at volume ({files_read}/{files_total})",
+        )
+        _c = _mk_app(_eng).test_client()
+        c1_day_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = _c.post(
+                "/api/v1/query",
+                json={
+                    "namespace": "bench",
+                    "format": "Json",
+                    "query": _day_sql,
+                },
+            )
+            c1_day_runs.append(time.perf_counter() - t0)
+            got = json.loads(r.get_data())
+            _check(
+                r.status_code == 200
+                and got == [{"n": c1_expected_day_n, "hosts": 50}],
+                f"c1 day-bounded oracle mismatch: {got!r} != "
+                f"n={c1_expected_day_n}",
+            )
+        c1_full_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = _c.post(
+                "/api/v1/query",
+                json={
+                    "namespace": "bench",
+                    "format": "Json",
+                    "query": "SELECT count(*) AS n, "
+                    "count(DISTINCT value) AS d FROM cpu",
+                },
+            )
+            c1_full_runs.append(time.perf_counter() - t0)
+            got = json.loads(r.get_data())
+            _check(
+                r.status_code == 200 and got == [{"n": C1_N, "d": C1_N}],
+                f"c1 unbounded oracle mismatch: {got!r}",
+            )
+        _eng.wal.close()
+    timings["c1_coldtier_day_agg_1m"] = round(min(c1_day_runs), 4)
+    medians["c1_coldtier_day_agg_1m"] = round(
+        statistics.median(c1_day_runs[1:] or c1_day_runs), 4
+    )
+    timings["c1_coldtier_full_agg_1m"] = round(min(c1_full_runs), 4)
+    medians["c1_coldtier_full_agg_1m"] = round(
+        statistics.median(c1_full_runs[1:] or c1_full_runs), 4
+    )
+    print(
+        f"# c1_coldtier_day_agg_1m: {min(c1_day_runs):.3f}s day-bounded / "
+        f"c1_coldtier_full_agg_1m: {min(c1_full_runs):.3f}s unbounded "
+        f"(1M rows, 34 days; ingest {c1_ingest:.1f}s + flush "
+        f"{c1_flush:.1f}s untimed; pruned {files_read}/{files_total} "
+        f"files; oracles hold)",
+        file=sys.stderr,
+    )
+
     # host-speed calibration constants (r8): the text family drifted
     # +35% over r5→r8 on UNCHANGED code — bisect showed it is neither
     # registry size (lean import == full import) nor contention (idle
