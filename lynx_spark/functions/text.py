@@ -215,6 +215,11 @@ def with_winnow_summary(
 ) -> DataFrame:
     """Per-document fingerprint summary (count + lexicographic min) —
     the oracle-checkable face of the winnowing pipeline."""
+    from lynx_spark.operators._util import ensure_parallelism
+
+    # r14: same input-parallelism fix as _exploded_fps — the per-char
+    # md5 pass must not serialize on one scan partition (guide §2.5)
+    df = ensure_parallelism(df)
     return _with_winnow_fps(df, text_col, k, w).select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size("fps").cast("long").alias("n_fp"),
@@ -234,7 +239,14 @@ def _exploded_fps(
     first makes the explode read computed values. Callers unpersist
     via the ContextCleaner when the frame is garbage collected (the
     similarity-module convention)."""
-    base = _with_winnow_fps(df, text_col, k, w).select(
+    from lynx_spark.operators._util import ensure_parallelism
+
+    # r14: spread the fingerprint computation — one md5 PER CHAR
+    # POSITION of the normalized text runs in the stage that reads the
+    # input, and a small corpus arrives as ONE parquet scan partition,
+    # serializing the whole pass on a single core (guide §2.5 input
+    # parallelism; measured 5.3s -> sub-second for q110 at sf0.1).
+    base = _with_winnow_fps(ensure_parallelism(df), text_col, k, w).select(
         F.col(id_col).alias(out_id), "fps"
     ).persist()
     base.count()  # eager: force the winnow computation ONCE

@@ -775,22 +775,48 @@ def _bpe_learn(
 
     Spark-first shape at 100 TB: the corpus is touched ONCE (the word
     frequency aggregation); every merge iteration is VOCABULARY-
-    granular — one pair-count aggregation, a 1-row broadcast argmax
-    (no driver collect), and a per-row merge rewrite. Symbol
+    granular — ONE job computing the pair-count argmax. Symbol
     sequences use a doubled-separator string encoding ('..a..b..'):
     merging pair (a,b) is then the plain non-overlapping left-to-
     right replace of '.a..b.' with '.ab.', which handles adjacent
     repeats correctly (each occurrence donates one dot to its
     neighbor) and has IDENTICAL semantics in Spark's and DuckDB's
-    `replace` — no lookaround regex, which RE2 lacks. Per iteration
-    the three small frames checkpoint eagerly and the superseded
-    vocabulary frame is released (the graph-loop discipline), so
-    state stays bounded at any n_merges."""
-    from lynx_spark.operators.graph import _release_frame
+    `replace` — no lookaround regex, which RE2 lacks.
+
+    r14 optimization (guide §1.2 step 1 — fewer passes): the loop
+    previously ran THREE blocking jobs per merge (argmax checkpoint,
+    crossJoin-rewrite checkpoint, token-total checkpoint) — ~60 jobs
+    of pure scheduling overhead on a vocabulary-granular frame. Now
+    each merge is ONE aggregation job whose 1-row result (the argmax
+    pair — MODEL-sized, the train_ivf_centroids precedent for
+    collecting model scalars) is collected and embedded as a replace
+    LITERAL, so the merge rewrite fuses into the next round's scan
+    instead of materializing. The exact re-tokenized corpus size
+    falls out of the SAME aggregate via an integer identity: every
+    word with k symbols contributes k-1 pairs, so
+    sum(pair_count) = sum(c*(k-1)) over multi-symbol words and
+    tokens = sum(pair_count) + total_word_count exactly (1-symbol
+    words contribute c*1 through the word-count term). All sums stay
+    BIGINT — bit-identical to the per-frame token aggregation it
+    replaces. The replace chain re-materializes (eager
+    localCheckpoint) every _TRUNCATE_EVERY merges — the graph-loop
+    lineage discipline — so recompute depth and plan size stay
+    bounded at any n_merges."""
+    from lynx_spark.operators.graph import (
+        _TRUNCATE_EVERY,
+        _release_frame,
+    )
 
     sep = r"\.\."
+    # r14: the one corpus pass (word counts) splits/filters every
+    # document in the scan stage — spread it when the input arrives
+    # under-partitioned (guide §2.5; a single small parquet file is
+    # one scan task otherwise)
+    from lynx_spark.operators._util import ensure_parallelism
+
     wc = (
-        df.select(F.explode(_words(text_col)).alias("word"))
+        ensure_parallelism(df)
+        .select(F.explode(_words(text_col)).alias("word"))
         .filter(F.col("word").rlike("^[a-z0-9_]+$"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("c"))
@@ -807,9 +833,37 @@ def _bpe_learn(
         ).alias("s"),
     ).localCheckpoint(eager=True)
 
-    rows = []
+    n_words = None
+    if track_sizes:
+        n_words = vocab.agg(F.sum("c").cast("long").alias("n")).collect()[
+            0
+        ]["n"]
+
+    # picks[t-1] = (lhs, rhs, pre-merge pair_count) of merge t;
+    # toks[t-1] = exact corpus tokens BEFORE merge t (== after t-1)
+    picks: list[tuple] = []
+    toks: list[int] = []
+    cur = vocab
+    ckpt = vocab
+    best = None
     for t in range(1, n_merges + 1):
-        base = vocab.select("c", F.split("s", sep).alias("a")).filter(
+        if best is not None:
+            lhs, rhs, _ = best
+            cur = cur.select(
+                "word",
+                "c",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f".{lhs}..{rhs}."),
+                    F.lit(f".{lhs}{rhs}."),
+                ).alias("s"),
+            )
+            if (t - 1) % _TRUNCATE_EVERY == 0:
+                new_ckpt = cur.localCheckpoint(eager=True)
+                _release_frame(ckpt)  # sole consumer materialized
+                cur = new_ckpt
+                ckpt = new_ckpt
+        base = cur.select("c", F.split("s", sep).alias("a")).filter(
             F.size("a") >= 4  # at least two symbols -> has a pair
         )
         pc = (
@@ -828,51 +882,62 @@ def _bpe_learn(
             .groupBy("pa", "pb")
             .agg(F.sum("c").cast("long").alias("pair_count"))
         )
-        best = (
-            pc.orderBy(F.desc("pair_count"), F.asc("pa"), F.asc("pb"))
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        new_vocab = (
-            vocab.crossJoin(F.broadcast(best))
-            .select(
-                "word",
-                "c",
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit("."),
-                        F.col("pa"),
-                        F.lit(".."),
-                        F.col("pb"),
-                        F.lit("."),
-                    ),
-                    F.concat(
-                        F.lit("."), F.col("pa"), F.col("pb"), F.lit(".")
-                    ),
-                ).alias("s"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        _release_frame(vocab)  # consumers (best, new_vocab) are leaves
-        vocab = new_vocab
-        if track_sizes:
-            tok = vocab.agg(
-                F.sum(F.col("c") * (F.size(F.split("s", sep)) - 2))
-                .cast("long")
-                .alias("vocab_tokens_after")
-            ).localCheckpoint(eager=True)
-            rows.append(
-                best.crossJoin(tok).select(
-                    F.lit(t).cast("long").alias("merge_rank"),
-                    F.col("pa").alias("lhs"),
-                    F.col("pb").alias("rhs"),
-                    F.concat("pa", "pb").alias("merged"),
-                    "pair_count",
-                    "vocab_tokens_after",
+        # one job: the argmax pair (count desc, pa asc, pb asc — the
+        # struct-min device, same total order as the orderBy/limit it
+        # replaces) plus the pair-count total for the token identity
+        stats = pc.agg(
+            F.min(
+                F.struct(
+                    (-F.col("pair_count")).alias("_nc"),
+                    F.col("pa"),
+                    F.col("pb"),
                 )
-            )
-    return rows, vocab
+            ).alias("best"),
+            F.sum("pair_count").cast("long").alias("sum_pc"),
+        ).collect()[0]
+        if stats["best"] is None:
+            break  # vocabulary fully merged: no pair left to count
+        if track_sizes:
+            toks.append(stats["sum_pc"] + n_words)
+        best = (
+            stats["best"]["pa"],
+            stats["best"]["pb"],
+            -stats["best"]["_nc"],
+        )
+        picks.append(best)
+    # final vocabulary: apply the last merge and materialize — the
+    # checkpoint makes it a leaf both for bpe_tokenize_docs' join and
+    # for the final token total, and lets callers release it
+    if best is not None:
+        lhs, rhs, _ = best
+        cur = cur.select(
+            "word",
+            "c",
+            F.replace(
+                F.col("s"),
+                F.lit(f".{lhs}..{rhs}."),
+                F.lit(f".{lhs}{rhs}."),
+            ).alias("s"),
+        )
+    final_vocab = cur.localCheckpoint(eager=True)
+    if ckpt is not final_vocab:
+        _release_frame(ckpt)
+    if track_sizes and picks:
+        final_tokens = final_vocab.agg(
+            F.sum(F.col("c") * (F.size(F.split("s", sep)) - 2))
+            .cast("long")
+            .alias("t")
+        ).collect()[0]["t"]
+        # toks[i] is the count BEFORE merge i+1; shift to AFTER
+        toks = toks[1:] + [final_tokens]
+    rows = [
+        (t + 1, lhs, rhs, lhs + rhs, int(n), int(toks[t]))
+        for t, (lhs, rhs, n) in enumerate(picks)
+    ] if track_sizes else [
+        (t + 1, lhs, rhs, lhs + rhs, int(n), None)
+        for t, (lhs, rhs, n) in enumerate(picks)
+    ]
+    return rows, final_vocab
 
 
 def bpe_train(
@@ -881,15 +946,19 @@ def bpe_train(
     """The learned merge table: (merge_rank, lhs, rhs, merged,
     pair_count, vocab_tokens_after) — one row per greedy merge, with
     the exact re-tokenized corpus size after it (the compression
-    trajectory). See _bpe_learn for the algorithm and scale shape."""
+    trajectory). See _bpe_learn for the algorithm and scale shape;
+    the merge table is MODEL-sized (n_merges rows of collected
+    scalars), so it returns as a literal frame — the kcore_peel /
+    bfs_hops convention for iteration summaries."""
     from lynx_spark.operators.graph import _release_frame
 
     rows, vocab = _bpe_learn(df, text_col, n_merges, track_sizes=True)
-    _release_frame(vocab)  # per-merge token stats already materialized
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    _release_frame(vocab)  # per-merge token stats already collected
+    return df.sparkSession.createDataFrame(
+        rows,
+        "merge_rank long, lhs string, rhs string, merged string, "
+        "pair_count long, vocab_tokens_after long",
+    )
 
 
 def bpe_tokenize_docs(

@@ -730,7 +730,11 @@ def knn_graph(
         )
         .select("a_id", "b_id", "cos_sim")
     )
-    # each undirected candidate edge scored once, used for both ends
+    # each undirected candidate edge scored once, used for both ends.
+    # (r14 probe: an explode-both-directions rewrite of this union
+    # measured NEUTRAL-to-worse — AQE exchange reuse already dedups
+    # the shared candidate subtree here, and the union form keeps the
+    # per-branch WindowGroupLimit pushdown — so the union stays.)
     edges = scored.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("nbr"), "cos_sim"
     ).unionAll(
@@ -1189,25 +1193,81 @@ def pq_train_codebooks(
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: the vector splits into ``m``
     contiguous subspaces and each gets its own k-means codebook —
-    trained with the SAME deterministic trainer as the IVF coarse
-    quantizer (lowest-id seeds, fixed Lloyd iterations, sorted-sum
-    rounded means), so the DuckDB twin can train the bit-identical
-    model per subspace. PQ completes the FAISS quantization trio
-    here (IVF = coarse cells, SQ8 = per-dim scalar, PQ = per-
-    subspace vector codebooks): m·k·(dim/m) floats replace dim
-    floats per vector — with the defaults, 64 doubles become 4
-    byte-sized codes."""
+    trained with the SAME deterministic trainer math as the IVF
+    coarse quantizer (lowest-id seeds, fixed Lloyd iterations,
+    sorted-sum rounded means), so the DuckDB twin can train the
+    bit-identical model per subspace. PQ completes the FAISS
+    quantization trio here (IVF = coarse cells, SQ8 = per-dim scalar,
+    PQ = per-subspace vector codebooks): m·k·(dim/m) floats replace
+    dim floats per vector — with the defaults, 64 doubles become 4
+    byte-sized codes.
+
+    r14 optimization (guide §1.2 step 1): the m subspace trainings
+    previously ran SEQUENTIALLY — m seed collects plus m collect jobs
+    per Lloyd round, each rescanning the input — for what is one
+    independent k-means per subspace. The subspaces now train in
+    FUSED jobs: one TakeOrdered collect seeds all m codebooks (the
+    seeds are slices of the same k lowest-id vectors), and each Lloyd
+    round is one job that assigns every (vector, subspace) slice
+    against its own codebook (explode to (j, slice), argmin vs the
+    j-th literal) and aggregates means grouped by (j, cid, pos).
+    Groups are disjoint per subspace, so every per-group sorted-sum
+    rounded mean is bit-identical to the sequential trainer's
+    (pinned by test); job count drops from m*(1+iters) to 1+iters."""
     sub = dim // m
-    return [
-        train_ivf_centroids(
-            vecs.select(
-                "nid", F.slice(F.col("v"), j * sub + 1, sub).alias("v")
-            ),
-            k=k,
-            iters=iters,
-        )
+    seed_rows = vecs.orderBy("nid").limit(k).collect()
+    books = [
+        [list(r["v"])[j * sub : (j + 1) * sub] for r in seed_rows]
         for j in range(m)
     ]
+    for _ in range(iters):
+        books_lit = F.array(*[_centroids_lit(b) for b in books])
+        sliced = vecs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice(
+                                F.col("v"), j * sub + 1, sub
+                            ).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("e")
+        ).select(F.col("e.j").alias("j"), F.col("e.sv").alias("sv"))
+        # the j-th codebook's (rounded distance, cid) pairs — the
+        # _ivf_dist_pairs expression parameterized by the row's j
+        dist_pairs = F.transform(
+            F.element_at(books_lit, (F.col("j") + 1).cast("int")),
+            lambda cv, i: F.struct(
+                F.round(_l2sq(F.col("sv"), cv), 8).alias("d"),
+                i.cast("long").alias("cid"),
+            ),
+        )
+        assigned = sliced.select(
+            "j",
+            F.array_sort(dist_pairs)[0].getField("cid").alias("cid"),
+            "sv",
+        )
+        means = (
+            assigned.select(
+                "j", "cid", F.posexplode("sv").alias("pos", "val")
+            )
+            .groupBy("j", "cid", "pos")
+            .agg(
+                F.expr(
+                    "round(aggregate(array_sort(collect_list(val)), "
+                    "cast(0 as double), (a, x) -> a + x) / count(*), 6)"
+                ).alias("m")
+            )
+        )
+        new = [[list(c) for c in b] for b in books]
+        for r in means.collect():  # m*k*sub scalars: model-sized
+            new[r["j"]][r["cid"]][r["pos"]] = r["m"]
+        books = new
+    return books
 
 
 def pq_audit(
@@ -1374,8 +1434,15 @@ def _ivfpq_train_encode(
     """Build cadence of IVF-PQ: train the coarse quantizer, product-
     quantize residuals, and encode every database vector to (nid,
     cid, code0..code{m-1}) — the index content FAISS would persist.
-    Returns (centroids, codebooks, encoded_df)."""
+    Returns (centroids, codebooks, encoded_df).
+
+    r14: the raw vector frame persists across the IVF training jobs —
+    the coarse trainer's seed collect and Lloyd rounds each rescanned
+    (and re-repartitioned) the input otherwise; released once the
+    residual frame is materialized, which every later consumer
+    reads."""
     sub = dim // m
+    vecs = vecs.persist()
     cents = train_ivf_centroids(vecs)
     cl = _centroids_lit(cents)
     res = vecs.withColumn("cid", _ivf_assign(F.col("v"), cents)).withColumn(
@@ -1388,6 +1455,7 @@ def _ivfpq_train_encode(
     )
     res = res.persist()
     res.count()  # eager: PQ training + encoding both read it
+    vecs.unpersist()  # every downstream consumer reads `res` now
     books = pq_train_codebooks(
         res.select("nid", F.col("rv").alias("v")),
         dim=dim,

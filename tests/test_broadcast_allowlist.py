@@ -63,7 +63,9 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/lm.py", "bm25_topk"): (2, "ROSTER"),
     ("operators/lm.py", "nb_langid_confusion"): (3, "DOMAIN"),
     ("operators/lm.py", "stupid_backoff_scores"): (1, "DOMAIN"),
-    ("operators/lm.py", "_bpe_learn"): (1, "SCALAR"),
+    # _bpe_learn's broadcast-argmax site was removed in r14: the merge
+    # loop now collects its 1-row argmax (model-sized) and embeds it
+    # as a replace literal — one job per merge instead of three
     ("operators/lm.py", "phrase_search_top_bigram"): (1, "SCALAR"),
     ("operators/lm.py", "pmi_collocations"): (2, "SCALAR"),
     # quality: histogram/drift/sketch audits — bin edges, scalar
@@ -205,9 +207,6 @@ CROSSJOIN_ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     # kcore peel rounds: the per-round 1-row survivor-count aggregate
     # stapled onto the summary row
     ("operators/graph.py", "kcore_peel"): (2, "SCALAR"),
-    # BPE merge loop: best (1-row argmax pair) x tok (1-row
-    # checkpointed token total)
-    ("operators/lm.py", "_bpe_learn"): (1, "SCALAR"),
     # eval curve: broadcast(threshold roster <= ~9 rows) x buckets
     # (score-value grain — bounded by the score domain, not the
     # corpus)
