@@ -423,19 +423,39 @@ def prefix_filter_pairs(
         )
         + F.lit(1)
     )
+    # r14: pfx keeps n_sh (it already joined sizes for prefix_len) and
+    # PERSISTS — the self-join below references it twice, and the two
+    # physical subtrees re-ran the df join + rank window + sizes join
+    # per side (exchange reuse dedups shuffles, not the window/join
+    # compute between them; measured ~1.2s of the q170 wall)
     pfx = (
         sh.join(dfc, "shingle")
         .withColumn("rnk", rnk)
         .join(sizes, "doc")
         .filter(F.col("rnk") <= prefix_len)
-        .select("doc", "shingle")
+        .select("doc", "shingle", "n_sh")
+        .persist()
     )
+    pfx.count()
+    # r14: PPJoin's LENGTH filter joins the candidate generation —
+    # Jaccard >= t requires the two set sizes within t of each other
+    # (ni <= min(n_a, n_b), so t_den*min >= t_num*(n_a+n_b-min) is a
+    # NECESSARY condition of the final gate: every pair it drops would
+    # fail verification anyway — zero false negatives, pure integer
+    # arithmetic). Measured: 202k -> 104k candidates before the
+    # distinct and the array_intersect verification at sf0.1.
+    _min_n = F.least(F.col("a.n_sh"), F.col("b.n_sh"))
     cand = (
         pfx.alias("a")
         .join(
             pfx.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (
+                F.lit(t_den) * _min_n
+                >= F.lit(t_num)
+                * (F.col("a.n_sh") + F.col("b.n_sh") - _min_n)
+            ),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
@@ -443,6 +463,7 @@ def prefix_filter_pairs(
         # unpersisted, the rare-key self-join would compute twice
     )
     n_cand = cand.count()
+    pfx.unpersist()  # sole consumer (the self-join) materialized
     # materialize full shingle arrays ONLY for docs that appear in a
     # candidate pair (prefix filtering bounds candidates, so this set
     # is output-sized): without the semi-join the collect_list

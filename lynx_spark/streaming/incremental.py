@@ -1001,8 +1001,11 @@ def percentile_stream(
                 .groupBy("gv")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
+        # persist WITHOUT an eager count (r14): the hist write below is
+        # itself an action that populates the cache, and the percentile
+        # pass then reads it — the separate count job per micro-batch
+        # was pure scheduling overhead
         bh = bh.persist()
-        bh.count()  # eager: hist write + percentile pass share it
         bh.write.mode("overwrite").parquet(
             str(_batch_dir(root, "hist", batch_id))
         )
