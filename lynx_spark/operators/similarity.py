@@ -691,13 +691,17 @@ def knn_graph(
     ``lsh_ann_topk``."""
     from pyspark.sql.window import Window
 
+    # persist WITHOUT an eager count (r15): every consumer (pair-gen
+    # exchange + the two scoring-join broadcast builds) executes inside
+    # the first downstream action, and block-level locks fill the cache
+    # exactly once there — the separate count was one full extra pass
+    # (A/B at sf0.1: medians 4.10 -> 3.85)
     vecs = with_buckets(
         ensure_parallelism(df).select(
             F.col(id_col).cast("long").alias("nid"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     ).withColumn("nrm", norm(F.col("v"))).persist()
-    vecs.count()  # eager: pair-gen + two scoring joins read it
     pairs = banded_self_pairs(
         vecs, "nid", [f"bucket{t}" for t in range(NUM_TABLES)], max_bucket
     )
@@ -729,12 +733,19 @@ def knn_graph(
             ),
         )
         .select("a_id", "b_id", "cos_sim")
-    )
-    # each undirected candidate edge scored once, used for both ends.
-    # (r14 probe: an explode-both-directions rewrite of this union
-    # measured NEUTRAL-to-worse — AQE exchange reuse already dedups
-    # the shared candidate subtree here, and the union form keeps the
-    # per-branch WindowGroupLimit pushdown — so the union stays.)
+    ).persist()
+    # each undirected candidate edge scored ONCE, used for both ends:
+    # the persist makes the union below read the cached scored rows
+    # instead of re-executing the scoring joins + dot folds under each
+    # branch (exchange reuse deduped the pair-gen shuffle but not the
+    # post-exchange map work). r15 A/B at sf0.1, bench methodology:
+    # min 4.17 -> 3.11, median 4.41 -> 3.38. The r14 explode rewrite
+    # measured in between (3.71) — the union + cache keeps the
+    # per-branch WindowGroupLimit pushdown AND single scoring. No
+    # eager count: the window action's two union branches fill the
+    # cache under block locks, one compute + one read. MLlib-style
+    # lifecycle (like `vecs` above): the ContextCleaner reclaims the
+    # entry when the result frame is garbage collected.
     edges = scored.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("nbr"), "cos_sim"
     ).unionAll(
