@@ -735,41 +735,47 @@ def hits_scores(
     base = nodes.select(F.col(node_col).cast("long").alias("_v"))
     # the edge list feeds 2 joins per iteration: persist, or the
     # whole upstream edge construction (a kNN build, typically)
-    # re-runs per occurrence (measured 70s -> 9s at sf0.01)
+    # re-runs per occurrence (measured 70s -> 9s at sf0.01). No eager
+    # count (r15): the first half-step's checkpoint job fills the
+    # cache — a separate materialization pass was pure extra work.
     e = edges.select(
         F.col(edges.columns[0]).cast("long").alias("_src"),
         F.col(edges.columns[1]).cast("long").alias("_dst"),
     ).persist()
-    e.count()
 
     def dsum(col: Column) -> Column:
         return _unq12(F.sum(_q12(col)))
 
+    # superseded half-step checkpoints, released once their consumers
+    # have materialized (see loop); the final hubs/auths leaves stay
+    # alive under the returned lazy frame, like the pre-r15 form
+    stale: list[DataFrame] = []
+
     def normalize(scores: DataFrame, col: str) -> DataFrame:
-        # persist: the frame feeds its own normalizer aggregate AND
-        # the normalized select — without it both consumers re-run
-        # the whole prior recursion. The eager localCheckpoint then
-        # (a) materializes the half-step and (b) truncates lineage to
-        # a leaf: the plan references `scores` twice, so without
-        # truncation the logical tree DOUBLES per half-step and
+        # r15 shape: eagerly checkpoint the RAW half-step scores (one
+        # node-sized materialization that also truncates lineage to a
+        # leaf — the plan would otherwise double per half-step and
         # Catalyst analysis goes exponential past a handful of
-        # iterations (the star_connected_components pattern, line
-        # 222). Once checkpointed, `scores` unpersists immediately —
-        # the live cache-manager set stays bounded at any n_iters
-        # (r06 VERDICT leak fix); superseded checkpoint blocks are
-        # reclaimed by the ContextCleaner as driver references drop.
-        scores = scores.persist()
-        tot = scores.agg(dsum(F.col(col)).alias("_t"))
+        # iterations), then collect the 1-scalar L1 normalizer from
+        # the leaf and divide LAZILY by the literal. The pre-r15 form
+        # ran the normalizer aggregate as a broadcast build and then
+        # re-read + re-wrote the whole frame into a SECOND
+        # materialization (the normalized checkpoint); dividing on
+        # read costs one multiply per consumer row instead of a full
+        # extra pass. Arithmetic is unchanged: same exact decimal sum,
+        # same double division. A/B at sf0.1 (q140): 4.70/5.02 ->
+        # 4.01/4.23 min/median.
+        ckpt = scores.localCheckpoint(eager=True)
+        stale.append(ckpt)
+        t = ckpt.agg(dsum(F.col(col)).alias("_t")).collect()[0]["_t"]
         # an empty edge list (or all-zero scores) makes the L1 total
-        # 0 — keep the scores 0.0 instead of NaN-poisoning every node
-        out = scores.crossJoin(F.broadcast(tot)).select(
-            "_v",
-            F.when(F.col("_t") != 0, F.col(col) / F.col("_t"))
-            .otherwise(F.lit(0.0))
-            .alias(col),
-        ).localCheckpoint(eager=True)
-        scores.unpersist()
-        return out
+        # 0 (or NULL on an empty node set) — keep the scores 0.0
+        # instead of NaN-poisoning every node
+        if t:
+            return ckpt.select(
+                "_v", (F.col(col) / F.lit(float(t))).alias(col)
+            )
+        return ckpt.select("_v", F.lit(0.0).alias(col))
 
     hubs = base.select("_v", F.lit(1.0).alias("h"))
     auths = None
@@ -779,34 +785,29 @@ def hits_scores(
             .groupBy("_dst")
             .agg(dsum(F.col("h")).alias("a"))
         )
-        new_auths = normalize(
+        auths = normalize(
             base.join(raw_a, base["_v"] == raw_a["_dst"], "left")
             .select("_v", F.coalesce("a", F.lit(0.0)).alias("a")),
             "a",
         )
-        if auths is not None:
-            # auths_{t-1}'s last consumer (raw_h_{t-1}) materialized
-            # into hubs_{t-1}'s checkpoint last half-step — dead
-            _release_frame(auths)
-        auths = new_auths
         raw_h = (
             e.join(auths, e["_dst"] == auths["_v"])
             .groupBy("_src")
             .agg(dsum(F.col("a")).alias("h"))
         )
-        new_hubs = normalize(
+        hubs = normalize(
             base.join(raw_h, base["_v"] == raw_h["_src"], "left")
             .select("_v", F.coalesce("h", F.lit(0.0)).alias("h")),
             "h",
         )
-        if t > 0:
-            # hubs_{t-1}'s last consumer (raw_a_t) materialized into
-            # auths_t's checkpoint above (t=0 seed is never persisted)
-            _release_frame(hubs)
-        hubs = new_hubs
-    # the final hubs/auths are checkpoint leaves, so the returned
-    # frame no longer reads e — release it (CacheManager entries are
-    # NOT freed by driver GC; an unpersist here is the only way out)
+    # every checkpoint except the final hubs/auths leaves is dead:
+    # its consumers (the next half-step's raw aggregate) materialized
+    # into a later checkpoint. Release them here (checkpoint blocks
+    # are NOT reclaimed by the ContextCleaner — r06 VERDICT leak fix),
+    # and release e for the same reason: the returned frame reads
+    # only the two final leaves.
+    for f in stale[:-2]:
+        _release_frame(f)
     e.unpersist()
     return (
         hubs.join(auths, "_v")
