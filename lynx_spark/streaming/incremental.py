@@ -54,6 +54,14 @@ DOC_SCHEMA = StructType(
 
 _COMMITS = "_commits"
 
+#: carried-state lineage cap for percentile_stream (r15): the merged
+#: histogram promoted across micro-batches gains one union+agg plan
+#: layer per batch; every _HIST_TRUNCATE-th batch promotes the
+#: parquet-backed frame instead, resetting the plan to a file leaf
+#: (the graph loop's _TRUNCATE_EVERY discipline). Module-level so
+#: tests can force the truncation regime.
+_HIST_TRUNCATE = 8
+
 
 def read_document_stream(spark: SparkSession, json_dir: str | Path) -> DataFrame:
     """File-source stream of JSONL documents (one per line)."""
@@ -970,8 +978,27 @@ def percentile_stream(
     root = Path(store_dir)
     _bind_lineage(root, checkpoint_dir)
 
+    # carried-state cache (r15): the merged histogram of the LAST
+    # COMMITTED batch stays persisted across micro-batches, so batch
+    # N+1 merges against the in-memory frame instead of re-reading the
+    # prior hist parquet from the store every batch. The store layout
+    # and exactly-once contract are untouched: the hist/pct files are
+    # still written per batch, promotion happens only AFTER the commit
+    # marker lands (a crash between hist-write and commit leaves the
+    # cache un-promoted, and the replay re-merges from the last
+    # COMMITTED state), and a fresh stream (restart) starts with an
+    # empty cache and falls back to the parquet read.
+    _carried: dict = {"batch": None, "hist": None}
+
     def _latest_hist(spark: SparkSession) -> DataFrame | None:
-        for b in sorted(_committed_batches(root), reverse=True):
+        committed = sorted(_committed_batches(root), reverse=True)
+        if (
+            committed
+            and _carried["batch"] == committed[0]
+            and _carried["hist"] is not None
+        ):
+            return _carried["hist"]
+        for b in committed:
             d = _batch_dir(root, "hist", b)
             if d.exists():
                 return spark.read.parquet(str(d))
@@ -1018,10 +1045,18 @@ def percentile_stream(
         wv = Window.orderBy("gv").rowsBetween(
             Window.unboundedPreceding, 0
         )
+        # the grand total rides the SAME window spec with an
+        # unbounded-both frame (r15): a separate Window.partitionBy()
+        # spec made a second Window node (and exchange); same
+        # partitioning + ordering lets one window pass compute both
+        # frames — identical long sums either way
+        wn = Window.orderBy("gv").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         cum = bh.select(
             "gv",
             F.sum("cnt").over(wv).cast("long").alias("cum"),
-            F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+            F.sum("cnt").over(wn).cast("long").alias("n"),
         )
         pcts = spark.createDataFrame(
             [(int(p),) for p in percentiles], "pct long"
@@ -1052,12 +1087,31 @@ def percentile_stream(
         out.write.mode("overwrite").parquet(
             str(_batch_dir(root, "pct", batch_id))
         )
-        bh.unpersist()
         _commit(
             root,
             batch_id,
             {"tier": "grid_histogram", "grid": grid},
         )
+        # promote the merged histogram to the carried cache only now
+        # that the commit marker is durable; the previous state frame
+        # (if any) is superseded and unpersists. Every _HIST_TRUNCATE
+        # batches the promotion hands over the PARQUET-backed frame
+        # instead: the in-memory chain's lineage otherwise grows one
+        # union+agg layer per batch (an unbounded-analysis /
+        # recompute-on-eviction hazard on long streams — the graph
+        # loop's _TRUNCATE_EVERY discipline), and the lazy file read
+        # costs nothing now while resetting the plan to a leaf.
+        prev = _carried["hist"]
+        if (batch_id + 1) % _HIST_TRUNCATE == 0:
+            _carried["batch"] = batch_id
+            _carried["hist"] = spark.read.parquet(
+                str(_batch_dir(root, "hist", batch_id))
+            ).persist()
+            bh.unpersist()
+        else:
+            _carried["batch"], _carried["hist"] = batch_id, bh
+        if prev is not None:
+            prev.unpersist()
 
     return (
         events.writeStream.foreachBatch(write_batch)

@@ -1154,6 +1154,76 @@ def test_streaming_percentiles_equal_batch_nearest_rank(spark, tmp_path):
     assert len(list((store / "_commits").glob("b*.json"))) == 2
 
 
+def test_streaming_percentiles_carried_cache_restart_and_truncation(
+    spark, tmp_path, monkeypatch
+):
+    """The r15 carried-histogram cache must be invisible to results:
+    a RESTARTED stream (fresh closure — cold cache, parquet fallback)
+    continuing an existing store, with _HIST_TRUNCATE=1 forcing the
+    parquet-backed promotion on every batch, still yields exactly the
+    batch nearest-rank percentiles of the full concatenated stream."""
+    import json as _json
+    import math
+
+    from lynx_spark.streaming import incremental as inc
+
+    monkeypatch.setattr(inc, "_HIST_TRUNCATE", 1)
+    b1 = [1.00, 2.00, 2.00, 3.00, 100.00]
+    b2 = [0.50, 2.00, 4.00, 4.00, 5.00, 5.00, 6.00]
+    b3 = [7.00, 0.25, 2.00]
+    d = tmp_path / "in"
+    d.mkdir()
+    store = tmp_path / "store"
+    for i, rows in enumerate((b1, b2), start=1):
+        (d / f"b{i}.json").write_text(
+            "\n".join(_json.dumps({"value": v}) for v in rows)
+        )
+    ev = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = inc.percentile_stream(
+        ev, "value", store, tmp_path / "ck",
+        grid=0.01, percentiles=(25, 50, 75, 90),
+    )
+    q.awaitTermination(120)
+    assert len(list((store / "_commits").glob("b*.json"))) == 2
+
+    # restart: a FRESH percentile_stream call (empty carried cache)
+    # picks up the store from the parquet tier and merges batch 3
+    (d / "b3.json").write_text(
+        "\n".join(_json.dumps({"value": v}) for v in b3)
+    )
+    ev2 = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q2 = inc.percentile_stream(
+        ev2, "value", store, tmp_path / "ck",
+        grid=0.01, percentiles=(25, 50, 75, 90),
+    )
+    q2.awaitTermination(120)
+
+    batches = sorted(p.name for p in (store / "pct").glob("batch=*"))
+    assert len(batches) == 3
+    got = {
+        r["pct"]: r
+        for r in spark.read.parquet(
+            str(store / "pct" / batches[-1])
+        ).collect()
+    }
+    allv = sorted(b1 + b2 + b3)
+    n = len(allv)
+    for p in (25, 50, 75, 90):
+        rank = math.ceil(p / 100.0 * n)
+        assert got[p]["n_total"] == n
+        assert got[p]["value"] == pytest.approx(allv[rank - 1], abs=1e-9), p
+    hist = spark.read.parquet(str(store / "hist" / batches[-1]))
+    assert hist.count() == len(set(allv))
+
+
 def test_streaming_ohlc_equals_batch_bars(spark, tmp_path):
     """ohlc_stream's merged state must equal the batch q230 bars on
     the concatenated stream for an adversarial split: the two events
