@@ -112,6 +112,7 @@ def _grouped_shingles(
     text_col: str,
     n: int,
     max_doc_freq: int | None,
+    with_base: bool = True,
 ) -> DataFrame:
     """Df-capped shingle groups: one row per distinct shingle with the
     SORTED set of documents containing it and the shingle's 60-bit
@@ -130,7 +131,12 @@ def _grouped_shingles(
 
     ``base`` is computed here — below the explode that downstream
     consumers apply — so the md5 runs once per DISTINCT shingle, not
-    once per (doc, shingle) occurrence."""
+    once per (doc, shingle) occurrence. Callers that never hash
+    (jaccard/containment: pair counts + set sizes only) pass
+    ``with_base=False`` — the grouped frame is persisted there, so an
+    unused column is not pruned away but materialized for every
+    distinct shingle (r15: one md5 per 238k shingles at sf0.1,
+    ~0.25s off the build)."""
     d = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), _words_col(text_col).alias("w")
     ).filter(F.size("w") >= n)
@@ -140,16 +146,17 @@ def _grouped_shingles(
     )
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("docs") <= max_doc_freq)
+    if not with_base:
+        return grouped
     return grouped.withColumn("base", base_hash_expr(F.col("shingle")))
 
 
 def _exploded_shingles(grouped: DataFrame) -> DataFrame:
-    """(doc, shingle, base) rows from the grouped table. The Generate
+    """(doc, shingle[, base]) rows from the grouped table. The Generate
     node evaluates its input row once, so ``base`` is NOT recomputed
     per emitted row."""
-    return grouped.select(
-        F.explode("docs").alias("doc"), "shingle", "base"
-    )
+    cols = ["shingle"] + (["base"] if "base" in grouped.columns else [])
+    return grouped.select(F.explode("docs").alias("doc"), *cols)
 
 
 def _words_col(text_col: str) -> F.Column:
@@ -243,7 +250,9 @@ def jaccard_pairs(
     collected; at 100 TB this becomes a checkpoint to storage)."""
     from lynx_spark.operators._util import sorted_pairs_expr
 
-    grouped = _grouped_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    grouped = _grouped_shingles(
+        df, id_col, text_col, n, max_doc_freq, with_base=False
+    ).persist()
     grouped.count()  # eager: branches must read the cache, not race to fill it
     sh = _exploded_shingles(grouped)
     if max_doc_freq is None:
@@ -309,7 +318,9 @@ def containment_pairs(
     all-pairs."""
     from lynx_spark.operators._util import sorted_pairs_expr
 
-    grouped = _grouped_shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    grouped = _grouped_shingles(
+        df, id_col, text_col, n, max_doc_freq, with_base=False
+    ).persist()
     grouped.count()  # eager: branches must read the cache, not race to fill it
     sh = _exploded_shingles(grouped)
     pair_stream = (
