@@ -1431,7 +1431,7 @@ def ivfpq_ann_topk(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     cents, books, encoded = _ivfpq_train_encode(
-        vecs, dim=dim, m=m, pq_k=pq_k
+        vecs, dim=dim, m=m, pq_k=pq_k, release_input=False
     )
     return _ivfpq_query(
         vecs, cents, books, encoded,
@@ -1440,7 +1440,8 @@ def ivfpq_ann_topk(
 
 
 def _ivfpq_train_encode(
-    vecs: DataFrame, dim: int, m: int, pq_k: int
+    vecs: DataFrame, dim: int, m: int, pq_k: int,
+    release_input: bool = True,
 ) -> tuple:
     """Build cadence of IVF-PQ: train the coarse quantizer, product-
     quantize residuals, and encode every database vector to (nid,
@@ -1449,9 +1450,14 @@ def _ivfpq_train_encode(
 
     r14: the raw vector frame persists across the IVF training jobs —
     the coarse trainer's seed collect and Lloyd rounds each rescanned
-    (and re-repartitioned) the input otherwise; released once the
-    residual frame is materialized, which every later consumer
-    reads."""
+    (and re-repartitioned) the input otherwise. r15: released only
+    when ``release_input`` — ivfpq_ann_topk passes False because its
+    QUERY side probes the same frame after training (the r14 comment
+    'every downstream consumer reads res now' missed that rescan;
+    ADVICE r14), and the ContextCleaner reclaims the entry when the
+    result frame is garbage collected. The eager res.count() is gone
+    too: the PQ seed collect is the first consumer and fills the
+    cache; the separate materialization pass was pure extra work."""
     sub = dim // m
     vecs = vecs.persist()
     cents = train_ivf_centroids(vecs)
@@ -1465,8 +1471,8 @@ def _ivfpq_train_encode(
         ),
     )
     res = res.persist()
-    res.count()  # eager: PQ training + encoding both read it
-    vecs.unpersist()  # every downstream consumer reads `res` now
+    if release_input:
+        vecs.unpersist()  # training consumers read `res` from here on
     books = pq_train_codebooks(
         res.select("nid", F.col("rv").alias("v")),
         dim=dim,
