@@ -253,7 +253,8 @@ def jaccard_pairs(
     grouped = _grouped_shingles(
         df, id_col, text_col, n, max_doc_freq, with_base=False
     ).persist()
-    grouped.count()  # eager: branches must read the cache, not race to fill it
+    # no eager count (r15): block locks fill the cache once inside the
+    # first consuming action; the separate pass was pure extra work
     sh = _exploded_shingles(grouped)
     if max_doc_freq is None:
         # uncapped: a hot shingle's pair ARRAY would be one quadratic
@@ -321,7 +322,7 @@ def containment_pairs(
     grouped = _grouped_shingles(
         df, id_col, text_col, n, max_doc_freq, with_base=False
     ).persist()
-    grouped.count()  # eager: branches must read the cache, not race to fill it
+    # no eager count (r15): see jaccard_pairs
     sh = _exploded_shingles(grouped)
     pair_stream = (
         grouped.filter(F.size("docs") >= 2)
@@ -420,7 +421,8 @@ def prefix_filter_pairs(
     internal persist (ContextCleaner-reclaimed; a checkpoint at
     100 TB)."""
     sh = shingle_table(df, id_col, text_col, n).persist()
-    sh.count()  # eager: four branches must read the cache
+    # no eager count (r15): the pfx materialization below is the first
+    # action and fills the cache; the separate pass was pure extra work
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rnk = F.row_number().over(
@@ -665,7 +667,8 @@ def _sig_and_candidates(
         shingles=_exploded_shingles(grouped),
         with_shingle_sets=True,
     ).persist()
-    sig.count()  # eager: candidate bands + verify sides all read it
+    # no eager count (r15): the first consuming action fills the cache
+    # under block locks; the separate pass was pure extra work
     cands = banded_self_pairs(
         sig, "doc", [f"band{b}" for b in range(MINHASH_BANDS)], max_bucket
     )

@@ -580,7 +580,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .distinct()
         .persist()
     )
-    e.count()  # eager: three self-join consumers
+    e.count()  # eager — and KEEP it eager (r15 probe): the wedge and
+    # closing joins consume e as BROADCAST sides, and AQE builds
+    # broadcast relations on concurrent threads, so a lazy persist let
+    # several build jobs race into e's (kNN-expensive) lineage at once
+    # — q136 min 4.7 -> 9.6s with reps to 48s. One serial fill first.
     e2 = e.select(F.col("a").alias("a2"), F.col("b").alias("c"))
     wedges = e.join(
         e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b"))

@@ -149,8 +149,7 @@ def cosine_dedup_pairs(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     ).withColumn("nrm", norm(F.col("v")))
-    vecs = vecs.persist()
-    vecs.count()  # eager: see lsh_ann_topk
+    vecs = vecs.persist()  # no eager count (r15): see lsh_ann_topk
     cands = banded_self_pairs(
         vecs, "nid", [f"bucket{t}" for t in range(NUM_TABLES)], max_bucket
     )
@@ -251,10 +250,11 @@ def lsh_ann_topk(
         )
     ).withColumn("nrm", norm(F.col("v")))
     # the bucketed table feeds NUM_TABLES join branches + the re-rank
-    # join; persist (eagerly) so the hyperplane transform + norm run
-    # once per vector and parallel branches read the cache
+    # join; persist so the hyperplane transform + norm run once per
+    # vector. No eager count (r15): every branch evaluates inside the
+    # one output action and block locks fill the cache exactly once
+    # (A/B at sf0.1: min 2.27 -> 2.15, median 2.44 -> 2.27)
     vecs = vecs.persist()
-    vecs.count()
     queries = vecs.filter(F.col("nid") < max_query_id).select(
         F.col("nid").alias("qid"),
         F.col("v").alias("qv"),
@@ -572,7 +572,8 @@ def semdedup_pairs(
     assigned = vecs.withColumn(
         "cid", _ivf_assign(F.col("v"), centroids)
     ).withColumn("nrm", norm(F.col("v"))).persist()
-    assigned.count()  # eager: both sides of the self-join read it
+    # no eager count (r15): both self-join sides evaluate inside the
+    # one output action; block locks fill the cache once
     a = assigned.select(
         F.col("cid"), F.col("nid").alias("a_id"), F.col("v").alias("va"),
         F.col("nrm").alias("na"),
@@ -623,7 +624,8 @@ def label_centroid_audit(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).persist()
-    vecs.count()  # eager: centroid build + scoring join both read it
+    # no eager count (r15): the centroid build is the first consumer
+    # and fills the cache; the scoring join reads it
     elems = vecs.select(
         "label", "nid", F.posexplode("v").alias("pos", "val")
     )

@@ -10095,7 +10095,8 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "s1")
         .persist()
     )
-    flags.count()  # eager: three consumers must share the one scan
+    # no eager count (r15): all three consumers evaluate inside the
+    # final funnel action; block locks fill the one scan's cache there
     pairs = dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
     s1_ids = flags.filter("s1").select("doc_id")
     drop2 = (
