@@ -829,6 +829,28 @@ def main() -> None:
         pass
     print(json.dumps(payload))
 
+    # r15 (VERDICT r14 task 8): a dedicated per-query line for any
+    # consumer that scans FULL stdout rather than the 2000-char tail
+    # (PERF_r14 came back with an empty per_query map — the parsed
+    # line was the compact one, which carries no "queries"). This
+    # line is additive: both maps, compact separators, full
+    # precision. It CANNOT go in the final line — 73 query keys alone
+    # are ~1,970 chars at 2dp with compact separators, so totals +
+    # either map cannot both survive a 2000-char tail window; the
+    # compact totals line must stay last and intact.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_per_query",
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "queries_median": medians,
+            },
+            separators=(",", ":"),
+        )
+    )
+
     # FINAL stdout line: a compact summary guaranteed to fit the
     # driver's 2000-char tail window (the full line above was cut
     # mid-string for three rounds running — BENCH_r{8,9,10}.json all

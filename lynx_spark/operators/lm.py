@@ -858,6 +858,10 @@ def _bpe_learn(
                     F.lit(f".{lhs}{rhs}."),
                 ).alias("s"),
             )
+            # cadence counts APPLIED merges: the rewrite at merge t
+            # applies pick t-1, so (t-1) % N == 0 truncates after
+            # every N applied replaces — intentionally offset from
+            # _truncate_round's round_no % N convention (ADVICE r14)
             if (t - 1) % _TRUNCATE_EVERY == 0:
                 new_ckpt = cur.localCheckpoint(eager=True)
                 _release_frame(ckpt)  # sole consumer materialized
@@ -896,7 +900,13 @@ def _bpe_learn(
             F.sum("pair_count").cast("long").alias("sum_pc"),
         ).collect()[0]
         if stats["best"] is None:
-            break  # vocabulary fully merged: no pair left to count
+            # vocabulary fully merged: no pair left to count. Clear
+            # `best` so the post-loop apply doesn't re-run the
+            # previous pick's replace — it was already applied at the
+            # top of this iteration (ADVICE r14: the re-apply was a
+            # provable no-op, but only via the break invariant)
+            best = None
+            break
         if track_sizes:
             toks.append(stats["sum_pc"] + n_words)
         best = (
